@@ -1,13 +1,25 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  * Every operator in SURVEY.md §2 is a [[Q]] in one of the ops modules;
+  * `queries`/`oracleSql` are assembled from those. */
 object SparkEntry {
+
+  private def allQs: Seq[Q] =
+    ops.Relational.qs
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    allQs.head.fn(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    allQs.map(q => q.name -> q.fn).toMap
+
+  /** For each key in queries, equivalent SQL runnable by DuckDB on the same
+    * parquet tables. Omitted for non-SQL-expressible ops (rows-only check). */
+  def oracleSql: Map[String, String] =
+    allQs.flatMap(q => q.oracle.map(sql => q.name -> sql)).toMap
 }
