@@ -1,0 +1,139 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Q
+import graft.schema.Tables.t
+
+/** Event-time streaming semantics, batch-expressible for the DuckDB oracle
+  * (SURVEY.md §7.2 step 4): the same `window`/`session_window` column
+  * functions power `readStream` pipelines unchanged — `graft.ingest.
+  * Pipeline` wires them to a streaming source with watermarks; here they
+  * run over the batch `events` table so correctness is checkable.
+  *
+  * Scale: all of these group/partition by (user_id | window), so state is
+  * hash-distributed across executors; in streaming form the state store is
+  * per-partition RocksDB and watermarks bound its size.
+  */
+object Streamingish {
+
+  private def dec6(c: org.apache.spark.sql.Column) = c.cast("decimal(18,6)")
+
+  val qs: Seq[Q] = Seq(
+
+    // ---- tumbling event-time window ----
+    Q("q34_tumbling_window",
+      """SELECT date_trunc('hour', ts) AS w_start,
+        |  date_trunc('hour', ts) + INTERVAL 1 HOUR AS w_end,
+        |  count(*) AS n,
+        |  sum(CAST(value AS DECIMAL(18,6))) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY w_start""".stripMargin) { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).as("n"), sum(dec6(col("value"))).as("sum_value"))
+        .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
+          col("n"), col("sum_value"))
+        .orderBy(col("w_start"))
+    },
+
+    // ---- sliding event-time window (1h width, 30m hop → 2 windows/event) ----
+    Q("q35_sliding_window",
+      """SELECT time_bucket(INTERVAL '30 minutes', ts) - k.k * INTERVAL 30 MINUTE AS w_start,
+        |  count(*) AS n
+        |FROM events CROSS JOIN (VALUES (0), (1)) k(k)
+        |GROUP BY 1
+        |ORDER BY w_start""".stripMargin) { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("w_start"), col("n"))
+        .orderBy(col("w_start"))
+    },
+
+    // ---- session window (10-minute gap) ----
+    // Oracle reproduces Spark's merge rule (same session iff gap < 10 min;
+    // session end = last event + gap) as gaps-and-islands SQL.
+    Q("q36_session_window",
+      """WITH g AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w >= INTERVAL 10 MINUTE
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        |), sgrp AS (
+        |  SELECT user_id, ts,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM g
+        |)
+        |SELECT user_id,
+        |  min(ts) AS sess_start,
+        |  max(ts) + INTERVAL 10 MINUTE AS sess_end,
+        |  count(*) AS n_events
+        |FROM sgrp
+        |GROUP BY user_id, sid
+        |ORDER BY user_id, sess_start""".stripMargin) { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("user_id"), session_window(col("ts"), "10 minutes"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("session_window.start").as("sess_start"),
+          col("session_window.end").as("sess_end"), col("n_events"))
+        .orderBy(col("user_id"), col("sess_start"))
+    },
+
+    // ---- keep-first dedup (deterministic twin of dropDuplicates /
+    //      dropDuplicatesWithinWatermark: first row per key by event time) ----
+    Q("q37_dedup_first",
+      """SELECT user_id, event_type, event_id AS first_event_id, ts AS first_ts
+        |FROM (SELECT user_id, event_type, event_id, ts,
+        |        row_number() OVER (PARTITION BY user_id, event_type
+        |          ORDER BY ts, event_id) AS rn
+        |      FROM events)
+        |WHERE rn = 1
+        |ORDER BY user_id, event_type""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type"),
+          col("event_id").as("first_event_id"), col("ts").as("first_ts"))
+        .orderBy(col("user_id"), col("event_type"))
+    },
+
+    // ---- as-of join (point-in-time lookup) ----
+    // For every 'error' event: timestamp of the latest 'click' by the same
+    // user at or before it. Implemented the scalable way — tag + union +
+    // one running max over (user, time) — a single shuffle by user_id, no
+    // per-row subquery, no broadcast of the big side. The oracle states the
+    // same semantics as a correlated subquery.
+    Q("q38_asof_join",
+      """SELECT e.event_id, e.user_id,
+        |  (SELECT max(c.ts) FROM events c
+        |   WHERE c.user_id = e.user_id AND c.event_type = 'click'
+        |     AND c.ts <= e.ts) AS last_click_ts
+        |FROM events e
+        |WHERE e.event_type = 'error'
+        |ORDER BY e.event_id""".stripMargin) { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("t"), lit(0).as("kind"),
+          col("ts").as("click_ts"), lit(null).cast("long").as("event_id"))
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts").as("t"), lit(1).as("kind"),
+          lit(null).cast("timestamp").as("click_ts"), col("event_id"))
+      // kind orders clicks before errors at equal t → "at or before" (<=)
+      val w = Window.partitionBy(col("user_id")).orderBy(col("t"), col("kind"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      clicks.unionByName(errors)
+        .withColumn("last_click_ts", max(col("click_ts")).over(w))
+        .filter(col("kind") === 1)
+        .select(col("event_id"), col("user_id"), col("last_click_ts"))
+        .orderBy(col("event_id"))
+    }
+  )
+}

@@ -29,8 +29,10 @@ object Tables {
       // oracle sees identical values.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val df = spark.read.parquet(s"$dir/$name.parquet")
-      import org.apache.spark.sql.functions.{col, timestamp_micros}
-      df.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      import org.apache.spark.sql.functions.{expr, timestamp_micros}
+      // integer DIV, not `/`: long/int division goes through double and
+      // rounds the microsecond up at ~1.7e18 ns magnitudes
+      df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
     } else spark.read.parquet(s"$dir/$name.parquet")
 
   /** Register every table as a temp view so `spark.sql` queries (grouping
