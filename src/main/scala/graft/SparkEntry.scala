@@ -8,7 +8,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   private def allQs: Seq[Q] =
-    ops.Relational.qs ++ ops.Ingest.qs ++ ops.Streamingish.qs
+    ops.Relational.qs ++ ops.Ingest.qs ++ ops.Streamingish.qs ++
+      ops.TextDedup.qs ++ ops.VectorSearch.qs ++ ops.TextAnalysis.qs ++
+      ops.Multimodal.qs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,132 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Q
+import graft.schema.Tables.t
+
+/** Text analysis for corpus curation: language-ID heuristic, quality
+  * scoring, token counting, fingerprinting. All are single-pass, per-row
+  * projections (no shuffle except the final presentation sort) — at 100 TB
+  * these run map-side at scan speed inside whole-stage codegen.
+  */
+object TextAnalysis {
+
+  private val stopwords: Map[String, Seq[String]] = Map(
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "en" -> Seq("the", "a", "and", "of", "to"),
+    "es" -> Seq("el", "los", "las", "y", "por"),
+    "fr" -> Seq("le", "la", "et", "les", "des"))
+
+  private val wordsCol: Column = split(lower(trim(col("text"))), "\\s+")
+
+  private def duckList(ws: Seq[String]): String =
+    ws.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  val qs: Seq[Q] = Seq(
+
+    // ---- language identification (stopword-hit heuristic) ----
+    // Score = distinct stopwords of each language present; prediction is
+    // the max-scoring language, ties broken alphabetically.
+    Q("q46_lang_id", {
+      val scores = stopwords.toSeq.sortBy(_._1).map { case (l, ws) =>
+        s"CAST(len(list_intersect(dwords, ${duckList(ws)})) AS BIGINT) AS s_$l"
+      }.mkString(",\n    ")
+      s"""WITH d AS (SELECT doc_id, lang,
+         |    list_distinct(string_split_regex(lower(trim(text)), '\\s+')) AS dwords
+         |  FROM documents),
+         |scored AS (SELECT doc_id, lang,
+         |    $scores
+         |  FROM d)
+         |SELECT doc_id, lang, s_de, s_en, s_es, s_fr,
+         |  CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+         |       WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+         |       WHEN s_es >= s_fr THEN 'es'
+         |       ELSE 'fr' END AS pred_lang
+         |FROM scored
+         |ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), array_distinct(wordsCol).as("dwords"))
+      val scored = stopwords.toSeq.sortBy(_._1).foldLeft(d) { case (df, (l, ws)) =>
+        df.withColumn(s"s_$l",
+          size(array_intersect(col("dwords"), array(ws.map(lit): _*))).cast("long"))
+      }
+      scored.select(col("doc_id"), col("lang"),
+          col("s_de"), col("s_en"), col("s_es"), col("s_fr"),
+          when(col("s_de") >= col("s_en") && col("s_de") >= col("s_es") && col("s_de") >= col("s_fr"), "de")
+            .when(col("s_en") >= col("s_es") && col("s_en") >= col("s_fr"), "en")
+            .when(col("s_es") >= col("s_fr"), "es")
+            .otherwise("fr").as("pred_lang"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- quality scoring (length / punctuation / stopword ratios) ----
+    Q("q47_quality_score",
+      """SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS n_chars_m,
+        |  CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS n_words,
+        |  CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS n_punct,
+        |  CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |    x -> x IN ('the', 'a', 'and', 'of', 'to'))) AS BIGINT) AS stop_hits,
+        |  round(length(regexp_replace(text, '\s+', '', 'g')) * 1.0
+        |    / len(string_split_regex(lower(trim(text)), '\s+')), 4) AS avg_word_len,
+        |  round((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))) * 1.0
+        |    / length(text), 6) AS punct_ratio,
+        |  round(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |    x -> x IN ('the', 'a', 'and', 'of', 'to'))) * 1.0
+        |    / len(string_split_regex(lower(trim(text)), '\s+')), 6) AS stop_ratio
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val nWords = size(wordsCol)
+      val nPunct = length(col("text")) - length(regexp_replace(col("text"), "[.,!?;:]", ""))
+      val stopHits = size(filter(wordsCol,
+        x => x.isin(stopwords("en"): _*)))
+      t(s, dir, "documents").select(
+          col("doc_id"),
+          length(col("text")).cast("long").as("n_chars_m"),
+          nWords.cast("long").as("n_words"),
+          nPunct.cast("long").as("n_punct"),
+          stopHits.cast("long").as("stop_hits"),
+          round(length(regexp_replace(col("text"), "\\s+", "")) * lit(1.0) / nWords, 4)
+            .as("avg_word_len"),
+          round(nPunct * lit(1.0) / length(col("text")), 6).as("punct_ratio"),
+          round(stopHits * lit(1.0) / nWords, 6).as("stop_ratio"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- token counting (whitespace + BPE-ish regex) ----
+    Q("q48_token_count",
+      """SELECT doc_id,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_tokens,
+        |  round(length(text) * 1.0
+        |    / len(string_split_regex(trim(text), '\s+')), 4) AS chars_per_token
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val wsTokens = size(split(trim(col("text")), "\\s+"))
+      t(s, dir, "documents").select(
+          col("doc_id"),
+          wsTokens.cast("long").as("ws_tokens"),
+          regexp_count(col("text"), lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]")).cast("long")
+            .as("bpe_tokens"),
+          round(length(col("text")) * lit(1.0) / wsTokens, 4).as("chars_per_token"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- document fingerprint (normalized-content hash) ----
+    Q("q49_fingerprint",
+      """SELECT doc_id,
+        |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+        |  substr(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), 1, 8) AS fp_prefix
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val norm = trim(regexp_replace(lower(col("text")), "\\s+", " "))
+      t(s, dir, "documents").select(
+          col("doc_id"),
+          md5(norm).as("fp"),
+          substring(md5(norm), 1, 8).as("fp_prefix"))
+        .orderBy(col("doc_id"))
+    }
+  )
+}

@@ -1,0 +1,181 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Q
+import graft.schema.Tables.t
+
+/** Document deduplication for LLM-pipeline data curation: exact (hash
+  * groupBy), MinHash+LSH banding, exact n-gram Jaccard verification, and
+  * SimHash — all oracle-checked (the MinHash/SimHash base hash is md5, which
+  * DuckDB computes identically, so even the approximate structures are
+  * deterministic across engines).
+  *
+  * Scale design (100 TB corpus):
+  *  - shingling explodes each doc into ~|words| rows; `distinct` before the
+  *    signature groupBy caps the per-doc fanout at the shingle-set size.
+  *  - the LSH band self-join is the whole point: candidate generation is a
+  *    hash-partitioned equi-join on (band, bandKey) — O(candidates), never
+  *    the O(n²) all-pairs cross join.
+  *  - exact Jaccard runs only on pairs that share ≥1 shingle (equi-join on
+  *    shingle), and the final filter keeps near-dups; at 100 TB you'd add a
+  *    frequency cap on ultra-common shingles to bound join skew (AQE skew
+  *    handling covers the rest).
+  */
+object TextDedup {
+
+  private val NumHashes = 8 // minhash signature length
+  private val BandRows = 2 // rows per LSH band → 4 bands
+
+  /** words of the lower-cased, trimmed text (Spark side). */
+  private val wordsCol: Column = split(lower(trim(col("text"))), "\\s+")
+
+  /** 3-word shingles, 0-based Spark indexing. */
+  private val shinglesExpr: Column = expr(
+    """CASE WHEN size(words) >= 3 THEN
+      |  transform(sequence(0, size(words) - 3),
+      |    i -> concat_ws(' ', words[i], words[i+1], words[i+2]))
+      |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin)
+
+  /** doc_id → exploded distinct shingle rows. */
+  private def shingleRows(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), wordsCol.as("words"))
+      .select(col("doc_id"), explode(shinglesExpr).as("sh"))
+      .distinct()
+
+  /** Shared oracle CTE: same shingling in DuckDB (1-based list indexing). */
+  private val ShingleCte: String =
+    """WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS words
+      |           FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, sh FROM (
+      |  SELECT doc_id, unnest(list_transform(range(1, greatest(len(words) - 1, 1)),
+      |    i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS sh
+      |  FROM w))""".stripMargin
+
+  val qs: Seq[Q] = Seq(
+
+    // ---- exact dedup: hash-groupBy on content ----
+    // keeper = min doc_id per content hash; n_docs > 1 marks duplicate sets.
+    // One shuffle on the hash; at 100 TB this is the standard exact-dedup
+    // pass (hash first so the shuffle key is 32 bytes, not the document).
+    Q("q40_dedup_exact",
+      """SELECT md5(text) AS fp, count(*) AS n_docs, min(doc_id) AS keeper_id
+        |FROM documents
+        |GROUP BY md5(text)
+        |ORDER BY fp""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(md5(col("text")).as("fp"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keeper_id"))
+        .orderBy(col("fp"))
+    },
+
+    // ---- MinHash + LSH banding: near-dup candidate pairs ----
+    Q("q41_minhash_lsh", {
+      val sigCols = (0 until NumHashes)
+        .map(i => s"min(md5('$i:' || sh)) AS h$i").mkString(",\n    ")
+      val bandSelects = (0 until NumHashes / BandRows).map { j =>
+        val key = (0 until BandRows).map(r => s"h${j * BandRows + r}").mkString(" || '|' || ")
+        s"SELECT doc_id, $j AS band, $key AS bkey FROM sig"
+      }.mkString("\n  UNION ALL ")
+      s"""$ShingleCte,
+         |sig AS (SELECT doc_id,
+         |    $sigCols
+         |  FROM sh GROUP BY doc_id),
+         |bands AS (
+         |  $bandSelects)
+         |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |FROM bands x JOIN bands y
+         |  ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+         |ORDER BY doc_a, doc_b""".stripMargin
+    }) { (s, dir) =>
+      val sh = shingleRows(s, dir)
+      val sigAggs = (0 until NumHashes)
+        .map(i => min(md5(concat(lit(s"$i:"), col("sh")))).as(s"h$i"))
+      val sig = sh.groupBy(col("doc_id")).agg(sigAggs.head, sigAggs.tail: _*)
+      val bandStructs = (0 until NumHashes / BandRows).map { j =>
+        val key = concat_ws("|",
+          (0 until BandRows).map(r => col(s"h${j * BandRows + r}")): _*)
+        struct(lit(j).as("band"), key.as("bkey"))
+      }
+      val bands = sig
+        .select(col("doc_id"), explode(array(bandStructs: _*)).as("b"))
+        .select(col("doc_id"), col("b.band").as("band"), col("b.bkey").as("bkey"))
+      val x = bands.as("x")
+      val y = bands.as("y")
+      x.join(y,
+          col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    // ---- exact n-gram Jaccard on shingle-sharing pairs ----
+    // The verification stage after LSH candidate generation: join on the
+    // shingle itself (pairs with zero overlap never materialize), then
+    // |A∩B| / |A∪B| with a ≥0.5 near-dup threshold.
+    Q("q42_ngram_jaccard",
+      s"""$ShingleCte,
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS i
+         |  FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b,
+         |  round(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
+         |FROM inter
+         |JOIN sizes sa ON doc_a = sa.doc_id
+         |JOIN sizes sb ON doc_b = sb.doc_id
+         |WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+      val sh = shingleRows(s, dir)
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val inter = sh.as("x").join(sh.as("y"),
+          col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("i"))
+      val jac = col("i") * lit(1.0) /
+        (col("sa.n") + col("sb.n") - col("i"))
+      inter
+        .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+        .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+        .filter(jac >= 0.5)
+        .select(col("doc_a"), col("doc_b"), round(jac, 6).as("jaccard"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    // ---- SimHash (32-bit, md5-derived) ----
+    // Per-shingle 32-bit hash = first 8 hex chars of md5; simhash bit b is
+    // the sign of Σ(±1) over shingles. Deterministic in both engines.
+    Q("q43_simhash", {
+      val sumCols = (0 until 32)
+        .map(b => s"sum(((h >> $b) & 1) * 2 - 1) AS s$b").mkString(",\n    ")
+      val codeExpr = (0 until 32)
+        .map(b => s"(CASE WHEN s$b > 0 THEN CAST(1 AS BIGINT) << $b ELSE 0 END)")
+        .mkString("\n    + ")
+      s"""$ShingleCte,
+         |hv AS (SELECT doc_id, list_sum(list_transform(range(1, 9),
+         |    i -> CAST((strpos('0123456789abcdef', substr(md5(sh), i, 1)) - 1) AS BIGINT)
+         |         * (CAST(1 AS BIGINT) << (4 * (8 - i))))) AS h
+         |  FROM sh),
+         |s AS (SELECT doc_id,
+         |    $sumCols
+         |  FROM hv GROUP BY doc_id)
+         |SELECT doc_id,
+         |    $codeExpr AS simhash
+         |FROM s
+         |ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      val sh = shingleRows(s, dir)
+      val h = conv(substring(md5(col("sh")), 1, 8), 16, 10).cast("long")
+      val sums = (0 until 32).map(b =>
+        sum(shiftright(col("h"), b).bitwiseAND(lit(1L)) * 2 - 1).as(s"s$b"))
+      val sig = sh.select(col("doc_id"), h.as("h"))
+        .groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
+      val code = (0 until 32)
+        .map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+        .reduce(_ + _)
+      sig.select(col("doc_id"), code.as("simhash")).orderBy(col("doc_id"))
+    }
+  )
+}

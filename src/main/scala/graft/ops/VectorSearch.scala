@@ -1,0 +1,127 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Q
+import graft.schema.Tables.t
+
+/** Similarity search over the embedding column (LLM-pipeline ANN surface).
+  *
+  * q44 is the exact baseline: brute-force cosine against one query vector —
+  * a broadcast of the query + a single codegen'd pass over the corpus, the
+  * plan you want at any scale when k is small (TakeOrderedAndProject keeps
+  * only k rows per partition).
+  *
+  * q45 is the scale path: random-hyperplane LSH. Every vector gets a small
+  * signed-projection bucket code; search only compares within the query's
+  * bucket. The hyperplanes are derived deterministically from md5 so the
+  * DuckDB oracle reproduces them bit-for-bit — the "approximate" index is
+  * still exactly checkable. At 100 TB you'd repartition by bucket code so
+  * each probe touches one partition (plus neighboring codes for recall).
+  */
+object VectorSearch {
+
+  private val Dim = 64
+  private val NumPlanes = 6 // 64 buckets over the corpus
+
+  /** Deterministic pseudo-random hyperplanes from md5 (public, stable). */
+  private lazy val planes: Array[Array[Double]] = {
+    val mdig = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(NumPlanes, Dim) { (j, i) =>
+      val hex = mdig.digest(s"$j:$i".getBytes("UTF-8"))
+        .take(2).map("%02x".format(_)).mkString
+      math.rint((Integer.parseInt(hex, 16) / 65535.0 - 0.5) * 1e6) / 1e6
+    }
+  }
+
+  /** dot(embedding, other-array-column) in double, sequential fold — the
+    * same order DuckDB's list_sum uses, so results match to the last bit. */
+  private def dotExpr(a: String, b: String): Column = expr(
+    s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
+      "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+
+  private def normExpr(a: String): Column =
+    sqrt(expr(s"aggregate(transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), " +
+      "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"))
+
+  private val DuckCos: String =
+    """list_sum(list_transform(range(1, len(embedding) + 1),
+      |      i -> CAST(embedding[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)))
+      |  / (sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+      |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))
+      |   * sqrt(list_sum(list_transform(range(1, len(qe) + 1),
+      |      i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)))))""".stripMargin
+
+  private def duckPlaneList(j: Int): String =
+    planes(j).map(v => f"$v%.6f").mkString("[", ", ", "]")
+
+  private def duckDot(vec: String, planeList: String): String =
+    s"list_sum(list_transform(range(1, len($vec) + 1), i -> CAST($vec[i] AS DOUBLE) * ($planeList)[i]))"
+
+  private def sparkPlaneArray(j: Int): Column =
+    array(planes(j).map(v => lit(v)): _*)
+
+  private def sparkCode(vecCol: String): Column =
+    (0 until NumPlanes).map { j =>
+      when(dotExpr(vecCol, s"__p$j") > 0, lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  val qs: Seq[Q] = Seq(
+
+    // ---- exact brute-force cosine top-k ----
+    Q("q44_cosine_topk",
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+         |SELECT vec_id, round(
+         |  $DuckCos, 6) AS cos_sim
+         |FROM embeddings, q
+         |WHERE vec_id <> 0
+         |ORDER BY cos_sim DESC, vec_id
+         |LIMIT 10""".stripMargin) { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+      emb.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          round(dotExpr("embedding", "qe") / (normExpr("embedding") * normExpr("qe")), 6)
+            .as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+        .limit(10)
+    },
+
+    // ---- LSH-bucketed approximate nearest neighbors ----
+    // Same-bucket candidates for query vec 0, ranked by exact cosine.
+    Q("q45_ann_lsh", {
+      val planeCols = (0 until NumPlanes)
+        .map(j => s"${duckPlaneList(j)} AS p$j").mkString(",\n    ")
+      def codeSql(vec: String) = (0 until NumPlanes)
+        .map(j => s"(CASE WHEN ${duckDot(vec, s"p$j")} > 0 THEN ${1 << j} ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH p AS (SELECT
+         |    $planeCols),
+         |coded AS (SELECT vec_id, embedding, ${codeSql("embedding")} AS code
+         |  FROM embeddings, p),
+         |q AS (SELECT embedding AS qe, code AS qcode FROM coded WHERE vec_id = 0)
+         |SELECT vec_id, round(
+         |  $DuckCos, 6) AS cos_sim
+         |FROM coded, q
+         |WHERE vec_id <> 0 AND code = qcode
+         |ORDER BY cos_sim DESC, vec_id""".stripMargin
+    }) { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val withPlanes = (0 until NumPlanes).foldLeft(emb) { (df, j) =>
+        df.withColumn(s"__p$j", sparkPlaneArray(j))
+      }
+      val coded = withPlanes
+        .select(col("vec_id"), col("embedding"), sparkCode("embedding").as("code"))
+      val q = coded.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qe"), col("code").as("qcode"))
+      coded.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .filter(col("code") === col("qcode"))
+        .select(col("vec_id"),
+          round(dotExpr("embedding", "qe") / (normExpr("embedding") * normExpr("qe")), 6)
+            .as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+    }
+  )
+}
