@@ -24,11 +24,20 @@ case class SnappyDecode(child: Expression) extends UnaryExpression {
   override def dataType: DataType = BinaryType
   override def prettyName: String = "snappy_decode"
 
+  /** Corrupt payloads decode to NULL (then flow to the dead-letter path)
+    * rather than failing the task — the reference's S3 semantics: drop the
+    * bad record, count it, keep consuming. Hence nullable even when the
+    * child is not. */
+  override def nullable: Boolean = true
+
   override protected def nullSafeEval(input: Any): Any =
-    SnappyDecode.decode(input.asInstanceOf[Array[Byte]])
+    SnappyDecode.decodeOrNull(input.asInstanceOf[Array[Byte]])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.SnappyDecode.decode($c)")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.SnappyDecode.decodeOrNull($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
 
   override protected def withNewChildInternal(newChild: Expression): SnappyDecode =
     copy(child = newChild)
@@ -36,13 +45,12 @@ case class SnappyDecode(child: Expression) extends UnaryExpression {
 
 object SnappyDecode {
   /** Codegen calls this static helper so checked IOExceptions never surface
-    * in generated (Janino) code. A corrupt payload is a data error → wrapped
-    * unchecked, surfaced per-task like any other malformed-record failure. */
-  def decode(bytes: Array[Byte]): Array[Byte] =
+    * in generated (Janino) code; a corrupt block yields null. */
+  def decodeOrNull(bytes: Array[Byte]): Array[Byte] =
     try org.xerial.snappy.Snappy.uncompress(bytes)
     catch {
-      case e: java.io.IOException =>
-        throw new IllegalArgumentException(s"snappy_decode: ${e.getMessage}", e)
+      case _: java.io.IOException => null
+      case _: IllegalArgumentException => null
     }
 
   def compress(bytes: Array[Byte]): Array[Byte] =

@@ -1,0 +1,31 @@
+package graft
+
+class EntrySpec extends SparkSpec {
+
+  test("entry returns rows on sf0.001 (driver smoke contract)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracle key has a query") {
+    val qk = SparkEntry.queries.keySet
+    val missing = SparkEntry.oracleSql.keySet.diff(qk)
+    assert(missing.isEmpty, s"oracle without query: $missing")
+  }
+
+  test("query names are unique across modules") {
+    val names = Seq(
+      ops.Relational.qs, ops.Ingest.qs, ops.Streamingish.qs,
+      ops.TextDedup.qs, ops.VectorSearch.qs, ops.TextAnalysis.qs,
+      ops.Multimodal.qs).flatten.map(_.name)
+    assert(names.distinct.size == names.size)
+  }
+
+  test("representative queries return rows at sf0.001") {
+    val picks = Seq("q01_pricing_summary", "q10_local_supplier_volume",
+      "q18_window_topk", "q36_session_window", "q41_minhash_lsh",
+      "q44_cosine_topk", "q46_lang_id", "q50_multimodal_meta")
+    picks.foreach { n =>
+      assert(SparkEntry.queries(n)(spark, sf001).count() > 0, s"$n returned 0 rows")
+    }
+  }
+}
