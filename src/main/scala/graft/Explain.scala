@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: print the formatted physical plan and wall time for named
+  * queries — the `.explain` iteration loop the build guide demands. */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    args.foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      println(s"===== $name =====")
+      if (sys.env.get("GRAFT_EXPLAIN").forall(_ == "1")) df.explain("formatted")
+      (1 to 2).foreach { i =>
+        val t0 = System.nanoTime()
+        val n = df.count()
+        println(f"$name run$i: $n rows in ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,157 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Q
+import graft.schema.Tables.t
+
+/** Remaining SURVEY.md §2.2 surface: predicate algebra, HLL sketches,
+  * map functions, generator (UDTF) expressions, Scala UDF registration,
+  * pivot, sampling, and RANGE window frames. */
+object Extras {
+
+  val qs: Seq[Q] = Seq(
+
+    // ---- full predicate algebra: isin / like / rlike / between / null ----
+    Q("q51_predicates",
+      """SELECT p_partkey,
+        |  (p_brand IN ('Brand#1', 'Brand#5', 'Brand#9')) AS in_set,
+        |  (p_name LIKE '%bolt%') AS has_bolt,
+        |  regexp_matches(p_name, '^(red|blue) ') AS color_start,
+        |  (p_size BETWEEN 10 AND 20) AS mid_size,
+        |  (p_retailprice IS NOT NULL) AS has_price,
+        |  (NOT (p_type = 'PROMO') AND (p_size > 25 OR p_brand = 'Brand#3')) AS compound
+        |FROM part
+        |ORDER BY p_partkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "part").select(
+          col("p_partkey"),
+          col("p_brand").isin("Brand#1", "Brand#5", "Brand#9").as("in_set"),
+          col("p_name").like("%bolt%").as("has_bolt"),
+          col("p_name").rlike("^(red|blue) ").as("color_start"),
+          col("p_size").between(10, 20).as("mid_size"),
+          col("p_retailprice").isNotNull.as("has_price"),
+          (!(col("p_type") === "PROMO") && (col("p_size") > 25 || col("p_brand") === "Brand#3"))
+            .as("compound"))
+        .orderBy(col("p_partkey"))
+    },
+
+    // ---- HLL sketch: approx_count_distinct ----
+    // Inherently engine-specific estimates → no SQL oracle (driver records
+    // the weaker rows-only check); exact twins live in q11_agg_distinct.
+    Q.rowsOnly("q52_approx_distinct") { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          approx_count_distinct(col("l_suppkey"), 0.01).as("approx_supps"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // ---- map construction + access functions ----
+    // The map ops must round-trip real values: m[k] and map_keys/values
+    // land in scalar output columns the oracle states directly.
+    Q("q53_map_funcs",
+      """SELECT o_orderkey,
+        |  o_orderstatus AS first_key,
+        |  o_totalprice AS status_val,
+        |  CAST(1 AS INTEGER) AS n_keys,
+        |  o_orderpriority AS via_entries
+        |FROM orders
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      val m = map(col("o_orderstatus"), col("o_totalprice"))
+      t(s, dir, "orders").select(
+          col("o_orderkey"),
+          element_at(map_keys(m), 1).as("first_key"),
+          element_at(m, col("o_orderstatus")).as("status_val"),
+          size(m).as("n_keys"),
+          element_at(map_values(
+            map_from_entries(array(struct(lit("p"), col("o_orderpriority"))))), 1)
+            .as("via_entries"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    // ---- generator expressions: posexplode over array slices ----
+    Q("q54_generators",
+      """SELECT vec_id, CAST(i - 1 AS INTEGER) AS pos,
+        |  round(CAST(embedding[i] AS DOUBLE), 6) AS val
+        |FROM embeddings, range(1, 4) t(i)
+        |ORDER BY vec_id, pos""".stripMargin) { (s, dir) =>
+      t(s, dir, "embeddings")
+        .select(col("vec_id"), posexplode(slice(col("embedding"), 1, 3)))
+        .select(col("vec_id"), col("pos"),
+          round(col("col").cast("double"), 6).as("val"))
+        .orderBy(col("vec_id"), col("pos"))
+    },
+
+    // ---- registered Scala UDF surface ----
+    // (For anything hot, a native expression is preferred — see
+    // SnappyDecode — but the plain UDF path must exist and work.)
+    Q("q55_scala_udf",
+      """SELECT o_orderkey,
+        |  round(o_totalprice * 0.1 + 5.0, 4) AS fee
+        |FROM orders
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      val fee = udf((p: Double) => p * 0.1 + 5.0)
+      s.udf.register("graft_fee", fee)
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), round(fee(col("o_totalprice")), 4).as("fee"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    // ---- pivot (status → columns) ----
+    Q("q56_pivot",
+      """SELECT o_orderpriority,
+        |  sum(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS F,
+        |  sum(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS O,
+        |  sum(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS P
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")))
+        .orderBy(col("o_orderpriority"))
+    },
+
+    // ---- seeded sampling ----
+    // Spark's sampler (XORShift per partition) is reproducible for a fixed
+    // seed+partitioning but not portable to DuckDB → rows-only check.
+    Q.rowsOnly("q57_sample") { (s, dir) =>
+      t(s, dir, "lineitem")
+        .sample(withReplacement = false, fraction = 0.1, seed = 42L)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // ---- RANGE window frame + first/last value ----
+    Q("q58_window_range",
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(count(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+        |    RANGE BETWEEN 500.0 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_similar,
+        |  first_value(o_orderkey) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey) AS first_order,
+        |  last_value(o_orderkey) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_order
+        |FROM orders
+        |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, dir) =>
+      // Double-valued RANGE offsets have no Scala WindowSpec API (removed in
+      // Spark 3.0) — the SQL window expression form supports them.
+      val byDate = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, dir, "orders").select(
+          col("o_custkey"), col("o_orderkey"),
+          expr("""count(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+                 |RANGE BETWEEN 500.0 PRECEDING AND CURRENT ROW)""".stripMargin)
+            .cast("long").as("n_similar"),
+          first(col("o_orderkey")).over(byDate).as("first_order"),
+          last(col("o_orderkey"))
+            .over(byDate.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+            .as("last_order"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }
+  )
+}

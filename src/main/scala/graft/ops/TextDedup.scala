@@ -89,6 +89,11 @@ object TextDedup {
          |  ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
          |ORDER BY doc_a, doc_b""".stripMargin
     }) { (s, dir) =>
+      // Signature = 8 min-aggregate columns over per-shingle md5s: map-side
+      // partial agg compresses the shuffle to one row per (partition, doc)
+      // — an exploded (doc, seed) layout was measured 5× slower because
+      // 40k+ groups defeat partial-agg compression. The band self-join on
+      // (band, bkey) is the LSH candidate join.
       val sh = shingleRows(s, dir)
       val sigAggs = (0 until NumHashes)
         .map(i => min(md5(concat(lit(s"$i:"), col("sh")))).as(s"h$i"))
@@ -98,9 +103,13 @@ object TextDedup {
           (0 until BandRows).map(r => col(s"h${j * BandRows + r}")): _*)
         struct(lit(j).as("band"), key.as("bkey"))
       }
+      // persist: both sides of the self-join read `bands` — without it the
+      // whole shingle→signature pipeline runs twice (broadcast side gets a
+      // different exchange shape, so ReusedExchange can't kick in).
       val bands = sig
         .select(col("doc_id"), explode(array(bandStructs: _*)).as("b"))
         .select(col("doc_id"), col("b.band").as("band"), col("b.bkey").as("bkey"))
+        .persist()
       val x = bands.as("x")
       val y = bands.as("y")
       x.join(y,
@@ -128,7 +137,9 @@ object TextDedup {
          |JOIN sizes sb ON doc_b = sb.doc_id
          |WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
-      val sh = shingleRows(s, dir)
+      // persist: `sh` feeds both self-join sides plus the sizes aggregate —
+      // three consumers of one small exploded frame.
+      val sh = shingleRows(s, dir).persist()
       val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       val inter = sh.as("x").join(sh.as("y"),
           col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
@@ -166,16 +177,21 @@ object TextDedup {
          |FROM s
          |ORDER BY doc_id""".stripMargin
     }) { (s, dir) =>
+      // Bit positions are exploded into rows rather than 32 aggregate
+      // columns: a 32-wide agg makes Janino compile a ~70 s codegen blob;
+      // two narrow hash aggregates plan instantly and shuffle |docs|×32
+      // tiny rows. Same result as the oracle's per-column formulation.
       val sh = shingleRows(s, dir)
       val h = conv(substring(md5(col("sh")), 1, 8), 16, 10).cast("long")
-      val sums = (0 until 32).map(b =>
-        sum(shiftright(col("h"), b).bitwiseAND(lit(1L)) * 2 - 1).as(s"s$b"))
-      val sig = sh.select(col("doc_id"), h.as("h"))
-        .groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
-      val code = (0 until 32)
-        .map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-        .reduce(_ + _)
-      sig.select(col("doc_id"), code.as("simhash")).orderBy(col("doc_id"))
+      val bits = sh.select(col("doc_id"), h.as("h"))
+        .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(31))).as("b"))
+        .select(col("doc_id"), col("b"),
+          (expr("shiftright(h, b) & 1") * 2 - 1).as("sign"))
+      bits.groupBy(col("doc_id"), col("b")).agg(sum(col("sign")).as("s"))
+        .groupBy(col("doc_id"))
+        .agg(sum(when(col("s") > 0, expr("shiftleft(CAST(1 AS BIGINT), b)"))
+          .otherwise(lit(0L))).as("simhash"))
+        .orderBy(col("doc_id"))
     }
   )
 }
