@@ -1,0 +1,36 @@
+package graft
+
+/** Plan-shape regressions: the properties SCALE.md claims must actually
+  * show up in the physical plan — pushdown, pruning, broadcast joins, and
+  * top-k without a global sort. */
+class PlanShapeSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf001).queryExecution.executedPlan.toString
+
+  test("q01: filter pushed to the parquet scan, columns pruned") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("PushedFilters:") && p.contains("l_shipdate"),
+      s"no pushed filter on l_shipdate in:\n$p")
+    assert(!p.contains("l_partkey"), "scan reads columns the query never uses")
+  }
+
+  test("q03/q10: dimension joins are broadcast, not shuffled") {
+    assert(plan("q03_broadcast_join").contains("BroadcastHashJoin"))
+    val q10 = plan("q10_local_supplier_volume")
+    assert(q10.contains("BroadcastHashJoin"))
+  }
+
+  test("q04: semi join planned as a join, not a subquery re-scan") {
+    assert(plan("q04_semi_join").contains("LeftSemi"))
+  }
+
+  test("q22: top-k is TakeOrderedAndProject (no global sort)") {
+    assert(plan("q22_sort_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("q18: per-group top-k uses a running row_number window, single shuffle") {
+    val p = plan("q18_window_topk")
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"))
+  }
+}

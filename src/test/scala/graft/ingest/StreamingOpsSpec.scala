@@ -1,0 +1,95 @@
+package graft.ingest
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.SparkSpec
+
+/** True-streaming twins of the batch-verified Streamingish operators:
+  * event-time tumbling windows with watermark, streaming dedup, and
+  * arbitrary per-key state via flatMapGroupsWithState (SURVEY.md §2.2
+  * streaming category). */
+// top-level so Catalyst can build an Encoder (inner classes lack a
+// reachable outer scope for newInstance)
+case class Ev(ts: Timestamp, user_id: Long, value: Double)
+
+class StreamingOpsSpec extends SparkSpec {
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  test("event-time tumbling window with watermark (streaming mode)") {
+    val s = spark
+    import s.implicits._
+    val mem = MemoryStream[Ev](s)
+    val agg = mem.toDF()
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("v"))
+      .select(col("window.start").as("w"), col("n"), col("v"))
+    val q = agg.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("tumble_out").start()
+    try {
+      mem.addData(Ev(ts(1), 1, 1.0), Ev(ts(2), 2, 2.0), Ev(ts(7), 1, 3.0))
+      q.processAllAvailable()
+      // advance watermark past the first windows
+      mem.addData(Ev(ts(30), 1, 9.0))
+      q.processAllAvailable()
+      val rows = s.table("tumble_out").orderBy("w").collect()
+      assert(rows.length == 2) // 10:00 and 10:05 windows closed and emitted
+      assert(rows(0).getLong(1) == 2 && rows(0).getDouble(2) == 3.0)
+      assert(rows(1).getLong(1) == 1 && rows(1).getDouble(2) == 3.0)
+    } finally q.stop()
+  }
+
+  test("streaming dedup with dropDuplicates") {
+    val s = spark
+    import s.implicits._
+    val mem = MemoryStream[Ev](s)
+    val q = mem.toDF()
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("user_id")
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("dedup_out").start()
+    try {
+      mem.addData(Ev(ts(1), 7, 1.0), Ev(ts(2), 7, 2.0), Ev(ts(3), 8, 3.0))
+      q.processAllAvailable()
+      mem.addData(Ev(ts(4), 7, 4.0), Ev(ts(5), 9, 5.0))
+      q.processAllAvailable()
+      val users = s.table("dedup_out").select("user_id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(users == Seq(7L, 8L, 9L)) // each key kept exactly once
+    } finally q.stop()
+  }
+
+  test("arbitrary state: per-user running count via flatMapGroupsWithState") {
+    val s = spark
+    import s.implicits._
+    val mem = MemoryStream[Ev](s)
+    val counted = mem.toDS()
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Long, (Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, evs: Iterator[Ev], state: GroupState[Long]) =>
+          val prev = state.getOption.getOrElse(0L)
+          val next = prev + evs.size
+          state.update(next)
+          Iterator((user, next))
+      }
+    val q = counted.toDF("user_id", "running_n")
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("state_out").start()
+    try {
+      mem.addData(Ev(ts(1), 1, 1.0), Ev(ts(2), 1, 1.0), Ev(ts(3), 2, 1.0))
+      q.processAllAvailable()
+      mem.addData(Ev(ts(4), 1, 1.0))
+      q.processAllAvailable()
+      val byBatch = s.table("state_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      // batch 1: user1 → 2, user2 → 1; batch 2: user1 → 3 (state carried)
+      assert(byBatch.contains((1L, 2L)) && byBatch.contains((2L, 1L)))
+      assert(byBatch.contains((1L, 3L)))
+    } finally q.stop()
+  }
+}
