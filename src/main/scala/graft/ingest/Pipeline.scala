@@ -99,8 +99,13 @@ object Pipeline {
             val projected = ClickHouseSchema.sortedProjectCast(
               good.select(col("r.*")).drop("_corrupt_record"),
               ClickHouseSchema.fromDescribe(tc.describeTsv))
-            projected.write.mode("append")
-              .parquet(s"${cfg.tableRoot}/${tc.table}")
+            // Idempotent sink: each micro-batch overwrites its own
+            // batch_id-keyed directory, so a replayed batch (post-crash
+            // restart from checkpoint) lands on the same path instead of
+            // double-appending — exactly-once output from an at-least-once
+            // replay (SURVEY.md §7.5 upgrade over the reference).
+            projected.write.mode("overwrite")
+              .parquet(s"${cfg.tableRoot}/${tc.table}/batch_id=$batchId")
             val nBad = bad.count()
             if (nBad > 0) {
               // S12 kept-on-error dump: raw payloads, replayable later.

@@ -122,6 +122,60 @@ object VectorSearch {
           round(dotExpr("embedding", "qe") / (normExpr("embedding") * normExpr("qe")), 6)
             .as("cos_sim"))
         .orderBy(col("cos_sim").desc, col("vec_id"))
+    },
+
+    // ---- IVF-style ANN: coarse quantizer = per-label centroids ----
+    // Build phase: one narrow aggregate produces the centroid table (tiny).
+    // Probe phase: rank centroids against the query, search only the
+    // nearest list — at 100 TB, repartition the corpus by list id and a
+    // probe is a single-partition scan (plus nprobe neighbors for recall).
+    // Centroid components round to 6dp so both engines' avg() agree.
+    Q("q59_ann_ivf", {
+      def cosSql(a: String, b: String) =
+        s"""(list_sum(list_transform(range(1, len($a) + 1),
+           |    i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))
+           | / (sqrt(list_sum(list_transform(range(1, len($a) + 1),
+           |    i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE))))
+           |  * sqrt(list_sum(list_transform(range(1, len($b) + 1),
+           |    i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))))))""".stripMargin
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |pos AS (SELECT label, generate_subscripts(embedding, 1) AS i,
+         |               CAST(unnest(embedding) AS DOUBLE) AS val FROM embeddings),
+         |cent AS (SELECT label, list(round(avg_v, 6) ORDER BY i) AS centroid
+         |         FROM (SELECT label, i, avg(val) AS avg_v FROM pos GROUP BY label, i)
+         |         GROUP BY label),
+         |nearest AS (SELECT label FROM cent, q
+         |            ORDER BY ${cosSql("centroid", "qe")} DESC, label LIMIT 1)
+         |SELECT vec_id, round(${cosSql("embedding", "qe")}, 6) AS cos_sim
+         |FROM embeddings e, q, nearest n
+         |WHERE e.label = n.label AND vec_id <> 0
+         |ORDER BY cos_sim DESC, vec_id
+         |LIMIT 5""".stripMargin
+    }) { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val centroids = emb
+        .select(col("label"), posexplode(col("embedding")))
+        .groupBy(col("label"), col("pos"))
+        .agg(avg(col("col").cast("double")).as("v"))
+        .groupBy(col("label"))
+        .agg(sort_array(collect_list(struct(col("pos"), round(col("v"), 6).as("v"))))
+          .as("pv"))
+        .select(col("label"), expr("transform(pv, x -> x.v)").as("centroid"))
+      val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+      val nearest = centroids.crossJoin(broadcast(q))
+        .select(col("label"),
+          (dotExpr("centroid", "qe") / (normExpr("centroid") * normExpr("qe"))).as("ccos"))
+        .orderBy(col("ccos").desc, col("label"))
+        .limit(1)
+        .select(col("label"))
+      emb.filter(col("vec_id") =!= 0)
+        .join(broadcast(nearest), Seq("label"))
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          round(dotExpr("embedding", "qe") / (normExpr("embedding") * normExpr("qe")), 6)
+            .as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+        .limit(5)
     }
   )
 }

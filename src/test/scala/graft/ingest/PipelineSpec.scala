@@ -44,12 +44,13 @@ class PipelineSpec extends SparkSpec {
     query.processAllAvailable()
     query.stop()
 
-    val users = s.read.parquet(s"$root/tables/users")
+    // batch_id is the idempotence partition key the sink writes under
+    val users = s.read.parquet(s"$root/tables/users").drop("batch_id")
     assert(users.columns.toSeq == Seq("name", "uid")) // alphabetical
     assert(users.count() == 2)
     assert(users.where("uid = 1").collect().head.getString(0) == "ada")
 
-    val temps = s.read.parquet(s"$root/tables/temps")
+    val temps = s.read.parquet(s"$root/tables/temps").drop("batch_id")
     assert(temps.columns.toSeq == Seq("celsius", "sensor"))
     assert(temps.count() == 1)
 
