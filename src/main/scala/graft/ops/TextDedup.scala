@@ -37,12 +37,20 @@ object TextDedup {
       |    i -> concat_ws(' ', words[i], words[i+1], words[i+2]))
       |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin)
 
-  /** doc_id → exploded distinct shingle rows. */
+  /** doc_id → exploded distinct shingle rows, memoized per (session, dir):
+    * q41/q42/q43 all start from this frame, so one persisted copy serves
+    * the whole dedup family instead of re-exploding per query (and per
+    * self-join side). */
+  private val shCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
   private def shingleRows(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
-      .select(col("doc_id"), wordsCol.as("words"))
-      .select(col("doc_id"), explode(shinglesExpr).as("sh"))
-      .distinct()
+    shCache.getOrElseUpdate((s, dir),
+      t(s, dir, "documents")
+        .select(col("doc_id"), wordsCol.as("words"))
+        .select(col("doc_id"), explode(shinglesExpr).as("sh"))
+        .distinct()
+        .persist())
 
   /** Shared oracle CTE: same shingling in DuckDB (1-based list indexing). */
   private val ShingleCte: String =
@@ -137,9 +145,9 @@ object TextDedup {
          |JOIN sizes sb ON doc_b = sb.doc_id
          |WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
-      // persist: `sh` feeds both self-join sides plus the sizes aggregate —
-      // three consumers of one small exploded frame.
-      val sh = shingleRows(s, dir).persist()
+      // `sh` is already persisted by the memoizer; both self-join sides and
+      // the sizes aggregate read the same cached frame.
+      val sh = shingleRows(s, dir)
       val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       val inter = sh.as("x").join(sh.as("y"),
           col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
