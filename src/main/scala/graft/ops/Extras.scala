@@ -152,6 +152,38 @@ object Extras {
             .over(byDate.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
             .as("last_order"))
         .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+
+    // ---- VARIANT semi-structured type (Spark 4) ----
+    // parse_json → VariantType → typed extraction; the output column is a
+    // plain int so the oracle (and the parquet dump) stay engine-neutral.
+    Q("q60_variant_json",
+      """SELECT event_id,
+        |  CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS INTEGER) AS k_variant
+        |FROM events
+        |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      graft.schema.Tables.t(s, dir, "events")
+        .select(col("event_id"),
+          expr("variant_get(parse_json(props), '$.k', 'int')").as("k_variant"))
+        .orderBy(col("event_id"))
+    },
+
+    // ---- S8 row encode: to_json / to_csv, plus the reference's exact
+    //      quote-wrap CSV contract (converter.go:73-81) for bug-compat ----
+    Q("q61_row_encode",
+      """SELECT l_orderkey, l_linenumber,
+        |  '{"k":' || l_orderkey || ',"n":' || l_linenumber || '}' AS js,
+        |  l_orderkey || ',' || l_linenumber AS cs,
+        |  '"' || l_returnflag || '","' || l_linestatus || '"' AS ref_csv
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+      graft.schema.Tables.t(s, dir, "lineitem").select(
+          col("l_orderkey"), col("l_linenumber"),
+          to_json(struct(col("l_orderkey").as("k"), col("l_linenumber").as("n"))).as("js"),
+          to_csv(struct(col("l_orderkey"), col("l_linenumber"))).as("cs"),
+          concat(lit("\""), col("l_returnflag"), lit("\",\""), col("l_linestatus"), lit("\""))
+            .as("ref_csv"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
     }
   )
 }
