@@ -114,6 +114,89 @@ object TextAnalysis {
         .orderBy(col("doc_id"))
     },
 
+    // ---- PII / URL scrubbing (masking pass) ----
+    // The corpus has no live PII, so a deterministic synthetic email+URL is
+    // appended per doc before scrubbing — the masking regexes then have
+    // real work to do and the oracle checks the masked output exactly.
+    Q("q62_pii_scrub",
+      """SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      substr(text, 1, 40) || ' contact: user' || doc_id
+        |        || '@example.com via http://site.example/' || doc_id,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    'https?://[^\s]+', '<URL>', 'g') AS scrubbed,
+        |  CAST(length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_nondigit
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val synthetic = concat(
+        substring(col("text"), 1, 40),
+        lit(" contact: user"), col("doc_id"),
+        lit("@example.com via http://site.example/"), col("doc_id"))
+      t(s, dir, "documents").select(
+          col("doc_id"),
+          regexp_replace(
+            regexp_replace(synthetic,
+              "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+            "https?://[^\\s]+", "<URL>").as("scrubbed"),
+          length(regexp_replace(col("text"), "[0-9]", "")).cast("long").as("n_nondigit"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- repetition detection (within-doc n-gram repetition) ----
+    // A high max-shingle count or low distinct/total ratio flags the
+    // boilerplate/looping text that data curation drops. Uses raw (non-
+    // distinct) shingles, unlike the dedup family.
+    Q("q63_repetition",
+      """WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS words
+        |           FROM documents),
+        |raw AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(words) - 1, 1)),
+        |    i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS sh
+        |  FROM w),
+        |cnt AS (SELECT doc_id, sh, count(*) AS c FROM raw GROUP BY doc_id, sh)
+        |SELECT doc_id,
+        |  max(c) AS max_rep,
+        |  CAST(count(*) AS BIGINT) AS n_distinct,
+        |  CAST(sum(c) AS BIGINT) AS n_total,
+        |  round(count(*) * 1.0 / sum(c), 6) AS uniq_ratio
+        |FROM cnt
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val raw = t(s, dir, "documents")
+        .select(col("doc_id"), wordsCol.as("words"))
+        .select(col("doc_id"), explode(expr(
+          """CASE WHEN size(words) >= 3 THEN
+            |  transform(sequence(0, size(words) - 3),
+            |    i -> concat_ws(' ', words[i], words[i+1], words[i+2]))
+            |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin)).as("sh"))
+      raw.groupBy(col("doc_id"), col("sh")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(
+          max(col("c")).as("max_rep"),
+          count(lit(1)).cast("long").as("n_distinct"),
+          sum(col("c")).cast("long").as("n_total"),
+          round(count(lit(1)) * lit(1.0) / sum(col("c")), 6).as("uniq_ratio"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- corpus vocabulary: top-k tokens by frequency ----
+    Q("q64_vocab_topk",
+      """SELECT word, CAST(count(*) AS BIGINT) AS freq,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq
+        |FROM (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+        |      FROM documents)
+        |GROUP BY word
+        |ORDER BY freq DESC, word
+        |LIMIT 20""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), explode(wordsCol).as("word"))
+        .groupBy(col("word"))
+        .agg(count(lit(1)).cast("long").as("freq"),
+          countDistinct(col("doc_id")).cast("long").as("doc_freq"))
+        .orderBy(col("freq").desc, col("word"))
+        .limit(20)
+    },
+
     // ---- document fingerprint (normalized-content hash) ----
     Q("q49_fingerprint",
       """SELECT doc_id,

@@ -3,7 +3,8 @@ package graft.ingest
 import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TimeMode, TimerValues}
+import org.apache.spark.sql.Encoders
 import graft.SparkSpec
 
 /** True-streaming twins of the batch-verified Streamingish operators:
@@ -13,6 +14,24 @@ import graft.SparkSpec
 // top-level so Catalyst can build an Encoder (inner classes lack a
 // reachable outer scope for newInstance)
 case class Ev(ts: Timestamp, user_id: Long, value: Double)
+
+/** transformWithState processor: running per-user max of `value`, emitting
+  * one (user, max) row per batch the user appears in. */
+class MaxValueProcessor extends StatefulProcessor[Long, Ev, (Long, Double)] {
+  @transient private var maxState: org.apache.spark.sql.streaming.ValueState[Double] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    maxState = getHandle.getValueState[Double](
+      "max", Encoders.scalaDouble, org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[Ev],
+      timerValues: TimerValues): Iterator[(Long, Double)] = {
+    val prev = if (maxState.exists()) maxState.get() else Double.MinValue
+    val mx = rows.foldLeft(prev)((m, e) => math.max(m, e.value))
+    maxState.update(mx)
+    Iterator((key, mx))
+  }
+}
 
 class StreamingOpsSpec extends SparkSpec {
 
@@ -61,6 +80,38 @@ class StreamingOpsSpec extends SparkSpec {
         .collect().map(_.getLong(0)).sorted.toSeq
       assert(users == Seq(7L, 8L, 9L)) // each key kept exactly once
     } finally q.stop()
+  }
+
+  test("transformWithState: per-user running max with ValueState (Spark 4 API)") {
+    val s = spark
+    import s.implicits._
+    val prevProvider = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    // transformWithState requires the RocksDB state store provider
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[Ev](s)
+    val out = mem.toDS()
+      .groupByKey(_.user_id)
+      .transformWithState(new MaxValueProcessor, TimeMode.None(), OutputMode.Append())
+    val q = out.toDF("user_id", "max_value")
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("tws_out").start()
+    try {
+      mem.addData(Ev(ts(1), 1, 5.0), Ev(ts(2), 1, 3.0), Ev(ts(3), 2, 7.0))
+      q.processAllAvailable()
+      mem.addData(Ev(ts(4), 1, 9.0), Ev(ts(5), 2, 1.0))
+      q.processAllAvailable()
+      val rows = s.table("tws_out").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(rows.contains((1L, 5.0)) && rows.contains((2L, 7.0))) // batch 1
+      assert(rows.contains((1L, 9.0)) && rows.contains((2L, 7.0))) // batch 2, state carried
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
   }
 
   test("arbitrary state: per-user running count via flatMapGroupsWithState") {
