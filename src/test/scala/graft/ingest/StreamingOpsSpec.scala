@@ -114,6 +114,49 @@ class StreamingOpsSpec extends SparkSpec {
     }
   }
 
+  test("stream-static join: enrich a stream against a batch dimension") {
+    val s = spark
+    import s.implicits._
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val mem = MemoryStream[Ev](s)
+    val q = mem.toDF()
+      .join(dim, Seq("user_id"), "left")
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("enrich_out").start()
+    try {
+      mem.addData(Ev(ts(1), 1, 1.0), Ev(ts(2), 2, 2.0), Ev(ts(3), 9, 3.0))
+      q.processAllAvailable()
+      val tiers = s.table("enrich_out").orderBy("user_id")
+        .collect().map(r => (r.getLong(0), Option(r.getString(3)).orNull))
+      assert(tiers.toSeq == Seq((1L, "gold"), (2L, "silver"), (9L, null)))
+    } finally q.stop()
+  }
+
+  test("stream-stream join with event-time bounds") {
+    val s = spark
+    import s.implicits._
+    val clicks = MemoryStream[Ev](s)
+    val buys = MemoryStream[Ev](s)
+    val c = clicks.toDF().select(col("user_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "30 minutes")
+    val b = buys.toDF().select(col("user_id").as("b_user"), col("ts").as("buy_ts"))
+      .withWatermark("buy_ts", "30 minutes")
+    // buy attributed to a click by the same user within the previous 10 min
+    val joined = c.join(b,
+      col("user_id") === col("b_user") &&
+        col("buy_ts") >= col("click_ts") &&
+        col("buy_ts") < col("click_ts") + expr("INTERVAL 10 MINUTES"))
+    val q = joined.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("ssj_out").start()
+    try {
+      clicks.addData(Ev(ts(1), 1, 0), Ev(ts(2), 2, 0))
+      buys.addData(Ev(ts(5), 1, 0), Ev(ts(40), 2, 0)) // user 2 buys too late
+      q.processAllAvailable()
+      val rows = s.table("ssj_out").select("user_id").collect().map(_.getLong(0))
+      assert(rows.toSeq == Seq(1L)) // only user 1's buy is within the window
+    } finally q.stop()
+  }
+
   test("arbitrary state: per-user running count via flatMapGroupsWithState") {
     val s = spark
     import s.implicits._
