@@ -176,6 +176,61 @@ object VectorSearch {
             .as("cos_sim"))
         .orderBy(col("cos_sim").desc, col("vec_id"))
         .limit(5)
+    },
+
+    // ---- embedding-cosine near-duplicate pairs, LSH-blocked ----
+    // The blocking trick from text dedup applied to vectors: only pairs
+    // sharing a hyperplane bucket are compared, so candidate generation is
+    // an equi-join on the code, never the O(n²) cross join. Threshold 0.8
+    // marks semantic near-dups (none exist in this synthetic corpus at
+    // high thresholds — the empty/sparse result is still exact-verified).
+    Q("q65_embed_neardup", {
+      val planeCols = (0 until NumPlanes)
+        .map(j => s"${duckPlaneList(j)} AS p$j").mkString(",\n    ")
+      def codeSql(vec: String) = (0 until NumPlanes)
+        .map(j => s"(CASE WHEN ${duckDot(vec, s"p$j")} > 0 THEN ${1 << j} ELSE 0 END)")
+        .mkString(" + ")
+      def cosPair =
+        """(list_sum(list_transform(range(1, len(x.embedding) + 1),
+          |    i -> CAST(x.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE)))
+          | / (sqrt(list_sum(list_transform(range(1, len(x.embedding) + 1),
+          |    i -> CAST(x.embedding[i] AS DOUBLE) * CAST(x.embedding[i] AS DOUBLE))))
+          |  * sqrt(list_sum(list_transform(range(1, len(y.embedding) + 1),
+          |    i -> CAST(y.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE))))))""".stripMargin
+      s"""WITH p AS (SELECT
+         |    $planeCols),
+         |coded AS (SELECT vec_id, embedding, ${codeSql("embedding")} AS code
+         |  FROM embeddings, p)
+         |SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+         |  round($cosPair, 6) AS cos_sim
+         |FROM coded x JOIN coded y
+         |  ON x.code = y.code AND x.vec_id < y.vec_id
+         |WHERE $cosPair >= 0.3
+         |ORDER BY vec_a, vec_b""".stripMargin
+    }) { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val withPlanes = (0 until NumPlanes).foldLeft(emb) { (df, j) =>
+        df.withColumn(s"__p$j", sparkPlaneArray(j))
+      }
+      val coded = withPlanes
+        .select(col("vec_id"), col("embedding"), sparkCode("embedding").as("code"))
+        .persist()
+      val pairCos = expr(
+        """aggregate(zip_with(x.embedding, y.embedding,
+          |  (a, b) -> CAST(a AS DOUBLE) * CAST(b AS DOUBLE)),
+          |  CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin) /
+        (sqrt(expr(
+          """aggregate(transform(x.embedding, a -> CAST(a AS DOUBLE) * CAST(a AS DOUBLE)),
+            |  CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin)) *
+         sqrt(expr(
+          """aggregate(transform(y.embedding, a -> CAST(a AS DOUBLE) * CAST(a AS DOUBLE)),
+            |  CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin)))
+      coded.as("x").join(coded.as("y"),
+          col("x.code") === col("y.code") && col("x.vec_id") < col("y.vec_id"))
+        .filter(pairCos >= 0.3)
+        .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
+          round(pairCos, 6).as("cos_sim"))
+        .orderBy(col("vec_a"), col("vec_b"))
     }
   )
 }
