@@ -1,7 +1,7 @@
 package graft.ingest
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
+
 
 /** Runnable entry point for the full ingest job — the reference's
   * `cmd/kafka-consumer/main.go` as one Spark application.

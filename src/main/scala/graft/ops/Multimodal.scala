@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.SparkSession
+
 import graft.Q
 import graft.schema.Tables.t
 

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import graft.Q
 import graft.schema.Tables.t
@@ -59,7 +59,7 @@ object VectorSearch {
     s"list_sum(list_transform(range(1, len($vec) + 1), i -> CAST($vec[i] AS DOUBLE) * ($planeList)[i]))"
 
   private def sparkPlaneArray(j: Int): Column =
-    array(planes(j).map(v => lit(v)): _*)
+    array(planes(j).toIndexedSeq.map(v => lit(v)): _*)
 
   private def sparkCode(vecCol: String): Column =
     (0 until NumPlanes).map { j =>
