@@ -79,11 +79,20 @@ object TextDedup {
     },
 
     // ---- MinHash + LSH banding: near-dup candidate pairs ----
+    // The per-seed hash is the first 60 bits of md5 as a BIGINT (not the
+    // hex string): min over a fixed-width long keeps the signature
+    // aggregate hash-based (min over strings forces SortAggregate) and
+    // shrinks the shuffled signature from 8×32 chars to 8×8 bytes.
     Q("q41_minhash_lsh", {
+      def h60(expr: String) =
+        "list_sum(list_transform(range(1, 16), j -> " +
+          s"CAST((strpos('0123456789abcdef', substr(md5($expr), j, 1)) - 1) AS BIGINT)" +
+          " * (CAST(1 AS BIGINT) << (4 * (15 - j)))))"
       val sigCols = (0 until NumHashes)
-        .map(i => s"min(md5('$i:' || sh)) AS h$i").mkString(",\n    ")
+        .map(i => "min(" + h60(s"'$i:' || sh") + s") AS h$i").mkString(",\n    ")
       val bandSelects = (0 until NumHashes / BandRows).map { j =>
-        val key = (0 until BandRows).map(r => s"h${j * BandRows + r}").mkString(" || '|' || ")
+        val key = (0 until BandRows).map(r => s"CAST(h${j * BandRows + r} AS VARCHAR)")
+          .mkString(" || '|' || ")
         s"SELECT doc_id, $j AS band, $key AS bkey FROM sig"
       }.mkString("\n  UNION ALL ")
       s"""$ShingleCte,
@@ -103,8 +112,11 @@ object TextDedup {
       // 40k+ groups defeat partial-agg compression. The band self-join on
       // (band, bkey) is the LSH candidate join.
       val sh = shingleRows(s, dir)
-      val sigAggs = (0 until NumHashes)
-        .map(i => min(md5(concat(lit(s"$i:"), col("sh")))).as(s"h$i"))
+      val sigAggs = (0 until NumHashes).map { i =>
+        val h60 = conv(substring(md5(concat(lit(s"$i:"), col("sh"))), 1, 15), 16, 10)
+          .cast("long")
+        min(h60).as(s"h$i")
+      }
       val sig = sh.groupBy(col("doc_id")).agg(sigAggs.head, sigAggs.tail: _*)
       val bandStructs = (0 until NumHashes / BandRows).map { j =>
         val key = concat_ws("|",
