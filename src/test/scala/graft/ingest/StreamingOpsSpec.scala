@@ -114,6 +114,33 @@ class StreamingOpsSpec extends SparkSpec {
     }
   }
 
+  test("session window in streaming mode (same expr as batch q36)") {
+    val s = spark
+    import s.implicits._
+    val mem = MemoryStream[Ev](s)
+    val agg = mem.toDF()
+      .withWatermark("ts", "30 minutes")
+      .groupBy(col("user_id"), session_window(col("ts"), "10 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("session_window.start").as("st"), col("n"))
+    val q = agg.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("sess_out").start()
+    try {
+      // two bursts 20 min apart → two sessions for user 1; the watermark
+      // computed at the end of batch N applies in batch N+1, so later
+      // batches push it past both session ends before emission
+      mem.addData(Ev(ts(1), 1, 0), Ev(ts(5), 1, 0), Ev(ts(25), 1, 0))
+      q.processAllAvailable()
+      mem.addData(Ev(Timestamp.valueOf("2024-01-01 11:30:00"), 9, 0))
+      q.processAllAvailable()
+      mem.addData(Ev(Timestamp.valueOf("2024-01-01 11:31:00"), 9, 0))
+      q.processAllAvailable()
+      val rows = s.table("sess_out").where("user_id = 1").orderBy("st").collect()
+        .map(r => (r.getLong(0), r.getLong(2)))
+      assert(rows.toSeq == Seq((1L, 2L), (1L, 1L))) // sizes 2 then 1
+    } finally q.stop()
+  }
+
   test("stream-static join: enrich a stream against a batch dimension") {
     val s = spark
     import s.implicits._
