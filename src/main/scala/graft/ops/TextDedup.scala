@@ -144,11 +144,19 @@ object TextDedup {
     // The verification stage after LSH candidate generation: join on the
     // shingle itself (pairs with zero overlap never materialize), then
     // |A∩B| / |A∪B| with a ≥0.5 near-dup threshold.
+    // The self-join key is the 60-bit shingle hash, not the string: an
+    // 8-byte join key halves the shuffled/broadcast bytes and both engines
+    // hash identically, so results stay exact (a 2^-60 collision would be
+    // computed identically on both sides anyway).
     Q("q42_ngram_jaccard",
       s"""$ShingleCte,
-         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |hs AS (SELECT doc_id, list_sum(list_transform(range(1, 16),
+         |    j -> CAST((strpos('0123456789abcdef', substr(md5(sh), j, 1)) - 1) AS BIGINT)
+         |         * (CAST(1 AS BIGINT) << (4 * (15 - j))))) AS h
+         |  FROM sh),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM hs GROUP BY doc_id),
          |inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS i
-         |  FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+         |  FROM hs x JOIN hs y ON x.h = y.h AND x.doc_id < y.doc_id
          |  GROUP BY 1, 2)
          |SELECT doc_a, doc_b,
          |  round(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
@@ -157,12 +165,13 @@ object TextDedup {
          |JOIN sizes sb ON doc_b = sb.doc_id
          |WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
-      // `sh` is already persisted by the memoizer; both self-join sides and
-      // the sizes aggregate read the same cached frame.
-      val sh = shingleRows(s, dir)
-      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      val inter = sh.as("x").join(sh.as("y"),
-          col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
+      // `sh` is persisted by the memoizer; the hashed projection is a cheap
+      // map over the cache feeding both self-join sides and the sizes agg.
+      val hs = shingleRows(s, dir).select(col("doc_id"),
+        conv(substring(md5(col("sh")), 1, 15), 16, 10).cast("long").as("h"))
+      val sizes = hs.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val inter = hs.as("x").join(hs.as("y"),
+          col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
         .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
         .agg(count(lit(1)).as("i"))
       val jac = col("i") * lit(1.0) /
