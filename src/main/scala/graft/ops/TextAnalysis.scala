@@ -197,6 +197,60 @@ object TextAnalysis {
         .limit(20)
     },
 
+    // ---- TF-IDF weighting ----
+    // Classic retrieval/curation weighting over the corpus: tf per
+    // (doc, word), df per word, idf = ln(N/df). Emitted as the full
+    // (doc, word) table — no ranking step, so the rounded score can't
+    // reorder across engines on ulp differences in ln().
+    Q("q66_tfidf",
+      """WITH words AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+        |               FROM documents),
+        |tf AS (SELECT doc_id, word, count(*) AS tf FROM words GROUP BY doc_id, word),
+        |df AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+        |n AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT tf.doc_id, tf.word,
+        |  CAST(tf.tf AS BIGINT) AS tf,
+        |  CAST(df.df AS BIGINT) AS df,
+        |  round(tf.tf * ln(n.n_docs * 1.0 / df.df), 6) AS tfidf
+        |FROM tf JOIN df USING (word), n
+        |WHERE tf.tf >= 3
+        |ORDER BY doc_id, word""".stripMargin) { (s, dir) =>
+      val words = t(s, dir, "documents")
+        .select(col("doc_id"), explode(wordsCol).as("word"))
+      val tf = words.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+      val nDocs = t(s, dir, "documents").agg(count(lit(1)).as("n_docs"))
+      tf.join(df, Seq("word"))
+        .crossJoin(broadcast(nDocs))
+        .filter(col("tf") >= 3)
+        .select(col("doc_id"), col("word"),
+          col("tf").cast("long").as("tf"),
+          col("df").cast("long").as("df"),
+          round(col("tf") * log(col("n_docs") * lit(1.0) / col("df")), 6).as("tfidf"))
+        .orderBy(col("doc_id"), col("word"))
+    },
+
+    // ---- inverted index (posting lists) ----
+    // word → document-frequency + the first postings, the building block
+    // of term lookup over a corpus; posting lists stay bounded (top-5
+    // doc_ids) so the operator output is index-shaped, not data-shaped.
+    Q("q67_inverted_index",
+      """SELECT word,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq,
+        |  list_sort(list(DISTINCT doc_id))[1:5] AS postings
+        |FROM (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+        |      FROM documents)
+        |GROUP BY word
+        |ORDER BY word""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), explode(wordsCol).as("word"))
+        .groupBy(col("word"))
+        .agg(
+          countDistinct(col("doc_id")).cast("long").as("doc_freq"),
+          slice(sort_array(collect_set(col("doc_id"))), 1, 5).as("postings"))
+        .orderBy(col("word"))
+    },
+
     // ---- document fingerprint (normalized-content hash) ----
     Q("q49_fingerprint",
       """SELECT doc_id,
