@@ -154,6 +154,20 @@ object Extras {
         .orderBy(col("o_custkey"), col("o_orderkey"))
     },
 
+    // ---- unpivot / melt (inverse of q56's pivot) ----
+    Q("q68_unpivot",
+      """SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS value FROM part
+        |UNION ALL
+        |SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+        |ORDER BY p_partkey, metric""".stripMargin) { (s, dir) =>
+      graft.schema.Tables.t(s, dir, "part")
+        .unpivot(
+          Array(col("p_partkey")),
+          Array(col("p_retailprice"), col("p_size").cast("double").as("p_size")),
+          "metric", "value")
+        .orderBy(col("p_partkey"), col("metric"))
+    },
+
     // ---- VARIANT semi-structured type (Spark 4) ----
     // parse_json → VariantType → typed extraction; the output column is a
     // plain int so the oracle (and the parquet dump) stay engine-neutral.
