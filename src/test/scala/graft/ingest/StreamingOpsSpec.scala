@@ -184,6 +184,29 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dropDuplicatesWithinWatermark keeps one row per key per watermark span") {
+    val s = spark
+    import s.implicits._
+    val mem = MemoryStream[Ev](s)
+    val q = mem.toDF()
+      .withWatermark("ts", "5 minutes")
+      .dropDuplicatesWithinWatermark("user_id")
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("ddww_out").start()
+    try {
+      mem.addData(Ev(ts(1), 5, 1.0), Ev(ts(2), 5, 2.0)) // dup within span
+      q.processAllAvailable()
+      // push the watermark far past user 5's span, then the key re-admits
+      mem.addData(Ev(ts(50), 6, 3.0))
+      q.processAllAvailable()
+      mem.addData(Ev(ts(55), 5, 4.0))
+      q.processAllAvailable()
+      val vals = s.table("ddww_out").where("user_id = 5")
+        .collect().map(_.getDouble(2)).sorted.toSeq
+      assert(vals == Seq(1.0, 4.0)) // first occurrence per span only
+    } finally q.stop()
+  }
+
   test("arbitrary state: per-user running count via flatMapGroupsWithState") {
     val s = spark
     import s.implicits._
