@@ -154,6 +154,37 @@ object Extras {
         .orderBy(col("o_custkey"), col("o_orderkey"))
     },
 
+    // ---- grouping flags over ROLLUP (subtotal-row introspection) ----
+    Q("q69_grouping_flags",
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(grouping(l_returnflag) AS INTEGER) AS g_rf,
+        |  CAST(grouping(l_linestatus) AS INTEGER) AS g_ls,
+        |  count(*) AS n
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY g_rf, g_ls, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin) { (s, dir) =>
+      graft.schema.Tables.t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          grouping(col("l_returnflag")).cast("int").as("g_rf"),
+          grouping(col("l_linestatus")).cast("int").as("g_ls"),
+          count(lit(1)).as("n"))
+        .orderBy(col("g_rf"), col("g_ls"),
+          asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+    },
+
+    // ---- stratified sampling (per-key fractions) ----
+    // Seeded but Spark-RNG-specific → rows-only check, like q57.
+    Q.rowsOnly("q70_stratified_sample") { (s, dir) =>
+      graft.schema.Tables.t(s, dir, "documents")
+        .stat.sampleBy("lang",
+          Map("en" -> 0.5, "de" -> 0.2, "fr" -> 0.2, "es" -> 0.2, "zh" -> 0.1),
+          42L)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"))
+    },
+
     // ---- unpivot / melt (inverse of q56's pivot) ----
     Q("q68_unpivot",
       """SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS value FROM part
