@@ -100,18 +100,20 @@ object Extras {
     },
 
     // ---- pivot (status → columns) ----
+    // Exact decimal sums, one final cast to DOUBLE per pivot column so the
+    // output types hash-match the oracle (see Relational.sumD rationale).
     Q("q56_pivot",
       """SELECT o_orderpriority,
-        |  sum(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS F,
-        |  sum(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS O,
-        |  sum(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS P
+        |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS F,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS O,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS P
         |FROM orders
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
       t(s, dir, "orders")
         .groupBy(col("o_orderpriority"))
         .pivot("o_orderstatus", Seq("F", "O", "P"))
-        .agg(sum(col("o_totalprice").cast("decimal(18,2)")))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"))
         .orderBy(col("o_orderpriority"))
     },
 
@@ -123,6 +125,30 @@ object Extras {
         .sample(withReplacement = false, fraction = 0.1, seed = 42L)
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // ---- deterministic hash sample (oracle-checkable sampling twin) ----
+    // q57/q70 use Spark's seeded RNG (not portable to DuckDB → rows-only);
+    // this variant samples by content hash — md5 of the key is identical in
+    // both engines, so the ~10% sample (first hex byte < 0x1a ≈ 26/256) is
+    // exactly reproducible and fully hash-checked. At scale this is also the
+    // *better* sampling operator: deterministic, partition-independent, and
+    // stable across retries/re-runs (a property seeded RNG sampling lacks,
+    // since Spark's sampler depends on partitioning).
+    Q("q71_hash_sample",
+      """SELECT l_returnflag, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |WHERE substr(md5(CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)), 1, 2) < '1a'
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(substring(md5(concat(col("l_orderkey").cast("string"), lit("-"),
+          col("l_linenumber").cast("string"))), 1, 2) < "1a")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
         .orderBy(col("l_returnflag"))
     },
 

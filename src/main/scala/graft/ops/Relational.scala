@@ -28,6 +28,15 @@ object Relational {
     * tolerance games. (Doubles stay doubles for avg/stddev where we round.) */
   private def dec2(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
 
+  /** Canonical output type for exact decimal sums: one final cast to DOUBLE.
+    * Spark's sum(DECIMAL(p,s)) widens to DECIMAL(p+10,s) while DuckDB's
+    * widens to DECIMAL(38,s); both are exact, but the driver's hasher treats
+    * the physical types as part of the value, so a decimal output column can
+    * never hash-match. A single exact-decimal→double conversion is
+    * bit-deterministic on both engines (each money sum fits a double's 53-bit
+    * mantissa at test scale) and DOUBLE outputs demonstrably hash-match. */
+  private def sumD(c: org.apache.spark.sql.Column) = c.cast("double")
+
   val qs: Seq[Q] = Seq(
 
     // ---- aggregation over a filtered scan (TPC-H Q1 shape) ----
@@ -35,13 +44,13 @@ object Relational {
     // groupBy on 2 low-cardinality keys → tiny shuffle after partial agg.
     Q("q01_pricing_summary",
       """SELECT l_returnflag, l_linestatus,
-        |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-        |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-        |  sum(CAST(l_extendedprice AS DECIMAL(18,2))
-        |      * CAST(1 - l_discount AS DECIMAL(4,2))) AS sum_disc_price,
-        |  sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |      * CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
         |      * CAST(1 - l_discount AS DECIMAL(4,2))
-        |      * CAST(1 + l_tax AS DECIMAL(4,2))) AS sum_charge,
+        |      * CAST(1 + l_tax AS DECIMAL(4,2))) AS DOUBLE) AS sum_charge,
         |  round(avg(l_quantity), 2) AS avg_qty,
         |  round(avg(l_extendedprice), 2) AS avg_price,
         |  round(avg(l_discount), 4) AS avg_disc,
@@ -54,13 +63,13 @@ object Relational {
         .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(dec2(col("l_quantity"))).as("sum_qty"),
-          sum(dec2(col("l_extendedprice"))).as("sum_base_price"),
-          sum(dec2(col("l_extendedprice"))
-            * (lit(1) - col("l_discount")).cast("decimal(4,2)")).as("sum_disc_price"),
-          sum(dec2(col("l_extendedprice"))
+          sumD(sum(dec2(col("l_quantity")))).as("sum_qty"),
+          sumD(sum(dec2(col("l_extendedprice")))).as("sum_base_price"),
+          sumD(sum(dec2(col("l_extendedprice"))
+            * (lit(1) - col("l_discount")).cast("decimal(4,2)"))).as("sum_disc_price"),
+          sumD(sum(dec2(col("l_extendedprice"))
             * (lit(1) - col("l_discount")).cast("decimal(4,2)")
-            * (lit(1) + col("l_tax")).cast("decimal(4,2)")).as("sum_charge"),
+            * (lit(1) + col("l_tax")).cast("decimal(4,2)"))).as("sum_charge"),
           round(avg(col("l_quantity")), 2).as("avg_qty"),
           round(avg(col("l_extendedprice")), 2).as("avg_price"),
           round(avg(col("l_discount")), 4).as("avg_disc"),
@@ -100,7 +109,7 @@ object Relational {
     Q("q03_broadcast_join",
       """SELECT p_brand,
         |  count(*) AS n_items,
-        |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE p_type = 'PROMO'
         |GROUP BY p_brand
@@ -109,7 +118,7 @@ object Relational {
       t(s, dir, "lineitem")
         .join(broadcast(p), col("l_partkey") === col("p_partkey"))
         .groupBy(col("p_brand"))
-        .agg(count(lit(1)).as("n_items"), sum(dec2(col("l_quantity"))).as("sum_qty"))
+        .agg(count(lit(1)).as("n_items"), sumD(sum(dec2(col("l_quantity")))).as("sum_qty"))
         .orderBy(col("p_brand"))
     },
 
@@ -303,26 +312,26 @@ object Relational {
     // ---- ROLLUP ----
     Q("q13_rollup",
       """SELECT l_returnflag, l_linestatus,
-        |  count(*) AS n, sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+        |  count(*) AS n, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin) { (s, dir) =>
       t(s, dir, "lineitem")
         .rollup(col("l_returnflag"), col("l_linestatus"))
-        .agg(count(lit(1)).as("n"), sum(dec2(col("l_quantity"))).as("sum_qty"))
+        .agg(count(lit(1)).as("n"), sumD(sum(dec2(col("l_quantity")))).as("sum_qty"))
         .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
     },
 
     // ---- CUBE ----
     Q("q14_cube",
       """SELECT o_orderstatus, o_orderpriority,
-        |  count(*) AS n, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_price
+        |  count(*) AS n, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders
         |GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin) { (s, dir) =>
       t(s, dir, "orders")
         .cube(col("o_orderstatus"), col("o_orderpriority"))
-        .agg(count(lit(1)).as("n"), sum(dec2(col("o_totalprice"))).as("sum_price"))
+        .agg(count(lit(1)).as("n"), sumD(sum(dec2(col("o_totalprice")))).as("sum_price"))
         .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
     },
 
@@ -363,16 +372,19 @@ object Relational {
         .orderBy(col("l_returnflag"))
     },
 
-    // ---- collect_set → sorted array ----
+    // ---- collect_set → sorted, comma-joined string ----
+    // The set is emitted as a scalar string (not array<string>): the driver's
+    // checker cannot hash array-typed cells. Same information, hashable shape.
     Q("q17_collect_set",
-      """SELECT r_name, list_sort(list(DISTINCT n_name)) AS nations
+      """SELECT r_name,
+        |  array_to_string(list_sort(list(DISTINCT n_name)), ',') AS nations
         |FROM region JOIN nation ON r_regionkey = n_regionkey
         |GROUP BY r_name
         |ORDER BY r_name""".stripMargin) { (s, dir) =>
       t(s, dir, "region")
         .join(t(s, dir, "nation"), col("r_regionkey") === col("n_regionkey"))
         .groupBy(col("r_name"))
-        .agg(sort_array(collect_set(col("n_name"))).as("nations"))
+        .agg(array_join(sort_array(collect_set(col("n_name"))), ",").as("nations"))
         .orderBy(col("r_name"))
     },
 
@@ -622,7 +634,7 @@ object Relational {
     // ---- unionByName over heterogeneous sources ----
     Q("q29_union_by_name",
       """SELECT kind, nationkey, count(*) AS n,
-        |  sum(CAST(acctbal AS DECIMAL(18,2))) AS total_bal
+        |  CAST(sum(CAST(acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
         |FROM (
         |  SELECT 'cust' AS kind, c_nationkey AS nationkey, c_acctbal AS acctbal FROM customer
         |  UNION ALL
@@ -635,7 +647,7 @@ object Relational {
         lit("supp").as("kind"), col("s_nationkey").as("nationkey"), col("s_acctbal").as("acctbal"))
       c.unionByName(sup)
         .groupBy(col("kind"), col("nationkey"))
-        .agg(count(lit(1)).as("n"), sum(dec2(col("acctbal"))).as("total_bal"))
+        .agg(count(lit(1)).as("n"), sumD(sum(dec2(col("acctbal")))).as("total_bal"))
         .orderBy(col("kind"), col("nationkey"))
     },
 

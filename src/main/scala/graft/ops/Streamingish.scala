@@ -23,18 +23,24 @@ object Streamingish {
   val qs: Seq[Q] = Seq(
 
     // ---- tumbling event-time window ----
+    // Output normalization for the driver's hasher: window bounds are LTZ
+    // (events.ts is), which parquet-encodes as INT96/ns — cast to
+    // TIMESTAMP_NTZ so both engines emit timestamp[us]; the exact decimal
+    // sum gets one final cast to DOUBLE (see Relational.sumD rationale).
     Q("q34_tumbling_window",
       """SELECT date_trunc('hour', ts) AS w_start,
         |  date_trunc('hour', ts) + INTERVAL 1 HOUR AS w_end,
         |  count(*) AS n,
-        |  sum(CAST(value AS DECIMAL(18,6))) AS sum_value
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY w_start""".stripMargin) { (s, dir) =>
       t(s, dir, "events")
         .groupBy(window(col("ts"), "1 hour"))
-        .agg(count(lit(1)).as("n"), sum(dec6(col("value"))).as("sum_value"))
-        .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
+        .agg(count(lit(1)).as("n"),
+          sum(dec6(col("value"))).cast("double").as("sum_value"))
+        .select(col("window.start").cast("timestamp_ntz").as("w_start"),
+          col("window.end").cast("timestamp_ntz").as("w_end"),
           col("n"), col("sum_value"))
         .orderBy(col("w_start"))
     },

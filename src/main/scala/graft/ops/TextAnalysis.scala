@@ -234,10 +234,12 @@ object TextAnalysis {
     // word → document-frequency + the first postings, the building block
     // of term lookup over a corpus; posting lists stay bounded (top-5
     // doc_ids) so the operator output is index-shaped, not data-shaped.
+    // Postings are emitted comma-joined as a scalar string: the driver's
+    // checker cannot hash array-typed cells (same information, hashable).
     Q("q67_inverted_index",
       """SELECT word,
         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq,
-        |  list_sort(list(DISTINCT doc_id))[1:5] AS postings
+        |  array_to_string(list_sort(list(DISTINCT doc_id))[1:5], ',') AS postings
         |FROM (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
         |      FROM documents)
         |GROUP BY word
@@ -247,7 +249,10 @@ object TextAnalysis {
         .groupBy(col("word"))
         .agg(
           countDistinct(col("doc_id")).cast("long").as("doc_freq"),
-          slice(sort_array(collect_set(col("doc_id"))), 1, 5).as("postings"))
+          array_join(
+            transform(slice(sort_array(collect_set(col("doc_id"))), 1, 5),
+              _.cast("string")),
+            ",").as("postings"))
         .orderBy(col("word"))
     },
 
