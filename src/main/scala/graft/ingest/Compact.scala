@@ -2,26 +2,48 @@ package graft.ingest
 
 import java.nio.file.{Files, Paths, StandardCopyOption}
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 
 /** Small-files compaction for the streaming sink's output.
   *
   * The idempotent sink writes one directory per micro-batch (batch_id=N),
   * which is correct but accumulates files proportional to trigger count —
   * the classic streaming small-files problem at scale. Compaction rewrites
-  * a table directory into `targetFiles` parquet files and swaps it in with
-  * directory renames, so readers only ever see the old layout or the new
-  * one. Run it out-of-band (the reference had no equivalent; its CSV spill
-  * files were deleted after insert).
+  * the table into `targetFiles` parquet files under a reserved
+  * `batch_id=compacted-<gen>` partition directory, so the layout stays
+  * partition-discovery-compatible with the live sink still appending
+  * `batch_id=N` directories next to it. A `_graft_compacted` marker file
+  * (underscore-prefixed → invisible to parquet discovery) records the
+  * highest numeric batch id folded into the compacted generation; the sink
+  * consults it so a checkpoint-replayed batch whose directory was compacted
+  * away is skipped instead of re-appended (exactly-once survives
+  * compaction).
   *
-  * At cluster scale the same pattern runs against object storage with a
-  * manifest/table format (Delta/Iceberg `OPTIMIZE`); the rename-swap here
-  * is the filesystem-native equivalent.
+  * Swap caveat: the two renames are **not** one atomic operation — run
+  * compaction when no reader is mid-scan of this table (out-of-band, like
+  * any maintenance job), and on object stores without atomic rename use a
+  * manifest/table format (Delta/Iceberg `OPTIMIZE`) instead; this
+  * rename-swap is the filesystem-native equivalent.
   */
 object Compact {
 
-  /** Rewrite `tableDir` into `targetFiles` files. Returns rows compacted.
-    * The batch_id partition column (if present) is preserved as a regular
-    * column so replay bookkeeping survives compaction. */
+  private val MarkerName = "_graft_compacted"
+
+  /** Highest numeric batch id already folded into a compacted generation,
+    * or -1 when the table was never compacted. The sink skips replayed
+    * batch ids at or below this. */
+  def maxCompactedBatchId(tableDir: String): Long = {
+    val marker = Paths.get(tableDir, MarkerName)
+    if (Files.exists(marker))
+      new String(Files.readAllBytes(marker), "UTF-8").trim.toLong
+    else -1L
+  }
+
+  private def writeMarker(tableDir: String, maxBatch: Long): Unit =
+    Files.write(Paths.get(tableDir, MarkerName), maxBatch.toString.getBytes("UTF-8"))
+
+  /** Rewrite `tableDir` into `targetFiles` files under a fresh
+    * `batch_id=compacted-<gen>` partition. Returns rows compacted. */
   def compactTable(spark: SparkSession, tableDir: String, targetFiles: Int): Long = {
     require(targetFiles > 0, "targetFiles must be positive")
     val src = Paths.get(tableDir)
@@ -29,12 +51,35 @@ object Compact {
     val tmp = Paths.get(tableDir + ".compact.tmp")
     val old = Paths.get(tableDir + ".compact.old")
 
+    val priorMax = maxCompactedBatchId(tableDir)
+    val gen = priorMax match {
+      case -1L => 1L
+      case _ =>
+        // generations already on disk: batch_id=compacted-<g> dirs
+        val s = Files.list(src)
+        val gens = try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala.map(_.getFileName.toString)
+            .collect { case n if n.startsWith("batch_id=compacted-") =>
+              n.stripPrefix("batch_id=compacted-").toLong }
+            .toSeq
+        } finally s.close()
+        if (gens.isEmpty) 1L else gens.max + 1L
+    }
+
     val df = spark.read.parquet(tableDir)
     val n = df.count()
-    df.repartition(targetFiles)
-      .write.mode("overwrite").parquet(tmp.toString)
+    // Highest numeric batch id being folded in (compacted-* values try_cast
+    // to null — ANSI mode would throw on plain cast — and are already
+    // covered by the prior marker).
+    val maxRow = df.select(max(expr("try_cast(batch_id AS BIGINT)"))).head()
+    val numericMax = if (maxRow.isNullAt(0)) -1L else maxRow.getLong(0)
 
-    // swap: current → .old, tmp → current, drop .old
+    df.withColumn("batch_id", lit(s"compacted-$gen"))
+      .repartition(targetFiles)
+      .write.mode("overwrite").partitionBy("batch_id").parquet(tmp.toString)
+
+    // swap: current → .old, tmp → current, drop .old (see Scaladoc caveat)
     Files.move(src, old, StandardCopyOption.ATOMIC_MOVE)
     try Files.move(tmp, src, StandardCopyOption.ATOMIC_MOVE)
     catch {
@@ -43,6 +88,7 @@ object Compact {
         throw e
     }
     deleteRecursively(old)
+    writeMarker(tableDir, math.max(priorMax, numericMax))
     n
   }
 

@@ -33,7 +33,12 @@ final case class EngineConfig(
     tableRoot: String = "/tmp/graft/tables",
     /** Dead-letter root for undecodable records (S12's kept-on-error dump). */
     deadLetterRoot: String = "/tmp/graft/dead",
-    checkpointRoot: String = "/tmp/graft/checkpoint") {
+    checkpointRoot: String = "/tmp/graft/checkpoint",
+    /** Optional JDBC destination (S14); health-checked at startup (S17). */
+    jdbcUrl: Option[String] = None,
+    /** Port for the `/metrics` + `/status` HTTP surface (S19); <= 0
+      * disables the server. The reference hardcodes :8080. */
+    metricsPort: Int = 8080) {
 
   def withDefaults: EngineConfig = copy(
     poolTimeoutMs = if (poolTimeoutMs <= 0) 500L else poolTimeoutMs,

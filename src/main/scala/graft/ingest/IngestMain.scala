@@ -25,7 +25,9 @@ object IngestMain {
       .parquet(stageDir)
 
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: IngestMain <config.json> kafka <brokers> | file <stageDir>")
+    // Both modes read args(2), so require all three up front (a 2-arg
+    // invocation should get the usage message, not an index error).
+    require(args.length >= 3, "usage: IngestMain <config.json> kafka <brokers> | file <stageDir>")
     val cfg = EngineConfig.fromFile(args(0))
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]"))
@@ -36,14 +38,21 @@ object IngestMain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // S17: probe every destination before consuming; hard-exit on failure
+    // like the reference's pingCHServers (prepare-functions.go:104-119).
+    HealthCheck.checkOrExit(spark, cfg)
+
     val source = args(1) match {
       case "kafka" => Pipeline.kafkaSource(spark, cfg, args(2))
       case "file"  => fileSource(spark, args(2))
       case other   => sys.error(s"unknown source mode: $other")
     }
     val (query, metrics) = Pipeline.start(spark, cfg, source)
+    // S19: /metrics + /status on the configured port.
+    val server = if (cfg.metricsPort > 0) Some(MetricsServer.start(metrics, cfg.metricsPort)) else None
     Pipeline.drainOnShutdown(query)
-    query.awaitTermination()
+    try query.awaitTermination()
+    finally server.foreach(_.stop(0))
     println(metrics.snapshot.map { case (t, (ok, err)) => s"$t: processed=$ok errors=$err" }
       .mkString("\n"))
   }

@@ -79,12 +79,21 @@ object Pipeline {
     ClickHouseSchema.sortedProjectCast(parsed, schema)
   }
 
+  /** Debug-mode gate — the reference's env-gated per-message echo
+    * (`cmd/kafka-consumer/prepare-functions.go:30-35`, `main.go:80-86`):
+    * `Debug=true` in the environment turns on payload echo of a bounded
+    * sample per topic per batch (unbounded per-message logging would be a
+    * driver hot-spot at scale; the sample keeps the diagnostic value). */
+  def debugMode: Boolean =
+    sys.env.get("Debug").exists(_.equalsIgnoreCase("true"))
+
   /** Full job: source → decode → route per topic → parquet append, with
     * dead-letter capture, checkpointing, and a processing-time trigger at
     * the reference's poll cadence. */
   def start(spark: SparkSession, cfg: EngineConfig, source: DataFrame)
       : (StreamingQuery, IngestMetrics) = {
     val metrics = new IngestMetrics(spark)
+    spark.streams.addListener(new MetricsListener(metrics))
     val query = source.writeStream
       .queryName("graft-ingest")
       .option("checkpointLocation", cfg.checkpointRoot)
@@ -93,6 +102,13 @@ object Pipeline {
         val dec = decoded(batch).cache()
         try {
           cfg.topics.foreach { tc =>
+            // Checkpoint replay of a batch whose batch_id dir was folded
+            // into a compacted generation must be skipped, not re-appended
+            // (the rows already live in the compacted files).
+            if (batchId <= Compact.maxCompactedBatchId(s"${cfg.tableRoot}/${tc.table}")) {
+              GraftLog.info("Skipping replayed batch below compaction watermark",
+                s"batch=$batchId table=${tc.table}")
+            } else {
             val withParsed = parseWithCorrupt(dec, tc)
             val good = withParsed.filter(!isBad)
             val bad = withParsed.filter(isBad)
@@ -104,17 +120,36 @@ object Pipeline {
             // restart from checkpoint) lands on the same path instead of
             // double-appending — exactly-once output from an at-least-once
             // replay (SURVEY.md §7.5 upgrade over the reference).
+            val t0 = System.nanoTime()
             projected.write.mode("overwrite")
               .parquet(s"${cfg.tableRoot}/${tc.table}/batch_id=$batchId")
-            val nBad = bad.count()
+            metrics.recordInsertSeconds(tc.table, (System.nanoTime() - t0) / 1e9)
+            // One aggregation job for both counts (not a count() each).
+            val cnts = withParsed.agg(
+              coalesce(sum(when(isBad, 1L).otherwise(0L)), lit(0L)).as("bad"),
+              count(lit(1)).as("all")).first()
+            val nBad = cnts.getLong(0)
             if (nBad > 0) {
               // S12 kept-on-error dump: raw payloads, replayable later.
+              // batch_id-keyed overwrite like the main sink, so a
+              // checkpoint replay cannot double-write dead letters.
               bad.select(col("topic"), col("value"))
-                .write.mode("append")
-                .parquet(s"${cfg.deadLetterRoot}/${tc.table}")
+                .write.mode("overwrite")
+                .parquet(s"${cfg.deadLetterRoot}/${tc.table}/batch_id=$batchId")
+              // NOTE: counters are in-process and at-least-once under
+              // replay (a re-run batch re-fires them) — acceptable for
+              // monitoring, same semantics as the reference's Prometheus
+              // counters across process restarts.
               metrics.recordErrors(tc.table, nBad)
             }
-            metrics.recordProcessed(tc.table, projected.count())
+            metrics.recordProcessed(tc.table, cnts.getLong(1) - nBad)
+            if (debugMode) {
+              dec.filter(col("topic") === tc.topic).select(col("json"))
+                .take(5)
+                .foreach(r => GraftLog.debug(
+                  s"batch=$batchId topic=${tc.topic}", String.valueOf(r.getString(0))))
+            }
+            }
           }
         } finally dec.unpersist()
       }
@@ -130,22 +165,34 @@ object Pipeline {
     }
 }
 
-/** S19: processed/error counters per destination table — the reference's
-  * Prometheus surface (`internal/promMetrics/prom.go`), exposed as an
-  * in-process snapshot (each bad record counted once, fixing the
-  * reference's double-count, SURVEY.md §2.1 notes). */
+/** S19: processed/error counters per destination table plus the insert-
+  * latency histogram and message counter — the reference's Prometheus
+  * surface (`internal/promMetrics/prom.go:14-44`), exposed both as an
+  * in-process snapshot and rendered for the `/metrics` + `/status` HTTP
+  * endpoints ([[MetricsServer]]). Each bad record is counted once, fixing
+  * the reference's double-count (SURVEY.md §2.1 notes). */
 final class IngestMetrics(spark: SparkSession) extends Serializable {
   import java.util.concurrent.ConcurrentHashMap
-  import java.util.concurrent.atomic.LongAdder
+  import java.util.concurrent.atomic.{DoubleAdder, LongAdder}
+  import java.util.concurrent.atomic.AtomicReference
 
   private val processed = new ConcurrentHashMap[String, LongAdder]()
   private val errors = new ConcurrentHashMap[String, LongAdder]()
+  private val messages = new ConcurrentHashMap[String, LongAdder]()
+  private val insertHisto = new ConcurrentHashMap[String, IngestMetrics.Histo]()
+  private val lastProgress = new AtomicReference[String]("")
 
   private def add(m: ConcurrentHashMap[String, LongAdder], k: String, n: Long): Unit =
     m.computeIfAbsent(k, _ => new LongAdder).add(n)
 
   def recordProcessed(table: String, n: Long): Unit = add(processed, table, n)
   def recordErrors(table: String, n: Long): Unit = add(errors, table, n)
+  /** Source-side message count (≙ `kafka_consumer_msg{topic,partition}`). */
+  def recordMessages(topic: String, n: Long): Unit = add(messages, topic, n)
+  /** One observation of the `dumps_time_insert{table}` histogram. */
+  def recordInsertSeconds(table: String, sec: Double): Unit =
+    insertHisto.computeIfAbsent(table, _ => new IngestMetrics.Histo).observe(sec)
+  def setLastProgress(json: String): Unit = lastProgress.set(json)
 
   def snapshot: Map[String, (Long, Long)] = {
     import scala.jdk.CollectionConverters._
@@ -153,5 +200,69 @@ final class IngestMetrics(spark: SparkSession) extends Serializable {
       k -> (Option(processed.get(k)).map(_.sum).getOrElse(0L),
         Option(errors.get(k)).map(_.sum).getOrElse(0L))
     }.toMap
+  }
+
+  /** Prometheus text exposition (format 0.0.4) with the reference's
+    * instrument names: `kafka_consumer_msg`, `kafka_consumer_msg_error`,
+    * `dumps_time_insert` (linear 0–60 s buckets, `prom.go:25-30`). */
+  def prometheus: String = {
+    import scala.jdk.CollectionConverters._
+    val sb = new StringBuilder
+    sb ++= "# HELP kafka_consumer_msg How many messages got from kafka\n"
+    sb ++= "# TYPE kafka_consumer_msg counter\n"
+    for ((k, v) <- messages.asScala.toSeq.sortBy(_._1))
+      sb ++= s"""kafka_consumer_msg{topic="$k"} ${v.sum}""" += '\n'
+    for ((k, v) <- processed.asScala.toSeq.sortBy(_._1))
+      sb ++= s"""kafka_consumer_msg{topic="$k",stage="projected"} ${v.sum}""" += '\n'
+    sb ++= "# HELP kafka_consumer_msg_error How many messages threw out because of unhandled error\n"
+    sb ++= "# TYPE kafka_consumer_msg_error counter\n"
+    for ((k, v) <- errors.asScala.toSeq.sortBy(_._1))
+      sb ++= s"""kafka_consumer_msg_error{table="$k",type="parse"} ${v.sum}""" += '\n'
+    sb ++= "# HELP dumps_time_insert Histogram of dumps inserting\n"
+    sb ++= "# TYPE dumps_time_insert histogram\n"
+    for ((k, h) <- insertHisto.asScala.toSeq.sortBy(_._1)) sb ++= h.render(k)
+    sb.result()
+  }
+
+  /** The reference's `/status` page: one line per table, processed/errors
+    * (`prepare-functions.go:39-44` printed buffered/flush-threshold; our
+    * micro-batches have no standing buffer, so the running totals are the
+    * meaningful equivalent), followed by the last streaming progress JSON. */
+  def statusPage: String = {
+    val lines = snapshot.toSeq.sortBy(_._1).map { case (tbl, (ok, err)) =>
+      s"$tbl - $ok / $err"
+    }
+    (lines :+ lastProgress.get()).mkString("", "\n", "\n")
+  }
+}
+
+object IngestMetrics {
+  /** Fixed-bucket histogram matching the reference's
+    * `prometheus.LinearBuckets(0, 1, 60)`: upper bounds 0,1,…,59 plus +Inf,
+    * rendered cumulatively per Prometheus convention. */
+  final class Histo {
+    import java.util.concurrent.atomic.{DoubleAdder, LongAdder}
+    private val counts = Array.fill(61)(new LongAdder) // 60 finite bounds + +Inf
+    private val total = new DoubleAdder
+
+    def observe(sec: Double): Unit = {
+      total.add(sec)
+      val idx = if (sec <= 0.0) 0 else math.min(math.ceil(sec).toInt, 60)
+      counts(idx).increment() // smallest bound >= sec (bounds are 0..59)
+    }
+
+    def render(table: String): String = {
+      val sb = new StringBuilder
+      var cum = 0L
+      for (b <- 0 until 60) {
+        cum += counts(b).sum
+        sb ++= s"""dumps_time_insert_bucket{table="$table",le="$b"} $cum""" += '\n'
+      }
+      cum += counts(60).sum
+      sb ++= s"""dumps_time_insert_bucket{table="$table",le="+Inf"} $cum""" += '\n'
+      sb ++= s"""dumps_time_insert_sum{table="$table"} ${total.sum}""" += '\n'
+      sb ++= s"""dumps_time_insert_count{table="$table"} $cum""" += '\n'
+      sb.result()
+    }
   }
 }

@@ -40,17 +40,15 @@ object TextDedup {
   /** doc_id → exploded distinct shingle rows, memoized per (session, dir):
     * q41/q42/q43 all start from this frame, so one persisted copy serves
     * the whole dedup family instead of re-exploding per query (and per
-    * self-join side). */
-  private val shCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
-
+    * self-join side). Registered in [[CacheRegistry]] so `clearCaches`
+    * releases it (no persist survives Verify/Bench). */
   private def shingleRows(s: SparkSession, dir: String): DataFrame =
-    shCache.getOrElseUpdate((s, dir),
+    CacheRegistry.cache(s, s"textdedup-shingles:$dir") {
       t(s, dir, "documents")
         .select(col("doc_id"), wordsCol.as("words"))
         .select(col("doc_id"), explode(shinglesExpr).as("sh"))
         .distinct()
-        .persist())
+    }
 
   /** Shared oracle CTE: same shingling in DuckDB (1-based list indexing). */
   private val ShingleCte: String =
@@ -126,10 +124,12 @@ object TextDedup {
       // persist: both sides of the self-join read `bands` — without it the
       // whole shingle→signature pipeline runs twice (broadcast side gets a
       // different exchange shape, so ReusedExchange can't kick in).
-      val bands = sig
-        .select(col("doc_id"), explode(array(bandStructs: _*)).as("b"))
-        .select(col("doc_id"), col("b.band").as("band"), col("b.bkey").as("bkey"))
-        .persist()
+      // Registered for release via CacheRegistry.clear.
+      val bands = CacheRegistry.cache(s, s"q41-bands:$dir") {
+        sig
+          .select(col("doc_id"), explode(array(bandStructs: _*)).as("b"))
+          .select(col("doc_id"), col("b.band").as("band"), col("b.bkey").as("bkey"))
+      }
       val x = bands.as("x")
       val y = bands.as("y")
       x.join(y,

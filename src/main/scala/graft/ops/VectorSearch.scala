@@ -212,9 +212,12 @@ object VectorSearch {
       val withPlanes = (0 until NumPlanes).foldLeft(emb) { (df, j) =>
         df.withColumn(s"__p$j", sparkPlaneArray(j))
       }
-      val coded = withPlanes
-        .select(col("vec_id"), col("embedding"), sparkCode("embedding").as("code"))
-        .persist()
+      // persisted via the registry: both self-join sides read it, and
+      // CacheRegistry.clear releases it after the last action.
+      val coded = CacheRegistry.cache(s, s"q65-coded:$dir") {
+        withPlanes
+          .select(col("vec_id"), col("embedding"), sparkCode("embedding").as("code"))
+      }
       val pairCos = expr(
         """aggregate(zip_with(x.embedding, y.embedding,
           |  (a, b) -> CAST(a AS DOUBLE) * CAST(b AS DOUBLE)),

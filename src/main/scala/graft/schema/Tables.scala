@@ -26,7 +26,13 @@ object Tables {
       // events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 rejects outright
       // (PARQUET_TYPE_ILLEGAL). Read it as a nanos Long and truncate to
       // microsecond timestamps — the same truncation DuckDB applies, so the
-      // oracle sees identical values.
+      // oracle sees identical values. All graft-owned session builders set
+      // this conf at construction; the set here covers externally-built
+      // sessions. It is deliberately NOT save/restored around the read:
+      // the scan captures the conf lazily at action time, so a restore
+      // would break execution of the returned (lazy) DataFrame. The conf
+      // stays set for the session's lifetime — any later nanos-timestamp
+      // parquet reads in the same session also get the legacy Long shape.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val df = spark.read.parquet(s"$dir/$name.parquet")
       import org.apache.spark.sql.functions.{expr, timestamp_micros}

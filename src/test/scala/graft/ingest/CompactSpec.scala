@@ -5,41 +5,97 @@ import graft.SparkSpec
 import graft.functions.SnappyDecode
 
 /** Compaction after streamed ingest: many per-batch files collapse to the
-  * target count with identical data, and the swap leaves no temp dirs. */
+  * target count with identical data, the layout stays partition-discovery-
+  * compatible with the live sink, and replayed batches below the compaction
+  * watermark are skipped instead of re-appended. */
 class CompactSpec extends SparkSpec {
 
-  test("compaction preserves rows and reduces file count") {
+  private def cfgFor(root: String) = EngineConfig(
+    topics = Seq(TopicConfig("t.m", "m", "v\tInt64\t\t")),
+    tableRoot = s"$root/tables",
+    deadLetterRoot = s"$root/dead",
+    checkpointRoot = s"$root/ckpt",
+    metricsPort = 0)
+
+  private def push(mem: org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Array[Byte])],
+      q: org.apache.spark.sql.streaming.StreamingQuery, vals: Range): Unit =
+    vals.foreach { i =>
+      mem.addData(("t.m", SnappyDecode.compress(s"""{"v": $i}""".getBytes("UTF-8"))))
+      q.processAllAvailable()
+    }
+
+  test("compaction preserves rows, reduces files, and keeps the table readable with a live sink") {
     val s = spark
     import s.implicits._
     val root = Files.createTempDirectory("graft-compact").toString
-    val cfg = EngineConfig(
-      topics = Seq(TopicConfig("t.m", "m", "v\tInt64\t\t")),
-      tableRoot = s"$root/tables",
-      deadLetterRoot = s"$root/dead",
-      checkpointRoot = s"$root/ckpt")
+    val cfg = cfgFor(root)
     val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Array[Byte])](s)
-    val (q, _) = Pipeline.start(s, cfg,
-      mem.toDF().toDF("topic", "value"))
+    val (q, _) = Pipeline.start(s, cfg, mem.toDF().toDF("topic", "value"))
     try {
-      // several micro-batches → several batch_id dirs
-      (1 to 4).foreach { i =>
-        mem.addData(("t.m", SnappyDecode.compress(s"""{"v": $i}""".getBytes("UTF-8"))))
-        q.processAllAvailable()
-      }
+      push(mem, q, 1 to 4) // several micro-batches → several batch_id dirs
+
+      val dir = s"$root/tables/m"
+      val before = s.read.parquet(dir).select("v").collect().map(_.getLong(0)).sorted.toSeq
+      assert(before == Seq(1L, 2L, 3L, 4L))
+
+      // highest numeric batch_id actually on disk (trigger bookkeeping may
+      // or may not produce consecutive ids — read, don't assume)
+      def maxDirId: Long = new java.io.File(dir).listFiles()
+        .map(_.getName).collect {
+          case n if n.startsWith("batch_id=") && !n.contains("compacted") =>
+            n.stripPrefix("batch_id=").toLong
+        }.max
+      val maxBefore = maxDirId
+
+      val n = Compact.compactTable(s, dir, targetFiles = 1)
+      assert(n == 4)
+      val after = s.read.parquet(dir)
+      assert(after.select("v").collect().map(_.getLong(0)).sorted.toSeq == before)
+      assert(after.columns.contains("batch_id")) // bookkeeping survives
+      // all data now under one reserved partition dir with one file
+      val compDir = new java.io.File(dir, "batch_id=compacted-1")
+      assert(compDir.isDirectory)
+      assert(compDir.listFiles().count(_.getName.endsWith(".parquet")) == 1)
+      assert(!new java.io.File(dir + ".compact.tmp").exists())
+      assert(!new java.io.File(dir + ".compact.old").exists())
+      // watermark marker: highest numeric batch id folded in
+      assert(Compact.maxCompactedBatchId(dir) == maxBefore)
+
+      // the live sink keeps writing batch_id=N dirs next to the compacted
+      // partition — the table must stay readable (mixed layout was the bug)
+      push(mem, q, 5 to 6)
+      val mixed = s.read.parquet(dir)
+      assert(mixed.select("v").collect().map(_.getLong(0)).sorted.toSeq ==
+        Seq(1L, 2L, 3L, 4L, 5L, 6L))
+      // and a second compaction over the mixed layout still works
+      val maxBefore2 = maxDirId
+      assert(Compact.compactTable(s, dir, targetFiles = 1) == 6)
+      assert(Compact.maxCompactedBatchId(dir) == maxBefore2)
     } finally q.stop()
+  }
 
+  test("replayed batches below the compaction watermark are skipped") {
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("graft-compact-replay").toString
+    val cfg = cfgFor(root)
     val dir = s"$root/tables/m"
-    val before = s.read.parquet(dir).select("v").collect().map(_.getLong(0)).sorted.toSeq
-    assert(before == Seq(1L, 2L, 3L, 4L))
 
-    val n = Compact.compactTable(s, dir, targetFiles = 1)
-    assert(n == 4)
-    val after = s.read.parquet(dir)
-    assert(after.select("v").collect().map(_.getLong(0)).sorted.toSeq == before)
-    assert(after.columns.contains("batch_id")) // bookkeeping survives
-    val files = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet"))
-    assert(files.length == 1)
-    assert(!new java.io.File(dir + ".compact.tmp").exists())
-    assert(!new java.io.File(dir + ".compact.old").exists())
+    val mem1 = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Array[Byte])](s)
+    val (q1, _) = Pipeline.start(s, cfg, mem1.toDF().toDF("topic", "value"))
+    try push(mem1, q1, 1 to 3) finally q1.stop()
+    assert(Compact.compactTable(s, dir, targetFiles = 1) == 3)
+
+    // simulate a checkpoint replay: wipe the checkpoint so the same data
+    // re-runs as batch ids starting from 0 — all below the watermark (2)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(cfg.checkpointRoot))
+    val mem2 = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Array[Byte])](s)
+    val (q2, m2) = Pipeline.start(s, cfg, mem2.toDF().toDF("topic", "value"))
+    try push(mem2, q2, 1 to 3) finally q2.stop()
+
+    // no duplicates: the replayed batches were skipped, data unchanged
+    val vals = s.read.parquet(dir).select("v").collect().map(_.getLong(0)).sorted.toSeq
+    assert(vals == Seq(1L, 2L, 3L))
+    assert(m2.snapshot.get("m").forall(_._1 == 0L)) // nothing re-counted
   }
 }
