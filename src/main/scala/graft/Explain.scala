@@ -16,6 +16,13 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Ad-hoc conf overrides for plan experiments, e.g.
+    // GRAFT_CONF="spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold=0"
+    sys.env.get("GRAFT_CONF").foreach(_.split(",").filter(_.contains("="))
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        spark.conf.set(k.trim, v.trim)
+      })
     args.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)
       println(s"===== $name =====")

@@ -50,6 +50,33 @@ object TextDedup {
         .distinct()
     }
 
+  /** Skew mitigation for candidate generation at 100 TB: a shingle present
+    * in K documents contributes K(K-1)/2 pairs to the shingle self-join, so
+    * one boilerplate/header shingle shared by millions of docs is a
+    * quadratic hot key. This drops shingles above a document-frequency cap
+    * (standard stop-shingle treatment — ubiquity carries no dedup signal,
+    * exactly like stop-words in retrieval). The filter is one extra narrow
+    * aggregate + a semi-join on the same key the self-join shuffles on, so
+    * it reuses the exchange partitioning. */
+  def capDocFrequency(rows: DataFrame, maxDf: Long): DataFrame = {
+    val keep = rows.groupBy(col("sh")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDf)
+      .select(col("sh"))
+    rows.join(keep, Seq("sh"), "left_semi")
+  }
+
+  /** Shingle rows with the optional doc-frequency cap applied. OFF by
+    * default — the oracle-checked queries stay exact; at scale enable with
+    * `spark.conf.set("graft.textdedup.maxShingleDf", K)`, trading recall
+    * on boilerplate-heavy near-dups for a bounded worst-case join key. */
+  private def cappedShingleRows(s: SparkSession, dir: String): DataFrame = {
+    val rows = shingleRows(s, dir)
+    s.conf.getOption("graft.textdedup.maxShingleDf") match {
+      case Some(k) => capDocFrequency(rows, k.trim.toLong)
+      case None => rows
+    }
+  }
+
   /** Shared oracle CTE: same shingling in DuckDB (1-based list indexing). */
   private val ShingleCte: String =
     """WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS words
@@ -109,7 +136,7 @@ object TextDedup {
       // — an exploded (doc, seed) layout was measured 5× slower because
       // 40k+ groups defeat partial-agg compression. The band self-join on
       // (band, bkey) is the LSH candidate join.
-      val sh = shingleRows(s, dir)
+      val sh = cappedShingleRows(s, dir)
       val sigAggs = (0 until NumHashes).map { i =>
         val h60 = conv(substring(md5(concat(lit(s"$i:"), col("sh"))), 1, 15), 16, 10)
           .cast("long")
@@ -124,8 +151,10 @@ object TextDedup {
       // persist: both sides of the self-join read `bands` — without it the
       // whole shingle→signature pipeline runs twice (broadcast side gets a
       // different exchange shape, so ReusedExchange can't kick in).
-      // Registered for release via CacheRegistry.clear.
-      val bands = CacheRegistry.cache(s, s"q41-bands:$dir") {
+      // Registered for release via CacheRegistry.clear. Keyed on the
+      // doc-frequency cap so toggling it can't serve stale candidates.
+      val capKey = s.conf.getOption("graft.textdedup.maxShingleDf").getOrElse("off")
+      val bands = CacheRegistry.cache(s, s"q41-bands:$dir:cap=$capKey") {
         sig
           .select(col("doc_id"), explode(array(bandStructs: _*)).as("b"))
           .select(col("doc_id"), col("b.band").as("band"), col("b.bkey").as("bkey"))
@@ -167,7 +196,7 @@ object TextDedup {
          |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
       // `sh` is persisted by the memoizer; the hashed projection is a cheap
       // map over the cache feeding both self-join sides and the sizes agg.
-      val hs = shingleRows(s, dir).select(col("doc_id"),
+      val hs = cappedShingleRows(s, dir).select(col("doc_id"),
         conv(substring(md5(col("sh")), 1, 15), 16, 10).cast("long").as("h"))
       val sizes = hs.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       val inter = hs.as("x").join(hs.as("y"),

@@ -34,6 +34,44 @@ class ScaleTechniquesSpec extends SparkSpec {
     } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
 
+  test("shingle doc-frequency cap drops only the quadratic hot keys") {
+    val s = spark
+    import s.implicits._
+    // synthetic hot-shingle corpus: every doc shares one boilerplate
+    // shingle (the quadratic key); each also has a rare one
+    val hot = (1L to 20L).map(id => (id, "all rights reserved"))
+    val rare = (1L to 20L).map(id => (id, s"unique shingle $id"))
+    val rows = (hot ++ rare).toDF("doc_id", "sh")
+
+    val capped = TextDedup.capDocFrequency(rows, maxDf = 5)
+    val kept = capped.select("sh").distinct().as[String].collect().toSet
+    assert(!kept.contains("all rights reserved"), "hot shingle must be dropped")
+    assert(kept.size == 20, "every rare shingle must survive")
+
+    // pair fan-out from the hot key is gone: the capped self-join
+    // produces zero candidate pairs (rare shingles never collide),
+    // against 20*19/2 = 190 from the uncapped hot key
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.as("x")
+      .join(df.as("y"), col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
+      .count()
+    assert(pairs(rows) == 190L)
+    assert(pairs(capped) == 0L)
+  }
+
+  test("doc-frequency cap conf gates the dedup family and stays off by default") {
+    val s = spark
+    assert(s.conf.getOption("graft.textdedup.maxShingleDf").isEmpty)
+    val uncapped = graft.SparkEntry.queries("q42_ngram_jaccard")(s, sf001).count()
+    try {
+      s.conf.set("graft.textdedup.maxShingleDf", "2")
+      val capped = graft.SparkEntry.queries("q42_ngram_jaccard")(s, sf001).count()
+      // near-dup docs share most shingles, so a df-2 cap keeps true pairs
+      // (their shared shingles have df == 2) — recall loss only on
+      // boilerplate-driven pairs
+      assert(capped <= uncapped)
+    } finally s.conf.unset("graft.textdedup.maxShingleDf")
+  }
+
   test("salted join returns identical results to the plain join") {
     val s = spark
     val li = Tables.t(s, sf001, "lineitem")
