@@ -24,6 +24,16 @@ object CacheRegistry {
   def cache(s: SparkSession, key: String)(build: => DataFrame): DataFrame =
     cached.getOrElseUpdate((s, key), build.persist())
 
+  private val ctr = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Register an already-persisted frame for release-on-clear (no
+    * memoization — each call gets a unique key), e.g. the converged label
+    * frame of an iterative algorithm. */
+  def track(s: SparkSession, name: String, df: DataFrame): DataFrame = {
+    cached.put((s, s"$name#${ctr.incrementAndGet()}"), df)
+    df
+  }
+
   /** Unpersist and forget every frame registered for this session. */
   def clear(s: SparkSession): Unit =
     cached.keys.filter(_._1 eq s).foreach { k =>

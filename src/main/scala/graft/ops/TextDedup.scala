@@ -77,6 +77,78 @@ object TextDedup {
     }
   }
 
+  /** Verified near-dup pairs (doc_a < doc_b, jac ≥ 0.5) — q42's pipeline,
+    * shared with q72's clustering stage. `sh` is persisted by the memoizer;
+    * the hashed projection is a cheap map over the cache feeding both
+    * self-join sides and the sizes agg. */
+  private def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    val hs = cappedShingleRows(s, dir).select(col("doc_id"),
+      conv(substring(md5(col("sh")), 1, 15), 16, 10).cast("long").as("h"))
+    val sizes = hs.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = hs.as("x").join(hs.as("y"),
+        col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("i"))
+    val jac = col("i") * lit(1.0) /
+      (col("sa.n") + col("sb.n") - col("i"))
+    inter
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .filter(jac >= 0.5)
+      .select(col("doc_a"), col("doc_b"), jac.as("jac"))
+  }
+
+  /** Connected components over near-dup pairs by iterative min-label
+    * propagation: every doc starts labeled with its own id; each round a
+    * doc takes the min label among itself and its neighbors; fixpoint =
+    * components, and the component label (min doc_id) is the canonical
+    * "keeper" — the standard collapse step after pair generation in a
+    * dedup pipeline.
+    *
+    * Scale: each round is one equi-join on the edge key + one min-agg —
+    * all hash-partitioned, no driver-side graph. Rounds needed = graph
+    * diameter; near-dup families are shallow (pairs come from a similarity
+    * threshold), so a handful of rounds converge. For adversarial
+    * long-chain graphs swap in large-star/small-star (O(log n) rounds) —
+    * same join-agg building blocks. Each round ends in an eager
+    * `localCheckpoint`: the labels frame is referenced twice per round, so
+    * without lineage truncation the lazy plan doubles every iteration
+    * (2^rounds nodes — a driver OOM, not a data problem); checkpointing is
+    * how any distributed iterative algorithm bounds plan growth (reliable
+    * `checkpoint` on a cluster). Checkpointed partitions are dropped by
+    * the ContextCleaner when unreferenced. */
+  def clusterPairs(s: SparkSession, pairs: DataFrame, maxRounds: Int = 25): DataFrame = {
+    val edges = CacheRegistry.track(s, "cluster-edges",
+      pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
+        .union(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
+        .persist())
+    var labels = edges.select(col("a").as("doc")).distinct()
+      .select(col("doc"), col("doc").as("lbl"))
+      .localCheckpoint()
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      val prop = labels.join(edges, col("doc") === col("a"))
+        .select(col("b").as("doc"), col("lbl"))
+        .union(labels)
+        .groupBy(col("doc")).agg(min(col("lbl")).as("lbl"))
+        .localCheckpoint() // eager: materialize + truncate lineage
+      val changed = prop.as("n")
+        .join(labels.as("o"), col("n.doc") === col("o.doc"))
+        .filter(col("n.lbl") =!= col("o.lbl"))
+        .count()
+      labels = prop
+      converged = changed == 0
+      round += 1
+    }
+    val comp = labels.withColumnRenamed("lbl", "cluster_id")
+    val sizes = comp.groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
+    comp.join(sizes, Seq("cluster_id"))
+      .select(col("doc").as("doc_id"), col("cluster_id"),
+        col("cluster_size").cast("long").as("cluster_size"),
+        (col("doc") === col("cluster_id")).as("is_keeper"))
+  }
+
   /** Shared oracle CTE: same shingling in DuckDB (1-based list indexing). */
   private val ShingleCte: String =
     """WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS words
@@ -194,22 +266,8 @@ object TextDedup {
          |JOIN sizes sb ON doc_b = sb.doc_id
          |WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
-      // `sh` is persisted by the memoizer; the hashed projection is a cheap
-      // map over the cache feeding both self-join sides and the sizes agg.
-      val hs = cappedShingleRows(s, dir).select(col("doc_id"),
-        conv(substring(md5(col("sh")), 1, 15), 16, 10).cast("long").as("h"))
-      val sizes = hs.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      val inter = hs.as("x").join(hs.as("y"),
-          col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
-        .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-        .agg(count(lit(1)).as("i"))
-      val jac = col("i") * lit(1.0) /
-        (col("sa.n") + col("sb.n") - col("i"))
-      inter
-        .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
-        .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
-        .filter(jac >= 0.5)
-        .select(col("doc_a"), col("doc_b"), round(jac, 6).as("jaccard"))
+      jaccardPairs(s, dir)
+        .select(col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jaccard"))
         .orderBy(col("doc_a"), col("doc_b"))
     },
 
@@ -249,6 +307,46 @@ object TextDedup {
         .groupBy(col("doc_id"))
         .agg(sum(when(col("s") > 0, expr("shiftleft(CAST(1 AS BIGINT), b)"))
           .otherwise(lit(0L))).as("simhash"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- near-dup clusters: connected components + canonical keeper ----
+    // The collapse step after pair generation: q42's verified pairs are the
+    // edges; each duplicate family becomes one cluster labeled by its min
+    // doc_id (the keeper). The oracle computes the same components with a
+    // recursive CTE (transitive closure, min label per doc) — Spark runs
+    // distributed label propagation (see clusterPairs).
+    Q("q72_neardup_clusters", {
+      val cte = ShingleCte.replaceFirst("^WITH ", "WITH RECURSIVE ")
+      s"""$cte,
+         |hs AS (SELECT doc_id, list_sum(list_transform(range(1, 16),
+         |    j -> CAST((strpos('0123456789abcdef', substr(md5(sh), j, 1)) - 1) AS BIGINT)
+         |         * (CAST(1 AS BIGINT) << (4 * (15 - j))))) AS h
+         |  FROM sh),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM hs GROUP BY doc_id),
+         |inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS i
+         |  FROM hs x JOIN hs y ON x.h = y.h AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2),
+         |pairs AS (SELECT doc_a, doc_b FROM inter
+         |  JOIN sizes sa ON doc_a = sa.doc_id
+         |  JOIN sizes sb ON doc_b = sb.doc_id
+         |  WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+         |  UNION ALL SELECT doc_b AS a, doc_a AS b FROM pairs),
+         |reach(doc, lbl) AS (
+         |  SELECT DISTINCT a AS doc, a AS lbl FROM edges
+         |  UNION
+         |  SELECT e.b AS doc, r.lbl FROM reach r JOIN edges e ON e.a = r.doc),
+         |comp AS (SELECT doc, min(lbl) AS cluster_id FROM reach GROUP BY doc)
+         |SELECT c.doc AS doc_id, c.cluster_id,
+         |  CAST(m.n AS BIGINT) AS cluster_size,
+         |  (c.doc = c.cluster_id) AS is_keeper
+         |FROM comp c
+         |JOIN (SELECT cluster_id, count(*) AS n FROM comp GROUP BY cluster_id) m
+         |  USING (cluster_id)
+         |ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      clusterPairs(s, jaccardPairs(s, dir).select(col("doc_a"), col("doc_b")))
         .orderBy(col("doc_id"))
     }
   )
