@@ -444,9 +444,10 @@ object Relational {
     },
 
     // ---- window: rank / dense_rank / ntile ----
-    // NOTE: a global (unpartitioned) window is single-partition by design;
-    // at 100 TB rank over everything would be partitioned by a bucketing key
-    // first. Fine for a 2000-row dim table.
+    // NOTE: a global (unpartitioned) window is single-partition by design —
+    // fine for a 2000-row dim table. The fact-table-scale version is
+    // implemented as Skew.globalRowNumber (range-bucket + prefix-sum
+    // stitch, no single-partition exchange; ScaleTechniquesSpec).
     Q("q21_window_rank",
       """SELECT p_partkey, p_retailprice,
         |  CAST(rank() OVER (ORDER BY p_retailprice DESC) AS INTEGER) AS price_rank,

@@ -28,4 +28,47 @@ object Skew {
       .withColumn("__salt", col("__salt").cast("long"))
     l.join(r, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** Global row numbering without a single-partition window — the
+    * 100×-scale answer to `Window.orderBy(...)` with no partition key
+    * (which funnels every row through one task, q21's documented
+    * dim-table-only caveat).
+    *
+    * Two-pass range-bucket + stitch:
+    *   1. range-repartition by the total order, so partition i holds keys
+    *      strictly before partition i+1's;
+    *   2. one tiny aggregation (numPartitions rows) gives each bucket's
+    *      size, whose exclusive prefix sum is the bucket's global offset;
+    *   3. a window partitioned by bucket id computes local row numbers in
+    *      parallel; global = local + offset via a broadcast join.
+    *
+    * The order must be total (include a tiebreaker column): range
+    * boundaries may split equal keys across adjacent partitions, which is
+    * fine for row_number but would mis-rank ties. The range-parted frame
+    * is localCheckpointed so pass 2 and pass 3 see the same (sampled)
+    * boundaries; on a cluster use `checkpoint` or persist-replicated. */
+  def globalRowNumber(
+      df: DataFrame,
+      order: Seq[org.apache.spark.sql.Column],
+      numPartitions: Int,
+      outCol: String = "rn"): DataFrame = {
+    require(numPartitions > 0, "numPartitions must be positive")
+    val parted = df.repartitionByRange(numPartitions, order: _*)
+      .withColumn("__bucket", spark_partition_id())
+      .localCheckpoint() // pin bucket assignment across the two passes
+    val offsets = {
+      val sizes = parted.groupBy(col("__bucket")).count()
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toSeq.sortBy(_._1)
+      val running = sizes.scanLeft(0L)(_ + _._2)
+      sizes.map(_._1).zip(running) // bucket -> rows before it
+    }
+    val offsetDf = df.sparkSession
+      .createDataFrame(offsets).toDF("__bucket", "__offset")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__bucket")).orderBy(order: _*)
+    parted
+      .join(broadcast(offsetDf), Seq("__bucket"))
+      .withColumn(outCol, row_number().over(w) + col("__offset"))
+      .drop("__bucket", "__offset")
+  }
 }

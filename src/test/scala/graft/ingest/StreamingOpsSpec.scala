@@ -33,6 +33,53 @@ class MaxValueProcessor extends StatefulProcessor[Long, Ev, (Long, Double)] {
   }
 }
 
+/** transformWithState processor with event-time TIMERS: counts events per
+  * user and registers an inactivity timer at last-event-time + 10 min; when
+  * the watermark passes it, the session total is emitted and state cleared
+  * — the timer/TTL surface of the Spark 4 arbitrary-state API (the part
+  * q36's declarative session_window cannot express: custom on-expiry
+  * output and explicit state lifecycle). */
+class SessionCountProcessor extends StatefulProcessor[Long, Ev, (Long, Long)] {
+  import org.apache.spark.sql.streaming.{TTLConfig, ValueState}
+  @transient private var cnt: ValueState[Long] = _
+  @transient private var timerAt: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    cnt = getHandle.getValueState[Long]("cnt", Encoders.scalaLong, TTLConfig.NONE)
+    timerAt = getHandle.getValueState[Long]("timerAt", Encoders.scalaLong, TTLConfig.NONE)
+  }
+
+  override def handleInputRows(key: Long, rows: Iterator[Ev],
+      timerValues: TimerValues): Iterator[(Long, Long)] = {
+    var n = 0L
+    var maxTs = 0L
+    rows.foreach { e => n += 1; maxTs = math.max(maxTs, e.ts.getTime) }
+    cnt.update((if (cnt.exists()) cnt.get() else 0L) + n)
+    // keep exactly one pending inactivity timer per key
+    if (timerAt.exists()) getHandle.deleteTimer(timerAt.get())
+    val at = maxTs + 10 * 60 * 1000
+    getHandle.registerTimer(at)
+    timerAt.update(at)
+    Iterator.empty
+  }
+
+  override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+      expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+      : Iterator[(Long, Long)] = {
+    val total = if (cnt.exists()) cnt.get() else 0L
+    cnt.clear()
+    timerAt.clear()
+    Iterator((key, total))
+  }
+}
+
+// NOTE on state TTL: `TTLConfig(Duration)` (processing-time expiry for
+// keys that go quiet forever) requires TimeMode.ProcessingTime, in which
+// the engine schedules micro-batches continuously to advance the clock —
+// `processAllAvailable` never settles, so it cannot be exercised in this
+// deterministic test harness. The timer test below covers the explicit
+// state-lifecycle surface (register/delete/expire) with event time, which
+// subsumes the TTL mechanism for testable purposes.
 class StreamingOpsSpec extends SparkSpec {
 
   private def ts(minute: Int): Timestamp =
@@ -105,6 +152,42 @@ class StreamingOpsSpec extends SparkSpec {
         .map(r => (r.getLong(0), r.getDouble(1))).toSet
       assert(rows.contains((1L, 5.0)) && rows.contains((2L, 7.0))) // batch 1
       assert(rows.contains((1L, 9.0)) && rows.contains((2L, 7.0))) // batch 2, state carried
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("transformWithState timers: inactivity timeout emits session totals") {
+    val s = spark
+    import s.implicits._
+    val prevProvider = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[Ev](s)
+    val out = mem.toDS()
+      .withWatermark("ts", "0 seconds")
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionCountProcessor, TimeMode.EventTime(), OutputMode.Append())
+    val q = out.toDF("user_id", "session_n")
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("timer_out").start()
+    try {
+      // user 1: two events, then silence → timer at 10:02 + 10 min
+      mem.addData(Ev(ts(1), 1, 1.0), Ev(ts(2), 1, 2.0))
+      q.processAllAvailable()
+      // advance the watermark past the timer (wm updates at end of batch,
+      // timers fire in the batch AFTER the advance)
+      mem.addData(Ev(Timestamp.valueOf("2024-01-01 11:00:00"), 9, 0))
+      q.processAllAvailable()
+      mem.addData(Ev(Timestamp.valueOf("2024-01-01 11:05:00"), 9, 0))
+      q.processAllAvailable()
+      val rows = s.table("timer_out").where("user_id = 1").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(rows == Seq((1L, 2L))) // one emission with the session total
     } finally {
       q.stop()
       prevProvider match {

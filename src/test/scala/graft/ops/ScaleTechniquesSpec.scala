@@ -72,6 +72,24 @@ class ScaleTechniquesSpec extends SparkSpec {
     } finally s.conf.unset("graft.textdedup.maxShingleDf")
   }
 
+  test("globalRowNumber matches the single-partition window, without one") {
+    val s = spark
+    val o = Tables.t(s, sf001, "orders").select("o_orderkey", "o_totalprice")
+    val order = Seq(col("o_totalprice").desc, col("o_orderkey").asc) // total order
+    val expected = o.withColumn("rn",
+      row_number().over(org.apache.spark.sql.expressions.Window.orderBy(order: _*))
+        .cast("long"))
+    val got = Skew.globalRowNumber(o, order, numPartitions = 8)
+    assert(got.schema("rn").dataType == org.apache.spark.sql.types.LongType)
+    assert(got.count() == expected.count())
+    assert(got.exceptAll(expected).isEmpty)
+    assert(expected.exceptAll(got).isEmpty)
+    // the point of the operator: no stage funnels all rows into one task
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      s"two-pass rank still has a single-partition exchange:\n$plan")
+  }
+
   test("salted join returns identical results to the plain join") {
     val s = spark
     val li = Tables.t(s, sf001, "lineitem")
