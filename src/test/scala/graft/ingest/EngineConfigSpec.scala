@@ -27,4 +27,13 @@ class EngineConfigSpec extends AnyFunSuite {
   test("empty topics rejected") {
     intercept[IllegalArgumentException](EngineConfig.fromJson("""{"topics": []}"""))
   }
+
+  test("shipped example config loads with every field bound") {
+    val cfg = EngineConfig.fromFile("config/config-example.json")
+    assert(cfg.topics.map(_.table) == Seq("users", "metrics"))
+    assert(cfg.topics(1).flushCount == 10L)
+    assert(cfg.consumerOptions("group.id") == "graft-consumer")
+    assert(cfg.metricsPort == 8080)
+    assert(cfg.jdbcUrl.isEmpty)
+  }
 }
