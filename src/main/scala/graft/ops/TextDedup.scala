@@ -346,8 +346,13 @@ object TextDedup {
          |  USING (cluster_id)
          |ORDER BY doc_id""".stripMargin
     }) { (s, dir) =>
-      clusterPairs(s, jaccardPairs(s, dir).select(col("doc_a"), col("doc_b")))
-        .orderBy(col("doc_id"))
+      // cache the (tiny) pair set: clusterPairs reads it twice to build the
+      // symmetric edge list, which would otherwise run the whole shingle
+      // pipeline once per union branch
+      val pairs = CacheRegistry.cache(s, s"q72-pairs:$dir") {
+        jaccardPairs(s, dir).select(col("doc_a"), col("doc_b"))
+      }
+      clusterPairs(s, pairs).orderBy(col("doc_id"))
     }
   )
 }
