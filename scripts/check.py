@@ -50,7 +50,7 @@ def strict_frame(df):
         df = df.sort_values(by=list(df.columns), kind="mergesort")
     df = df.reset_index(drop=True)
 
-    import datetime
+    import datetime, decimal
 
     def render(v):
         if v is None:
@@ -59,6 +59,12 @@ def strict_frame(df):
             if math.isnan(v):
                 return "NaN"
             return repr(v + 0.0)  # full precision, -0.0 collapsed
+        # DECIMAL cells surface as decimal.Decimal via pyarrow but as float64
+        # via duckdb fetchdf — scale-padded trailing zeros ('288827.2470' vs
+        # '288827.247') are representation, not value (driver hashes decimal
+        # outputs green, e.g. q02/q10 round 1); render both as floats
+        if isinstance(v, decimal.Decimal):
+            return repr(float(v) + 0.0)
         # DATE columns surface as datetime.date via pyarrow but as midnight
         # datetime64 via duckdb fetchdf — same value, render identically
         # (the driver hashes DATE outputs green, e.g. q25 round 1).

@@ -234,6 +234,58 @@ object VectorSearch {
         .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
           round(pairCos, 6).as("cos_sim"))
         .orderBy(col("vec_a"), col("vec_b"))
+    },
+
+    // ---- per-label centroid + cosine-to-centroid outlier scoring ----
+    // The mislabeled-embedding detector a curation pipeline runs before
+    // training: vectors far from their own label's centroid are suspect.
+    // Determinism discipline: the centroid's per-dimension mean is an exact
+    // DECIMAL sum (order-independent across partial aggregation — a plain
+    // double sum would vary in the last ulp with partition order) cast to
+    // DOUBLE once; the per-vector cosine then uses the same sequential
+    // array fold as q44/q65 (identical to DuckDB's list_sum order).
+    // Scale: centroid build = one narrow agg over exploded components
+    // (|labels|×dim groups); scoring = broadcast of the tiny centroid
+    // table + one codegen'd pass; TakeOrderedAndProject keeps the top-k.
+    Q("q73_centroid_outliers",
+      """WITH comp AS (
+        |  SELECT label, i AS pos,
+        |    sum(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(38,12))) AS sumv,
+        |    count(*) AS cnt
+        |  FROM embeddings, range(1, 65) t(i)  -- Dim=64; FROM-range can't be lateral
+        |  GROUP BY label, i),
+        |cent AS (
+        |  SELECT label, list(CAST(sumv AS DOUBLE) / cnt ORDER BY pos) AS qe
+        |  FROM comp GROUP BY label),
+        |scored AS (
+        |  SELECT vec_id, e.label AS label,
+        |    list_sum(list_transform(range(1, len(embedding) + 1),
+        |        i -> CAST(embedding[i] AS DOUBLE) * qe[i]))
+        |      / (sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+        |          i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(range(1, len(qe) + 1),
+        |          i -> qe[i] * qe[i])))) AS cos
+        |  FROM embeddings e JOIN cent USING (label))
+        |SELECT vec_id, label, round(cos, 6) AS centroid_cos
+        |FROM scored
+        |ORDER BY centroid_cos ASC, vec_id
+        |LIMIT 20""".stripMargin) { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      val comp = e.select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("pos", "v")))
+      val cent = comp.groupBy(col("label"), col("pos"))
+        .agg(sum(col("v").cast("double").cast("decimal(38,12)")).cast("double").as("sumv"),
+          count(lit(1)).as("cnt"))
+        .select(col("label"), col("pos"), (col("sumv") / col("cnt")).as("c"))
+      val centArr = cent.groupBy(col("label"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+          x => x.getField("c")).as("centroid"))
+      val cos = dotExpr("embedding", "centroid") /
+        (normExpr("embedding") * normExpr("centroid"))
+      e.join(broadcast(centArr), Seq("label"))
+        .select(col("vec_id"), col("label"), round(cos, 6).as("centroid_cos"))
+        .orderBy(col("centroid_cos").asc, col("vec_id"))
+        .limit(20)
     }
   )
 }
