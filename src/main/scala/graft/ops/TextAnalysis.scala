@@ -256,6 +256,67 @@ object TextAnalysis {
         .orderBy(col("word"))
     },
 
+    // ---- composite quality filter: the keep/drop decision ----
+    // What a curation pipeline actually executes after scoring: rules are
+    // evaluated in precedence order and the first failure names the drop
+    // reason — length floor, shingle-repetition ceiling (q63's signal),
+    // word-shape sanity (q47's avg word length). Pure map work over the
+    // per-doc aggregates; the only shuffle is the doc-keyed repetition agg.
+    Q("q74_quality_filter",
+      """WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS words
+        |           FROM documents),
+        |raw AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(words) - 1, 1)),
+        |    i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS sh
+        |  FROM w),
+        |cnt AS (SELECT doc_id, sh, count(*) AS c FROM raw GROUP BY doc_id, sh),
+        |rep AS (SELECT doc_id, count(*) * 1.0 / sum(c) AS uniq_ratio
+        |  FROM cnt GROUP BY doc_id),
+        |sig AS (SELECT d.doc_id,
+        |    len(string_split_regex(lower(trim(text)), '\s+')) AS n_words,
+        |    length(regexp_replace(text, '\s+', '', 'g')) * 1.0
+        |      / len(string_split_regex(lower(trim(text)), '\s+')) AS awl,
+        |    coalesce(r.uniq_ratio, 1.0) AS ur
+        |  FROM documents d LEFT JOIN rep r ON d.doc_id = r.doc_id),
+        |dec AS (SELECT doc_id, n_words, awl, ur,
+        |    CASE WHEN n_words < 20 THEN 'too_short'
+        |         WHEN ur < 0.4 THEN 'too_repetitive'
+        |         WHEN awl > 12 OR awl < 2 THEN 'weird_words'
+        |         ELSE 'keep' END AS verdict
+        |  FROM sig)
+        |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+        |  round(awl, 4) AS avg_word_len,
+        |  round(ur, 6) AS uniq_ratio,
+        |  verdict, (verdict = 'keep') AS keep
+        |FROM dec
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val raw = t(s, dir, "documents")
+        .select(col("doc_id"), wordsCol.as("words"))
+        .select(col("doc_id"), explode(expr(
+          """CASE WHEN size(words) >= 3 THEN
+            |  transform(sequence(0, size(words) - 3),
+            |    i -> concat_ws(' ', words[i], words[i+1], words[i+2]))
+            |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin)).as("sh"))
+      val rep = raw.groupBy(col("doc_id"), col("sh")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg((count(lit(1)) * lit(1.0) / sum(col("c"))).as("uniq_ratio"))
+      val nWords = size(wordsCol)
+      val awl = length(regexp_replace(col("text"), "\\s+", "")) * lit(1.0) / nWords
+      val sig = t(s, dir, "documents")
+        .join(rep, Seq("doc_id"), "left")
+        .select(col("doc_id"), nWords.as("n_words"), awl.as("awl"),
+          coalesce(col("uniq_ratio"), lit(1.0)).as("ur"))
+      val verdict = when(col("n_words") < 20, "too_short")
+        .when(col("ur") < 0.4, "too_repetitive")
+        .when(col("awl") > 12 || col("awl") < 2, "weird_words")
+        .otherwise("keep")
+      sig.withColumn("verdict", verdict)
+        .select(col("doc_id"), col("n_words").cast("long").as("n_words"),
+          round(col("awl"), 4).as("avg_word_len"),
+          round(col("ur"), 6).as("uniq_ratio"),
+          col("verdict"), (col("verdict") === "keep").as("keep"))
+        .orderBy(col("doc_id"))
+    },
+
     // ---- document fingerprint (normalized-content hash) ----
     Q("q49_fingerprint",
       """SELECT doc_id,
