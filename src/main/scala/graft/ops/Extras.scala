@@ -180,6 +180,78 @@ object Extras {
         .orderBy(col("o_custkey"), col("o_orderkey"))
     },
 
+    // ---- scalable global rank, oracle-checked at the query level ----
+    // Skew.globalRowNumber (range-bucket + prefix-sum stitch) must produce
+    // exactly what a single-partition row_number() window would — proven
+    // here against the oracle's window, over a fact table, with no
+    // SinglePartition exchange in the Spark plan (ScaleTechniquesSpec
+    // asserts the plan shape; this query proves the values).
+    Q("q75_scalable_rank",
+      """SELECT l_orderkey, l_linenumber, rn FROM (
+        |  SELECT l_orderkey, l_linenumber,
+        |    CAST(row_number() OVER (ORDER BY l_extendedprice DESC,
+        |      l_orderkey, l_linenumber) AS BIGINT) AS rn
+        |  FROM lineitem)
+        |WHERE rn <= 1000
+        |ORDER BY rn""".stripMargin) { (s, dir) =>
+      val base = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      graft.ops.Skew.globalRowNumber(base,
+          Seq(col("l_extendedprice").desc, col("l_orderkey").asc, col("l_linenumber").asc),
+          numPartitions = 32)
+        .filter(col("rn") <= 1000)
+        .select(col("l_orderkey"), col("l_linenumber"), col("rn"))
+        .orderBy(col("rn"))
+    },
+
+    // ---- window battery 2: percent_rank / cume_dist / nth_value ----
+    Q("q76_window_misc",
+      """SELECT o_orderkey,
+        |  round(percent_rank() OVER w, 6) AS pr,
+        |  round(cume_dist() OVER w, 6) AS cd,
+        |  nth_value(o_orderkey, 3) OVER w AS third_key
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |  ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      t(s, dir, "orders").select(
+          col("o_orderkey"),
+          round(percent_rank().over(w), 6).as("pr"),
+          round(cume_dist().over(w), 6).as("cd"),
+          nth_value(col("o_orderkey"), 3).over(w).as("third_key"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    // ---- scalar battery 2: edit distance, bitwise, conditionals ----
+    Q("q77_scalar_misc",
+      """SELECT p_partkey,
+        |  CAST(levenshtein(p_brand, p_type) AS INTEGER) AS edit_dist,
+        |  greatest(p_size, 25) AS hi,
+        |  least(p_size, 25) AS lo,
+        |  nullif(p_type, 'PROMO') AS type_or_null,
+        |  coalesce(nullif(p_type, 'PROMO'), 'was-promo') AS type_filled,
+        |  p_size & 7 AS low_bits,
+        |  p_size << 2 AS shifted,
+        |  reverse(p_brand) AS rev_brand,
+        |  repeat(p_brand, 2) AS twice
+        |FROM part
+        |ORDER BY p_partkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "part").select(
+          col("p_partkey"),
+          levenshtein(col("p_brand"), col("p_type")).as("edit_dist"),
+          greatest(col("p_size"), lit(25)).as("hi"),
+          least(col("p_size"), lit(25)).as("lo"),
+          nullif(col("p_type"), lit("PROMO")).as("type_or_null"),
+          coalesce(nullif(col("p_type"), lit("PROMO")), lit("was-promo")).as("type_filled"),
+          expr("p_size & 7").as("low_bits"),
+          expr("shiftleft(p_size, 2)").as("shifted"),
+          reverse(col("p_brand")).as("rev_brand"),
+          repeat(col("p_brand"), 2).as("twice"))
+        .orderBy(col("p_partkey"))
+    },
+
     // ---- grouping flags over ROLLUP (subtotal-row introspection) ----
     Q("q69_grouping_flags",
       """SELECT l_returnflag, l_linestatus,
