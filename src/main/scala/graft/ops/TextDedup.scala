@@ -124,7 +124,13 @@ object TextDedup {
         .persist())
     var labels = edges.select(col("a").as("doc")).distinct()
       .select(col("doc"), col("doc").as("lbl"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
+    // Min-propagation is monotone: labels only ever decrease, so the label
+    // sum is a complete convergence signal — computing it on the lazily-
+    // checkpointed frame materializes the checkpoint AND returns the
+    // signal in ONE action per round (an explicit changed-rows join+count
+    // would double the actions).
+    var prevSum = labels.agg(sum(col("lbl"))).head().getLong(0)
     var converged = false
     var round = 0
     while (!converged && round < maxRounds) {
@@ -132,13 +138,11 @@ object TextDedup {
         .select(col("b").as("doc"), col("lbl"))
         .union(labels)
         .groupBy(col("doc")).agg(min(col("lbl")).as("lbl"))
-        .localCheckpoint() // eager: materialize + truncate lineage
-      val changed = prop.as("n")
-        .join(labels.as("o"), col("n.doc") === col("o.doc"))
-        .filter(col("n.lbl") =!= col("o.lbl"))
-        .count()
+        .localCheckpoint(eager = false) // first action checkpoints + truncates lineage
+      val sumNow = prop.agg(sum(col("lbl"))).head().getLong(0)
       labels = prop
-      converged = changed == 0
+      converged = sumNow == prevSum
+      prevSum = sumNow
       round += 1
     }
     val comp = labels.withColumnRenamed("lbl", "cluster_id")
