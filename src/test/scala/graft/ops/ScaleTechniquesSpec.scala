@@ -90,6 +90,32 @@ class ScaleTechniquesSpec extends SparkSpec {
       s"two-pass rank still has a single-partition exchange:\n$plan")
   }
 
+  test("property: globalRowNumber matches the window on random data") {
+    val s = spark
+    import s.implicits._
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // random values with deliberate duplicates (the range partitioner may
+    // split equal keys across buckets — the tiebreaker must heal that) and
+    // random partition counts incl. more partitions than rows
+    val listGen = Gen.listOfN(60, Gen.choose(0, 9))
+    (0 until 10).foreach { i =>
+      val vals = listGen.pureApply(Gen.Parameters.default, Seed(7L + i))
+      val nPart = 1 + i % 7
+      val df = vals.zipWithIndex.map { case (v, idx) => (v, idx.toLong) }
+        .toDF("v", "idx")
+      val order = Seq(col("v").asc, col("idx").asc)
+      val got = Skew.globalRowNumber(df, order, nPart)
+        .select("v", "idx", "rn").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(_._2)
+      val expected = df.withColumn("rn", row_number()
+          .over(org.apache.spark.sql.expressions.Window.orderBy(order: _*)).cast("long"))
+        .select("v", "idx", "rn").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(_._2)
+      assert(got.toSeq == expected.toSeq, s"mismatch at case $i (nPart=$nPart)")
+    }
+  }
+
   test("salted join returns identical results to the plain join") {
     val s = spark
     val li = Tables.t(s, sf001, "lineitem")
