@@ -182,6 +182,29 @@ object Multimodal {
     } else sys.error(s"unknown container for doc $id")
   }
 
+  /** Media transform: image → half-resolution thumbnail (every-other-byte
+    * body sample + halved IHDR dims, re-encoded as a valid PNG), audio /
+    * video → first-4-seconds clip (data/mdat truncated to 4 s of payload
+    * at the container's rate). Real byte surgery through the same
+    * builders; the caller re-parses the output, so a broken transform
+    * fails the parser round-trip. */
+  def thumbnail(id: Long, payload: Array[Byte]): Array[Byte] = {
+    val m = parseMeta(id, payload)
+    m.modality match {
+      case "image" =>
+        val body = payload.drop(33) // magic(8) + IHDR chunk(25)
+        val half = Array.tabulate((body.length + 1) / 2)(i => body(2 * i))
+        pngBytes(math.max(m.width / 2, 1), math.max(m.height / 2, 1), half)
+      case "audio" =>
+        val body = payload.drop(44) // RIFF+fmt+data headers
+        wavBytes(16, 8, 1, body.take(64)) // 4 s at 16 B/s
+      case _ =>
+        val body = payload.drop(16 + 8 + 108 + 8) // ftyp+moov/mvhd+mdat hdr
+        val clip = body.take(64) // 4 s at timescale 16
+        mp4Bytes(16, clip.length, clip)
+    }
+  }
+
   val qs: Seq[Q] = Seq(
     // The oracle states the synthesized header fields directly (they are
     // deterministic in doc_id and text length); Spark round-trips real
@@ -209,6 +232,43 @@ object Multimodal {
         // payload synthesis: text bytes → real container bytes
         .mapPartitions(_.map(d => BinDoc(d.doc_id, synthesize(d.doc_id, d.payload))))
         // decode: parse container headers back (codec-init-per-partition seam)
+        .mapPartitions(_.map(d => parseMeta(d.doc_id, d.payload)))
+        .toDF()
+        .select(col("doc_id"), col("modality"), col("n_bytes"),
+          col("width"), col("height"), round(col("duration_s"), 4).as("duration_s"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- media transform: thumbnail / clip (resize + frame-sample) ----
+    // synthesize → thumbnail (real byte surgery) → re-parse: the emitted
+    // fields come from parsing the TRANSFORMED container, so the oracle
+    // (which states the expected header fields from the formulas) checks
+    // synthesis, transform, and parser together. Pure map over binary
+    // columns — no shuffle, codec-per-partition seam as in q50.
+    Q("q78_multimodal_thumb",
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |       WHEN doc_id % 3 = 1 THEN 'audio'
+        |       ELSE 'video' END AS modality,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN ceil(octet_length(encode(text)) / 2.0)
+        |       ELSE least(octet_length(encode(text)), 64) END AS BIGINT) AS n_bytes,
+        |  CAST(CASE WHEN doc_id % 3 = 0
+        |       THEN floor((64 + octet_length(encode(text)) % 128) / 2.0)
+        |       ELSE 0 END AS INTEGER) AS width,
+        |  CAST(CASE WHEN doc_id % 3 = 0
+        |       THEN floor((64 + (octet_length(encode(text)) * 7) % 128) / 2.0)
+        |       ELSE 0 END AS INTEGER) AS height,
+        |  round(CASE WHEN doc_id % 3 = 0 THEN 0.0
+        |       ELSE least(octet_length(encode(text)), 64) / 16.0 END, 4) AS duration_s
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.functions.{col, round}
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .as[BinDoc]
+        .mapPartitions(_.map(d => BinDoc(d.doc_id, synthesize(d.doc_id, d.payload))))
+        .mapPartitions(_.map(d => BinDoc(d.doc_id, thumbnail(d.doc_id, d.payload))))
         .mapPartitions(_.map(d => parseMeta(d.doc_id, d.payload)))
         .toDF()
         .select(col("doc_id"), col("modality"), col("n_bytes"),

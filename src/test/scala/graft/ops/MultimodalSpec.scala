@@ -61,6 +61,28 @@ class MultimodalSpec extends AnyFunSuite {
       Multimodal.parseMeta(1L, "not a container".getBytes("UTF-8")))
   }
 
+  test("thumbnail halves PNG dims and clips audio/video to 4s, re-parseable") {
+    val big = ("x" * 200).getBytes("UTF-8")
+    // image: dims halve, body every-other-byte
+    val png = Multimodal.thumbnail(0L, Multimodal.synthesize(0L, big))
+    val pm = Multimodal.parseMeta(0L, png)
+    assert(pm.modality == "image")
+    assert(pm.width == (64 + 200 % 128) / 2 && pm.height == (64 + 200 * 7 % 128) / 2)
+    assert(pm.n_bytes == 100)
+    // audio: clipped to 64 bytes = 4 s at 16 B/s
+    val wav = Multimodal.thumbnail(1L, Multimodal.synthesize(1L, big))
+    val wm = Multimodal.parseMeta(1L, wav)
+    assert(wm.modality == "audio" && wm.n_bytes == 64 && wm.duration_s == 4.0)
+    // video: mdat + mvhd duration clipped consistently
+    val mp4 = Multimodal.thumbnail(2L, Multimodal.synthesize(2L, big))
+    val vm = Multimodal.parseMeta(2L, mp4)
+    assert(vm.modality == "video" && vm.n_bytes == 64 && vm.duration_s == 4.0)
+    // shorter-than-clip input stays whole
+    val small = "tiny".getBytes("UTF-8")
+    val wm2 = Multimodal.parseMeta(1L, Multimodal.thumbnail(1L, Multimodal.synthesize(1L, small)))
+    assert(wm2.n_bytes == 4 && wm2.duration_s == 0.25)
+  }
+
   test("synthesize cycles modality by doc_id and parses back") {
     val ids = Seq(0L, 1L, 2L)
     val metas = ids.map(id => Multimodal.parseMeta(id, Multimodal.synthesize(id, body)))
