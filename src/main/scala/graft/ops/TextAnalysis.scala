@@ -317,6 +317,35 @@ object TextAnalysis {
         .orderBy(col("doc_id"))
     },
 
+    // ---- domain-mixture weighting (data mixing for training) ----
+    // Given target mixture proportions per source domain, compute each
+    // domain's sampling weight (target share ÷ actual share) and the
+    // expected post-sampling document count — the arithmetic behind
+    // "mix 40% web, 30% books, …" corpus recipes. One tiny aggregation
+    // (|domains| rows) + a broadcast of the one-row total: scan-bound at
+    // any corpus size.
+    Q("q80_mixture_weights", {
+      // target mix: uniform across the observed source domains
+      """WITH cnt AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+        |tot AS (SELECT sum(n) AS total, count(*) AS n_src FROM cnt)
+        |SELECT source, CAST(n AS BIGINT) AS n_docs,
+        |  round(n * 1.0 / total, 6) AS actual_share,
+        |  round((1.0 / n_src) / (n * 1.0 / total), 6) AS weight,
+        |  CAST(round(total * 1.0 / n_src, 0) AS BIGINT) AS target_docs
+        |FROM cnt, tot
+        |ORDER BY source""".stripMargin
+    }) { (s, dir) =>
+      val cnt = t(s, dir, "documents").groupBy(col("source")).agg(count(lit(1)).as("n"))
+      val tot = cnt.agg(sum(col("n")).as("total"), count(lit(1)).as("n_src"))
+      val share = col("n") * lit(1.0) / col("total")
+      cnt.crossJoin(broadcast(tot))
+        .select(col("source"), col("n").cast("long").as("n_docs"),
+          round(share, 6).as("actual_share"),
+          round((lit(1.0) / col("n_src")) / share, 6).as("weight"),
+          round(col("total") * lit(1.0) / col("n_src"), 0).cast("long").as("target_docs"))
+        .orderBy(col("source"))
+    },
+
     // ---- document fingerprint (normalized-content hash) ----
     Q("q49_fingerprint",
       """SELECT doc_id,

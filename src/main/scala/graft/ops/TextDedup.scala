@@ -314,6 +314,38 @@ object TextDedup {
         .orderBy(col("doc_id"))
     },
 
+    // ---- decontamination: n-gram overlap against a benchmark set ----
+    // The eval-set contamination screen a training pipeline runs before
+    // shipping a corpus: any training document sharing ≥1 shingle with a
+    // benchmark document is flagged with its overlap count. The benchmark
+    // stands in as every 50th doc (deterministic); the check is a
+    // hash-keyed equi-join of train shingles against the (small) benchmark
+    // shingle set — at scale the benchmark side broadcasts, so screening
+    // is one map-side join pass over the corpus, no shuffle of the
+    // training side.
+    Q("q79_decontaminate", {
+      s"""$ShingleCte,
+         |hs AS (SELECT doc_id, list_sum(list_transform(range(1, 16),
+         |    j -> CAST((strpos('0123456789abcdef', substr(md5(sh), j, 1)) - 1) AS BIGINT)
+         |         * (CAST(1 AS BIGINT) << (4 * (15 - j))))) AS h
+         |  FROM sh),
+         |bench AS (SELECT DISTINCT h FROM hs WHERE doc_id % 50 = 0),
+         |train AS (SELECT doc_id, h FROM hs WHERE doc_id % 50 <> 0)
+         |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+         |FROM train t JOIN bench b ON t.h = b.h
+         |GROUP BY t.doc_id
+         |ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      val hs = shingleRows(s, dir).select(col("doc_id"),
+        conv(substring(md5(col("sh")), 1, 15), 16, 10).cast("long").as("h"))
+      val bench = hs.filter(col("doc_id") % 50 === 0).select(col("h")).distinct()
+      val train = hs.filter(col("doc_id") % 50 =!= 0)
+      train.join(broadcast(bench), Seq("h"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast("long").as("n_hits"))
+        .orderBy(col("doc_id"))
+    },
+
     // ---- near-dup clusters: connected components + canonical keeper ----
     // The collapse step after pair generation: q42's verified pairs are the
     // edges; each duplicate family becomes one cluster labeled by its min
