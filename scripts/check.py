@@ -58,7 +58,9 @@ def strict_frame(df):
         if isinstance(v, float):
             if math.isnan(v):
                 return "NaN"
-            return repr(v + 0.0)  # full precision, -0.0 collapsed
+            # float(v): numpy float64 passes isinstance(float) but its repr
+            # is 'np.float64(x)' under numpy>=2 — force the builtin
+            return repr(float(v) + 0.0)  # full precision, -0.0 collapsed
         # DECIMAL cells surface as decimal.Decimal via pyarrow but as float64
         # via duckdb fetchdf — scale-padded trailing zeros ('288827.2470' vs
         # '288827.247') are representation, not value (driver hashes decimal

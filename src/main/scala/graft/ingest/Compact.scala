@@ -42,6 +42,34 @@ object Compact {
   private def writeMarker(tableDir: String, maxBatch: Long): Unit =
     Files.write(Paths.get(tableDir, MarkerName), maxBatch.toString.getBytes("UTF-8"))
 
+  /** Drop a table's watermark marker — called by the sink when it detects
+    * the checkpoint identity changed (batch ids restarted), making the
+    * recorded watermark incomparable with current batch ids. */
+  def clearMarker(tableDir: String): Unit = {
+    Files.deleteIfExists(Paths.get(tableDir, MarkerName))
+    wmCache.remove(tableDir)
+  }
+
+  /** [[maxCompactedBatchId]] behind a short-TTL cache for the sink's
+    * per-batch checks (the value only changes when compaction runs).
+    * Same-JVM compactions invalidate the cache immediately; a compaction
+    * from a *different* process is visible within the TTL. Reads are
+    * failure-proofed: any marker I/O error (e.g. a non-local path the nio
+    * provider can't handle) yields -1 = no skip, never a crashed batch. */
+  def cachedMaxCompactedBatchId(tableDir: String, ttlMs: Long = 10000L): Long = {
+    val now = System.currentTimeMillis()
+    wmCache.get(tableDir) match {
+      case Some((wm, at)) if now - at < ttlMs => wm
+      case _ =>
+        val wm = scala.util.Try(maxCompactedBatchId(tableDir)).getOrElse(-1L)
+        wmCache.put(tableDir, (wm, now))
+        wm
+    }
+  }
+
+  private val wmCache =
+    scala.collection.concurrent.TrieMap.empty[String, (Long, Long)]
+
   /** Rewrite `tableDir` into `targetFiles` files under a fresh
     * `batch_id=compacted-<gen>` partition. Returns rows compacted. */
   def compactTable(spark: SparkSession, tableDir: String, targetFiles: Int): Long = {
@@ -78,6 +106,24 @@ object Compact {
     df.withColumn("batch_id", lit(s"compacted-$gen"))
       .repartition(targetFiles)
       .write.mode("overwrite").partitionBy("batch_id").parquet(tmp.toString)
+    // The watermark marker is written INTO the tmp dir before the swap so
+    // it travels atomically with the compacted data: a crash between the
+    // renames can lose either the whole compaction (rolled back) or
+    // nothing — never the data-without-marker state that would let
+    // replayed batches re-append rows already folded in.
+    writeMarker(tmp.toString, math.max(priorMax, numericMax))
+    // Preserve the sink's auxiliary _graft_* bookkeeping (e.g. the
+    // checkpoint-identity tag) across the swap — losing it would make the
+    // watermark unverifiable and disable replay skipping.
+    val ls = Files.list(src)
+    try {
+      import scala.jdk.CollectionConverters._
+      ls.iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith("_graft_") &&
+          p.getFileName.toString != MarkerName && Files.isRegularFile(p))
+        .foreach(p => Files.copy(p, tmp.resolve(p.getFileName.toString),
+          StandardCopyOption.REPLACE_EXISTING))
+    } finally ls.close()
 
     // swap: current → .old, tmp → current, drop .old (see Scaladoc caveat)
     Files.move(src, old, StandardCopyOption.ATOMIC_MOVE)
@@ -88,7 +134,7 @@ object Compact {
         throw e
     }
     deleteRecursively(old)
-    writeMarker(tableDir, math.max(priorMax, numericMax))
+    wmCache.remove(tableDir) // same-JVM sinks see the new watermark at once
     n
   }
 

@@ -48,21 +48,43 @@ object MetricsServer {
   * `kafka_consumer_msg` counter fed per poll) and its trigger-execution
   * duration into the insert-latency histogram under the query's name (the
   * per-*table* write latencies are observed separately inside
-  * `foreachBatch`, where the table is known). */
+  * `foreachBatch`, where the table is known).
+  *
+  * The listener is scoped to one query via [[bindTo]]: only the bound
+  * query's events are recorded, and termination of that query removes the
+  * listener from the session — repeated pipeline starts on one session
+  * would otherwise accumulate listeners, each cross-feeding every query's
+  * progress into its (stale) metrics instance. */
 final class MetricsListener(metrics: IngestMetrics) extends StreamingQueryListener {
   import StreamingQueryListener._
+  import org.apache.spark.sql.SparkSession
+
+  @volatile private var boundId: Option[java.util.UUID] = None
+  @volatile private var session: Option[SparkSession] = None
+
+  def bindTo(spark: SparkSession, queryId: java.util.UUID): Unit = {
+    boundId = Some(queryId)
+    session = Some(spark)
+  }
+
+  private def accepts(id: java.util.UUID): Boolean =
+    boundId.forall(_ == id) // unbound (startup race window) = accept
 
   override def onQueryStarted(event: QueryStartedEvent): Unit = ()
 
   override def onQueryProgress(event: QueryProgressEvent): Unit = {
     val p = event.progress
-    val name = Option(p.name).getOrElse(p.id.toString)
-    metrics.recordMessages(name, p.numInputRows)
-    Option(p.durationMs.get("triggerExecution")).foreach { ms =>
-      metrics.recordInsertSeconds(s"query:$name", ms.toDouble / 1000.0)
+    if (accepts(p.id)) {
+      val name = Option(p.name).getOrElse(p.id.toString)
+      metrics.recordMessages(name, p.numInputRows)
+      Option(p.durationMs.get("triggerExecution")).foreach { ms =>
+        metrics.recordInsertSeconds(s"query:$name", ms.toDouble / 1000.0)
+      }
+      metrics.setLastProgress(p.json)
     }
-    metrics.setLastProgress(p.json)
   }
 
-  override def onQueryTerminated(event: QueryTerminatedEvent): Unit = ()
+  override def onQueryTerminated(event: QueryTerminatedEvent): Unit =
+    if (boundId.contains(event.id))
+      session.foreach(_.streams.removeListener(this))
 }

@@ -79,6 +79,40 @@ object Pipeline {
     ClickHouseSchema.sortedProjectCast(parsed, schema)
   }
 
+  /** Identity of a checkpoint directory: a `_graft_id` UUID file created
+    * on first use, living (and dying) with the checkpoint. Batch ids are
+    * only meaningful within one checkpoint lifetime, so the compaction
+    * replay watermark is tagged with this identity — a wiped/recreated
+    * checkpoint restarts batch ids at 0, and comparing those against an
+    * old watermark would silently drop brand-new data. */
+  def checkpointIdentity(checkpointRoot: String): String = {
+    import java.nio.file.{Files, Paths}
+    val dir = Paths.get(checkpointRoot)
+    Files.createDirectories(dir)
+    val f = dir.resolve("_graft_id")
+    if (Files.exists(f)) new String(Files.readAllBytes(f), "UTF-8").trim
+    else {
+      val id = java.util.UUID.randomUUID().toString
+      Files.write(f, id.getBytes("UTF-8"))
+      id
+    }
+  }
+
+  private def tableCheckpointIdPath(tableDir: String) =
+    java.nio.file.Paths.get(tableDir, "_graft_checkpoint_id")
+
+  private def recordedCheckpointId(tableDir: String): Option[String] = {
+    val p = tableCheckpointIdPath(tableDir)
+    if (java.nio.file.Files.exists(p))
+      Some(new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim)
+    else None
+  }
+
+  private def recordCheckpointId(tableDir: String, id: String): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(tableDir))
+    java.nio.file.Files.write(tableCheckpointIdPath(tableDir), id.getBytes("UTF-8"))
+  }
+
   /** Debug-mode gate — the reference's env-gated per-message echo
     * (`cmd/kafka-consumer/prepare-functions.go:30-35`, `main.go:80-86`):
     * `Debug=true` in the environment turns on payload echo of a bounded
@@ -93,7 +127,9 @@ object Pipeline {
   def start(spark: SparkSession, cfg: EngineConfig, source: DataFrame)
       : (StreamingQuery, IngestMetrics) = {
     val metrics = new IngestMetrics(spark)
-    spark.streams.addListener(new MetricsListener(metrics))
+    val listener = new MetricsListener(metrics)
+    spark.streams.addListener(listener)
+    val chkId = checkpointIdentity(cfg.checkpointRoot)
     val query = source.writeStream
       .queryName("graft-ingest")
       .option("checkpointLocation", cfg.checkpointRoot)
@@ -102,10 +138,25 @@ object Pipeline {
         val dec = decoded(batch).cache()
         try {
           cfg.topics.foreach { tc =>
+            val tableDir = s"${cfg.tableRoot}/${tc.table}"
             // Checkpoint replay of a batch whose batch_id dir was folded
             // into a compacted generation must be skipped, not re-appended
-            // (the rows already live in the compacted files).
-            if (batchId <= Compact.maxCompactedBatchId(s"${cfg.tableRoot}/${tc.table}")) {
+            // (the rows already live in the compacted files). The skip is
+            // only valid within the checkpoint lifetime that produced the
+            // watermark: if the checkpoint was wiped (batch ids restarted),
+            // the watermark is incomparable — drop it and process the
+            // batch, prioritizing no-data-loss over duplicate avoidance.
+            val wm = Compact.cachedMaxCompactedBatchId(tableDir)
+            // The skip is only trustworthy when the table's recorded
+            // checkpoint identity PROVABLY matches ours — missing or
+            // different means the watermark's batch ids are incomparable.
+            val sameCheckpoint = recordedCheckpointId(tableDir).contains(chkId)
+            if (wm >= 0 && !sameCheckpoint) {
+              GraftLog.warn("Compaction watermark not verifiable against this checkpoint — discarding it",
+                s"table=${tc.table} watermark=$wm (identity missing or reset; skip disabled)")
+              scala.util.Try(Compact.clearMarker(tableDir))
+            }
+            if (batchId <= wm && sameCheckpoint) {
               GraftLog.info("Skipping replayed batch below compaction watermark",
                 s"batch=$batchId table=${tc.table}")
             } else {
@@ -122,8 +173,12 @@ object Pipeline {
             // replay (SURVEY.md §7.5 upgrade over the reference).
             val t0 = System.nanoTime()
             projected.write.mode("overwrite")
-              .parquet(s"${cfg.tableRoot}/${tc.table}/batch_id=$batchId")
+              .parquet(s"$tableDir/batch_id=$batchId")
             metrics.recordInsertSeconds(tc.table, (System.nanoTime() - t0) / 1e9)
+            // tag the table with the checkpoint identity its batch ids
+            // belong to (see the watermark-validity note above)
+            if (!recordedCheckpointId(tableDir).contains(chkId))
+              scala.util.Try(recordCheckpointId(tableDir, chkId))
             // One aggregation job for both counts (not a count() each).
             val cnts = withParsed.agg(
               coalesce(sum(when(isBad, 1L).otherwise(0L)), lit(0L)).as("bad"),
@@ -154,6 +209,10 @@ object Pipeline {
         } finally dec.unpersist()
       }
       .start()
+    // Scope the listener to this query: without binding, every restart of
+    // the pipeline on one session would leak a listener and cross-feed all
+    // queries' progress into every prior metrics instance.
+    listener.bindTo(spark, query.id)
     (query, metrics)
   }
 

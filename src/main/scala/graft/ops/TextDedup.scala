@@ -129,9 +129,11 @@ object TextDedup {
     // sum is a complete convergence signal — computing it on the lazily-
     // checkpointed frame materializes the checkpoint AND returns the
     // signal in ONE action per round (an explicit changed-rows join+count
-    // would double the actions).
-    var prevSum = labels.agg(sum(col("lbl"))).head().getLong(0)
-    var converged = false
+    // would double the actions). sum over zero rows is NULL: an empty
+    // pair set (no near-dups in the corpus) converges immediately.
+    val initRow = labels.agg(sum(col("lbl"))).head()
+    var prevSum = if (initRow.isNullAt(0)) 0L else initRow.getLong(0)
+    var converged = initRow.isNullAt(0)
     var round = 0
     while (!converged && round < maxRounds) {
       val prop = labels.join(edges, col("doc") === col("a"))
@@ -384,8 +386,10 @@ object TextDedup {
     }) { (s, dir) =>
       // cache the (tiny) pair set: clusterPairs reads it twice to build the
       // symmetric edge list, which would otherwise run the whole shingle
-      // pipeline once per union branch
-      val pairs = CacheRegistry.cache(s, s"q72-pairs:$dir") {
+      // pipeline once per union branch. Keyed on the doc-frequency cap so
+      // toggling it can't serve stale pairs (same rule as q41's bands).
+      val capKey72 = s.conf.getOption("graft.textdedup.maxShingleDf").getOrElse("off")
+      val pairs = CacheRegistry.cache(s, s"q72-pairs:$dir:cap=$capKey72") {
         jaccardPairs(s, dir).select(col("doc_a"), col("doc_b"))
       }
       clusterPairs(s, pairs).orderBy(col("doc_id"))

@@ -74,21 +74,25 @@ class CompactSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("replayed batches below the compaction watermark are skipped") {
+  test("replayed batches below the compaction watermark are skipped; a checkpoint reset is not mistaken for replay") {
     val s = spark
     import s.implicits._
     val root = Files.createTempDirectory("graft-compact-replay").toString
     val cfg = cfgFor(root)
     val dir = s"$root/tables/m"
+    val idFile = new java.io.File(cfg.checkpointRoot, "_graft_id")
 
     val mem1 = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Array[Byte])](s)
     val (q1, _) = Pipeline.start(s, cfg, mem1.toDF().toDF("topic", "value"))
     try push(mem1, q1, 1 to 3) finally q1.stop()
     assert(Compact.compactTable(s, dir, targetFiles = 1) == 3)
 
-    // simulate a checkpoint replay: wipe the checkpoint so the same data
-    // re-runs as batch ids starting from 0 — all below the watermark (2)
+    // TRUE replay: same checkpoint identity, batch ids restart and
+    // re-deliver already-folded data (keep _graft_id, wipe the offsets)
+    val savedId = java.nio.file.Files.readAllBytes(idFile.toPath)
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(cfg.checkpointRoot))
+    new java.io.File(cfg.checkpointRoot).mkdirs()
+    java.nio.file.Files.write(idFile.toPath, savedId)
     val mem2 = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Array[Byte])](s)
     val (q2, m2) = Pipeline.start(s, cfg, mem2.toDF().toDF("topic", "value"))
     try push(mem2, q2, 1 to 3) finally q2.stop()
@@ -97,5 +101,19 @@ class CompactSpec extends SparkSpec {
     val vals = s.read.parquet(dir).select("v").collect().map(_.getLong(0)).sorted.toSeq
     assert(vals == Seq(1L, 2L, 3L))
     assert(m2.snapshot.get("m").forall(_._1 == 0L)) // nothing re-counted
+
+    // CHECKPOINT RESET: identity changes, so the watermark must be
+    // discarded and the "replayed-looking" batches processed as new data
+    // (no-data-loss wins over duplicate avoidance)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(cfg.checkpointRoot))
+    val mem3 = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Array[Byte])](s)
+    val (q3, m3) = Pipeline.start(s, cfg, mem3.toDF().toDF("topic", "value"))
+    try push(mem3, q3, 4 to 5) finally q3.stop()
+    val after = s.read.parquet(dir).select("v").collect().map(_.getLong(0)).sorted.toSeq
+    info("table dir after reset: " + new java.io.File(dir).listFiles().map(_.getName).sorted.mkString(", "))
+    info("m3 snapshot: " + m3.snapshot.toString)
+    assert(after == Seq(1L, 2L, 3L, 4L, 5L)) // new data landed, none dropped
+    assert(m3.snapshot("m")._1 == 2L)
+    assert(Compact.maxCompactedBatchId(dir) == -1L) // stale marker cleared
   }
 }

@@ -29,6 +29,16 @@ class ClusterSpec extends SparkSpec {
     CacheRegistry.clear(s)
   }
 
+  test("an empty pair set yields an empty clustering, not a crash") {
+    val s = spark
+    import s.implicits._
+    val none = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    val out = TextDedup.clusterPairs(s, none)
+    assert(out.columns.toSeq == Seq("doc_id", "cluster_id", "cluster_size", "is_keeper"))
+    assert(out.count() == 0L)
+    CacheRegistry.clear(s)
+  }
+
   test("a long chain still converges within the round bound") {
     val s = spark
     import s.implicits._
