@@ -252,6 +252,67 @@ object Extras {
         .orderBy(col("p_partkey"))
     },
 
+    // ---- join-strategy hints: same answer under forced physical plans ----
+    // The hint surface a tuning user reaches for when the optimizer's
+    // choice is wrong: the identical aggregate is computed once under a
+    // SHUFFLE_HASH hint and once under MERGE (sort-merge), labeled per
+    // strategy — results must be plan-invariant (PlanShapeSpec asserts the
+    // hints actually take effect in the physical plan).
+    Q("q81_join_hints",
+      """WITH agg AS (
+        |  SELECT o_orderstatus, count(*) AS n,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY o_orderstatus)
+        |SELECT 'merge' AS strategy, o_orderstatus, n, sum_qty FROM agg
+        |UNION ALL
+        |SELECT 'shuffle_hash' AS strategy, o_orderstatus, n, sum_qty FROM agg
+        |ORDER BY strategy, o_orderstatus""".stripMargin) { (s, dir) =>
+      def leg(hint: String) = {
+        val l = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity"))
+        val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_orderstatus"))
+        l.join(o.hint(hint), col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+          .select(lit(if (hint == "merge") "merge" else "shuffle_hash").as("strategy"),
+            col("o_orderstatus"), col("n"), col("sum_qty"))
+      }
+      leg("merge").unionByName(leg("shuffle_hash"))
+        .orderBy(col("strategy"), col("o_orderstatus"))
+    },
+
+    // ---- subquery battery: scalar, IN, correlated EXISTS ----
+    // Catalyst decorrelates these into joins (RewritePredicateSubquery /
+    // scalar-subquery broadcast) — free per SURVEY §4.1; this query proves
+    // the SQL surface end-to-end. The scalar denominator is an exact
+    // decimal sum ÷ count so both engines derive a bit-identical double.
+    Q("q82_subqueries", {
+      val sql =
+        """SELECT o_orderkey,
+          |  round(o_totalprice / (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          |                               / count(*) FROM orders), 6) AS price_vs_avg,
+          |  o_custkey IN (SELECT c_custkey FROM customer
+          |                WHERE c_mktsegment = 'BUILDING') AS is_building,
+          |  EXISTS (SELECT 1 FROM lineitem
+          |          WHERE l_orderkey = o_orderkey AND l_quantity >= 48) AS has_bulk
+          |FROM orders
+          |ORDER BY o_orderkey""".stripMargin
+      sql
+    }) { (s, dir) =>
+      graft.schema.Tables.views(s, dir)
+      s.sql(
+        """SELECT o_orderkey,
+          |  round(o_totalprice / (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          |                               / count(*) FROM orders), 6) AS price_vs_avg,
+          |  o_custkey IN (SELECT c_custkey FROM customer
+          |                WHERE c_mktsegment = 'BUILDING') AS is_building,
+          |  EXISTS (SELECT 1 FROM lineitem
+          |          WHERE l_orderkey = o_orderkey AND l_quantity >= 48) AS has_bulk
+          |FROM orders
+          |ORDER BY o_orderkey""".stripMargin)
+    },
+
     // ---- grouping flags over ROLLUP (subtotal-row introspection) ----
     Q("q69_grouping_flags",
       """SELECT l_returnflag, l_linestatus,

@@ -33,4 +33,18 @@ class PlanShapeSpec extends SparkSpec {
     val p = plan("q18_window_topk")
     assert(p.contains("RunningWindowFunction") || p.contains("Window"))
   }
+
+  test("q81: join hints force the hinted physical strategies") {
+    val p = plan("q81_join_hints")
+    assert(p.contains("SortMergeJoin"), s"MERGE hint ignored in:\n$p")
+    assert(p.contains("ShuffledHashJoin"), s"SHUFFLE_HASH hint ignored in:\n$p")
+  }
+
+  test("q82: subqueries decorrelate into joins, not per-row re-scans") {
+    val p = plan("q82_subqueries")
+    assert(p.contains("LeftSemi") || p.contains("ExistenceJoin"),
+      s"IN/EXISTS not decorrelated into a join:\n$p")
+    assert(p.contains("Subquery") || p.contains("scalar-subquery"),
+      s"scalar subquery missing:\n$p")
+  }
 }
