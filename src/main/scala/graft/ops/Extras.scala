@@ -313,6 +313,36 @@ object Extras {
           |ORDER BY o_orderkey""".stripMargin)
     },
 
+    // ---- null / NaN semantics battery ----
+    // The SQL three-valued-logic corners that silently corrupt pipelines:
+    // null-safe equality (<=> ≙ IS NOT DISTINCT FROM), nvl2 presence
+    // dispatch, IEEE NaN detection and replacement. NaN is injected as a
+    // literal — Spark's ANSI mode (default in 4.x) traps even double
+    // division by zero, unlike DuckDB's IEEE 0.0/0.0.
+    Q("q83_null_semantics",
+      """SELECT p_partkey,
+        |  (nullif(p_type, 'PROMO') IS NOT DISTINCT FROM 'STANDARD') AS nse_std,
+        |  (nullif(p_type, 'PROMO') IS NOT DISTINCT FROM NULL) AS nse_null,
+        |  CASE WHEN nullif(p_type, 'PROMO') IS NOT NULL THEN 'has' ELSE 'none' END AS presence,
+        |  isnan(CASE WHEN p_size % 2 = 0 THEN CAST('NaN' AS DOUBLE) ELSE p_retailprice END) AS is_nan,
+        |  round(CASE WHEN isnan(CASE WHEN p_size % 2 = 0 THEN CAST('NaN' AS DOUBLE) ELSE p_retailprice END)
+        |        THEN -1.0
+        |        ELSE CASE WHEN p_size % 2 = 0 THEN CAST('NaN' AS DOUBLE) ELSE p_retailprice END END, 2) AS nan_fixed
+        |FROM part
+        |ORDER BY p_partkey""".stripMargin) { (s, dir) =>
+      val a = nullif(col("p_type"), lit("PROMO"))
+      val x = when(col("p_size") % 2 === 0, lit(Double.NaN))
+        .otherwise(col("p_retailprice"))
+      t(s, dir, "part").select(
+          col("p_partkey"),
+          (a <=> lit("STANDARD")).as("nse_std"),
+          (a <=> lit(null)).as("nse_null"),
+          nvl2(a, lit("has"), lit("none")).as("presence"),
+          isnan(x).as("is_nan"),
+          round(nanvl(x, lit(-1.0)), 2).as("nan_fixed"))
+        .orderBy(col("p_partkey"))
+    },
+
     // ---- grouping flags over ROLLUP (subtotal-row introspection) ----
     Q("q69_grouping_flags",
       """SELECT l_returnflag, l_linestatus,
