@@ -50,6 +50,38 @@ object Compact {
     wmCache.remove(tableDir)
   }
 
+  /** Quarantine a previous checkpoint epoch's numeric batch dirs by
+    * renaming them to `batch_id=orphan-<epoch8>-N`. Called by the sink on
+    * a proven identity change, BEFORE writing the new epoch's batches:
+    * (a) the new epoch's batch 0 no longer overwrites the old epoch's
+    * batch 0 (no data loss on reset), and (b) a later compaction computes
+    * its numeric-max watermark over current-epoch ids only — stale ids
+    * can no longer be laundered into a watermark that would skip brand-new
+    * batches. Orphaned rows remain part of the table (string partition
+    * values, like compacted-*). */
+  def orphanNumericBatchDirs(tableDir: String, oldEpochId: String): Unit = {
+    val dir = Paths.get(tableDir)
+    if (Files.isDirectory(dir)) {
+      val tag = oldEpochId.takeWhile(_ != '-').take(8) match {
+        case "" => "unknown"
+        case t => t
+      }
+      val ls = Files.list(dir)
+      try {
+        import scala.jdk.CollectionConverters._
+        ls.iterator().asScala.toSeq.foreach { p =>
+          val n = p.getFileName.toString
+          if (n.startsWith("batch_id=") &&
+              n.stripPrefix("batch_id=").forall(_.isDigit) &&
+              n.stripPrefix("batch_id=").nonEmpty) {
+            Files.move(p, dir.resolve(
+              s"batch_id=orphan-$tag-${n.stripPrefix("batch_id=")}"))
+          }
+        }
+      } finally ls.close()
+    }
+  }
+
   /** [[maxCompactedBatchId]] behind a short-TTL cache for the sink's
     * per-batch checks (the value only changes when compaction runs).
     * Same-JVM compactions invalidate the cache immediately; a compaction

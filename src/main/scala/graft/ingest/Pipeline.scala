@@ -113,6 +113,12 @@ object Pipeline {
     java.nio.file.Files.write(tableCheckpointIdPath(tableDir), id.getBytes("UTF-8"))
   }
 
+  /** (tableDir, checkpointId) pairs whose identity match has been verified
+    * or written — the match is immutable once established, so remembering
+    * it removes all identity file I/O from the steady-state sink path. */
+  private val idConfirmed =
+    scala.collection.concurrent.TrieMap.empty[(String, String), Unit]
+
   /** Debug-mode gate — the reference's env-gated per-message echo
     * (`cmd/kafka-consumer/prepare-functions.go:30-35`, `main.go:80-86`):
     * `Debug=true` in the environment turns on payload echo of a bounded
@@ -127,10 +133,10 @@ object Pipeline {
   def start(spark: SparkSession, cfg: EngineConfig, source: DataFrame)
       : (StreamingQuery, IngestMetrics) = {
     val metrics = new IngestMetrics(spark)
+    val chkId = checkpointIdentity(cfg.checkpointRoot) // may throw — before listener
     val listener = new MetricsListener(metrics)
     spark.streams.addListener(listener)
-    val chkId = checkpointIdentity(cfg.checkpointRoot)
-    val query = source.writeStream
+    def buildQuery() = source.writeStream
       .queryName("graft-ingest")
       .option("checkpointLocation", cfg.checkpointRoot)
       .trigger(Trigger.ProcessingTime(s"${cfg.poolTimeoutMs} milliseconds"))
@@ -150,11 +156,31 @@ object Pipeline {
             // The skip is only trustworthy when the table's recorded
             // checkpoint identity PROVABLY matches ours — missing or
             // different means the watermark's batch ids are incomparable.
-            val sameCheckpoint = recordedCheckpointId(tableDir).contains(chkId)
-            if (wm >= 0 && !sameCheckpoint) {
-              GraftLog.warn("Compaction watermark not verifiable against this checkpoint — discarding it",
-                s"table=${tc.table} watermark=$wm (identity missing or reset; skip disabled)")
-              scala.util.Try(Compact.clearMarker(tableDir))
+            // The verified match is remembered in-memory (it can only
+            // transition mismatch→match once) so the steady state does no
+            // per-batch identity file I/O.
+            val sameCheckpoint = idConfirmed.contains((tableDir, chkId)) || {
+              val recorded = recordedCheckpointId(tableDir)
+              val same = recorded.contains(chkId)
+              if (same) idConfirmed.put((tableDir, chkId), ())
+              else if (recorded.isDefined) {
+                // proven epoch change: the old epoch's numeric batch dirs
+                // and watermark are incomparable with our batch ids —
+                // quarantine the dirs (also prevents batch-0 overwriting
+                // the old epoch's batch 0) and drop the marker, so a later
+                // compaction can't launder stale ids into a new watermark.
+                GraftLog.warn("Checkpoint epoch changed — quarantining previous epoch's batches",
+                  s"table=${tc.table} oldEpoch=${recorded.get} watermark=$wm (skip disabled)")
+                scala.util.Try {
+                  Compact.clearMarker(tableDir)
+                  Compact.orphanNumericBatchDirs(tableDir, recorded.get)
+                }
+              } else if (wm >= 0) {
+                GraftLog.warn("Compaction watermark not verifiable against this checkpoint — discarding it",
+                  s"table=${tc.table} watermark=$wm (no identity recorded; skip disabled)")
+                scala.util.Try(Compact.clearMarker(tableDir))
+              }
+              same
             }
             if (batchId <= wm && sameCheckpoint) {
               GraftLog.info("Skipping replayed batch below compaction watermark",
@@ -177,8 +203,11 @@ object Pipeline {
             metrics.recordInsertSeconds(tc.table, (System.nanoTime() - t0) / 1e9)
             // tag the table with the checkpoint identity its batch ids
             // belong to (see the watermark-validity note above)
-            if (!recordedCheckpointId(tableDir).contains(chkId))
-              scala.util.Try(recordCheckpointId(tableDir, chkId))
+            if (!idConfirmed.contains((tableDir, chkId)))
+              scala.util.Try {
+                recordCheckpointId(tableDir, chkId)
+                idConfirmed.put((tableDir, chkId), ())
+              }
             // One aggregation job for both counts (not a count() each).
             val cnts = withParsed.agg(
               coalesce(sum(when(isBad, 1L).otherwise(0L)), lit(0L)).as("bad"),
@@ -211,8 +240,13 @@ object Pipeline {
       .start()
     // Scope the listener to this query: without binding, every restart of
     // the pipeline on one session would leak a listener and cross-feed all
-    // queries' progress into every prior metrics instance.
+    // queries' progress into every prior metrics instance. A failed start
+    // (or a query that dies before the binding lands — its termination
+    // event would not match) must not leave the unbound listener behind.
+    val query = try buildQuery()
+    catch { case e: Throwable => spark.streams.removeListener(listener); throw e }
     listener.bindTo(spark, query.id)
+    if (!query.isActive) spark.streams.removeListener(listener)
     (query, metrics)
   }
 

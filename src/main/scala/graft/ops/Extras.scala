@@ -11,6 +11,20 @@ import graft.schema.Tables.t
   * pivot, sampling, and RANGE window frames. */
 object Extras {
 
+  /** q82's text, used verbatim as both the oracle and the Spark query
+    * (the dialect is common to both engines) — one definition so an edit
+    * cannot desynchronize the oracle from the query under test. */
+  private val Q82Sql =
+    """SELECT o_orderkey,
+      |  round(o_totalprice / (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |                               / count(*) FROM orders), 6) AS price_vs_avg,
+      |  o_custkey IN (SELECT c_custkey FROM customer
+      |                WHERE c_mktsegment = 'BUILDING') AS is_building,
+      |  EXISTS (SELECT 1 FROM lineitem
+      |          WHERE l_orderkey = o_orderkey AND l_quantity >= 48) AS has_bulk
+      |FROM orders
+      |ORDER BY o_orderkey""".stripMargin
+
   val qs: Seq[Q] = Seq(
 
     // ---- full predicate algebra: isin / like / rlike / between / null ----
@@ -287,30 +301,9 @@ object Extras {
     // scalar-subquery broadcast) — free per SURVEY §4.1; this query proves
     // the SQL surface end-to-end. The scalar denominator is an exact
     // decimal sum ÷ count so both engines derive a bit-identical double.
-    Q("q82_subqueries", {
-      val sql =
-        """SELECT o_orderkey,
-          |  round(o_totalprice / (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
-          |                               / count(*) FROM orders), 6) AS price_vs_avg,
-          |  o_custkey IN (SELECT c_custkey FROM customer
-          |                WHERE c_mktsegment = 'BUILDING') AS is_building,
-          |  EXISTS (SELECT 1 FROM lineitem
-          |          WHERE l_orderkey = o_orderkey AND l_quantity >= 48) AS has_bulk
-          |FROM orders
-          |ORDER BY o_orderkey""".stripMargin
-      sql
-    }) { (s, dir) =>
+    Q("q82_subqueries", Q82Sql) { (s, dir) =>
       graft.schema.Tables.views(s, dir)
-      s.sql(
-        """SELECT o_orderkey,
-          |  round(o_totalprice / (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
-          |                               / count(*) FROM orders), 6) AS price_vs_avg,
-          |  o_custkey IN (SELECT c_custkey FROM customer
-          |                WHERE c_mktsegment = 'BUILDING') AS is_building,
-          |  EXISTS (SELECT 1 FROM lineitem
-          |          WHERE l_orderkey = o_orderkey AND l_quantity >= 48) AS has_bulk
-          |FROM orders
-          |ORDER BY o_orderkey""".stripMargin)
+      s.sql(Q82Sql)
     },
 
     // ---- null / NaN semantics battery ----

@@ -103,17 +103,29 @@ class CompactSpec extends SparkSpec {
     assert(m2.snapshot.get("m").forall(_._1 == 0L)) // nothing re-counted
 
     // CHECKPOINT RESET: identity changes, so the watermark must be
-    // discarded and the "replayed-looking" batches processed as new data
-    // (no-data-loss wins over duplicate avoidance)
+    // discarded, the old epoch's numeric batch dirs quarantined (new
+    // batch 0 must not overwrite old batch 0; a later compaction must not
+    // fold stale ids into its watermark), and the "replayed-looking"
+    // batches processed as new data (no-data-loss over duplicates).
+    // Plant an uncompacted old-epoch batch dir with a high id:
+    Seq(99L).toDF("v").write.parquet(s"$dir/batch_id=7")
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(cfg.checkpointRoot))
     val mem3 = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Array[Byte])](s)
     val (q3, m3) = Pipeline.start(s, cfg, mem3.toDF().toDF("topic", "value"))
     try push(mem3, q3, 4 to 5) finally q3.stop()
+    val names = new java.io.File(dir).listFiles().map(_.getName).sorted.toSeq
+    info("table dir after reset: " + names.mkString(", "))
     val after = s.read.parquet(dir).select("v").collect().map(_.getLong(0)).sorted.toSeq
-    info("table dir after reset: " + new java.io.File(dir).listFiles().map(_.getName).sorted.mkString(", "))
-    info("m3 snapshot: " + m3.snapshot.toString)
-    assert(after == Seq(1L, 2L, 3L, 4L, 5L)) // new data landed, none dropped
+    assert(after == Seq(1L, 2L, 3L, 4L, 5L, 99L)) // nothing dropped, incl. orphan
     assert(m3.snapshot("m")._1 == 2L)
     assert(Compact.maxCompactedBatchId(dir) == -1L) // stale marker cleared
+    assert(names.exists(_.startsWith("batch_id=orphan-")), s"old epoch not quarantined: $names")
+    assert(names.contains("batch_id=0") && names.contains("batch_id=1"))
+
+    // a compaction AFTER the reset derives its watermark from the new
+    // epoch's ids only (not the planted stale id 7): batches 2+ of the
+    // current epoch would never be mistaken for replays
+    assert(Compact.compactTable(s, dir, targetFiles = 1) == 6)
+    assert(Compact.maxCompactedBatchId(dir) == 1L) // new epoch wrote 0 and 1
   }
 }
