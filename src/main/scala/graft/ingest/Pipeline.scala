@@ -71,6 +71,18 @@ object Pipeline {
 
   private def isBad = col("json").isNull.or(col("r._corrupt_record").isNotNull)
 
+  /** Split a decoded frame into (projected-good, still-bad raw) for one
+    * topic — the shared core of the live sink and the dead-letter replay
+    * tool ([[Replay]]). */
+  def splitGoodBad(decodedDf: DataFrame, tc: TopicConfig): (DataFrame, DataFrame) = {
+    val withParsed = parseWithCorrupt(decodedDf, tc)
+    val schema = ClickHouseSchema.fromDescribe(tc.describeTsv)
+    val good = ClickHouseSchema.sortedProjectCast(
+      withParsed.filter(!isBad).select(col("r.*")).drop("_corrupt_record"), schema)
+    val bad = withParsed.filter(isBad).select(col("topic"), col("value"))
+    (good, bad)
+  }
+
   def projectTopic(df: DataFrame, tc: TopicConfig): DataFrame = {
     val schema = ClickHouseSchema.fromDescribe(tc.describeTsv)
     val parsed = parseWithCorrupt(df, tc)
