@@ -108,19 +108,25 @@ object TextDedup {
     * Scale: each round is one equi-join on the edge key + one min-agg —
     * all hash-partitioned, no driver-side graph. Rounds needed = graph
     * diameter; near-dup families are shallow (pairs come from a similarity
-    * threshold), so a handful of rounds converge. For adversarial
-    * long-chain graphs swap in large-star/small-star (O(log n) rounds) —
-    * same join-agg building blocks. Each round ends in an eager
-    * `localCheckpoint`: the labels frame is referenced twice per round, so
-    * without lineage truncation the lazy plan doubles every iteration
-    * (2^rounds nodes — a driver OOM, not a data problem); checkpointing is
-    * how any distributed iterative algorithm bounds plan growth (reliable
-    * `checkpoint` on a cluster). Checkpointed partitions are dropped by
-    * the ContextCleaner when unreferenced. */
+    * threshold), so a handful of rounds converge — and every round ALSO
+    * pointer-doubles (a doc additionally takes its label's current label),
+    * so even an adversarial diameter-D chain converges in O(log D) rounds
+    * rather than D: the 25-round bound covers diameter 2^25. Each round
+    * ends in an eager `localCheckpoint`: the labels frame is referenced
+    * several times per round, so without lineage truncation the lazy plan
+    * multiplies every iteration (a driver OOM, not a data problem);
+    * checkpointing is how any distributed iterative algorithm bounds plan
+    * growth (reliable `checkpoint` on a cluster). Checkpointed partitions
+    * are dropped by the ContextCleaner when unreferenced. */
   def clusterPairs(s: SparkSession, pairs: DataFrame, maxRounds: Int = 25): DataFrame = {
+    // symmetric closure + a self-loop per node: with (doc, doc) edges the
+    // per-round "keep your own label" is expressed by the join itself, so
+    // the loop body needs no Union (a Union whose arm contains the
+    // pointer-doubling self-join trips Catalyst's constraint rewriting)
+    val sym = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .union(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
     val edges = CacheRegistry.track(s, "cluster-edges",
-      pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
-        .union(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
+      sym.union(sym.select(col("a")).distinct().select(col("a"), col("a").as("b")))
         .persist())
     var labels = edges.select(col("a").as("doc")).distinct()
       .select(col("doc"), col("doc").as("lbl"))
@@ -136,9 +142,15 @@ object TextDedup {
     var converged = initRow.isNullAt(0)
     var round = 0
     while (!converged && round < maxRounds) {
-      val prop = labels.join(edges, col("doc") === col("a"))
+      // pointer doubling first: each doc takes its label's current label,
+      // halving the remaining distance to the component minimum
+      val doubled = labels.as("p")
+        .join(labels.as("q"), col("p.lbl") === col("q.doc"), "left")
+        .select(col("p.doc").as("doc"),
+          least(col("p.lbl"), coalesce(col("q.lbl"), col("p.lbl"))).as("lbl"))
+      // …then one hop along the (self-loop-closed) similarity edges
+      val prop = doubled.join(edges, col("doc") === col("a"))
         .select(col("b").as("doc"), col("lbl"))
-        .union(labels)
         .groupBy(col("doc")).agg(min(col("lbl")).as("lbl"))
         .localCheckpoint(eager = false) // first action checkpoints + truncates lineage
       val sumNow = prop.agg(sum(col("lbl"))).head().getLong(0)
@@ -147,6 +159,9 @@ object TextDedup {
       prevSum = sumNow
       round += 1
     }
+    if (!converged)
+      graft.ingest.GraftLog.warn("clusterPairs round bound reached before convergence",
+        s"rounds=$round — results may be partially propagated")
     val comp = labels.withColumnRenamed("lbl", "cluster_id")
     val sizes = comp.groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
     comp.join(sizes, Seq("cluster_id"))

@@ -39,15 +39,17 @@ class ClusterSpec extends SparkSpec {
     CacheRegistry.clear(s)
   }
 
-  test("a long chain still converges within the round bound") {
+  test("a long chain converges in O(log diameter) rounds (pointer doubling)") {
     val s = spark
     import s.implicits._
-    // path graph 0-1-2-…-19: worst-case diameter for propagation
-    val pairs = (0L until 19L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    // path graph 0-1-2-…-199: diameter 199 — plain one-hop propagation
+    // would need 199 rounds, far over the 25-round bound; pointer
+    // doubling must converge it in ~log2(199) ≈ 8 rounds
+    val pairs = (0L until 199L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
     val out = TextDedup.clusterPairs(s, pairs)
     assert(out.agg(countDistinct(col("cluster_id"))).head.getLong(0) == 1L)
     assert(out.filter(col("is_keeper")).head.getLong(0) == 0L)
-    assert(out.count() == 20L)
+    assert(out.count() == 200L)
     CacheRegistry.clear(s)
   }
 }
