@@ -346,6 +346,55 @@ object TextAnalysis {
         .orderBy(col("source"))
     },
 
+    // ---- keyword search: TF-IDF-ranked retrieval ----
+    // The consumer of the inverted index / TF-IDF machinery: score every
+    // document for a fixed keyword query (tf × ln(N/df) per term, summed
+    // in fixed order so both engines add the same doubles left-to-right)
+    // and return the top matches. Corpus stats are two tiny aggregates
+    // broadcast against the per-doc term frequencies — retrieval is one
+    // scan-shaped pass at any corpus size.
+    Q("q84_keyword_search",
+      """WITH w AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+        |           FROM documents),
+        |tf AS (SELECT doc_id,
+        |    CAST(sum(CASE WHEN word = 'data' THEN 1 ELSE 0 END) AS BIGINT) AS tf_data,
+        |    CAST(sum(CASE WHEN word = 'scan' THEN 1 ELSE 0 END) AS BIGINT) AS tf_scan,
+        |    CAST(sum(CASE WHEN word = 'hash' THEN 1 ELSE 0 END) AS BIGINT) AS tf_hash
+        |  FROM w GROUP BY doc_id),
+        |c AS (SELECT
+        |    count(DISTINCT CASE WHEN word = 'data' THEN doc_id END) AS df_data,
+        |    count(DISTINCT CASE WHEN word = 'scan' THEN doc_id END) AS df_scan,
+        |    count(DISTINCT CASE WHEN word = 'hash' THEN doc_id END) AS df_hash
+        |  FROM w),
+        |n AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT doc_id, tf_data, tf_scan, tf_hash,
+        |  round(tf_data * ln(n_docs * 1.0 / df_data)
+        |      + tf_scan * ln(n_docs * 1.0 / df_scan)
+        |      + tf_hash * ln(n_docs * 1.0 / df_hash), 6) AS score
+        |FROM tf, c, n
+        |WHERE tf_data + tf_scan + tf_hash > 0
+        |ORDER BY score DESC, doc_id
+        |LIMIT 15""".stripMargin) { (s, dir) =>
+      val words = t(s, dir, "documents")
+        .select(col("doc_id"), explode(wordsCol).as("word"))
+      def tfCol(term: String) =
+        sum(when(col("word") === term, 1L).otherwise(0L)).as(s"tf_$term")
+      def dfCol(term: String) =
+        countDistinct(when(col("word") === term, col("doc_id"))).as(s"df_$term")
+      val tf = words.groupBy(col("doc_id")).agg(tfCol("data"), tfCol("scan"), tfCol("hash"))
+      val c = words.agg(dfCol("data"), dfCol("scan"), dfCol("hash"))
+      val n = t(s, dir, "documents").agg(count(lit(1)).as("n_docs"))
+      def idf(term: String) = log(col("n_docs") * lit(1.0) / col(s"df_$term"))
+      tf.crossJoin(broadcast(c)).crossJoin(broadcast(n))
+        .filter(col("tf_data") + col("tf_scan") + col("tf_hash") > 0)
+        .select(col("doc_id"), col("tf_data"), col("tf_scan"), col("tf_hash"),
+          round(col("tf_data") * idf("data")
+            + col("tf_scan") * idf("scan")
+            + col("tf_hash") * idf("hash"), 6).as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(15)
+    },
+
     // ---- document fingerprint (normalized-content hash) ----
     Q("q49_fingerprint",
       """SELECT doc_id,
