@@ -19,11 +19,14 @@ object Bench {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
-    }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    }
+    // ms precision and sorted keys keep the JSON line short and stable:
+    // the harness captures a bounded stdout tail, and full-precision
+    // doubles pushed the line past it (round 2's line was truncated).
+    val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     graft.ops.CacheRegistry.clear(spark) // release every operator cache
     spark.stop()
   }

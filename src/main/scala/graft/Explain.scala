@@ -24,13 +24,17 @@ object Explain {
         spark.conf.set(k.trim, v.trim)
       })
     args.foreach { name =>
-      val df = SparkEntry.queries(name)(spark, sfDir)
       println(s"===== $name =====")
-      if (sys.env.get("GRAFT_EXPLAIN").forall(_ == "1")) df.explain("formatted")
+      // Construction is INSIDE the timer: iterative operators (q72's label
+      // propagation) run Spark actions while building the DataFrame, so
+      // timing only .count() under-reports them — Bench times fn+count too.
       (1 to 2).foreach { i =>
         val t0 = System.nanoTime()
+        val df = SparkEntry.queries(name)(spark, sfDir)
         val n = df.count()
         println(f"$name run$i: $n rows in ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        if (i == 1 && sys.env.get("GRAFT_EXPLAIN").forall(_ == "1"))
+          df.explain("formatted")
       }
     }
     spark.stop()

@@ -37,16 +37,33 @@ object TextDedup {
       |    i -> concat_ws(' ', words[i], words[i+1], words[i+2]))
       |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin)
 
-  /** doc_id → exploded distinct shingle rows, memoized per (session, dir):
-    * q41/q42/q43 all start from this frame, so one persisted copy serves
-    * the whole dedup family instead of re-exploding per query (and per
-    * self-join side). Registered in [[CacheRegistry]] so `clearCaches`
-    * releases it (no persist survives Verify/Bench). */
+  /** doc_id → distinct shingle rows hashed to two 56-bit longs, memoized
+    * per (session, dir): q41/q42/q43/q79/q72 all start from this frame, so
+    * one persisted copy serves the whole dedup family instead of
+    * re-exploding per query (and per self-join side).
+    *
+    * ONE md5 per shingle is the family's entire hashing budget: the hex
+    * digest splits into h1 (chars 1–14) and h2 (chars 15–28), and every
+    * downstream hash derives arithmetically — q42/q79 join on h1, q43's
+    * 32-bit simhash base is h1's top 8 hex chars, q41's k minhash seeds
+    * are h1 + i·h2 (Kirsch–Mitzenmacher double hashing; i ≤ 7 and
+    * h2 < 2^56 keep i·h2 + h1 < 2^60, overflow-free in ANSI Spark and
+    * DuckDB BIGINT alike). The old layout persisted shingle *strings* and
+    * paid 8 md5s per shingle inside q41's aggregate; this persists 16
+    * bytes/shingle and makes the signature aggregate pure arithmetic.
+    * distinct runs on the hashes (identical in both engines, so oracle
+    * parity is unaffected by the 2^-56 collision chance). Registered in
+    * [[CacheRegistry]] so `clearCaches` releases it (no persist survives
+    * Verify/Bench). */
   private def shingleRows(s: SparkSession, dir: String): DataFrame =
     CacheRegistry.cache(s, s"textdedup-shingles:$dir") {
       t(s, dir, "documents")
         .select(col("doc_id"), wordsCol.as("words"))
         .select(col("doc_id"), explode(shinglesExpr).as("sh"))
+        .select(col("doc_id"), md5(col("sh")).as("m"))
+        .select(col("doc_id"),
+          conv(substring(col("m"), 1, 14), 16, 10).cast("long").as("h1"),
+          conv(substring(col("m"), 15, 14), 16, 10).cast("long").as("h2"))
         .distinct()
     }
 
@@ -58,11 +75,11 @@ object TextDedup {
     * exactly like stop-words in retrieval). The filter is one extra narrow
     * aggregate + a semi-join on the same key the self-join shuffles on, so
     * it reuses the exchange partitioning. */
-  def capDocFrequency(rows: DataFrame, maxDf: Long): DataFrame = {
-    val keep = rows.groupBy(col("sh")).agg(count(lit(1)).as("__df"))
+  def capDocFrequency(rows: DataFrame, maxDf: Long, key: String = "sh"): DataFrame = {
+    val keep = rows.groupBy(col(key)).agg(count(lit(1)).as("__df"))
       .filter(col("__df") <= maxDf)
-      .select(col("sh"))
-    rows.join(keep, Seq("sh"), "left_semi")
+      .select(col(key))
+    rows.join(keep, Seq(key), "left_semi")
   }
 
   /** Shingle rows with the optional doc-frequency cap applied. OFF by
@@ -72,18 +89,28 @@ object TextDedup {
   private def cappedShingleRows(s: SparkSession, dir: String): DataFrame = {
     val rows = shingleRows(s, dir)
     s.conf.getOption("graft.textdedup.maxShingleDf") match {
-      case Some(k) => capDocFrequency(rows, k.trim.toLong)
+      case Some(k) => capDocFrequency(rows, k.trim.toLong, key = "h1")
       case None => rows
     }
   }
 
   /** Verified near-dup pairs (doc_a < doc_b, jac ≥ 0.5) — q42's pipeline,
-    * shared with q72's clustering stage. `sh` is persisted by the memoizer;
-    * the hashed projection is a cheap map over the cache feeding both
-    * self-join sides and the sizes agg. */
+    * shared with q72's clustering stage, so it is memoized like the
+    * shingle frame (keyed on the doc-frequency cap so toggling it can't
+    * serve stale pairs): the overlap self-join is the family's most
+    * expensive stage and runs once per (session, dir, cap), not once per
+    * consumer. `sh` is persisted by its own memoizer; the hashed
+    * projection is a cheap map over that cache feeding both self-join
+    * sides and the sizes agg. */
   private def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
-    val hs = cappedShingleRows(s, dir).select(col("doc_id"),
-      conv(substring(md5(col("sh")), 1, 15), 16, 10).cast("long").as("h"))
+    val capKey = s.conf.getOption("graft.textdedup.maxShingleDf").getOrElse("off")
+    CacheRegistry.cache(s, s"textdedup-jacpairs:$dir:cap=$capKey") {
+      jaccardPairsUncached(s, dir)
+    }
+  }
+
+  private def jaccardPairsUncached(s: SparkSession, dir: String): DataFrame = {
+    val hs = cappedShingleRows(s, dir).select(col("doc_id"), col("h1").as("h"))
     val sizes = hs.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = hs.as("x").join(hs.as("y"),
         col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
@@ -128,37 +155,56 @@ object TextDedup {
     val edges = CacheRegistry.track(s, "cluster-edges",
       sym.union(sym.select(col("a")).distinct().select(col("a"), col("a").as("b")))
         .persist())
-    var labels = edges.select(col("a").as("doc")).distinct()
-      .select(col("doc"), col("doc").as("lbl"))
-      .localCheckpoint(eager = false)
-    // Min-propagation is monotone: labels only ever decrease, so the label
-    // sum is a complete convergence signal — computing it on the lazily-
-    // checkpointed frame materializes the checkpoint AND returns the
-    // signal in ONE action per round (an explicit changed-rows join+count
-    // would double the actions). sum over zero rows is NULL: an empty
-    // pair set (no near-dups in the corpus) converges immediately.
-    val initRow = labels.agg(sum(col("lbl"))).head()
-    var prevSum = if (initRow.isNullAt(0)) 0L else initRow.getLong(0)
-    var converged = initRow.isNullAt(0)
+    // The loop body runs at parallelism sized to the edge list, not the
+    // session default: each round is a join+agg over a frame no larger
+    // than the edge set, and at toy scale 32-partition exchanges cost more
+    // in task scheduling than the data costs to process. ~2M edge rows per
+    // partition keeps a 100 TB-derived pair set at full parallelism while
+    // a few-thousand-pair corpus runs the whole loop in one task per stage.
+    val defaultParts = s.conf.get("spark.sql.shuffle.partitions")
+    val nEdges = edges.count() // also materializes the persist
+    val loopParts =
+      math.max(1L, math.min(defaultParts.toLong, nEdges / 2000000L + 1L))
+    s.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
+    // Seed with one neighborhood-min pre-pass instead of identity labels:
+    // the self-loop edges make min-over-neighbors = min(self, neighbors),
+    // so threshold-clique families (every member adjacent to the keeper —
+    // the typical near-dup shape) carry the final label after round 0 and
+    // the loop only has to confirm the fixpoint.
+    var labels: DataFrame = null
+    var converged = false
     var round = 0
-    while (!converged && round < maxRounds) {
-      // pointer doubling first: each doc takes its label's current label,
-      // halving the remaining distance to the component minimum
-      val doubled = labels.as("p")
-        .join(labels.as("q"), col("p.lbl") === col("q.doc"), "left")
-        .select(col("p.doc").as("doc"),
-          least(col("p.lbl"), coalesce(col("q.lbl"), col("p.lbl"))).as("lbl"))
-      // …then one hop along the (self-loop-closed) similarity edges
-      val prop = doubled.join(edges, col("doc") === col("a"))
-        .select(col("b").as("doc"), col("lbl"))
-        .groupBy(col("doc")).agg(min(col("lbl")).as("lbl"))
-        .localCheckpoint(eager = false) // first action checkpoints + truncates lineage
-      val sumNow = prop.agg(sum(col("lbl"))).head().getLong(0)
-      labels = prop
-      converged = sumNow == prevSum
-      prevSum = sumNow
-      round += 1
-    }
+    try {
+      labels = edges.groupBy(col("a").as("doc")).agg(min(col("b")).as("lbl"))
+        .localCheckpoint(eager = false)
+      // Min-propagation is monotone: labels only ever decrease, so the label
+      // sum is a complete convergence signal — computing it on the lazily-
+      // checkpointed frame materializes the checkpoint AND returns the
+      // signal in ONE action per round (an explicit changed-rows join+count
+      // would double the actions). sum over zero rows is NULL: an empty
+      // pair set (no near-dups in the corpus) converges immediately.
+      val initRow = labels.agg(sum(col("lbl"))).head()
+      var prevSum = if (initRow.isNullAt(0)) 0L else initRow.getLong(0)
+      converged = initRow.isNullAt(0)
+      while (!converged && round < maxRounds) {
+        // pointer doubling first: each doc takes its label's current label,
+        // halving the remaining distance to the component minimum
+        val doubled = labels.as("p")
+          .join(labels.as("q"), col("p.lbl") === col("q.doc"), "left")
+          .select(col("p.doc").as("doc"),
+            least(col("p.lbl"), coalesce(col("q.lbl"), col("p.lbl"))).as("lbl"))
+        // …then one hop along the (self-loop-closed) similarity edges
+        val prop = doubled.join(edges, col("doc") === col("a"))
+          .select(col("b").as("doc"), col("lbl"))
+          .groupBy(col("doc")).agg(min(col("lbl")).as("lbl"))
+          .localCheckpoint(eager = false) // first action checkpoints + truncates lineage
+        val sumNow = prop.agg(sum(col("lbl"))).head().getLong(0)
+        labels = prop
+        converged = sumNow == prevSum
+        prevSum = sumNow
+        round += 1
+      }
+    } finally s.conf.set("spark.sql.shuffle.partitions", defaultParts)
     if (!converged)
       graft.ingest.GraftLog.warn("clusterPairs round bound reached before convergence",
         s"rounds=$round — results may be partially propagated")
@@ -170,14 +216,23 @@ object TextDedup {
         (col("doc") === col("cluster_id")).as("is_keeper"))
   }
 
-  /** Shared oracle CTE: same shingling in DuckDB (1-based list indexing). */
+  /** Shared oracle CTE: same shingling + one-md5 split into (h1, h2) in
+    * DuckDB (1-based list indexing; hex parsed via strpos like Spark's
+    * conv). Mirrors [[shingleRows]] exactly. */
   private val ShingleCte: String =
     """WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS words
       |           FROM documents),
-      |sh AS (SELECT DISTINCT doc_id, sh FROM (
-      |  SELECT doc_id, unnest(list_transform(range(1, greatest(len(words) - 1, 1)),
-      |    i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS sh
-      |  FROM w))""".stripMargin
+      |g AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(words) - 1, 1)),
+      |    i -> md5(words[i] || ' ' || words[i+1] || ' ' || words[i+2]))) AS m
+      |  FROM w),
+      |sh AS (SELECT DISTINCT doc_id,
+      |    list_sum(list_transform(range(1, 15),
+      |      j -> CAST((strpos('0123456789abcdef', substr(m, j, 1)) - 1) AS BIGINT)
+      |           * (CAST(1 AS BIGINT) << (4 * (14 - j))))) AS h1,
+      |    list_sum(list_transform(range(15, 29),
+      |      j -> CAST((strpos('0123456789abcdef', substr(m, j, 1)) - 1) AS BIGINT)
+      |           * (CAST(1 AS BIGINT) << (4 * (28 - j))))) AS h2
+      |  FROM g)""".stripMargin
 
   val qs: Seq[Q] = Seq(
 
@@ -197,19 +252,17 @@ object TextDedup {
     },
 
     // ---- MinHash + LSH banding: near-dup candidate pairs ----
-    // The per-seed hash is the first 60 bits of md5 as a BIGINT (not the
-    // hex string): min over a fixed-width long keeps the signature
-    // aggregate hash-based (min over strings forces SortAggregate) and
-    // shrinks the shuffled signature from 8×32 chars to 8×8 bytes.
+    // The k per-seed hashes are h1 + i·h2 over the shared one-md5 shingle
+    // hash (Kirsch–Mitzenmacher double hashing — the standard way to get k
+    // independent-enough hash functions from one digest; no per-seed md5).
+    // min over a fixed-width long keeps the signature aggregate hash-based
+    // (min over strings forces SortAggregate) and the shuffled signature
+    // is 8×8 bytes.
     Q("q41_minhash_lsh", {
-      def h60(expr: String) =
-        "list_sum(list_transform(range(1, 16), j -> " +
-          s"CAST((strpos('0123456789abcdef', substr(md5($expr), j, 1)) - 1) AS BIGINT)" +
-          " * (CAST(1 AS BIGINT) << (4 * (15 - j)))))"
       val sigCols = (0 until NumHashes)
-        .map(i => "min(" + h60(s"'$i:' || sh") + s") AS h$i").mkString(",\n    ")
+        .map(i => s"min(h1 + $i * h2) AS s$i").mkString(",\n    ")
       val bandSelects = (0 until NumHashes / BandRows).map { j =>
-        val key = (0 until BandRows).map(r => s"CAST(h${j * BandRows + r} AS VARCHAR)")
+        val key = (0 until BandRows).map(r => s"CAST(s${j * BandRows + r} AS VARCHAR)")
           .mkString(" || '|' || ")
         s"SELECT doc_id, $j AS band, $key AS bkey FROM sig"
       }.mkString("\n  UNION ALL ")
@@ -224,21 +277,20 @@ object TextDedup {
          |  ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
          |ORDER BY doc_a, doc_b""".stripMargin
     }) { (s, dir) =>
-      // Signature = 8 min-aggregate columns over per-shingle md5s: map-side
-      // partial agg compresses the shuffle to one row per (partition, doc)
-      // — an exploded (doc, seed) layout was measured 5× slower because
-      // 40k+ groups defeat partial-agg compression. The band self-join on
-      // (band, bkey) is the LSH candidate join.
+      // Signature = 8 min-aggregate columns of pure arithmetic over the
+      // persisted (h1, h2) shingle hashes: map-side partial agg compresses
+      // the shuffle to one row per (partition, doc) — an exploded
+      // (doc, seed) layout was measured 5× slower because 40k+ groups
+      // defeat partial-agg compression. The band self-join on (band, bkey)
+      // is the LSH candidate join.
       val sh = cappedShingleRows(s, dir)
       val sigAggs = (0 until NumHashes).map { i =>
-        val h60 = conv(substring(md5(concat(lit(s"$i:"), col("sh"))), 1, 15), 16, 10)
-          .cast("long")
-        min(h60).as(s"h$i")
+        min(col("h1") + lit(i.toLong) * col("h2")).as(s"s$i")
       }
       val sig = sh.groupBy(col("doc_id")).agg(sigAggs.head, sigAggs.tail: _*)
       val bandStructs = (0 until NumHashes / BandRows).map { j =>
         val key = concat_ws("|",
-          (0 until BandRows).map(r => col(s"h${j * BandRows + r}")): _*)
+          (0 until BandRows).map(r => col(s"s${j * BandRows + r}")): _*)
         struct(lit(j).as("band"), key.as("bkey"))
       }
       // persist: both sides of the self-join read `bands` — without it the
@@ -266,16 +318,13 @@ object TextDedup {
     // The verification stage after LSH candidate generation: join on the
     // shingle itself (pairs with zero overlap never materialize), then
     // |A∩B| / |A∪B| with a ≥0.5 near-dup threshold.
-    // The self-join key is the 60-bit shingle hash, not the string: an
+    // The self-join key is the 56-bit shingle hash h1, not the string: an
     // 8-byte join key halves the shuffled/broadcast bytes and both engines
-    // hash identically, so results stay exact (a 2^-60 collision would be
+    // hash identically, so results stay exact (a 2^-56 collision would be
     // computed identically on both sides anyway).
     Q("q42_ngram_jaccard",
       s"""$ShingleCte,
-         |hs AS (SELECT doc_id, list_sum(list_transform(range(1, 16),
-         |    j -> CAST((strpos('0123456789abcdef', substr(md5(sh), j, 1)) - 1) AS BIGINT)
-         |         * (CAST(1 AS BIGINT) << (4 * (15 - j))))) AS h
-         |  FROM sh),
+         |hs AS (SELECT doc_id, h1 AS h FROM sh),
          |sizes AS (SELECT doc_id, count(*) AS n FROM hs GROUP BY doc_id),
          |inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS i
          |  FROM hs x JOIN hs y ON x.h = y.h AND x.doc_id < y.doc_id
@@ -293,8 +342,9 @@ object TextDedup {
     },
 
     // ---- SimHash (32-bit, md5-derived) ----
-    // Per-shingle 32-bit hash = first 8 hex chars of md5; simhash bit b is
-    // the sign of Σ(±1) over shingles. Deterministic in both engines.
+    // Per-shingle 32-bit hash = first 8 hex chars of md5 (h1's top 32
+    // bits); simhash bit b is the sign of Σ(±1) over shingles.
+    // Deterministic in both engines.
     Q("q43_simhash", {
       val sumCols = (0 until 32)
         .map(b => s"sum(((h >> $b) & 1) * 2 - 1) AS s$b").mkString(",\n    ")
@@ -302,10 +352,7 @@ object TextDedup {
         .map(b => s"(CASE WHEN s$b > 0 THEN CAST(1 AS BIGINT) << $b ELSE 0 END)")
         .mkString("\n    + ")
       s"""$ShingleCte,
-         |hv AS (SELECT doc_id, list_sum(list_transform(range(1, 9),
-         |    i -> CAST((strpos('0123456789abcdef', substr(md5(sh), i, 1)) - 1) AS BIGINT)
-         |         * (CAST(1 AS BIGINT) << (4 * (8 - i))))) AS h
-         |  FROM sh),
+         |hv AS (SELECT doc_id, (h1 >> 24) AS h FROM sh),
          |s AS (SELECT doc_id,
          |    $sumCols
          |  FROM hv GROUP BY doc_id)
@@ -319,8 +366,7 @@ object TextDedup {
       // two narrow hash aggregates plan instantly and shuffle |docs|×32
       // tiny rows. Same result as the oracle's per-column formulation.
       val sh = shingleRows(s, dir)
-      val h = conv(substring(md5(col("sh")), 1, 8), 16, 10).cast("long")
-      val bits = sh.select(col("doc_id"), h.as("h"))
+      val bits = sh.select(col("doc_id"), expr("shiftright(h1, 24)").as("h"))
         .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(31))).as("b"))
         .select(col("doc_id"), col("b"),
           (expr("shiftright(h, b) & 1") * 2 - 1).as("sign"))
@@ -342,10 +388,7 @@ object TextDedup {
     // training side.
     Q("q79_decontaminate", {
       s"""$ShingleCte,
-         |hs AS (SELECT doc_id, list_sum(list_transform(range(1, 16),
-         |    j -> CAST((strpos('0123456789abcdef', substr(md5(sh), j, 1)) - 1) AS BIGINT)
-         |         * (CAST(1 AS BIGINT) << (4 * (15 - j))))) AS h
-         |  FROM sh),
+         |hs AS (SELECT doc_id, h1 AS h FROM sh),
          |bench AS (SELECT DISTINCT h FROM hs WHERE doc_id % 50 = 0),
          |train AS (SELECT doc_id, h FROM hs WHERE doc_id % 50 <> 0)
          |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_hits
@@ -353,8 +396,7 @@ object TextDedup {
          |GROUP BY t.doc_id
          |ORDER BY doc_id""".stripMargin
     }) { (s, dir) =>
-      val hs = shingleRows(s, dir).select(col("doc_id"),
-        conv(substring(md5(col("sh")), 1, 15), 16, 10).cast("long").as("h"))
+      val hs = shingleRows(s, dir).select(col("doc_id"), col("h1").as("h"))
       val bench = hs.filter(col("doc_id") % 50 === 0).select(col("h")).distinct()
       val train = hs.filter(col("doc_id") % 50 =!= 0)
       train.join(broadcast(bench), Seq("h"))
@@ -372,10 +414,7 @@ object TextDedup {
     Q("q72_neardup_clusters", {
       val cte = ShingleCte.replaceFirst("^WITH ", "WITH RECURSIVE ")
       s"""$cte,
-         |hs AS (SELECT doc_id, list_sum(list_transform(range(1, 16),
-         |    j -> CAST((strpos('0123456789abcdef', substr(md5(sh), j, 1)) - 1) AS BIGINT)
-         |         * (CAST(1 AS BIGINT) << (4 * (15 - j))))) AS h
-         |  FROM sh),
+         |hs AS (SELECT doc_id, h1 AS h FROM sh),
          |sizes AS (SELECT doc_id, count(*) AS n FROM hs GROUP BY doc_id),
          |inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS i
          |  FROM hs x JOIN hs y ON x.h = y.h AND x.doc_id < y.doc_id
@@ -399,14 +438,10 @@ object TextDedup {
          |  USING (cluster_id)
          |ORDER BY doc_id""".stripMargin
     }) { (s, dir) =>
-      // cache the (tiny) pair set: clusterPairs reads it twice to build the
-      // symmetric edge list, which would otherwise run the whole shingle
-      // pipeline once per union branch. Keyed on the doc-frequency cap so
-      // toggling it can't serve stale pairs (same rule as q41's bands).
-      val capKey72 = s.conf.getOption("graft.textdedup.maxShingleDf").getOrElse("off")
-      val pairs = CacheRegistry.cache(s, s"q72-pairs:$dir:cap=$capKey72") {
-        jaccardPairs(s, dir).select(col("doc_a"), col("doc_b"))
-      }
+      // jaccardPairs is memoized+persisted, so clusterPairs' two reads (one
+      // per symmetric-closure branch) and a prior q42 run all share one
+      // materialization of the overlap join.
+      val pairs = jaccardPairs(s, dir).select(col("doc_a"), col("doc_b"))
       clusterPairs(s, pairs).orderBy(col("doc_id"))
     }
   )
