@@ -198,7 +198,14 @@ object Pipeline {
               GraftLog.info("Skipping replayed batch below compaction watermark",
                 s"batch=$batchId table=${tc.table}")
             } else {
-            val withParsed = parseWithCorrupt(dec, tc)
+            // Good/bad counts ride the write job itself via observe():
+            // CollectMetrics sits above the parse and below the good-row
+            // filter, so the sink's single job counts every row in passing
+            // — the previous separate per-topic aggregation job is gone.
+            val obs = org.apache.spark.sql.Observation(s"counts_${tc.table}_$batchId")
+            val withParsed = parseWithCorrupt(dec, tc).observe(obs,
+              coalesce(sum(when(isBad, 1L).otherwise(0L)), lit(0L)).as("bad"),
+              count(lit(1)).as("all"))
             val good = withParsed.filter(!isBad)
             val bad = withParsed.filter(isBad)
             val projected = ClickHouseSchema.sortedProjectCast(
@@ -220,11 +227,10 @@ object Pipeline {
                 recordCheckpointId(tableDir, chkId)
                 idConfirmed.put((tableDir, chkId), ())
               }
-            // One aggregation job for both counts (not a count() each).
-            val cnts = withParsed.agg(
-              coalesce(sum(when(isBad, 1L).otherwise(0L)), lit(0L)).as("bad"),
-              count(lit(1)).as("all")).first()
-            val nBad = cnts.getLong(0)
+            // Collected during the parquet write above; get() just reads
+            // the listener-delivered result (no extra job).
+            val cnts = obs.get
+            val nBad = cnts("bad").asInstanceOf[Long]
             if (nBad > 0) {
               // S12 kept-on-error dump: raw payloads, replayable later.
               // batch_id-keyed overwrite like the main sink, so a
@@ -238,7 +244,7 @@ object Pipeline {
               // counters across process restarts.
               metrics.recordErrors(tc.table, nBad)
             }
-            metrics.recordProcessed(tc.table, cnts.getLong(1) - nBad)
+            metrics.recordProcessed(tc.table, cnts("all").asInstanceOf[Long] - nBad)
             if (debugMode) {
               dec.filter(col("topic") === tc.topic).select(col("json"))
                 .take(5)

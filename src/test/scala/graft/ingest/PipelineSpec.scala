@@ -39,10 +39,25 @@ class PipelineSpec extends SparkSpec {
       Msg("t.temps", enc("""not json at all""")) // corrupt JSON → dead-letter
     )
 
+    // The good/bad counts must ride the sink's write job (df.observe), not
+    // run as a separate aggregation job per topic per batch: record every
+    // job's call site and later assert no collect-style counting job ran.
+    val jobSites = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val jobListener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobSites.add(String.valueOf(j.properties.getProperty("callSite.short")))
+    }
+    s.sparkContext.addSparkListener(jobListener)
+
     val (query, metrics) = Pipeline.start(s, cfg, mem.toDF())
     Pipeline.drainOnShutdown(query)
     query.processAllAvailable()
     query.stop()
+    s.sparkContext.removeSparkListener(jobListener)
+    import scala.jdk.CollectionConverters._
+    assert(!jobSites.asScala.exists(site =>
+      site.contains("first at") || site.contains("count at Pipeline")),
+      s"per-batch counting spawned its own job: $jobSites")
 
     // batch_id is the idempotence partition key the sink writes under
     val users = s.read.parquet(s"$root/tables/users").drop("batch_id")
