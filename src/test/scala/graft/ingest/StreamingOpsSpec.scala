@@ -73,6 +73,39 @@ class SessionCountProcessor extends StatefulProcessor[Long, Ev, (Long, Long)] {
   }
 }
 
+/** transformWithState processor exercising the two composite state types:
+  * ListState (a bounded recent-values window per key — the "last N
+  * readings" pattern) and MapState (per-key sub-aggregation without
+  * widening the grouping key — value-bucket counts here). Emits one
+  * (user, sum of last 3 values, distinct buckets seen) row per batch. */
+class RecentAndBucketsProcessor extends StatefulProcessor[Long, Ev, (Long, Double, Long)] {
+  import org.apache.spark.sql.streaming.{ListState, MapState, TTLConfig}
+  @transient private var recent: ListState[Double] = _
+  @transient private var buckets: MapState[Long, Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    recent = getHandle.getListState[Double](
+      "recent", Encoders.scalaDouble, TTLConfig.NONE)
+    buckets = getHandle.getMapState[Long, Long](
+      "buckets", Encoders.scalaLong, Encoders.scalaLong, TTLConfig.NONE)
+  }
+
+  override def handleInputRows(key: Long, rows: Iterator[Ev],
+      timerValues: TimerValues): Iterator[(Long, Double, Long)] = {
+    rows.foreach { e =>
+      recent.appendValue(e.value)
+      val b = math.floor(e.value).toLong
+      buckets.updateValue(b, (if (buckets.containsKey(b)) buckets.getValue(b) else 0L) + 1L)
+    }
+    // trim the list to the last 3 — ListState has no suffix op, so the
+    // trim is read-modify-put (bounded: at most 3 + batch-size elements)
+    val all = recent.get().toArray
+    val last3 = all.takeRight(3)
+    recent.put(last3)
+    Iterator((key, last3.sum, buckets.keys().size.toLong))
+  }
+}
+
 // NOTE on state TTL: `TTLConfig(Duration)` (processing-time expiry for
 // keys that go quiet forever) requires TimeMode.ProcessingTime, in which
 // the engine schedules micro-batches continuously to advance the clock —
@@ -188,6 +221,40 @@ class StreamingOpsSpec extends SparkSpec {
       val rows = s.table("timer_out").where("user_id = 1").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSeq
       assert(rows == Seq((1L, 2L))) // one emission with the session total
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("transformWithState: ListState + MapState composite state types") {
+    val s = spark
+    import s.implicits._
+    val prevProvider = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[Ev](s)
+    val out = mem.toDS()
+      .groupByKey(_.user_id)
+      .transformWithState(new RecentAndBucketsProcessor, TimeMode.None(), OutputMode.Append())
+    val q = out.toDF("user_id", "last3_sum", "n_buckets")
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("liststate_out").start()
+    try {
+      mem.addData(Ev(ts(1), 1, 1.5), Ev(ts(2), 1, 2.5), Ev(ts(3), 1, 3.5), Ev(ts(4), 1, 4.5))
+      q.processAllAvailable()
+      // batch 1: last 3 of [1.5 2.5 3.5 4.5] sums 10.5; buckets {1,2,3,4}
+      mem.addData(Ev(ts(5), 1, 1.25))
+      q.processAllAvailable()
+      // batch 2: ListState carried + trimmed → last 3 = [3.5 4.5 1.25];
+      // bucket 1 already present, so the MapState count stays 4 keys
+      val rows = s.table("liststate_out").collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+      assert(rows.contains((1L, 10.5, 4L)), s"batch-1 row missing: $rows")
+      assert(rows.contains((1L, 9.25, 4L)), s"batch-2 row missing: $rows")
     } finally {
       q.stop()
       prevProvider match {
