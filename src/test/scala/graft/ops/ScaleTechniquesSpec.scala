@@ -34,6 +34,55 @@ class ScaleTechniquesSpec extends SparkSpec {
     } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
 
+  test("bucketed q02 shape: join AND aggregate run on bucket partitioning, zero shuffles") {
+    val s = spark
+    // q02's real plan has exactly one unavoidable shuffle — orders⋈lineitem
+    // on the natural key. Bucketing both facts by that key is the 100 TB
+    // answer: the sort-merge join consumes the bucket partitioning, and the
+    // groupBy(o_orderkey, …) is ALSO exchange-free because hash-partitioning
+    // on o_orderkey already clusters every (o_orderkey, o_orderdate,
+    // o_orderpriority) group. Only the deliberate customer broadcast remains.
+    val cut = lit("1997-06-30 00:00:00").cast("timestamp") // q02's CUTOFF
+    val o = Tables.t(s, sf001, "orders")
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    val li = Tables.t(s, sf001, "lineitem")
+      .select("l_orderkey", "l_shipdate", "l_extendedprice", "l_discount")
+    s.sql("DROP TABLE IF EXISTS o_q02_bucketed")
+    s.sql("DROP TABLE IF EXISTS li_q02_bucketed")
+    o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("o_q02_bucketed")
+    li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("li_q02_bucketed")
+
+    val prevThreshold = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val c = Tables.t(s, sf001, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+      val q02 = broadcast(c)
+        .join(s.table("o_q02_bucketed").filter(col("o_orderdate") < cut),
+          col("c_custkey") === col("o_custkey"))
+        .join(s.table("li_q02_bucketed").filter(col("l_shipdate") > cut),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)")
+          * (lit(1) - col("l_discount")).cast("decimal(4,2)")).as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+      val plan = q02.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed q02 still shuffles:\n$plan")
+      assert(plan.contains("BroadcastExchange"), // the one intended exchange
+        s"customer dim should broadcast:\n$plan")
+      assert(plan.contains("TakeOrderedAndProject"), // top-k, no global sort
+        s"ORDER BY+LIMIT should be TakeOrderedAndProject:\n$plan")
+      // same rows as the unbucketed q02 at this SF
+      val expected = graft.SparkEntry.queries("q02_topk_revenue")(s, sf001)
+        .collect().toSeq
+      assert(q02.collect().toSeq == expected)
+    } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+
   test("shingle doc-frequency cap drops only the quadratic hot keys") {
     val s = spark
     import s.implicits._
