@@ -16,7 +16,7 @@ class EntrySpec extends SparkSpec {
     val names = Seq(
       ops.Relational.qs, ops.Ingest.qs, ops.Streamingish.qs,
       ops.TextDedup.qs, ops.VectorSearch.qs, ops.TextAnalysis.qs,
-      ops.Multimodal.qs, ops.Extras.qs).flatten.map(_.name)
+      ops.Multimodal.qs, ops.Extras.qs, ops.Curation.qs).flatten.map(_.name)
     assert(names.distinct.size == names.size)
   }
 
