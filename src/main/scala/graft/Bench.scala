@@ -23,10 +23,14 @@ object Bench {
     // ms precision and sorted keys keep the JSON line short and stable:
     // the harness captures a bounded stdout tail, and full-precision
     // doubles pushed the line past it (round 2's line was truncated).
-    val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }
+    // Locale.ROOT: the default-locale formatter renders a decimal comma
+    // on e.g. de_DE hosts, which breaks the JSON contract line.
+    def f3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.map { case (k, v) => s""""$k":${f3(v)}""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     graft.ops.CacheRegistry.clear(spark) // release every operator cache
     spark.stop()
   }

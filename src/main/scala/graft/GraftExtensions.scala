@@ -17,5 +17,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("snappy_decode"),
       new ExpressionInfo(classOf[SnappyDecode].getName, "snappy_decode"),
       (exprs: Seq[Expression]) => SnappyDecode(exprs.head)))
+    e.injectFunction((
+      new FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[graft.functions.NfcNormalize].getName, "nfc_normalize"),
+      (exprs: Seq[Expression]) => graft.functions.NfcNormalize(exprs.head)))
   }
 }

@@ -59,7 +59,8 @@ object IngestBench {
     }
     val median = times.sorted.apply(times.size / 2)
     println(s"""{"metric":"ingest_msgs_per_sec","value":${(n / median).toLong},""" +
-      s""""unit":"msgs/sec","n_msgs":$n,"pass_secs":${times.map(t => f"$t%.3f").mkString("[", ",", "]")},"cpus":$cpus}""")
+      s""""unit":"msgs/sec","n_msgs":$n,"pass_secs":${times.map(t =>
+        String.format(java.util.Locale.ROOT, "%.3f", Double.box(t))).mkString("[", ",", "]")},"cpus":$cpus}""")
     spark.stop()
   }
 }

@@ -14,10 +14,14 @@ object GraftFunctions {
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "snappy_decode", exprs => SnappyDecode(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "nfc_normalize", exprs => NfcNormalize(exprs.head), "scala_udf")
     spark.udf.register("weighted_avg", weightedAvgUdaf)
   }
 
   def snappy_decode(c: Column): Column = call_function("snappy_decode", c)
+
+  def nfc_normalize(c: Column): Column = call_function("nfc_normalize", c)
 
   def weighted_avg(value: Column, weight: Column): Column =
     weightedAvgUdaf(value, weight)

@@ -227,9 +227,32 @@ object Pipeline {
                 recordCheckpointId(tableDir, chkId)
                 idConfirmed.put((tableDir, chkId), ())
               }
-            // Collected during the parquet write above; get() just reads
-            // the listener-delivered result (no extra job).
-            val cnts = obs.get
+            // Collected during the parquet write above; normally the
+            // listener-delivered result is already there (no extra job).
+            // But delivery rides the shared async listener bus, which
+            // drops events under sustained overload — an unbounded
+            // obs.get would then wedge this foreachBatch thread (and the
+            // whole stream) forever. Bound the wait and fall back to one
+            // explicit aggregation job: correctness of the counts over
+            // liveness of the stream is the wrong trade.
+            val cnts: Map[String, Any] =
+              try {
+                // Observation.get has no timeout overload (getOrEmpty is
+                // private[sql]); a daemon-pool Future bounds the wait. A
+                // permanently-lost event parks at most one pool thread.
+                import scala.concurrent.{Await, Future}
+                import scala.concurrent.ExecutionContext.Implicits.global
+                import scala.concurrent.duration._
+                Await.result(Future(obs.get), 30.seconds)
+              } catch {
+                case _: java.util.concurrent.TimeoutException =>
+                  GraftLog.warn("observe() metrics not delivered — counting with a fallback job",
+                    s"table=${tc.table} batch=$batchId (listener bus dropped the event?)")
+                  val r = withParsed.agg(
+                    coalesce(sum(when(isBad, 1L).otherwise(0L)), lit(0L)).as("bad"),
+                    count(lit(1)).as("all")).head()
+                  Map("bad" -> r.getLong(0), "all" -> r.getLong(1))
+              }
             val nBad = cnts("bad").asInstanceOf[Long]
             if (nBad > 0) {
               // S12 kept-on-error dump: raw payloads, replayable later.

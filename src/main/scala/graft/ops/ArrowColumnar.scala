@@ -48,8 +48,12 @@ object ArrowColumnar {
       Option(TaskContext.get()).foreach(_.addTaskCompletionListener[Unit] { _ =>
         vec.close(); allocator.close()
       })
+      // allocate ONCE at full batch capacity and reset() per batch:
+      // allocateNew in the loop would free + re-malloc the off-heap
+      // buffers for every batch (hundreds of cycles on a large partition)
+      vec.allocateNew(batchSize)
       rows.grouped(batchSize).flatMap { batch =>
-        vec.allocateNew(batch.size)
+        vec.reset()
         var i = 0
         batch.foreach { r =>
           if (r.isNullAt(inIdx)) vec.setNull(i) else vec.setSafe(i, r.getDouble(inIdx))

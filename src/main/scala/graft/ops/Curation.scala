@@ -18,14 +18,9 @@ import graft.schema.Tables.t
   */
 object Curation {
 
-  private val wordsCol: Column = split(lower(trim(col("text"))), "\\s+")
+  private val wordsCol: Column = TextCommon.wordsCol
 
-  /** DuckDB hex→BIGINT parse of `n` chars of md5 hex (no conv() in DuckDB);
-    * mirrors Spark's conv(substring(m, 1, n), 16, 10). */
-  private def duckHex(expr: String, n: Int): String =
-    s"""list_sum(list_transform(range(1, ${n + 1}),
-       |      j -> CAST((strpos('0123456789abcdef', substr($expr, j, 1)) - 1) AS BIGINT)
-       |           * (CAST(1 AS BIGINT) << (4 * ($n - j)))))""".stripMargin
+  private def duckHex(expr: String, n: Int): String = TextCommon.duckHex(expr, n)
 
   val qs: Seq[Q] = Seq(
 
@@ -219,6 +214,164 @@ object Curation {
             .cast("long").as("round"))
         .orderBy(col("round"), col("source"), col("doc_id"))
         .limit(100)
+    },
+
+    // ---- sequence packing into fixed context windows ----
+    // The pre-training batcher's packing step: concatenate each source's
+    // docs FIFO (by doc_id) and cut the stream every 128 tokens; a doc
+    // belongs to the pack its first token lands in (straddling docs stay
+    // whole — contiguous greedy packing, the deterministic variant of
+    // what a sequence packer does before truncation). One running sum per
+    // source partition + one (source, pack) aggregate: window and shuffle
+    // both key on source, so 100 TB packs embarrassingly parallel across
+    // sources; no global ordering anywhere.
+    Q("q91_sequence_packing",
+      """WITH w AS (SELECT doc_id, source,
+        |    CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT doc_id, source, n_tokens,
+        |    CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM w)
+        |SELECT source, CAST((cum - n_tokens) // 128 AS BIGINT) AS pack_id,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+        |  min(doc_id) AS first_doc
+        |FROM c
+        |GROUP BY 1, 2
+        |ORDER BY source, pack_id""".stripMargin) { (s, dir) =>
+      val cumWin = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), size(wordsCol).cast("long").as("n_tokens"))
+        .withColumn("cum", sum(col("n_tokens")).over(cumWin))
+        .groupBy(col("source"), expr("(cum - n_tokens) DIV 128").as("pack_id"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(col("n_tokens")).cast("long").as("pack_tokens"),
+          min(col("doc_id")).as("first_doc"))
+        .orderBy(col("source"), col("pack_id"))
+    },
+
+    // ---- Unicode NFC normalization (native codegen'd expression) ----
+    // Canonical composition before fingerprinting: decomposed combining
+    // marks ("e" + U+0301) and their precomposed forms ("é") must hash
+    // identically or exact dedup silently misses visually-identical docs.
+    // Spark has no built-in normalizer, so [[graft.functions.NfcNormalize]]
+    // is the custom-Expression extension path (doGenCode keeps it inside
+    // whole-stage codegen; a quick-check fast path returns already-NFC
+    // strings untouched — the overwhelmingly common case at 100 TB). The
+    // query manufactures a decomposed suffix so the oracle genuinely
+    // exercises composition: length must shrink by exactly one.
+    Q("q92_nfc_normalize",
+      """SELECT doc_id,
+        |  CAST(length(raw) AS BIGINT) AS len_raw,
+        |  CAST(length(nfc_normalize(raw)) AS BIGINT) AS len_nfc,
+        |  nfc_normalize(raw) AS nfc
+        |FROM (SELECT doc_id, substr(text, 1, 10) || 'e' || chr(769) AS raw
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      import graft.functions.GraftFunctions.nfc_normalize
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(substring(col("text"), 1, 10), lit("e\u0301")).as("raw"))
+        .select(col("doc_id"), length(col("raw")).cast("long").as("len_raw"),
+          length(nfc_normalize(col("raw"))).cast("long").as("len_nfc"),
+          nfc_normalize(col("raw")).as("nfc"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- BM25 ranked retrieval ----
+    // The standard IR scorer (k1=1.2, b=0.75) over the corpus for a fixed
+    // term set — upgrades q84's raw TF-IDF with saturation and length
+    // normalization. Same scale shape as q84: per-doc TF in one narrow
+    // agg, document frequencies and the average doc length as two
+    // broadcast one-row frames, the per-term contributions summed in
+    // fixed textual order so both engines round identically, and top-k
+    // via TakeOrderedAndProject (never a global sort).
+    Q("q93_bm25_search",
+      """WITH w AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+        |           FROM documents),
+        |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM w GROUP BY doc_id),
+        |ad AS (SELECT CAST(sum(dl) AS BIGINT) * 1.0 / count(*) AS avgdl FROM dl),
+        |tf AS (SELECT doc_id,
+        |    CAST(sum(CASE WHEN word = 'data' THEN 1 ELSE 0 END) AS BIGINT) AS tf_data,
+        |    CAST(sum(CASE WHEN word = 'scan' THEN 1 ELSE 0 END) AS BIGINT) AS tf_scan,
+        |    CAST(sum(CASE WHEN word = 'hash' THEN 1 ELSE 0 END) AS BIGINT) AS tf_hash
+        |  FROM w GROUP BY doc_id),
+        |c AS (SELECT
+        |    count(DISTINCT CASE WHEN word = 'data' THEN doc_id END) AS df_data,
+        |    count(DISTINCT CASE WHEN word = 'scan' THEN doc_id END) AS df_scan,
+        |    count(DISTINCT CASE WHEN word = 'hash' THEN doc_id END) AS df_hash
+        |  FROM w),
+        |n AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT tf.doc_id AS doc_id, tf_data, tf_scan, tf_hash, dl.dl AS dl,
+        |  round(
+        |    ln(1 + (n_docs - df_data + 0.5) / (df_data + 0.5))
+        |      * tf_data * 2.2 / (tf_data + 1.2 * (0.25 + 0.75 * dl.dl / avgdl))
+        |  + ln(1 + (n_docs - df_scan + 0.5) / (df_scan + 0.5))
+        |      * tf_scan * 2.2 / (tf_scan + 1.2 * (0.25 + 0.75 * dl.dl / avgdl))
+        |  + ln(1 + (n_docs - df_hash + 0.5) / (df_hash + 0.5))
+        |      * tf_hash * 2.2 / (tf_hash + 1.2 * (0.25 + 0.75 * dl.dl / avgdl)), 6)
+        |    AS score
+        |FROM tf JOIN dl ON tf.doc_id = dl.doc_id, c, n, ad
+        |WHERE tf_data + tf_scan + tf_hash > 0
+        |ORDER BY score DESC, doc_id
+        |LIMIT 15""".stripMargin) { (s, dir) =>
+      val words = t(s, dir, "documents")
+        .select(col("doc_id"), explode(wordsCol).as("word"))
+      def tfCol(term: String) =
+        sum(when(col("word") === term, 1L).otherwise(0L)).as(s"tf_$term")
+      def dfCol(term: String) =
+        countDistinct(when(col("word") === term, col("doc_id"))).as(s"df_$term")
+      val dlF = words.groupBy(col("doc_id")).agg(count(lit(1)).cast("long").as("dl"))
+      val ad = dlF.agg((sum(col("dl")).cast("long") * lit(1.0) / count(lit(1))).as("avgdl"))
+      val tf = words.groupBy(col("doc_id")).agg(tfCol("data"), tfCol("scan"), tfCol("hash"))
+      val c = words.agg(dfCol("data"), dfCol("scan"), dfCol("hash"))
+      val n = t(s, dir, "documents").agg(count(lit(1)).as("n_docs"))
+      def term(tname: String) =
+        log(lit(1) + (col("n_docs") - col(s"df_$tname") + lit(0.5)) / (col(s"df_$tname") + lit(0.5))) *
+          col(s"tf_$tname") * lit(2.2) /
+          (col(s"tf_$tname") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+      tf.join(dlF, Seq("doc_id"))
+        .crossJoin(broadcast(c)).crossJoin(broadcast(n)).crossJoin(broadcast(ad))
+        .filter(col("tf_data") + col("tf_scan") + col("tf_hash") > 0)
+        .select(col("doc_id"), col("tf_data"), col("tf_scan"), col("tf_hash"), col("dl"),
+          round(term("data") + term("scan") + term("hash"), 6).as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(15)
+    },
+
+    // ---- deterministic train/val/test split ----
+    // The 80/10/10 holdout assignment every corpus ships with, as a pure
+    // function of doc_id (md5 coin — the q86 discipline): stable across
+    // runs, engines, and repartitioning, so a doc can never migrate
+    // between train and test when the corpus is re-processed. Map-side
+    // only per row against literal thresholds — the verification
+    // aggregate below is for the oracle; the split itself never shuffles.
+    Q("q94_dataset_split",
+      s"""WITH u AS (SELECT doc_id, source,
+         |    ${duckHex("substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)", 8)} / 4294967296.0 AS coin
+         |  FROM documents)
+         |SELECT source,
+         |  CASE WHEN coin < 0.8 THEN 'train' WHEN coin < 0.9 THEN 'val'
+         |       ELSE 'test' END AS split,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+         |FROM u
+         |GROUP BY 1, 2
+         |ORDER BY source, split""".stripMargin) { (s, dir) =>
+      val coin = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") / lit(4294967296.0)
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), coin.as("coin"))
+        .select(col("doc_id"), col("source"),
+          when(col("coin") < 0.8, "train").when(col("coin") < 0.9, "val")
+            .otherwise("test").as("split"))
+        .groupBy(col("source"), col("split"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+        .orderBy(col("source"), col("split"))
     }
   )
 }

@@ -28,7 +28,7 @@ object TextDedup {
   private val BandRows = 2 // rows per LSH band → 4 bands
 
   /** words of the lower-cased, trimmed text (Spark side). */
-  private val wordsCol: Column = split(lower(trim(col("text"))), "\\s+")
+  private val wordsCol: Column = TextCommon.wordsCol
 
   /** 3-word shingles, 0-based Spark indexing. */
   private val shinglesExpr: Column = expr(
@@ -152,20 +152,27 @@ object TextDedup {
     // pointer-doubling self-join trips Catalyst's constraint rewriting)
     val sym = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
       .union(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
-    val edges = CacheRegistry.track(s, "cluster-edges",
+    val edges0 =
       sym.union(sym.select(col("a")).distinct().select(col("a"), col("a").as("b")))
-        .persist())
     // The loop body runs at parallelism sized to the edge list, not the
     // session default: each round is a join+agg over a frame no larger
     // than the edge set, and at toy scale 32-partition exchanges cost more
     // in task scheduling than the data costs to process. ~2M edge rows per
     // partition keeps a 100 TB-derived pair set at full parallelism while
     // a few-thousand-pair corpus runs the whole loop in one task per stage.
+    // The low parallelism lives in an ISOLATED child session (own SQLConf,
+    // shared SparkContext): mutating the caller's shuffle.partitions would
+    // race any concurrent query planned on that session and, under
+    // concurrent clusterPairs calls, restore the wrong value permanently.
+    val loop = s.newSession()
+    // one-time symmetric closure + self-loops still build under the
+    // caller's parallelism (edges0's lineage was planned on `s`)
+    val edges = loop.createDataFrame(edges0.rdd, edges0.schema).persist()
     val defaultParts = s.conf.get("spark.sql.shuffle.partitions")
     val nEdges = edges.count() // also materializes the persist
     val loopParts =
       math.max(1L, math.min(defaultParts.toLong, nEdges / 2000000L + 1L))
-    s.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
+    loop.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
     // Seed with one neighborhood-min pre-pass instead of identity labels:
     // the self-loop edges make min-over-neighbors = min(self, neighbors),
     // so threshold-clique families (every member adjacent to the keeper —
@@ -204,11 +211,14 @@ object TextDedup {
         prevSum = sumNow
         round += 1
       }
-    } finally s.conf.set("spark.sql.shuffle.partitions", defaultParts)
+    } finally edges.unpersist(blocking = false) // labels is checkpointed — lineage-free
     if (!converged)
       graft.ingest.GraftLog.warn("clusterPairs round bound reached before convergence",
         s"rounds=$round — results may be partially propagated")
-    val comp = labels.withColumnRenamed("lbl", "cluster_id")
+    // hand the converged (checkpointed) labels back to the CALLER's session
+    // so the post-loop aggregation runs at its parallelism, not the loop's
+    val labelsOut = s.createDataFrame(labels.rdd, labels.schema)
+    val comp = labelsOut.withColumnRenamed("lbl", "cluster_id")
     val sizes = comp.groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
     comp.join(sizes, Seq("cluster_id"))
       .select(col("doc").as("doc_id"), col("cluster_id"),
@@ -220,19 +230,15 @@ object TextDedup {
     * DuckDB (1-based list indexing; hex parsed via strpos like Spark's
     * conv). Mirrors [[shingleRows]] exactly. */
   private val ShingleCte: String =
-    """WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS words
-      |           FROM documents),
-      |g AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(words) - 1, 1)),
-      |    i -> md5(words[i] || ' ' || words[i+1] || ' ' || words[i+2]))) AS m
-      |  FROM w),
-      |sh AS (SELECT DISTINCT doc_id,
-      |    list_sum(list_transform(range(1, 15),
-      |      j -> CAST((strpos('0123456789abcdef', substr(m, j, 1)) - 1) AS BIGINT)
-      |           * (CAST(1 AS BIGINT) << (4 * (14 - j))))) AS h1,
-      |    list_sum(list_transform(range(15, 29),
-      |      j -> CAST((strpos('0123456789abcdef', substr(m, j, 1)) - 1) AS BIGINT)
-      |           * (CAST(1 AS BIGINT) << (4 * (28 - j))))) AS h2
-      |  FROM g)""".stripMargin
+    raw"""WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS words
+         |           FROM documents),
+         |g AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(words) - 1, 1)),
+         |    i -> md5(words[i] || ' ' || words[i+1] || ' ' || words[i+2]))) AS m
+         |  FROM w),
+         |sh AS (SELECT DISTINCT doc_id,
+         |    ${TextCommon.duckHex("m", 14)} AS h1,
+         |    ${TextCommon.duckHex("m", 14, from = 15)} AS h2
+         |  FROM g)""".stripMargin
 
   val qs: Seq[Q] = Seq(
 

@@ -53,7 +53,10 @@ object VectorSearch {
       |      i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)))))""".stripMargin
 
   private def duckPlaneList(j: Int): String =
-    planes(j).map(v => f"$v%.6f").mkString("[", ", ", "]")
+    // Locale.ROOT: default-locale %f renders a decimal comma on some
+    // hosts, which would corrupt the generated DuckDB SQL literal.
+    planes(j).map(v => String.format(java.util.Locale.ROOT, "%.6f", Double.box(v)))
+      .mkString("[", ", ", "]")
 
   private def duckDot(vec: String, planeList: String): String =
     s"list_sum(list_transform(range(1, len($vec) + 1), i -> CAST($vec[i] AS DOUBLE) * ($planeList)[i]))"

@@ -53,8 +53,21 @@ class PipelineSpec extends SparkSpec {
     Pipeline.drainOnShutdown(query)
     query.processAllAvailable()
     query.stop()
-    s.sparkContext.removeSparkListener(jobListener)
+    // Listener events are delivered asynchronously: drain the bus before
+    // asserting, or a still-queued job-start from a regressed counting job
+    // could be missed and the guard would silently false-pass. Run a
+    // sentinel job with a known call site and wait for it — the bus is
+    // FIFO, so once the sentinel arrived every earlier event has too.
     import scala.jdk.CollectionConverters._
+    s.sparkContext.setCallSite("sentinel-drain")
+    try s.range(1).count() finally s.sparkContext.clearCallSite()
+    val drainDeadline = System.currentTimeMillis() + 30000
+    while (!jobSites.asScala.exists(_.contains("sentinel-drain")) &&
+        System.currentTimeMillis() < drainDeadline)
+      Thread.sleep(20)
+    s.sparkContext.removeSparkListener(jobListener)
+    assert(jobSites.asScala.exists(_.contains("sentinel-drain")),
+      s"listener bus failed to drain within 30s: $jobSites")
     assert(!jobSites.asScala.exists(site =>
       site.contains("first at") || site.contains("count at Pipeline")),
       s"per-batch counting spawned its own job: $jobSites")
