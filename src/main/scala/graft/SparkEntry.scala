@@ -10,7 +10,7 @@ object SparkEntry {
   private def allQs: Seq[Q] =
     ops.Relational.qs ++ ops.Ingest.qs ++ ops.Streamingish.qs ++
       ops.TextDedup.qs ++ ops.VectorSearch.qs ++ ops.TextAnalysis.qs ++
-      ops.Multimodal.qs ++ ops.Extras.qs ++ ops.Curation.qs
+      ops.Multimodal.qs ++ ops.Extras.qs ++ ops.Curation.qs ++ ops.SqlSurface.qs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

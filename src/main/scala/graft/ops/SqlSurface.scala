@@ -1,0 +1,96 @@
+package graft.ops
+
+import graft.Q
+import graft.schema.Tables
+
+/** SQL-surface features landed in Spark 4.x that round out the query
+  * language: ordered-set string aggregation (`listagg WITHIN GROUP`),
+  * correlated `LATERAL` subqueries (per-row top-k without a window over
+  * the whole fact table), and recursive CTEs (the gap-filling calendar
+  * spine every reporting pipeline needs). All three run through
+  * `spark.sql` on the shared temp views — this family exists precisely to
+  * prove the SQL text surface, not the DataFrame wrappers.
+  */
+object SqlSurface {
+
+  val qs: Seq[Q] = Seq(
+
+    // ---- ordered-set string aggregation ----
+    // listagg is new in Spark 4.0; WITHIN GROUP pins the concatenation
+    // order so the result is deterministic. DuckDB spells the same thing
+    // string_agg(expr, sep ORDER BY key). Scale: |groups| output rows and
+    // partial aggregation like any agg — but the buffer is the
+    // concatenated string, so at 100 TB you bound group fan-in first
+    // (here: 5 nations per region by construction).
+    Q("q95_string_agg",
+      """SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations
+        |FROM region JOIN nation ON r_regionkey = n_regionkey
+        |GROUP BY r_name
+        |ORDER BY r_name""".stripMargin) { (s, dir) =>
+      Tables.views(s, dir)
+      s.sql(
+        """SELECT r_name, listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name) AS nations
+          |FROM region JOIN nation ON r_regionkey = n_regionkey
+          |GROUP BY r_name
+          |ORDER BY r_name""".stripMargin)
+    },
+
+    // ---- correlated LATERAL subquery: per-nation top-k ----
+    // The "top 2 customers per nation" shape without windowing the whole
+    // customer table: the lateral subquery is correlated on n_nationkey,
+    // and Catalyst decorrelates it into a ranked join — same plan family
+    // as q18's window top-k but expressed as the SQL standard's LATERAL.
+    // Deterministic tiebreak on (acctbal DESC, name).
+    Q("q96_lateral_topk",
+      """SELECT n.n_name AS nation, l.c_name AS c_name, l.c_acctbal AS acctbal
+        |FROM nation n, LATERAL (
+        |  SELECT c_name, c_acctbal FROM customer
+        |  WHERE c_nationkey = n.n_nationkey
+        |  ORDER BY c_acctbal DESC, c_name LIMIT 2) AS l
+        |ORDER BY nation, acctbal DESC, c_name""".stripMargin) { (s, dir) =>
+      Tables.views(s, dir)
+      s.sql(
+        """SELECT n.n_name AS nation, l.c_name AS c_name, l.c_acctbal AS acctbal
+          |FROM nation n, LATERAL (
+          |  SELECT c_name, c_acctbal FROM customer
+          |  WHERE c_nationkey = n.n_nationkey
+          |  ORDER BY c_acctbal DESC, c_name LIMIT 2) AS l
+          |ORDER BY nation, acctbal DESC, c_name""".stripMargin)
+    },
+
+    // ---- recursive CTE: gap-free monthly spine ----
+    // WITH RECURSIVE is new in Spark 4.x. The spine generates every month
+    // of 1995 whether or not orders landed in it, then LEFT JOINs order
+    // counts — the gap-filling pattern a plain GROUP BY cannot produce
+    // (months with zero orders simply don't exist in the data). Literal
+    // bounds on purpose: each recursion step is one Spark job, so a
+    // data-driven endpoint would re-scan orders every round (measured
+    // ~0.3 s/round of pure fixed cost); a reporting window is a
+    // parameter, not something to rediscover per round. Depth 12,
+    // per-round frame is ONE row — cost is bounded by the final join,
+    // which shuffles |months| × |orders-in-window| keyed on month.
+    Q("q97_recursive_spine",
+      """WITH RECURSIVE m(d) AS (
+        |  SELECT TIMESTAMP '1995-01-01 00:00:00'
+        |  UNION ALL
+        |  SELECT d + INTERVAL 1 MONTH FROM m
+        |  WHERE d < TIMESTAMP '1995-12-01 00:00:00')
+        |SELECT strftime(d, '%Y-%m') AS month,
+        |  CAST(count(o_orderkey) AS BIGINT) AS n_orders
+        |FROM m LEFT JOIN orders ON date_trunc('month', o_orderdate) = d
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin) { (s, dir) =>
+      Tables.views(s, dir)
+      s.sql(
+        """WITH RECURSIVE m(d) AS (
+          |  SELECT TIMESTAMP '1995-01-01 00:00:00'
+          |  UNION ALL
+          |  SELECT d + INTERVAL 1 MONTH FROM m
+          |  WHERE d < TIMESTAMP '1995-12-01 00:00:00')
+          |SELECT date_format(d, 'yyyy-MM') AS month, count(o_orderkey) AS n_orders
+          |FROM m LEFT JOIN orders ON date_trunc('month', o_orderdate) = d
+          |GROUP BY 1
+          |ORDER BY 1""".stripMargin)
+    }
+  )
+}
