@@ -60,25 +60,31 @@ object SqlSurface {
 
     // ---- recursive CTE: gap-free monthly spine ----
     // WITH RECURSIVE is new in Spark 4.x. The spine generates every month
-    // of 1995 whether or not orders landed in it, then LEFT JOINs order
-    // counts — the gap-filling pattern a plain GROUP BY cannot produce
-    // (months with zero orders simply don't exist in the data). Literal
-    // bounds on purpose: each recursion step is one Spark job, so a
-    // data-driven endpoint would re-scan orders every round (measured
-    // ~0.3 s/round of pure fixed cost); a reporting window is a
-    // parameter, not something to rediscover per round. Depth 12,
-    // per-round frame is ONE row — cost is bounded by the final join,
-    // which shuffles |months| × |orders-in-window| keyed on month.
+    // of 1995 whether or not orders landed in it, then LEFT JOINs the
+    // per-month order counts — the gap-filling pattern a plain GROUP BY
+    // cannot produce (months with zero orders simply don't exist in the
+    // data). Two deliberate scale choices: (1) literal bounds — each
+    // recursion step is one Spark job, so a data-driven endpoint would
+    // re-scan orders every round (measured ~0.3 s/round of pure fixed
+    // cost); a reporting window is a parameter, not something to
+    // rediscover per round. (2) orders are aggregated to |months| rows
+    // BEFORE the spine join — joining the raw fact table on a 12-value
+    // month key would put all 100 TB through a 12-key shuffle (maximal
+    // skew); the narrow agg shuffles |months| rows instead and the year
+    // filter is pushed to the parquet scan.
     Q("q97_recursive_spine",
       """WITH RECURSIVE m(d) AS (
         |  SELECT TIMESTAMP '1995-01-01 00:00:00'
         |  UNION ALL
         |  SELECT d + INTERVAL 1 MONTH FROM m
-        |  WHERE d < TIMESTAMP '1995-12-01 00:00:00')
-        |SELECT strftime(d, '%Y-%m') AS month,
-        |  CAST(count(o_orderkey) AS BIGINT) AS n_orders
-        |FROM m LEFT JOIN orders ON date_trunc('month', o_orderdate) = d
-        |GROUP BY 1
+        |  WHERE d < TIMESTAMP '1995-12-01 00:00:00'),
+        |c AS (SELECT date_trunc('month', o_orderdate) AS od, count(*) AS n
+        |      FROM orders
+        |      WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1996-01-01'
+        |      GROUP BY 1)
+        |SELECT strftime(m.d, '%Y-%m') AS month,
+        |  CAST(coalesce(c.n, 0) AS BIGINT) AS n_orders
+        |FROM m LEFT JOIN c ON c.od = m.d
         |ORDER BY 1""".stripMargin) { (s, dir) =>
       Tables.views(s, dir)
       s.sql(
@@ -86,10 +92,13 @@ object SqlSurface {
           |  SELECT TIMESTAMP '1995-01-01 00:00:00'
           |  UNION ALL
           |  SELECT d + INTERVAL 1 MONTH FROM m
-          |  WHERE d < TIMESTAMP '1995-12-01 00:00:00')
-          |SELECT date_format(d, 'yyyy-MM') AS month, count(o_orderkey) AS n_orders
-          |FROM m LEFT JOIN orders ON date_trunc('month', o_orderdate) = d
-          |GROUP BY 1
+          |  WHERE d < TIMESTAMP '1995-12-01 00:00:00'),
+          |c AS (SELECT date_trunc('month', o_orderdate) AS od, count(*) AS n
+          |      FROM orders
+          |      WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1996-01-01'
+          |      GROUP BY 1)
+          |SELECT date_format(m.d, 'yyyy-MM') AS month, coalesce(c.n, 0L) AS n_orders
+          |FROM m LEFT JOIN c ON c.od = m.d
           |ORDER BY 1""".stripMargin)
     }
   )

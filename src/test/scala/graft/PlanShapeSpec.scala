@@ -47,4 +47,26 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("Subquery") || p.contains("scalar-subquery"),
       s"scalar subquery missing:\n$p")
   }
+
+  test("q91: packing window is partitioned by source — no global window") {
+    val p = plan("q91_sequence_packing")
+    assert(p.contains("Window"), s"no window in:\n$p")
+    assert(!p.contains("SinglePartition"),
+      s"packing fell back to a single-partition exchange:\n$p")
+  }
+
+  test("q93: corpus-level scalars are broadcast, top-k avoids a global sort") {
+    val p = plan("q93_bm25_search")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"df/avgdl one-row frames not broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-15 is a global sort:\n$p")
+  }
+
+  test("q96: LATERAL decorrelates to a group-limited window + join, not a loop") {
+    val p = plan("q96_lateral_topk")
+    assert(p.contains("WindowGroupLimit"),
+      s"per-nation LIMIT not pushed into a WindowGroupLimit:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"lateral planned as a cartesian re-scan:\n$p")
+  }
 }
