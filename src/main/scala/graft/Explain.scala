@@ -32,7 +32,8 @@ object Explain {
         val t0 = System.nanoTime()
         val df = SparkEntry.queries(name)(spark, sfDir)
         val n = df.count()
-        println(f"$name run$i: $n rows in ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        println(s"$name run$i: $n rows in ${String.format(java.util.Locale.ROOT,
+          "%.2f", Double.box((System.nanoTime() - t0) / 1e9))} s")
         if (i == 1 && sys.env.get("GRAFT_EXPLAIN").forall(_ == "1"))
           df.explain("formatted")
       }

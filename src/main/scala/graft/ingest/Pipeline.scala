@@ -240,10 +240,13 @@ object Pipeline {
                 // Observation.get has no timeout overload (getOrEmpty is
                 // private[sql]); a daemon-pool Future bounds the wait. A
                 // permanently-lost event parks at most one pool thread.
-                import scala.concurrent.{Await, Future}
+                import scala.concurrent.{Await, Future, blocking}
                 import scala.concurrent.ExecutionContext.Implicits.global
                 import scala.concurrent.duration._
-                Await.result(Future(obs.get), 30.seconds)
+                // blocking{}: tells the ForkJoinPool to grow a
+                // compensation thread, so a parked wait can never
+                // starve the shared pool even if many batches time out
+                Await.result(Future(blocking(obs.get)), 30.seconds)
               } catch {
                 case _: java.util.concurrent.TimeoutException =>
                   GraftLog.warn("observe() metrics not delivered — counting with a fallback job",

@@ -13,6 +13,18 @@ import graft.schema.Tables
   */
 object SqlSurface {
 
+  /** q96's SQL is dialect-identical, so ONE definition serves as both the
+    * Spark text and the DuckDB oracle — the same no-drift discipline as
+    * TextCommon (q95/q97 genuinely differ per dialect: listagg vs
+    * string_agg, date_format vs strftime). */
+  private val LateralSql =
+    """SELECT n.n_name AS nation, l.c_name AS c_name, l.c_acctbal AS acctbal
+      |FROM nation n, LATERAL (
+      |  SELECT c_name, c_acctbal FROM customer
+      |  WHERE c_nationkey = n.n_nationkey
+      |  ORDER BY c_acctbal DESC, c_name LIMIT 2) AS l
+      |ORDER BY nation, acctbal DESC, c_name""".stripMargin
+
   val qs: Seq[Q] = Seq(
 
     // ---- ordered-set string aggregation ----
@@ -41,21 +53,9 @@ object SqlSurface {
     // and Catalyst decorrelates it into a ranked join — same plan family
     // as q18's window top-k but expressed as the SQL standard's LATERAL.
     // Deterministic tiebreak on (acctbal DESC, name).
-    Q("q96_lateral_topk",
-      """SELECT n.n_name AS nation, l.c_name AS c_name, l.c_acctbal AS acctbal
-        |FROM nation n, LATERAL (
-        |  SELECT c_name, c_acctbal FROM customer
-        |  WHERE c_nationkey = n.n_nationkey
-        |  ORDER BY c_acctbal DESC, c_name LIMIT 2) AS l
-        |ORDER BY nation, acctbal DESC, c_name""".stripMargin) { (s, dir) =>
+    Q("q96_lateral_topk", LateralSql) { (s, dir) =>
       Tables.views(s, dir)
-      s.sql(
-        """SELECT n.n_name AS nation, l.c_name AS c_name, l.c_acctbal AS acctbal
-          |FROM nation n, LATERAL (
-          |  SELECT c_name, c_acctbal FROM customer
-          |  WHERE c_nationkey = n.n_nationkey
-          |  ORDER BY c_acctbal DESC, c_name LIMIT 2) AS l
-          |ORDER BY nation, acctbal DESC, c_name""".stripMargin)
+      s.sql(LateralSql)
     },
 
     // ---- recursive CTE: gap-free monthly spine ----

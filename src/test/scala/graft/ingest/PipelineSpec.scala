@@ -68,8 +68,12 @@ class PipelineSpec extends SparkSpec {
     s.sparkContext.removeSparkListener(jobListener)
     assert(jobSites.asScala.exists(_.contains("sentinel-drain")),
       s"listener bus failed to drain within 30s: $jobSites")
+    // "head at Pipeline" is the observe() TIMEOUT fallback's call site:
+    // in this test the listener event must always deliver, so the
+    // fallback firing at all means the observation wiring regressed.
     assert(!jobSites.asScala.exists(site =>
-      site.contains("first at") || site.contains("count at Pipeline")),
+      site.contains("first at") || site.contains("count at Pipeline") ||
+        site.contains("head at Pipeline")),
       s"per-batch counting spawned its own job: $jobSites")
 
     // batch_id is the idempotence partition key the sink writes under
