@@ -15,10 +15,19 @@ object Bench {
     // JVM/codegen warm-up outside the timed region: one tiny query so the
     // first measured query doesn't absorb executor/JIT bring-up cost.
     spark.range(1000).selectExpr("sum(id)").collect()
+    // Min-of-2 per query: this host's one-shot samples swing ~2× under
+    // load (BASELINE.md documents a 1.7× identical-code spread, and three
+    // rounds of verdicts re-adjudicated spurious "regressions"). The two
+    // runs are back-to-back, so run 2 pays no codegen/JIT cost and the
+    // extra wall time is roughly the suite's warm time — a bounded price
+    // for a sample that measures the code instead of the host.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> math.min(once(), once())
     }
     // ms precision and sorted keys keep the JSON line short and stable:
     // the harness captures a bounded stdout tail, and full-precision

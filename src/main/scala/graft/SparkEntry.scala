@@ -7,7 +7,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * `queries`/`oracleSql` are assembled from those. */
 object SparkEntry {
 
-  private def allQs: Seq[Q] =
+  private[graft] def allQs: Seq[Q] =
     ops.Relational.qs ++ ops.Ingest.qs ++ ops.Streamingish.qs ++
       ops.TextDedup.qs ++ ops.VectorSearch.qs ++ ops.TextAnalysis.qs ++
       ops.Multimodal.qs ++ ops.Extras.qs ++ ops.Curation.qs ++ ops.SqlSurface.qs

@@ -237,16 +237,13 @@ object Pipeline {
             // liveness of the stream is the wrong trade.
             val cnts: Map[String, Any] =
               try {
-                // Observation.get has no timeout overload (getOrEmpty is
-                // private[sql]); a daemon-pool Future bounds the wait. A
-                // permanently-lost event parks at most one pool thread.
-                import scala.concurrent.{Await, Future, blocking}
-                import scala.concurrent.ExecutionContext.Implicits.global
+                // Observation.future is public: Await bounds the wait on
+                // THIS thread — a lost listener event costs 30 s once and
+                // leaks nothing (no helper thread to park per batch).
+                import scala.concurrent.Await
                 import scala.concurrent.duration._
-                // blocking{}: tells the ForkJoinPool to grow a
-                // compensation thread, so a parked wait can never
-                // starve the shared pool even if many batches time out
-                Await.result(Future(blocking(obs.get)), 30.seconds)
+                val row = Await.result(obs.future, 30.seconds)
+                row.schema.fieldNames.zip(row.toSeq).toMap
               } catch {
                 case _: java.util.concurrent.TimeoutException =>
                   GraftLog.warn("observe() metrics not delivered — counting with a fallback job",

@@ -43,16 +43,17 @@ object ArrowColumnar {
     df.mapPartitions { rows =>
       val allocator = new RootAllocator()
       val vec = new Float8Vector("batch", allocator)
+      var closed = false
+      def closeBuffers(): Unit = if (!closed) { closed = true; vec.close(); allocator.close() }
       // buffers are off-heap: close on task end, not GC — covers both
       // normal exhaustion and early termination by the consumer
-      Option(TaskContext.get()).foreach(_.addTaskCompletionListener[Unit] { _ =>
-        vec.close(); allocator.close()
-      })
+      val taskCtx = Option(TaskContext.get())
+      taskCtx.foreach(_.addTaskCompletionListener[Unit](_ => closeBuffers()))
       // allocate ONCE at full batch capacity and reset() per batch:
       // allocateNew in the loop would free + re-malloc the off-heap
       // buffers for every batch (hundreds of cycles on a large partition)
       vec.allocateNew(batchSize)
-      rows.grouped(batchSize).flatMap { batch =>
+      val out = rows.grouped(batchSize).flatMap { batch =>
         vec.reset()
         var i = 0
         batch.foreach { r =>
@@ -65,6 +66,11 @@ object ArrowColumnar {
           val v: Any = if (vec.isNull(j)) null else vec.get(j)
           Row.fromSeq(r.toSeq :+ v)
         }
+      }
+      if (taskCtx.isDefined) out
+      else new Iterator[Row] { // no task context (driver-local run): close on exhaustion
+        def hasNext: Boolean = { val h = out.hasNext; if (!h) closeBuffers(); h }
+        def next(): Row = out.next()
       }
     }(Encoders.row(outSchema))
   }

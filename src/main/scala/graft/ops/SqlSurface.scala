@@ -100,6 +100,43 @@ object SqlSurface {
           |SELECT date_format(m.d, 'yyyy-MM') AS month, coalesce(c.n, 0L) AS n_orders
           |FROM m LEFT JOIN c ON c.od = m.d
           |ORDER BY 1""".stripMargin)
+    },
+
+    // ---- TABLESAMPLE: engine-side Bernoulli page/row sampling ----
+    // The SQL-standard sampling clause — REPEATABLE pins the seed so a
+    // re-run of the same plan samples the same rows, but the row set still
+    // depends on the engine's partitioning (seed + partition index), so no
+    // cross-engine oracle can hash-match: rows-only, like q57's
+    // DataFrame-side sample. Aggregated to |status| rows so the output
+    // shape is stable whatever the sample draws. Scale: sampling is
+    // evaluated inside the scan — each task keeps ~50% of its rows with
+    // zero shuffle, and the aggregate above it is a narrow 3-row agg.
+    Q.rowsOnly("q98_tablesample") { (s, dir) =>
+      Tables.views(s, dir)
+      s.sql(
+        """SELECT o_orderstatus, count(*) AS n_sampled
+          |FROM orders TABLESAMPLE (50 PERCENT) REPEATABLE (42)
+          |GROUP BY o_orderstatus
+          |ORDER BY o_orderstatus""".stripMargin)
+    },
+
+    // ---- ORDER BY ... LIMIT k OFFSET n: paginated top-k ----
+    // The pagination idiom. Spark folds LIMIT+OFFSET into one
+    // TakeOrderedAndProject (top-(k+n) per partition, drop n after the
+    // final merge) — never a global sort, so page depth costs k+n memory
+    // on one task, not a corpus sort. Dialect-identical SQL serves both
+    // engines; DECIMAL cast to DOUBLE on both sides per the parity rules.
+    Q("q99_limit_offset",
+      """SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS totalprice
+        |FROM orders
+        |ORDER BY totalprice DESC, o_orderkey
+        |LIMIT 10 OFFSET 20""".stripMargin) { (s, dir) =>
+      Tables.views(s, dir)
+      s.sql(
+        """SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS totalprice
+          |FROM orders
+          |ORDER BY totalprice DESC, o_orderkey
+          |LIMIT 10 OFFSET 20""".stripMargin)
     }
   )
 }

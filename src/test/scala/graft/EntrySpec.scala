@@ -13,11 +13,12 @@ class EntrySpec extends SparkSpec {
   }
 
   test("query names are unique across modules") {
-    val names = Seq(
-      ops.Relational.qs, ops.Ingest.qs, ops.Streamingish.qs,
-      ops.TextDedup.qs, ops.VectorSearch.qs, ops.TextAnalysis.qs,
-      ops.Multimodal.qs, ops.Extras.qs, ops.Curation.qs).flatten.map(_.name)
-    assert(names.distinct.size == names.size)
+    // derived from SparkEntry.allQs itself (the pre-toMap Seq) so a new
+    // module can never drift out of this check: a duplicate would shadow
+    // an entry in the queries Map silently
+    val names = SparkEntry.allQs.map(_.name)
+    val dups = names.groupBy(identity).collect { case (n, g) if g.size > 1 => n }
+    assert(dups.isEmpty, s"duplicate query names: $dups")
   }
 
   test("representative queries return rows at sf0.001") {

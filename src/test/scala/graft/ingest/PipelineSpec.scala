@@ -72,7 +72,7 @@ class PipelineSpec extends SparkSpec {
     // in this test the listener event must always deliver, so the
     // fallback firing at all means the observation wiring regressed.
     assert(!jobSites.asScala.exists(site =>
-      site.contains("first at") || site.contains("count at Pipeline") ||
+      site.contains("first at Pipeline") || site.contains("count at Pipeline") ||
         site.contains("head at Pipeline")),
       s"per-batch counting spawned its own job: $jobSites")
 
