@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Q
 import graft.schema.Tables.t
@@ -197,8 +196,11 @@ object Curation {
     // ---- curriculum interleave: fair round-robin across sources ----
     // Deterministic training-order construction: round r of the output
     // takes the r-th doc of every source (per-source row_number), so no
-    // source floods the head of the corpus. The window partitions by
-    // source — parallel across sources, nothing global — and the final
+    // source floods the head of the corpus. A window partitioned by bare
+    // `source` would funnel each source's ENTIRE history through one task
+    // (~20 sources = 20-task bottleneck at 100 TB), so the rank comes from
+    // Skew.groupedRowNumber's range-bucket + offset stitch — parallelism
+    // scales with data volume, not source count — and the final
     // ORDER BY + LIMIT is top-k (TakeOrderedAndProject), not a full sort.
     Q("q90_curriculum_interleave",
       """WITH r AS (SELECT doc_id, source,
@@ -208,10 +210,10 @@ object Curation {
         |FROM r
         |ORDER BY round, source, doc_id
         |LIMIT 100""".stripMargin) { (s, dir) =>
-      t(s, dir, "documents")
-        .select(col("doc_id"), col("source"),
-          row_number().over(Window.partitionBy(col("source")).orderBy(col("doc_id")))
-            .cast("long").as("round"))
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("source"))
+      Skew.groupedRowNumber(docs, Seq("source"), Seq(col("doc_id")),
+          numPartitions = 32, outCol = "round")
+        .select(col("doc_id"), col("source"), col("round"))
         .orderBy(col("round"), col("source"), col("doc_id"))
         .limit(100)
     },
@@ -221,10 +223,12 @@ object Curation {
     // docs FIFO (by doc_id) and cut the stream every 128 tokens; a doc
     // belongs to the pack its first token lands in (straddling docs stay
     // whole — contiguous greedy packing, the deterministic variant of
-    // what a sequence packer does before truncation). One running sum per
-    // source partition + one (source, pack) aggregate: window and shuffle
-    // both key on source, so 100 TB packs embarrassingly parallel across
-    // sources; no global ordering anywhere.
+    // what a sequence packer does before truncation). The running sum is
+    // Skew.groupedRunningSum's range-bucket + offset stitch, NOT a window
+    // partitioned by bare `source` (which would put each source's whole
+    // token stream through one task — a ~20-partition ceiling at 100 TB);
+    // the (source, pack) aggregate after it is narrow. No global ordering
+    // anywhere.
     Q("q91_sequence_packing",
       """WITH w AS (SELECT doc_id, source,
         |    CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS n_tokens
@@ -240,11 +244,10 @@ object Curation {
         |FROM c
         |GROUP BY 1, 2
         |ORDER BY source, pack_id""".stripMargin) { (s, dir) =>
-      val cumWin = Window.partitionBy(col("source")).orderBy(col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      t(s, dir, "documents")
+      val base = t(s, dir, "documents")
         .select(col("doc_id"), col("source"), size(wordsCol).cast("long").as("n_tokens"))
-        .withColumn("cum", sum(col("n_tokens")).over(cumWin))
+      Skew.groupedRunningSum(base, Seq("source"), Seq(col("doc_id")),
+          value = col("n_tokens"), numPartitions = 32, outCol = "cum")
         .groupBy(col("source"), expr("(cum - n_tokens) DIV 128").as("pack_id"))
         .agg(count(lit(1)).cast("long").as("n_docs"),
           sum(col("n_tokens")).cast("long").as("pack_tokens"),

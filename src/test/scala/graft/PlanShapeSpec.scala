@@ -48,11 +48,31 @@ class PlanShapeSpec extends SparkSpec {
       s"scalar subquery missing:\n$p")
   }
 
-  test("q91: packing window is partitioned by source — no global window") {
-    val p = plan("q91_sequence_packing")
-    assert(p.contains("Window"), s"no window in:\n$p")
-    assert(!p.contains("SinglePartition"),
-      s"packing fell back to a single-partition exchange:\n$p")
+  test("q90/q91: no window keyed on the bare low-cardinality source column") {
+    // A window partitioned by `source` alone caps parallelism at ~|sources|
+    // tasks regardless of cluster size. The grouped stitch must leave only
+    // windows keyed on (bucket, source) — every partitionSpec needs ≥2
+    // expressions — and no single-partition exchange anywhere.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    // AdaptiveSparkPlanExec is a LEAF node — collect must unwrap it by hand
+    def windowSpecs(p: SparkPlan): Seq[Seq[Any]] = p.collect {
+      case a: AdaptiveSparkPlanExec => windowSpecs(a.executedPlan)
+      case w: WindowExec => Seq(w.partitionSpec)
+    }.flatten
+    Seq("q90_curriculum_interleave", "q91_sequence_packing").foreach { n =>
+      val exec = SparkEntry.queries(n)(spark, sf001).queryExecution.executedPlan
+      val specs = windowSpecs(exec)
+      assert(specs.nonEmpty, s"$n: expected the stitch window in:\n$exec")
+      specs.foreach { spec =>
+        assert(spec.size >= 2,
+          s"$n: window partitioned on ${spec.mkString(", ")} alone — " +
+            s"low-cardinality bottleneck:\n$exec")
+      }
+      assert(!exec.toString.contains("SinglePartition"),
+        s"$n fell back to a single-partition exchange:\n$exec")
+    }
   }
 
   test("q93: corpus-level scalars are broadcast, top-k avoids a global sort") {

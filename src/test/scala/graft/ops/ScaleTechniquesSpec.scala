@@ -165,6 +165,38 @@ class ScaleTechniquesSpec extends SparkSpec {
     }
   }
 
+  test("property: grouped stitch matches the per-group window on skewed data") {
+    val s = spark
+    import s.implicits._
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val W = org.apache.spark.sql.expressions.Window
+    // deliberately skewed group sizes (one dominant group, some smaller
+    // than a bucket) and partition counts from 1 to more-than-groups; idx
+    // is the unique tiebreaker the contract requires
+    val listGen = Gen.listOfN(80, Gen.frequency(
+      6 -> Gen.const("a"), 3 -> Gen.const("b"), 1 -> Gen.oneOf("c", "d")))
+    (0 until 8).foreach { i =>
+      val groups = listGen.pureApply(Gen.Parameters.default, Seed(11L + i))
+      val nPart = 1 + i % 6
+      val df = groups.zipWithIndex
+        .map { case (g, idx) => (g, idx.toLong, (idx % 7 + 1).toLong) }
+        .toDF("g", "idx", "v")
+      val w = W.partitionBy($"g").orderBy($"idx")
+      def dump(d: org.apache.spark.sql.DataFrame, c: String) =
+        d.select("g", "idx", c).collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(t => (t._1, t._2)).toSeq
+      val expRn = dump(df.withColumn("rn", row_number().over(w).cast("long")), "rn")
+      val expCum = dump(df.withColumn("cum",
+        sum($"v").over(w.rowsBetween(W.unboundedPreceding, W.currentRow))), "cum")
+      val gotRn = dump(Skew.groupedRowNumber(df, Seq("g"), Seq($"idx"), nPart), "rn")
+      val gotCum = dump(
+        Skew.groupedRunningSum(df, Seq("g"), Seq($"idx"), $"v", nPart), "cum")
+      assert(gotRn == expRn, s"row numbers diverge at case $i (nPart=$nPart)")
+      assert(gotCum == expCum, s"running sums diverge at case $i (nPart=$nPart)")
+    }
+  }
+
   test("partitioned layout: static partition pruning reaches the scan") {
     val s = spark
     // At 100 TB the fact table lives partitioned by a time column; a
