@@ -74,4 +74,25 @@ object ArrowColumnar {
       }
     }(Encoders.row(outSchema))
   }
+
+  /** A real kernel through the seam: vectorized standardization
+    * `out = (in − mean) / std` as a tight loop over the Arrow buffer — the
+    * shape a SIMD/native normalization kernel takes (contiguous doubles in,
+    * contiguous doubles out, validity bitmap respected). `mean`/`std` are
+    * corpus-level scalars the caller computes with one aggregate first.
+    * Equivalence with the expression twin `(col − mean) / std` is exact:
+    * both are the same two IEEE-754 double ops per element
+    * (ArrowColumnarSpec asserts bit-identity). */
+  def zscore(df: DataFrame, in: String, out: String, mean: Double, std: Double,
+      batchSize: Int = 4096): DataFrame = {
+    require(std != 0.0 && !std.isNaN, s"std must be non-zero and finite, got $std")
+    mapDoubleBatches(df, in, out, batchSize) { vec =>
+      val n = vec.getValueCount
+      var i = 0
+      while (i < n) {
+        if (!vec.isNull(i)) vec.set(i, (vec.get(i) - mean) / std)
+        i += 1
+      }
+    }
+  }
 }

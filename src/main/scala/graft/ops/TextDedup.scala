@@ -109,8 +109,13 @@ object TextDedup {
     }
   }
 
-  private def jaccardPairsUncached(s: SparkSession, dir: String): DataFrame = {
-    val hs = cappedShingleRows(s, dir).select(col("doc_id"), col("h1").as("h"))
+  private def jaccardPairsUncached(s: SparkSession, dir: String): DataFrame =
+    jaccardPairsFrom(cappedShingleRows(s, dir).select(col("doc_id"), col("h1").as("h")))
+
+  /** The overlap self-join + Jaccard threshold over any (doc_id, h) shingle
+    * frame — shared by the conf-gated family path and q100's explicit-cap
+    * variant so the two can never drift. */
+  private def jaccardPairsFrom(hs: DataFrame): DataFrame = {
     val sizes = hs.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = hs.as("x").join(hs.as("y"),
         col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
@@ -449,6 +454,36 @@ object TextDedup {
       // materialization of the overlap join.
       val pairs = jaccardPairs(s, dir).select(col("doc_a"), col("doc_b"))
       clusterPairs(s, pairs).orderBy(col("doc_id"))
+    },
+
+    // ---- n-gram Jaccard under the doc-frequency skew cap ----
+    // The q42 pipeline with the stop-shingle cap ACTIVE (maxDf=3) and the
+    // identical filter in the oracle's CTE — so the skew-mitigation path
+    // (the one a 100 TB run would enable to bound the quadratic hot-key
+    // blowup) is itself oracle-checked, not just unit-tested. A shingle in
+    // >3 docs carries no pair signal worth K(K−1)/2 join rows; dropping it
+    // shrinks both intersection and union, so the jaccard values here
+    // legitimately differ from q42's exact ones — both engines compute the
+    // same capped statistic.
+    Q("q100_jaccard_capped",
+      s"""$ShingleCte,
+         |keep AS (SELECT h1 FROM sh GROUP BY h1 HAVING count(*) <= 3),
+         |hs AS (SELECT doc_id, h1 AS h FROM sh JOIN keep USING (h1)),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM hs GROUP BY doc_id),
+         |inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS i
+         |  FROM hs x JOIN hs y ON x.h = y.h AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b,
+         |  round(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
+         |FROM inter
+         |JOIN sizes sa ON doc_a = sa.doc_id
+         |JOIN sizes sb ON doc_b = sb.doc_id
+         |WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+      val capped = capDocFrequency(shingleRows(s, dir), maxDf = 3, key = "h1")
+      jaccardPairsFrom(capped.select(col("doc_id"), col("h1").as("h")))
+        .select(col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jaccard"))
+        .orderBy(col("doc_a"), col("doc_b"))
     }
   )
 }

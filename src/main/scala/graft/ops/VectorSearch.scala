@@ -69,6 +69,23 @@ object VectorSearch {
       when(dotExpr(vecCol, s"__p$j") > 0, lit(1 << j)).otherwise(lit(0))
     }.reduce(_ + _)
 
+  /** Corpus-level embedding standardization through the Arrow columnar
+    * seam: every component z-scored against the corpus mean/std — the
+    * feature-normalization pass that precedes clustering or quantization.
+    * Two scalars come from one aggregate (a bounded driver collect), then
+    * [[ArrowColumnar.zscore]] runs the normalization as a tight columnar
+    * kernel per batch — the seam a SIMD/native implementation would plug
+    * into. Output: (vec_id, pos, comp, z), one row per component. */
+  def componentZscores(s: org.apache.spark.sql.SparkSession, dir: String,
+      batchSize: Int = 4096): org.apache.spark.sql.DataFrame = {
+    val comps = t(s, dir, "embeddings")
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), col("pos"),
+        col("col").cast("double").as("comp"))
+    val stats = comps.agg(avg(col("comp")).as("m"), stddev_samp(col("comp")).as("sd")).head()
+    ArrowColumnar.zscore(comps, "comp", "z", stats.getDouble(0), stats.getDouble(1), batchSize)
+  }
+
   val qs: Seq[Q] = Seq(
 
     // ---- exact brute-force cosine top-k ----

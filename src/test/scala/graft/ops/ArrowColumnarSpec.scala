@@ -50,4 +50,29 @@ class ArrowColumnarSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("must be DOUBLE"))
   }
+
+  test("zscore kernel is bit-identical to the expression twin on embeddings") {
+    val s = spark
+    // the real operator: corpus standardization of embedding components
+    val got = VectorSearch.componentZscores(s, sf001, batchSize = 512)
+      .select("vec_id", "pos", "z")
+    // expression-based twin computed independently (same agg, codegen'd
+    // arithmetic instead of the Arrow kernel)
+    val comps = graft.schema.Tables.t(s, sf001, "embeddings")
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), col("pos"), col("col").cast("double").as("comp"))
+    val st = comps.agg(avg(col("comp")), stddev_samp(col("comp"))).head()
+    val twin = comps.select(col("vec_id"), col("pos"),
+      ((col("comp") - st.getDouble(0)) / st.getDouble(1)).as("z"))
+    // (x − m) / sd is the same two IEEE-754 ops in both paths → exact match
+    assert(got.count() == twin.count() && got.count() > 0)
+    assert(got.exceptAll(twin).isEmpty && twin.exceptAll(got).isEmpty)
+  }
+
+  test("zscore rejects a zero/NaN std") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(1.0, 2.0).toDF("x")
+    intercept[IllegalArgumentException](ArrowColumnar.zscore(df, "x", "z", 0.0, 0.0))
+  }
 }
