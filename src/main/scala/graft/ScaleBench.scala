@@ -1,0 +1,135 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Empirical scale validation of the dedup family (SCALE.md "Measured"
+  * section): the 100 TB claims are plan-shape-proven at 17 MB; this main
+  * measures them at ~1 GB on a DETERMINISTIC synthetic corpus with
+  *  - planted near-dup families: docs with id % 100 ∈ {1,2,3} are ~2%-
+  *    perturbed copies of their block head → 6 true pairs per 100 docs,
+  *    linear in corpus size by construction;
+  *  - a planted boilerplate hot key: 1% of docs share a fixed 22-word
+  *    header, so each header shingle's doc frequency grows with the
+  *    corpus and contributes O(n²/10⁴) candidate pairs UNCAPPED — the
+  *    exact skew pathology `graft.textdedup.maxShingleDf` exists to cut.
+  *
+  * It runs the REAL query code (SparkEntry.queries) against the generated
+  * directory at two corpus sizes, cap off and cap on, and prints one
+  * machine-grepped line per phase: wall seconds, output rows, input
+  * docs/sec, and shuffle-write MB (task-metrics listener). Linear vs
+  * quadratic growth is read off the candidate-pair counts between sizes.
+  *
+  * Everything is derived from xxhash64/md5 of literal strings — no RNG, no
+  * clock — so reruns and re-generations are byte-stable.
+  */
+object ScaleBench {
+
+  /** 22 words → 20 boilerplate 3-shingles per header-carrying doc. */
+  private val Boiler: String =
+    (0 until 22).map(i => s"boiler$i").mkString(" ")
+
+  private def gen(s: SparkSession, n: Long, dir: String): Unit = {
+    val out = new java.io.File(s"$dir/documents.parquet")
+    if (out.exists()) return
+    val df = s.range(0, n, 1, 64).toDF("id")
+      .withColumn("blockpos", pmod(col("id"), lit(100L)))
+      .withColumn("is_copy", col("blockpos").between(1, 3))
+      .withColumn("base_id",
+        when(col("is_copy"), col("id") - col("blockpos")).otherwise(col("id")))
+      .withColumn("n_words",
+        (lit(400) + pmod(xxhash64(concat(lit("len:"), col("base_id"))), lit(400L))).cast("int"))
+      // word k of a copy matches its base except at ~2% of positions
+      // (independent per copy, so copy↔copy Jaccard ≈ 0.85, well over the
+      // 0.5 near-dup threshold); vocabulary 50k keeps accidental 3-shingle
+      // collisions across unrelated docs at ~0
+      .withColumn("body", expr(
+        """concat_ws(' ', transform(sequence(0, n_words - 1), k ->
+          |  CASE WHEN is_copy AND pmod(xxhash64(concat('pert:', CAST(id AS STRING), ':', CAST(k AS STRING))), 50) = 0
+          |    THEN concat('p', CAST(pmod(xxhash64(concat('pw:', CAST(id AS STRING), ':', CAST(k AS STRING))), 50000) AS STRING))
+          |    ELSE concat('w', CAST(pmod(xxhash64(concat('bw:', CAST(base_id AS STRING), ':', CAST(k AS STRING))), 50000) AS STRING))
+          |  END))""".stripMargin))
+      .withColumn("text",
+        when(col("blockpos") === 50, concat(lit(Boiler + " "), col("body")))
+          .otherwise(col("body")))
+      .select(col("id").as("doc_id"),
+        concat(lit("s"), pmod(col("id"), lit(10L))).as("source"),
+        col("text"), length(col("text")).cast("long").as("n_chars"))
+    df.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sizes: Seq[Long] =
+      if (args.nonEmpty) args.toSeq.map(_.toLong) else Seq(100000L, 200000L)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val root = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "target/scaletest")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong()
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(te: SparkListenerTaskEnd): Unit =
+        Option(te.taskMetrics)
+          .foreach(m => shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten))
+    })
+    def f(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+
+    def phase(name: String, docs: Long)(body: => Long): Unit = {
+      val w0 = shuffleBytes.get()
+      val t0 = System.nanoTime()
+      val rows = body
+      val wall = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(1000) // let the async task-end events land
+      val mb = (shuffleBytes.get() - w0) / 1e6
+      println(s"""SCALE {"phase":"$name","docs":$docs,"wall_s":${f(wall)},""" +
+        s""""rows_out":$rows,"docs_per_s":${f(docs / wall)},"shuffle_mb":${f(mb)}}""")
+    }
+
+    sizes.foreach { n =>
+      val dir = s"$root/n$n"
+      val tGen0 = System.nanoTime()
+      gen(spark, n, dir)
+      println(s"SCALE corpus n=$n dir=$dir gen_s=${f((System.nanoTime() - tGen0) / 1e9)} " +
+        s"bytes=${spark.read.parquet(s"$dir/documents.parquet").inputFiles.map(p =>
+          new java.io.File(new java.net.URI(p).getPath).length()).sum}")
+      phase("scan_count", n) {
+        spark.read.parquet(s"$dir/documents.parquet").count()
+      }
+      phase("q40_exact", n) {
+        SparkEntry.queries("q40_dedup_exact")(spark, dir).count()
+      }
+      // ---- cap OFF: the quadratic boilerplate pathology is visible ----
+      phase("overlap_pairs_capOFF", n)(ops.TextDedup.overlapPairCount(spark, dir))
+      phase("q41_lsh_capOFF", n) {
+        SparkEntry.queries("q41_minhash_lsh")(spark, dir).count()
+      }
+      phase("q42_jaccard_capOFF", n) {
+        SparkEntry.queries("q42_ngram_jaccard")(spark, dir).count()
+      }
+      // ---- cap ON (maxDf=10): header shingles (df = n/100) drop out,
+      // family shingles (df ≤ 4) survive → candidates stay linear ----
+      spark.conf.set("graft.textdedup.maxShingleDf", "10")
+      try {
+        phase("overlap_pairs_capON", n)(ops.TextDedup.overlapPairCount(spark, dir))
+        phase("q41_lsh_capON", n) {
+          SparkEntry.queries("q41_minhash_lsh")(spark, dir).count()
+        }
+        phase("q42_jaccard_capON", n) {
+          SparkEntry.queries("q42_ngram_jaccard")(spark, dir).count()
+        }
+        phase("q72_clusters_capON", n) {
+          SparkEntry.queries("q72_neardup_clusters")(spark, dir).count()
+        }
+      } finally spark.conf.unset("graft.textdedup.maxShingleDf")
+      ops.CacheRegistry.clear(spark) // release this size's persisted frames
+    }
+    spark.stop()
+  }
+}

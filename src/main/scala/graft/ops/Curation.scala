@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.Q
 import graft.schema.Tables.t
@@ -20,6 +20,35 @@ object Curation {
   private val wordsCol: Column = TextCommon.wordsCol
 
   private def duckHex(expr: String, n: Int): String = TextCommon.duckHex(expr, n)
+
+  /** doc_id → distinct 10-word-chunk fingerprints: the MAP-SIDE stage of
+    * chunk-level dedup (explode + hash, fanout ≤ |words|/10 per doc, no
+    * shuffle until distinct). Factored out of q85 so the incremental
+    * composition — per-micro-batch extraction into the idempotent
+    * batch_id-keyed sink, aggregate over the accumulated store — runs the
+    * SAME code as the batch query (StreamingCurationSpec). */
+  def chunkFingerprints(docs: DataFrame): DataFrame = {
+    val chunksExpr = expr(
+      """CASE WHEN size(words) >= 10 THEN
+        |  transform(sequence(0, size(words) DIV 10 - 1),
+        |    i -> concat_ws(' ', slice(words, i*10+1, 10)))
+        |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin)
+    docs
+      .select(col("doc_id"), wordsCol.as("words"))
+      .select(col("doc_id"), explode(chunksExpr).as("chunk"))
+      .select(col("doc_id"), md5(col("chunk")).as("fp"))
+      .distinct()
+  }
+
+  /** The duplicate-report aggregate over (doc_id, fp) fingerprints — one
+    * shuffle on the 32-byte hash; works identically over a single batch
+    * frame or the union of many incrementally-written ones. */
+  def chunkDupReport(chunks: DataFrame): DataFrame =
+    chunks
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).cast("long").as("n_docs"), min(col("doc_id")).as("keeper_id"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(col("fp"))
 
   val qs: Seq[Q] = Seq(
 
@@ -43,20 +72,7 @@ object Curation {
         |GROUP BY fp
         |HAVING count(*) >= 2
         |ORDER BY fp""".stripMargin) { (s, dir) =>
-      val chunksExpr = expr(
-        """CASE WHEN size(words) >= 10 THEN
-          |  transform(sequence(0, size(words) DIV 10 - 1),
-          |    i -> concat_ws(' ', slice(words, i*10+1, 10)))
-          |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin)
-      t(s, dir, "documents")
-        .select(col("doc_id"), wordsCol.as("words"))
-        .select(col("doc_id"), explode(chunksExpr).as("chunk"))
-        .select(col("doc_id"), md5(col("chunk")).as("fp"))
-        .distinct()
-        .groupBy(col("fp"))
-        .agg(count(lit(1)).cast("long").as("n_docs"), min(col("doc_id")).as("keeper_id"))
-        .filter(col("n_docs") >= 2)
-        .orderBy(col("fp"))
+      chunkDupReport(chunkFingerprints(t(s, dir, "documents")))
     },
 
     // ---- mixture-weight application: balance sources by downsampling ----

@@ -55,7 +55,7 @@ object TextDedup {
     * parity is unaffected by the 2^-56 collision chance). Registered in
     * [[CacheRegistry]] so `clearCaches` releases it (no persist survives
     * Verify/Bench). */
-  private def shingleRows(s: SparkSession, dir: String): DataFrame =
+  private[ops] def shingleRows(s: SparkSession, dir: String): DataFrame =
     CacheRegistry.cache(s, s"textdedup-shingles:$dir") {
       t(s, dir, "documents")
         .select(col("doc_id"), wordsCol.as("words"))
@@ -128,6 +128,18 @@ object TextDedup {
       .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
       .filter(jac >= 0.5)
       .select(col("doc_a"), col("doc_b"), jac.as("jac"))
+  }
+
+  /** Scale probe (graft.ScaleBench): number of doc pairs sharing ≥1
+    * shingle after the optional doc-frequency cap — the candidate-set size
+    * the overlap join materializes. A boilerplate shingle in K docs alone
+    * contributes K(K−1)/2 of these, so this count is the direct evidence
+    * for whether the cap keeps candidate growth linear in corpus size. */
+  def overlapPairCount(s: SparkSession, dir: String): Long = {
+    val hs = cappedShingleRows(s, dir).select(col("doc_id"), col("h1").as("h"))
+    hs.as("x").join(hs.as("y"),
+        col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id"), col("y.doc_id")).distinct().count()
   }
 
   /** Connected components over near-dup pairs by iterative min-label

@@ -83,6 +83,35 @@ class ScaleTechniquesSpec extends SparkSpec {
     } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
 
+  test("bucketed shingle layout: q42's overlap self-join goes exchange-free") {
+    val s = spark
+    // A 100 TB dedup deployment persists the (doc_id, h) shingle frame
+    // between runs; bucketing it by the join key h makes the overlap
+    // self-join — the family's one fact⋈fact exchange — consume the bucket
+    // partitioning directly, mirroring the q02 proof. The only shuffle
+    // left is the (doc_a, doc_b) pair aggregate, which is unavoidable and
+    // |pairs|-sized, not |shingles|-sized.
+    val sh = TextDedup.shingleRows(s, sf001).select(col("doc_id"), col("h1").as("h"))
+    s.sql("DROP TABLE IF EXISTS sh_bucketed")
+    sh.write.bucketBy(8, "h").sortBy("h").mode("overwrite").saveAsTable("sh_bucketed")
+    val prevThreshold = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val b = s.table("sh_bucketed")
+      val pairs = b.as("x").join(b.as("y"),
+          col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("i"))
+      val plan = pairs.queryExecution.executedPlan.toString
+      assert(!plan.contains("hashpartitioning(h#"),
+        s"overlap join still shuffles on the shingle hash:\n$plan")
+      assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+        s"expected exactly the pair-aggregate exchange:\n$plan")
+      // and the bucketed path computes the same candidate set
+      assert(pairs.count() == TextDedup.overlapPairCount(s, sf001))
+    } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+
   test("shingle doc-frequency cap drops only the quadratic hot keys") {
     val s = spark
     import s.implicits._
