@@ -21,13 +21,17 @@ object Bench {
     // runs are back-to-back, so run 2 pays no codegen/JIT cost and the
     // extra wall time is roughly the suite's warm time — a bounded price
     // for a sample that measures the code instead of the host.
+    // A failed query reports -1, not its (fast) time-to-throw: a regression
+    // into an error must read as a failure in the JSON, never as a speedup.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+        val dt = (System.nanoTime() - t0) / 1e9
+        if (ok) dt else -1.0
       }
-      name -> math.min(once(), once())
+      val (a, b) = (once(), once())
+      name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
     // ms precision and sorted keys keep the JSON line short and stable:
     // the harness captures a bounded stdout tail, and full-precision
@@ -38,7 +42,7 @@ object Bench {
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => s""""$k":${f3(v)}""" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.map(_._2).filter(_ >= 0).sum // failures excluded (marked -1)
     println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     graft.ops.CacheRegistry.clear(spark) // release every operator cache
     spark.stop()

@@ -31,7 +31,10 @@ object ScaleBench {
     (0 until 22).map(i => s"boiler$i").mkString(" ")
 
   private def gen(s: SparkSession, n: Long, dir: String): Unit = {
-    val out = new java.io.File(s"$dir/documents.parquet")
+    // reuse only a COMPLETE previous generation: a crashed run leaves the
+    // directory without _SUCCESS, and measuring against a truncated corpus
+    // would silently corrupt every growth ratio
+    val out = new java.io.File(s"$dir/documents.parquet/_SUCCESS")
     if (out.exists()) return
     val df = s.range(0, n, 1, 64).toDF("id")
       .withColumn("blockpos", pmod(col("id"), lit(100L)))
@@ -86,7 +89,16 @@ object ScaleBench {
       val t0 = System.nanoTime()
       val rows = body
       val wall = (System.nanoTime() - t0) / 1e9
-      Thread.sleep(1000) // let the async task-end events land
+      // drain the async listener bus by quiescence: task-end events landing
+      // after a fixed sleep would be mis-attributed to the NEXT phase
+      var prev = -1L
+      var stable = 0
+      val deadline = System.currentTimeMillis() + 10000
+      while (stable < 3 && System.currentTimeMillis() < deadline) {
+        Thread.sleep(100)
+        val cur = shuffleBytes.get()
+        if (cur == prev) stable += 1 else { stable = 0; prev = cur }
+      }
       val mb = (shuffleBytes.get() - w0) / 1e6
       println(s"""SCALE {"phase":"$name","docs":$docs,"wall_s":${f(wall)},""" +
         s""""rows_out":$rows,"docs_per_s":${f(docs / wall)},"shuffle_mb":${f(mb)}}""")

@@ -228,7 +228,8 @@ object Curation {
         |LIMIT 100""".stripMargin) { (s, dir) =>
       val docs = t(s, dir, "documents").select(col("doc_id"), col("source"))
       Skew.groupedRowNumber(docs, Seq("source"), Seq(col("doc_id")),
-          numPartitions = 32, outCol = "round")
+          numPartitions = s.conf.get("spark.sql.shuffle.partitions").toInt,
+          outCol = "round")
         .select(col("doc_id"), col("source"), col("round"))
         .orderBy(col("round"), col("source"), col("doc_id"))
         .limit(100)
@@ -263,7 +264,9 @@ object Curation {
       val base = t(s, dir, "documents")
         .select(col("doc_id"), col("source"), size(wordsCol).cast("long").as("n_tokens"))
       Skew.groupedRunningSum(base, Seq("source"), Seq(col("doc_id")),
-          value = col("n_tokens"), numPartitions = 32, outCol = "cum")
+          value = col("n_tokens"),
+          numPartitions = s.conf.get("spark.sql.shuffle.partitions").toInt,
+          outCol = "cum")
         .groupBy(col("source"), expr("(cum - n_tokens) DIV 128").as("pack_id"))
         .agg(count(lit(1)).cast("long").as("n_docs"),
           sum(col("n_tokens")).cast("long").as("pack_tokens"),

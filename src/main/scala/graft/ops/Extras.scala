@@ -212,7 +212,7 @@ object Extras {
         .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
       graft.ops.Skew.globalRowNumber(base,
           Seq(col("l_extendedprice").desc, col("l_orderkey").asc, col("l_linenumber").asc),
-          numPartitions = 32)
+          numPartitions = s.conf.get("spark.sql.shuffle.partitions").toInt)
         .filter(col("rn") <= 1000)
         .select(col("l_orderkey"), col("l_linenumber"), col("rn"))
         .orderBy(col("rn"))

@@ -129,7 +129,13 @@ object Skew {
       sumCol: Option[String]): DataFrame = {
     require(numPartitions > 0, "numPartitions must be positive")
     require(group.nonEmpty, "group must be non-empty (use globalRowNumber)")
+    val reserved = Seq("__val", "__bucket", "__rn_off", "__sum_off")
+    require(!df.columns.exists(reserved.contains),
+      s"input must not carry the stitch's working columns ${reserved.mkString(", ")}")
     val groupCols = group.map(col)
+    // localCheckpoint blocks are not CacheRegistry-managed: they are
+    // released by the ContextCleaner once the returned frame is
+    // unreferenced (same lifecycle as clusterPairs' per-round checkpoints)
     val parted = df
       .withColumn("__val", value.getOrElse(lit(1L)).cast("long"))
       .repartitionByRange(numPartitions, groupCols ++ order: _*)
@@ -140,7 +146,7 @@ object Skew {
     // rows (each group's buckets are a contiguous range), so the collect
     // is a few KB even with thousands of buckets
     val slices = parted
-      .groupBy(col("__bucket") +: groupCols: _*)
+      .groupBy(col("__bucket") +: groupCols: _*) // groupBy keeps NULL groups
       .agg(count(lit(1)).as("__cnt"), coalesce(sum(col("__val")), lit(0L)).as("__sum"))
       .collect()
     val offsetRows: Seq[Row] = slices
@@ -155,15 +161,21 @@ object Skew {
           out
         }
       }.toSeq
+    // offset frame keeps the group columns under aliased names so the join
+    // can be NULL-SAFE on them: Window.partitionBy treats NULL as a regular
+    // partition, and a plain equi-join would silently drop those rows
     val offSchema = StructType(
-      StructField("__bucket", org.apache.spark.sql.types.IntegerType) +:
-        group.map(g => parted.schema(g).copy(name = g)) :+
+      StructField("__off_bucket", org.apache.spark.sql.types.IntegerType) +:
+        group.map(g => parted.schema(g).copy(name = s"__off_$g")) :+
         StructField("__rn_off", LongType) :+ StructField("__sum_off", LongType))
     import scala.jdk.CollectionConverters._
     val offsetDf = df.sparkSession.createDataFrame(offsetRows.asJava, offSchema)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__bucket") +: groupCols: _*).orderBy(order: _*)
-    var res = parted.join(broadcast(offsetDf), "__bucket" +: group)
+    val joinCond = (col("__bucket") === col("__off_bucket")) +:
+      group.map(g => col(g) <=> col(s"__off_$g"))
+    var res = parted.join(broadcast(offsetDf), joinCond.reduce(_ && _))
+      .drop("__off_bucket" +: group.map(g => s"__off_$g"): _*)
     rowNumCol.foreach { c =>
       res = res.withColumn(c, row_number().over(w) + col("__rn_off"))
     }

@@ -83,6 +83,10 @@ object VectorSearch {
       .select(col("vec_id"), col("pos"),
         col("col").cast("double").as("comp"))
     val stats = comps.agg(avg(col("comp")).as("m"), stddev_samp(col("comp")).as("sd")).head()
+    // avg of zero rows / stddev_samp of one row are NULL — fail with the
+    // real reason, not an NPE out of getDouble
+    require(!stats.isNullAt(0) && !stats.isNullAt(1),
+      "componentZscores needs at least 2 component rows (empty or degenerate corpus)")
     ArrowColumnar.zscore(comps, "comp", "z", stats.getDouble(0), stats.getDouble(1), batchSize)
   }
 

@@ -201,10 +201,13 @@ class ScaleTechniquesSpec extends SparkSpec {
     import org.scalacheck.rng.Seed
     val W = org.apache.spark.sql.expressions.Window
     // deliberately skewed group sizes (one dominant group, some smaller
-    // than a bucket) and partition counts from 1 to more-than-groups; idx
-    // is the unique tiebreaker the contract requires
+    // than a bucket), a NULL group (windows treat NULL as a regular
+    // partition — the stitch's offset join must be null-safe), and
+    // partition counts from 1 to more-than-groups; idx is the unique
+    // tiebreaker the contract requires
     val listGen = Gen.listOfN(80, Gen.frequency(
-      6 -> Gen.const("a"), 3 -> Gen.const("b"), 1 -> Gen.oneOf("c", "d")))
+      6 -> Gen.const("a"), 3 -> Gen.const("b"), 1 -> Gen.oneOf("c", "d"),
+      1 -> Gen.const(null: String)))
     (0 until 8).foreach { i =>
       val groups = listGen.pureApply(Gen.Parameters.default, Seed(11L + i))
       val nPart = 1 + i % 6
@@ -214,7 +217,8 @@ class ScaleTechniquesSpec extends SparkSpec {
       val w = W.partitionBy($"g").orderBy($"idx")
       def dump(d: org.apache.spark.sql.DataFrame, c: String) =
         d.select("g", "idx", c).collect()
-          .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(t => (t._1, t._2)).toSeq
+          .map(r => (Option(r.getString(0)).getOrElse("<null>"), r.getLong(1), r.getLong(2)))
+          .sortBy(t => (t._1, t._2)).toSeq
       val expRn = dump(df.withColumn("rn", row_number().over(w).cast("long")), "rn")
       val expCum = dump(df.withColumn("cum",
         sum($"v").over(w.rowsBetween(W.unboundedPreceding, W.currentRow))), "cum")
