@@ -394,6 +394,56 @@ object Curation {
         .agg(count(lit(1)).cast("long").as("n_docs"),
           min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
         .orderBy(col("source"), col("split"))
+    },
+
+    // ---- unigram log-probability quality score ----
+    // The cheapest language-model proxy a curation pipeline runs: score
+    // each doc by its mean token log-probability under the CORPUS unigram
+    // distribution (p(w) = count(w)/N). Very low = garbled/OOV-heavy text,
+    // very high = pure boilerplate — both pruning candidates. Per-doc
+    // Σ c_w·ln p(w) runs over word-sorted arrays in a FIXED fold order on
+    // both engines (the q88 discipline), so cross-row float summation
+    // can't flip the rounded result. Scale: one (doc, word) shuffle, one
+    // word-keyed join against the unigram table (hash-partitioned — the
+    // vocabulary outgrows broadcast at 100 TB), one doc shuffle with
+    // vocabulary-bounded arrays; N is a broadcast one-row frame.
+    Q("q101_unigram_logprob",
+      """WITH w AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+        |           FROM documents),
+        |cnt AS (SELECT doc_id, word, count(*) AS c FROM w GROUP BY doc_id, word),
+        |tot AS (SELECT word, CAST(sum(c) AS BIGINT) AS wc FROM cnt GROUP BY word),
+        |n AS (SELECT CAST(sum(c) AS BIGINT) AS n_total FROM cnt),
+        |d AS (SELECT cnt.doc_id AS doc_id,
+        |    CAST(sum(cnt.c) AS BIGINT) AS n_tokens,
+        |    list_sum(list_transform(
+        |      list(struct_pack(cd := CAST(cnt.c AS DOUBLE),
+        |                       lp := ln(CAST(tot.wc AS DOUBLE) / n_total))
+        |           ORDER BY cnt.word),
+        |      p -> p.cd * p.lp)) AS ll
+        |  FROM cnt JOIN tot USING (word), n
+        |  GROUP BY cnt.doc_id)
+        |SELECT doc_id, n_tokens, round(ll / n_tokens, 6) AS avg_logprob
+        |FROM d
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val cnt = t(s, dir, "documents")
+        .select(col("doc_id"), explode(wordsCol).as("word"))
+        .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("c"))
+      val tot = cnt.groupBy(col("word")).agg(sum(col("c")).cast("long").as("wc"))
+      val n = cnt.agg(sum(col("c")).cast("long").as("n_total"))
+      cnt.join(tot, Seq("word"))
+        .crossJoin(broadcast(n))
+        .withColumn("lp", log(col("wc").cast("double") / col("n_total")))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).cast("long").as("n_tokens"),
+          // word-sorted struct array + sequential fold = the oracle's
+          // list(… ORDER BY word) + list_sum order exactly
+          expr("""aggregate(
+                 |  transform(array_sort(collect_list(struct(word, CAST(c AS DOUBLE) AS cd, lp))),
+                 |    p -> p.cd * p.lp),
+                 |  CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)""".stripMargin).as("ll"))
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("ll") / col("n_tokens"), 6).as("avg_logprob"))
+        .orderBy(col("doc_id"))
     }
   )
 }

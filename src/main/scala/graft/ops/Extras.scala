@@ -411,6 +411,37 @@ object Extras {
           concat(lit("\""), col("l_returnflag"), lit("\",\""), col("l_linestatus"), lit("\""))
             .as("ref_csv"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))
+    },
+
+    // ---- window battery 3: lag/lead/last_value with IGNORE NULLS ----
+    // Gap-filling over a sparse column — carry the last known value
+    // forward within a partition (the sensor/price backfill idiom). The
+    // window keys on o_custkey (high-cardinality), so it parallelizes like
+    // q18; the sparse column is manufactured (F-status prices) so the
+    // NULL-skipping is genuinely exercised. DuckDB spells the modifier
+    // inside the call — lag(x IGNORE NULLS) — Spark's DataFrame overload
+    // takes ignoreNulls = true.
+    Q("q103_window_ignore_nulls",
+      """WITH b AS (SELECT o_orderkey, o_custkey,
+        |    CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DOUBLE) END AS px
+        |  FROM orders)
+        |SELECT o_orderkey, o_custkey, px,
+        |  lag(px IGNORE NULLS) OVER w AS prev_px,
+        |  last_value(px IGNORE NULLS) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_px
+        |FROM b
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+      val wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      graft.schema.Tables.t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          when(col("o_orderstatus") === "F", col("o_totalprice").cast("double")).as("px"))
+        .select(col("o_orderkey"), col("o_custkey"), col("px"),
+          lag(col("px"), 1, null, ignoreNulls = true).over(w).as("prev_px"),
+          last(col("px"), ignoreNulls = true).over(wf).as("filled_px"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
     }
   )
 }

@@ -120,6 +120,28 @@ object SqlSurface {
           |ORDER BY o_orderstatus""".stripMargin)
     },
 
+    // ---- GROUP BY ALL: group on every non-aggregate select column ----
+    // The modern-SQL convenience both engines support natively; the plan
+    // is a plain two-phase hash aggregate on the inferred keys, so the
+    // surface sugar costs nothing at scale. DECIMAL sum cast to DOUBLE on
+    // both sides per the parity rules; dialect-identical SQL serves both.
+    Q("q102_group_by_all",
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(o_totalprice) AS DOUBLE) AS total_price
+        |FROM orders
+        |GROUP BY ALL
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin) { (s, dir) =>
+      Tables.views(s, dir)
+      s.sql(
+        """SELECT o_orderstatus, o_orderpriority,
+          |  CAST(count(*) AS BIGINT) AS n_orders,
+          |  CAST(sum(o_totalprice) AS DOUBLE) AS total_price
+          |FROM orders
+          |GROUP BY ALL
+          |ORDER BY o_orderstatus, o_orderpriority""".stripMargin)
+    },
+
     // ---- ORDER BY ... LIMIT k OFFSET n: paginated top-k ----
     // The pagination idiom. Spark folds LIMIT+OFFSET into one
     // TakeOrderedAndProject (top-(k+n) per partition, drop n after the
