@@ -444,6 +444,63 @@ object Curation {
         .select(col("doc_id"), col("n_tokens"),
           round(col("ll") / col("n_tokens"), 6).as("avg_logprob"))
         .orderBy(col("doc_id"))
+    },
+
+    // ---- bigram PMI collocations (phrase mining) ----
+    // Pointwise mutual information over adjacent word pairs — the standard
+    // phrase-discovery pass before building a tokenizer/vocab: high-PMI
+    // pairs ("ice cream") co-occur far above chance. PMI =
+    // ln((c12/M) / ((c1/N)(c2/N))) from exact integer counts, so the only
+    // float math is per-row scalar ops both engines execute identically
+    // (q93's discipline). Min support c12 ≥ 3 kills singleton noise.
+    // Scale: one bigram shuffle (|tokens| rows), two hash joins against
+    // the unigram table (vocabulary-sized, outgrows broadcast at 100 TB),
+    // the two corpus totals broadcast as one-row frames, and top-k via
+    // TakeOrderedAndProject on the rounded score with an exact tiebreak.
+    Q("q104_bigram_pmi",
+      """WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS words
+        |           FROM documents),
+        |uni AS (SELECT unnest(words) AS word FROM w),
+        |ucnt AS (SELECT word, CAST(count(*) AS BIGINT) AS c FROM uni GROUP BY word),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM uni),
+        |bg AS (SELECT unnest(list_transform(range(1, greatest(len(words), 1)),
+        |           i -> struct_pack(w1 := words[i], w2 := words[i+1]))) AS b
+        |       FROM w),
+        |bcnt AS (SELECT b.w1 AS w1, b.w2 AS w2, CAST(count(*) AS BIGINT) AS c12
+        |         FROM bg GROUP BY b.w1, b.w2),
+        |m AS (SELECT CAST(sum(c12) AS BIGINT) AS m_total FROM bcnt)
+        |SELECT w1, w2, c12,
+        |  round(ln((CAST(c12 AS DOUBLE) / m_total)
+        |    / ((CAST(u1.c AS DOUBLE) / n_total) * (CAST(u2.c AS DOUBLE) / n_total))), 6) AS pmi
+        |FROM bcnt
+        |JOIN ucnt u1 ON w1 = u1.word
+        |JOIN ucnt u2 ON w2 = u2.word, n, m
+        |WHERE c12 >= 3
+        |ORDER BY pmi DESC, w1, w2
+        |LIMIT 20""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents").select(col("doc_id"), wordsCol.as("words"))
+      val uni = docs.select(explode(col("words")).as("word"))
+      val ucnt = uni.groupBy(col("word")).agg(count(lit(1)).cast("long").as("c"))
+      val n = uni.agg(count(lit(1)).cast("long").as("n_total"))
+      val bg = docs.select(explode(expr(
+        """CASE WHEN size(words) >= 2 THEN
+          |  transform(sequence(0, size(words) - 2),
+          |    i -> struct(words[i] AS w1, words[i+1] AS w2))
+          |ELSE CAST(array() AS ARRAY<STRUCT<w1: STRING, w2: STRING>>) END""".stripMargin)).as("b"))
+        .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val bcnt = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).cast("long").as("c12"))
+      val m = bcnt.agg(sum(col("c12")).cast("long").as("m_total"))
+      val pmi = log((col("c12").cast("double") / col("m_total"))
+        / ((col("u1c").cast("double") / col("n_total"))
+          * (col("u2c").cast("double") / col("n_total"))))
+      bcnt
+        .join(ucnt.select(col("word").as("w1"), col("c").as("u1c")), Seq("w1"))
+        .join(ucnt.select(col("word").as("w2"), col("c").as("u2c")), Seq("w2"))
+        .crossJoin(broadcast(n)).crossJoin(broadcast(m))
+        .filter(col("c12") >= 3)
+        .select(col("w1"), col("w2"), col("c12"), round(pmi, 6).as("pmi"))
+        .orderBy(col("pmi").desc, col("w1"), col("w2"))
+        .limit(20)
     }
   )
 }
