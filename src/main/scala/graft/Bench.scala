@@ -42,8 +42,11 @@ object Bench {
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => s""""$k":${f3(v)}""" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum // failures excluded (marked -1)
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // failures excluded from the sum but surfaced as a count: a shrinking
+    // total must never be the only trace of a query that now throws
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val nFailed = results.count(_._2 < 0)
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","failed":$nFailed,"queries":$qs,"sf":"$sfDir"}""")
     graft.ops.CacheRegistry.clear(spark) // release every operator cache
     spark.stop()
   }

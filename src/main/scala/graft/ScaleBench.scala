@@ -99,9 +99,11 @@ object ScaleBench {
         val cur = shuffleBytes.get()
         if (cur == prev) stable += 1 else { stable = 0; prev = cur }
       }
+      val drained = stable >= 3 // deadline hit ⇒ bytes may leak into the next phase
       val mb = (shuffleBytes.get() - w0) / 1e6
       println(s"""SCALE {"phase":"$name","docs":$docs,"wall_s":${f(wall)},""" +
-        s""""rows_out":$rows,"docs_per_s":${f(docs / wall)},"shuffle_mb":${f(mb)}}""")
+        s""""rows_out":$rows,"docs_per_s":${f(docs / wall)},"shuffle_mb":${f(mb)},""" +
+        s""""drained":$drained}""")
     }
 
     sizes.foreach { n =>

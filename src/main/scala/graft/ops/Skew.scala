@@ -129,7 +129,8 @@ object Skew {
       sumCol: Option[String]): DataFrame = {
     require(numPartitions > 0, "numPartitions must be positive")
     require(group.nonEmpty, "group must be non-empty (use globalRowNumber)")
-    val reserved = Seq("__val", "__bucket", "__rn_off", "__sum_off")
+    val reserved = Seq("__val", "__bucket", "__rn_off", "__sum_off",
+      "__off_bucket") ++ group.map(g => s"__off_$g")
     require(!df.columns.exists(reserved.contains),
       s"input must not carry the stitch's working columns ${reserved.mkString(", ")}")
     val groupCols = group.map(col)
