@@ -442,6 +442,32 @@ object Extras {
           lag(col("px"), 1, null, ignoreNulls = true).over(w).as("prev_px"),
           last(col("px"), ignoreNulls = true).over(wf).as("filled_px"))
         .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+
+    // ---- salted hot-key join, oracle-checked at the query level ----
+    // Skew.saltedJoin spreads a dominant join key across `buckets`
+    // reducers (left salted by a discriminator hash, right replicated per
+    // salt) — the mitigation for the one-reducer-gets-the-world shape AQE
+    // can't always split. The oracle is the PLAIN join: salting must be
+    // invisible in the result, and this query proves it against DuckDB
+    // the way q100 proves the shingle cap (skew paths are oracle-checked,
+    // not just unit-tested).
+    Q("q105_salted_join",
+      """SELECT l_orderkey, o_orderstatus,
+        |  CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(sum(l_quantity) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY l_orderkey, o_orderstatus
+        |ORDER BY l_orderkey, o_orderstatus""".stripMargin) { (s, dir) =>
+      val li = graft.schema.Tables.t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      val o = graft.schema.Tables.t(s, dir, "orders")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus"))
+      graft.ops.Skew.saltedJoin(li, o, "l_orderkey", "l_linenumber", buckets = 8)
+        .groupBy(col("l_orderkey"), col("o_orderstatus"))
+        .agg(count(lit(1)).cast("long").as("n_lines"),
+          sum(col("l_quantity")).cast("double").as("sum_qty"))
+        .orderBy(col("l_orderkey"), col("o_orderstatus"))
     }
   )
 }
