@@ -62,6 +62,26 @@ object ScaleBench {
     df.write.mode("overwrite").parquet(s"$dir/documents.parquet")
   }
 
+  /** Planted-cluster embedding corpus for the ANN family: 20 well-
+    * separated cluster centers (one per label), each vector = its center
+    * plus bounded per-component noise — so the TRUE neighbor structure is
+    * known by construction and recall of the approximate paths is
+    * measurable, not guessed. Same schema as the driver's table
+    * (vec_id BIGINT, embedding ARRAY<FLOAT>, label INT). */
+  private def genEmbeddings(s: SparkSession, n: Long, dir: String): Unit = {
+    val out = new java.io.File(s"$dir/embeddings.parquet/_SUCCESS")
+    if (out.exists()) return
+    s.range(0, n, 1, 32).toDF("id")
+      .withColumn("label", pmod(col("id"), lit(20L)).cast("int"))
+      .withColumn("embedding", expr(
+        """transform(sequence(0, 63), j -> CAST(
+          |  (pmod(xxhash64(concat('c:', CAST(label AS STRING), ':', CAST(j AS STRING))), 2001) / 1000.0 - 1.0)
+          |  + (pmod(xxhash64(concat('n:', CAST(id AS STRING), ':', CAST(j AS STRING))), 401) / 1000.0 - 0.2)
+          |AS FLOAT))""".stripMargin))
+      .select(col("id").as("vec_id"), col("embedding"), col("label"))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+  }
+
   def main(args: Array[String]): Unit = {
     val sizes: Seq[Long] =
       if (args.nonEmpty) args.toSeq.map(_.toLong) else Seq(100000L, 200000L)
@@ -142,6 +162,28 @@ object ScaleBench {
           SparkEntry.queries("q72_neardup_clusters")(spark, dir).count()
         }
       } finally spark.conf.unset("graft.textdedup.maxShingleDf")
+      // ---- ANN family: timing + recall against the planted clusters ----
+      genEmbeddings(spark, n, dir)
+      phase("q44_bruteforce", n) {
+        SparkEntry.queries("q44_cosine_topk")(spark, dir).count()
+      }
+      phase("q45_ann_lsh", n) {
+        SparkEntry.queries("q45_ann_lsh")(spark, dir).count()
+      }
+      phase("q59_ann_ivf", n) {
+        SparkEntry.queries("q59_ann_ivf")(spark, dir).count()
+      }
+      // recall of the approximate paths vs the exact top-k (warm reruns)
+      def topIds(name: String, k: Int): Seq[Long] =
+        SparkEntry.queries(name)(spark, dir).limit(k)
+          .collect().map(_.getLong(0)).toSeq
+      val exact10 = topIds("q44_cosine_topk", 10)
+      val lsh10 = topIds("q45_ann_lsh", 10)
+      val ivf5 = topIds("q59_ann_ivf", 5)
+      val rLsh = exact10.intersect(lsh10).size / 10.0
+      val rIvf = exact10.take(5).intersect(ivf5).size / 5.0
+      println(s"""SCALE {"phase":"ann_recall","docs":$n,""" +
+        s""""recall_lsh_at10":${f(rLsh)},"recall_ivf_at5":${f(rIvf)}}""")
       ops.CacheRegistry.clear(spark) // release this size's persisted frames
     }
     spark.stop()
