@@ -173,17 +173,23 @@ object ScaleBench {
       phase("q59_ann_ivf", n) {
         SparkEntry.queries("q59_ann_ivf")(spark, dir).count()
       }
+      phase("q106_ann_multiprobe", n) {
+        SparkEntry.queries("q106_ann_multiprobe")(spark, dir).count()
+      }
       // recall of the approximate paths vs the exact top-k (warm reruns)
       def topIds(name: String, k: Int): Seq[Long] =
         SparkEntry.queries(name)(spark, dir).limit(k)
           .collect().map(_.getLong(0)).toSeq
       val exact10 = topIds("q44_cosine_topk", 10)
       val lsh10 = topIds("q45_ann_lsh", 10)
+      val multi10 = topIds("q106_ann_multiprobe", 10)
       val ivf5 = topIds("q59_ann_ivf", 5)
       val rLsh = exact10.intersect(lsh10).size / 10.0
+      val rMulti = exact10.intersect(multi10).size / 10.0
       val rIvf = exact10.take(5).intersect(ivf5).size / 5.0
       println(s"""SCALE {"phase":"ann_recall","docs":$n,""" +
-        s""""recall_lsh_at10":${f(rLsh)},"recall_ivf_at5":${f(rIvf)}}""")
+        s""""recall_lsh_at10":${f(rLsh)},"recall_multiprobe_at10":${f(rMulti)},""" +
+        s""""recall_ivf_at5":${f(rIvf)}}""")
       ops.CacheRegistry.clear(spark) // release this size's persisted frames
     }
     spark.stop()

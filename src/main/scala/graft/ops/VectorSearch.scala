@@ -202,6 +202,55 @@ object VectorSearch {
         .limit(5)
     },
 
+    // ---- multi-probe LSH ANN: query bucket + Hamming-1 neighbors ----
+    // The recall knob single-probe LSH lacks (ScaleBench measured q45 at
+    // 0.5–0.7 recall@10 on planted clusters): a true neighbor differing
+    // from the query in ONE hyperplane sign lands in a code one bit away,
+    // so probing the query's code plus its NumPlanes Hamming-1 neighbors
+    // multiplies candidates by ≤ (1 + planes) while staying an equi-join
+    // on the code — same shuffle shape, no cross join. Top-10 by exact
+    // cosine over the probed union, TakeOrderedAndProject.
+    Q("q106_ann_multiprobe", {
+      val planeCols = (0 until NumPlanes)
+        .map(j => s"${duckPlaneList(j)} AS p$j").mkString(",\n    ")
+      def codeSql(vec: String) = (0 until NumPlanes)
+        .map(j => s"(CASE WHEN ${duckDot(vec, s"p$j")} > 0 THEN ${1 << j} ELSE 0 END)")
+        .mkString(" + ")
+      val probeList = ("qcode" +: (0 until NumPlanes)
+        .map(j => s"xor(qcode, ${1 << j})")).mkString("[", ", ", "]")
+      s"""WITH p AS (SELECT
+         |    $planeCols),
+         |coded AS (SELECT vec_id, embedding, ${codeSql("embedding")} AS code
+         |  FROM embeddings, p),
+         |q AS (SELECT embedding AS qe, code AS qcode FROM coded WHERE vec_id = 0),
+         |probes AS (SELECT qe, unnest($probeList) AS probe FROM q)
+         |SELECT vec_id, round(
+         |  $DuckCos, 6) AS cos_sim
+         |FROM coded, probes
+         |WHERE vec_id <> 0 AND code = probe
+         |ORDER BY cos_sim DESC, vec_id
+         |LIMIT 10""".stripMargin
+    }) { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val withPlanes = (0 until NumPlanes).foldLeft(emb) { (df, j) =>
+        df.withColumn(s"__p$j", sparkPlaneArray(j))
+      }
+      val coded = withPlanes
+        .select(col("vec_id"), col("embedding"), sparkCode("embedding").as("code"))
+      val probeExprs = (col("qcode") +: (0 until NumPlanes)
+        .map(j => col("qcode").bitwiseXOR(lit(1 << j)))).map(_.cast("int"))
+      val probes = coded.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qe"), col("code").as("qcode"))
+        .select(col("qe"), explode(array(probeExprs: _*)).as("probe"))
+      coded.filter(col("vec_id") =!= 0)
+        .join(broadcast(probes), col("code") === col("probe"))
+        .select(col("vec_id"),
+          round(dotExpr("embedding", "qe") / (normExpr("embedding") * normExpr("qe")), 6)
+            .as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+        .limit(10)
+    },
+
     // ---- embedding-cosine near-duplicate pairs, LSH-blocked ----
     // The blocking trick from text dedup applied to vectors: only pairs
     // sharing a hyperplane bucket are compared, so candidate generation is
