@@ -446,6 +446,40 @@ object Curation {
         .orderBy(col("doc_id"))
     },
 
+    // ---- cross-source contamination matrix ----
+    // Which sources share verbatim 10-word chunks — the leakage report a
+    // mixture pipeline runs before treating sources as independent (and
+    // before attributing dedup budget): reuses q85's chunk stage, joins
+    // source on, and counts DISTINCT shared fingerprints per unordered
+    // source pair. Scale: the self-join keys on the 32-byte chunk hash
+    // (hash-partitioned, bounded per-key fanout ≤ |sources|), output is
+    // ≤ |sources|²/2 rows — a report, never a corpus-sized frame.
+    Q("q107_source_overlap",
+      """WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS words
+        |           FROM documents),
+        |ch AS (SELECT DISTINCT doc_id,
+        |    md5(unnest(list_transform(range(0, len(words) // 10),
+        |      i -> array_to_string(words[i*10+1 : i*10+10], ' ')))) AS fp
+        |  FROM w),
+        |sc AS (SELECT DISTINCT d.source AS source, c.fp AS fp
+        |       FROM ch c JOIN documents d USING (doc_id))
+        |SELECT a.source AS source_a, b.source AS source_b,
+        |  CAST(count(*) AS BIGINT) AS shared_chunks
+        |FROM sc a JOIN sc b ON a.fp = b.fp AND a.source < b.source
+        |GROUP BY 1, 2
+        |ORDER BY source_a, source_b""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val sc = chunkFingerprints(docs)
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .select(col("source"), col("fp"))
+        .distinct()
+      sc.as("a").join(sc.as("b"),
+          col("a.fp") === col("b.fp") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+        .agg(count(lit(1)).cast("long").as("shared_chunks"))
+        .orderBy(col("source_a"), col("source_b"))
+    },
+
     // ---- bigram PMI collocations (phrase mining) ----
     // Pointwise mutual information over adjacent word pairs — the standard
     // phrase-discovery pass before building a tokenizer/vocab: high-PMI
