@@ -82,6 +82,22 @@ object ScaleBench {
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
   }
 
+  /** Adversarial twin of [[genEmbeddings]]: pure per-component noise, no
+    * cluster structure at all — the worst case for any coarse quantizer.
+    * Labels exist (schema parity) but carry no geometry. */
+  private def genUniformEmbeddings(s: SparkSession, n: Long, dir: String): Unit = {
+    val out = new java.io.File(s"$dir/embeddings.parquet/_SUCCESS")
+    if (out.exists()) return
+    s.range(0, n, 1, 32).toDF("id")
+      .withColumn("label", pmod(col("id"), lit(20L)).cast("int"))
+      .withColumn("embedding", expr(
+        """transform(sequence(0, 63), j -> CAST(
+          |  pmod(xxhash64(concat('u:', CAST(id AS STRING), ':', CAST(j AS STRING))), 2001) / 1000.0 - 1.0
+          |AS FLOAT))""".stripMargin))
+      .select(col("id").as("vec_id"), col("embedding"), col("label"))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+  }
+
   def main(args: Array[String]): Unit = {
     val sizes: Seq[Long] =
       if (args.nonEmpty) args.toSeq.map(_.toLong) else Seq(100000L, 200000L)
@@ -190,6 +206,19 @@ object ScaleBench {
       println(s"""SCALE {"phase":"ann_recall","docs":$n,""" +
         s""""recall_lsh_at10":${f(rLsh)},"recall_multiprobe_at10":${f(rMulti)},""" +
         s""""recall_ivf_at5":${f(rIvf)}}""")
+      // ---- adversarial ANN: UNIFORM vectors (no structure to exploit) ----
+      val udir = s"$root/u$n"
+      genUniformEmbeddings(spark, n, udir)
+      def topIdsU(name: String, k: Int): Seq[Long] =
+        SparkEntry.queries(name)(spark, udir).limit(k)
+          .collect().map(_.getLong(0)).toSeq
+      val uExact10 = topIdsU("q44_cosine_topk", 10)
+      val uLsh = uExact10.intersect(topIdsU("q45_ann_lsh", 10)).size / 10.0
+      val uMulti = uExact10.intersect(topIdsU("q106_ann_multiprobe", 10)).size / 10.0
+      val uIvf = uExact10.take(5).intersect(topIdsU("q59_ann_ivf", 5)).size / 5.0
+      println(s"""SCALE {"phase":"ann_recall_uniform","docs":$n,""" +
+        s""""recall_lsh_at10":${f(uLsh)},"recall_multiprobe_at10":${f(uMulti)},""" +
+        s""""recall_ivf_at5":${f(uIvf)}}""")
       ops.CacheRegistry.clear(spark) // release this size's persisted frames
     }
     spark.stop()
