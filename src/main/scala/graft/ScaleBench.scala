@@ -62,40 +62,45 @@ object ScaleBench {
     df.write.mode("overwrite").parquet(s"$dir/documents.parquet")
   }
 
+  /** Embedding-corpus formula version: bumped whenever a generator
+    * expression changes, so a stale previously-generated corpus can never
+    * be silently measured against new code. */
+  private val EmbVersion = "v1"
+
   /** Planted-cluster embedding corpus for the ANN family: 20 well-
     * separated cluster centers (one per label), each vector = its center
     * plus bounded per-component noise — so the TRUE neighbor structure is
     * known by construction and recall of the approximate paths is
     * measurable, not guessed. Same schema as the driver's table
     * (vec_id BIGINT, embedding ARRAY<FLOAT>, label INT). */
-  private def genEmbeddings(s: SparkSession, n: Long, dir: String): Unit = {
-    val out = new java.io.File(s"$dir/embeddings.parquet/_SUCCESS")
-    if (out.exists()) return
-    s.range(0, n, 1, 32).toDF("id")
-      .withColumn("label", pmod(col("id"), lit(20L)).cast("int"))
-      .withColumn("embedding", expr(
-        """transform(sequence(0, 63), j -> CAST(
-          |  (pmod(xxhash64(concat('c:', CAST(label AS STRING), ':', CAST(j AS STRING))), 2001) / 1000.0 - 1.0)
-          |  + (pmod(xxhash64(concat('n:', CAST(id AS STRING), ':', CAST(j AS STRING))), 401) / 1000.0 - 0.2)
-          |AS FLOAT))""".stripMargin))
-      .select(col("id").as("vec_id"), col("embedding"), col("label"))
-      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
-  }
+  private val ClusteredEmbExpr =
+    """transform(sequence(0, 63), j -> CAST(
+      |  (pmod(xxhash64(concat('c:', CAST(label AS STRING), ':', CAST(j AS STRING))), 2001) / 1000.0 - 1.0)
+      |  + (pmod(xxhash64(concat('n:', CAST(id AS STRING), ':', CAST(j AS STRING))), 401) / 1000.0 - 0.2)
+      |AS FLOAT))""".stripMargin
 
-  /** Adversarial twin of [[genEmbeddings]]: pure per-component noise, no
-    * cluster structure at all — the worst case for any coarse quantizer.
-    * Labels exist (schema parity) but carry no geometry. */
-  private def genUniformEmbeddings(s: SparkSession, n: Long, dir: String): Unit = {
-    val out = new java.io.File(s"$dir/embeddings.parquet/_SUCCESS")
-    if (out.exists()) return
+  /** Adversarial twin: pure per-component noise, no cluster structure at
+    * all — the worst case for any coarse quantizer. Labels exist (schema
+    * parity) but carry no geometry. */
+  private val UniformEmbExpr =
+    """transform(sequence(0, 63), j -> CAST(
+      |  pmod(xxhash64(concat('u:', CAST(id AS STRING), ':', CAST(j AS STRING))), 2001) / 1000.0 - 1.0
+      |AS FLOAT))""".stripMargin
+
+  private def genEmbeddings(s: SparkSession, n: Long, dir: String, embExpr: String): Unit = {
+    val success = new java.io.File(s"$dir/embeddings.parquet/_SUCCESS")
+    val marker = java.nio.file.Paths.get(s"$dir/embeddings.version")
+    val current = s"$EmbVersion:${embExpr.hashCode}"
+    val upToDate = success.exists() &&
+      java.nio.file.Files.exists(marker) &&
+      new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == current
+    if (upToDate) return
     s.range(0, n, 1, 32).toDF("id")
       .withColumn("label", pmod(col("id"), lit(20L)).cast("int"))
-      .withColumn("embedding", expr(
-        """transform(sequence(0, 63), j -> CAST(
-          |  pmod(xxhash64(concat('u:', CAST(id AS STRING), ':', CAST(j AS STRING))), 2001) / 1000.0 - 1.0
-          |AS FLOAT))""".stripMargin))
+      .withColumn("embedding", expr(embExpr))
       .select(col("id").as("vec_id"), col("embedding"), col("label"))
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    java.nio.file.Files.write(marker, current.getBytes("UTF-8"))
   }
 
   def main(args: Array[String]): Unit = {
@@ -179,7 +184,7 @@ object ScaleBench {
         }
       } finally spark.conf.unset("graft.textdedup.maxShingleDf")
       // ---- ANN family: timing + recall against the planted clusters ----
-      genEmbeddings(spark, n, dir)
+      genEmbeddings(spark, n, dir, ClusteredEmbExpr)
       phase("q44_bruteforce", n) {
         SparkEntry.queries("q44_cosine_topk")(spark, dir).count()
       }
@@ -192,33 +197,31 @@ object ScaleBench {
       phase("q106_ann_multiprobe", n) {
         SparkEntry.queries("q106_ann_multiprobe")(spark, dir).count()
       }
-      // recall of the approximate paths vs the exact top-k (warm reruns)
-      def topIds(name: String, k: Int): Seq[Long] =
-        SparkEntry.queries(name)(spark, dir).limit(k)
+      // recall of the approximate paths vs the exact top-k (warm reruns);
+      // denominators are the ACTUAL exact-result sizes so a small debug
+      // corpus (exact top-k shorter than k) can't deflate recall silently
+      def topIds(d: String)(name: String, k: Int): Seq[Long] =
+        SparkEntry.queries(name)(spark, d).limit(k)
           .collect().map(_.getLong(0)).toSeq
-      val exact10 = topIds("q44_cosine_topk", 10)
-      val lsh10 = topIds("q45_ann_lsh", 10)
-      val multi10 = topIds("q106_ann_multiprobe", 10)
-      val ivf5 = topIds("q59_ann_ivf", 5)
-      val rLsh = exact10.intersect(lsh10).size / 10.0
-      val rMulti = exact10.intersect(multi10).size / 10.0
-      val rIvf = exact10.take(5).intersect(ivf5).size / 5.0
-      println(s"""SCALE {"phase":"ann_recall","docs":$n,""" +
-        s""""recall_lsh_at10":${f(rLsh)},"recall_multiprobe_at10":${f(rMulti)},""" +
-        s""""recall_ivf_at5":${f(rIvf)}}""")
+      def recallLine(phaseName: String, d: String): Unit = {
+        val ids = topIds(d) _
+        val exact10 = ids("q44_cosine_topk", 10)
+        val exact5 = exact10.take(5)
+        val rLsh = exact10.intersect(ids("q45_ann_lsh", 10)).size.toDouble /
+          math.max(exact10.size, 1)
+        val rMulti = exact10.intersect(ids("q106_ann_multiprobe", 10)).size.toDouble /
+          math.max(exact10.size, 1)
+        val rIvf = exact5.intersect(ids("q59_ann_ivf", 5)).size.toDouble /
+          math.max(exact5.size, 1)
+        println(s"""SCALE {"phase":"$phaseName","docs":$n,""" +
+          s""""recall_lsh_at10":${f(rLsh)},"recall_multiprobe_at10":${f(rMulti)},""" +
+          s""""recall_ivf_at5":${f(rIvf)}}""")
+      }
+      recallLine("ann_recall", dir)
       // ---- adversarial ANN: UNIFORM vectors (no structure to exploit) ----
       val udir = s"$root/u$n"
-      genUniformEmbeddings(spark, n, udir)
-      def topIdsU(name: String, k: Int): Seq[Long] =
-        SparkEntry.queries(name)(spark, udir).limit(k)
-          .collect().map(_.getLong(0)).toSeq
-      val uExact10 = topIdsU("q44_cosine_topk", 10)
-      val uLsh = uExact10.intersect(topIdsU("q45_ann_lsh", 10)).size / 10.0
-      val uMulti = uExact10.intersect(topIdsU("q106_ann_multiprobe", 10)).size / 10.0
-      val uIvf = uExact10.take(5).intersect(topIdsU("q59_ann_ivf", 5)).size / 5.0
-      println(s"""SCALE {"phase":"ann_recall_uniform","docs":$n,""" +
-        s""""recall_lsh_at10":${f(uLsh)},"recall_multiprobe_at10":${f(uMulti)},""" +
-        s""""recall_ivf_at5":${f(uIvf)}}""")
+      genEmbeddings(spark, n, udir, UniformEmbExpr)
+      recallLine("ann_recall_uniform", udir)
       ops.CacheRegistry.clear(spark) // release this size's persisted frames
     }
     spark.stop()

@@ -469,10 +469,15 @@ object Curation {
         |GROUP BY 1, 2
         |ORDER BY source_a, source_b""".stripMargin) { (s, dir) =>
       val docs = t(s, dir, "documents")
-      val sc = chunkFingerprints(docs)
-        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
-        .select(col("source"), col("fp"))
-        .distinct()
+      // persist: both self-join sides read the (source, fp) frame — without
+      // it the corpus scan + chunk explode + md5 + distinct run twice
+      // (the q65 CacheRegistry discipline)
+      val sc = CacheRegistry.cache(s, s"q107-sourcefp:$dir") {
+        chunkFingerprints(docs)
+          .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+          .select(col("source"), col("fp"))
+          .distinct()
+      }
       sc.as("a").join(sc.as("b"),
           col("a.fp") === col("b.fp") && col("a.source") < col("b.source"))
         .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
