@@ -24,7 +24,9 @@ class EntrySpec extends SparkSpec {
   test("representative queries return rows at sf0.001") {
     val picks = Seq("q01_pricing_summary", "q10_local_supplier_volume",
       "q18_window_topk", "q36_session_window", "q41_minhash_lsh",
-      "q44_cosine_topk", "q46_lang_id", "q50_multimodal_meta")
+      "q44_cosine_topk", "q46_lang_id", "q50_multimodal_meta",
+      "q91_sequence_packing", "q100_jaccard_capped", "q104_bigram_pmi",
+      "q106_ann_multiprobe")
     picks.foreach { n =>
       assert(SparkEntry.queries(n)(spark, sf001).count() > 0, s"$n returned 0 rows")
     }
