@@ -30,12 +30,29 @@ object ScaleBench {
   private val Boiler: String =
     (0 until 22).map(i => s"boiler$i").mkString(" ")
 
+  private val DocBodyExpr: String =
+    """concat_ws(' ', transform(sequence(0, n_words - 1), k ->
+      |  CASE WHEN is_copy AND pmod(xxhash64(concat('pert:', CAST(id AS STRING), ':', CAST(k AS STRING))), 50) = 0
+      |    THEN concat('p', CAST(pmod(xxhash64(concat('pw:', CAST(id AS STRING), ':', CAST(k AS STRING))), 50000) AS STRING))
+      |    ELSE concat('w', CAST(pmod(xxhash64(concat('bw:', CAST(base_id AS STRING), ':', CAST(k AS STRING))), 50000) AS STRING))
+      |  END))""".stripMargin
+
+  /** Document-corpus formula version: bumped (together with the expression
+    * hash below) whenever the generator changes, so a stale
+    * previously-generated corpus can never be silently measured against
+    * new code — same guard the embeddings generator carries. */
+  private val DocVersion = "v1"
+
   private def gen(s: SparkSession, n: Long, dir: String): Unit = {
-    // reuse only a COMPLETE previous generation: a crashed run leaves the
-    // directory without _SUCCESS, and measuring against a truncated corpus
-    // would silently corrupt every growth ratio
+    // reuse only a COMPLETE, CURRENT previous generation: a crashed run
+    // leaves the directory without _SUCCESS, and an old formula leaves a
+    // mismatched version marker — measuring against either would silently
+    // corrupt every growth ratio
     val out = new java.io.File(s"$dir/documents.parquet/_SUCCESS")
-    if (out.exists()) return
+    val marker = java.nio.file.Paths.get(s"$dir/documents.version")
+    val current = s"$DocVersion:${(Boiler + DocBodyExpr).hashCode}"
+    if (out.exists() && java.nio.file.Files.exists(marker) &&
+      new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == current) return
     val df = s.range(0, n, 1, 64).toDF("id")
       .withColumn("blockpos", pmod(col("id"), lit(100L)))
       .withColumn("is_copy", col("blockpos").between(1, 3))
@@ -47,12 +64,7 @@ object ScaleBench {
       // (independent per copy, so copy↔copy Jaccard ≈ 0.85, well over the
       // 0.5 near-dup threshold); vocabulary 50k keeps accidental 3-shingle
       // collisions across unrelated docs at ~0
-      .withColumn("body", expr(
-        """concat_ws(' ', transform(sequence(0, n_words - 1), k ->
-          |  CASE WHEN is_copy AND pmod(xxhash64(concat('pert:', CAST(id AS STRING), ':', CAST(k AS STRING))), 50) = 0
-          |    THEN concat('p', CAST(pmod(xxhash64(concat('pw:', CAST(id AS STRING), ':', CAST(k AS STRING))), 50000) AS STRING))
-          |    ELSE concat('w', CAST(pmod(xxhash64(concat('bw:', CAST(base_id AS STRING), ':', CAST(k AS STRING))), 50000) AS STRING))
-          |  END))""".stripMargin))
+      .withColumn("body", expr(DocBodyExpr))
       .withColumn("text",
         when(col("blockpos") === 50, concat(lit(Boiler + " "), col("body")))
           .otherwise(col("body")))
@@ -60,6 +72,8 @@ object ScaleBench {
         concat(lit("s"), pmod(col("id"), lit(10L))).as("source"),
         col("text"), length(col("text")).cast("long").as("n_chars"))
     df.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    java.nio.file.Files.createDirectories(marker.getParent)
+    java.nio.file.Files.write(marker, current.getBytes("UTF-8"))
   }
 
   /** Embedding-corpus formula version: bumped whenever a generator
@@ -182,7 +196,73 @@ object ScaleBench {
         phase("q72_clusters_capON", n) {
           SparkEntry.queries("q72_neardup_clusters")(spark, dir).count()
         }
+        // same pairs (memoized jaccardPairs cache is warm from the phase
+        // above, so both walls measure the CC loop, not pair generation),
+        // alternative engine: large-star/small-star contraction. Parity =
+        // identical rows_out; shuffle_mb compares total loop volume.
+        spark.conf.set("graft.textdedup.ccAlgo", "star")
+        try phase("q72_clusters_star_capON", n) {
+          SparkEntry.queries("q72_neardup_clusters")(spark, dir).count()
+        } finally spark.conf.unset("graft.textdedup.ccAlgo")
       } finally spark.conf.unset("graft.textdedup.maxShingleDf")
+      // ---- grouped stitch vs naive per-source window (q90/q91 engine) ----
+      // Skewed source distribution: ~91% of rows in ONE source, so the
+      // naive Window.partitionBy(source) funnels 91% of the corpus through
+      // a single task while the stitch spreads it across range buckets.
+      // Parity: phases return a rank-sensitive checksum (Σ f(rn)·g(doc_id),
+      // bounded well under Long overflow) — identical values between the
+      // naive and stitched phases prove identical per-row results; wall
+      // and shuffle_mb are the measurement.
+      val skewedSrc = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("n_chars"),
+          when(pmod(col("doc_id"), lit(100L)) < 91, lit("hot"))
+            .otherwise(concat(lit("s"), pmod(col("doc_id"), lit(100L)))).as("src"))
+      def rnChecksum(df: DataFrame, c: String): Long =
+        df.agg(sum(pmod(col(c), lit(1000003L)) * pmod(col("doc_id"), lit(97L))))
+          .head().getLong(0)
+      val stitchParts = cpus.toInt
+      phase("stitch_rownum_naive", n) {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("src")).orderBy(col("doc_id"))
+        rnChecksum(skewedSrc.withColumn("rn", row_number().over(w).cast("long")), "rn")
+      }
+      phase("stitch_rownum_grouped", n) {
+        rnChecksum(ops.Skew.groupedRowNumber(skewedSrc, Seq("src"),
+          Seq(col("doc_id")), stitchParts, "rn"), "rn")
+      }
+      phase("stitch_cumsum_naive", n) {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("src")).orderBy(col("doc_id"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
+        rnChecksum(skewedSrc.withColumn("cum", sum(col("n_chars")).over(w)), "cum")
+      }
+      phase("stitch_cumsum_grouped", n) {
+        rnChecksum(ops.Skew.groupedRunningSum(skewedSrc, Seq("src"),
+          Seq(col("doc_id")), col("n_chars"), stitchParts, "cum"), "cum")
+      }
+      // ---- salted vs plain shuffled join under one hot key (q105 engine) ----
+      // 90% of fact rows carry key 0; the dim table is forced OUT of
+      // broadcast range (at 100 TB a dimension outgrows broadcast — that
+      // is the regime salting exists for), so the plain join is a shuffled
+      // hash join with one reducer owning the hot key, and the salted join
+      // spreads it across 8. Parity: identical joined-row counts.
+      val joinFact = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(10L)) < 9, lit(0L))
+            .otherwise(pmod(col("doc_id"), lit(1000L))).as("k"))
+      val joinDim = spark.range(0, 1000).toDF("k")
+        .withColumn("payload", xxhash64(col("k")))
+      val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        phase("salt_join_plain", n) {
+          joinFact.join(joinDim, Seq("k")).count()
+        }
+        phase("salt_join_salted", n) {
+          ops.Skew.saltedJoin(joinFact, joinDim, "k", "doc_id", buckets = 8).count()
+        }
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
       // ---- ANN family: timing + recall against the planted clusters ----
       genEmbeddings(spark, n, dir, ClusteredEmbExpr)
       phase("q44_bruteforce", n) {
@@ -218,10 +298,31 @@ object ScaleBench {
           s""""recall_ivf_at5":${f(rIvf)}}""")
       }
       recallLine("ann_recall", dir)
+      // ---- probe-width sweep: recall@10 vs candidate count at Hamming
+      // radius 0 (q45's single probe), 1 (q106), 2 (+double flips) —
+      // the full recall/cost curve of the one tunable the multi-probe
+      // design exposes. Runs on the planted corpus AND the adversarial
+      // uniform one (no structure → widening probes buys candidates, not
+      // recall — the honest negative result). ----
+      def probeSweep(phaseName: String, d: String): Unit = {
+        val exact10 = topIds(d)("q44_cosine_topk", 10)
+        val entries = (0 to 2).map { r =>
+          val cand = ops.VectorSearch.multiProbe(spark, d, r)
+          val nCand = cand.count()
+          val ids = cand.orderBy(col("cos_sim").desc, col("vec_id"))
+            .limit(10).collect().map(_.getLong(0)).toSeq
+          val rec = exact10.intersect(ids).size.toDouble / math.max(exact10.size, 1)
+          s""""radius$r":{"probes":${ops.VectorSearch.probeCount(r)},""" +
+            s""""candidates":$nCand,"recall_at10":${f(rec)}}"""
+        }
+        println(s"""SCALE {"phase":"$phaseName","docs":$n,${entries.mkString(",")}}""")
+      }
+      probeSweep("probe_sweep", dir)
       // ---- adversarial ANN: UNIFORM vectors (no structure to exploit) ----
       val udir = s"$root/u$n"
       genEmbeddings(spark, n, udir, UniformEmbExpr)
       recallLine("ann_recall_uniform", udir)
+      probeSweep("probe_sweep_uniform", udir)
       ops.CacheRegistry.clear(spark) // release this size's persisted frames
     }
     spark.stop()

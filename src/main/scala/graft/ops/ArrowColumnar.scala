@@ -68,9 +68,17 @@ object ArrowColumnar {
         }
       }
       if (taskCtx.isDefined) out
-      else new Iterator[Row] { // no task context (driver-local run): close on exhaustion
-        def hasNext: Boolean = { val h = out.hasNext; if (!h) closeBuffers(); h }
-        def next(): Row = out.next()
+      else new Iterator[Row] {
+        // No task context (driver-local run, e.g. a LocalTableScan feeding
+        // the mapPartitions directly): close on exhaustion, and on any
+        // exception thrown by the read loop or the kernel. A consumer that
+        // stops early WITHOUT exhausting or failing (LIMIT/take) has no
+        // close signal here — a known, accepted leak for driver-local
+        // runs only; every executor-side task has the completion listener.
+        private def guarded[A](body: => A): A =
+          try body catch { case t: Throwable => closeBuffers(); throw t }
+        def hasNext: Boolean = guarded { val h = out.hasNext; if (!h) closeBuffers(); h }
+        def next(): Row = guarded(out.next())
       }
     }(Encoders.row(outSchema))
   }

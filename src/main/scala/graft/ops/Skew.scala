@@ -96,7 +96,15 @@ object Skew {
     * tiebreaker): range boundaries may split equal keys across adjacent
     * buckets, which would otherwise mis-stitch ties. The range-parted
     * frame is localCheckpointed so passes 2 and 3 see the same (sampled)
-    * boundaries. */
+    * boundaries.
+    *
+    * EAGER: unlike a plain DataFrame transformation, building the result
+    * runs real Spark jobs (the localCheckpoint of pass 1 and the driver
+    * collect of pass 2) before the caller ever triggers an action — so a
+    * plan-only consumer (EXPLAIN tooling, PlanShapeSpec) pays the
+    * repartition + slice-aggregate cost, and the checkpointed blocks stay
+    * pinned until the returned frame is unreferenced. This is inherent to
+    * the two-pass design (pass 3's plan depends on pass 2's data). */
   def groupedRowNumber(
       df: DataFrame,
       group: Seq[String],
@@ -108,7 +116,8 @@ object Skew {
 
   /** Running sum of `value` within each group (ROWS UNBOUNDED PRECEDING …
     * CURRENT ROW), stitched across range buckets — see [[groupedRowNumber]]
-    * for the why and the mechanics. `value` must cast to LONG. */
+    * for the why, the mechanics, and the EAGER-construction caveat.
+    * `value` must cast to LONG. */
   def groupedRunningSum(
       df: DataFrame,
       group: Seq[String],

@@ -57,15 +57,22 @@ object TextDedup {
     * Verify/Bench). */
   private[ops] def shingleRows(s: SparkSession, dir: String): DataFrame =
     CacheRegistry.cache(s, s"textdedup-shingles:$dir") {
-      t(s, dir, "documents")
-        .select(col("doc_id"), wordsCol.as("words"))
-        .select(col("doc_id"), explode(shinglesExpr).as("sh"))
-        .select(col("doc_id"), md5(col("sh")).as("m"))
-        .select(col("doc_id"),
-          conv(substring(col("m"), 1, 14), 16, 10).cast("long").as("h1"),
-          conv(substring(col("m"), 15, 14), 16, 10).cast("long").as("h2"))
-        .distinct()
+      shingleRowsFor(t(s, dir, "documents"))
     }
+
+  /** The pure shingle→(h1, h2) transformation over ANY (doc_id, text)
+    * frame — the map-side stage the batch path caches per (session, dir)
+    * and the incremental path runs per micro-batch
+    * (StreamingMinHashSpec). */
+  def shingleRowsFor(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), wordsCol.as("words"))
+      .select(col("doc_id"), explode(shinglesExpr).as("sh"))
+      .select(col("doc_id"), md5(col("sh")).as("m"))
+      .select(col("doc_id"),
+        conv(substring(col("m"), 1, 14), 16, 10).cast("long").as("h1"),
+        conv(substring(col("m"), 15, 14), 16, 10).cast("long").as("h2"))
+      .distinct()
 
   /** Skew mitigation for candidate generation at 100 TB: a shingle present
     * in K documents contributes K(K-1)/2 pairs to the shingle self-join, so
@@ -92,6 +99,43 @@ object TextDedup {
       case Some(k) => capDocFrequency(rows, k.trim.toLong, key = "h1")
       case None => rows
     }
+  }
+
+  /** MinHash signature + LSH band keys over a (doc_id, h1, h2) shingle
+    * frame: 8 min-aggregate signature columns (Kirsch–Mitzenmacher seeds
+    * h1 + i·h2), exploded into (doc_id, band, bkey) rows — the OTHER
+    * map-side stage of q41, shared verbatim with the incremental
+    * composition. Map-side partial agg compresses the signature shuffle to
+    * one row per (partition, doc); band rows are 4 per doc. Crucially for
+    * incremental use, the signature of a document depends ONLY on its own
+    * shingles, so per-batch band rows are exactly the batch-global ones. */
+  def bandRows(shingles: DataFrame): DataFrame = {
+    val sigAggs = (0 until NumHashes).map { i =>
+      min(col("h1") + lit(i.toLong) * col("h2")).as(s"s$i")
+    }
+    val sig = shingles.groupBy(col("doc_id")).agg(sigAggs.head, sigAggs.tail: _*)
+    val bandStructs = (0 until NumHashes / BandRows).map { j =>
+      val key = concat_ws("|",
+        (0 until BandRows).map(r => col(s"s${j * BandRows + r}")): _*)
+      struct(lit(j).as("band"), key.as("bkey"))
+    }
+    sig
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.bkey").as("bkey"))
+  }
+
+  /** LSH candidate generation over (doc_id, band, bkey) rows: the
+    * hash-partitioned equi-join on (band, bkey) — O(candidates), never the
+    * O(n²) all-pairs join. Works identically over one batch frame or the
+    * union of incrementally-accumulated band rows. */
+  def bandCandidates(bands: DataFrame): DataFrame = {
+    val x = bands.as("x")
+    val y = bands.as("y")
+    x.join(y,
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
   }
 
   /** Verified near-dup pairs (doc_a < doc_b, jac ≥ 0.5) — q42's pipeline,
@@ -235,13 +279,130 @@ object TextDedup {
     // hand the converged (checkpointed) labels back to the CALLER's session
     // so the post-loop aggregation runs at its parallelism, not the loop's
     val labelsOut = s.createDataFrame(labels.rdd, labels.schema)
-    val comp = labelsOut.withColumnRenamed("lbl", "cluster_id")
+    assembleClusters(labelsOut.withColumnRenamed("lbl", "cluster_id"))
+  }
+
+  /** (doc, cluster_id) labels → the q72 output shape: cluster size join +
+    * keeper flag (keeper = the doc whose id IS the component minimum). */
+  private def assembleClusters(comp: DataFrame): DataFrame = {
     val sizes = comp.groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
     comp.join(sizes, Seq("cluster_id"))
       .select(col("doc").as("doc_id"), col("cluster_id"),
         col("cluster_size").cast("long").as("cluster_size"),
         (col("doc") === col("cluster_id")).as("is_keeper"))
   }
+
+  /** Alternative connected-components engine: alternating LARGE-STAR /
+    * SMALL-STAR contraction (Kiveris et al., "Connected Components in
+    * MapReduce and Beyond", SoCC'14) over canonical directed edges
+    * (u, v), u > v — each edge points from the larger id to the smaller.
+    *
+    *  - large-star: every node u links its LARGER neighbors to
+    *    m = min(Γ(u) ∪ {u}) — long chains contract toward their minimum
+    *    from every interior node simultaneously;
+    *  - small-star: every node links its smaller neighbors (and itself) to
+    *    the minimum of that smaller-neighborhood — consolidating partial
+    *    stars into flatter ones.
+    *
+    * At the joint fixpoint the edge set IS the star forest (child → root
+    * for every non-root), converging in O(log n) alternations. Versus
+    * [[clusterPairs]] (pointer doubling over a STATIC edge list + labels
+    * frame), the star rounds REWRITE the edge list itself, which typically
+    * SHRINKS per round (toward |V| − #components rows) — so per-round
+    * shuffle volume decays where pointer doubling's stays proportional to
+    * the original edges. The flip side: each alternation is two
+    * join+agg+distinct passes vs pointer doubling's one join + one
+    * agg-join. Which wins depends on edge density and diameter —
+    * graft.ScaleBench measures both on the planted corpus (SCALE.md) and
+    * the conf gate `graft.textdedup.ccAlgo=star` lets a deployment pick.
+    *
+    * Same iterative-loop hygiene as [[clusterPairs]]: isolated
+    * low-parallelism child session, lazy localCheckpoint truncating
+    * lineage each round, ONE action per round (count + order-insensitive
+    * xxhash64 sum as the fixpoint signal — the star steps are not
+    * label-monotone, so a sum of labels is not a valid signal here). */
+  def clusterPairsStar(s: SparkSession, pairs: DataFrame, maxRounds: Int = 25): DataFrame = {
+    val init = pairs
+      .filter(col("doc_a") =!= col("doc_b"))
+      .select(greatest(col("doc_a"), col("doc_b")).as("u"),
+        least(col("doc_a"), col("doc_b")).as("v"))
+      .distinct()
+    // node set for the final label assembly: once a component fully
+    // contracts, its root keeps edges only on the v side — and a node can
+    // drop off BOTH sides transiently, so labels must be rebuilt against
+    // the original endpoint set, not the final edge list alone
+    val loop = s.newSession()
+    val edges0 = loop.createDataFrame(init.rdd, init.schema).persist()
+    val defaultParts = s.conf.get("spark.sql.shuffle.partitions")
+    val nEdges = edges0.count()
+    val loopParts =
+      math.max(1L, math.min(defaultParts.toLong, nEdges / 2000000L + 1L))
+    loop.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
+    // decimal(38,0) sum: a long sum of 2^63-scale hashes overflows (an
+    // ERROR under ANSI mode, silent wraparound otherwise); 1e12 edges ×
+    // 9.2e18 max hash ≈ 9e30 stays inside 38 digits
+    def signature(e: DataFrame): (Long, BigDecimal) = {
+      val r = e.agg(count(lit(1)),
+        sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)"))).head()
+      (r.getLong(0), if (r.isNullAt(1)) BigDecimal(0) else BigDecimal(r.getDecimal(1)))
+    }
+    var edges: DataFrame = edges0
+    var converged = nEdges == 0L
+    var round = 0
+    var prevSig: (Long, BigDecimal) = (-1L, BigDecimal(-1))
+    try {
+      while (!converged && round < maxRounds) {
+        // LARGE-STAR: symmetric view; m(a) = min over neighborhood ∪ self;
+        // larger neighbors b > a re-point to m. b > a ≥ m keeps the output
+        // canonical (u > v) with no self-loops.
+        val sym = edges.select(col("u").as("a"), col("v").as("b"))
+          .union(edges.select(col("v").as("a"), col("u").as("b")))
+        val minsL = sym.groupBy(col("a")).agg(min(col("b")).as("mb"))
+          .select(col("a"), least(col("mb"), col("a")).as("m"))
+        val large = sym.filter(col("b") > col("a"))
+          .join(minsL, Seq("a"))
+          .select(col("b").as("u"), col("m").as("v"))
+          .distinct()
+        // SMALL-STAR on the canonical (larger → smaller) edges: each u's
+        // smaller neighbors all re-point to their minimum; u itself too.
+        val minsS = large.groupBy(col("u")).agg(min(col("v")).as("m"))
+        val small = large.join(minsS, Seq("u"))
+          .filter(col("v") =!= col("m"))
+          .select(col("v").as("u"), col("m").as("v"))
+          .union(minsS.select(col("u"), col("m").as("v")))
+          .distinct()
+          .localCheckpoint(eager = false) // first action checkpoints + truncates lineage
+        val sig = signature(small)
+        edges = small
+        converged = sig == prevSig
+        prevSig = sig
+        round += 1
+      }
+    } finally edges0.unpersist(blocking = false)
+    if (!converged)
+      graft.ingest.GraftLog.warn("clusterPairsStar round bound reached before convergence",
+        s"rounds=$round — results may be partially contracted")
+    val starOut = s.createDataFrame(edges.rdd, edges.schema)
+    val nodes = pairs.select(col("doc_a").as("doc"))
+      .union(pairs.select(col("doc_b").as("doc"))).distinct()
+    // at fixpoint each non-root has exactly one (child → root) edge;
+    // roots are absent from the u side and label themselves
+    val comp = nodes
+      .join(starOut.withColumnRenamed("u", "doc"), Seq("doc"), "left")
+      .select(col("doc"), coalesce(col("v"), col("doc")).as("cluster_id"))
+    assembleClusters(comp)
+  }
+
+  /** Conf-gated dispatch between the two distributed CC engines —
+    * `graft.textdedup.ccAlgo` = `pointer` (default; [[clusterPairs]]) or
+    * `star` ([[clusterPairsStar]]). Both produce identical clusterings
+    * (ClusterSpec asserts it); ScaleBench measures the shuffle/wall
+    * trade so the choice is data, not taste. */
+  def clusterComponents(s: SparkSession, pairs: DataFrame, maxRounds: Int = 25): DataFrame =
+    s.conf.getOption("graft.textdedup.ccAlgo") match {
+      case Some("star") => clusterPairsStar(s, pairs, maxRounds)
+      case _ => clusterPairs(s, pairs, maxRounds)
+    }
 
   /** Shared oracle CTE: same shingling + one-md5 split into (h1, h2) in
     * DuckDB (1-based list indexing; hex parsed via strpos like Spark's
@@ -301,21 +462,10 @@ object TextDedup {
          |ORDER BY doc_a, doc_b""".stripMargin
     }) { (s, dir) =>
       // Signature = 8 min-aggregate columns of pure arithmetic over the
-      // persisted (h1, h2) shingle hashes: map-side partial agg compresses
-      // the shuffle to one row per (partition, doc) — an exploded
+      // persisted (h1, h2) shingle hashes (see [[bandRows]] — an exploded
       // (doc, seed) layout was measured 5× slower because 40k+ groups
-      // defeat partial-agg compression. The band self-join on (band, bkey)
-      // is the LSH candidate join.
-      val sh = cappedShingleRows(s, dir)
-      val sigAggs = (0 until NumHashes).map { i =>
-        min(col("h1") + lit(i.toLong) * col("h2")).as(s"s$i")
-      }
-      val sig = sh.groupBy(col("doc_id")).agg(sigAggs.head, sigAggs.tail: _*)
-      val bandStructs = (0 until NumHashes / BandRows).map { j =>
-        val key = concat_ws("|",
-          (0 until BandRows).map(r => col(s"s${j * BandRows + r}")): _*)
-        struct(lit(j).as("band"), key.as("bkey"))
-      }
+      // defeat partial-agg compression). The band self-join on (band, bkey)
+      // is the LSH candidate join ([[bandCandidates]]).
       // persist: both sides of the self-join read `bands` — without it the
       // whole shingle→signature pipeline runs twice (broadcast side gets a
       // different exchange shape, so ReusedExchange can't kick in).
@@ -323,17 +473,9 @@ object TextDedup {
       // doc-frequency cap so toggling it can't serve stale candidates.
       val capKey = s.conf.getOption("graft.textdedup.maxShingleDf").getOrElse("off")
       val bands = CacheRegistry.cache(s, s"q41-bands:$dir:cap=$capKey") {
-        sig
-          .select(col("doc_id"), explode(array(bandStructs: _*)).as("b"))
-          .select(col("doc_id"), col("b.band").as("band"), col("b.bkey").as("bkey"))
+        bandRows(cappedShingleRows(s, dir))
       }
-      val x = bands.as("x")
-      val y = bands.as("y")
-      x.join(y,
-          col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-        .distinct()
+      bandCandidates(bands)
         .orderBy(col("doc_a"), col("doc_b"))
     },
 
@@ -463,9 +605,11 @@ object TextDedup {
     }) { (s, dir) =>
       // jaccardPairs is memoized+persisted, so clusterPairs' two reads (one
       // per symmetric-closure branch) and a prior q42 run all share one
-      // materialization of the overlap join.
+      // materialization of the overlap join. The CC engine is conf-gated
+      // (pointer doubling default; graft.textdedup.ccAlgo=star for
+      // star contraction) — identical output either way.
       val pairs = jaccardPairs(s, dir).select(col("doc_a"), col("doc_b"))
-      clusterPairs(s, pairs).orderBy(col("doc_id"))
+      clusterComponents(s, pairs).orderBy(col("doc_id"))
     },
 
     // ---- n-gram Jaccard under the doc-frequency skew cap ----

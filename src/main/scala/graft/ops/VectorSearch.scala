@@ -90,6 +90,52 @@ object VectorSearch {
     ArrowColumnar.zscore(comps, "comp", "z", stats.getDouble(0), stats.getDouble(1), batchSize)
   }
 
+  /** Multi-probe LSH candidates for query vec 0 at Hamming radius 0/1/2 —
+    * radius 0 is q45's single probe (1 code), radius 1 is q106's probe set
+    * (1 + NumPlanes codes), radius 2 adds the C(NumPlanes, 2) double
+    * flips (22 codes at 6 planes). Whatever the radius, candidate
+    * generation stays a broadcast equi-join on the bucket code — the
+    * probe list only widens the broadcast side — so the shuffle shape is
+    * identical and the recall/candidate trade is a pure knob
+    * (graft.ScaleBench charts it in SCALE.md). Returns the UNRANKED
+    * (vec_id, cos_sim) candidate frame: callers count it for candidate
+    * growth or top-k it for recall. */
+  def multiProbe(s: org.apache.spark.sql.SparkSession, dir: String,
+      radius: Int): org.apache.spark.sql.DataFrame = {
+    require(radius >= 0 && radius <= 2, s"radius must be 0, 1, or 2; got $radius")
+    val emb = t(s, dir, "embeddings")
+    val withPlanes = (0 until NumPlanes).foldLeft(emb) { (df, j) =>
+      df.withColumn(s"__p$j", sparkPlaneArray(j))
+    }
+    val coded = withPlanes
+      .select(col("vec_id"), col("embedding"), sparkCode("embedding").as("code"))
+    val flips1 = (0 until NumPlanes).map(j => col("qcode").bitwiseXOR(lit(1 << j)))
+    val flips2 = for {
+      a <- 0 until NumPlanes
+      b <- a + 1 until NumPlanes
+    } yield col("qcode").bitwiseXOR(lit((1 << a) | (1 << b)))
+    val probeExprs = (col("qcode") +: (radius match {
+      case 0 => Seq.empty[Column]
+      case 1 => flips1
+      case 2 => flips1 ++ flips2
+    })).map(_.cast("int"))
+    val probes = coded.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qe"), col("code").as("qcode"))
+      .select(col("qe"), explode(array(probeExprs: _*)).as("probe"))
+    coded.filter(col("vec_id") =!= 0)
+      .join(broadcast(probes), col("code") === col("probe"))
+      .select(col("vec_id"),
+        round(dotExpr("embedding", "qe") / (normExpr("embedding") * normExpr("qe")), 6)
+          .as("cos_sim"))
+  }
+
+  /** Probe-list size at a given radius: 1, 1+d, 1+d+C(d,2). */
+  def probeCount(radius: Int): Int = radius match {
+    case 0 => 1
+    case 1 => 1 + NumPlanes
+    case 2 => 1 + NumPlanes + NumPlanes * (NumPlanes - 1) / 2
+  }
+
   val qs: Seq[Q] = Seq(
 
     // ---- exact brute-force cosine top-k ----
@@ -231,22 +277,8 @@ object VectorSearch {
          |ORDER BY cos_sim DESC, vec_id
          |LIMIT 10""".stripMargin
     }) { (s, dir) =>
-      val emb = t(s, dir, "embeddings")
-      val withPlanes = (0 until NumPlanes).foldLeft(emb) { (df, j) =>
-        df.withColumn(s"__p$j", sparkPlaneArray(j))
-      }
-      val coded = withPlanes
-        .select(col("vec_id"), col("embedding"), sparkCode("embedding").as("code"))
-      val probeExprs = (col("qcode") +: (0 until NumPlanes)
-        .map(j => col("qcode").bitwiseXOR(lit(1 << j)))).map(_.cast("int"))
-      val probes = coded.filter(col("vec_id") === 0)
-        .select(col("embedding").as("qe"), col("code").as("qcode"))
-        .select(col("qe"), explode(array(probeExprs: _*)).as("probe"))
-      coded.filter(col("vec_id") =!= 0)
-        .join(broadcast(probes), col("code") === col("probe"))
-        .select(col("vec_id"),
-          round(dotExpr("embedding", "qe") / (normExpr("embedding") * normExpr("qe")), 6)
-            .as("cos_sim"))
+      // radius-1 instance of the parameterized [[multiProbe]] sweep knob
+      multiProbe(s, dir, radius = 1)
         .orderBy(col("cos_sim").desc, col("vec_id"))
         .limit(10)
     },

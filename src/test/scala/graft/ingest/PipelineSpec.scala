@@ -5,13 +5,17 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import graft.SparkSpec
 import graft.functions.SnappyDecode
 
+// top-level so the MemoryStream encoder can codegen: a suite-nested case
+// class has no reachable outer instance, forcing Catalyst into the
+// interpreted-encoder fallback (a WARN per test run and an untested
+// codegen path through the ingest pipeline)
+private[ingest] case class Msg(topic: String, value: Array[Byte])
+
 /** End-to-end streaming test (SURVEY.md §5.2): memory source → snappy
   * decode → parse → route to two destination tables → parquet sink, with
   * dead-lettering of corrupt payloads and metrics parity (each bad record
   * counted once — the reference double-counted, §2.1 notes). */
 class PipelineSpec extends SparkSpec {
-
-  private case class Msg(topic: String, value: Array[Byte])
 
   private def enc(json: String): Array[Byte] =
     SnappyDecode.compress(json.getBytes("UTF-8"))
