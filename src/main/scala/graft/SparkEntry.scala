@@ -10,7 +10,8 @@ object SparkEntry {
   private[graft] def allQs: Seq[Q] =
     ops.Relational.qs ++ ops.Ingest.qs ++ ops.Streamingish.qs ++
       ops.TextDedup.qs ++ ops.VectorSearch.qs ++ ops.TextAnalysis.qs ++
-      ops.Multimodal.qs ++ ops.Extras.qs ++ ops.Curation.qs ++ ops.SqlSurface.qs
+      ops.Multimodal.qs ++ ops.Extras.qs ++ ops.Curation.qs ++ ops.SqlSurface.qs ++
+      ops.SubstringOps.qs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,209 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Q
+import graft.schema.Tables.t
+
+/** Substring- and token-level curation operators: duplicated n-gram span
+  * detection (the substring-granularity complement of q40's document-level
+  * exact dedup), BPE pair statistics plus a distributed BPE merge trainer,
+  * and shingle-set containment (near-superset / quotation detection, the
+  * directional complement of q42's symmetric Jaccard).
+  *
+  * Scale design (100 TB corpus):
+  *  - q108 groups on the n-gram's md5, a fixed-width key, never the raw
+  *    span text: the shuffle carries 32 hex chars + counts per gram and the
+  *    example span rides along as a min() aggregate. At cluster scale the
+  *    hex would shrink to the 16-byte binary digest — same plan shape.
+  *  - q109's pair counting is one explode + one groupBy over two-char
+  *    keys (alphabet², a tiny key space → map-side partial aggregation
+  *    collapses almost everything before the shuffle).
+  *  - q112 reuses the dedup family's persisted 8-byte shingle-hash frame
+  *    ([[TextDedup.shingleRows]]) and its equi-join candidate generation;
+  *    the only new math is the least-size denominator, so the cost profile
+  *    is exactly q42's (and the doc-frequency cap applies through the same
+  *    conf knob when enabled upstream).
+  */
+object SubstringOps {
+
+  /** n-gram width for duplicated-span detection: 8 words ≈ the shortest
+    * span that is overwhelmingly memorization rather than idiom (the
+    * published substring-dedup pipelines use 50 BPE tokens; 8 words is the
+    * same idea scaled to this corpus's ~100-word documents). */
+  private val GramWords = 8
+
+  private val wordsCol: Column = TextCommon.wordsCol
+
+  /** Per-word adjacent character pairs, positions 1..len-1 (Spark side). */
+  private val charPairsExpr: Column = expr(
+    """CASE WHEN length(word) >= 2 THEN
+      |  transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))
+      |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin)
+
+  /** One BPE merge sweep over symbol arrays: non-overlapping left-to-right
+    * replacement of adjacent (a, b) with the merged symbol — the exact
+    * greedy semantics of the classic BPE trainer, as a single codegen-able
+    * array fold (no UDF). Matching on full symbol strings keeps merged
+    * symbols distinct from raw ones ("a"+"ab" never aliases "aa"+"b" as
+    * symbol SEQUENCES even when their renderings collide). */
+  private[ops] def mergeOnce(syms: Column, a: String, b: String): Column =
+    aggregate(
+      syms,
+      array().cast("array<string>"),
+      (acc, x) =>
+        when(
+          size(acc) > 0 && element_at(acc, -1) === lit(a) && x === lit(b),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+          .otherwise(concat(acc, array(x))))
+
+  /** Distributed BPE merge training: `numMerges` rounds of (count adjacent
+    * symbol pairs weighted by word frequency) → (take the most frequent
+    * pair) → (merge it everywhere). Input: a (word, cnt) frequency table —
+    * the standard pre-aggregation that makes BPE training corpus-size-
+    * independent (the iteration cost scales with |vocabulary|, not
+    * |corpus|, which is what makes the loop viable at 100 TB: one narrow
+    * groupBy builds the word table, then every merge round touches only
+    * distinct words). Each round is one aggregate + a ONE-ROW driver
+    * collect (the argmax pair — same bounded-collect discipline as Skew's
+    * offset tables); the symbol column is rewritten via [[mergeOnce]] and
+    * localCheckpointed every few rounds so the plan cannot grow linearly
+    * with merges. Returns the learned merges in order plus the final
+    * symbolized vocabulary. */
+  def bpeTrain(words: DataFrame, numMerges: Int)
+      : (Seq[(String, String)], DataFrame) = {
+    var vocab = words.select(
+      col("word"), col("cnt"), split(col("word"), "").as("syms"))
+    val merges = Seq.newBuilder[(String, String)]
+    var round = 0
+    var done = false
+    while (round < numMerges && !done) {
+      val top = vocab
+        .select(col("cnt"), explode(expr(
+          """CASE WHEN size(syms) >= 2 THEN
+            |  transform(sequence(1, size(syms) - 1),
+            |    i -> struct(syms[i - 1] AS a, syms[i] AS b))
+            |ELSE CAST(array() AS ARRAY<STRUCT<a: STRING, b: STRING>>) END"""
+            .stripMargin)).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("cnt")).as("n"))
+        .orderBy(col("n").desc, col("a"), col("b"))
+        .limit(1)
+        .collect()
+      if (top.isEmpty) done = true
+      else {
+        val (a, b) = (top(0).getString(0), top(0).getString(1))
+        merges += ((a, b))
+        vocab = vocab.withColumn("syms", mergeOnce(col("syms"), a, b))
+        round += 1
+        // truncate lineage every few rewrites: each merge nests another
+        // fold into the plan, and an unbounded expression tree is a driver
+        // cost even before execution (same discipline as clusterPairs)
+        if (round % 4 == 0) vocab = vocab.localCheckpoint(false)
+      }
+    }
+    (merges.result(), vocab)
+  }
+
+  val qs: Seq[Q] = Seq(
+
+    // ---- duplicated n-gram spans: substring-level exact dedup ----
+    // Document-level dedup (q40) misses the 100 TB reality that corpora
+    // repeat SPANS — boilerplate, licenses, quoted passages — inside
+    // otherwise-unique documents. This surfaces every 8-word span occurring
+    // in ≥2 distinct documents, ranked by spread. Group key = md5 of the
+    // span (fixed width); the span text itself survives only as a min()
+    // example, so the shuffle never carries duplicate long strings.
+    Q("q108_dup_ngram_spans",
+      raw"""WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS words
+           |           FROM documents),
+           |g AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(words) - ${GramWords - 2}, 1)),
+           |    i -> array_to_string(list_slice(words, i, i + ${GramWords - 1}), ' '))) AS gram
+           |  FROM w)
+           |SELECT md5(gram) AS gram_md5, min(gram) AS example,
+           |  count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ
+           |FROM g GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+           |ORDER BY n_docs DESC, n_occ DESC, gram_md5
+           |LIMIT 25""".stripMargin) { (s, dir) =>
+      val grams = t(s, dir, "documents")
+        .select(col("doc_id"), wordsCol.as("w"))
+        .select(col("doc_id"), explode(expr(
+          s"""CASE WHEN size(w) >= $GramWords THEN
+             |  transform(sequence(1, size(w) - ${GramWords - 1}),
+             |    i -> array_join(slice(w, i, $GramWords), ' '))
+             |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin)).as("gram"))
+      grams
+        .groupBy(md5(col("gram")).as("gram_md5"))
+        .agg(min(col("gram")).as("example"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_occ"))
+        .filter(col("n_docs") >= 2)
+        .orderBy(col("n_docs").desc, col("n_occ").desc, col("gram_md5"))
+        .limit(25)
+    },
+
+    // ---- BPE pair statistics: the counting step of tokenizer training ----
+    // Adjacent character-pair frequencies over the whitespace vocabulary —
+    // the argmax of this table IS the first BPE merge; [[bpeTrain]] runs
+    // the full iterated version (spec-verified), this query oracle-checks
+    // the distributed counting core. Two-char keys ⇒ the groupBy's key
+    // space is tiny and map-side partial agg collapses the shuffle to
+    // |alphabet|² rows per partition.
+    Q("q109_bpe_pairs",
+      raw"""WITH wd AS (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+           |            FROM documents),
+           |p AS (SELECT unnest(list_transform(range(1, greatest(len(word), 1)),
+           |    i -> substr(word, i, 2))) AS pair
+           |  FROM wd WHERE len(word) >= 2)
+           |SELECT pair, count(*) AS n
+           |FROM p GROUP BY pair
+           |ORDER BY n DESC, pair
+           |LIMIT 20""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents")
+        .select(explode(wordsCol).as("word"))
+        .select(explode(charPairsExpr).as("pair"))
+        .groupBy(col("pair"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("pair"))
+        .limit(20)
+    },
+
+    // ---- shingle-set containment: near-superset / quotation detection ----
+    // Jaccard (q42) under-scores a short document embedded in a long one
+    // (|A∩B|/|A∪B| stays small when |B|≫|A|); containment |A∩B|/min(|A|,|B|)
+    // is the standard directional fix (Broder's "containment" measure) and
+    // is what catches quotes, excerpts, and template supersets. Same
+    // persisted 8-byte shingle-hash frame and equi-join candidate
+    // generation as the rest of the dedup family — only the denominator
+    // changes, so everything proven about q42's scale behavior (capped df,
+    // linear candidates) transfers unchanged.
+    Q("q112_shingle_containment",
+      s"""${TextDedup.ShingleCte},
+         |hs AS (SELECT doc_id, h1 AS h FROM sh),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM hs GROUP BY doc_id),
+         |inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS i
+         |  FROM hs x JOIN hs y ON x.h = y.h AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b,
+         |  round(i * 1.0 / least(sa.n, sb.n), 6) AS containment
+         |FROM inter
+         |JOIN sizes sa ON doc_a = sa.doc_id
+         |JOIN sizes sb ON doc_b = sb.doc_id
+         |WHERE i * 1.0 / least(sa.n, sb.n) >= 0.6
+         |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+      val hs = TextDedup.shingleRows(s, dir).select(col("doc_id"), col("h1").as("h"))
+      val sizes = hs.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val inter = hs.as("x").join(hs.as("y"),
+          col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("i"))
+      val cont = col("i") * lit(1.0) / least(col("sa.n"), col("sb.n"))
+      inter
+        .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+        .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+        .filter(cont >= 0.6)
+        .select(col("doc_a"), col("doc_b"), round(cont, 6).as("containment"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }
+  )
+}

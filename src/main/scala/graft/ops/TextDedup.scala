@@ -407,7 +407,7 @@ object TextDedup {
   /** Shared oracle CTE: same shingling + one-md5 split into (h1, h2) in
     * DuckDB (1-based list indexing; hex parsed via strpos like Spark's
     * conv). Mirrors [[shingleRows]] exactly. */
-  private val ShingleCte: String =
+  private[ops] val ShingleCte: String =
     raw"""WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS words
          |           FROM documents),
          |g AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(words) - 1, 1)),

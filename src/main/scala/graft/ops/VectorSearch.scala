@@ -341,6 +341,105 @@ object VectorSearch {
         .orderBy(col("vec_a"), col("vec_b"))
     },
 
+    // ---- k-means assignment step (Lloyd's iteration, broadcast seeds) ----
+    // One full Lloyd's iteration's assignment phase with k=5 seed centroids
+    // (the embeddings of vec_id 0–4 — deterministic, so both engines start
+    // identically). The scale-defining choice: seeds travel as ONE
+    // broadcast row holding a 5-element array, and the per-vector argmax
+    // runs INSIDE a single projection via an array_max over per-seed
+    // (cos, -seed_id) structs — so assignment is map-only (no groupBy on
+    // vec_id, no window over 5n rows) and the lone shuffle is the final
+    // k-row summary aggregate. Iterating = re-aggregating centroids from
+    // the assignment (q73's exact-DECIMAL centroid build) and re-running
+    // this map — each Lloyd's round is one broadcast + one pass at 100 TB.
+    // Floating parity: per-seed cosine uses the family's sequential fold,
+    // rounded to 9dp before the argmax (identical doubles ⇒ identical
+    // winners in both engines); the per-cluster mean goes through an exact
+    // DECIMAL sum so partial-aggregation order can't wiggle the last ulp.
+    Q("q110_kmeans_assign", {
+      def cosSql(a: String, b: String) =
+        s"""(list_sum(list_transform(range(1, len($a) + 1),
+           |    i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))
+           | / (sqrt(list_sum(list_transform(range(1, len($a) + 1),
+           |    i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE))))
+           |  * sqrt(list_sum(list_transform(range(1, len($b) + 1),
+           |    i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))))))""".stripMargin
+      s"""WITH seeds AS (SELECT vec_id AS seed_id, embedding AS se
+         |  FROM embeddings WHERE vec_id < 5),
+         |scored AS (SELECT e.vec_id, s.seed_id,
+         |    round(${cosSql("embedding", "se")}, 9) AS cos
+         |  FROM embeddings e, seeds s),
+         |best AS (SELECT vec_id, seed_id, cos,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, seed_id) AS rn
+         |  FROM scored)
+         |SELECT seed_id, count(*) AS n_assigned,
+         |  round(CAST(sum(CAST(cos AS DECIMAL(38,12))) AS DOUBLE) / count(*), 6) AS mean_cos
+         |FROM best WHERE rn = 1
+         |GROUP BY seed_id
+         |ORDER BY seed_id""".stripMargin
+    }) { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val seedRow = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("seed_id"), col("embedding").as("se"))
+        .agg(array_sort(collect_list(struct(col("seed_id"), col("se")))).as("seeds"))
+      val cosInSeed =
+        """round(
+          |  aggregate(zip_with(embedding, s.se, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+          |    CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)
+          |  / (sqrt(aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+          |      CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))
+          |   * sqrt(aggregate(transform(s.se, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+          |      CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))), 9)""".stripMargin
+      emb.crossJoin(broadcast(seedRow))
+        .select(col("vec_id"), expr(
+          s"""array_max(transform(seeds,
+             |  s -> struct($cosInSeed AS cos, -s.seed_id AS negseed)))""".stripMargin)
+          .as("b"))
+        .select((-col("b.negseed")).as("seed_id"), col("b.cos").as("cos"))
+        .groupBy(col("seed_id"))
+        .agg(count(lit(1)).as("n_assigned"),
+          round(sum(col("cos").cast("decimal(38,12)")).cast("double") / count(lit(1)), 6)
+            .as("mean_cos"))
+        .orderBy(col("seed_id"))
+    },
+
+    // ---- random-projection dimensionality reduction (64 → 6) ----
+    // The Johnson–Lindenstrauss workhorse that precedes clustering or
+    // cheap prefiltering: project every embedding onto the SAME md5-derived
+    // hyperplanes the LSH family thresholds (q45/q106 keep only the sign;
+    // this keeps the magnitude). Map-only — the planes are literals folded
+    // into the projection, so the plan is one codegen'd pass with zero
+    // joins and zero shuffles before the output sort; output is exploded
+    // to (vec_id, pos, proj) rows because the driver's strict hasher
+    // cannot hash array cells. vec_id < 100 bounds the verified slice.
+    Q("q111_random_projection", {
+      val planeCols = (0 until NumPlanes)
+        .map(j => s"${duckPlaneList(j)} AS p$j").mkString(",\n    ")
+      val cases = (0 until NumPlanes)
+        .map(j => s"WHEN $j THEN ${duckDot("embedding", s"p$j")}")
+        .mkString("\n    ")
+      s"""WITH p AS (SELECT
+         |    $planeCols),
+         |sel AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 100)
+         |SELECT vec_id, j AS pos,
+         |  round(CASE j
+         |    $cases
+         |  END, 6) AS proj
+         |FROM sel, p, range(0, $NumPlanes) t(j)
+         |ORDER BY vec_id, pos""".stripMargin
+    }) { (s, dir) =>
+      val emb = t(s, dir, "embeddings").filter(col("vec_id") < 100)
+      val withPlanes = (0 until NumPlanes).foldLeft(emb) { (df, j) =>
+        df.withColumn(s"__p$j", sparkPlaneArray(j))
+      }
+      withPlanes
+        .select(col("vec_id"), explode(array((0 until NumPlanes).map(j =>
+          struct(lit(j.toLong).as("pos"),
+            round(dotExpr("embedding", s"__p$j"), 6).as("proj"))): _*)).as("r"))
+        .select(col("vec_id"), col("r.pos").as("pos"), col("r.proj").as("proj"))
+        .orderBy(col("vec_id"), col("pos"))
+    },
+
     // ---- per-label centroid + cosine-to-centroid outlier scoring ----
     // The mislabeled-embedding detector a curation pipeline runs before
     // training: vectors far from their own label's centroid are suspect.

@@ -26,7 +26,7 @@ class EntrySpec extends SparkSpec {
       "q18_window_topk", "q36_session_window", "q41_minhash_lsh",
       "q44_cosine_topk", "q46_lang_id", "q50_multimodal_meta",
       "q91_sequence_packing", "q100_jaccard_capped", "q104_bigram_pmi",
-      "q106_ann_multiprobe")
+      "q106_ann_multiprobe", "q108_dup_ngram_spans", "q110_kmeans_assign")
     picks.foreach { n =>
       assert(SparkEntry.queries(n)(spark, sf001).count() > 0, s"$n returned 0 rows")
     }
