@@ -174,6 +174,14 @@ object ScaleBench {
       phase("q40_exact", n) {
         SparkEntry.queries("q40_dedup_exact")(spark, dir).count()
       }
+      // substring-level exact dedup: dup-span groups must grow linearly
+      // (each near-dup family contributes its shared spans; the boilerplate
+      // header contributes a CONSTANT ~15 groups whose n_docs grows instead)
+      // and the group shuffle carries only (md5, counts) — see q108's
+      // rejoin design note
+      phase("q108_dup_spans", n) {
+        ops.SubstringOps.dupSpanGroups(spark, dir).count()
+      }
       // ---- cap OFF: the quadratic boilerplate pathology is visible ----
       phase("overlap_pairs_capOFF", n)(ops.TextDedup.overlapPairCount(spark, dir))
       phase("q41_lsh_capOFF", n) {

@@ -544,6 +544,177 @@ object Curation {
         .select(col("w1"), col("w2"), col("c12"), round(pmi, 6).as("pmi"))
         .orderBy(col("pmi").desc, col("w1"), col("w2"))
         .limit(20)
+    },
+
+    // ---- interpolated bigram LM score: the n-gram upgrade of q101 ----
+    // Per-document average log-probability under a Jelinek-Mercer
+    // interpolated bigram model (0.75·c₁₂/c₁ + 0.25·c₂/N): the CCNet-style
+    // "perplexity against a corpus LM" quality signal, one order up from
+    // q101's unigram. Scale shape: the bigram table is vocabulary²-bounded
+    // (joined as a hash join, NOT broadcast — same reasoning as q104), the
+    // doc-side aggregation is one shuffle on doc_id, and the corpus total
+    // broadcasts as a one-row frame. Float-parity discipline follows q101:
+    // per-doc log-likelihood is a SEQUENTIAL fold over the (w1, w2)-sorted
+    // bigram types, so both engines add in the same order.
+    Q("q114_bigram_logprob",
+      """WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS words
+        |           FROM documents),
+        |uni AS (SELECT unnest(words) AS word FROM w),
+        |ucnt AS (SELECT word, CAST(count(*) AS BIGINT) AS c FROM uni GROUP BY word),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM uni),
+        |bg AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(words), 1)),
+        |           i -> struct_pack(w1 := words[i], w2 := words[i+1]))) AS b
+        |       FROM w),
+        |dbc AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2, CAST(count(*) AS BIGINT) AS c
+        |        FROM bg GROUP BY doc_id, b.w1, b.w2),
+        |bcnt AS (SELECT w1, w2, CAST(sum(c) AS BIGINT) AS c12 FROM dbc GROUP BY w1, w2),
+        |d AS (SELECT dbc.doc_id AS doc_id,
+        |    CAST(sum(dbc.c) AS BIGINT) AS n_bigrams,
+        |    list_sum(list_transform(
+        |      list(struct_pack(cd := CAST(dbc.c AS DOUBLE),
+        |                       lp := ln(0.75 * (CAST(bcnt.c12 AS DOUBLE) / u1.c)
+        |                              + 0.25 * (CAST(u2.c AS DOUBLE) / n_total)))
+        |           ORDER BY dbc.w1, dbc.w2),
+        |      p -> p.cd * p.lp)) AS ll
+        |  FROM dbc
+        |  JOIN bcnt ON dbc.w1 = bcnt.w1 AND dbc.w2 = bcnt.w2
+        |  JOIN ucnt u1 ON dbc.w1 = u1.word
+        |  JOIN ucnt u2 ON dbc.w2 = u2.word, n
+        |  GROUP BY dbc.doc_id)
+        |SELECT doc_id, n_bigrams, round(ll / n_bigrams, 6) AS avg_logprob
+        |FROM d
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents").select(col("doc_id"), wordsCol.as("words"))
+      val uni = docs.select(explode(col("words")).as("word"))
+      val ucnt = uni.groupBy(col("word")).agg(count(lit(1)).cast("long").as("c"))
+      val n = uni.agg(count(lit(1)).cast("long").as("n_total"))
+      val dbc = docs.select(col("doc_id"), explode(expr(
+        """CASE WHEN size(words) >= 2 THEN
+          |  transform(sequence(0, size(words) - 2),
+          |    i -> struct(words[i] AS w1, words[i+1] AS w2))
+          |ELSE CAST(array() AS ARRAY<STRUCT<w1: STRING, w2: STRING>>) END""".stripMargin)).as("b"))
+        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+        .groupBy(col("doc_id"), col("w1"), col("w2"))
+        .agg(count(lit(1)).cast("long").as("c"))
+      val bcnt = dbc.groupBy(col("w1"), col("w2")).agg(sum(col("c")).cast("long").as("c12"))
+      val lp = log(lit(0.75) * (col("c12").cast("double") / col("u1c"))
+        + lit(0.25) * (col("u2c").cast("double") / col("n_total")))
+      dbc
+        .join(bcnt, Seq("w1", "w2"))
+        .join(ucnt.select(col("word").as("w1"), col("c").as("u1c")), Seq("w1"))
+        .join(ucnt.select(col("word").as("w2"), col("c").as("u2c")), Seq("w2"))
+        .crossJoin(broadcast(n))
+        .withColumn("lp", lp)
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).cast("long").as("n_bigrams"),
+          // (w1, w2)-sorted struct array + sequential fold = the oracle's
+          // list(… ORDER BY w1, w2) + list_sum order exactly (q101 rule)
+          expr("""aggregate(
+                 |  transform(array_sort(collect_list(struct(w1, w2, CAST(c AS DOUBLE) AS cd, lp))),
+                 |    p -> p.cd * p.lp),
+                 |  CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)""".stripMargin).as("ll"))
+        .select(col("doc_id"), col("n_bigrams"),
+          round(col("ll") / col("n_bigrams"), 6).as("avg_logprob"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- overlapping sliding-window chunking (stride < width) ----
+    // The RAG/context-window chunker: fixed 25-word windows every 10 words,
+    // each fingerprinted — overlap preserves cross-boundary context that
+    // q85's disjoint chunks lose, at a bounded ~2.5× fanout (width/stride).
+    // Pure map-side explode: zero shuffles before the presentation sort;
+    // at 100 TB the chunk table is written partition-parallel at scan
+    // speed, and the md5 fingerprints feed the same dedup/containment
+    // joins as q85/q112 downstream.
+    Q("q116_chunk_sliding",
+      """WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS words
+        |           FROM documents),
+        |st AS (SELECT doc_id, words, unnest(range(1, len(words) - 23, 10)) AS i
+        |       FROM w WHERE len(words) >= 25)
+        |SELECT doc_id, CAST(i AS BIGINT) AS start_pos,
+        |  md5(array_to_string(words[i : i + 24], ' ')) AS chunk_md5
+        |FROM st
+        |ORDER BY doc_id, start_pos""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), wordsCol.as("words"))
+        .filter(size(col("words")) >= 25)
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(1, size(words) - 24, 10),
+            |  i -> struct(CAST(i AS BIGINT) AS start_pos,
+            |              md5(array_join(slice(words, i, 25), ' ')) AS chunk_md5))"""
+            .stripMargin)).as("ch"))
+        .select(col("doc_id"), col("ch.start_pos").as("start_pos"),
+          col("ch.chunk_md5").as("chunk_md5"))
+        .orderBy(col("doc_id"), col("start_pos"))
+    },
+
+    // ---- decile quality bucketing with broadcast boundaries ----
+    // CCNet-style quality stratification (bucket the corpus by a quality
+    // score, then sample buckets differently) done the way that survives
+    // 100 TB: a global ntile() would sort the corpus in ONE partition —
+    // the same single-partition window q90/q91 were rewired to avoid.
+    // Instead the 9 decile boundaries come from one exact-percentile
+    // aggregate (a scalar collect), broadcast, and every row buckets
+    // map-side against the 9-element array. Both engines use the same
+    // R-7 linear interpolation (Spark percentile ≡ DuckDB quantile_cont),
+    // and boundaries are rounded before the comparison so the bucket
+    // assignment cannot straddle a last-ulp difference.
+    Q("q117_quality_buckets",
+      """WITH sc AS (SELECT doc_id,
+        |    CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS score
+        |  FROM documents),
+        |b AS (SELECT list_transform(
+        |    quantile_cont(score, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]),
+        |    x -> round(x, 6)) AS bnds FROM sc)
+        |SELECT CAST(1 + len(list_filter(bnds, v -> score > v)) AS BIGINT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  min(score) AS min_score, max(score) AS max_score
+        |FROM sc, b
+        |GROUP BY 1
+        |ORDER BY bucket""".stripMargin) { (s, dir) =>
+      val sc = t(s, dir, "documents")
+        .select(col("doc_id"), size(wordsCol).cast("long").as("score"))
+      val bnds = sc.agg(expr(
+        """transform(
+          |  percentile(score, array(0.1D, 0.2D, 0.3D, 0.4D, 0.5D, 0.6D, 0.7D, 0.8D, 0.9D)),
+          |  x -> round(x, 6))""".stripMargin).as("bnds"))
+      sc.crossJoin(broadcast(bnds))
+        .select(col("score"),
+          (lit(1) + size(expr("filter(bnds, v -> score > v)"))).cast("long").as("bucket"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          min(col("score")).as("min_score"), max(col("score")).as("max_score"))
+        .orderBy(col("bucket"))
+    },
+
+    // ---- temperature-scaled mixture weights (multinomial resampling) ----
+    // The multilingual-corpus balancing rule (sampling weight ∝ n^τ,
+    // τ = 0.7): flattens the source distribution so head sources stop
+    // dominating without discarding tail sources — the planning half that
+    // feeds q86's deterministic application. Cost is one |sources|-row
+    // aggregate plus scalar arithmetic; the corpus itself is never
+    // shuffled, and at 100 TB the weight table broadcasts to the sampler
+    // exactly like q86's rate table.
+    Q("q118_temperature_mix",
+      """WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+        |           FROM documents GROUP BY source),
+        |z AS (SELECT sum(power(CAST(n_docs AS DOUBLE), 0.7)) AS zsum,
+        |             CAST(sum(n_docs) AS BIGINT) AS n_total FROM c)
+        |SELECT source, n_docs,
+        |  round(power(CAST(n_docs AS DOUBLE), 0.7) / zsum, 6) AS weight,
+        |  round((power(CAST(n_docs AS DOUBLE), 0.7) / zsum)
+        |        / (CAST(n_docs AS DOUBLE) / n_total), 6) AS dup_factor
+        |FROM c, z
+        |ORDER BY source""".stripMargin) { (s, dir) =>
+      val c = t(s, dir, "documents")
+        .groupBy(col("source")).agg(count(lit(1)).cast("long").as("n_docs"))
+      val z = c.agg(sum(pow(col("n_docs").cast("double"), 0.7)).as("zsum"),
+        sum(col("n_docs")).cast("long").as("n_total"))
+      val w = pow(col("n_docs").cast("double"), 0.7) / col("zsum")
+      c.crossJoin(broadcast(z))
+        .select(col("source"), col("n_docs"), round(w, 6).as("weight"),
+          round(w / (col("n_docs").cast("double") / col("n_total")), 6).as("dup_factor"))
+        .orderBy(col("source"))
     }
   )
 }

@@ -105,6 +105,28 @@ object SubstringOps {
     (merges.result(), vocab)
   }
 
+  /** One row per 8-word span occurrence: (doc_id, gram). Map-side explode
+    * at scan speed; both the group pass and the example rejoin read it. */
+  private[ops] def gramRows(s: SparkSession, dir: String) =
+    t(s, dir, "documents")
+      .select(col("doc_id"), wordsCol.as("w"))
+      .select(col("doc_id"), explode(expr(
+        s"""CASE WHEN size(w) >= $GramWords THEN
+           |  transform(sequence(1, size(w) - ${GramWords - 1}),
+           |    i -> array_join(slice(w, i, $GramWords), ' '))
+           |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin)).as("gram"))
+
+  /** The scalable core of q108: every 8-word span occurring in ≥2 distinct
+    * documents, counts only — the shuffle carries nothing but the 32-byte
+    * md5 and two partial counts (never the span text). ScaleBench measures
+    * this frame's growth; q108 decorates its top 25 with example text. */
+  def dupSpanGroups(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    gramRows(s, dir)
+      .groupBy(md5(col("gram")).as("gram_md5"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occ"))
+      .filter(col("n_docs") >= 2)
+
   val qs: Seq[Q] = Seq(
 
     // ---- duplicated n-gram spans: substring-level exact dedup ----
@@ -112,8 +134,13 @@ object SubstringOps {
     // repeat SPANS — boilerplate, licenses, quoted passages — inside
     // otherwise-unique documents. This surfaces every 8-word span occurring
     // in ≥2 distinct documents, ranked by spread. Group key = md5 of the
-    // span (fixed width); the span text itself survives only as a min()
-    // example, so the shuffle never carries duplicate long strings.
+    // span (fixed width), and the group shuffle carries ONLY (md5, counts):
+    // since most grams are unique, a min(example) aggregate in the same
+    // pass would drag nearly every span's full text through the shuffle
+    // (~2× the bytes). Instead the top 25 groups are picked first and the
+    // example text comes from a second scan-speed pass filtered against
+    // the broadcast 25 hashes — at 100 TB a second parquet scan is cheap,
+    // shuffle bytes are the bottleneck.
     Q("q108_dup_ngram_spans",
       raw"""WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS words
            |           FROM documents),
@@ -125,19 +152,16 @@ object SubstringOps {
            |FROM g GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
            |ORDER BY n_docs DESC, n_occ DESC, gram_md5
            |LIMIT 25""".stripMargin) { (s, dir) =>
-      val grams = t(s, dir, "documents")
-        .select(col("doc_id"), wordsCol.as("w"))
-        .select(col("doc_id"), explode(expr(
-          s"""CASE WHEN size(w) >= $GramWords THEN
-             |  transform(sequence(1, size(w) - ${GramWords - 1}),
-             |    i -> array_join(slice(w, i, $GramWords), ' '))
-             |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin)).as("gram"))
-      grams
-        .groupBy(md5(col("gram")).as("gram_md5"))
-        .agg(min(col("gram")).as("example"),
-          countDistinct(col("doc_id")).as("n_docs"),
-          count(lit(1)).as("n_occ"))
-        .filter(col("n_docs") >= 2)
+      val top = dupSpanGroups(s, dir)
+        .orderBy(col("n_docs").desc, col("n_occ").desc, col("gram_md5"))
+        .limit(25)
+      val examples = gramRows(s, dir)
+        .join(broadcast(top.select(col("gram_md5"))),
+          md5(col("gram")) === col("gram_md5"))
+        .groupBy(col("gram_md5"))
+        .agg(min(col("gram")).as("example"))
+      top.join(examples, Seq("gram_md5"))
+        .select(col("gram_md5"), col("example"), col("n_docs"), col("n_occ"))
         .orderBy(col("n_docs").desc, col("n_occ").desc, col("gram_md5"))
         .limit(25)
     },

@@ -408,6 +408,71 @@ object TextAnalysis {
           md5(norm).as("fp"),
           substring(md5(norm), 1, 8).as("fp_prefix"))
         .orderBy(col("doc_id"))
+    },
+
+    // ---- rule-based quality filter with per-rule reasons ----
+    // The Gopher/C4-style hard-rule gate, with the property production
+    // pipelines need and a bare boolean loses: WHICH rule rejected each
+    // document (rule-hit telemetry is how thresholds get tuned). Four
+    // rules on this corpus's signal axes: too_short (<30 words),
+    // word_len (mean word length <4.2), no_stopword (no 'a'/'the'),
+    // low_ttr (type-token ratio <0.5 — the repetition smell). The reason
+    // string concatenates failed rules in one FIXED order on both
+    // engines. Pure per-row projection: map-side at scan speed, no
+    // shuffle before the presentation sort; the aggregate per-rule counts
+    // downstream are one tiny groupBy.
+    Q("q115_rule_filter",
+      ruleFilterOracle) { (s, dir) =>
+      ruleFlags(t(s, dir, "documents"))
+        .select(col("doc_id"), col("n_words"), col("keep"), col("reasons"))
+        .orderBy(col("doc_id"))
     }
   )
+
+  /** Per-document rule gate, appended as columns (`n_words`, `keep`,
+    * `reasons`) to whatever the input carries — single map-side pass, no
+    * shuffle, so it drops into a per-micro-batch foreachBatch body exactly
+    * like the batch query (see StreamingChainSpec). */
+  def ruleFlags(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val flagged = docs
+      .withColumn("__ws", wordsCol)
+      .withColumn("n_words", size(col("__ws")).cast("long"))
+      .withColumn("__avg_wlen",
+        expr("aggregate(transform(__ws, x -> length(x)), 0L, (acc, v) -> acc + v)")
+          .cast("double") / size(col("__ws")))
+      .withColumn("__n_stop", size(expr("filter(__ws, x -> x IN ('a', 'the'))")))
+      .withColumn("__ttr",
+        size(array_distinct(col("__ws"))).cast("double") / size(col("__ws")))
+    flagged
+      .withColumn("keep",
+        when(col("n_words") >= 30 && col("__avg_wlen") >= 4.2
+          && col("__n_stop") > 0 && col("__ttr") >= 0.5, 1L).otherwise(0L))
+      .withColumn("reasons", concat_ws(",",
+        when(col("n_words") < 30, "too_short"),
+        when(col("__avg_wlen") < 4.2, "word_len"),
+        when(col("__n_stop") === 0, "no_stopword"),
+        when(col("__ttr") < 0.5, "low_ttr")))
+      .drop("__ws", "__avg_wlen", "__n_stop", "__ttr")
+  }
+
+  private def ruleFilterOracle: String =
+      """WITH w AS (SELECT doc_id,
+        |    string_split_regex(lower(trim(text)), '\s+') AS ws
+        |  FROM documents),
+        |m AS (SELECT doc_id,
+        |    CAST(len(ws) AS BIGINT) AS n_words,
+        |    CAST(list_sum(list_transform(ws, x -> len(x))) AS DOUBLE) / len(ws) AS avg_wlen,
+        |    len(list_filter(ws, x -> x IN ('a', 'the'))) AS n_stop,
+        |    CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) AS ttr
+        |  FROM w)
+        |SELECT doc_id, n_words,
+        |  CAST(CASE WHEN n_words >= 30 AND avg_wlen >= 4.2
+        |            AND n_stop > 0 AND ttr >= 0.5 THEN 1 ELSE 0 END AS BIGINT) AS keep,
+        |  concat_ws(',',
+        |    CASE WHEN n_words < 30 THEN 'too_short' END,
+        |    CASE WHEN avg_wlen < 4.2 THEN 'word_len' END,
+        |    CASE WHEN n_stop = 0 THEN 'no_stopword' END,
+        |    CASE WHEN ttr < 0.5 THEN 'low_ttr' END) AS reasons
+        |FROM m
+        |ORDER BY doc_id""".stripMargin
 }

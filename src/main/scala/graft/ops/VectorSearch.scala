@@ -490,6 +490,81 @@ object VectorSearch {
         .select(col("vec_id"), col("label"), round(cos, 6).as("centroid_cos"))
         .orderBy(col("centroid_cos").asc, col("vec_id"))
         .limit(20)
+    },
+
+    // ---- semantic dedup: cluster, then prune within-cluster neighbors ----
+    // The SemDeDup recipe (cluster the embedding space, then drop every
+    // vector whose cosine to an earlier vector IN THE SAME CLUSTER exceeds
+    // τ): pairwise comparison is confined to clusters, never the corpus.
+    // Composition of q110's assignment step (broadcast 5-seed argmax, one
+    // codegen'd pass) with an equi-join ON THE CLUSTER ID — the join that
+    // replaces q65's hyperplane-bucket blocking when a clustering already
+    // exists. Scale: cost is Σ|cluster|², which SemDeDup keeps bounded by
+    // growing k with N (k ∝ N ⇒ constant expected cluster size); the
+    // assignment is map-side, the pair generation shuffles each vector
+    // once on its cluster id, and the keep-first rule (prune the LARGER
+    // vec_id) makes the output deterministic without a second pass.
+    Q("q113_semantic_dedup", {
+      def cosSql(a: String, b: String) =
+        s"""(list_sum(list_transform(range(1, len($a) + 1),
+           |    i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))
+           | / (sqrt(list_sum(list_transform(range(1, len($a) + 1),
+           |    i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE))))
+           |  * sqrt(list_sum(list_transform(range(1, len($b) + 1),
+           |    i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))))))""".stripMargin
+      s"""WITH seeds AS (SELECT vec_id AS seed_id, embedding AS se
+         |  FROM embeddings WHERE vec_id < 5),
+         |scored AS (SELECT e.vec_id, e.embedding AS emb, s.seed_id,
+         |    round(${cosSql("embedding", "se")}, 9) AS cos
+         |  FROM embeddings e, seeds s),
+         |assigned AS (SELECT vec_id, emb, seed_id,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, seed_id) AS rn
+         |  FROM scored),
+         |a AS (SELECT vec_id, emb, seed_id FROM assigned WHERE rn = 1)
+         |SELECT y.vec_id AS pruned_id, y.seed_id AS cluster_id,
+         |  round(max(${cosSql("x.emb", "y.emb")}), 6) AS max_cos,
+         |  min(x.vec_id) AS dup_of
+         |FROM a x JOIN a y
+         |  ON x.seed_id = y.seed_id AND x.vec_id < y.vec_id
+         |WHERE ${cosSql("x.emb", "y.emb")} >= 0.4
+         |GROUP BY y.vec_id, y.seed_id
+         |ORDER BY pruned_id""".stripMargin
+    }) { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val seedRow = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("seed_id"), col("embedding").as("se"))
+        .agg(array_sort(collect_list(struct(col("seed_id"), col("se")))).as("seeds"))
+      val cosInSeed =
+        """round(
+          |  aggregate(zip_with(embedding, s.se, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+          |    CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)
+          |  / (sqrt(aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+          |      CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))
+          |   * sqrt(aggregate(transform(s.se, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+          |      CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))), 9)""".stripMargin
+      val assigned = emb.crossJoin(broadcast(seedRow))
+        .select(col("vec_id"), col("embedding").as("emb"), expr(
+          s"""array_max(transform(seeds,
+             |  s -> struct($cosInSeed AS cos, -s.seed_id AS negseed)))""".stripMargin)
+          .as("b"))
+        .select(col("vec_id"), col("emb"), (-col("b.negseed")).as("seed_id"))
+      val pairCos = expr(
+        """aggregate(zip_with(x.emb, y.emb,
+          |  (a, b) -> CAST(a AS DOUBLE) * CAST(b AS DOUBLE)),
+          |  CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin) /
+        (sqrt(expr(
+          """aggregate(transform(x.emb, a -> CAST(a AS DOUBLE) * CAST(a AS DOUBLE)),
+            |  CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin)) *
+         sqrt(expr(
+          """aggregate(transform(y.emb, a -> CAST(a AS DOUBLE) * CAST(a AS DOUBLE)),
+            |  CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin)))
+      assigned.as("x").join(assigned.as("y"),
+          col("x.seed_id") === col("y.seed_id") && col("x.vec_id") < col("y.vec_id"))
+        .filter(pairCos >= 0.4)
+        .groupBy(col("y.vec_id").as("pruned_id"), col("y.seed_id").as("cluster_id"))
+        .agg(round(max(pairCos), 6).as("max_cos"),
+          min(col("x.vec_id")).as("dup_of"))
+        .orderBy(col("pruned_id"))
     }
   )
 }

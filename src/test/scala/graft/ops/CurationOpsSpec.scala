@@ -1,0 +1,98 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Structural invariants of the round-5 curation operators (q113–q118)
+  * on real testdata — the oracle proves value equality; these prove the
+  * properties the oracle can't see (dominance, monotonicity, coverage). */
+class CurationOpsSpec extends SparkSpec {
+
+  private def q(name: String) = graft.SparkEntry.queries(name)(spark, sf001)
+
+  test("q113 semantic dedup: keep-first rule and threshold hold on every row") {
+    val rows = q("q113_semantic_dedup").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (pruned, cluster, maxCos, dupOf) =
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))
+      assert(dupOf < pruned, s"keep-first violated: $dupOf !< $pruned")
+      assert(maxCos >= 0.4 && maxCos <= 1.0, s"cos out of band: $maxCos")
+      assert(cluster >= 0 && cluster < 5)
+    }
+    // pruned ids are unique (one row per pruned vector, not per pair)
+    assert(rows.map(_.getLong(0)).distinct.length === rows.length)
+  }
+
+  test("q114 bigram LM: every doc with >=2 words scored, all logprobs negative") {
+    val out = q("q114_bigram_logprob").collect()
+    val eligible = spark.read.parquet(s"$sf001/documents.parquet")
+      .select(size(split(lower(trim(col("text"))), "\\s+")).as("n"))
+      .filter(col("n") >= 2).count()
+    assert(out.length === eligible)
+    out.foreach { r =>
+      assert(r.getLong(1) >= 1) // n_bigrams
+      assert(r.getDouble(2) < 0.0, s"logprob must be negative: ${r.getDouble(2)}")
+    }
+  }
+
+  test("q115 rule filter: keep flag is exactly 'no reason fired'") {
+    val rows = q("q115_rule_filter").collect()
+    val docs = spark.read.parquet(s"$sf001/documents.parquet").count()
+    assert(rows.length === docs)
+    rows.foreach { r =>
+      val keep = r.getLong(2)
+      val reasons = r.getString(3)
+      assert((keep == 1L) === reasons.isEmpty,
+        s"keep=$keep but reasons='$reasons' for doc ${r.getLong(0)}")
+      // fixed emission order: any subset must appear in canonical order
+      val canonical = Seq("too_short", "word_len", "no_stopword", "low_ttr")
+      val emitted = reasons.split(",").filter(_.nonEmpty).toSeq
+      assert(emitted === canonical.filter(emitted.contains))
+    }
+    // the rules discriminate on this corpus: some kept, some rejected
+    assert(rows.exists(_.getLong(2) == 1L) && rows.exists(_.getLong(2) == 0L))
+  }
+
+  test("q116 sliding chunks: stride-10 start positions, count matches formula") {
+    val byDoc = q("q116_chunk_sliding").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).sorted).toMap
+    val lens = spark.read.parquet(s"$sf001/documents.parquet")
+      .select(col("doc_id"), size(split(lower(trim(col("text"))), "\\s+")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // exactly the docs with >=25 words are chunked
+    assert(byDoc.keySet === lens.filter(_._2 >= 25).keySet)
+    byDoc.foreach { case (doc, starts) =>
+      val n = lens(doc)
+      val expected = (1 to (n - 24) by 10).map(_.toLong)
+      assert(starts.toSeq === expected, s"doc $doc (n=$n)")
+    }
+  }
+
+  test("q117 buckets: full coverage, ordered ranges, all docs accounted for") {
+    val rows = q("q117_quality_buckets").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    val docs = spark.read.parquet(s"$sf001/documents.parquet").count()
+    assert(rows.map(_._2).sum === docs)
+    assert(rows.forall { case (_, n, lo, hi) => n > 0 && lo <= hi })
+    // deciles partition the score axis: bucket k's min >= bucket k-1's max
+    rows.sliding(2).foreach {
+      case Array((_, _, _, hi1), (_, _, lo2, _)) => assert(lo2 >= hi1)
+      case _ =>
+    }
+  }
+
+  test("q118 temperature mix: weights sum to 1, dup_factor monotone in size") {
+    val rows = q("q118_temperature_mix").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-4)
+    // τ = 0.7 < 1 flattens: smaller sources get strictly larger boost
+    val bySize = rows.sortBy(_._2).toSeq
+    bySize.sliding(2).foreach {
+      case Seq((_, n1, _, d1), (_, n2, _, d2)) if n1 < n2 =>
+        assert(d1 > d2, s"$n1→$d1, $n2→$d2")
+      case _ =>
+    }
+  }
+}
