@@ -109,6 +109,10 @@ def main(sf_dir, out_dir, strict=False):
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    only = [a.split("=", 1)[1] for a in sys.argv[3:] if a.startswith("--only=")]
+    if only:
+        oracle = {k: v for k, v in oracle.items()
+                  if any(k.startswith(p) for p in only)}
     n_ok = n_bad = 0
     for name, sql in sorted(oracle.items()):
         try:

@@ -67,7 +67,7 @@ object Bench {
       val bytes = { drainBus(); shuffleBytes.get() - b0 }
       val b = once()
       val t = if (a < 0 || b < 0) -1.0 else math.min(a, b)
-      (name, t, bytes)
+      (name, t, bytes, a, b)
     }
     // ms precision and sorted keys keep the JSON line short and stable:
     // the harness captures a bounded stdout tail, and full-precision
@@ -82,13 +82,14 @@ object Bench {
     // total must never be the only trace of a query that now throws
     val total = results.map(_._2).filter(_ >= 0).sum
     val nFailed = results.count(_._2 < 0)
-    // Line 1 (verbose, full query names, seconds + shuffle MB): for humans
-    // and the repo log. The harness keeps only the LAST 2000 stdout chars,
-    // so this line's head is expected to truncate — everything a judge
-    // needs is restated compactly in the FINAL line below.
-    val qs = results.map { case (k, v, mb) => s""""$k":[${f3(v)},${f1(mb / 1e6)}]""" }
-      .mkString("{", ",", "}")
-    println(s"""{"metric":"detail","unit":"[sec,shuffle_mb]","queries":$qs,""" +
+    // Line 1 (verbose, full query names, min seconds + shuffle MB + BOTH
+    // raw runs): for humans and the repo log. The harness keeps only the
+    // LAST 2000 stdout chars, so this line's head is expected to truncate —
+    // everything a judge needs is restated compactly in the FINAL line.
+    val qs = results.map { case (k, v, mb, a, b) =>
+        s""""$k":[${f3(v)},${f1(mb / 1e6)},${f3(a)},${f3(b)}]"""
+      }.mkString("{", ",", "}")
+    println(s"""{"metric":"detail","unit":"[sec,shuffle_mb,run1,run2]","queries":$qs,""" +
       s""""sf":"$sfDir","value":${f3(total)},"failed":$nFailed}""")
     // FINAL line: self-sufficient within the ~2000-char tail capture
     // (which also has to hold sbt's "[info] " prefix and trailing
@@ -100,19 +101,36 @@ object Bench {
     // still risk overflowing the budget, degrade to ms-only rather than
     // lose the line's end.
     def shortId(name: String): String = name.takeWhile(_ != '_')
-    def compact(withMb: Boolean): String = {
-      val entries = results.map { case (k, v, mb) =>
+    // Queries whose two runs diverge materially (>1.3× and >200 ms apart):
+    // the first-touch/cache-attribution signal that min-of-2 alone hides.
+    // Capped at the 8 largest absolute divergences so the object survives
+    // the tail budget even on a host-contended run where EVERY query
+    // jitters (a full 118-query run1/run2 dump would not).
+    val jitterStr = results
+      .filter { case (_, t, _, a, b) => t >= 0 &&
+        math.max(a, b) >= 1.3 * math.min(a, b) &&
+        math.max(a, b) - math.min(a, b) >= 0.2 }
+      .sortBy { case (_, _, _, a, b) => -(math.max(a, b) - math.min(a, b)) }
+      .take(8)
+      .map { case (k, _, _, a, b) =>
+        s""""${shortId(k)}":[${math.round(a * 1000)},${math.round(b * 1000)}]"""
+      }.mkString("{", ",", "}")
+    def compact(withMb: Boolean, withJitter: Boolean): String = {
+      val entries = results.map { case (k, v, mb, _, _) =>
         val ms = if (v < 0) -1L else math.round(v * 1000)
         val mbv = mb / 1e6
         if (withMb && mbv >= 0.05) s""""${shortId(k)}":[$ms,${f1(mbv)}]"""
         else s""""${shortId(k)}":$ms"""
       }.mkString("{", ",", "}")
+      val jit = if (withJitter) s""""r12":$jitterStr,""" else ""
       s"""{"metric":"total","unit":"sec","fmt":${if (withMb) "\"ms|[ms,mb]\"" else "\"ms\""},""" +
-        s""""q":$entries,"sf":"$sfDir","n":${results.size},""" +
+        s""""q":$entries,$jit"sf":"$sfDir","n":${results.size},""" +
         s""""value":${f3(total)},"failed":$nFailed}"""
     }
-    val line = { val full = compact(withMb = true)
-      if (full.length <= 1750) full else compact(withMb = false) }
+    // degrade order: drop shuffle MB before dropping the jitter pairs —
+    // the jitter signal is this round's diagnostic ask
+    val line = Seq(compact(true, true), compact(false, true), compact(false, false))
+      .find(_.length <= 1750).getOrElse(compact(false, false))
     println(line)
     graft.ops.CacheRegistry.clear(spark) // release every operator cache
     spark.stop()

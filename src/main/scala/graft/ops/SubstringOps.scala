@@ -137,10 +137,11 @@ object SubstringOps {
     // span (fixed width), and the group shuffle carries ONLY (md5, counts):
     // since most grams are unique, a min(example) aggregate in the same
     // pass would drag nearly every span's full text through the shuffle
-    // (~2× the bytes). Instead the top 25 groups are picked first and the
-    // example text comes from a second scan-speed pass filtered against
-    // the broadcast 25 hashes — at 100 TB a second parquet scan is cheap,
-    // shuffle bytes are the bottleneck.
+    // (~2× the bytes). Instead the top 25 groups are COLLECTED to the
+    // driver (bounded by LIMIT 25), so the expensive group pass runs
+    // exactly once, and the example text comes from a second scan-speed
+    // pass filtered against the 25 literal hashes — at 100 TB a second
+    // parquet scan is cheap, shuffle bytes are the bottleneck.
     Q("q108_dup_ngram_spans",
       raw"""WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS words
            |           FROM documents),
@@ -152,18 +153,21 @@ object SubstringOps {
            |FROM g GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
            |ORDER BY n_docs DESC, n_occ DESC, gram_md5
            |LIMIT 25""".stripMargin) { (s, dir) =>
-      val top = dupSpanGroups(s, dir)
+      import s.implicits._
+      val topRows = dupSpanGroups(s, dir)
         .orderBy(col("n_docs").desc, col("n_occ").desc, col("gram_md5"))
         .limit(25)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      val top = topRows.toDF("gram_md5", "n_docs", "n_occ")
+      val md5s = topRows.map(_._1)
       val examples = gramRows(s, dir)
-        .join(broadcast(top.select(col("gram_md5"))),
-          md5(col("gram")) === col("gram_md5"))
-        .groupBy(col("gram_md5"))
+        .filter(md5(col("gram")).isin(md5s: _*))
+        .groupBy(md5(col("gram")).as("gram_md5"))
         .agg(min(col("gram")).as("example"))
-      top.join(examples, Seq("gram_md5"))
+      examples.join(broadcast(top), Seq("gram_md5"))
         .select(col("gram_md5"), col("example"), col("n_docs"), col("n_occ"))
         .orderBy(col("n_docs").desc, col("n_occ").desc, col("gram_md5"))
-        .limit(25)
     },
 
     // ---- BPE pair statistics: the counting step of tokenizer training ----
@@ -192,6 +196,67 @@ object SubstringOps {
         .limit(20)
     },
 
+    // ---- iterated BPE training: 2 oracle-checked merge rounds ----
+    // q109 oracle-checks the distributed pair-counting core; this checks
+    // the TRAINER — [[bpeTrain]] run end-to-end for 2 merges over a tiny
+    // deterministic vocabulary (top-20 ≥4-char [a-z] words by corpus
+    // frequency), so the argmax choice, the greedy non-overlapping
+    // [[mergeOnce]] fold, and the merge ORDER (round 2 counts pairs over
+    // round 1's rewritten symbols) are all value-checked against DuckDB.
+    // The oracle applies each data-derived merge with a list_reduce string-
+    // accumulator fold — semantics proven identical to mergeOnce's
+    // left-to-right greedy replacement ('|' delimiters are safe because
+    // the vocabulary is filtered to ^[a-z]{4,}$ on both engines). Scale:
+    // the trainer's cost is ∝ |vocabulary| per round (the standard word-
+    // frequency pre-aggregation), with one-row argmax collects — corpus
+    // size only enters through the initial word count.
+    Q("q121_bpe_train2",
+      raw"""WITH wd AS (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+           |            FROM documents),
+           |vocab0 AS (SELECT word, count(*) AS cnt FROM wd
+           |  WHERE regexp_matches(word, '^[a-z]{4,}$$')
+           |  GROUP BY word ORDER BY cnt DESC, word LIMIT 20),
+           |sy0 AS (SELECT word, cnt,
+           |    list_transform(range(1, len(word) + 1), i -> substr(word, i, 1)) AS syms
+           |  FROM vocab0),
+           |p1 AS (SELECT s['a'] AS a, s['b'] AS b, sum(cnt) AS n FROM (
+           |    SELECT cnt, unnest(list_transform(range(1, len(syms)),
+           |      i -> {'a': syms[i], 'b': syms[i+1]})) AS s
+           |    FROM sy0 WHERE len(syms) >= 2)
+           |  GROUP BY 1, 2),
+           |m1 AS (SELECT a, b FROM p1 ORDER BY n DESC, a, b LIMIT 1),
+           |sy1 AS (SELECT word, cnt, string_split(substr(list_reduce(list_prepend('', syms),
+           |    (acc, x) -> CASE WHEN x = m1.b AND ends_with(acc, '|' || m1.a)
+           |      THEN regexp_replace(acc, '\|[^|]*$$', '') || '|' || m1.a || m1.b
+           |      ELSE acc || '|' || x END), 2), '|') AS syms
+           |  FROM sy0, m1),
+           |p2 AS (SELECT s['a'] AS a, s['b'] AS b, sum(cnt) AS n FROM (
+           |    SELECT cnt, unnest(list_transform(range(1, len(syms)),
+           |      i -> {'a': syms[i], 'b': syms[i+1]})) AS s
+           |    FROM sy1 WHERE len(syms) >= 2)
+           |  GROUP BY 1, 2),
+           |m2 AS (SELECT a, b FROM p2 ORDER BY n DESC, a, b LIMIT 1),
+           |sy2 AS (SELECT word, cnt, string_split(substr(list_reduce(list_prepend('', syms),
+           |    (acc, x) -> CASE WHEN x = m2.b AND ends_with(acc, '|' || m2.a)
+           |      THEN regexp_replace(acc, '\|[^|]*$$', '') || '|' || m2.a || m2.b
+           |      ELSE acc || '|' || x END), 2), '|') AS syms
+           |  FROM sy1, m2)
+           |SELECT word, cnt, array_to_string(syms, ' ') AS syms
+           |FROM sy2 ORDER BY word""".stripMargin) { (s, dir) =>
+      // localCheckpoint: 3 downstream actions (2 argmax collects + the
+      // result) must not each re-run the corpus-wide word aggregate
+      val words = t(s, dir, "documents")
+        .select(explode(wordsCol).as("word"))
+        .filter(col("word").rlike("^[a-z]{4,}$"))
+        .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("word"))
+        .limit(20)
+        .localCheckpoint()
+      val (_, vocab) = bpeTrain(words, numMerges = 2)
+      vocab.select(col("word"), col("cnt"), array_join(col("syms"), " ").as("syms"))
+        .orderBy(col("word"))
+    },
+
     // ---- shingle-set containment: near-superset / quotation detection ----
     // Jaccard (q42) under-scores a short document embedded in a long one
     // (|A∩B|/|A∪B| stays small when |B|≫|A|); containment |A∩B|/min(|A|,|B|)
@@ -215,19 +280,58 @@ object SubstringOps {
          |JOIN sizes sb ON doc_b = sb.doc_id
          |WHERE i * 1.0 / least(sa.n, sb.n) >= 0.6
          |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
-      val hs = TextDedup.shingleRows(s, dir).select(col("doc_id"), col("h1").as("h"))
-      val sizes = hs.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      val inter = hs.as("x").join(hs.as("y"),
-          col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
-        .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-        .agg(count(lit(1)).as("i"))
-      val cont = col("i") * lit(1.0) / least(col("sa.n"), col("sb.n"))
-      inter
-        .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
-        .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
-        .filter(cont >= 0.6)
-        .select(col("doc_a"), col("doc_b"), round(cont, 6).as("containment"))
+      containmentFrom(
+        TextDedup.shingleRows(s, dir).select(col("doc_id"), col("h1").as("h")))
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    // ---- containment under the doc-frequency skew cap (q100 treatment) --
+    // The q112 pipeline with the stop-shingle cap ACTIVE (maxDf=3, same
+    // bound as q100) and the identical HAVING filter in the oracle's CTE.
+    // The containment join shares q42/q100's C(df,2) hot-shingle pathology
+    // — a boilerplate-heavy corpus funnels quadratic pairs through the very
+    // same equi-join — so the mitigated path needs its own strict oracle
+    // check, not an inherited claim. Capped containment values legitimately
+    // differ from q112's exact ones (dropping ubiquitous shingles shrinks
+    // intersection and min-size); both engines compute the same capped
+    // statistic. ScaleBench's containment phases chart the growth cap-off
+    // vs cap-on.
+    Q("q119_containment_capped",
+      s"""${TextDedup.ShingleCte},
+         |keep AS (SELECT h1 FROM sh GROUP BY h1 HAVING count(*) <= 3),
+         |hs AS (SELECT doc_id, h1 AS h FROM sh JOIN keep USING (h1)),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM hs GROUP BY doc_id),
+         |inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS i
+         |  FROM hs x JOIN hs y ON x.h = y.h AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b,
+         |  round(i * 1.0 / least(sa.n, sb.n), 6) AS containment
+         |FROM inter
+         |JOIN sizes sa ON doc_a = sa.doc_id
+         |JOIN sizes sb ON doc_b = sb.doc_id
+         |WHERE i * 1.0 / least(sa.n, sb.n) >= 0.6
+         |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+      val capped = TextDedup.capDocFrequency(
+        TextDedup.shingleRows(s, dir), maxDf = 3, key = "h1")
+      containmentFrom(capped.select(col("doc_id"), col("h1").as("h")))
         .orderBy(col("doc_a"), col("doc_b"))
     }
   )
+
+  /** The containment join + threshold over any (doc_id, h) shingle frame —
+    * shared by the exact (q112) and capped (q119) variants so the two can
+    * never drift. Returns the UNSORTED (doc_a, doc_b, containment) frame. */
+  private[ops] def containmentFrom(hs: DataFrame): DataFrame = {
+    val sizes = hs.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = hs.as("x").join(hs.as("y"),
+        col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("i"))
+    val cont = col("i") * lit(1.0) / least(col("sa.n"), col("sb.n"))
+    inter
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .filter(cont >= 0.6)
+      .select(col("doc_a"), col("doc_b"), round(cont, 6).as("containment"))
+  }
 }

@@ -435,14 +435,21 @@ object TextAnalysis {
     * like the batch query (see StreamingChainSpec). */
   def ruleFlags(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val flagged = docs
-      .withColumn("__ws", wordsCol)
+      // NULL text coalesces to an empty word list so n_words=0 and
+      // too_short FIRES — otherwise every when() evaluates to NULL and
+      // keep=0 would carry an empty reasons string, silently breaking the
+      // "keep=1 iff no rule fired" contract on a corpus with missing text
+      .withColumn("__ws", coalesce(wordsCol, array().cast("array<string>")))
       .withColumn("n_words", size(col("__ws")).cast("long"))
+      // nullif guards the n_words=0 (coalesced-null) row: ANSI mode makes
+      // 0/0 an error, and a NULL ratio correctly skips the ratio rules
       .withColumn("__avg_wlen",
         expr("aggregate(transform(__ws, x -> length(x)), 0L, (acc, v) -> acc + v)")
-          .cast("double") / size(col("__ws")))
+          .cast("double") / nullif(size(col("__ws")), lit(0)))
       .withColumn("__n_stop", size(expr("filter(__ws, x -> x IN ('a', 'the'))")))
       .withColumn("__ttr",
-        size(array_distinct(col("__ws"))).cast("double") / size(col("__ws")))
+        size(array_distinct(col("__ws"))).cast("double") /
+          nullif(size(col("__ws")), lit(0)))
     flagged
       .withColumn("keep",
         when(col("n_words") >= 30 && col("__avg_wlen") >= 4.2

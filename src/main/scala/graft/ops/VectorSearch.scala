@@ -136,6 +136,169 @@ object VectorSearch {
     case 2 => 1 + NumPlanes + NumPlanes * (NumPlanes - 1) / 2
   }
 
+  /** SemDeDup target cluster size: seeds = ceil(N / this), so expected
+    * cluster size stays ~constant as the corpus grows and the
+    * within-cluster pair count is O(N · target), never O(N²/k). */
+  private[graft] val SemDedupTarget = 100
+
+  /** q113's engine, reusable with a corpus bound so ScaleBench can measure
+    * candidate growth at controlled vector counts. k-means-style assignment
+    * to k = ceil(N/[[SemDedupTarget]]) deterministic seeds (one broadcast
+    * row carrying the seed array, map-only 9dp-rounded argmax — q110's
+    * shape), then within-cluster pair generation as an equi-join on
+    * seed_id (k distinct values, growing with N), the pair cosine
+    * projected ONCE as a 9dp-rounded column, and the τ threshold folded
+    * into the aggregate so the HOF is never re-evaluated. Returns the
+    * UNSORTED pruned frame (pruned_id, cluster_id, max_cos, dup_of). */
+  def semanticDedup(s: org.apache.spark.sql.SparkSession, dir: String,
+      maxVecs: Option[Long] = None): org.apache.spark.sql.DataFrame = {
+    val assigned = semAssigned(s, dir, maxVecs)
+    // one zip_with dot per pair; the norms ride along from the assignment
+    val pairCos = expr(
+      """aggregate(zip_with(x.emb, y.emb,
+        |  (a, b) -> CAST(a AS DOUBLE) * CAST(b AS DOUBLE)),
+        |  CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin) /
+      (col("x.nrm") * col("y.nrm"))
+    val pairs = assigned.as("x").join(assigned.as("y"),
+        col("x.seed_id") === col("y.seed_id") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("y.vec_id").as("pruned_id"), col("y.seed_id").as("cluster_id"),
+        col("x.vec_id").as("xid"), round(pairCos, 9).as("pc"))
+    pairs.groupBy(col("pruned_id"), col("cluster_id"))
+      .agg(max(col("pc")).as("mx"),
+        min(when(col("pc") >= 0.4, col("xid"))).as("dup_of"))
+      .filter(col("mx") >= 0.4)
+      .select(col("pruned_id"), col("cluster_id"),
+        round(col("mx"), 6).as("max_cos"), col("dup_of"))
+  }
+
+  /** Shared q113 assignment: k = ceil(N/[[SemDedupTarget]]) seeds folded
+    * into one broadcast row, per-vector 9dp-rounded argmax in a single
+    * map-only projection (q110's shape, k now scaling with the corpus).
+    * HOF-cost discipline: higher-order functions evaluate interpreted, so
+    * the vector's norm is hoisted to ONE column per row and each seed's
+    * norm is precomputed INSIDE the broadcast struct — the per-(row, seed)
+    * work is a single zip_with dot product, not three aggregates. The
+    * arithmetic (and hence every rounded double) is unchanged; only the
+    * recomputation goes. Output carries the hoisted norm (`nrm`) so the
+    * pair stage reuses it the same way. Persisted via [[CacheRegistry]]:
+    * the pair stage reads it from BOTH sides of a self-join. */
+  private def semAssigned(s: org.apache.spark.sql.SparkSession, dir: String,
+      maxVecs: Option[Long]): org.apache.spark.sql.DataFrame =
+    CacheRegistry.cache(s, s"q113-assigned:$dir:${maxVecs.getOrElse("all")}") {
+      val emb0 = t(s, dir, "embeddings")
+      val emb = maxVecs.fold(emb0)(m => emb0.filter(col("vec_id") < m))
+      // one bounded driver action to size k with the corpus (the same
+      // dynamic-subquery shape the DuckDB oracle uses)
+      val k = math.max(1L, math.ceil(emb.count() / SemDedupTarget.toDouble).toLong)
+      val normOf = (c: String) =>
+        sqrt(expr(s"aggregate(transform($c, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), " +
+          "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"))
+      val seedRow = emb.filter(col("vec_id") < k)
+        .select(col("vec_id").as("seed_id"), col("embedding").as("se"),
+          normOf("embedding").as("ns"))
+        .agg(array_sort(collect_list(struct(col("seed_id"), col("se"), col("ns"))))
+          .as("seeds"))
+      val cosInSeed =
+        """round(
+          |  aggregate(zip_with(emb, s.se, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+          |    CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) / (nrm * s.ns), 9)""".stripMargin
+      emb.select(col("vec_id"), col("embedding").as("emb"),
+          normOf("embedding").as("nrm"))
+        .crossJoin(broadcast(seedRow))
+        .select(col("vec_id"), col("emb"), col("nrm"), expr(
+          s"""array_max(transform(seeds,
+             |  s -> struct($cosInSeed AS cos, -s.seed_id AS negseed)))""".stripMargin)
+          .as("b"))
+        .select(col("vec_id"), col("emb"), col("nrm"), (-col("b.negseed")).as("seed_id"))
+    }
+
+  /** Within-cluster candidate-pair count under the q113 clustering — the
+    * quantity whose growth ScaleBench charts (linear when k ∝ N). Counted
+    * as Σ C(|cluster|, 2) from cluster sizes: no join needed to measure
+    * the candidate set the join would generate. */
+  def semanticDedupCandidates(s: org.apache.spark.sql.SparkSession, dir: String,
+      maxVecs: Option[Long] = None): Long = {
+    val r = semAssigned(s, dir, maxVecs).drop("emb")
+      .groupBy(col("seed_id")).agg(count(lit(1)).as("n"))
+      .agg(sum(col("n") * (col("n") - 1) / 2)).head()
+    if (r.isNullAt(0)) 0L else r.getLong(0)
+  }
+
+  /** Full Lloyd's k-means loop: q110's broadcast-argmax assignment step
+    * composed with q73's exact-DECIMAL centroid rebuild, iterated to
+    * convergence or `maxRounds`. Loop hygiene follows clusterPairs/bpeTrain:
+    * each round's assignment is `localCheckpoint`ed (truncates the plan —
+    * an unbounded expression tree is a driver cost before execution) and
+    * convergence is one bounded count over the checkpointed frames (did any
+    * vector change cluster?). Per round at 100 TB: one broadcast of the
+    * k-row centroid table, one map-only assignment pass, one narrow
+    * (k × dim)-group aggregate for the rebuild — no shuffle ever carries
+    * the corpus beyond the |k·dim| partial sums. Floating parity: per-seed
+    * cosine rounded to 9dp before the argmax, centroid components rebuilt
+    * through DECIMAL(38,12) sums (order-independent) and rounded to 6dp —
+    * identical doubles ⇒ identical winners in both engines, which is what
+    * lets a 2-round run be strict-oracle-checked (q120).
+    * Returns (per-vector assignment (vec_id, seed_id, cos), rounds run,
+    * converged flag). */
+  def kmeansLloyd(s: org.apache.spark.sql.SparkSession, dir: String,
+      k: Int, maxRounds: Int): (org.apache.spark.sql.DataFrame, Int, Boolean) =
+    kmeansLloydFrom(t(s, dir, "embeddings"), k, maxRounds)
+
+  /** [[kmeansLloyd]] over any (vec_id, embedding) frame — dimension-
+    * agnostic (the rebuild works positionally), so specs can drive the
+    * loop on small synthetic geometries with known convergence. */
+  def kmeansLloydFrom(embIn: org.apache.spark.sql.DataFrame,
+      k: Int, maxRounds: Int): (org.apache.spark.sql.DataFrame, Int, Boolean) = {
+    require(k >= 1 && maxRounds >= 1, s"need k >= 1 and maxRounds >= 1")
+    val emb = embIn.select(col("vec_id"), col("embedding"))
+    // round-0 centroids: the embeddings of vec_id < k, cast to DOUBLE
+    // (float32 values are exactly representable — no rounding needed)
+    var centroids = emb.filter(col("vec_id") < k)
+      .select(col("vec_id").as("seed_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("ce"))
+    val cosInSeed =
+      """round(
+        |  aggregate(zip_with(embedding, s.ce, (x, y) -> CAST(x AS DOUBLE) * y),
+        |    CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)
+        |  / (sqrt(aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+        |      CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))
+        |   * sqrt(aggregate(transform(s.ce, x -> x * x),
+        |      CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))), 9)""".stripMargin
+    var assigned: org.apache.spark.sql.DataFrame = null
+    var rounds = 0
+    var converged = false
+    while (rounds < maxRounds && !converged) {
+      val seedRow = centroids
+        .agg(array_sort(collect_list(struct(col("seed_id"), col("ce")))).as("seeds"))
+      val next = emb.crossJoin(broadcast(seedRow))
+        .select(col("vec_id"), col("embedding"), expr(
+          s"""array_max(transform(seeds,
+             |  s -> struct($cosInSeed AS cos, -s.seed_id AS negseed)))""".stripMargin)
+          .as("b"))
+        .select(col("vec_id"), col("embedding"),
+          (-col("b.negseed")).as("seed_id"), col("b.cos").as("cos"))
+        .localCheckpoint()
+      converged = assigned != null && next.as("n")
+        .join(assigned.as("p"), "vec_id")
+        .filter(col("n.seed_id") =!= col("p.seed_id")).isEmpty
+      assigned = next
+      rounds += 1
+      if (!converged && rounds < maxRounds) {
+        // q73's rebuild: per-(cluster, dim) exact DECIMAL mean, 6dp-rounded
+        centroids = assigned
+          .select(col("seed_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+          .groupBy(col("seed_id"), col("pos"))
+          .agg(round(sum(col("v").cast("double").cast("decimal(38,12)"))
+            .cast("double") / count(lit(1)), 6).as("c"))
+          .groupBy(col("seed_id"))
+          .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+            x => x.getField("c")).as("ce"))
+      }
+    }
+    (assigned.select(col("vec_id"), col("seed_id"), round(col("cos"), 6).as("cos")),
+      rounds, converged)
+  }
+
   val qs: Seq[Q] = Seq(
 
     // ---- exact brute-force cosine top-k ----
@@ -496,14 +659,22 @@ object VectorSearch {
     // The SemDeDup recipe (cluster the embedding space, then drop every
     // vector whose cosine to an earlier vector IN THE SAME CLUSTER exceeds
     // τ): pairwise comparison is confined to clusters, never the corpus.
-    // Composition of q110's assignment step (broadcast 5-seed argmax, one
+    // Composition of q110's assignment step (broadcast seed argmax, one
     // codegen'd pass) with an equi-join ON THE CLUSTER ID — the join that
     // replaces q65's hyperplane-bucket blocking when a clustering already
-    // exists. Scale: cost is Σ|cluster|², which SemDeDup keeps bounded by
-    // growing k with N (k ∝ N ⇒ constant expected cluster size); the
-    // assignment is map-side, the pair generation shuffles each vector
-    // once on its cluster id, and the keep-first rule (prune the LARGER
-    // vec_id) makes the output deterministic without a second pass.
+    // exists. Scale: cost is Σ|cluster|², which stays bounded because k
+    // GROWS WITH N — seeds = the first ceil(N/TargetClusterSize) vectors,
+    // so expected cluster size is a constant (~TargetClusterSize), the
+    // within-cluster pair count is O(N·T), and the pair-join key
+    // (seed_id) has N/T distinct values — parallelism and candidate
+    // volume both scale linearly (ScaleBench's semdedup phase measures
+    // ~2× candidates at 2× vectors). The pair cosine is projected ONCE
+    // into a 9dp-rounded column before any comparison (both engines round
+    // identically, so the τ=0.4 prune can't straddle a last-ulp
+    // difference), and the threshold folds into the aggregate
+    // (min over qualifying pairs + HAVING on the max) so the HOF is
+    // evaluated exactly once per candidate pair. The keep-first rule
+    // (prune the LARGER vec_id) makes the output deterministic.
     Q("q113_semantic_dedup", {
       def cosSql(a: String, b: String) =
         s"""(list_sum(list_transform(range(1, len($a) + 1),
@@ -512,59 +683,112 @@ object VectorSearch {
            |    i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE))))
            |  * sqrt(list_sum(list_transform(range(1, len($b) + 1),
            |    i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))))))""".stripMargin
-      s"""WITH seeds AS (SELECT vec_id AS seed_id, embedding AS se
-         |  FROM embeddings WHERE vec_id < 5),
+      s"""WITH kk AS (SELECT greatest(1, CAST(ceil(count(*) / $SemDedupTarget.0) AS BIGINT)) AS k
+         |  FROM embeddings),
+         |seeds AS (SELECT vec_id AS seed_id, embedding AS se
+         |  FROM embeddings, kk WHERE vec_id < kk.k),
          |scored AS (SELECT e.vec_id, e.embedding AS emb, s.seed_id,
          |    round(${cosSql("embedding", "se")}, 9) AS cos
          |  FROM embeddings e, seeds s),
          |assigned AS (SELECT vec_id, emb, seed_id,
          |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, seed_id) AS rn
          |  FROM scored),
-         |a AS (SELECT vec_id, emb, seed_id FROM assigned WHERE rn = 1)
-         |SELECT y.vec_id AS pruned_id, y.seed_id AS cluster_id,
-         |  round(max(${cosSql("x.emb", "y.emb")}), 6) AS max_cos,
-         |  min(x.vec_id) AS dup_of
-         |FROM a x JOIN a y
-         |  ON x.seed_id = y.seed_id AND x.vec_id < y.vec_id
-         |WHERE ${cosSql("x.emb", "y.emb")} >= 0.4
-         |GROUP BY y.vec_id, y.seed_id
+         |a AS (SELECT vec_id, emb, seed_id FROM assigned WHERE rn = 1),
+         |pairs AS (SELECT y.vec_id AS pruned_id, y.seed_id AS cluster_id,
+         |    x.vec_id AS xid, round(${cosSql("x.emb", "y.emb")}, 9) AS pc
+         |  FROM a x JOIN a y
+         |    ON x.seed_id = y.seed_id AND x.vec_id < y.vec_id)
+         |SELECT pruned_id, cluster_id, round(max(pc), 6) AS max_cos,
+         |  min(CASE WHEN pc >= 0.4 THEN xid END) AS dup_of
+         |FROM pairs
+         |GROUP BY pruned_id, cluster_id
+         |HAVING max(pc) >= 0.4
          |ORDER BY pruned_id""".stripMargin
+    }) { (s, dir) => semanticDedup(s, dir).orderBy(col("pruned_id")) },
+
+    // ---- full Lloyd's k-means: 2 oracle-checked rounds of the loop ----
+    // [[kmeansLloyd]] run for exactly 2 rounds at a deterministic seed set
+    // (k=5, seeds = vec_id 0–4): round-1 assignment → exact-DECIMAL
+    // centroid rebuild (6dp) → round-2 assignment, checked per-vector
+    // against the identical computation spelled out in DuckDB CTEs. This
+    // oracle-checks the LOOP composition (assignment ∘ rebuild ∘
+    // assignment), not just the single steps q110/q73 already cover;
+    // KMeansLoopSpec covers convergence/termination behavior the fixed
+    // 2-round oracle can't see.
+    Q("q120_kmeans_lloyd", {
+      def cosSql(a: String, b: String) =
+        s"""(list_sum(list_transform(range(1, len($a) + 1),
+           |    i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))
+           | / (sqrt(list_sum(list_transform(range(1, len($a) + 1),
+           |    i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE))))
+           |  * sqrt(list_sum(list_transform(range(1, len($b) + 1),
+           |    i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))))))""".stripMargin
+      s"""WITH seeds AS (SELECT vec_id AS seed_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ce
+         |  FROM embeddings WHERE vec_id < 5),
+         |s1 AS (SELECT e.vec_id, e.embedding, s.seed_id,
+         |    round(${cosSql("embedding", "ce")}, 9) AS cos
+         |  FROM embeddings e, seeds s),
+         |a1 AS (SELECT vec_id, embedding, seed_id FROM (
+         |    SELECT vec_id, embedding, seed_id,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, seed_id) AS rn
+         |    FROM s1) WHERE rn = 1),
+         |comp AS (SELECT seed_id, i AS pos,
+         |    sum(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(38,12))) AS sumv,
+         |    count(*) AS cnt
+         |  FROM a1, range(1, 65) t(i)
+         |  GROUP BY seed_id, i),
+         |c1 AS (SELECT seed_id,
+         |    list(round(CAST(sumv AS DOUBLE) / cnt, 6) ORDER BY pos) AS ce
+         |  FROM comp GROUP BY seed_id),
+         |s2 AS (SELECT e.vec_id, c.seed_id,
+         |    round(${cosSql("embedding", "ce")}, 9) AS cos
+         |  FROM embeddings e, c1 c)
+         |SELECT vec_id, seed_id, round(cos, 6) AS cos FROM (
+         |  SELECT vec_id, seed_id, cos,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, seed_id) AS rn
+         |  FROM s2) WHERE rn = 1
+         |ORDER BY vec_id""".stripMargin
     }) { (s, dir) =>
-      val emb = t(s, dir, "embeddings")
-      val seedRow = emb.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("seed_id"), col("embedding").as("se"))
-        .agg(array_sort(collect_list(struct(col("seed_id"), col("se")))).as("seeds"))
-      val cosInSeed =
-        """round(
-          |  aggregate(zip_with(embedding, s.se, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
-          |    CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)
-          |  / (sqrt(aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
-          |      CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))
-          |   * sqrt(aggregate(transform(s.se, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
-          |      CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))), 9)""".stripMargin
-      val assigned = emb.crossJoin(broadcast(seedRow))
-        .select(col("vec_id"), col("embedding").as("emb"), expr(
-          s"""array_max(transform(seeds,
-             |  s -> struct($cosInSeed AS cos, -s.seed_id AS negseed)))""".stripMargin)
-          .as("b"))
-        .select(col("vec_id"), col("emb"), (-col("b.negseed")).as("seed_id"))
-      val pairCos = expr(
-        """aggregate(zip_with(x.emb, y.emb,
-          |  (a, b) -> CAST(a AS DOUBLE) * CAST(b AS DOUBLE)),
-          |  CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin) /
-        (sqrt(expr(
-          """aggregate(transform(x.emb, a -> CAST(a AS DOUBLE) * CAST(a AS DOUBLE)),
-            |  CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin)) *
-         sqrt(expr(
-          """aggregate(transform(y.emb, a -> CAST(a AS DOUBLE) * CAST(a AS DOUBLE)),
-            |  CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin)))
-      assigned.as("x").join(assigned.as("y"),
-          col("x.seed_id") === col("y.seed_id") && col("x.vec_id") < col("y.vec_id"))
-        .filter(pairCos >= 0.4)
-        .groupBy(col("y.vec_id").as("pruned_id"), col("y.seed_id").as("cluster_id"))
-        .agg(round(max(pairCos), 6).as("max_cos"),
-          min(col("x.vec_id")).as("dup_of"))
-        .orderBy(col("pruned_id"))
+      kmeansLloyd(s, dir, k = 5, maxRounds = 2)._1.orderBy(col("vec_id"))
+    },
+
+    // ---- radius-2 multi-probe: the widest rung of the sweep ----
+    // q106's declared twin at Hamming radius 2 — the 22-probe union (query
+    // code + 6 single flips + 15 double flips at 6 planes). Identical plan
+    // shape to q45/q106: the probe list only widens the BROADCAST side of
+    // the same code equi-join, so the recall/candidate trade is a pure
+    // knob with zero shuffle change (ScaleBench's probe-width sweep charts
+    // radius 0/1/2 on planted and uniform corpora).
+    Q("q122_ann_multiprobe_r2", {
+      val planeCols = (0 until NumPlanes)
+        .map(j => s"${duckPlaneList(j)} AS p$j").mkString(",\n    ")
+      def codeSql(vec: String) = (0 until NumPlanes)
+        .map(j => s"(CASE WHEN ${duckDot(vec, s"p$j")} > 0 THEN ${1 << j} ELSE 0 END)")
+        .mkString(" + ")
+      val flips1 = (0 until NumPlanes).map(j => s"xor(qcode, ${1 << j})")
+      val flips2 = for {
+        a <- 0 until NumPlanes
+        b <- a + 1 until NumPlanes
+      } yield s"xor(qcode, ${(1 << a) | (1 << b)})"
+      val probeList = ("qcode" +: (flips1 ++ flips2)).mkString("[", ", ", "]")
+      s"""WITH p AS (SELECT
+         |    $planeCols),
+         |coded AS (SELECT vec_id, embedding, ${codeSql("embedding")} AS code
+         |  FROM embeddings, p),
+         |q AS (SELECT embedding AS qe, code AS qcode FROM coded WHERE vec_id = 0),
+         |probes AS (SELECT qe, unnest($probeList) AS probe FROM q)
+         |SELECT vec_id, round(
+         |  $DuckCos, 6) AS cos_sim
+         |FROM coded, probes
+         |WHERE vec_id <> 0 AND code = probe
+         |ORDER BY cos_sim DESC, vec_id
+         |LIMIT 10""".stripMargin
+    }) { (s, dir) =>
+      // radius-2 instance of the parameterized [[multiProbe]] sweep knob
+      multiProbe(s, dir, radius = 2)
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+        .limit(10)
     }
   )
 }

@@ -18,7 +18,11 @@ class CurationOpsSpec extends SparkSpec {
         (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))
       assert(dupOf < pruned, s"keep-first violated: $dupOf !< $pruned")
       assert(maxCos >= 0.4 && maxCos <= 1.0, s"cos out of band: $maxCos")
-      assert(cluster >= 0 && cluster < 5)
+      // k scales with the corpus: seeds = ceil(N / SemDedupTarget)
+      val k = math.max(1L, math.ceil(
+        spark.read.parquet(s"$sf001/embeddings.parquet").count() /
+          VectorSearch.SemDedupTarget.toDouble).toLong)
+      assert(cluster >= 0 && cluster < k)
     }
     // pruned ids are unique (one row per pruned vector, not per pair)
     assert(rows.map(_.getLong(0)).distinct.length === rows.length)
@@ -52,6 +56,24 @@ class CurationOpsSpec extends SparkSpec {
     }
     // the rules discriminate on this corpus: some kept, some rejected
     assert(rows.exists(_.getLong(2) == 1L) && rows.exists(_.getLong(2) == 0L))
+  }
+
+  test("ruleFlags: NULL text fires too_short — keep=0 never pairs with empty reasons") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, Some("the " + (1 to 40).map(i => s"word$i").mkString(" "))),
+      (2L, None: Option[String]),
+      (3L, Some(""))).toDF("doc_id", "text")
+    val out = TextAnalysis.ruleFlags(docs)
+      .select(col("doc_id"), col("keep"), col("reasons"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(out(1L)._1 === 1L && out(1L)._2.isEmpty)
+    // the null-text row must carry an explanation, not a silent keep=0
+    assert(out(2L)._1 === 0L && out(2L)._2.contains("too_short"))
+    assert(out(3L)._1 === 0L && out(3L)._2.nonEmpty)
+    out.values.foreach { case (keep, reasons) =>
+      assert((keep == 1L) === reasons.isEmpty)
+    }
   }
 
   test("q116 sliding chunks: stride-10 start positions, count matches formula") {
