@@ -190,6 +190,11 @@ object ScaleBench {
       phase("q42_jaccard_capOFF", n) {
         SparkEntry.queries("q42_ngram_jaccard")(spark, dir).count()
       }
+      // containment shares the exact-overlap join, so it inherits the same
+      // C(df,2) boilerplate pathology — measured uncapped here, capped below
+      phase("q112_containment_capOFF", n) {
+        SparkEntry.queries("q112_shingle_containment")(spark, dir).count()
+      }
       // ---- cap ON (maxDf=10): header shingles (df = n/100) drop out,
       // family shingles (df ≤ 4) survive → candidates stay linear ----
       spark.conf.set("graft.textdedup.maxShingleDf", "10")
@@ -200,6 +205,9 @@ object ScaleBench {
         }
         phase("q42_jaccard_capON", n) {
           SparkEntry.queries("q42_ngram_jaccard")(spark, dir).count()
+        }
+        phase("q112_containment_capON", n) {
+          SparkEntry.queries("q112_shingle_containment")(spark, dir).count()
         }
         phase("q72_clusters_capON", n) {
           SparkEntry.queries("q72_neardup_clusters")(spark, dir).count()
@@ -333,6 +341,28 @@ object ScaleBench {
       probeSweep("probe_sweep_uniform", udir)
       ops.CacheRegistry.clear(spark) // release this size's persisted frames
     }
+    // ---- q113 semantic dedup: candidate growth under k ∝ N ----
+    // The quantity that decides whether SemDeDup scales is the within-
+    // cluster pair count Σ C(|c|, 2): with seeds = ceil(N/target), expected
+    // cluster size is constant, so candidates must grow ~2× at 2× vectors
+    // (the fixed-k design this replaced grew them 4×). Measured on bounded
+    // slices of the LAST generated clustered corpus — the assignment's
+    // dense argmax is O(N·k) map-side work (the production answer for the
+    // clustering step itself is hierarchical seeding, not a bigger argmax),
+    // so the phase sizes keep the sweep cheap while the RATIO carries the
+    // signal. rows_out = candidate pairs; the wall includes one full
+    // semanticDedup run at the smaller slice for an end-to-end datum.
+    val lastDir = s"$root/n${sizes.last}"
+    Seq(10000L, 20000L).filter(_ <= sizes.last).foreach { nv =>
+      phase("q113_semdedup_cands", nv) {
+        ops.VectorSearch.semanticDedupCandidates(spark, lastDir, Some(nv))
+      }
+      ops.CacheRegistry.clear(spark)
+    }
+    phase("q113_semdedup_full", 10000L) {
+      ops.VectorSearch.semanticDedup(spark, lastDir, Some(10000L)).count()
+    }
+    ops.CacheRegistry.clear(spark)
     spark.stop()
   }
 }

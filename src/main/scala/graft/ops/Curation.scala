@@ -635,16 +635,7 @@ object Curation {
         |  md5(array_to_string(words[i : i + 24], ' ')) AS chunk_md5
         |FROM st
         |ORDER BY doc_id, start_pos""".stripMargin) { (s, dir) =>
-      t(s, dir, "documents")
-        .select(col("doc_id"), wordsCol.as("words"))
-        .filter(size(col("words")) >= 25)
-        .select(col("doc_id"), explode(expr(
-          """transform(sequence(1, size(words) - 24, 10),
-            |  i -> struct(CAST(i AS BIGINT) AS start_pos,
-            |              md5(array_join(slice(words, i, 25), ' ')) AS chunk_md5))"""
-            .stripMargin)).as("ch"))
-        .select(col("doc_id"), col("ch.start_pos").as("start_pos"),
-          col("ch.chunk_md5").as("chunk_md5"))
+      slidingChunks(t(s, dir, "documents"))
         .orderBy(col("doc_id"), col("start_pos"))
     },
 
@@ -717,4 +708,23 @@ object Curation {
         .orderBy(col("source"))
     }
   )
+
+  /** q116's chunker over ANY (doc_id, text) frame: fixed 25-word windows
+    * every 10 words, each md5-fingerprinted — pure map-side explode, so a
+    * document's chunk rows depend only on its own text and the per-batch
+    * output of a micro-batch equals the batch-global one for the same docs
+    * (the property StreamingChunkContainmentSpec leans on, same as
+    * [[TextDedup.shingleRowsFor]]). Returns the UNSORTED
+    * (doc_id, start_pos, chunk_md5) frame. */
+  def slidingChunks(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs
+      .select(col("doc_id"), wordsCol.as("words"))
+      .filter(size(col("words")) >= 25)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(words) - 24, 10),
+          |  i -> struct(CAST(i AS BIGINT) AS start_pos,
+          |              md5(array_join(slice(words, i, 25), ' ')) AS chunk_md5))"""
+          .stripMargin)).as("ch"))
+      .select(col("doc_id"), col("ch.start_pos").as("start_pos"),
+        col("ch.chunk_md5").as("chunk_md5"))
 }

@@ -280,8 +280,11 @@ object SubstringOps {
          |JOIN sizes sb ON doc_b = sb.doc_id
          |WHERE i * 1.0 / least(sa.n, sb.n) >= 0.6
          |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+      // conf-gated like q42: OFF for the oracle check (exact), ON at scale
+      // via graft.textdedup.maxShingleDf — ScaleBench's containment phases
+      // measure both paths
       containmentFrom(
-        TextDedup.shingleRows(s, dir).select(col("doc_id"), col("h1").as("h")))
+        TextDedup.cappedShingleRows(s, dir).select(col("doc_id"), col("h1").as("h")))
         .orderBy(col("doc_a"), col("doc_b"))
     },
 

@@ -93,7 +93,7 @@ object TextDedup {
     * default — the oracle-checked queries stay exact; at scale enable with
     * `spark.conf.set("graft.textdedup.maxShingleDf", K)`, trading recall
     * on boilerplate-heavy near-dups for a bounded worst-case join key. */
-  private def cappedShingleRows(s: SparkSession, dir: String): DataFrame = {
+  private[ops] def cappedShingleRows(s: SparkSession, dir: String): DataFrame = {
     val rows = shingleRows(s, dir)
     s.conf.getOption("graft.textdedup.maxShingleDf") match {
       case Some(k) => capDocFrequency(rows, k.trim.toLong, key = "h1")

@@ -89,4 +89,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"),
       s"lateral planned as a cartesian re-scan:\n$p")
   }
+
+  test("q113: pair generation is an equi-join on the cluster id, never all-pairs") {
+    // The SemDeDup scale property: candidates come from an equi-join on
+    // seed_id (hash-partitionable, cardinality ∝ N), not a nested-loop
+    // over the corpus; the seed table rides a broadcast.
+    // (the one-row seed broadcast legitimately plans as a
+    // BroadcastNestedLoopJoin — it carries a single array cell)
+    val p = plan("q113_semantic_dedup")
+    assert(!p.contains("CartesianProduct"), s"all-pairs cartesian:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"within-cluster pair join is not an equi-join:\n$p")
+    graft.ops.CacheRegistry.clear(spark) // release the q113 assignment cache
+  }
 }
