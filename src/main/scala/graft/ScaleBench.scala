@@ -161,7 +161,11 @@ object ScaleBench {
         s""""drained":$drained}""")
     }
 
-    sizes.foreach { n =>
+    // SPARK_GRAFT_SCALE_PHASES=semdedup reruns only the post-loop semantic-
+    // dedup phases against an already-generated corpus (the doc/ANN phases
+    // take ~20 min; the knob keeps a one-phase fix from repaying all of it)
+    val phaseSel = sys.env.getOrElse("SPARK_GRAFT_SCALE_PHASES", "all")
+    if (phaseSel == "all") sizes.foreach { n =>
       val dir = s"$root/n$n"
       val tGen0 = System.nanoTime()
       gen(spark, n, dir)
@@ -353,6 +357,7 @@ object ScaleBench {
     // signal. rows_out = candidate pairs; the wall includes one full
     // semanticDedup run at the smaller slice for an end-to-end datum.
     val lastDir = s"$root/n${sizes.last}"
+    genEmbeddings(spark, sizes.last, lastDir, ClusteredEmbExpr) // no-op if current
     Seq(10000L, 20000L).filter(_ <= sizes.last).foreach { nv =>
       phase("q113_semdedup_cands", nv) {
         ops.VectorSearch.semanticDedupCandidates(spark, lastDir, Some(nv))

@@ -220,7 +220,8 @@ object VectorSearch {
       maxVecs: Option[Long] = None): Long = {
     val r = semAssigned(s, dir, maxVecs).drop("emb")
       .groupBy(col("seed_id")).agg(count(lit(1)).as("n"))
-      .agg(sum(col("n") * (col("n") - 1) / 2)).head()
+      // DIV: Column./ is double division; n(n-1) is even so DIV 2 is exact
+      .agg(sum(expr("n * (n - 1) DIV 2"))).head()
     if (r.isNullAt(0)) 0L else r.getLong(0)
   }
 
