@@ -21,5 +21,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("nfc_normalize"),
       new ExpressionInfo(classOf[graft.functions.NfcNormalize].getName, "nfc_normalize"),
       (exprs: Seq[Expression]) => graft.functions.NfcNormalize(exprs.head)))
+    e.injectFunction((
+      new FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[graft.functions.ArrayDot].getName, "graft_dot"),
+      (exprs: Seq[Expression]) => graft.functions.ArrayDot(exprs(0), exprs(1))))
   }
 }

@@ -16,12 +16,16 @@ object GraftFunctions {
       "snappy_decode", exprs => SnappyDecode(exprs.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "nfc_normalize", exprs => NfcNormalize(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_dot", exprs => ArrayDot(exprs(0), exprs(1)), "scala_udf")
     spark.udf.register("weighted_avg", weightedAvgUdaf)
   }
 
   def snappy_decode(c: Column): Column = call_function("snappy_decode", c)
 
   def nfc_normalize(c: Column): Column = call_function("nfc_normalize", c)
+
+  def graft_dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
 
   def weighted_avg(value: Column, weight: Column): Column =
     weightedAvgUdaf(value, weight)

@@ -35,14 +35,22 @@ object VectorSearch {
   }
 
   /** dot(embedding, other-array-column) in double, sequential fold — the
-    * same order DuckDB's list_sum uses, so results match to the last bit. */
-  private def dotExpr(a: String, b: String): Column = expr(
-    s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
-      "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+    * same order DuckDB's list_sum uses, so results match to the last bit.
+    * Runs through the native [[graft.functions.ArrayDot]] expression
+    * (codegen'd straight-line loop; bit-identical to the HOF composition
+    * it replaced — ArrayDotSpec asserts the equivalence element-wise). */
+  private def dotExpr(a: String, b: String): Column = expr(s"graft_dot($a, $b)")
 
-  private def normExpr(a: String): Column =
-    sqrt(expr(s"aggregate(transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), " +
-      "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"))
+  private def normExpr(a: String): Column = sqrt(expr(s"graft_dot($a, $a)"))
+
+  /** The embeddings scan with the session's native functions registered
+    * (idempotent) — every vector query path needs `graft_dot` resolvable
+    * in bare driver sessions that don't load GraftExtensions. */
+  private def embTable(s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    t(s, dir, "embeddings")
+  }
 
   private val DuckCos: String =
     """list_sum(list_transform(range(1, len(embedding) + 1),
@@ -78,7 +86,7 @@ object VectorSearch {
     * into. Output: (vec_id, pos, comp, z), one row per component. */
   def componentZscores(s: org.apache.spark.sql.SparkSession, dir: String,
       batchSize: Int = 4096): org.apache.spark.sql.DataFrame = {
-    val comps = t(s, dir, "embeddings")
+    val comps = embTable(s, dir)
       .select(col("vec_id"), posexplode(col("embedding")))
       .select(col("vec_id"), col("pos"),
         col("col").cast("double").as("comp"))
@@ -103,7 +111,7 @@ object VectorSearch {
   def multiProbe(s: org.apache.spark.sql.SparkSession, dir: String,
       radius: Int): org.apache.spark.sql.DataFrame = {
     require(radius >= 0 && radius <= 2, s"radius must be 0, 1, or 2; got $radius")
-    val emb = t(s, dir, "embeddings")
+    val emb = embTable(s, dir)
     val withPlanes = (0 until NumPlanes).foldLeft(emb) { (df, j) =>
       df.withColumn(s"__p$j", sparkPlaneArray(j))
     }
@@ -153,12 +161,8 @@ object VectorSearch {
   def semanticDedup(s: org.apache.spark.sql.SparkSession, dir: String,
       maxVecs: Option[Long] = None): org.apache.spark.sql.DataFrame = {
     val assigned = semAssigned(s, dir, maxVecs)
-    // one zip_with dot per pair; the norms ride along from the assignment
-    val pairCos = expr(
-      """aggregate(zip_with(x.emb, y.emb,
-        |  (a, b) -> CAST(a AS DOUBLE) * CAST(b AS DOUBLE)),
-        |  CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin) /
-      (col("x.nrm") * col("y.nrm"))
+    // one codegen'd dot per pair; the norms ride along from the assignment
+    val pairCos = expr("graft_dot(x.emb, y.emb)") / (col("x.nrm") * col("y.nrm"))
     val pairs = assigned.as("x").join(assigned.as("y"),
         col("x.seed_id") === col("y.seed_id") && col("x.vec_id") < col("y.vec_id"))
       .select(col("y.vec_id").as("pruned_id"), col("y.seed_id").as("cluster_id"),
@@ -185,25 +189,19 @@ object VectorSearch {
   private def semAssigned(s: org.apache.spark.sql.SparkSession, dir: String,
       maxVecs: Option[Long]): org.apache.spark.sql.DataFrame =
     CacheRegistry.cache(s, s"q113-assigned:$dir:${maxVecs.getOrElse("all")}") {
-      val emb0 = t(s, dir, "embeddings")
+      val emb0 = embTable(s, dir)
       val emb = maxVecs.fold(emb0)(m => emb0.filter(col("vec_id") < m))
       // one bounded driver action to size k with the corpus (the same
       // dynamic-subquery shape the DuckDB oracle uses)
       val k = math.max(1L, math.ceil(emb.count() / SemDedupTarget.toDouble).toLong)
-      val normOf = (c: String) =>
-        sqrt(expr(s"aggregate(transform($c, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), " +
-          "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"))
       val seedRow = emb.filter(col("vec_id") < k)
         .select(col("vec_id").as("seed_id"), col("embedding").as("se"),
-          normOf("embedding").as("ns"))
+          normExpr("embedding").as("ns"))
         .agg(array_sort(collect_list(struct(col("seed_id"), col("se"), col("ns"))))
           .as("seeds"))
-      val cosInSeed =
-        """round(
-          |  aggregate(zip_with(emb, s.se, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
-          |    CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) / (nrm * s.ns), 9)""".stripMargin
+      val cosInSeed = "round(graft_dot(emb, s.se) / (nrm * s.ns), 9)"
       emb.select(col("vec_id"), col("embedding").as("emb"),
-          normOf("embedding").as("nrm"))
+          normExpr("embedding").as("nrm"))
         .crossJoin(broadcast(seedRow))
         .select(col("vec_id"), col("emb"), col("nrm"), expr(
           s"""array_max(transform(seeds,
@@ -243,7 +241,7 @@ object VectorSearch {
     * converged flag). */
   def kmeansLloyd(s: org.apache.spark.sql.SparkSession, dir: String,
       k: Int, maxRounds: Int): (org.apache.spark.sql.DataFrame, Int, Boolean) =
-    kmeansLloydFrom(t(s, dir, "embeddings"), k, maxRounds)
+    kmeansLloydFrom(embTable(s, dir), k, maxRounds)
 
   /** [[kmeansLloyd]] over any (vec_id, embedding) frame — dimension-
     * agnostic (the rebuild works positionally), so specs can drive the
@@ -251,6 +249,7 @@ object VectorSearch {
   def kmeansLloydFrom(embIn: org.apache.spark.sql.DataFrame,
       k: Int, maxRounds: Int): (org.apache.spark.sql.DataFrame, Int, Boolean) = {
     require(k >= 1 && maxRounds >= 1, s"need k >= 1 and maxRounds >= 1")
+    graft.functions.GraftFunctions.register(embIn.sparkSession)
     val emb = embIn.select(col("vec_id"), col("embedding"))
     // round-0 centroids: the embeddings of vec_id < k, cast to DOUBLE
     // (float32 values are exactly representable — no rounding needed)
@@ -258,13 +257,9 @@ object VectorSearch {
       .select(col("vec_id").as("seed_id"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("ce"))
     val cosInSeed =
-      """round(
-        |  aggregate(zip_with(embedding, s.ce, (x, y) -> CAST(x AS DOUBLE) * y),
-        |    CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)
-        |  / (sqrt(aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
-        |      CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))
-        |   * sqrt(aggregate(transform(s.ce, x -> x * x),
-        |      CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))), 9)""".stripMargin
+      """round(graft_dot(embedding, s.ce)
+        |  / (sqrt(graft_dot(embedding, embedding))
+        |   * sqrt(graft_dot(s.ce, s.ce))), 9)""".stripMargin
     var assigned: org.apache.spark.sql.DataFrame = null
     var rounds = 0
     var converged = false
@@ -311,7 +306,7 @@ object VectorSearch {
          |WHERE vec_id <> 0
          |ORDER BY cos_sim DESC, vec_id
          |LIMIT 10""".stripMargin) { (s, dir) =>
-      val emb = t(s, dir, "embeddings")
+      val emb = embTable(s, dir)
       val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
       emb.filter(col("vec_id") =!= 0)
         .crossJoin(broadcast(q))
@@ -341,7 +336,7 @@ object VectorSearch {
          |WHERE vec_id <> 0 AND code = qcode
          |ORDER BY cos_sim DESC, vec_id""".stripMargin
     }) { (s, dir) =>
-      val emb = t(s, dir, "embeddings")
+      val emb = embTable(s, dir)
       val withPlanes = (0 until NumPlanes).foldLeft(emb) { (df, j) =>
         df.withColumn(s"__p$j", sparkPlaneArray(j))
       }
@@ -386,7 +381,7 @@ object VectorSearch {
          |ORDER BY cos_sim DESC, vec_id
          |LIMIT 5""".stripMargin
     }) { (s, dir) =>
-      val emb = t(s, dir, "embeddings")
+      val emb = embTable(s, dir)
       val centroids = emb
         .select(col("label"), posexplode(col("embedding")))
         .groupBy(col("label"), col("pos"))
@@ -477,7 +472,7 @@ object VectorSearch {
          |WHERE $cosPair >= 0.3
          |ORDER BY vec_a, vec_b""".stripMargin
     }) { (s, dir) =>
-      val emb = t(s, dir, "embeddings")
+      val emb = embTable(s, dir)
       val withPlanes = (0 until NumPlanes).foldLeft(emb) { (df, j) =>
         df.withColumn(s"__p$j", sparkPlaneArray(j))
       }
@@ -487,16 +482,9 @@ object VectorSearch {
         withPlanes
           .select(col("vec_id"), col("embedding"), sparkCode("embedding").as("code"))
       }
-      val pairCos = expr(
-        """aggregate(zip_with(x.embedding, y.embedding,
-          |  (a, b) -> CAST(a AS DOUBLE) * CAST(b AS DOUBLE)),
-          |  CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin) /
-        (sqrt(expr(
-          """aggregate(transform(x.embedding, a -> CAST(a AS DOUBLE) * CAST(a AS DOUBLE)),
-            |  CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin)) *
-         sqrt(expr(
-          """aggregate(transform(y.embedding, a -> CAST(a AS DOUBLE) * CAST(a AS DOUBLE)),
-            |  CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin)))
+      val pairCos = expr("graft_dot(x.embedding, y.embedding)") /
+        (sqrt(expr("graft_dot(x.embedding, x.embedding)")) *
+         sqrt(expr("graft_dot(y.embedding, y.embedding)")))
       coded.as("x").join(coded.as("y"),
           col("x.code") === col("y.code") && col("x.vec_id") < col("y.vec_id"))
         .filter(pairCos >= 0.3)
@@ -542,18 +530,14 @@ object VectorSearch {
          |GROUP BY seed_id
          |ORDER BY seed_id""".stripMargin
     }) { (s, dir) =>
-      val emb = t(s, dir, "embeddings")
+      val emb = embTable(s, dir)
       val seedRow = emb.filter(col("vec_id") < 5)
         .select(col("vec_id").as("seed_id"), col("embedding").as("se"))
         .agg(array_sort(collect_list(struct(col("seed_id"), col("se")))).as("seeds"))
       val cosInSeed =
-        """round(
-          |  aggregate(zip_with(embedding, s.se, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
-          |    CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)
-          |  / (sqrt(aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
-          |      CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))
-          |   * sqrt(aggregate(transform(s.se, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
-          |      CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))), 9)""".stripMargin
+        """round(graft_dot(embedding, s.se)
+          |  / (sqrt(graft_dot(embedding, embedding))
+          |   * sqrt(graft_dot(s.se, s.se))), 9)""".stripMargin
       emb.crossJoin(broadcast(seedRow))
         .select(col("vec_id"), expr(
           s"""array_max(transform(seeds,
@@ -592,7 +576,7 @@ object VectorSearch {
          |FROM sel, p, range(0, $NumPlanes) t(j)
          |ORDER BY vec_id, pos""".stripMargin
     }) { (s, dir) =>
-      val emb = t(s, dir, "embeddings").filter(col("vec_id") < 100)
+      val emb = embTable(s, dir).filter(col("vec_id") < 100)
       val withPlanes = (0 until NumPlanes).foldLeft(emb) { (df, j) =>
         df.withColumn(s"__p$j", sparkPlaneArray(j))
       }
@@ -638,7 +622,7 @@ object VectorSearch {
         |FROM scored
         |ORDER BY centroid_cos ASC, vec_id
         |LIMIT 20""".stripMargin) { (s, dir) =>
-      val e = t(s, dir, "embeddings")
+      val e = embTable(s, dir)
       val comp = e.select(col("vec_id"), col("label"),
         posexplode(col("embedding")).as(Seq("pos", "v")))
       val cent = comp.groupBy(col("label"), col("pos"))
