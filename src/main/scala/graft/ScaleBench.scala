@@ -358,7 +358,7 @@ object ScaleBench {
     // semanticDedup run at the smaller slice for an end-to-end datum.
     val lastDir = s"$root/n${sizes.last}"
     genEmbeddings(spark, sizes.last, lastDir, ClusteredEmbExpr) // no-op if current
-    Seq(10000L, 20000L).filter(_ <= sizes.last).foreach { nv =>
+    Seq(10000L, 20000L, 40000L).filter(_ <= sizes.last).foreach { nv =>
       phase("q113_semdedup_cands", nv) {
         ops.VectorSearch.semanticDedupCandidates(spark, lastDir, Some(nv))
       }
