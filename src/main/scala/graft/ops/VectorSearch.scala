@@ -159,8 +159,48 @@ object VectorSearch {
     * into the aggregate so the HOF is never re-evaluated. Returns the
     * UNSORTED pruned frame (pruned_id, cluster_id, max_cos, dup_of). */
   def semanticDedup(s: org.apache.spark.sql.SparkSession, dir: String,
-      maxVecs: Option[Long] = None): org.apache.spark.sql.DataFrame = {
-    val assigned = semAssigned(s, dir, maxVecs)
+      maxVecs: Option[Long] = None): org.apache.spark.sql.DataFrame =
+    semanticDedupPrune(semAssigned(s, dir, maxVecs))
+
+  /** Assignment of ANY (vec_id, embedding) frame against a FIXED
+    * (seed_id, se) seed table — the map-side stage of the SemDeDup family,
+    * factored out (like [[TextDedup.shingleRowsFor]]) because a vector's
+    * assignment depends only on its own embedding and the seed table:
+    * per-micro-batch output against a pinned seed table is identical to
+    * the batch-global one, which is what lets the incremental composition
+    * (StreamingSemDedupSpec) land assignments per batch and report over
+    * the accumulated store. HOF-cost discipline: the vector's norm is
+    * hoisted to ONE column per row, each seed's norm is precomputed inside
+    * the single broadcast row, and the per-(row, seed) work is one native
+    * `graft_dot`. Output: (vec_id, emb, nrm, seed_id). */
+  def assignToSeeds(vecs: org.apache.spark.sql.DataFrame,
+      seeds: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    graft.functions.GraftFunctions.register(vecs.sparkSession)
+    val seedRow = seeds
+      .select(col("seed_id"), col("se"), normExpr("se").as("ns"))
+      .agg(array_sort(collect_list(struct(col("seed_id"), col("se"), col("ns"))))
+        .as("seeds"))
+    val cosInSeed = "round(graft_dot(emb, s.se) / (nrm * s.ns), 9)"
+    vecs.select(col("vec_id"), col("embedding").as("emb"),
+        normExpr("embedding").as("nrm"))
+      .crossJoin(broadcast(seedRow))
+      .select(col("vec_id"), col("emb"), col("nrm"), expr(
+        s"""array_max(transform(seeds,
+           |  s -> struct($cosInSeed AS cos, -s.seed_id AS negseed)))""".stripMargin)
+        .as("b"))
+      .select(col("vec_id"), col("emb"), col("nrm"), (-col("b.negseed")).as("seed_id"))
+  }
+
+  /** The SemDeDup prune over ANY assignment frame (vec_id, emb, nrm,
+    * seed_id) — within-cluster pair generation as an equi-join on seed_id,
+    * the pair cosine projected ONCE as a 9dp-rounded column, and the
+    * τ=0.4 threshold folded into the aggregate so the dot is never
+    * re-evaluated. Works identically over one batch's assignment or the
+    * union of incrementally-accumulated ones. Returns the UNSORTED
+    * (pruned_id, cluster_id, max_cos, dup_of) frame. */
+  def semanticDedupPrune(assigned: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    graft.functions.GraftFunctions.register(assigned.sparkSession)
     // one codegen'd dot per pair; the norms ride along from the assignment
     val pairCos = expr("graft_dot(x.emb, y.emb)") / (col("x.nrm") * col("y.nrm"))
     val pairs = assigned.as("x").join(assigned.as("y"),
@@ -175,39 +215,19 @@ object VectorSearch {
         round(col("mx"), 6).as("max_cos"), col("dup_of"))
   }
 
-  /** Shared q113 assignment: k = ceil(N/[[SemDedupTarget]]) seeds folded
-    * into one broadcast row, per-vector 9dp-rounded argmax in a single
-    * map-only projection (q110's shape, k now scaling with the corpus).
-    * HOF-cost discipline: higher-order functions evaluate interpreted, so
-    * the vector's norm is hoisted to ONE column per row and each seed's
-    * norm is precomputed INSIDE the broadcast struct — the per-(row, seed)
-    * work is a single zip_with dot product, not three aggregates. The
-    * arithmetic (and hence every rounded double) is unchanged; only the
-    * recomputation goes. Output carries the hoisted norm (`nrm`) so the
-    * pair stage reuses it the same way. Persisted via [[CacheRegistry]]:
-    * the pair stage reads it from BOTH sides of a self-join. */
+  /** Shared q113 assignment: k = ceil(N/[[SemDedupTarget]]) seeds (k now
+    * scaling with the corpus — one bounded driver count, the same
+    * dynamic-subquery shape the DuckDB oracle uses) fed to
+    * [[assignToSeeds]]. Persisted via [[CacheRegistry]]: the pair stage
+    * reads it from BOTH sides of a self-join. */
   private def semAssigned(s: org.apache.spark.sql.SparkSession, dir: String,
       maxVecs: Option[Long]): org.apache.spark.sql.DataFrame =
     CacheRegistry.cache(s, s"q113-assigned:$dir:${maxVecs.getOrElse("all")}") {
       val emb0 = embTable(s, dir)
       val emb = maxVecs.fold(emb0)(m => emb0.filter(col("vec_id") < m))
-      // one bounded driver action to size k with the corpus (the same
-      // dynamic-subquery shape the DuckDB oracle uses)
       val k = math.max(1L, math.ceil(emb.count() / SemDedupTarget.toDouble).toLong)
-      val seedRow = emb.filter(col("vec_id") < k)
-        .select(col("vec_id").as("seed_id"), col("embedding").as("se"),
-          normExpr("embedding").as("ns"))
-        .agg(array_sort(collect_list(struct(col("seed_id"), col("se"), col("ns"))))
-          .as("seeds"))
-      val cosInSeed = "round(graft_dot(emb, s.se) / (nrm * s.ns), 9)"
-      emb.select(col("vec_id"), col("embedding").as("emb"),
-          normExpr("embedding").as("nrm"))
-        .crossJoin(broadcast(seedRow))
-        .select(col("vec_id"), col("emb"), col("nrm"), expr(
-          s"""array_max(transform(seeds,
-             |  s -> struct($cosInSeed AS cos, -s.seed_id AS negseed)))""".stripMargin)
-          .as("b"))
-        .select(col("vec_id"), col("emb"), col("nrm"), (-col("b.negseed")).as("seed_id"))
+      assignToSeeds(emb, emb.filter(col("vec_id") < k)
+        .select(col("vec_id").as("seed_id"), col("embedding").as("se")))
     }
 
   /** Within-cluster candidate-pair count under the q113 clustering — the
