@@ -368,6 +368,40 @@ object ScaleBench {
       ops.VectorSearch.semanticDedup(spark, lastDir, Some(10000L)).count()
     }
     ops.CacheRegistry.clear(spark)
+    // ---- hierarchical vs dense assignment: wall + agreement ----
+    // The two-level argmax (q123) exists to break the dense pass's O(N·k):
+    // at fanout ≈ √k each vector pays g + fanout ≈ 2√k dots instead of k.
+    // Agreement = fraction of vectors whose hierarchical seed equals the
+    // dense argmax seed — measured, not assumed, on the clustered corpus.
+    // Two regimes: k = N/100 (SemDeDup's own seed count — dense is still
+    // cheap there) and k = N/10 (the dense-prohibitive regime the
+    // two-level argmax exists for — 10× the seeds, where O(N·k) bites).
+    Seq(100L, 10L).foreach { target =>
+      val nv = 20000L
+      val kk = math.ceil(nv / target.toDouble).toLong
+      val fanout = math.ceil(math.sqrt(kk.toDouble)).toInt
+      val vecs = spark.read.parquet(s"$lastDir/embeddings.parquet")
+        .filter(col("vec_id") < nv)
+      val seeds = vecs.filter(col("vec_id") < kk)
+        .select(col("vec_id").as("seed_id"), col("embedding").as("se"))
+      var dense: org.apache.spark.sql.DataFrame = null
+      var hier: org.apache.spark.sql.DataFrame = null
+      phase(s"assign_dense_k$kk", nv) {
+        dense = ops.VectorSearch.assignToSeeds(vecs, seeds)
+          .select(col("vec_id"), col("seed_id")).localCheckpoint()
+        dense.count()
+      }
+      phase(s"assign_hier_k$kk", nv) {
+        hier = ops.VectorSearch.hierarchicalAssign(vecs, seeds, fanout)
+          .select(col("vec_id"), col("seed_id").as("hseed")).localCheckpoint()
+        hier.count()
+      }
+      val agree = dense.join(hier, "vec_id")
+        .agg(avg(when(col("seed_id") === col("hseed"), 1.0).otherwise(0.0)))
+        .head().getDouble(0)
+      println(s"""SCALE {"phase":"assign_agreement","docs":$nv,"k":$kk,""" +
+        s""""fanout":$fanout,"agreement":${f(agree)}}""")
+    }
     spark.stop()
   }
 }

@@ -215,6 +215,69 @@ object VectorSearch {
         round(col("mx"), 6).as("max_cos"), col("dup_of"))
   }
 
+  /** Two-level hierarchical assignment — the scale path for the dense
+    * argmax's O(N·k) ceiling (SCALE.md "Semantic dedup"). Level 1 groups
+    * the seed table GEOMETRICALLY: every seed is argmax-assigned to the
+    * nearest of the first g = ceil(k/fanout) seeds (the same 9dp-rounded
+    * cosine rule, on the tiny seed table itself). Level 2: each vector
+    * picks its super-seed (g dots), then argmaxes only over that super's
+    * member seeds (~fanout dots) — O(N·(g + fanout)) ≈ O(N·2√k) at
+    * fanout ≈ √k instead of O(N·k), still ONE broadcast row and one
+    * map-only pass. Deterministic at every step (9dp rounding, smaller-id
+    * tie-breaks), so the full two-level rule is oracle-checkable (q123).
+    * Approximate by design: a vector whose true nearest seed lives in a
+    * super it didn't pick gets a locally-best seed — HierarchicalSpec
+    * proves exact equality when fanout ≥ k (one super ⇒ dense argmax) and
+    * ScaleBench measures dense-agreement on the clustered corpus.
+    * Output: (vec_id, emb, nrm, seed_id) — assignment-compatible with
+    * [[semanticDedupPrune]]. */
+  def hierarchicalAssign(vecs: org.apache.spark.sql.DataFrame,
+      seeds: org.apache.spark.sql.DataFrame, fanout: Int)
+      : org.apache.spark.sql.DataFrame = {
+    require(fanout >= 1, "fanout must be >= 1")
+    graft.functions.GraftFunctions.register(vecs.sparkSession)
+    val k = seeds.count() // bounded: the seed table is small by design
+    val g = math.max(1L, (k + fanout - 1) / fanout)
+    val withN = seeds.select(col("seed_id"), col("se"), normExpr("se").as("ns"))
+    val sup = withN.orderBy(col("seed_id")).limit(g.toInt)
+      .select(col("seed_id").as("super_id"), col("se").as("pe"), col("ns").as("pn"))
+    val supRow = sup
+      .agg(array_sort(collect_list(struct(col("super_id"), col("pe"), col("pn"))))
+        .as("sup"))
+    // seed → super: the same broadcast-argmax trick on the k-row seed table
+    val seedLab = withN.crossJoin(broadcast(supRow))
+      .select(col("seed_id"), col("se"), col("ns"), expr(
+        """array_max(transform(sup, p -> struct(
+          |  round(graft_dot(se, p.pe) / (ns * p.pn), 9) AS cos,
+          |  -p.super_id AS negid)))""".stripMargin).as("b"))
+      .select(col("seed_id"), col("se"), col("ns"), (-col("b.negid")).as("super_id"))
+    // level 1: argmax over the g-super array (carried through exactly one
+    // projection and dropped there — an earlier draft nested the member
+    // arrays INSIDE this broadcast struct and copied the whole seed table
+    // through every row's output buffer, which cost more than the dots it
+    // saved; ScaleBench's assign_hier phases are the receipt)
+    val level1 = vecs.select(col("vec_id"), col("embedding").as("emb"),
+        normExpr("embedding").as("nrm"))
+      .crossJoin(broadcast(supRow))
+      .select(col("vec_id"), col("emb"), col("nrm"), expr(
+        """array_max(transform(sup, p -> struct(
+          |  round(graft_dot(emb, p.pe) / (nrm * p.pn), 9) AS cos,
+          |  -p.super_id AS negid)))""".stripMargin).as("b1"))
+      .select(col("vec_id"), col("emb"), col("nrm"), (-col("b1.negid")).as("super_id"))
+    // level 2: the chosen super's member seeds attach via a broadcast
+    // equi-join (g build rows, ~fanout members each), then the member argmax
+    val memberTable = seedLab.groupBy(col("super_id"))
+      .agg(array_sort(collect_list(struct(col("seed_id"), col("se"), col("ns"))))
+        .as("members"))
+    level1.join(broadcast(memberTable), Seq("super_id"))
+      .select(col("vec_id"), col("emb"), col("nrm"), expr(
+        """array_max(transform(members, m -> struct(
+          |  round(graft_dot(emb, m.se) / (nrm * m.ns), 9) AS cos,
+          |  -m.seed_id AS negseed)))""".stripMargin).as("b2"))
+      .select(col("vec_id"), col("emb"), col("nrm"),
+        (-col("b2.negseed")).as("seed_id"), col("b2.cos").as("cos"))
+  }
+
   /** Shared q113 assignment: k = ceil(N/[[SemDedupTarget]]) seeds (k now
     * scaling with the corpus — one bounded driver count, the same
     * dynamic-subquery shape the DuckDB oracle uses) fed to
@@ -794,6 +857,58 @@ object VectorSearch {
       multiProbe(s, dir, radius = 2)
         .orderBy(col("cos_sim").desc, col("vec_id"))
         .limit(10)
+    },
+
+    // ---- hierarchical two-level assignment (the O(N·k) escape hatch) ----
+    // [[hierarchicalAssign]] at k=10 seeds, fanout=4 ⇒ g=3 super-seeds:
+    // per vector 3 super dots + ≤|members| member dots instead of 10 —
+    // the cost shape that keeps SemDeDup/k-means assignment viable when
+    // k ∝ N makes the dense argmax quadratic. Every level is the same
+    // deterministic 9dp-rounded argmax, so the WHOLE two-level rule is
+    // value-checked against DuckDB (seed→super CTE, vector→super CTE,
+    // vector→member-seed CTE). Output mirrors q110's per-cluster summary.
+    Q("q123_hierarchical_assign", {
+      def cosSql(a: String, b: String) =
+        s"""(list_sum(list_transform(range(1, len($a) + 1),
+           |    i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))
+           | / (sqrt(list_sum(list_transform(range(1, len($a) + 1),
+           |    i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE))))
+           |  * sqrt(list_sum(list_transform(range(1, len($b) + 1),
+           |    i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))))))""".stripMargin
+      s"""WITH sup AS (SELECT vec_id AS super_id, embedding AS pe
+         |  FROM embeddings WHERE vec_id < 3),
+         |seeds AS (SELECT vec_id AS seed_id, embedding AS se
+         |  FROM embeddings WHERE vec_id < 10),
+         |s2s AS (SELECT seed_id, se, super_id,
+         |    row_number() OVER (PARTITION BY seed_id
+         |      ORDER BY round(${cosSql("se", "pe")}, 9) DESC, super_id) AS rn
+         |  FROM seeds, sup),
+         |lab AS (SELECT seed_id, se, super_id FROM s2s WHERE rn = 1),
+         |v1 AS (SELECT e.vec_id, e.embedding, s.super_id,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY round(${cosSql("embedding", "pe")}, 9) DESC, s.super_id) AS rn
+         |  FROM embeddings e, sup s),
+         |vsup AS (SELECT vec_id, embedding, super_id FROM v1 WHERE rn = 1),
+         |v2 AS (SELECT v.vec_id, l.seed_id,
+         |    round(${cosSql("v.embedding", "l.se")}, 9) AS cos,
+         |    row_number() OVER (PARTITION BY v.vec_id
+         |      ORDER BY round(${cosSql("v.embedding", "l.se")}, 9) DESC, l.seed_id) AS rn
+         |  FROM vsup v JOIN lab l ON v.super_id = l.super_id)
+         |SELECT seed_id, count(*) AS n_assigned,
+         |  round(CAST(sum(CAST(cos AS DECIMAL(38,12))) AS DOUBLE) / count(*), 6) AS mean_cos
+         |FROM v2 WHERE rn = 1
+         |GROUP BY seed_id
+         |ORDER BY seed_id""".stripMargin
+    }) { (s, dir) =>
+      val e = embTable(s, dir)
+      val seeds = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("seed_id"), col("embedding").as("se"))
+      hierarchicalAssign(e, seeds, fanout = 4)
+        .groupBy(col("seed_id"))
+        .agg(count(lit(1)).as("n_assigned"),
+          round(sum(col("cos").cast("decimal(38,12)")).cast("double") / count(lit(1)), 6)
+            .as("mean_cos"))
+        .orderBy(col("seed_id"))
     }
   )
 }
