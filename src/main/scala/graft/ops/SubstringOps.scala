@@ -257,6 +257,89 @@ object SubstringOps {
         .orderBy(col("word"))
     },
 
+    // ---- BPE application: tokenize the WHOLE corpus with learned merges --
+    // The other half of the tokenizer story: q121 trains on the bounded
+    // top-20 vocabulary; this APPLIES the learned merge list to every
+    // qualifying word in the corpus (the production tokenization pass) and
+    // reports the resulting symbol frequencies. Scale shape: training cost
+    // is vocabulary-bounded (q121), application is a pure map over the
+    // DISTINCT-word table with the merges folded in as literals — the
+    // distinct-word aggregation is the only corpus-sized shuffle, the
+    // mergeOnce folds run at scan speed, and symbol counting is a tiny-key
+    // groupBy (map-side partial agg collapses it). The oracle reruns the
+    // identical derivation: train CTEs from q121, then the same two
+    // list_reduce folds over the full word table.
+    Q("q124_bpe_apply",
+      raw"""WITH wd AS (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+           |            FROM documents),
+           |vocab0 AS (SELECT word, count(*) AS cnt FROM wd
+           |  WHERE regexp_matches(word, '^[a-z]{4,}$$')
+           |  GROUP BY word ORDER BY cnt DESC, word LIMIT 20),
+           |sy0 AS (SELECT word, cnt,
+           |    list_transform(range(1, len(word) + 1), i -> substr(word, i, 1)) AS syms
+           |  FROM vocab0),
+           |p1 AS (SELECT s['a'] AS a, s['b'] AS b, sum(cnt) AS n FROM (
+           |    SELECT cnt, unnest(list_transform(range(1, len(syms)),
+           |      i -> {'a': syms[i], 'b': syms[i+1]})) AS s
+           |    FROM sy0 WHERE len(syms) >= 2)
+           |  GROUP BY 1, 2),
+           |m1 AS (SELECT a, b FROM p1 ORDER BY n DESC, a, b LIMIT 1),
+           |sy1 AS (SELECT word, cnt, string_split(substr(list_reduce(list_prepend('', syms),
+           |    (acc, x) -> CASE WHEN x = m1.b AND ends_with(acc, '|' || m1.a)
+           |      THEN regexp_replace(acc, '\|[^|]*$$', '') || '|' || m1.a || m1.b
+           |      ELSE acc || '|' || x END), 2), '|') AS syms
+           |  FROM sy0, m1),
+           |p2 AS (SELECT s['a'] AS a, s['b'] AS b, sum(cnt) AS n FROM (
+           |    SELECT cnt, unnest(list_transform(range(1, len(syms)),
+           |      i -> {'a': syms[i], 'b': syms[i+1]})) AS s
+           |    FROM sy1 WHERE len(syms) >= 2)
+           |  GROUP BY 1, 2),
+           |m2 AS (SELECT a, b FROM p2 ORDER BY n DESC, a, b LIMIT 1),
+           |allw AS (SELECT word, count(*) AS cnt FROM wd
+           |  WHERE regexp_matches(word, '^[a-z]{4,}$$')
+           |  GROUP BY word),
+           |ay0 AS (SELECT word, cnt,
+           |    list_transform(range(1, len(word) + 1), i -> substr(word, i, 1)) AS syms
+           |  FROM allw),
+           |ay1 AS (SELECT word, cnt, string_split(substr(list_reduce(list_prepend('', syms),
+           |    (acc, x) -> CASE WHEN x = m1.b AND ends_with(acc, '|' || m1.a)
+           |      THEN regexp_replace(acc, '\|[^|]*$$', '') || '|' || m1.a || m1.b
+           |      ELSE acc || '|' || x END), 2), '|') AS syms
+           |  FROM ay0, m1),
+           |ay2 AS (SELECT word, cnt, string_split(substr(list_reduce(list_prepend('', syms),
+           |    (acc, x) -> CASE WHEN x = m2.b AND ends_with(acc, '|' || m2.a)
+           |      THEN regexp_replace(acc, '\|[^|]*$$', '') || '|' || m2.a || m2.b
+           |      ELSE acc || '|' || x END), 2), '|') AS syms
+           |  FROM ay1, m2)
+           |SELECT s AS symbol, CAST(sum(cnt) AS BIGINT) AS n
+           |FROM (SELECT cnt, unnest(syms) AS s FROM ay2)
+           |GROUP BY s
+           |ORDER BY n DESC, symbol
+           |LIMIT 20""".stripMargin) { (s, dir) =>
+      val qualifying = t(s, dir, "documents")
+        .select(explode(wordsCol).as("word"))
+        .filter(col("word").rlike("^[a-z]{4,}$"))
+      // distinct-word table: apply the merge folds once per unique word,
+      // weight symbol counts by the word's corpus frequency
+      val allWords = qualifying
+        .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+        .localCheckpoint()
+      val top20 = allWords
+        .orderBy(col("cnt").desc, col("word"))
+        .limit(20)
+      val (merges, _) = bpeTrain(top20, numMerges = 2)
+      val tokenized = merges.foldLeft(
+          allWords.select(col("word"), col("cnt"), split(col("word"), "").as("syms"))) {
+        case (df, (a, b)) => df.withColumn("syms", mergeOnce(col("syms"), a, b))
+      }
+      tokenized
+        .select(col("cnt"), explode(col("syms")).as("symbol"))
+        .groupBy(col("symbol"))
+        .agg(sum(col("cnt")).as("n"))
+        .orderBy(col("n").desc, col("symbol"))
+        .limit(20)
+    },
+
     // ---- shingle-set containment: near-superset / quotation detection ----
     // Jaccard (q42) under-scores a short document embedded in a long one
     // (|A∩B|/|A∪B| stays small when |B|≫|A|); containment |A∩B|/min(|A|,|B|)

@@ -909,6 +909,69 @@ object VectorSearch {
           round(sum(col("cos").cast("decimal(38,12)")).cast("double") / count(lit(1)), 6)
             .as("mean_cos"))
         .orderBy(col("seed_id"))
+    },
+
+    // ---- distributed power iteration: top principal direction ----
+    // The PCA workhorse without any eigensolver: v ← X'Xv, normalized,
+    // iterated (3 rounds from the fixed all-0.125 start). Every corpus-
+    // sized reduction — the per-vector dot d = x·v and the per-dimension
+    // matvec w_j = Σ d·x_j — runs through DECIMAL(38,12) sums, so partial-
+    // aggregation ORDER cannot wiggle a bit and the whole loop is
+    // oracle-checkable with zero driver-side arithmetic; the normalizer is
+    // itself a 64-row DECIMAL aggregate, and v re-enters the next round
+    // 9dp-rounded (the family's parity discipline). Scale shape per
+    // round: one broadcast of the 64-row v table, two narrow aggregates
+    // (|vecs| then 64 groups) — the corpus shuffles only (vec_id, d)
+    // partials, never the vectors. Output: the unit top-PC loading per
+    // dimension. At 100 TB each round is one pass; more components =
+    // deflate and repeat (Gram–Schmidt against the found directions).
+    Q("q125_power_iteration", {
+      val v0 = "0.125"
+      def iter(prev: String, out: String) =
+        s"""d_$out AS (SELECT e.vec_id,
+           |    CAST(sum(CAST(CAST(embedding[i] AS DOUBLE) * $prev.v[i] AS DECIMAL(38,12)))
+           |      AS DOUBLE) AS d
+           |  FROM embeddings e, $prev, range(1, 65) t(i)
+           |  GROUP BY e.vec_id),
+           |w_$out AS (SELECT i AS pos,
+           |    CAST(sum(CAST(d.d * CAST(embedding[i] AS DOUBLE) AS DECIMAL(38,12)))
+           |      AS DOUBLE) AS w
+           |  FROM embeddings e JOIN d_$out d USING (vec_id), range(1, 65) t(i)
+           |  GROUP BY i),
+           |n_$out AS (SELECT sqrt(CAST(sum(CAST(w * w AS DECIMAL(38,12))) AS DOUBLE)) AS n
+           |  FROM w_$out),
+           |$out AS (SELECT list(round(w / n, 9) ORDER BY pos) AS v
+           |  FROM w_$out, n_$out)""".stripMargin
+      s"""WITH v0 AS (SELECT list_transform(range(1, 65), i -> CAST($v0 AS DOUBLE)) AS v),
+         |${iter("v0", "v1")},
+         |${iter("v1", "v2")},
+         |${iter("v2", "v3")}
+         |SELECT CAST(i AS BIGINT) AS pos, round(v3.v[i], 6) AS loading
+         |FROM v3, range(1, 65) t(i)
+         |ORDER BY pos""".stripMargin
+    }) { (s, dir) =>
+      val e = embTable(s, dir)
+      // (vec_id, pos, x) exploded once; three rounds re-read the persisted
+      // frame instead of re-exploding the parquet scan
+      val erows = CacheRegistry.cache(s, s"q125-erows:$dir") {
+        e.select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "xr")))
+          .select(col("vec_id"), (col("pos") + 1).as("pos"),
+            col("xr").cast("double").as("x"))
+      }
+      val decSum = (c: Column) => sum(c.cast("decimal(38,12)")).cast("double")
+      import s.implicits._
+      var v = (1 to Dim).map(p => (p.toLong, 0.125)).toDF("pos", "v")
+      (1 to 3).foreach { _ =>
+        val d = erows.join(broadcast(v), Seq("pos"))
+          .groupBy(col("vec_id")).agg(decSum(col("x") * col("v")).as("d"))
+        val w = erows.join(d, Seq("vec_id"))
+          .groupBy(col("pos")).agg(decSum(col("d") * col("x")).as("w"))
+        val n = w.agg(sqrt(decSum(col("w") * col("w"))).as("n"))
+        v = w.crossJoin(broadcast(n))
+          .select(col("pos"), round(col("w") / col("n"), 9).as("v"))
+          .localCheckpoint() // 64 rows; truncates the per-round lineage
+      }
+      v.select(col("pos"), round(col("v"), 6).as("loading")).orderBy(col("pos"))
     }
   )
 }
