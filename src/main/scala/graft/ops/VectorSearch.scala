@@ -928,21 +928,24 @@ object VectorSearch {
     Q("q125_power_iteration", {
       val v0 = "0.125"
       def iter(prev: String, out: String) =
-        s"""d_$out AS (SELECT e.vec_id,
+        // MATERIALIZED: each CTE is referenced more than once downstream —
+        // inlined, DuckDB re-evaluates the whole chain per reference
+        // (exponential in rounds); materialization keeps the oracle linear
+        s"""d_$out AS MATERIALIZED (SELECT e.vec_id,
            |    CAST(sum(CAST(CAST(embedding[i] AS DOUBLE) * $prev.v[i] AS DECIMAL(38,12)))
            |      AS DOUBLE) AS d
            |  FROM embeddings e, $prev, range(1, 65) t(i)
            |  GROUP BY e.vec_id),
-           |w_$out AS (SELECT i AS pos,
+           |w_$out AS MATERIALIZED (SELECT i AS pos,
            |    CAST(sum(CAST(d.d * CAST(embedding[i] AS DOUBLE) AS DECIMAL(38,12)))
            |      AS DOUBLE) AS w
            |  FROM embeddings e JOIN d_$out d USING (vec_id), range(1, 65) t(i)
            |  GROUP BY i),
-           |n_$out AS (SELECT sqrt(CAST(sum(CAST(w * w AS DECIMAL(38,12))) AS DOUBLE)) AS n
+           |n_$out AS MATERIALIZED (SELECT sqrt(CAST(sum(CAST(w * w AS DECIMAL(38,12))) AS DOUBLE)) AS n
            |  FROM w_$out),
-           |$out AS (SELECT list(round(w / n, 9) ORDER BY pos) AS v
+           |$out AS MATERIALIZED (SELECT list(round(w / n, 9) ORDER BY pos) AS v
            |  FROM w_$out, n_$out)""".stripMargin
-      s"""WITH v0 AS (SELECT list_transform(range(1, 65), i -> CAST($v0 AS DOUBLE)) AS v),
+      s"""WITH v0 AS MATERIALIZED (SELECT list_transform(range(1, 65), i -> CAST($v0 AS DOUBLE)) AS v),
          |${iter("v0", "v1")},
          |${iter("v1", "v2")},
          |${iter("v2", "v3")}
@@ -950,28 +953,113 @@ object VectorSearch {
          |FROM v3, range(1, 65) t(i)
          |ORDER BY pos""".stripMargin
     }) { (s, dir) =>
-      val e = embTable(s, dir)
-      // (vec_id, pos, x) exploded once; three rounds re-read the persisted
-      // frame instead of re-exploding the parquet scan
-      val erows = CacheRegistry.cache(s, s"q125-erows:$dir") {
-        e.select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "xr")))
-          .select(col("vec_id"), (col("pos") + 1).as("pos"),
-            col("xr").cast("double").as("x"))
+      powerLoop(s, powerRows(s, dir), 3, deflateAgainst = None)
+        .select(col("pos"), round(col("v"), 6).as("loading")).orderBy(col("pos"))
+    },
+
+    // ---- deflated power iteration: SECOND principal direction ----
+    // "More components = deflate and repeat" (q125's closing note) made
+    // real: after each matvec the accumulating direction is Gram–Schmidt-
+    // projected off the found top-PC (w ← w − (w·v)·v) before normalizing,
+    // so the loop converges to the runner-up eigendirection. The deflation
+    // adds only 64-row work per round — one 64-term DECIMAL dot (w·v) and
+    // one elementwise subtract — so the per-round corpus cost is IDENTICAL
+    // to q125's: one broadcast of the direction table, two narrow
+    // aggregates, vectors never shuffled. Both the v-chain (3 undeflated
+    // rounds) and the u-chain (3 deflated rounds) re-derive in the oracle,
+    // every corpus reduction through DECIMAL(38,12), directions re-entering
+    // 9dp-rounded — the whole two-eigenvector pipeline hash-matches with
+    // zero driver arithmetic.
+    Q("q126_power_deflation", {
+      val v0 = "0.125"
+      def iter(prev: String, out: String, deflate: Option[String]) = {
+        val (wsrc, extra) = deflate match {
+          case None => (s"w_$out", "")
+          case Some(vt) => (s"w2_$out",
+            s""",
+               |p_$out AS MATERIALIZED (SELECT CAST(sum(CAST(w.w * $vt.v[w.pos] AS DECIMAL(38,12)))
+               |      AS DOUBLE) AS p
+               |  FROM w_$out w, $vt),
+               |w2_$out AS MATERIALIZED (SELECT w.pos, w.w - p_$out.p * $vt.v[w.pos] AS w
+               |  FROM w_$out w, p_$out, $vt)""".stripMargin)
+        }
+        s"""d_$out AS MATERIALIZED (SELECT e.vec_id,
+           |    CAST(sum(CAST(CAST(embedding[i] AS DOUBLE) * $prev.v[i] AS DECIMAL(38,12)))
+           |      AS DOUBLE) AS d
+           |  FROM embeddings e, $prev, range(1, 65) t(i)
+           |  GROUP BY e.vec_id),
+           |w_$out AS MATERIALIZED (SELECT i AS pos,
+           |    CAST(sum(CAST(d.d * CAST(embedding[i] AS DOUBLE) AS DECIMAL(38,12)))
+           |      AS DOUBLE) AS w
+           |  FROM embeddings e JOIN d_$out d USING (vec_id), range(1, 65) t(i)
+           |  GROUP BY i)$extra,
+           |n_$out AS MATERIALIZED (SELECT sqrt(CAST(sum(CAST(w * w AS DECIMAL(38,12))) AS DOUBLE)) AS n
+           |  FROM $wsrc),
+           |$out AS MATERIALIZED (SELECT list(round(w / n, 9) ORDER BY pos) AS v
+           |  FROM $wsrc, n_$out)""".stripMargin
       }
-      val decSum = (c: Column) => sum(c.cast("decimal(38,12)")).cast("double")
-      import s.implicits._
-      var v = (1 to Dim).map(p => (p.toLong, 0.125)).toDF("pos", "v")
-      (1 to 3).foreach { _ =>
-        val d = erows.join(broadcast(v), Seq("pos"))
-          .groupBy(col("vec_id")).agg(decSum(col("x") * col("v")).as("d"))
-        val w = erows.join(d, Seq("vec_id"))
-          .groupBy(col("pos")).agg(decSum(col("d") * col("x")).as("w"))
-        val n = w.agg(sqrt(decSum(col("w") * col("w"))).as("n"))
-        v = w.crossJoin(broadcast(n))
-          .select(col("pos"), round(col("w") / col("n"), 9).as("v"))
-          .localCheckpoint() // 64 rows; truncates the per-round lineage
-      }
-      v.select(col("pos"), round(col("v"), 6).as("loading")).orderBy(col("pos"))
+      s"""WITH v0 AS MATERIALIZED (SELECT list_transform(range(1, 65), i -> CAST($v0 AS DOUBLE)) AS v),
+         |${iter("v0", "v1", None)},
+         |${iter("v1", "v2", None)},
+         |${iter("v2", "v3", None)},
+         |u0 AS MATERIALIZED (SELECT list_transform(range(1, 65), i -> CAST($v0 AS DOUBLE)) AS v),
+         |${iter("u0", "u1", Some("v3"))},
+         |${iter("u1", "u2", Some("v3"))},
+         |${iter("u2", "u3", Some("v3"))}
+         |SELECT CAST(i AS BIGINT) AS pos, round(u3.v[i], 6) AS loading2
+         |FROM u3, range(1, 65) t(i)
+         |ORDER BY pos""".stripMargin
+    }) { (s, dir) =>
+      val erows = powerRows(s, dir)
+      val v = powerLoop(s, erows, 3, deflateAgainst = None)
+      powerLoop(s, erows, 3, deflateAgainst = Some(v))
+        .select(col("pos"), round(col("v"), 6).as("loading2")).orderBy(col("pos"))
     }
   )
+
+  /** The (vec_id, pos, x) exploded embedding frame the power-iteration
+    * family re-reads every round — cached once per sfDir so q125/q126 and
+    * all rounds share one parquet scan + explode. */
+  private def powerRows(s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame =
+    CacheRegistry.cache(s, s"q125-erows:$dir") {
+      embTable(s, dir)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "xr")))
+        .select(col("vec_id"), (col("pos") + 1).as("pos"),
+          col("xr").cast("double").as("x"))
+    }
+
+  /** `rounds` of v ← normalize(X'Xv) from the all-0.125 start, every
+    * corpus-sized sum through DECIMAL(38,12) (order-independent), the
+    * direction 9dp-rounded before re-entering each round. With
+    * `deflateAgainst = Some(pv)` the matvec result is Gram–Schmidt-
+    * projected off `pv` (w ← w − (w·pv)·pv) before normalizing — the
+    * deflation that yields successive eigendirections. Returns the 64-row
+    * (pos, v) direction table. */
+  private def powerLoop(s: org.apache.spark.sql.SparkSession,
+      erows: org.apache.spark.sql.DataFrame, rounds: Int,
+      deflateAgainst: Option[org.apache.spark.sql.DataFrame])
+      : org.apache.spark.sql.DataFrame = {
+    val decSum = (c: Column) => sum(c.cast("decimal(38,12)")).cast("double")
+    import s.implicits._
+    var v = (1 to Dim).map(p => (p.toLong, 0.125)).toDF("pos", "v")
+    (1 to rounds).foreach { _ =>
+      val d = erows.join(broadcast(v), Seq("pos"))
+        .groupBy(col("vec_id")).agg(decSum(col("x") * col("v")).as("d"))
+      val w0 = erows.join(d, Seq("vec_id"))
+        .groupBy(col("pos")).agg(decSum(col("d") * col("x")).as("w"))
+      val w = deflateAgainst.fold(w0) { pvt =>
+        val withPv = w0.join(broadcast(pvt.select(col("pos"), col("v").as("pv"))),
+          Seq("pos"))
+        val p = withPv.agg(decSum(col("w") * col("pv")).as("p"))
+        withPv.crossJoin(broadcast(p))
+          .select(col("pos"), (col("w") - col("p") * col("pv")).as("w"))
+      }
+      val n = w.agg(sqrt(decSum(col("w") * col("w"))).as("n"))
+      v = w.crossJoin(broadcast(n))
+        .select(col("pos"), round(col("w") / col("n"), 9).as("v"))
+        .localCheckpoint() // 64 rows; truncates the per-round lineage
+    }
+    v
+  }
 }
