@@ -22,7 +22,7 @@ import graft.schema.Tables.t
 object VectorSearch {
 
   private val Dim = 64
-  private val NumPlanes = 6 // 64 buckets over the corpus
+  private[ops] val NumPlanes = 6 // 64 buckets over the corpus
 
   /** Deterministic pseudo-random hyperplanes from md5 (public, stable). */
   private lazy val planes: Array[Array[Double]] = {
@@ -39,14 +39,14 @@ object VectorSearch {
     * Runs through the native [[graft.functions.ArrayDot]] expression
     * (codegen'd straight-line loop; bit-identical to the HOF composition
     * it replaced — ArrayDotSpec asserts the equivalence element-wise). */
-  private def dotExpr(a: String, b: String): Column = expr(s"graft_dot($a, $b)")
+  private[ops] def dotExpr(a: String, b: String): Column = expr(s"graft_dot($a, $b)")
 
-  private def normExpr(a: String): Column = sqrt(expr(s"graft_dot($a, $a)"))
+  private[ops] def normExpr(a: String): Column = sqrt(expr(s"graft_dot($a, $a)"))
 
   /** The embeddings scan with the session's native functions registered
     * (idempotent) — every vector query path needs `graft_dot` resolvable
     * in bare driver sessions that don't load GraftExtensions. */
-  private def embTable(s: org.apache.spark.sql.SparkSession, dir: String)
+  private[ops] def embTable(s: org.apache.spark.sql.SparkSession, dir: String)
       : org.apache.spark.sql.DataFrame = {
     graft.functions.GraftFunctions.register(s)
     t(s, dir, "embeddings")
@@ -60,19 +60,19 @@ object VectorSearch {
       |   * sqrt(list_sum(list_transform(range(1, len(qe) + 1),
       |      i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)))))""".stripMargin
 
-  private def duckPlaneList(j: Int): String =
+  private[ops] def duckPlaneList(j: Int): String =
     // Locale.ROOT: default-locale %f renders a decimal comma on some
     // hosts, which would corrupt the generated DuckDB SQL literal.
     planes(j).map(v => String.format(java.util.Locale.ROOT, "%.6f", Double.box(v)))
       .mkString("[", ", ", "]")
 
-  private def duckDot(vec: String, planeList: String): String =
+  private[ops] def duckDot(vec: String, planeList: String): String =
     s"list_sum(list_transform(range(1, len($vec) + 1), i -> CAST($vec[i] AS DOUBLE) * ($planeList)[i]))"
 
-  private def sparkPlaneArray(j: Int): Column =
+  private[ops] def sparkPlaneArray(j: Int): Column =
     array(planes(j).toIndexedSeq.map(v => lit(v)): _*)
 
-  private def sparkCode(vecCol: String): Column =
+  private[ops] def sparkCode(vecCol: String): Column =
     (0 until NumPlanes).map { j =>
       when(dotExpr(vecCol, s"__p$j") > 0, lit(1 << j)).otherwise(lit(0))
     }.reduce(_ + _)

@@ -1,0 +1,52 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.{SparkEntry, SparkSpec}
+
+/** Graph-family invariants beyond the oracle's hash compare: edge-frame
+  * structure, PageRank mass accounting, and the no-cartesian plan shape
+  * the 100 TB story depends on. */
+class GraphOpsSpec extends SparkSpec {
+
+  private lazy val edges = GraphOps.knnEdges(spark, sf001).cache()
+
+  test("kNN edges: at most 3 neighbors per vector, ranks contiguous from 1") {
+    val bad = edges.groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("deg"), max(col("rn")).as("maxrn"), min(col("rn")).as("minrn"))
+      .filter(col("deg") > 3 || col("maxrn") =!= col("deg") || col("minrn") =!= 1)
+    assert(bad.isEmpty, "rank sequence must be 1..deg with deg <= 3")
+  }
+
+  test("kNN edges: no self-loops, cosines in [-1, 1]") {
+    assert(edges.filter(col("vec_id") === col("nbr_id")).isEmpty)
+    assert(edges.filter(col("c") > 1.0 || col("c") < -1.0).isEmpty)
+  }
+
+  test("kNN edges: neighbor ranking is by descending cosine") {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("rn"))
+    val bad = edges.withColumn("next_c", lead(col("c"), 1).over(w))
+      .filter(col("next_c").isNotNull && col("next_c") > col("c"))
+    assert(bad.isEmpty, "cos must be non-increasing with rank")
+  }
+
+  test("q128: pageranks positive, sorted descending, bounded by total mass") {
+    val rows = SparkEntry.queries("q128_pagerank")(spark, sf001).collect()
+    assert(rows.length == 20)
+    val prs = rows.map(_.getDouble(1))
+    assert(prs.forall(_ > 0.0))
+    assert(prs.zip(prs.tail).forall { case (a, b) => a >= b }, "not descending")
+    // total mass across the WHOLE graph is <= 1 (teleport + damped inflow,
+    // dangling mass dropped), so any 20 ranks sum strictly under 1
+    assert(prs.sum < 1.0)
+  }
+
+  test("q127/q128 plans: candidate generation is an equi-join, no cartesian") {
+    Seq("q127_knn_graph", "q128_pagerank").foreach { n =>
+      val p = SparkEntry.queries(n)(spark, sf001)
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"),
+        s"$n generates candidates via a cartesian:\n$p")
+    }
+  }
+}
