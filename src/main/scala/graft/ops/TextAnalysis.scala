@@ -426,8 +426,94 @@ object TextAnalysis {
       ruleFlags(t(s, dir, "documents"))
         .select(col("doc_id"), col("n_words"), col("keep"), col("reasons"))
         .orderBy(col("doc_id"))
+    },
+
+    // ---- count-min sketch: fixed-memory word-frequency estimation ----
+    // The Cormode–Muthukrishnan sketch (J. Algorithms 2005): d=4 hash
+    // rows × w=256 buckets; every word occurrence increments one cell per
+    // row, a probe's estimate is the MIN over its d cells — always an
+    // OVERESTIMATE (collisions only add), the property CountMinSpec
+    // asserts over the whole vocabulary. This is the 100 TB shape for
+    // frequency questions: the aggregate's key space is the FIXED d·w
+    // cell grid, so map-side partial aggregation collapses every
+    // partition to ≤1024 rows and the shuffle is constant-size no matter
+    // the corpus — no full-vocabulary groupBy ever happens for the sketch
+    // itself (the exact counts here exist only to oracle-check the
+    // estimates against the top-20 truth). Hashing reuses the family's
+    // Kirsch–Mitzenmacher derivation: ONE md5 per occurrence splits into
+    // (h1, h2), row j probes bucket (h1 + j·h2) mod 256 — j ≤ 3 keeps
+    // h1 + 3·h2 < 2^58, overflow-free in both engines.
+    Q("q129_countmin", {
+      val h1 = TextCommon.duckHex("m", 14)
+      val h2 = TextCommon.duckHex("m", 14, from = 15)
+      raw"""WITH wo AS MATERIALIZED (
+           |  SELECT word, $h1 AS h1, $h2 AS h2 FROM (
+           |    SELECT word, md5(word) AS m FROM (
+           |      SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+           |      FROM documents)
+           |    WHERE regexp_matches(word, '^[a-z]{4,}$$'))),
+           |sketch AS MATERIALIZED (
+           |  SELECT j, (h1 + j * h2) % 256 AS bucket, count(*) AS cnt
+           |  FROM wo, range(0, 4) t(j)
+           |  GROUP BY 1, 2),
+           |top20 AS MATERIALIZED (
+           |  SELECT word, any_value(h1) AS h1, any_value(h2) AS h2,
+           |    count(*) AS exact_cnt
+           |  FROM wo GROUP BY word
+           |  ORDER BY exact_cnt DESC, word LIMIT 20)
+           |SELECT t.word, t.exact_cnt, min(s.cnt) AS cm_est
+           |FROM top20 t CROSS JOIN range(0, 4) r(j) JOIN sketch s ON s.j = r.j
+           |WHERE s.bucket = (t.h1 + r.j * t.h2) % 256
+           |GROUP BY t.word, t.exact_cnt
+           |ORDER BY exact_cnt DESC, word""".stripMargin
+    }) { (s, dir) =>
+      val wo = CacheRegistry.cache(s, s"q129-words:$dir") {
+        t(s, dir, "documents")
+          .select(explode(wordsCol).as("word"))
+          .filter(col("word").rlike("^[a-z]{4,}$"))
+          .select(col("word"), md5(col("word")).as("m"))
+          .select(col("word"),
+            conv(substring(col("m"), 1, 14), 16, 10).cast("long").as("h1"),
+            conv(substring(col("m"), 15, 14), 16, 10).cast("long").as("h2"))
+      }
+      val sketch = countMinSketch(wo)
+      val top20 = wo.groupBy(col("word"))
+        .agg(first(col("h1")).as("h1"), first(col("h2")).as("h2"),
+          count(lit(1)).as("exact_cnt"))
+        .orderBy(col("exact_cnt").desc, col("word"))
+        .limit(20)
+      countMinEstimate(top20, sketch)
+        .select(col("word"), col("exact_cnt"), col("cm_est"))
+        .orderBy(col("exact_cnt").desc, col("word"))
     }
   )
+
+  /** The d=4 × w=256 count-min cell grid over a (h1, h2) occurrence
+    * frame: explode the d rows, count per (row, bucket) — a fixed-key
+    * aggregate whose shuffle is ≤ d·w rows per partition regardless of
+    * corpus size. */
+  def countMinSketch(occurrences: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    occurrences
+      .select(explode(array((0 until 4).map(lit): _*)).as("j"),
+        col("h1"), col("h2"))
+      .select(col("j"), ((col("h1") + col("j") * col("h2")) % 256).as("bucket"))
+      .groupBy(col("j"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Point-query the sketch for each probe word (carrying h1/h2): the
+    * estimate is min over the d per-row cells — a broadcast-size join
+    * when the probe set is small. */
+  def countMinEstimate(probes: org.apache.spark.sql.DataFrame,
+      sketch: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    probes
+      .select(col("word"), col("exact_cnt"), col("h1"), col("h2"),
+        explode(array((0 until 4).map(lit): _*)).as("j"))
+      .select(col("word"), col("exact_cnt"), col("j"),
+        ((col("h1") + col("j") * col("h2")) % 256).as("bucket"))
+      .join(sketch, Seq("j", "bucket"))
+      .groupBy(col("word"), col("exact_cnt"))
+      .agg(min(col("cnt")).as("cm_est"))
 
   /** Per-document rule gate, appended as columns (`n_words`, `keep`,
     * `reasons`) to whatever the input carries — single map-side pass, no
