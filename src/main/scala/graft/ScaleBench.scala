@@ -402,6 +402,68 @@ object ScaleBench {
       println(s"""SCALE {"phase":"assign_agreement","docs":$nv,"k":$kk,""" +
         s""""fanout":$fanout,"agreement":${f(agree)}}""")
     }
+    // ---- kNN graph: candidate volume under the plane-count schedule ----
+    // The q127 scale knob made measurable: with FIXED code bits, bucket
+    // sizes grow ∝ N so Hamming-≤1 candidates grow ∝ N² — the shape you
+    // must not ship. Growing the code by one bit per corpus doubling
+    // (planes = 6 + log2(N/10k)) keeps expected bucket size constant, so
+    // candidates should grow ~linearly. Both schedules measured on the
+    // same clustered corpus; the fixed-bit row is the control.
+    locally {
+      val vecsAll = spark.read.parquet(s"$lastDir/embeddings.parquet")
+      Seq((10000L, 6), (20000L, 7), (40000L, 8)).filter(_._1 <= sizes.last)
+        .foreach { case (nv, np) =>
+          phase(s"q127_knn_cands_planes$np", nv) {
+            ops.GraphOps.knnCandidates(vecsAll.filter(col("vec_id") < nv), np).count()
+          }
+        }
+      Seq((20000L, 6), (40000L, 6)).filter(_._1 <= sizes.last)
+        .foreach { case (nv, np) =>
+          phase(s"q127_knn_cands_fixed$np", nv) {
+            ops.GraphOps.knnCandidates(vecsAll.filter(col("vec_id") < nv), np).count()
+          }
+        }
+      // full edge build (codes + probe join + exact cosine + top-3 rank)
+      // at the scheduled plane counts: wall should track the ~linear
+      // candidate volume, and rows_out stays ≤ 3N
+      Seq((10000L, 6), (20000L, 7)).filter(_._1 <= sizes.last)
+        .foreach { case (nv, np) =>
+          phase(s"q127_knn_edges_planes$np", nv) {
+            ops.GraphOps.knnEdgesFrom(vecsAll.filter(col("vec_id") < nv), np).count()
+          }
+        }
+      // PageRank: per-round cost is the narrow edge join + inflow agg —
+      // linear in |edges| = 3N under the plane schedule
+      Seq((10000L, 6), (20000L, 7)).filter(_._1 <= sizes.last)
+        .foreach { case (nv, np) =>
+          phase("q128_pagerank_3r", nv) {
+            val vecs = vecsAll.filter(col("vec_id") < nv)
+            val edges = ops.GraphOps.knnEdgesFrom(vecs, np)
+              .select(col("vec_id").as("src"), col("nbr_id").as("dst"))
+              .localCheckpoint()
+            ops.GraphOps.pagerank(vecs.select(col("vec_id")), edges, 3).count()
+          }
+        }
+      // power iteration: each round is two narrow aggregates over the
+      // (vec_id, pos, x) exploded frame — strictly linear in N·dim
+      Seq(20000L, 40000L).filter(_ <= sizes.last).foreach { nv =>
+        phase("q125_power_3r", nv) {
+          ops.VectorSearch.powerIterate(vecsAll.filter(col("vec_id") < nv), 3).count()
+        }
+      }
+      // same candidate schedule on the UNIFORM corpus: without planted
+      // structure, every extra code bit halves expected bucket size, so
+      // candidates should track ~2× per corpus doubling — the contrast
+      // that shows the planted-cluster super-linearity above is the
+      // data's duplicate density, not the algorithm's shape
+      val uvecsAll = spark.read.parquet(s"$root/u${sizes.last}/embeddings.parquet")
+      Seq((10000L, 6), (20000L, 7), (40000L, 8)).filter(_._1 <= sizes.last)
+        .foreach { case (nv, np) =>
+          phase(s"q127_knn_cands_uniform_planes$np", nv) {
+            ops.GraphOps.knnCandidates(uvecsAll.filter(col("vec_id") < nv), np).count()
+          }
+        }
+    }
     spark.stop()
   }
 }

@@ -17,8 +17,7 @@ import graft.Q
   */
 object GraphOps {
 
-  import VectorSearch.{NumPlanes, dotExpr, normExpr, embTable,
-    duckPlaneList, duckDot, sparkCode, sparkPlaneArray}
+  import VectorSearch.{NumPlanes, embTable, duckPlaneList, duckDot}
 
   private val K = 3 // neighbors kept per vector
 
@@ -55,40 +54,99 @@ object GraphOps {
        |  FROM cand)""".stripMargin
   }
 
-  /** The full kNN edge frame (src, dst, cos, rank ≤ K) over every vector.
-    * Candidate generation: each vector's code plus its NumPlanes Hamming-1
-    * neighbor codes explode to (1 + planes) probe rows, then ONE equi-join
-    * on the code — the same shuffle shape as q65/q106, parallelism = the
-    * number of occupied buckets. The top-K cut runs on the NARROW
-    * (src, dst, cos) projection — embeddings never enter the rank shuffle.
-    * At 100 TB the code space widens with the corpus (more planes ⇒
-    * bounded bucket sizes); the probe-explode equi-join shape is invariant.
-    * Persisted via [[CacheRegistry]]: q127's verified slice and q128's
-    * PageRank both read it. */
+  /** (vec_id, embedding, code) with an `numPlanes`-bit LSH code — the
+    * plane count is the scale knob: ScaleBench grows it with log N so
+    * bucket sizes (and thus candidate volume per vector) stay bounded. */
+  private def codedFrame(vecs: DataFrame, numPlanes: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(vecs.sparkSession)
+    val planes = VectorSearch.planesUpTo(numPlanes)
+    val withPlanes = (0 until numPlanes).foldLeft(vecs) { (df, j) =>
+      df.withColumn(s"__p$j", array(planes(j).toIndexedSeq.map(lit): _*))
+    }
+    val code = (0 until numPlanes).map { j =>
+      when(expr(s"graft_dot(embedding, __p$j)") > 0, lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _)
+    withPlanes.select(col("vec_id"), col("embedding"), code.as("code"))
+  }
+
+  /** Hamming-≤1 candidate pairs (vec_id, nbr_id) WITHOUT the cosine — the
+    * frame whose cardinality is the graph family's scale quantity
+    * (ScaleBench counts it at growing N × growing planes). */
+  def knnCandidates(vecs: DataFrame, numPlanes: Int): DataFrame = {
+    val coded = codedFrame(vecs, numPlanes)
+    val probes = coded.select(col("vec_id"), col("code"),
+      explode(array((lit(0) +: (0 until numPlanes).map(j => lit(1 << j))): _*))
+        .as("flip"))
+      .select(col("vec_id"), col("code").bitwiseXOR(col("flip")).as("probe"))
+    probes.as("x").join(coded.select(col("vec_id"), col("code")).as("y"),
+        col("x.probe") === col("y.code") && col("x.vec_id") =!= col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_id"), col("y.vec_id").as("nbr_id"))
+  }
+
+  /** The kNN edge frame (vec_id, nbr_id, c, rn ≤ k) over any
+    * (vec_id, embedding) frame. Candidate generation: each vector's code
+    * plus its `numPlanes` Hamming-1 neighbor codes explode to (1 + planes)
+    * probe rows, then ONE equi-join on the code — the same shuffle shape
+    * as q65/q106, parallelism = the number of occupied buckets. The top-k
+    * cut runs on the NARROW (src, dst, cos) projection — embeddings never
+    * enter the rank shuffle. At 100 TB the code space widens with the
+    * corpus (planes ≈ 6 + log2(N/N0) ⇒ bounded bucket sizes — ScaleBench
+    * measures exactly that schedule); the probe-explode equi-join shape is
+    * invariant. */
+  def knnEdgesFrom(vecs: DataFrame, numPlanes: Int, k: Int = K): DataFrame = {
+    val coded = codedFrame(vecs, numPlanes)
+    val probes = coded.select(col("vec_id"), col("embedding"), col("code"),
+      explode(array((lit(0) +: (0 until numPlanes).map(j => lit(1 << j))): _*))
+        .as("flip"))
+      .select(col("vec_id"), col("embedding"),
+        col("code").bitwiseXOR(col("flip")).as("probe"))
+    val pairCos = expr("graft_dot(x.embedding, y.embedding)") /
+      (sqrt(expr("graft_dot(x.embedding, x.embedding)")) *
+       sqrt(expr("graft_dot(y.embedding, y.embedding)")))
+    val cand = probes.as("x").join(coded.as("y"),
+        col("x.probe") === col("y.code") && col("x.vec_id") =!= col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_id"), col("y.vec_id").as("nbr_id"),
+        round(pairCos, 9).as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("c").desc, col("nbr_id"))
+    cand.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+  }
+
+  /** The declared queries' edge frame: NumPlanes bits over the sfDir's
+    * embeddings, persisted via [[CacheRegistry]] — q127's verified slice
+    * and q128's PageRank both read it. */
   def knnEdges(s: SparkSession, dir: String): DataFrame =
     CacheRegistry.cache(s, s"q127-knn:$dir") {
-      val emb = embTable(s, dir)
-      val withPlanes = (0 until NumPlanes).foldLeft(emb) { (df, j) =>
-        df.withColumn(s"__p$j", sparkPlaneArray(j))
-      }
-      val coded = withPlanes
-        .select(col("vec_id"), col("embedding"), sparkCode("embedding").as("code"))
-      val probes = coded.select(col("vec_id"), col("embedding"), col("code"),
-        explode(array((lit(0) +: (0 until NumPlanes).map(j => lit(1 << j))): _*))
-          .as("flip"))
-        .select(col("vec_id"), col("embedding"),
-          col("code").bitwiseXOR(col("flip")).as("probe"))
-      val pairCos = expr("graft_dot(x.embedding, y.embedding)") /
-        (sqrt(expr("graft_dot(x.embedding, x.embedding)")) *
-         sqrt(expr("graft_dot(y.embedding, y.embedding)")))
-      val cand = probes.as("x").join(coded.as("y"),
-          col("x.probe") === col("y.code") && col("x.vec_id") =!= col("y.vec_id"))
-        .select(col("x.vec_id").as("vec_id"), col("y.vec_id").as("nbr_id"),
-          round(pairCos, 9).as("c"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("vec_id")).orderBy(col("c").desc, col("nbr_id"))
-      cand.withColumn("rn", row_number().over(w)).filter(col("rn") <= K)
+      knnEdgesFrom(embTable(s, dir), NumPlanes)
     }
+
+  /** `rounds` damped PageRank rounds (d = 0.85) over (src, dst) `edges`
+    * from the `nodes` (vec_id) universe: contribution = rank/outdeg along
+    * edges, exact DECIMAL(38,12) inflow sums, every node re-entering at
+    * round(teleport + d·inflow, 9) through a LEFT join so zero-in-degree
+    * nodes keep the teleport mass; dangling nodes distribute nothing.
+    * Rank state is a NARROW (id, double) frame, localCheckpoint'ed per
+    * round. Returns (vec_id, pr). */
+  def pagerank(nodes: DataFrame, edges: DataFrame, rounds: Int): DataFrame = {
+    val outd = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val e2 = edges.join(outd, Seq("src"))
+    val n = nodes.count()
+    val tele = 0.15 / n
+    val decSum = (c: Column) => sum(c.cast("decimal(38,12)")).cast("double")
+    var pr = nodes.select(col("vec_id"), round(lit(1.0 / n), 9).as("pr"))
+      .localCheckpoint()
+    (1 to rounds).foreach { _ =>
+      val contrib = e2.join(pr.withColumnRenamed("vec_id", "src"), Seq("src"))
+        .groupBy(col("dst"))
+        .agg(decSum(col("pr") / col("outdeg")).as("s"))
+        .withColumnRenamed("dst", "vec_id")
+      pr = nodes.join(contrib, Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          round(lit(tele) + lit(0.85) * coalesce(col("s"), lit(0.0)), 9).as("pr"))
+        .localCheckpoint() // narrow N-row state; keeps per-round lineage flat
+    }
+    pr
+  }
 
   val qs: Seq[Q] = Seq(
 
@@ -159,28 +217,8 @@ object GraphOps {
     }) { (s, dir) =>
       val edges = knnEdges(s, dir)
         .select(col("vec_id").as("src"), col("nbr_id").as("dst"))
-      val e2 = CacheRegistry.cache(s, s"q128-e2:$dir") {
-        val outd = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-        edges.join(outd, Seq("src"))
-      }
-      val nodes = embTable(s, dir).select(col("vec_id"))
-      // bounded driver scalars, same derivation as the oracle's nn CTE
-      val n = nodes.count()
-      val tele = 0.15 / n
-      val decSum = (c: Column) => sum(c.cast("decimal(38,12)")).cast("double")
-      var pr = nodes.select(col("vec_id"), round(lit(1.0 / n), 9).as("pr"))
-        .localCheckpoint()
-      (1 to 3).foreach { _ =>
-        val contrib = e2.join(pr.withColumnRenamed("vec_id", "src"), Seq("src"))
-          .groupBy(col("dst"))
-          .agg(decSum(col("pr") / col("outdeg")).as("s"))
-          .withColumnRenamed("dst", "vec_id")
-        pr = nodes.join(contrib, Seq("vec_id"), "left")
-          .select(col("vec_id"),
-            round(lit(tele) + lit(0.85) * coalesce(col("s"), lit(0.0)), 9).as("pr"))
-          .localCheckpoint() // narrow N-row state; keeps per-round lineage flat
-      }
-      pr.select(col("vec_id"), round(col("pr"), 6).as("pagerank"))
+      pagerank(embTable(s, dir).select(col("vec_id")), edges, rounds = 3)
+        .select(col("vec_id"), round(col("pr"), 6).as("pagerank"))
         .orderBy(col("pr").desc, col("vec_id"))
         .limit(20)
     }

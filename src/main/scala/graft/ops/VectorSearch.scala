@@ -24,15 +24,20 @@ object VectorSearch {
   private val Dim = 64
   private[ops] val NumPlanes = 6 // 64 buckets over the corpus
 
-  /** Deterministic pseudo-random hyperplanes from md5 (public, stable). */
-  private lazy val planes: Array[Array[Double]] = {
+  /** First `n` deterministic pseudo-random hyperplanes from md5 (public,
+    * stable; any prefix of the infinite family — ScaleBench widens the
+    * code space with the corpus by asking for more planes). */
+  private[ops] def planesUpTo(n: Int): Array[Array[Double]] = {
     val mdig = java.security.MessageDigest.getInstance("MD5")
-    Array.tabulate(NumPlanes, Dim) { (j, i) =>
+    Array.tabulate(n, Dim) { (j, i) =>
       val hex = mdig.digest(s"$j:$i".getBytes("UTF-8"))
         .take(2).map("%02x".format(_)).mkString
       math.rint((Integer.parseInt(hex, 16) / 65535.0 - 0.5) * 1e6) / 1e6
     }
   }
+
+  /** Deterministic pseudo-random hyperplanes from md5 (public, stable). */
+  private lazy val planes: Array[Array[Double]] = planesUpTo(NumPlanes)
 
   /** dot(embedding, other-array-column) in double, sequential fold — the
     * same order DuckDB's list_sum uses, so results match to the last bit.
@@ -1028,6 +1033,22 @@ object VectorSearch {
         .select(col("vec_id"), (col("pos") + 1).as("pos"),
           col("xr").cast("double").as("x"))
     }
+
+  /** [[powerLoop]] over any (vec_id, embedding) frame — ScaleBench drives
+    * synthetic corpus sizes through this; the declared queries go through
+    * the CacheRegistry'd [[powerRows]] instead. The exploded component
+    * frame is persisted for the rounds and released before returning (the
+    * result is checkpointed, so the unpersist is safe). */
+  def powerIterate(vecs: org.apache.spark.sql.DataFrame, rounds: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val erows = vecs
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "xr")))
+      .select(col("vec_id"), (col("pos") + 1).as("pos"),
+        col("xr").cast("double").as("x"))
+      .persist()
+    try powerLoop(vecs.sparkSession, erows, rounds, deflateAgainst = None)
+    finally erows.unpersist()
+  }
 
   /** `rounds` of v ← normalize(X'Xv) from the all-0.125 start, every
     * corpus-sized sum through DECIMAL(38,12) (order-independent), the
