@@ -221,6 +221,71 @@ object GraphOps {
         .select(col("vec_id"), round(col("pr"), 6).as("pagerank"))
         .orderBy(col("pr").desc, col("vec_id"))
         .limit(20)
+    },
+
+    // ---- label propagation over the kNN graph ----
+    // The semi-supervised labeler a curation pipeline runs when a small
+    // audited subset carries trusted labels (here: vec_id < 100 keep their
+    // `label`) and the rest must inherit them through embedding-space
+    // structure: 2 rounds of neighbor majority vote along the kNN edges.
+    // Every step is INTEGER arithmetic — vote counts with (count DESC,
+    // label ASC) tiebreak, unlabeled neighbors abstain, seeds never
+    // change, a vector with no labeled neighbor keeps its previous state
+    // (NULL until a vote reaches it) — so cross-engine parity needs no
+    // rounding discipline at all. Per round at 100 TB: one equi-join of
+    // the narrow (src, dst) edge frame against the (id, label) state, a
+    // (vec_id, label)-keyed count, and a row_number cut on the
+    // high-cardinality vec_id — the same Pregel shape as q128 with votes
+    // instead of mass. Output: propagated vs true label per vector.
+    Q("q130_label_prop", {
+      def voteSql(prev: String, i: Int): String =
+        s"""v$i AS (SELECT e.vec_id, l.lab, count(*) AS n
+           |  FROM knn e JOIN $prev l ON l.vec_id = e.nbr_id
+           |  WHERE l.lab IS NOT NULL
+           |  GROUP BY e.vec_id, l.lab),
+           |b$i AS (SELECT vec_id, lab,
+           |    row_number() OVER (PARTITION BY vec_id ORDER BY n DESC, lab) AS rn
+           |  FROM v$i),
+           |lab$i AS MATERIALIZED (SELECT p.vec_id,
+           |    CASE WHEN p.vec_id < 100 THEN p.lab
+           |         ELSE coalesce(b.lab, p.lab) END AS lab
+           |  FROM $prev p LEFT JOIN (SELECT vec_id, lab FROM b$i WHERE rn = 1) b
+           |    USING (vec_id))""".stripMargin
+      s"""WITH $duckKnnCtes,
+         |knn AS MATERIALIZED (SELECT vec_id, nbr_id FROM ranked WHERE rn <= $K),
+         |lab0 AS MATERIALIZED (SELECT vec_id,
+         |    CASE WHEN vec_id < 100 THEN label END AS lab
+         |  FROM embeddings),
+         |${voteSql("lab0", 1)},
+         |${voteSql("lab1", 2)}
+         |SELECT l.vec_id, l.lab AS prop_label, e.label AS true_label
+         |FROM lab2 l JOIN embeddings e USING (vec_id)
+         |ORDER BY vec_id""".stripMargin
+    }) { (s, dir) =>
+      val emb = embTable(s, dir)
+      val knn = knnEdges(s, dir).select(col("vec_id"), col("nbr_id"))
+      var lab = emb.select(col("vec_id"),
+          when(col("vec_id") < 100, col("label")).as("lab"))
+        .localCheckpoint()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id")).orderBy(col("n").desc, col("lab"))
+      (1 to 2).foreach { _ =>
+        val votes = knn
+          .join(lab.select(col("vec_id").as("nbr_id"), col("lab")), Seq("nbr_id"))
+          .filter(col("lab").isNotNull)
+          .groupBy(col("vec_id"), col("lab")).agg(count(lit(1)).as("n"))
+        val winner = votes.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("vec_id"), col("lab").as("win"))
+        lab = lab.join(winner, Seq("vec_id"), "left")
+          .select(col("vec_id"),
+            when(col("vec_id") < 100, col("lab"))
+              .otherwise(coalesce(col("win"), col("lab"))).as("lab"))
+          .localCheckpoint() // narrow (id, label) state per round
+      }
+      lab.join(emb.select(col("vec_id"), col("label").as("true_label")), Seq("vec_id"))
+        .select(col("vec_id"), col("lab").as("prop_label"), col("true_label"))
+        .orderBy(col("vec_id"))
     }
   )
 }

@@ -41,6 +41,20 @@ class GraphOpsSpec extends SparkSpec {
     assert(prs.sum < 1.0)
   }
 
+  test("q130: seeds keep their true label; propagated labels come from the label set") {
+    val rows = SparkEntry.queries("q130_label_prop")(spark, sf001).collect()
+    def lv(r: org.apache.spark.sql.Row, i: Int): Long = r.getAs[Number](i).longValue
+    val seeds = rows.filter(_.getLong(0) < 100)
+    assert(seeds.nonEmpty && seeds.forall(r => lv(r, 1) == lv(r, 2)),
+      "a seed's propagated label must equal its true label")
+    val labeled = rows.filter(!_.isNullAt(1)).map(lv(_, 1)).toSet
+    val universe = rows.map(lv(_, 2)).toSet
+    assert(labeled.subsetOf(universe), "propagation invented a label")
+    // 2 hops over a 3-NN graph from a 20% seed set must reach beyond it
+    assert(rows.count(r => r.getLong(0) >= 100 && !r.isNullAt(1)) > 0,
+      "no label propagated to any non-seed")
+  }
+
   test("q127/q128 plans: candidate generation is an equi-join, no cartesian") {
     Seq("q127_knn_graph", "q128_pagerank").foreach { n =>
       val p = SparkEntry.queries(n)(spark, sf001)
