@@ -57,7 +57,7 @@ object GraphOps {
   /** (vec_id, embedding, code) with an `numPlanes`-bit LSH code — the
     * plane count is the scale knob: ScaleBench grows it with log N so
     * bucket sizes (and thus candidate volume per vector) stay bounded. */
-  private def codedFrame(vecs: DataFrame, numPlanes: Int): DataFrame = {
+  private[ops] def codedFrame(vecs: DataFrame, numPlanes: Int): DataFrame = {
     graft.functions.GraftFunctions.register(vecs.sparkSession)
     val planes = VectorSearch.planesUpTo(numPlanes)
     val withPlanes = (0 until numPlanes).foldLeft(vecs) { (df, j) =>
@@ -93,9 +93,22 @@ object GraphOps {
     * corpus (planes ≈ 6 + log2(N/N0) ⇒ bounded bucket sizes — ScaleBench
     * measures exactly that schedule); the probe-explode equi-join shape is
     * invariant. */
-  def knnEdgesFrom(vecs: DataFrame, numPlanes: Int, k: Int = K): DataFrame = {
-    val coded = codedFrame(vecs, numPlanes)
-    val probes = coded.select(col("vec_id"), col("embedding"), col("code"),
+  def knnEdgesFrom(vecs: DataFrame, numPlanes: Int, k: Int = K): DataFrame =
+    knnEdgesFromCoded(codedFrame(vecs, numPlanes), numPlanes, k)
+
+  /** [[knnEdgesFrom]] over an ALREADY-CODED (vec_id, embedding, code)
+    * frame — the seam the incremental composition reuses: codes are
+    * per-vector map-side work a streaming sink lands once per batch, and
+    * the rank stage re-reads the accumulated store
+    * (StreamingKnnGraphSpec). `probeSide`, when set, restricts WHICH
+    * vectors get (re-)ranked while candidates still come from the full
+    * `coded` store — the incremental-maintenance rule: after a batch
+    * lands, only vectors whose probe set intersects the arrivals' codes
+    * need re-ranking, but their neighbors may be anywhere in the store. */
+  private[ops] def knnEdgesFromCoded(coded: DataFrame, numPlanes: Int,
+      k: Int = K, probeSide: Option[DataFrame] = None): DataFrame = {
+    val probes = probeSide.getOrElse(coded)
+      .select(col("vec_id"), col("embedding"), col("code"),
       explode(array((lit(0) +: (0 until numPlanes).map(j => lit(1 << j))): _*))
         .as("flip"))
       .select(col("vec_id"), col("embedding"),
