@@ -958,7 +958,7 @@ object VectorSearch {
          |FROM v3, range(1, 65) t(i)
          |ORDER BY pos""".stripMargin
     }) { (s, dir) =>
-      powerLoop(s, powerRows(s, dir), 3, deflateAgainst = None)
+      topDirection(s, dir)
         .select(col("pos"), round(col("v"), 6).as("loading")).orderBy(col("pos"))
     },
 
@@ -1015,12 +1015,19 @@ object VectorSearch {
          |FROM u3, range(1, 65) t(i)
          |ORDER BY pos""".stripMargin
     }) { (s, dir) =>
-      val erows = powerRows(s, dir)
-      val v = powerLoop(s, erows, 3, deflateAgainst = None)
-      powerLoop(s, erows, 3, deflateAgainst = Some(v))
+      powerLoop(s, powerRows(s, dir), 3, deflateAgainst = Some(topDirection(s, dir)))
         .select(col("pos"), round(col("v"), 6).as("loading2")).orderBy(col("pos"))
     }
   )
+
+  /** The 3-round top principal direction, shared by q125 (its output) and
+    * q126 (its deflation target) through the registry — one v-chain per
+    * sfDir per session. */
+  private def topDirection(s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame =
+    CacheRegistry.cache(s, s"q125-v3:$dir") {
+      powerLoop(s, powerRows(s, dir), 3, deflateAgainst = None)
+    }
 
   /** The (vec_id, pos, x) exploded embedding frame the power-iteration
     * family re-reads every round — cached once per sfDir so q125/q126 and
