@@ -299,6 +299,50 @@ object GraphOps {
       lab.join(emb.select(col("vec_id"), col("label").as("true_label")), Seq("vec_id"))
         .select(col("vec_id"), col("lab").as("prop_label"), col("true_label"))
         .orderBy(col("vec_id"))
+    },
+
+    // ---- connected components over the mutual-kNN graph ----
+    // The embedding-space sibling of q72's near-dup clustering, composing
+    // two existing machines in the standard density-based grouping recipe:
+    // keep an edge only when BOTH endpoints rank each other in their top-3
+    // (mutual kNN suppresses hub vectors that appear in everyone's list)
+    // AND the 9dp pair cosine clears τ = 0.3, then run the conf-gated
+    // distributed CC engine (pointer doubling / star contraction — the
+    // same O(log diameter) loop, isolated session, localCheckpoint
+    // hygiene) and emit q72's shape: component id = min member, size,
+    // keeper flag. The mutualization is one self-join of the NARROW
+    // (src, dst, cos) edge frame on the reversed key — nothing corpus-
+    // wide beyond what q127 already built, and the CC loop shuffles only
+    // (node, label) rows. Oracle: same recursive-CTE reachability as q72.
+    Q("q131_knn_components", {
+      s"""WITH RECURSIVE $duckKnnCtes,
+         |knn AS MATERIALIZED (SELECT vec_id, nbr_id, c FROM ranked WHERE rn <= $K),
+         |mutual AS MATERIALIZED (SELECT x.vec_id AS a, x.nbr_id AS b
+         |  FROM knn x JOIN knn y ON x.vec_id = y.nbr_id AND x.nbr_id = y.vec_id
+         |  WHERE x.vec_id < x.nbr_id AND x.c >= 0.3),
+         |edges AS (SELECT a, b FROM mutual
+         |  UNION ALL SELECT b AS a, a AS b FROM mutual),
+         |reach(doc, lbl) AS (
+         |  SELECT DISTINCT a AS doc, a AS lbl FROM edges
+         |  UNION
+         |  SELECT e.b AS doc, r.lbl FROM reach r JOIN edges e ON e.a = r.doc),
+         |comp AS (SELECT doc, min(lbl) AS cluster_id FROM reach GROUP BY doc)
+         |SELECT c.doc AS vec_id, c.cluster_id,
+         |  CAST(m.n AS BIGINT) AS cluster_size,
+         |  (c.doc = c.cluster_id) AS is_keeper
+         |FROM comp c
+         |JOIN (SELECT cluster_id, count(*) AS n FROM comp GROUP BY cluster_id) m
+         |  USING (cluster_id)
+         |ORDER BY vec_id""".stripMargin
+    }) { (s, dir) =>
+      val knn = knnEdges(s, dir).select(col("vec_id"), col("nbr_id"), col("c"))
+      val mutual = knn.as("x").join(knn.as("y"),
+          col("x.vec_id") === col("y.nbr_id") && col("x.nbr_id") === col("y.vec_id"))
+        .filter(col("x.vec_id") < col("x.nbr_id") && col("x.c") >= 0.3)
+        .select(col("x.vec_id").as("doc_a"), col("x.nbr_id").as("doc_b"))
+      TextDedup.clusterComponents(s, mutual)
+        .withColumnRenamed("doc_id", "vec_id")
+        .orderBy(col("vec_id"))
     }
   )
 }

@@ -55,6 +55,20 @@ class GraphOpsSpec extends SparkSpec {
       "no label propagated to any non-seed")
   }
 
+  test("q131: component labels are canonical minima over mutual-edge clusters") {
+    val rows = SparkEntry.queries("q131_knn_components")(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.map(_._1).min == cid, s"cluster $cid label is not its min member")
+      assert(members.forall(_._3 == members.length),
+        s"cluster $cid size mismatch")
+      assert(members.count(_._4) == 1 && members.find(_._4).get._1 == cid,
+        s"cluster $cid keeper flag wrong")
+      assert(members.length >= 2, "a component from an edge list has >= 2 members")
+    }
+  }
+
   test("q127/q128 plans: candidate generation is an equi-join, no cartesian") {
     Seq("q127_knn_graph", "q128_pagerank").foreach { n =>
       val p = SparkEntry.queries(n)(spark, sf001)
