@@ -1017,6 +1017,81 @@ object VectorSearch {
     }) { (s, dir) =>
       powerLoop(s, powerRows(s, dir), 3, deflateAgainst = Some(topDirection(s, dir)))
         .select(col("pos"), round(col("v"), 6).as("loading2")).orderBy(col("pos"))
+    },
+
+    // ---- 2-D PCA projection: the corpus "embedding map" ----
+    // The q125/q126 composition curation teams actually plot: every
+    // vector's coordinates along the top two principal directions,
+    // (x, y) = (x·v1, x·v2). Scale shape: the two 64-row direction
+    // tables collapse into ONE broadcast row of two arrays, so the
+    // projection is a single map-only codegen'd pass over the corpus —
+    // two `graft_dot`s per vector, zero joins, zero shuffles before the
+    // presentation sort; the expensive part (the direction chains) is
+    // amortized across q125/q126/q132 by the registry. The oracle
+    // re-derives both chains (v3 undeflated, u3 deflated) and projects
+    // with the same per-element DECIMAL dot the d-step uses. Verified
+    // slice vec_id < 200.
+    Q("q132_pca_project", {
+      def iter(prev: String, out: String, deflate: Option[String]) = {
+        val (wsrc, extra) = deflate match {
+          case None => (s"w_$out", "")
+          case Some(vt) => (s"w2_$out",
+            s""",
+               |p_$out AS MATERIALIZED (SELECT CAST(sum(CAST(w.w * $vt.v[w.pos] AS DECIMAL(38,12)))
+               |      AS DOUBLE) AS p
+               |  FROM w_$out w, $vt),
+               |w2_$out AS MATERIALIZED (SELECT w.pos, w.w - p_$out.p * $vt.v[w.pos] AS w
+               |  FROM w_$out w, p_$out, $vt)""".stripMargin)
+        }
+        s"""d_$out AS MATERIALIZED (SELECT e.vec_id,
+           |    CAST(sum(CAST(CAST(embedding[i] AS DOUBLE) * $prev.v[i] AS DECIMAL(38,12)))
+           |      AS DOUBLE) AS d
+           |  FROM embeddings e, $prev, range(1, 65) t(i)
+           |  GROUP BY e.vec_id),
+           |w_$out AS MATERIALIZED (SELECT i AS pos,
+           |    CAST(sum(CAST(d.d * CAST(embedding[i] AS DOUBLE) AS DECIMAL(38,12)))
+           |      AS DOUBLE) AS w
+           |  FROM embeddings e JOIN d_$out d USING (vec_id), range(1, 65) t(i)
+           |  GROUP BY i)$extra,
+           |n_$out AS MATERIALIZED (SELECT sqrt(CAST(sum(CAST(w * w AS DECIMAL(38,12))) AS DOUBLE)) AS n
+           |  FROM $wsrc),
+           |$out AS MATERIALIZED (SELECT list(round(w / n, 9) ORDER BY pos) AS v
+           |  FROM $wsrc, n_$out)""".stripMargin
+      }
+      s"""WITH v0 AS MATERIALIZED (SELECT list_transform(range(1, 65), i -> CAST(0.125 AS DOUBLE)) AS v),
+         |${iter("v0", "v1", None)},
+         |${iter("v1", "v2", None)},
+         |${iter("v2", "v3", None)},
+         |u0 AS MATERIALIZED (SELECT list_transform(range(1, 65), i -> CAST(0.125 AS DOUBLE)) AS v),
+         |${iter("u0", "u1", Some("v3"))},
+         |${iter("u1", "u2", Some("v3"))},
+         |${iter("u2", "u3", Some("v3"))}
+         |SELECT e.vec_id,
+         |  round(list_sum(list_transform(range(1, 65),
+         |    i -> CAST(embedding[i] AS DOUBLE) * v3.v[i])), 6) AS pc1,
+         |  round(list_sum(list_transform(range(1, 65),
+         |    i -> CAST(embedding[i] AS DOUBLE) * u3.v[i])), 6) AS pc2
+         |FROM embeddings e, v3, u3
+         |WHERE vec_id < 200
+         |ORDER BY vec_id""".stripMargin
+    }) { (s, dir) =>
+      val v1 = topDirection(s, dir)
+      val v2 = CacheRegistry.cache(s, s"q126-u3:$dir") {
+        powerLoop(s, powerRows(s, dir), 3, deflateAgainst = Some(v1))
+      }
+      // bounded driver collect (2 × 64 doubles, already 9dp-rounded and
+      // bit-identical to the oracle's v3/u3 lists) folds the directions in
+      // as literals — the per-row dot is then the family's sequential
+      // `graft_dot` fold, matching DuckDB's list_sum order exactly (the
+      // per-row fold has a FIXED order, so no DECIMAL discipline needed)
+      def lits(df: org.apache.spark.sql.DataFrame) = array(
+        df.orderBy(col("pos")).collect().map(r => lit(r.getDouble(1))).toIndexedSeq: _*)
+      embTable(s, dir).filter(col("vec_id") < 200)
+        .withColumn("__d1", lits(v1)).withColumn("__d2", lits(v2))
+        .select(col("vec_id"),
+          round(dotExpr("embedding", "__d1"), 6).as("pc1"),
+          round(dotExpr("embedding", "__d2"), 6).as("pc2"))
+        .orderBy(col("vec_id"))
     }
   )
 
