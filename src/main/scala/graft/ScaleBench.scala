@@ -463,6 +463,29 @@ object ScaleBench {
             ops.GraphOps.knnCandidates(uvecsAll.filter(col("vec_id") < nv), np).count()
           }
         }
+      // ---- count-min sketch: the constant-size-shuffle claim ----
+      // q129's design note says the sketch aggregate's key space is the
+      // FIXED d·w grid, so map-side partial aggregation pins the shuffle
+      // at ≤1024 rows per partition REGARDLESS of corpus size — doubling
+      // the docs should leave shuffle bytes ~flat while a vocabulary
+      // groupBy's shuffle doubles. Both measured for contrast.
+      sizes.foreach { n =>
+        val docs = spark.read.parquet(s"$root/n$n/documents.parquet")
+        // no qualifying-word filter here: the synthetic corpus words are
+        // w<digits>, and the phase measures shuffle shape, not linguistics
+        val occ = docs
+          .select(explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
+          .select(col("word"), md5(col("word")).as("m"))
+          .select(col("word"),
+            conv(substring(col("m"), 1, 14), 16, 10).cast("long").as("h1"),
+            conv(substring(col("m"), 15, 14), 16, 10).cast("long").as("h2"))
+        phase("q129_cms_sketch", n) {
+          ops.TextAnalysis.countMinSketch(occ).count()
+        }
+        phase("q129_vocab_groupby", n) {
+          occ.groupBy(col("word")).agg(count(lit(1))).count()
+        }
+      }
     }
     spark.stop()
   }

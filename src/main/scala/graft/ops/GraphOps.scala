@@ -140,22 +140,37 @@ object GraphOps {
     * nodes keep the teleport mass; dangling nodes distribute nothing.
     * Rank state is a NARROW (id, double) frame, localCheckpoint'ed per
     * round. Returns (vec_id, pr). */
-  def pagerank(nodes: DataFrame, edges: DataFrame, rounds: Int): DataFrame = {
+  def pagerank(nodes: DataFrame, edges: DataFrame, rounds: Int,
+      teleportTo: Option[DataFrame] = None): DataFrame = {
     val outd = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     val e2 = edges.join(outd, Seq("src"))
-    val n = nodes.count()
-    val tele = 0.15 / n
     val decSum = (c: Column) => sum(c.cast("decimal(38,12)")).cast("double")
-    var pr = nodes.select(col("vec_id"), round(lit(1.0 / n), 9).as("pr"))
-      .localCheckpoint()
+    // teleport distribution: uniform over all nodes (classic), or over the
+    // query set S (personalized — mass restarts INSIDE S, so rank measures
+    // structural proximity to S). Both scalars are bounded driver counts.
+    val flagged = teleportTo match {
+      case None =>
+        val n = nodes.count()
+        nodes.select(col("vec_id"), lit(0.15 / n).as("__tele"),
+          round(lit(1.0 / n), 9).as("__pr0"))
+      case Some(qset) =>
+        val m = qset.count()
+        nodes.join(qset.select(col("vec_id"), lit(true).as("__in")),
+            Seq("vec_id"), "left")
+          .select(col("vec_id"),
+            when(col("__in"), lit(0.15 / m)).otherwise(lit(0.0)).as("__tele"),
+            when(col("__in"), round(lit(1.0 / m), 9)).otherwise(lit(0.0)).as("__pr0"))
+    }
+    val base = flagged.localCheckpoint()
+    var pr = base.select(col("vec_id"), col("__pr0").as("pr")).localCheckpoint()
     (1 to rounds).foreach { _ =>
       val contrib = e2.join(pr.withColumnRenamed("vec_id", "src"), Seq("src"))
         .groupBy(col("dst"))
         .agg(decSum(col("pr") / col("outdeg")).as("s"))
         .withColumnRenamed("dst", "vec_id")
-      pr = nodes.join(contrib, Seq("vec_id"), "left")
+      pr = base.join(contrib, Seq("vec_id"), "left")
         .select(col("vec_id"),
-          round(lit(tele) + lit(0.85) * coalesce(col("s"), lit(0.0)), 9).as("pr"))
+          round(col("__tele") + lit(0.85) * coalesce(col("s"), lit(0.0)), 9).as("pr"))
         .localCheckpoint() // narrow N-row state; keeps per-round lineage flat
     }
     pr
@@ -342,6 +357,124 @@ object GraphOps {
         .select(col("x.vec_id").as("doc_a"), col("x.nbr_id").as("doc_b"))
       TextDedup.clusterComponents(s, mutual)
         .withColumnRenamed("doc_id", "vec_id")
+        .orderBy(col("vec_id"))
+    },
+
+    // ---- personalized PageRank: retrieval expansion from a seed set ----
+    // q128's loop with the teleport distribution concentrated on a query
+    // set S (the audited label-0 vectors among the first 100): restart
+    // mass re-enters INSIDE S every round, so the stationary-ish rank
+    // after 3 rounds measures structural proximity to S through the kNN
+    // graph — the classic graph-expansion step for "find more like these"
+    // curation (seed documents → related corpus slices). Identical plan
+    // shape and DECIMAL/9dp discipline as q128; the only new state is the
+    // per-node teleport column derived from one bounded |S| count. Top-20
+    // excluding S itself (the interesting rows are the EXPANSION).
+    Q("q133_personalized_pagerank", {
+      def iterSql(prev: String, i: Int): String =
+        s"""c$i AS MATERIALIZED (SELECT e.dst AS vec_id,
+           |    CAST(sum(CAST(p.pr / e.outdeg AS DECIMAL(38,12))) AS DOUBLE) AS s
+           |  FROM e2 e JOIN $prev p ON e.src = p.vec_id
+           |  GROUP BY e.dst),
+           |pr$i AS MATERIALIZED (SELECT n.vec_id,
+           |    round(n.tele + CAST(0.85 AS DOUBLE) * coalesce(c.s, CAST(0.0 AS DOUBLE)), 9) AS pr
+           |  FROM base n LEFT JOIN c$i c USING (vec_id))""".stripMargin
+      s"""WITH $duckKnnCtes,
+         |edges AS MATERIALIZED (SELECT vec_id AS src, nbr_id AS dst
+         |  FROM ranked WHERE rn <= $K),
+         |outd AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+         |e2 AS MATERIALIZED (SELECT e.src, e.dst, o.outdeg
+         |  FROM edges e JOIN outd o USING (src)),
+         |qset AS MATERIALIZED (SELECT vec_id FROM embeddings
+         |  WHERE label = 0 AND vec_id < 100),
+         |mm AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS m FROM qset),
+         |base AS MATERIALIZED (SELECT e.vec_id,
+         |    CASE WHEN q.vec_id IS NOT NULL
+         |      THEN CAST(0.15 AS DOUBLE) / mm.m ELSE CAST(0.0 AS DOUBLE) END AS tele,
+         |    CASE WHEN q.vec_id IS NOT NULL
+         |      THEN round(CAST(1.0 AS DOUBLE) / mm.m, 9) ELSE CAST(0.0 AS DOUBLE) END AS pr
+         |  FROM embeddings e LEFT JOIN qset q USING (vec_id), mm),
+         |pr0 AS MATERIALIZED (SELECT vec_id, pr FROM base),
+         |${iterSql("pr0", 1)},
+         |${iterSql("pr1", 2)},
+         |${iterSql("pr2", 3)}
+         |SELECT p.vec_id, round(p.pr, 6) AS ppr
+         |FROM pr3 p LEFT JOIN qset q USING (vec_id)
+         |WHERE q.vec_id IS NULL
+         |ORDER BY p.pr DESC, p.vec_id
+         |LIMIT 20""".stripMargin
+    }) { (s, dir) =>
+      val emb = embTable(s, dir)
+      val edges = knnEdges(s, dir)
+        .select(col("vec_id").as("src"), col("nbr_id").as("dst"))
+      val qset = emb.filter(col("label") === 0 && col("vec_id") < 100)
+        .select(col("vec_id"))
+      pagerank(emb.select(col("vec_id")), edges, rounds = 3,
+          teleportTo = Some(qset))
+        .join(qset, Seq("vec_id"), "left_anti")
+        .orderBy(col("pr").desc, col("vec_id"))
+        .limit(20)
+        .select(col("vec_id"), round(col("pr"), 6).as("ppr"))
+    },
+
+    // ---- cosine-weighted label propagation ----
+    // q130's majority vote with each neighbor's vote weighted by the
+    // 9dp-rounded edge cosine instead of 1: the winner per vector is the
+    // label with the LARGEST exact DECIMAL(38,12) weight sum, ties broken
+    // by the smaller label — weight sums of 9dp values are exact in both
+    // engines, so the comparison (and therefore every propagation
+    // decision) is still bit-deterministic. Same narrow Pregel shape; the
+    // vote aggregate carries one DECIMAL per (vector, candidate label).
+    Q("q134_weighted_label_prop", {
+      def voteSql(prev: String, i: Int): String =
+        s"""v$i AS (SELECT e.vec_id, l.lab,
+           |    sum(CAST(e.c AS DECIMAL(38,12))) AS wv
+           |  FROM knn e JOIN $prev l ON l.vec_id = e.nbr_id
+           |  WHERE l.lab IS NOT NULL
+           |  GROUP BY e.vec_id, l.lab),
+           |b$i AS (SELECT vec_id, lab,
+           |    row_number() OVER (PARTITION BY vec_id ORDER BY wv DESC, lab) AS rn
+           |  FROM v$i),
+           |lab$i AS MATERIALIZED (SELECT p.vec_id,
+           |    CASE WHEN p.vec_id < 100 THEN p.lab
+           |         ELSE coalesce(b.lab, p.lab) END AS lab
+           |  FROM $prev p LEFT JOIN (SELECT vec_id, lab FROM b$i WHERE rn = 1) b
+           |    USING (vec_id))""".stripMargin
+      s"""WITH $duckKnnCtes,
+         |knn AS MATERIALIZED (SELECT vec_id, nbr_id, c FROM ranked WHERE rn <= $K),
+         |lab0 AS MATERIALIZED (SELECT vec_id,
+         |    CASE WHEN vec_id < 100 THEN label END AS lab
+         |  FROM embeddings),
+         |${voteSql("lab0", 1)},
+         |${voteSql("lab1", 2)}
+         |SELECT l.vec_id, l.lab AS prop_label, e.label AS true_label
+         |FROM lab2 l JOIN embeddings e USING (vec_id)
+         |ORDER BY vec_id""".stripMargin
+    }) { (s, dir) =>
+      val emb = embTable(s, dir)
+      val knn = knnEdges(s, dir).select(col("vec_id"), col("nbr_id"), col("c"))
+      var lab = emb.select(col("vec_id"),
+          when(col("vec_id") < 100, col("label")).as("lab"))
+        .localCheckpoint()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id")).orderBy(col("wv").desc, col("lab"))
+      (1 to 2).foreach { _ =>
+        val votes = knn
+          .join(lab.select(col("vec_id").as("nbr_id"), col("lab")), Seq("nbr_id"))
+          .filter(col("lab").isNotNull)
+          .groupBy(col("vec_id"), col("lab"))
+          .agg(sum(col("c").cast("decimal(38,12)")).as("wv"))
+        val winner = votes.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("vec_id"), col("lab").as("win"))
+        lab = lab.join(winner, Seq("vec_id"), "left")
+          .select(col("vec_id"),
+            when(col("vec_id") < 100, col("lab"))
+              .otherwise(coalesce(col("win"), col("lab"))).as("lab"))
+          .localCheckpoint()
+      }
+      lab.join(emb.select(col("vec_id"), col("label").as("true_label")), Seq("vec_id"))
+        .select(col("vec_id"), col("lab").as("prop_label"), col("true_label"))
         .orderBy(col("vec_id"))
     }
   )

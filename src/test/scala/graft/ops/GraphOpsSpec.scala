@@ -55,6 +55,28 @@ class GraphOpsSpec extends SparkSpec {
       "no label propagated to any non-seed")
   }
 
+  test("q133: expansion excludes the seed set, ranks positive and descending") {
+    val emb = graft.schema.Tables.t(spark, sf001, "embeddings")
+    val seedIds = emb.filter(col("label") === 0 && col("vec_id") < 100)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    val rows = SparkEntry.queries("q133_personalized_pagerank")(spark, sf001).collect()
+    assert(rows.length == 20)
+    assert(rows.forall(r => !seedIds.contains(r.getLong(0))),
+      "the expansion must not re-report the query set")
+    val prs = rows.map(_.getDouble(1))
+    assert(prs.forall(_ > 0.0) && prs.zip(prs.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("q134: weighted vote keeps seeds fixed and labels within the universe") {
+    val rows = SparkEntry.queries("q134_weighted_label_prop")(spark, sf001).collect()
+    def lv(r: org.apache.spark.sql.Row, i: Int): Long = r.getAs[Number](i).longValue
+    val seeds = rows.filter(_.getLong(0) < 100)
+    assert(seeds.nonEmpty && seeds.forall(r => lv(r, 1) == lv(r, 2)))
+    val labeled = rows.filter(!_.isNullAt(1)).map(lv(_, 1)).toSet
+    assert(labeled.subsetOf(rows.map(lv(_, 2)).toSet))
+    assert(rows.count(r => r.getLong(0) >= 100 && !r.isNullAt(1)) > 0)
+  }
+
   test("q131: component labels are canonical minima over mutual-edge clusters") {
     val rows = SparkEntry.queries("q131_knn_components")(spark, sf001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
