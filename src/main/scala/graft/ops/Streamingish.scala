@@ -140,6 +140,120 @@ object Streamingish {
         .filter(col("kind") === 1)
         .select(col("event_id"), col("user_id"), col("last_click_ts"))
         .orderBy(col("event_id"))
+    },
+
+    // ---- windowFunnel: conversion-depth analytics ----
+    // Parity with ClickHouse's signature parametric aggregate
+    // `windowFunnel(window)(ts, cond1, cond2, cond3)` (the analytics the
+    // reference's destination engine is famous for), in the deterministic
+    // FIRST-ANCHOR variant: the funnel anchors at the user's EARLIEST
+    // step-1 event, each later step is the earliest qualifying event
+    // strictly after the previous step and within `window` of the anchor.
+    // (ClickHouse scans every candidate chain; anchoring at the first
+    // entry makes the operator a chain of three narrow per-user
+    // aggregates — each an equi-join on user_id + min() — with identical
+    // results on funnels that convert promptly, and a plan that is three
+    // hash-aggregates instead of a per-user state machine.) Funnel here:
+    // view → click → purchase within 24 hours (the corpus averages one
+    // event per ~7 user-hours, so an hour-scale window has no reach). Output: users per reached
+    // depth (0 = never viewed).
+    Q("q135_window_funnel",
+      """WITH a1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |a2 AS (SELECT e.user_id, min(ts) AS t2
+        |  FROM events e JOIN a1 USING (user_id)
+        |  WHERE event_type = 'click' AND ts > t1
+        |    AND ts <= t1 + INTERVAL 24 HOUR
+        |  GROUP BY e.user_id),
+        |a3 AS (SELECT e.user_id, min(ts) AS t3
+        |  FROM events e JOIN a1 USING (user_id) JOIN a2 USING (user_id)
+        |  WHERE event_type = 'purchase' AND ts > t2
+        |    AND ts <= t1 + INTERVAL 24 HOUR
+        |  GROUP BY e.user_id),
+        |u AS (SELECT DISTINCT user_id FROM events)
+        |SELECT CASE WHEN t3 IS NOT NULL THEN 3
+        |            WHEN t2 IS NOT NULL THEN 2
+        |            WHEN t1 IS NOT NULL THEN 1
+        |            ELSE 0 END AS level,
+        |  count(*) AS n_users
+        |FROM u LEFT JOIN a1 USING (user_id) LEFT JOIN a2 USING (user_id)
+        |  LEFT JOIN a3 USING (user_id)
+        |GROUP BY 1
+        |ORDER BY level""".stripMargin) { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val a1 = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+      val a2 = ev.filter(col("event_type") === "click")
+        .join(a1, Seq("user_id"))
+        .filter(col("ts") > col("t1") &&
+          col("ts") <= col("t1") + expr("INTERVAL 24 HOUR"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+      val a3 = ev.filter(col("event_type") === "purchase")
+        .join(a1, Seq("user_id")).join(a2, Seq("user_id"))
+        .filter(col("ts") > col("t2") &&
+          col("ts") <= col("t1") + expr("INTERVAL 24 HOUR"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+      ev.select(col("user_id")).distinct()
+        .join(a1, Seq("user_id"), "left")
+        .join(a2, Seq("user_id"), "left")
+        .join(a3, Seq("user_id"), "left")
+        .select(when(col("t3").isNotNull, 3)
+          .when(col("t2").isNotNull, 2)
+          .when(col("t1").isNotNull, 1)
+          .otherwise(0).as("level"))
+        .groupBy(col("level")).agg(count(lit(1)).as("n_users"))
+        .orderBy(col("level"))
+    },
+
+    // ---- retention: cohort comeback analytics ----
+    // ClickHouse's `retention(cond1, cond2, ...)` semantics exactly: per
+    // user an array of flags where flag1 = cond1 ever held and
+    // flag_i (i>1) = cond1 AND cond_i — later conditions only count for
+    // users who satisfied the first (the cohort gate). Conditions here:
+    // active on Jan 1 / Jan 2 / Jan 3. One conditional-aggregate pass per
+    // user then one tiny sum — two narrow shuffles, no joins at all.
+    Q("q136_retention",
+      """WITH per_user AS (SELECT user_id,
+        |    max(CASE WHEN CAST(ts AS DATE) = DATE '2024-01-01' THEN 1 ELSE 0 END) AS d1,
+        |    max(CASE WHEN CAST(ts AS DATE) = DATE '2024-01-02' THEN 1 ELSE 0 END) AS d2,
+        |    max(CASE WHEN CAST(ts AS DATE) = DATE '2024-01-03' THEN 1 ELSE 0 END) AS d3
+        |  FROM events GROUP BY user_id)
+        |SELECT CAST(sum(d1) AS BIGINT) AS r1,
+        |  CAST(sum(d1 * d2) AS BIGINT) AS r2,
+        |  CAST(sum(d1 * d3) AS BIGINT) AS r3
+        |FROM per_user""".stripMargin) { (s, dir) =>
+      val day = (d: String) =>
+        max(when(col("ts").cast("date") === lit(d).cast("date"), 1).otherwise(0))
+      t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(day("2024-01-01").as("d1"), day("2024-01-02").as("d2"),
+          day("2024-01-03").as("d3"))
+        .agg(sum(col("d1")).cast("bigint").as("r1"),
+          sum(col("d1") * col("d2")).cast("bigint").as("r2"),
+          sum(col("d1") * col("d3")).cast("bigint").as("r3"))
+    },
+
+    // ---- sequenceMatch: ordered-pattern existence ----
+    // ClickHouse `sequenceMatch('(?1).*(?2)')(ts, cond1, cond2)` — did
+    // the user ever do cond1 before cond2? For the existence pattern the
+    // state machine reduces to min(ts | cond1) < max(ts | cond2), so the
+    // whole operator is one conditional aggregate per user — the proof
+    // that most sequence patterns a funnel dashboard uses need no
+    // per-user event replay at all. Pattern: error before purchase.
+    Q("q137_sequence_match",
+      """SELECT user_id,
+        |  (min(CASE WHEN event_type = 'error' THEN ts END)
+        |   < max(CASE WHEN event_type = 'purchase' THEN ts END)) AS matched
+        |FROM events
+        |GROUP BY user_id
+        |HAVING matched IS NOT NULL
+        |ORDER BY user_id""".stripMargin) { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg((min(when(col("event_type") === "error", col("ts"))) <
+          max(when(col("event_type") === "purchase", col("ts")))).as("matched"))
+        .filter(col("matched").isNotNull)
+        .orderBy(col("user_id"))
     }
   )
 }
