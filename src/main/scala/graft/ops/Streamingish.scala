@@ -20,6 +20,38 @@ object Streamingish {
 
   private def dec6(c: org.apache.spark.sql.Column) = c.cast("decimal(18,6)")
 
+  /** The q135 funnel core over ANY (user_id, ts, event_type) frame: per
+    * user the reached depth of view → click → purchase within 24 h of the
+    * first view. Pure per-user aggregation — a user's level depends only
+    * on their own events — which is exactly what lets the incremental
+    * composition (StreamingFunnelSpec) recompute the report over the
+    * accumulated idempotent store and equal the batch answer (a later
+    * batch can DEEPEN a user's funnel, or RESET its anchor with an
+    * earlier view). Returns (user_id, level). */
+  def windowFunnel(ev: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val a1 = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val a2 = ev.filter(col("event_type") === "click")
+      .join(a1, Seq("user_id"))
+      .filter(col("ts") > col("t1") &&
+        col("ts") <= col("t1") + expr("INTERVAL 24 HOUR"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+    val a3 = ev.filter(col("event_type") === "purchase")
+      .join(a1, Seq("user_id")).join(a2, Seq("user_id"))
+      .filter(col("ts") > col("t2") &&
+        col("ts") <= col("t1") + expr("INTERVAL 24 HOUR"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    ev.select(col("user_id")).distinct()
+      .join(a1, Seq("user_id"), "left")
+      .join(a2, Seq("user_id"), "left")
+      .join(a3, Seq("user_id"), "left")
+      .select(col("user_id"), when(col("t3").isNotNull, 3)
+        .when(col("t2").isNotNull, 2)
+        .when(col("t1").isNotNull, 1)
+        .otherwise(0).as("level"))
+  }
+
   val qs: Seq[Q] = Seq(
 
     // ---- tumbling event-time window ----
@@ -180,27 +212,7 @@ object Streamingish {
         |  LEFT JOIN a3 USING (user_id)
         |GROUP BY 1
         |ORDER BY level""".stripMargin) { (s, dir) =>
-      val ev = t(s, dir, "events")
-      val a1 = ev.filter(col("event_type") === "view")
-        .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
-      val a2 = ev.filter(col("event_type") === "click")
-        .join(a1, Seq("user_id"))
-        .filter(col("ts") > col("t1") &&
-          col("ts") <= col("t1") + expr("INTERVAL 24 HOUR"))
-        .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
-      val a3 = ev.filter(col("event_type") === "purchase")
-        .join(a1, Seq("user_id")).join(a2, Seq("user_id"))
-        .filter(col("ts") > col("t2") &&
-          col("ts") <= col("t1") + expr("INTERVAL 24 HOUR"))
-        .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
-      ev.select(col("user_id")).distinct()
-        .join(a1, Seq("user_id"), "left")
-        .join(a2, Seq("user_id"), "left")
-        .join(a3, Seq("user_id"), "left")
-        .select(when(col("t3").isNotNull, 3)
-          .when(col("t2").isNotNull, 2)
-          .when(col("t1").isNotNull, 1)
-          .otherwise(0).as("level"))
+      windowFunnel(t(s, dir, "events"))
         .groupBy(col("level")).agg(count(lit(1)).as("n_users"))
         .orderBy(col("level"))
     },
