@@ -103,4 +103,39 @@ class PlanShapeSpec extends SparkSpec {
       s"within-cluster pair join is not an equi-join:\n$p")
     graft.ops.CacheRegistry.clear(spark) // release the q113 assignment cache
   }
+
+  test("q125: power-iteration rounds are joins + aggregates, no cartesian") {
+    // the 64-row direction and 1-row normalizer broadcasts legitimately
+    // plan as BroadcastNestedLoopJoin; a CartesianProduct would mean a
+    // corpus-sized nested loop leaked in
+    val p = plan("q125_power_iteration")
+    assert(!p.contains("CartesianProduct"), s"corpus cartesian:\n$p")
+    graft.ops.CacheRegistry.clear(spark)
+  }
+
+  test("q129: the sketch aggregate is two-phase (map-side partial on the fixed grid)") {
+    import org.apache.spark.sql.functions._
+    val wo = graft.schema.Tables.t(spark, sf001, "documents")
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
+      .select(col("word"), md5(col("word")).as("m"))
+      .select(col("word"),
+        conv(substring(col("m"), 1, 14), 16, 10).cast("long").as("h1"),
+        conv(substring(col("m"), 15, 14), 16, 10).cast("long").as("h2"))
+    val p = graft.ops.TextAnalysis.countMinSketch(wo)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("partial_count") || p.contains("partial count"),
+      s"no map-side partial aggregation before the cell-grid shuffle:\n$p")
+  }
+
+  test("q132: the PCA projection is map-only — zero joins in the plan") {
+    val p = plan("q132_pca_project")
+    assert(!p.contains("Join"), s"projection should fold directions as literals:\n$p")
+    graft.ops.CacheRegistry.clear(spark)
+  }
+
+  test("q135: the funnel is chained hash aggregates, no cartesian") {
+    val p = plan("q135_window_funnel")
+    assert(!p.contains("CartesianProduct"), s"funnel cartesian:\n$p")
+    assert(p.contains("HashAggregate"), s"funnel without hash aggregation:\n$p")
+  }
 }
