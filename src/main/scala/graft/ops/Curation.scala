@@ -706,6 +706,89 @@ object Curation {
         .select(col("source"), col("n_docs"), round(w, 6).as("weight"),
           round(w / (col("n_docs").cast("double") / col("n_total")), 6).as("dup_factor"))
         .orderBy(col("source"))
+    },
+
+    // ---- the full curation decision, one query ----
+    // The composition a user of this library actually ships: per document,
+    // (1) the q115 rule gate, (2) exact dedup among the RULE SURVIVORS
+    // (keeper = min doc_id per content hash — dedup after filtering, the
+    // production order: a duplicate of a dropped doc is not a duplicate),
+    // (3) the q80 uniform-mixture weight computed over the SURVIVING set
+    // (weights belong to the corpus you keep, not the one you scanned).
+    // Plan shape: the rule gate is one map-side pass; dedup is one shuffle
+    // on the content hash; the weight table is |sources| rows riding a
+    // broadcast — three narrow stages, nothing corpus-wide materializes
+    // twice. Every drop carries its reason ('rules:…' or 'duplicate'),
+    // the audit trail a curation run must emit.
+    Q("q138_curation_pipeline",
+      raw"""WITH w AS (SELECT doc_id,
+           |    string_split_regex(lower(trim(text)), '\s+') AS ws
+           |  FROM documents),
+           |m AS (SELECT doc_id,
+           |    CAST(len(ws) AS BIGINT) AS n_words,
+           |    CAST(list_sum(list_transform(ws, x -> len(x))) AS DOUBLE) / len(ws) AS avg_wlen,
+           |    len(list_filter(ws, x -> x IN ('a', 'the'))) AS n_stop,
+           |    CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) AS ttr
+           |  FROM w),
+           |rules AS (SELECT doc_id,
+           |    CAST(CASE WHEN n_words >= 30 AND avg_wlen >= 4.2
+           |              AND n_stop > 0 AND ttr >= 0.5 THEN 1 ELSE 0 END AS BIGINT) AS rkeep,
+           |    concat_ws(',',
+           |      CASE WHEN n_words < 30 THEN 'too_short' END,
+           |      CASE WHEN avg_wlen < 4.2 THEN 'word_len' END,
+           |      CASE WHEN n_stop = 0 THEN 'no_stopword' END,
+           |      CASE WHEN ttr < 0.5 THEN 'low_ttr' END) AS reasons
+           |  FROM m),
+           |rs AS MATERIALIZED (SELECT d.doc_id, d.source, md5(d.text) AS fp,
+           |    r.rkeep, r.reasons
+           |  FROM documents d JOIN rules r USING (doc_id)),
+           |keepers AS (SELECT fp, min(doc_id) AS keeper FROM rs
+           |  WHERE rkeep = 1 GROUP BY fp),
+           |flags AS MATERIALIZED (SELECT rs.doc_id, rs.source, rs.rkeep, rs.reasons,
+           |    CASE WHEN rs.rkeep = 1 AND rs.doc_id <> k.keeper
+           |      THEN 1 ELSE 0 END AS dup_loser
+           |  FROM rs LEFT JOIN keepers k USING (fp)),
+           |cnt AS (SELECT source, count(*) AS n FROM flags
+           |  WHERE rkeep = 1 AND dup_loser = 0 GROUP BY source),
+           |tot AS (SELECT sum(n) AS total, count(*) AS n_src FROM cnt),
+           |wt AS (SELECT source, round((1.0 / n_src) / (n * 1.0 / total), 6) AS weight
+           |  FROM cnt, tot)
+           |SELECT f.doc_id,
+           |  CAST(CASE WHEN f.rkeep = 1 AND f.dup_loser = 0
+           |    THEN 1 ELSE 0 END AS BIGINT) AS keep,
+           |  CASE WHEN f.rkeep = 0 THEN concat('rules:', f.reasons)
+           |       WHEN f.dup_loser = 1 THEN 'duplicate'
+           |       ELSE '' END AS drop_reason,
+           |  CASE WHEN f.rkeep = 1 AND f.dup_loser = 0 THEN w.weight END AS weight
+           |FROM flags f LEFT JOIN wt w USING (source)
+           |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val rules = TextAnalysis.ruleFlags(docs)
+        .select(col("doc_id"), col("source"), md5(col("text")).as("fp"),
+          col("keep").as("rkeep"), col("reasons"))
+      val keepers = rules.filter(col("rkeep") === 1)
+        .groupBy(col("fp")).agg(min(col("doc_id")).as("keeper"))
+      val flags = rules.join(keepers, Seq("fp"), "left")
+        .select(col("doc_id"), col("source"), col("rkeep"), col("reasons"),
+          when(col("rkeep") === 1 && col("doc_id") =!= col("keeper"), 1)
+            .otherwise(0).as("dup_loser"))
+      val cnt = flags.filter(col("rkeep") === 1 && col("dup_loser") === 0)
+        .groupBy(col("source")).agg(count(lit(1)).as("n"))
+      val tot = cnt.agg(sum(col("n")).as("total"), count(lit(1)).as("n_src"))
+      val wt = cnt.crossJoin(broadcast(tot))
+        .select(col("source"),
+          round((lit(1.0) / col("n_src")) / (col("n") * lit(1.0) / col("total")), 6)
+            .as("weight"))
+      flags.join(broadcast(wt), Seq("source"), "left")
+        .select(col("doc_id"),
+          when(col("rkeep") === 1 && col("dup_loser") === 0, 1L).otherwise(0L)
+            .as("keep"),
+          when(col("rkeep") === 0, concat(lit("rules:"), col("reasons")))
+            .when(col("dup_loser") === 1, lit("duplicate"))
+            .otherwise(lit("")).as("drop_reason"),
+          when(col("rkeep") === 1 && col("dup_loser") === 0, col("weight"))
+            .as("weight"))
+        .orderBy(col("doc_id"))
     }
   )
 

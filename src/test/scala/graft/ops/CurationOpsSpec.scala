@@ -117,4 +117,24 @@ class CurationOpsSpec extends SparkSpec {
       case _ =>
     }
   }
+
+  test("q138 pipeline: keep ⟺ no drop reason ⟺ weight present; weights positive") {
+    val rows = q("q138_curation_pipeline").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, keep, reason, weight) =>
+      if (keep == 1L) {
+        assert(reason.isEmpty && weight.exists(_ > 0.0),
+          s"doc $id kept but reason='$reason' weight=$weight")
+      } else {
+        assert(reason.nonEmpty && weight.isEmpty,
+          s"doc $id dropped but reason='$reason' weight=$weight")
+        assert(reason == "duplicate" || reason.startsWith("rules:"),
+          s"doc $id unknown reason '$reason'")
+      }
+    }
+    // some of each decision class must exist on this corpus
+    assert(rows.exists(_._2 == 1L) && rows.exists(_._3.startsWith("rules:")))
+  }
 }
