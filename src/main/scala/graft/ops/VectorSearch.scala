@@ -1092,6 +1092,64 @@ object VectorSearch {
           round(dotExpr("embedding", "__d1"), 6).as("pc1"),
           round(dotExpr("embedding", "__d2"), 6).as("pc2"))
         .orderBy(col("vec_id"))
+    },
+
+    // ---- ANN over int8-quantized vectors ----
+    // The memory-bound scale path q87's quantization exists for: at 100 TB
+    // the scan is bandwidth-limited, and int8 vectors are 4× smaller than
+    // float32 (and SIMD-dot-able). Top-10 by the INTEGER dot product of
+    // q87-quantized vectors (per-vector max-abs scale, floor(x+0.5)
+    // half-up — both engines bit-for-bit), dequantized back to an
+    // approximate raw dot via the two scales. Parity is trivial by
+    // construction: the candidate score is an exact BIGINT sum, ties
+    // break on vec_id, and the dequantization is three double ops on
+    // exactly-agreed inputs. Plan: one broadcast of the quantized query
+    // row + a single codegen'd corpus pass into TakeOrderedAndProject.
+    Q("q139_quantized_ann",
+      """WITH q AS (SELECT embedding AS qe,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS qmx
+        |  FROM embeddings WHERE vec_id = 0),
+        |qq AS (SELECT list_transform(qe,
+        |      x -> CAST(floor(CAST(x AS DOUBLE) / qmx * 127.0 + 0.5) AS BIGINT)) AS qv,
+        |    qmx FROM q),
+        |c AS (SELECT vec_id, embedding AS emb,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
+        |  FROM embeddings WHERE vec_id <> 0),
+        |cq AS (SELECT vec_id, mx, list_transform(emb,
+        |      x -> CAST(floor(CAST(x AS DOUBLE) / mx * 127.0 + 0.5) AS BIGINT)) AS cv
+        |  FROM c WHERE mx > 0),
+        |scored AS (SELECT vec_id,
+        |    CAST(list_sum(list_transform(range(1, len(cv) + 1),
+        |      i -> cv[i] * qv[i])) AS BIGINT) AS q_dot,
+        |    mx, qmx
+        |  FROM cq, qq)
+        |SELECT vec_id, q_dot,
+        |  round(q_dot * (mx / 127.0) * (qmx / 127.0), 6) AS approx_dot
+        |FROM scored
+        |ORDER BY q_dot DESC, vec_id
+        |LIMIT 10""".stripMargin) { (s, dir) =>
+      val emb = embTable(s, dir)
+      def quant(vecCol: String, mxCol: String) = expr(
+        s"transform($vecCol, x -> CAST(floor(CAST(x AS DOUBLE) / $mxCol * 127.0 + 0.5) AS BIGINT))")
+      val qrow = emb.filter(col("vec_id") === 0)
+        .select(expr("array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))")
+          .as("qmx"), col("embedding").as("qe"))
+        .select(quant("qe", "qmx").as("qv"), col("qmx"))
+      emb.filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), col("embedding").as("emb"),
+          expr("array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))").as("mx"))
+        .filter(col("mx") > 0)
+        .select(col("vec_id"), col("mx"), quant("emb", "mx").as("cv"))
+        .crossJoin(broadcast(qrow))
+        .select(col("vec_id"),
+          expr("""aggregate(zip_with(cv, qv, (a, b) -> a * b),
+                 |  CAST(0 AS BIGINT), (acc, x) -> acc + x)""".stripMargin).as("q_dot"),
+          col("mx"), col("qmx"))
+        .select(col("vec_id"), col("q_dot"),
+          round(col("q_dot") * (col("mx") / lit(127.0)) * (col("qmx") / lit(127.0)), 6)
+            .as("approx_dot"))
+        .orderBy(col("q_dot").desc, col("vec_id"))
+        .limit(10)
     }
   )
 
