@@ -789,6 +789,47 @@ object Curation {
           when(col("rkeep") === 1 && col("dup_loser") === 0, col("weight"))
             .as("weight"))
         .orderBy(col("doc_id"))
+    },
+
+    // ---- weighted sampling without replacement (Efraimidis–Spirakis) ----
+    // The distributed form of weighted reservoir sampling (Efraimidis &
+    // Spirakis, IPL 2006): each item draws u ~ U(0,1) and the sample is
+    // the top-k by u^(1/w) — here ranked by the monotone-equivalent
+    // ln(u)/w, which avoids pow(). Weight = document word count (longer
+    // docs proportionally likelier), u = the doc's md5-derived 56-bit
+    // uniform, so the "randomness" is deterministic and the whole sample
+    // is oracle-checkable — the q71/q86 discipline extended from
+    // uniform to WEIGHTED selection. Scale: scoring is one map-side
+    // pass; top-k is TakeOrderedAndProject (no global sort); at 100 TB
+    // this replaces the sequential reservoir with one scan + k-row
+    // result, and composes with q138's weights for mixture-aware
+    // sampling. Scores rounded to 6dp before ranking (ln is the only
+    // libm call — the q101/q88 tolerance discipline), doc_id tiebreak.
+    Q("q140_weighted_sample", {
+      val h1 = TextCommon.duckHex("m", 14)
+      raw"""WITH d AS (SELECT doc_id,
+           |    CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS n_words,
+           |    md5(text) AS m
+           |  FROM documents),
+           |scored AS (SELECT doc_id, n_words,
+           |    round(ln(($h1 + 1.0) / 72057594037927936.0)
+           |      / n_words, 6) AS es_key
+           |  FROM d WHERE n_words > 0)
+           |SELECT doc_id, n_words, es_key
+           |FROM scored
+           |ORDER BY es_key DESC, doc_id
+           |LIMIT 30""".stripMargin
+    }) { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(TextCommon.wordsCol).cast("long").as("n_words"),
+          md5(col("text")).as("m"))
+        .filter(col("n_words") > 0)
+        .select(col("doc_id"), col("n_words"),
+          round(log((conv(substring(col("m"), 1, 14), 16, 10).cast("double") + lit(1.0))
+              / lit(72057594037927936.0)) / col("n_words"), 6).as("es_key"))
+        .orderBy(col("es_key").desc, col("doc_id"))
+        .limit(30)
     }
   )
 

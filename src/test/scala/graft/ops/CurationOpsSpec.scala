@@ -137,4 +137,19 @@ class CurationOpsSpec extends SparkSpec {
     // some of each decision class must exist on this corpus
     assert(rows.exists(_._2 == 1L) && rows.exists(_._3.startsWith("rules:")))
   }
+
+  test("q140 weighted sample: selection skews toward heavier (longer) docs") {
+    import org.apache.spark.sql.functions._
+    val sample = q("q140_weighted_sample").collect()
+    assert(sample.length == 30)
+    val sampleMean = sample.map(_.getLong(1)).sum.toDouble / sample.length
+    val corpusMean = graft.schema.Tables.t(spark, sf001, "documents")
+      .select(avg(size(split(lower(trim(col("text"))), "\\s+"))))
+      .head().getDouble(0)
+    assert(sampleMean > corpusMean,
+      s"weighted sample mean $sampleMean should exceed corpus mean $corpusMean")
+    // keys are valid: ln(u)/w is strictly negative and sorted descending
+    val keys = sample.map(_.getDouble(2))
+    assert(keys.forall(_ < 0.0) && keys.zip(keys.tail).forall { case (a, b) => a >= b })
+  }
 }
