@@ -138,4 +138,11 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"funnel cartesian:\n$p")
     assert(p.contains("HashAggregate"), s"funnel without hash aggregation:\n$p")
   }
+
+  test("q140: weighted sample is scan + TakeOrderedAndProject, no global sort") {
+    val p = plan("q140_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k fell back to a global sort:\n$p")
+    assert(!p.contains("Join"), s"scoring should be one map-side pass:\n$p")
+  }
 }
