@@ -368,20 +368,31 @@ object VectorSearch {
       assigned = next
       rounds += 1
       if (!converged && rounds < maxRounds) {
-        // q73's rebuild: per-(cluster, dim) exact DECIMAL mean, 6dp-rounded
-        centroids = assigned
-          .select(col("seed_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
-          .groupBy(col("seed_id"), col("pos"))
-          .agg(round(sum(col("v").cast("double").cast("decimal(38,12)"))
-            .cast("double") / count(lit(1)), 6).as("c"))
-          .groupBy(col("seed_id"))
-          .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
-            x => x.getField("c")).as("ce"))
+        centroids = centroidRebuild(assigned)
       }
     }
     (assigned.select(col("vec_id"), col("seed_id"), round(col("cos"), 6).as("cos")),
       rounds, converged)
   }
+
+  /** q73's centroid rebuild over a (seed_id, embedding) assignment frame:
+    * per-(cluster, dim) exact DECIMAL mean, 6dp-rounded, reassembled into
+    * a (seed_id, ce) centroid table. The refresh step of the Lloyd's loop
+    * AND of the streaming composition (StreamingKMeansSpec: assign
+    * per-batch against pinned centroids, rebuild periodically from the
+    * accumulated store — recluster-periodically/assign-continuously).
+    * Order-independent by construction, so the rebuild over an
+    * accumulated idempotent store equals the batch rebuild. */
+  def centroidRebuild(assigned: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    assigned
+      .select(col("seed_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("seed_id"), col("pos"))
+      .agg(round(sum(col("v").cast("double").cast("decimal(38,12)"))
+        .cast("double") / count(lit(1)), 6).as("c"))
+      .groupBy(col("seed_id"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        x => x.getField("c")).as("ce"))
 
   val qs: Seq[Q] = Seq(
 
