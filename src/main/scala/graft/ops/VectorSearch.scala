@@ -294,8 +294,22 @@ object VectorSearch {
       val emb0 = embTable(s, dir)
       val emb = maxVecs.fold(emb0)(m => emb0.filter(col("vec_id") < m))
       val k = math.max(1L, math.ceil(emb.count() / SemDedupTarget.toDouble).toLong)
-      assignToSeeds(emb, emb.filter(col("vec_id") < k)
-        .select(col("vec_id").as("seed_id"), col("embedding").as("se")))
+      val seeds = emb.filter(col("vec_id") < k)
+        .select(col("vec_id").as("seed_id"), col("embedding").as("se"))
+      // conf-gated assignment engine (the ccAlgo pattern): OFF by default
+      // so q113 stays exact-oracle-checked with the dense argmax; at
+      // k ∝ N scale, `graft.vectorsearch.assignAlgo=hier` swaps in the
+      // q123 two-level pass (O(N·2√k) dots instead of O(N·k); both levels
+      // oracle-proven in q123, dense-agreement measured in SCALE.md —
+      // cluster boundaries move for near-equidistant vectors, dup/non-dup
+      // decisions within clusters do not)
+      s.conf.getOption("graft.vectorsearch.assignAlgo") match {
+        case Some("hier") =>
+          hierarchicalAssign(emb, seeds,
+            fanout = math.max(2, math.ceil(math.sqrt(k.toDouble)).toInt))
+            .drop("cos")
+        case _ => assignToSeeds(emb, seeds)
+      }
     }
 
   /** Within-cluster candidate-pair count under the q113 clustering — the

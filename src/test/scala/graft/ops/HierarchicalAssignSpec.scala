@@ -39,4 +39,23 @@ class HierarchicalAssignSpec extends SparkSpec {
     // two-level rule is not degenerate (more than one cluster used)
     assert(out.map(_.getLong(1)).distinct.length > 1)
   }
+
+  test("q113's conf-gated hier engine produces a valid same-cluster prune") {
+    import graft.SparkEntry
+    val run = () => SparkEntry.queries("q113_semantic_dedup")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSeq
+    graft.ops.CacheRegistry.clear(spark) // drop any dense-assigned cache
+    spark.conf.set("graft.vectorsearch.assignAlgo", "hier")
+    try {
+      val pruned = run()
+      // structure holds under the approximate assignment: every pruned
+      // vector names an earlier keeper, never itself
+      assert(pruned.forall { case (p, _, dupOf) => dupOf < p })
+      assert(pruned.nonEmpty)
+    } finally {
+      spark.conf.unset("graft.vectorsearch.assignAlgo")
+      graft.ops.CacheRegistry.clear(spark) // don't leak hier-assigned cache
+    }
+    assert(run().forall { case (p, _, dupOf) => dupOf < p }) // dense default intact
+  }
 }
