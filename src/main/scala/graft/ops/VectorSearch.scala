@@ -1040,7 +1040,7 @@ object VectorSearch {
          |FROM u3, range(1, 65) t(i)
          |ORDER BY pos""".stripMargin
     }) { (s, dir) =>
-      powerLoop(s, powerRows(s, dir), 3, deflateAgainst = Some(topDirection(s, dir)))
+      secondDirection(s, dir)
         .select(col("pos"), round(col("v"), 6).as("loading2")).orderBy(col("pos"))
     },
 
@@ -1101,9 +1101,7 @@ object VectorSearch {
          |ORDER BY vec_id""".stripMargin
     }) { (s, dir) =>
       val v1 = topDirection(s, dir)
-      val v2 = CacheRegistry.cache(s, s"q126-u3:$dir") {
-        powerLoop(s, powerRows(s, dir), 3, deflateAgainst = Some(v1))
-      }
+      val v2 = secondDirection(s, dir)
       // bounded driver collect (2 × 64 doubles, already 9dp-rounded and
       // bit-identical to the oracle's v3/u3 lists) folds the directions in
       // as literals — the per-row dot is then the family's sequential
@@ -1177,6 +1175,15 @@ object VectorSearch {
         .limit(10)
     }
   )
+
+  /** The 3-round deflated runner-up direction, shared by q126 (its
+    * output) and q132 (its second projection axis) through the registry. */
+  private def secondDirection(s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame =
+    CacheRegistry.cache(s, s"q126-u3:$dir") {
+      powerLoop(s, powerRows(s, dir), 3,
+        deflateAgainst = Some(topDirection(s, dir)))
+    }
 
   /** The 3-round top principal direction, shared by q125 (its output) and
     * q126 (its deflation target) through the registry — one v-chain per
