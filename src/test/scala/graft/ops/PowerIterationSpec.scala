@@ -35,6 +35,27 @@ class PowerIterationSpec extends SparkSpec {
     assert(math.abs(dot(pc1, pc2)) < 1e-3)
   }
 
+  test("powerIterate recovers a planted dominant direction on synthetic data") {
+    val s = spark
+    import s.implicits._
+    // vectors sampled along axis 7 with amplitude ±10 plus axis 23 with
+    // amplitude ±1 (deterministic alternating signs): X'X's top
+    // eigenvector is e7 by two orders of magnitude in variance
+    val vecs = (0 until 200).map { i =>
+      val a = Array.fill(64)(0.0f)
+      a(7) = (if (i % 2 == 0) 10f else -10f) + (i % 5) * 0.01f
+      a(23) = if (i % 3 == 0) 1f else -1f
+      (i.toLong, a)
+    }.toDF("vec_id", "embedding")
+    val v = VectorSearch.powerIterate(vecs, rounds = 3)
+      .orderBy("pos").collect().map(_.getDouble(1))
+    // embedding index 7 = pos 8 = collected row 7 (rows ordered by pos)
+    assert(math.abs(v(7)) > 0.99,
+      s"loading on the planted axis should dominate: ${v.toSeq}")
+    val offAxis = v.zipWithIndex.collect { case (x, i) if i != 7 => math.abs(x) }.max
+    assert(offAxis < 0.1, s"off-axis mass too large: $offAxis")
+  }
+
   test("q125 dominates q126 in Rayleigh quotient over X'X") {
     import org.apache.spark.sql.functions._
     graft.functions.GraftFunctions.register(spark)
