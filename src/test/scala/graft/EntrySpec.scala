@@ -26,7 +26,13 @@ class EntrySpec extends SparkSpec {
       "q18_window_topk", "q36_session_window", "q41_minhash_lsh",
       "q44_cosine_topk", "q46_lang_id", "q50_multimodal_meta",
       "q91_sequence_packing", "q100_jaccard_capped", "q104_bigram_pmi",
-      "q106_ann_multiprobe", "q108_dup_ngram_spans", "q110_kmeans_assign")
+      "q106_ann_multiprobe", "q108_dup_ngram_spans", "q110_kmeans_assign",
+      // round-6 families: tokenizer application, eigen, graph, sketch,
+      // event analytics, curation composition, quantized/weighted paths
+      "q124_bpe_apply", "q125_power_iteration", "q127_knn_graph",
+      "q128_pagerank", "q129_countmin", "q131_knn_components",
+      "q135_window_funnel", "q138_curation_pipeline", "q139_quantized_ann",
+      "q140_weighted_sample")
     picks.foreach { n =>
       assert(SparkEntry.queries(n)(spark, sf001).count() > 0, s"$n returned 0 rows")
     }
