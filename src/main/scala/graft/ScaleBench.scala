@@ -165,6 +165,9 @@ object ScaleBench {
     // dedup phases against an already-generated corpus (the doc/ANN phases
     // take ~20 min; the knob keeps a one-phase fix from repaying all of it)
     val phaseSel = sys.env.getOrElse("SPARK_GRAFT_SCALE_PHASES", "all")
+    require(Set("all", "semdedup").contains(phaseSel),
+      s"SPARK_GRAFT_SCALE_PHASES must be 'all' or 'semdedup', got '$phaseSel'" +
+        " (a typo would silently skip corpus generation)")
     if (phaseSel == "all") sizes.foreach { n =>
       val dir = s"$root/n$n"
       val tGen0 = System.nanoTime()
@@ -456,6 +459,9 @@ object ScaleBench {
       // candidates should track ~2× per corpus doubling — the contrast
       // that shows the planted-cluster super-linearity above is the
       // data's duplicate density, not the algorithm's shape
+      // regenerate if absent (idempotent via the .version marker) — the
+      // semdedup-only path borrows this corpus from the 'all' loop
+      genEmbeddings(spark, sizes.last, s"$root/u${sizes.last}", UniformEmbExpr)
       val uvecsAll = spark.read.parquet(s"$root/u${sizes.last}/embeddings.parquet")
       Seq((10000L, 6), (20000L, 7), (40000L, 8)).filter(_._1 <= sizes.last)
         .foreach { case (nv, np) =>
@@ -469,7 +475,14 @@ object ScaleBench {
       // at ≤1024 rows per partition REGARDLESS of corpus size — doubling
       // the docs should leave shuffle bytes ~flat while a vocabulary
       // groupBy's shuffle doubles. Both measured for contrast.
-      sizes.foreach { n =>
+      sizes.filter { n =>
+        // the doc corpora are built only by the 'all' loop (minutes of
+        // gen); skip with a visible note rather than dying mid-run
+        val ok = new java.io.File(s"$root/n$n/documents.parquet").exists()
+        if (!ok) println(s"SCALE skipping q129 phases at n=$n: corpus absent " +
+          s"(run once with SPARK_GRAFT_SCALE_PHASES=all)")
+        ok
+      }.foreach { n =>
         val docs = spark.read.parquet(s"$root/n$n/documents.parquet")
         // no qualifying-word filter here: the synthetic corpus words are
         // w<digits>, and the phase measures shuffle shape, not linguistics

@@ -69,17 +69,27 @@ object GraphOps {
     withPlanes.select(col("vec_id"), col("embedding"), code.as("code"))
   }
 
+  /** The explode column producing a row per probe: the vector's own code
+    * plus its `numPlanes` Hamming-1 flips. ONE definition — the candidate
+    * counter and the edge builder must generate identical probe sets. */
+  private def flipsCol(numPlanes: Int): Column =
+    explode(array((lit(0) +: (0 until numPlanes).map(j => lit(1 << j))): _*))
+
+  /** The shared candidate join: exploded probe side ⋈ coded store on
+    * probe = code, self-pairs dropped. Carries through whatever columns
+    * each side brought (ids only for counting; embedding+nrm for edges). */
+  private def candidateJoin(probes: DataFrame, target: DataFrame): DataFrame =
+    probes.as("x").join(target.as("y"),
+      col("x.probe") === col("y.code") && col("x.vec_id") =!= col("y.vec_id"))
+
   /** Hamming-≤1 candidate pairs (vec_id, nbr_id) WITHOUT the cosine — the
     * frame whose cardinality is the graph family's scale quantity
     * (ScaleBench counts it at growing N × growing planes). */
   def knnCandidates(vecs: DataFrame, numPlanes: Int): DataFrame = {
-    val coded = codedFrame(vecs, numPlanes)
-    val probes = coded.select(col("vec_id"), col("code"),
-      explode(array((lit(0) +: (0 until numPlanes).map(j => lit(1 << j))): _*))
-        .as("flip"))
+    val coded = codedFrame(vecs, numPlanes).select(col("vec_id"), col("code"))
+    val probes = coded.select(col("vec_id"), col("code"), flipsCol(numPlanes).as("flip"))
       .select(col("vec_id"), col("code").bitwiseXOR(col("flip")).as("probe"))
-    probes.as("x").join(coded.select(col("vec_id"), col("code")).as("y"),
-        col("x.probe") === col("y.code") && col("x.vec_id") =!= col("y.vec_id"))
+    candidateJoin(probes, coded)
       .select(col("x.vec_id").as("vec_id"), col("y.vec_id").as("nbr_id"))
   }
 
@@ -107,17 +117,23 @@ object GraphOps {
     * need re-ranking, but their neighbors may be anywhere in the store. */
   private[ops] def knnEdgesFromCoded(coded: DataFrame, numPlanes: Int,
       k: Int = K, probeSide: Option[DataFrame] = None): DataFrame = {
-    val probes = probeSide.getOrElse(coded)
-      .select(col("vec_id"), col("embedding"), col("code"),
-      explode(array((lit(0) +: (0 until numPlanes).map(j => lit(1 << j))): _*))
-        .as("flip"))
-      .select(col("vec_id"), col("embedding"),
+    // the family's norm-hoisting discipline (assignToSeeds): each side's
+    // self-norm is a per-ROW column computed before the join, so a vector
+    // appearing in many candidate pairs never re-runs its 64-dim self-dot
+    // per pair; sqrt(x·x)·sqrt(y·y) yields the identical double the
+    // per-pair recomputation did, so the oracle is unaffected
+    graft.functions.GraftFunctions.register(coded.sparkSession)
+    def withNrm(df: DataFrame) = df.select(col("vec_id"), col("embedding"),
+      col("code"), sqrt(expr("graft_dot(embedding, embedding)")).as("nrm"))
+    val target = withNrm(coded)
+    val probes = withNrm(probeSide.getOrElse(coded))
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("code"),
+        flipsCol(numPlanes).as("flip"))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
         col("code").bitwiseXOR(col("flip")).as("probe"))
     val pairCos = expr("graft_dot(x.embedding, y.embedding)") /
-      (sqrt(expr("graft_dot(x.embedding, x.embedding)")) *
-       sqrt(expr("graft_dot(y.embedding, y.embedding)")))
-    val cand = probes.as("x").join(coded.as("y"),
-        col("x.probe") === col("y.code") && col("x.vec_id") =!= col("y.vec_id"))
+      (col("x.nrm") * col("y.nrm"))
+    val cand = candidateJoin(probes, target)
       .select(col("x.vec_id").as("vec_id"), col("y.vec_id").as("nbr_id"),
         round(pairCos, 9).as("c"))
     val w = org.apache.spark.sql.expressions.Window

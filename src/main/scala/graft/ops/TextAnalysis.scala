@@ -550,13 +550,15 @@ object TextAnalysis {
 
   private def ruleFilterOracle: String =
       """WITH w AS (SELECT doc_id,
-        |    string_split_regex(lower(trim(text)), '\s+') AS ws
+        |    CASE WHEN text IS NULL THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(lower(trim(text)), '\s+') END AS ws
         |  FROM documents),
         |m AS (SELECT doc_id,
         |    CAST(len(ws) AS BIGINT) AS n_words,
-        |    CAST(list_sum(list_transform(ws, x -> len(x))) AS DOUBLE) / len(ws) AS avg_wlen,
+        |    CAST(list_sum(list_transform(ws, x -> len(x))) AS DOUBLE)
+        |      / nullif(len(ws), 0) AS avg_wlen,
         |    len(list_filter(ws, x -> x IN ('a', 'the'))) AS n_stop,
-        |    CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) AS ttr
+        |    CAST(len(list_distinct(ws)) AS DOUBLE) / nullif(len(ws), 0) AS ttr
         |  FROM w)
         |SELECT doc_id, n_words,
         |  CAST(CASE WHEN n_words >= 30 AND avg_wlen >= 4.2

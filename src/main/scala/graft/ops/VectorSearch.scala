@@ -249,13 +249,22 @@ object VectorSearch {
     val supRow = sup
       .agg(array_sort(collect_list(struct(col("super_id"), col("pe"), col("pn"))))
         .as("sup"))
-    // seed → super: the same broadcast-argmax trick on the k-row seed table
+    // seed → super: the same broadcast-argmax trick on the k-row seed table.
+    // A super's OWN seed is forced into its own group (coalesce against the
+    // g-row super list): its self-cosine is 1.0, so only a 9dp-rounded tie
+    // with a lower-id super could steal it — and a stolen super would have
+    // an EMPTY member list, silently dropping every vector whose level-1
+    // argmax picked it (the level-2 join is inner). The oracle applies the
+    // identical override.
     val seedLab = withN.crossJoin(broadcast(supRow))
       .select(col("seed_id"), col("se"), col("ns"), expr(
         """array_max(transform(sup, p -> struct(
           |  round(graft_dot(se, p.pe) / (ns * p.pn), 9) AS cos,
           |  -p.super_id AS negid)))""".stripMargin).as("b"))
-      .select(col("seed_id"), col("se"), col("ns"), (-col("b.negid")).as("super_id"))
+      .join(broadcast(sup.select(col("super_id").as("__self"))),
+        col("seed_id") === col("__self"), "left")
+      .select(col("seed_id"), col("se"), col("ns"),
+        coalesce(col("__self"), -col("b.negid")).as("super_id"))
     // level 1: argmax over the g-super array (carried through exactly one
     // projection and dropped there — an earlier draft nested the member
     // arrays INSIDE this broadcast struct and copied the whole seed table
@@ -290,7 +299,10 @@ object VectorSearch {
     * reads it from BOTH sides of a self-join. */
   private def semAssigned(s: org.apache.spark.sql.SparkSession, dir: String,
       maxVecs: Option[Long]): org.apache.spark.sql.DataFrame =
-    CacheRegistry.cache(s, s"q113-assigned:$dir:${maxVecs.getOrElse("all")}") {
+    // the conf-gated engine is part of the cache identity: toggling
+    // assignAlgo mid-session must not return the other engine's frame
+    CacheRegistry.cache(s, s"q113-assigned:$dir:${maxVecs.getOrElse("all")}" +
+        s":${s.conf.getOption("graft.vectorsearch.assignAlgo").getOrElse("dense")}") {
       val emb0 = embTable(s, dir)
       val emb = maxVecs.fold(emb0)(m => emb0.filter(col("vec_id") < m))
       val k = math.max(1L, math.ceil(emb.count() / SemDedupTarget.toDouble).toLong)
@@ -913,7 +925,10 @@ object VectorSearch {
          |    row_number() OVER (PARTITION BY seed_id
          |      ORDER BY round(${cosSql("se", "pe")}, 9) DESC, super_id) AS rn
          |  FROM seeds, sup),
-         |lab AS (SELECT seed_id, se, super_id FROM s2s WHERE rn = 1),
+         |lab AS (SELECT seed_id, se,
+         |    CASE WHEN seed_id IN (SELECT super_id FROM sup)
+         |      THEN seed_id ELSE super_id END AS super_id
+         |  FROM s2s WHERE rn = 1),
          |v1 AS (SELECT e.vec_id, e.embedding, s.super_id,
          |    row_number() OVER (PARTITION BY e.vec_id
          |      ORDER BY round(${cosSql("embedding", "pe")}, 9) DESC, s.super_id) AS rn
@@ -956,29 +971,7 @@ object VectorSearch {
     // dimension. At 100 TB each round is one pass; more components =
     // deflate and repeat (Gram–Schmidt against the found directions).
     Q("q125_power_iteration", {
-      val v0 = "0.125"
-      def iter(prev: String, out: String) =
-        // MATERIALIZED: each CTE is referenced more than once downstream —
-        // inlined, DuckDB re-evaluates the whole chain per reference
-        // (exponential in rounds); materialization keeps the oracle linear
-        s"""d_$out AS MATERIALIZED (SELECT e.vec_id,
-           |    CAST(sum(CAST(CAST(embedding[i] AS DOUBLE) * $prev.v[i] AS DECIMAL(38,12)))
-           |      AS DOUBLE) AS d
-           |  FROM embeddings e, $prev, range(1, 65) t(i)
-           |  GROUP BY e.vec_id),
-           |w_$out AS MATERIALIZED (SELECT i AS pos,
-           |    CAST(sum(CAST(d.d * CAST(embedding[i] AS DOUBLE) AS DECIMAL(38,12)))
-           |      AS DOUBLE) AS w
-           |  FROM embeddings e JOIN d_$out d USING (vec_id), range(1, 65) t(i)
-           |  GROUP BY i),
-           |n_$out AS MATERIALIZED (SELECT sqrt(CAST(sum(CAST(w * w AS DECIMAL(38,12))) AS DOUBLE)) AS n
-           |  FROM w_$out),
-           |$out AS MATERIALIZED (SELECT list(round(w / n, 9) ORDER BY pos) AS v
-           |  FROM w_$out, n_$out)""".stripMargin
-      s"""WITH v0 AS MATERIALIZED (SELECT list_transform(range(1, 65), i -> CAST($v0 AS DOUBLE)) AS v),
-         |${iter("v0", "v1")},
-         |${iter("v1", "v2")},
-         |${iter("v2", "v3")}
+      s"""WITH ${powerChainsSql(withDeflated = false)}
          |SELECT CAST(i AS BIGINT) AS pos, round(v3.v[i], 6) AS loading
          |FROM v3, range(1, 65) t(i)
          |ORDER BY pos""".stripMargin
@@ -1001,41 +994,7 @@ object VectorSearch {
     // 9dp-rounded — the whole two-eigenvector pipeline hash-matches with
     // zero driver arithmetic.
     Q("q126_power_deflation", {
-      val v0 = "0.125"
-      def iter(prev: String, out: String, deflate: Option[String]) = {
-        val (wsrc, extra) = deflate match {
-          case None => (s"w_$out", "")
-          case Some(vt) => (s"w2_$out",
-            s""",
-               |p_$out AS MATERIALIZED (SELECT CAST(sum(CAST(w.w * $vt.v[w.pos] AS DECIMAL(38,12)))
-               |      AS DOUBLE) AS p
-               |  FROM w_$out w, $vt),
-               |w2_$out AS MATERIALIZED (SELECT w.pos, w.w - p_$out.p * $vt.v[w.pos] AS w
-               |  FROM w_$out w, p_$out, $vt)""".stripMargin)
-        }
-        s"""d_$out AS MATERIALIZED (SELECT e.vec_id,
-           |    CAST(sum(CAST(CAST(embedding[i] AS DOUBLE) * $prev.v[i] AS DECIMAL(38,12)))
-           |      AS DOUBLE) AS d
-           |  FROM embeddings e, $prev, range(1, 65) t(i)
-           |  GROUP BY e.vec_id),
-           |w_$out AS MATERIALIZED (SELECT i AS pos,
-           |    CAST(sum(CAST(d.d * CAST(embedding[i] AS DOUBLE) AS DECIMAL(38,12)))
-           |      AS DOUBLE) AS w
-           |  FROM embeddings e JOIN d_$out d USING (vec_id), range(1, 65) t(i)
-           |  GROUP BY i)$extra,
-           |n_$out AS MATERIALIZED (SELECT sqrt(CAST(sum(CAST(w * w AS DECIMAL(38,12))) AS DOUBLE)) AS n
-           |  FROM $wsrc),
-           |$out AS MATERIALIZED (SELECT list(round(w / n, 9) ORDER BY pos) AS v
-           |  FROM $wsrc, n_$out)""".stripMargin
-      }
-      s"""WITH v0 AS MATERIALIZED (SELECT list_transform(range(1, 65), i -> CAST($v0 AS DOUBLE)) AS v),
-         |${iter("v0", "v1", None)},
-         |${iter("v1", "v2", None)},
-         |${iter("v2", "v3", None)},
-         |u0 AS MATERIALIZED (SELECT list_transform(range(1, 65), i -> CAST($v0 AS DOUBLE)) AS v),
-         |${iter("u0", "u1", Some("v3"))},
-         |${iter("u1", "u2", Some("v3"))},
-         |${iter("u2", "u3", Some("v3"))}
+      s"""WITH ${powerChainsSql(withDeflated = true)}
          |SELECT CAST(i AS BIGINT) AS pos, round(u3.v[i], 6) AS loading2
          |FROM u3, range(1, 65) t(i)
          |ORDER BY pos""".stripMargin
@@ -1057,40 +1016,7 @@ object VectorSearch {
     // with the same per-element DECIMAL dot the d-step uses. Verified
     // slice vec_id < 200.
     Q("q132_pca_project", {
-      def iter(prev: String, out: String, deflate: Option[String]) = {
-        val (wsrc, extra) = deflate match {
-          case None => (s"w_$out", "")
-          case Some(vt) => (s"w2_$out",
-            s""",
-               |p_$out AS MATERIALIZED (SELECT CAST(sum(CAST(w.w * $vt.v[w.pos] AS DECIMAL(38,12)))
-               |      AS DOUBLE) AS p
-               |  FROM w_$out w, $vt),
-               |w2_$out AS MATERIALIZED (SELECT w.pos, w.w - p_$out.p * $vt.v[w.pos] AS w
-               |  FROM w_$out w, p_$out, $vt)""".stripMargin)
-        }
-        s"""d_$out AS MATERIALIZED (SELECT e.vec_id,
-           |    CAST(sum(CAST(CAST(embedding[i] AS DOUBLE) * $prev.v[i] AS DECIMAL(38,12)))
-           |      AS DOUBLE) AS d
-           |  FROM embeddings e, $prev, range(1, 65) t(i)
-           |  GROUP BY e.vec_id),
-           |w_$out AS MATERIALIZED (SELECT i AS pos,
-           |    CAST(sum(CAST(d.d * CAST(embedding[i] AS DOUBLE) AS DECIMAL(38,12)))
-           |      AS DOUBLE) AS w
-           |  FROM embeddings e JOIN d_$out d USING (vec_id), range(1, 65) t(i)
-           |  GROUP BY i)$extra,
-           |n_$out AS MATERIALIZED (SELECT sqrt(CAST(sum(CAST(w * w AS DECIMAL(38,12))) AS DOUBLE)) AS n
-           |  FROM $wsrc),
-           |$out AS MATERIALIZED (SELECT list(round(w / n, 9) ORDER BY pos) AS v
-           |  FROM $wsrc, n_$out)""".stripMargin
-      }
-      s"""WITH v0 AS MATERIALIZED (SELECT list_transform(range(1, 65), i -> CAST(0.125 AS DOUBLE)) AS v),
-         |${iter("v0", "v1", None)},
-         |${iter("v1", "v2", None)},
-         |${iter("v2", "v3", None)},
-         |u0 AS MATERIALIZED (SELECT list_transform(range(1, 65), i -> CAST(0.125 AS DOUBLE)) AS v),
-         |${iter("u0", "u1", Some("v3"))},
-         |${iter("u1", "u2", Some("v3"))},
-         |${iter("u2", "u3", Some("v3"))}
+      s"""WITH ${powerChainsSql(withDeflated = true)}
          |SELECT e.vec_id,
          |  round(list_sum(list_transform(range(1, 65),
          |    i -> CAST(embedding[i] AS DOUBLE) * v3.v[i])), 6) AS pc1,
@@ -1134,7 +1060,7 @@ object VectorSearch {
         |  FROM embeddings WHERE vec_id = 0),
         |qq AS (SELECT list_transform(qe,
         |      x -> CAST(floor(CAST(x AS DOUBLE) / qmx * 127.0 + 0.5) AS BIGINT)) AS qv,
-        |    qmx FROM q),
+        |    qmx FROM q WHERE qmx > 0),
         |c AS (SELECT vec_id, embedding AS emb,
         |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
         |  FROM embeddings WHERE vec_id <> 0),
@@ -1157,6 +1083,7 @@ object VectorSearch {
       val qrow = emb.filter(col("vec_id") === 0)
         .select(expr("array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))")
           .as("qmx"), col("embedding").as("qe"))
+        .filter(col("qmx") > 0) // all-zero query → empty result, both engines
         .select(quant("qe", "qmx").as("qv"), col("qmx"))
       emb.filter(col("vec_id") =!= 0)
         .select(col("vec_id"), col("embedding").as("emb"),
@@ -1175,6 +1102,57 @@ object VectorSearch {
         .limit(10)
     }
   )
+
+  /** One oracle iteration of the power loop as DuckDB CTEs: d (per-vector
+    * dot with the previous direction), w (the matvec), optional
+    * Gram–Schmidt deflation against `deflate`'s direction table, the
+    * normalizer, and the 9dp-rounded next direction. MATERIALIZED
+    * throughout — inlined, DuckDB re-evaluates the whole chain per
+    * reference (exponential in rounds). ONE builder shared by the
+    * q125/q126/q132 oracles so the DECIMAL/rounding discipline cannot
+    * drift between them. */
+  private def powerIterCte(prev: String, out: String,
+      deflate: Option[String]): String = {
+    val (wsrc, extra) = deflate match {
+      case None => (s"w_$out", "")
+      case Some(vt) => (s"w2_$out",
+        s""",
+           |p_$out AS MATERIALIZED (SELECT CAST(sum(CAST(w.w * $vt.v[w.pos] AS DECIMAL(38,12)))
+           |      AS DOUBLE) AS p
+           |  FROM w_$out w, $vt),
+           |w2_$out AS MATERIALIZED (SELECT w.pos, w.w - p_$out.p * $vt.v[w.pos] AS w
+           |  FROM w_$out w, p_$out, $vt)""".stripMargin)
+    }
+    s"""d_$out AS MATERIALIZED (SELECT e.vec_id,
+       |    CAST(sum(CAST(CAST(embedding[i] AS DOUBLE) * $prev.v[i] AS DECIMAL(38,12)))
+       |      AS DOUBLE) AS d
+       |  FROM embeddings e, $prev, range(1, 65) t(i)
+       |  GROUP BY e.vec_id),
+       |w_$out AS MATERIALIZED (SELECT i AS pos,
+       |    CAST(sum(CAST(d.d * CAST(embedding[i] AS DOUBLE) AS DECIMAL(38,12)))
+       |      AS DOUBLE) AS w
+       |  FROM embeddings e JOIN d_$out d USING (vec_id), range(1, 65) t(i)
+       |  GROUP BY i)$extra,
+       |n_$out AS MATERIALIZED (SELECT sqrt(CAST(sum(CAST(w * w AS DECIMAL(38,12))) AS DOUBLE)) AS n
+       |  FROM $wsrc),
+       |$out AS MATERIALIZED (SELECT list(round(w / n, 9) ORDER BY pos) AS v
+       |  FROM $wsrc, n_$out)""".stripMargin
+  }
+
+  /** The v0…v3 undeflated chain + (optionally) the u0…u3 deflated chain —
+    * the WITH bodies of the q125/q126/q132 oracles. */
+  private def powerChainsSql(withDeflated: Boolean): String = {
+    val v = s"""v0 AS MATERIALIZED (SELECT list_transform(range(1, 65), i -> CAST(0.125 AS DOUBLE)) AS v),
+       |${powerIterCte("v0", "v1", None)},
+       |${powerIterCte("v1", "v2", None)},
+       |${powerIterCte("v2", "v3", None)}""".stripMargin
+    if (!withDeflated) v else
+      s"""$v,
+         |u0 AS MATERIALIZED (SELECT list_transform(range(1, 65), i -> CAST(0.125 AS DOUBLE)) AS v),
+         |${powerIterCte("u0", "u1", Some("v3"))},
+         |${powerIterCte("u1", "u2", Some("v3"))},
+         |${powerIterCte("u2", "u3", Some("v3"))}""".stripMargin
+  }
 
   /** The 3-round deflated runner-up direction, shared by q126 (its
     * output) and q132 (its second projection axis) through the registry. */
@@ -1199,12 +1177,17 @@ object VectorSearch {
     * all rounds share one parquet scan + explode. */
   private def powerRows(s: org.apache.spark.sql.SparkSession, dir: String)
       : org.apache.spark.sql.DataFrame =
-    CacheRegistry.cache(s, s"q125-erows:$dir") {
-      embTable(s, dir)
-        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "xr")))
-        .select(col("vec_id"), (col("pos") + 1).as("pos"),
-          col("xr").cast("double").as("x"))
-    }
+    CacheRegistry.cache(s, s"q125-erows:$dir") { powerRowsFor(embTable(s, dir)) }
+
+  /** The (vec_id, pos, x) explode of any (vec_id, embedding) frame — ONE
+    * definition shared by the cached query path and ScaleBench's
+    * [[powerIterate]], so the exploded schema cannot drift. */
+  private def powerRowsFor(vecs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    vecs
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "xr")))
+      .select(col("vec_id"), (col("pos") + 1).as("pos"),
+        col("xr").cast("double").as("x"))
 
   /** [[powerLoop]] over any (vec_id, embedding) frame — ScaleBench drives
     * synthetic corpus sizes through this; the declared queries go through
@@ -1213,11 +1196,7 @@ object VectorSearch {
     * result is checkpointed, so the unpersist is safe). */
   def powerIterate(vecs: org.apache.spark.sql.DataFrame, rounds: Int)
       : org.apache.spark.sql.DataFrame = {
-    val erows = vecs
-      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "xr")))
-      .select(col("vec_id"), (col("pos") + 1).as("pos"),
-        col("xr").cast("double").as("x"))
-      .persist()
+    val erows = powerRowsFor(vecs).persist()
     try powerLoop(vecs.sparkSession, erows, rounds, deflateAgainst = None)
     finally erows.unpersist()
   }
