@@ -25,5 +25,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[graft.functions.ArrayDot].getName, "graft_dot"),
       (exprs: Seq[Expression]) => graft.functions.ArrayDot(exprs(0), exprs(1))))
+    e.injectFunction((
+      new FunctionIdentifier("graft_dot_int"),
+      new ExpressionInfo(classOf[graft.functions.ArrayDotInt].getName, "graft_dot_int"),
+      (exprs: Seq[Expression]) => graft.functions.ArrayDotInt(exprs(0), exprs(1))))
   }
 }

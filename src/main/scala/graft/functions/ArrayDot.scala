@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, NullType}
 
 /** Sequential-fold dot product over two FLOAT/DOUBLE array columns as a
   * native Catalyst expression with codegen.
@@ -36,9 +36,14 @@ case class ArrayDot(left: Expression, right: Expression) extends BinaryExpressio
   private def elemType(e: Expression): DataType =
     e.dataType.asInstanceOf[ArrayType].elementType
 
+  // NullType element types (a bare array() / array(null) literal from
+  // ad-hoc SQL) are accepted for parity with the HOF composition this
+  // expression replaced: every NullType element is null, so the null-
+  // element short-circuit yields NULL, and two empty arrays yield 0.0 —
+  // the element getters are never reached.
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
     case (ArrayType(lt, _), ArrayType(rt, _))
-        if Seq(lt, rt).forall(t => t == FloatType || t == DoubleType) =>
+        if Seq(lt, rt).forall(t => t == FloatType || t == DoubleType || t == NullType) =>
       TypeCheckResult.TypeCheckSuccess
     case _ => TypeCheckResult.TypeCheckFailure(
       "graft_dot requires two ARRAY<FLOAT|DOUBLE> inputs, got " +

@@ -18,6 +18,8 @@ object GraftFunctions {
       "nfc_normalize", exprs => NfcNormalize(exprs.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot", exprs => ArrayDot(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_dot_int", exprs => ArrayDotInt(exprs(0), exprs(1)), "scala_udf")
     spark.udf.register("weighted_avg", weightedAvgUdaf)
   }
 
@@ -26,6 +28,8 @@ object GraftFunctions {
   def nfc_normalize(c: Column): Column = call_function("nfc_normalize", c)
 
   def graft_dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+
+  def graft_dot_int(a: Column, b: Column): Column = call_function("graft_dot_int", a, b)
 
   def weighted_avg(value: Column, weight: Column): Column =
     weightedAvgUdaf(value, weight)

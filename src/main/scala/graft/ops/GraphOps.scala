@@ -167,10 +167,12 @@ object GraphOps {
     val flagged = teleportTo match {
       case None =>
         val n = nodes.count()
+        require(n > 0, "pagerank: nodes frame is empty — 0.15/n would be Infinity")
         nodes.select(col("vec_id"), lit(0.15 / n).as("__tele"),
           round(lit(1.0 / n), 9).as("__pr0"))
       case Some(qset) =>
         val m = qset.count()
+        require(m > 0, "pagerank: personalized teleport set is empty — 1.0/m would be Infinity")
         nodes.join(qset.select(col("vec_id"), lit(true).as("__in")),
             Seq("vec_id"), "left")
           .select(col("vec_id"),

@@ -1091,9 +1091,11 @@ object VectorSearch {
         .filter(col("mx") > 0)
         .select(col("vec_id"), col("mx"), quant("emb", "mx").as("cv"))
         .crossJoin(broadcast(qrow))
+        // exact BIGINT dot via the native codegen'd expression (integer
+        // addition is associative, so this is arithmetic-identical to the
+        // interpreted HOF it replaced — ArrayDotIntSpec asserts it)
         .select(col("vec_id"),
-          expr("""aggregate(zip_with(cv, qv, (a, b) -> a * b),
-                 |  CAST(0 AS BIGINT), (acc, x) -> acc + x)""".stripMargin).as("q_dot"),
+          expr("graft_dot_int(cv, qv)").as("q_dot"),
           col("mx"), col("qmx"))
         .select(col("vec_id"), col("q_dot"),
           round(col("q_dot") * (col("mx") / lit(127.0)) * (col("qmx") / lit(127.0)), 6)

@@ -79,6 +79,16 @@ class ArrayDotSpec extends SparkSpec {
     assert(withNullElem.head().isNullAt(0))
   }
 
+  test("ARRAY<NULL> literals are accepted for HOF parity (empty→0.0, null elem→NULL)") {
+    val s = spark
+    // a bare array() literal types as ARRAY<NULL>; the HOF composition
+    // accepted it (empty fold = 0.0), so graft_dot must too
+    assert(s.sql("SELECT graft_dot(array(), array()) AS d").head().getDouble(0) === 0.0)
+    // a non-empty NullType array has only null elements → NULL, like the HOF
+    assert(s.sql("SELECT graft_dot(array(null), array(CAST(1.0 AS FLOAT))) AS d")
+      .head().isNullAt(0))
+  }
+
   test("interpreted eval agrees with the codegen path") {
     val s = spark
     import s.implicits._

@@ -148,8 +148,10 @@ class CurationOpsSpec extends SparkSpec {
       .head().getDouble(0)
     assert(sampleMean > corpusMean,
       s"weighted sample mean $sampleMean should exceed corpus mean $corpusMean")
-    // keys are valid: ln(u)/w is strictly negative and sorted descending
+    // keys are valid: ln(u)/w is non-positive (exactly 0 iff a doc's
+    // 56-bit md5 prefix is all-ones — a legitimate, if astronomically
+    // rare, ES key) and sorted descending
     val keys = sample.map(_.getDouble(2))
-    assert(keys.forall(_ < 0.0) && keys.zip(keys.tail).forall { case (a, b) => a >= b })
+    assert(keys.forall(_ <= 0.0) && keys.zip(keys.tail).forall { case (a, b) => a >= b })
   }
 }
