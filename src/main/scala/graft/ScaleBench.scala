@@ -192,6 +192,13 @@ object ScaleBench {
       phase("q108_dup_spans", n) {
         ops.SubstringOps.dupSpanGroups(spark, dir).count()
       }
+      // span coalescing (q141): removal-interval count must track the
+      // dup-span group count linearly — each near-dup family contributes
+      // per-member intervals, the boilerplate header ONE interval per doc;
+      // the per-doc window adds no cross-doc shuffle beyond the dup join
+      phase("q141_span_coalesce", n) {
+        ops.SubstringOps.dupSpanIntervals(spark, dir).count()
+      }
       // ---- cap OFF: the quadratic boilerplate pathology is visible ----
       phase("overlap_pairs_capOFF", n)(ops.TextDedup.overlapPairCount(spark, dir))
       phase("q41_lsh_capOFF", n) {

@@ -105,16 +105,25 @@ object SubstringOps {
     (merges.result(), vocab)
   }
 
-  /** One row per 8-word span occurrence: (doc_id, gram). Map-side explode
-    * at scan speed; both the group pass and the example rejoin read it. */
-  private[ops] def gramRows(s: SparkSession, dir: String) =
+  /** One row per 8-word span occurrence WITH its 1-based start word index:
+    * (doc_id, pos, gram). Map-side explode at scan speed. The position
+    * rides along from the same `sequence(…)` enumeration that generates
+    * the gram — q108 drops it, q141's span coalescing is built on it. */
+  private[ops] def gramRowsPos(s: SparkSession, dir: String) =
     t(s, dir, "documents")
       .select(col("doc_id"), wordsCol.as("w"))
       .select(col("doc_id"), explode(expr(
         s"""CASE WHEN size(w) >= $GramWords THEN
            |  transform(sequence(1, size(w) - ${GramWords - 1}),
-           |    i -> array_join(slice(w, i, $GramWords), ' '))
-           |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin)).as("gram"))
+           |    i -> struct(CAST(i AS BIGINT) AS pos,
+           |                array_join(slice(w, i, $GramWords), ' ') AS gram))
+           |ELSE CAST(array() AS ARRAY<STRUCT<pos: BIGINT, gram: STRING>>) END"""
+          .stripMargin)).as("g"))
+      .select(col("doc_id"), col("g.pos").as("pos"), col("g.gram").as("gram"))
+
+  /** One row per 8-word span occurrence: (doc_id, gram). */
+  private[ops] def gramRows(s: SparkSession, dir: String) =
+    gramRowsPos(s, dir).select(col("doc_id"), col("gram"))
 
   /** The scalable core of q108: every 8-word span occurring in ≥2 distinct
     * documents, counts only — the shuffle carries nothing but the 32-byte
@@ -126,6 +135,61 @@ object SubstringOps {
       .agg(countDistinct(col("doc_id")).as("n_docs"),
         count(lit(1)).as("n_occ"))
       .filter(col("n_docs") >= 2)
+
+  /** The second half of substring dedup: coalesce each document's
+    * duplicated 8-gram occurrences (overlapping OR touching start
+    * positions) into MAXIMAL repeated spans — the per-doc removal
+    * intervals a production pipeline cuts out. q108 detects which grams
+    * repeat across documents; this turns the detection into actionable
+    * intervals: the union of a doc's duplicated gram windows [pos,
+    * pos+7], merged while the next start is ≤ previous start + 8.
+    *
+    * Plan shape at 100 TB: the dup-gram set is the q108 groupBy on the
+    * fixed-width md5 key (shuffle carries 32 hex chars + a count);
+    * flagging occurrences is an equi-join on that same md5 (key
+    * cardinality grows with the corpus — no hot key); coalescing is a
+    * gaps-and-islands window partitioned BY DOC (narrow per-doc state,
+    * high-cardinality partition key, no skew); the final interval groupBy
+    * is per (doc, island). No driver collect anywhere. Output: (doc_id,
+    * span_start, span_end, span_words, n_grams), word positions 1-based
+    * inclusive. */
+  def dupSpanIntervals(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = gramRowsPos(s, dir)
+      .select(col("doc_id"), col("pos"), md5(col("gram")).as("gm"))
+    // grams repeated across ≥2 docs — same statistic as dupSpanGroups,
+    // keyed on the md5 so the shuffle never carries span text
+    val dups = g.groupBy(col("gm"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("gm"))
+    val flagged = g.join(dups, Seq("gm")).select(col("doc_id"), col("pos"))
+    coalesceSpans(flagged)
+  }
+
+  /** Gaps-and-islands interval merge over a (doc_id, pos) frame of
+    * duplicated gram start positions: all intervals have width GramWords,
+    * and positions are sorted per doc, so [prev, prev+7] and [pos, pos+7]
+    * overlap or touch iff pos - prev <= GramWords; a larger gap starts a
+    * new island. Separated from [[dupSpanIntervals]] so the merge
+    * semantics are unit-testable on synthetic positions. */
+  private[ops] def coalesceSpans(flagged: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val prev = lag(col("pos"), 1).over(w)
+    val brk = when(col("pos") - prev <= GramWords, 0).otherwise(1)
+    flagged
+      .withColumn("brk", brk)
+      .withColumn("island", sum(col("brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + lit(GramWords - 1)).as("span_end"),
+        count(lit(1)).as("n_grams"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_words"),
+        col("n_grams"))
+  }
 
   val qs: Seq[Q] = Seq(
 
@@ -338,6 +402,40 @@ object SubstringOps {
         .agg(sum(col("cnt")).as("n"))
         .orderBy(col("n").desc, col("symbol"))
         .limit(20)
+    },
+
+    // ---- maximal duplicated-span coalescing: substring dedup, half 2 ----
+    // q108 reports WHICH 8-word spans repeat across documents; this emits
+    // WHAT TO REMOVE: per-document maximal repeated spans, formed by
+    // merging overlapping/touching duplicated gram windows (the union of
+    // [pos, pos+7] intervals — the published substring-dedup pipelines cut
+    // exactly these intervals from each document). Every value is
+    // deterministic integer arithmetic ⇒ strict oracle. Both engines run
+    // the identical derivation: grams with positions → cross-doc dup set →
+    // per-doc gaps-and-islands (break when the start gap exceeds 8) →
+    // interval bounds per island.
+    Q("q141_dup_span_coalesce",
+      raw"""WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS words
+           |           FROM documents),
+           |g AS (SELECT doc_id, s['pos'] AS pos, s['gram'] AS gram FROM (
+           |    SELECT doc_id, unnest(list_transform(range(1, greatest(len(words) - ${GramWords - 2}, 1)),
+           |      i -> {'pos': i, 'gram': array_to_string(list_slice(words, i, i + ${GramWords - 1}), ' ')})) AS s
+           |    FROM w)),
+           |d AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+           |f AS (SELECT g.doc_id, g.pos FROM g JOIN d USING (gram)),
+           |b AS (SELECT doc_id, pos,
+           |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= $GramWords
+           |         THEN 0 ELSE 1 END AS brk
+           |  FROM f),
+           |i AS (SELECT doc_id, pos,
+           |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island
+           |  FROM b)
+           |SELECT doc_id, min(pos) AS span_start, max(pos) + ${GramWords - 1} AS span_end,
+           |  max(pos) - min(pos) + $GramWords AS span_words,
+           |  count(*) AS n_grams
+           |FROM i GROUP BY doc_id, island
+           |ORDER BY doc_id, span_start""".stripMargin) { (s, dir) =>
+      dupSpanIntervals(s, dir).orderBy(col("doc_id"), col("span_start"))
     },
 
     // ---- shingle-set containment: near-superset / quotation detection ----

@@ -1,0 +1,84 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Frame-level image path: the JDK-only PNG encoder must round-trip
+  * losslessly through javax.imageio (the decode step q142 actually runs),
+  * the dHash must match its definition bit-for-bit, and the Hamming-
+  * blocked near-dup join must find EVERY qualifying pair (pigeonhole
+  * exactness vs brute force). */
+class ImageOpsSpec extends SparkSpec {
+
+  private def rngGrid(seed: Int, w: Int, h: Int): Array[Int] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(w * h)(rnd.nextInt(256))
+  }
+
+  test("PNG encode → javax.imageio decode is a lossless round-trip") {
+    for ((w, h, seed) <- Seq((9, 8, 1), (9, 8, 2), (1, 1, 3), (33, 17, 4))) {
+      val px = rngGrid(seed, w, h)
+      val (dw, dh, dec) = ImageOps.pngDecodeGray(ImageOps.pngEncodeGray(w, h, px))
+      assert(dw === w && dh === h)
+      assert(dec === px, s"pixel mismatch at ${w}x$h seed $seed")
+    }
+  }
+
+  test("dHash packs row-wise gradient bits little-endian, hi rows 0-3") {
+    // row 0: strictly increasing → all 8 bits set → rb = 255; rows 1-7 flat → 0
+    val px = Array.tabulate(9 * 8)(i => if (i < 9) i else 0)
+    assert(ImageOps.dHash(px) === ((255L, 0L)))
+    // only row 4 (first lo row) has one rising step at x=2
+    val px2 = Array.tabulate(9 * 8) { i =>
+      val (y, x) = (i / 9, i % 9)
+      if (y == 4 && x == 3) 9 else if (y == 4) (if (x > 3) 9 else 1) else 5
+    }
+    // bits where p(x) < p(x+1) on row 4: only x=2 (1 < 9) → rb = 4
+    assert(ImageOps.dHash(px2) === ((0L, 4L)))
+  }
+
+  test("q142 equals the closed-form pixel formula (PNG round-trip adds nothing)") {
+    val got = graft.SparkEntry.queries("q142_image_dhash")(spark, sf001)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val texts = graft.schema.Tables.t(spark, sf001, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    assert(got.size === texts.length)
+    texts.foreach { case (id, text) =>
+      val expected = ImageOps.dHash(ImageOps.pixelGrid(text))
+      assert(got(id) === expected, s"dHash mismatch for doc $id")
+    }
+    // hashes discriminate: the corpus must not collapse into one bucket
+    assert(got.values.toSet.size > texts.length / 4)
+  }
+
+  test("q143: top-25 nearest blocked pairs; pigeonhole covers every d<=7 pair") {
+    val hashes = graft.SparkEntry.queries("q142_image_dhash")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    def bands(hi: Long, lo: Long): Seq[(Int, Long)] =
+      (0 until 8).map(y => y -> (if (y < 4) (hi >> (8 * y)) & 255 else (lo >> (8 * (y - 4))) & 255))
+    def dist(a: (Long, Long, Long), b: (Long, Long, Long)): Long =
+      (java.lang.Long.bitCount(a._2 ^ b._2) + java.lang.Long.bitCount(a._3 ^ b._3)).toLong
+    // reference blocked list, computed independently of the Spark plan
+    val expected = (for {
+      a <- hashes; b <- hashes
+      if a._1 < b._1
+      if bands(a._2, a._3).intersect(bands(b._2, b._3)).nonEmpty
+    } yield (a._1, b._1, dist(a, b)))
+      .sortBy { case (da, db, d) => (d, da, db) }
+      .take(25)
+    val blocked = graft.SparkEntry.queries("q143_image_neardup")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(blocked.toSeq === expected.toSeq)
+    assert(blocked.nonEmpty)
+    // pigeonhole: EVERY true pair at d <= 7 must be in the candidate set
+    // (shares >= 1 band) — the exactness guarantee the blocking rests on
+    for {
+      a <- hashes; b <- hashes
+      if a._1 < b._1 && dist(a, b) <= 7
+    } assert(bands(a._2, a._3).intersect(bands(b._2, b._3)).nonEmpty,
+      s"d<=7 pair (${a._1},${b._1}) missed by banding")
+    graft.ops.CacheRegistry.release(spark, "q142-dhash:")
+  }
+}

