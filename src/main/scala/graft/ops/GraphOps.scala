@@ -158,6 +158,18 @@ object GraphOps {
     * round. Returns (vec_id, pr). */
   def pagerank(nodes: DataFrame, edges: DataFrame, rounds: Int,
       teleportTo: Option[DataFrame] = None): DataFrame = {
+    val (base, step) = prSetup(nodes, edges, teleportTo)
+    var pr = base.select(col("vec_id"), col("__pr0").as("pr")).localCheckpoint()
+    (1 to rounds).foreach(_ => pr = step(pr))
+    pr
+  }
+
+  /** Shared PageRank machinery: the checkpointed (vec_id, __tele, __pr0)
+    * node base and the one-round transition pr → pr' (the exact recurrence
+    * [[pagerank]] has always run — extracting it changes nothing the
+    * q128/q133 oracles observe). */
+  private def prSetup(nodes: DataFrame, edges: DataFrame,
+      teleportTo: Option[DataFrame]): (DataFrame, DataFrame => DataFrame) = {
     val outd = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     val e2 = edges.join(outd, Seq("src"))
     val decSum = (c: Column) => sum(c.cast("decimal(38,12)")).cast("double")
@@ -180,18 +192,54 @@ object GraphOps {
             when(col("__in"), round(lit(1.0 / m), 9)).otherwise(lit(0.0)).as("__pr0"))
     }
     val base = flagged.localCheckpoint()
-    var pr = base.select(col("vec_id"), col("__pr0").as("pr")).localCheckpoint()
-    (1 to rounds).foreach { _ =>
+    val step = (pr: DataFrame) => {
       val contrib = e2.join(pr.withColumnRenamed("vec_id", "src"), Seq("src"))
         .groupBy(col("dst"))
         .agg(decSum(col("pr") / col("outdeg")).as("s"))
         .withColumnRenamed("dst", "vec_id")
-      pr = base.join(contrib, Seq("vec_id"), "left")
+      base.join(contrib, Seq("vec_id"), "left")
         .select(col("vec_id"),
           round(col("__tele") + lit(0.85) * coalesce(col("s"), lit(0.0)), 9).as("pr"))
         .localCheckpoint() // narrow N-row state; keeps per-round lineage flat
     }
-    pr
+    (base, step)
+  }
+
+  /** Incremental-maintenance PageRank: iterate the [[pagerank]] recurrence
+    * until the max per-node delta is ≤ `tol` (or `maxRounds`), optionally
+    * WARM-STARTED from a previous converged (vec_id, pr) state. The fixed
+    * point of the damped recurrence does not depend on the start vector,
+    * so after a batch of edge arrivals the previous ranks are a valid —
+    * and much closer — initial state: new nodes enter at their cold-start
+    * rank (LEFT join + coalesce), carried nodes keep their old mass, and
+    * the loop runs only the rounds the perturbation actually needs. The
+    * per-round convergence probe is one bounded scalar aggregate (max
+    * |Δpr|) over the narrow rank frame — the same shape as the loop's own
+    * work, nothing driver-sided beyond the scalar. Returns the converged
+    * ranks and the number of rounds consumed. */
+  def pagerankUntil(nodes: DataFrame, edges: DataFrame, maxRounds: Int,
+      tol: Double, init: Option[DataFrame] = None,
+      teleportTo: Option[DataFrame] = None): (DataFrame, Int) = {
+    require(maxRounds >= 1, s"pagerankUntil: maxRounds $maxRounds < 1")
+    val (base, step) = prSetup(nodes, edges, teleportTo)
+    var pr = (init match {
+      case Some(prev) =>
+        base.join(prev.select(col("vec_id"), col("pr").as("__warm")),
+            Seq("vec_id"), "left")
+          .select(col("vec_id"), coalesce(col("__warm"), col("__pr0")).as("pr"))
+      case None => base.select(col("vec_id"), col("__pr0").as("pr"))
+    }).localCheckpoint()
+    var rounds = 0
+    var delta = Double.MaxValue
+    while (rounds < maxRounds && delta > tol) {
+      val next = step(pr)
+      delta = next.join(pr.withColumnRenamed("pr", "__prev"), Seq("vec_id"))
+        .agg(max(abs(col("pr") - col("__prev"))))
+        .first().getDouble(0)
+      pr = next
+      rounds += 1
+    }
+    (pr, rounds)
   }
 
   val qs: Seq[Q] = Seq(
