@@ -199,6 +199,29 @@ object ScaleBench {
       phase("q141_span_coalesce", n) {
         ops.SubstringOps.dupSpanIntervals(spark, dir).count()
       }
+      // ---- image near-dup candidates: the band key space is FIXED (2048
+      // values), so uncapped candidates grow ~quadratically (Σ df²/2 with
+      // df ∝ n) even on a perfectly flat hash distribution — the honest
+      // negative. The mitigations measured against it: distinct-hash
+      // collapse (built into neardupPairs) and the maxBandDf cap, which
+      // bounds candidates at 8·cap·|distinct hashes| (linear) while
+      // provably keeping every exact-dup pair (ImageOpsSpec) ----
+      phase("q142_dhash_build", n) {
+        ops.ImageOps.dhashFrame(spark, dir).count()
+      }
+      // candidate growth on a deterministic 1/10 slice: the uncapped
+      // Σ df²/2 at the full 200k would emit ~6·10⁸ pairs — the ratio
+      // between sizes is the signal, the slice keeps the wall sane
+      val imgN = n / 10
+      val imgHashes = ops.ImageOps.dhashFrame(spark, dir)
+        .filter(col("doc_id") < imgN).localCheckpoint()
+      phase("q143_img_cands_capOFF", imgN) {
+        ops.ImageOps.neardupPairs(imgHashes).count()
+      }
+      phase("q143_img_cands_capON", imgN) {
+        ops.ImageOps.neardupPairs(imgHashes, maxBandDf = 20L).count()
+      }
+      ops.CacheRegistry.release(spark, "q142-dhash:")
       // ---- cap OFF: the quadratic boilerplate pathology is visible ----
       phase("overlap_pairs_capOFF", n)(ops.TextDedup.overlapPairCount(spark, dir))
       phase("q41_lsh_capOFF", n) {

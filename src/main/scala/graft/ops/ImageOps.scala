@@ -1,6 +1,7 @@
 package graft.ops
 
 import java.nio.{ByteBuffer, ByteOrder}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.Q
 import graft.schema.Tables.t
@@ -154,7 +155,7 @@ object ImageOps {
     * decoded pixels. Persisted once per (session, dir) — q142 reports it,
     * q143's blocking join reuses it. Row bytes ride along as the band
     * values so the blocking join needs no re-hash. */
-  private def dhashFrame(s: org.apache.spark.sql.SparkSession, dir: String) =
+  private[graft] def dhashFrame(s: org.apache.spark.sql.SparkSession, dir: String) =
     CacheRegistry.cache(s, s"q142-dhash:$dir") {
       import s.implicits._
       t(s, dir, "documents")
@@ -221,13 +222,9 @@ object ImageOps {
     // identical band, so EVERY true near-dup (d ≤ 7) is in the candidate
     // set — asserted against brute force in ImageOpsSpec; beyond d = 7
     // the ranking is best-effort over candidates, which is the
-    // production trade (the report is capped anyway). The band key space
-    // is FIXED (2048 values) — candidate volume rides on the band
-    // distribution staying flat, which the whole-document resample in
-    // pixelGrid provides (see the object scaladoc for the measured
-    // crop-vs-resample gap); a df cap on hot band values (the q100/q119
-    // treatment) is the documented mitigation if a constant image floods
-    // one value. TakeOrderedAndProject caps the sort at 25 rows.
+    // production trade (the report is capped anyway). See
+    // [[neardupPairs]] for why the band join runs over DISTINCT hashes.
+    // TakeOrderedAndProject caps the sort at 25 rows.
     Q("q143_image_neardup",
       s"""$OracleHashCte,
          |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -241,28 +238,83 @@ object ImageOps {
          |  JOIN h hb ON doc_b = hb.doc_id
          |ORDER BY hamming, doc_a, doc_b
          |LIMIT 25""".stripMargin) { (s, dir) =>
-      val h = dhashFrame(s, dir)
-      // 8 bands of 8 bits from the hi/lo halves — positions 0..3 from hi,
-      // 4..7 from lo; band value = that row's gradient byte
-      val bands = h.select(col("doc_id"), explode(expr(
-          """transform(sequence(0, 7), y -> named_struct('band', y,
-            |  'rb', CASE WHEN y < 4 THEN shiftright(dhash_hi, 8 * y) & 255
-            |             ELSE shiftright(dhash_lo, 8 * (y - 4)) & 255 END))"""
-            .stripMargin)).as("b"))
-        .select(col("doc_id"), col("b.band").as("band"), col("b.rb").as("rb"))
-      val cand = bands.as("a").join(bands.as("b"),
-          col("a.band") === col("b.band") && col("a.rb") === col("b.rb") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
-      cand
-        .join(h.as("ha"), col("doc_a") === col("ha.doc_id"))
-        .join(h.as("hb"), col("doc_b") === col("hb.doc_id"))
-        .select(col("doc_a"), col("doc_b"),
-          (expr("bit_count(ha.dhash_hi ^ hb.dhash_hi)") +
-            expr("bit_count(ha.dhash_lo ^ hb.dhash_lo)")).cast("long").as("hamming"))
+      val maxBandDf =
+        s.conf.getOption("graft.imagedup.maxBandDf").map(_.toLong).getOrElse(0L)
+      neardupPairs(dhashFrame(s, dir), maxBandDf)
         .orderBy(col("hamming"), col("doc_a"), col("doc_b"))
         .limit(25)
     }
   )
+
+  // ------------------------------------------- near-dup candidate engine
+
+  /** One row per (hash, band): 8 bands of 8 bits over the DISTINCT
+    * (dhash_hi, dhash_lo) values — positions 0..3 from hi, 4..7 from lo;
+    * band value = that row's gradient byte. */
+  private[graft] def bandsOf(hashes: DataFrame): DataFrame =
+    hashes.select(col("dhash_hi"), col("dhash_lo")).distinct()
+      .select(col("dhash_hi"), col("dhash_lo"), explode(expr(
+        """transform(sequence(0, 7), y -> named_struct('band', y,
+          |  'rb', CASE WHEN y < 4 THEN shiftright(dhash_hi, 8 * y) & 255
+          |             ELSE shiftright(dhash_lo, 8 * (y - 4)) & 255 END))"""
+          .stripMargin)).as("b"))
+      .select(col("dhash_hi"), col("dhash_lo"),
+        col("b.band").as("band"), col("b.rb").as("rb"))
+
+  /** All banded near-dup candidate doc pairs with their Hamming distance:
+    * (doc_a, doc_b, hamming), doc_a < doc_b — exactly the pairs sharing
+    * ≥ 1 band, but generated the way a 100 TB corpus needs:
+    *
+    *   1. identical hashes collapse FIRST (groupBy-style self-equi-join
+    *      on the 64-bit value) and emit their pairs at distance 0 — an
+    *      exact-dup-heavy corpus (the common case at scale) never pays
+    *      df² inside the band join for hashes that are literally equal,
+    *      and these pairs can never be lost to the df cap;
+    *   2. the band join runs over DISTINCT hashes, whose band-value df
+    *      reflects corpus DIVERSITY rather than raw count, and candidate
+    *      hash pairs are deduped on the narrow 128-bit pair key before
+    *      members are joined back in;
+    *   3. `maxBandDf` > 0 drops band values whose distinct-hash df
+    *      exceeds the cap (the q100/q119 skew treatment — the band key
+    *      space is FIXED at 2048 values, so a flood of near-identical-
+    *      but-not-equal hashes is the one remaining quadratic risk;
+    *      capped, candidate volume is ≤ 8·cap·|distinct hashes|, linear).
+    *
+    * Same candidate SET as banding raw doc rows (a doc pair shares a band
+    * iff its hash pair does), asserted in ImageOpsSpec. */
+  private[graft] def neardupPairs(h: DataFrame, maxBandDf: Long = 0L): DataFrame = {
+    val within = h.as("a").join(h.as("b"),
+        col("a.dhash_hi") === col("b.dhash_hi") &&
+          col("a.dhash_lo") === col("b.dhash_lo") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        lit(0L).as("hamming"))
+    val allBands = bandsOf(h)
+    val bands =
+      if (maxBandDf <= 0) allBands
+      else allBands.join(
+        allBands.groupBy(col("band"), col("rb"))
+          .agg(count(lit(1)).as("__df")).filter(col("__df") > maxBandDf)
+          .select(col("band"), col("rb")),
+        Seq("band", "rb"), "left_anti")
+    val hashCand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.rb") === col("b.rb") &&
+          struct(col("a.dhash_hi"), col("a.dhash_lo")) <
+            struct(col("b.dhash_hi"), col("b.dhash_lo")))
+      .select(col("a.dhash_hi").as("h1_hi"), col("a.dhash_lo").as("h1_lo"),
+        col("b.dhash_hi").as("h2_hi"), col("b.dhash_lo").as("h2_lo"))
+      .distinct()
+      .withColumn("hamming",
+        (expr("bit_count(h1_hi ^ h2_hi)") + expr("bit_count(h1_lo ^ h2_lo)"))
+          .cast("long"))
+    val cross = hashCand
+      .join(h.as("ma"), col("ma.dhash_hi") === col("h1_hi") &&
+        col("ma.dhash_lo") === col("h1_lo"))
+      .join(h.as("mb"), col("mb.dhash_hi") === col("h2_hi") &&
+        col("mb.dhash_lo") === col("h2_lo"))
+      .select(least(col("ma.doc_id"), col("mb.doc_id")).as("doc_a"),
+        greatest(col("ma.doc_id"), col("mb.doc_id")).as("doc_b"),
+        col("hamming"))
+    within.union(cross)
+  }
 }

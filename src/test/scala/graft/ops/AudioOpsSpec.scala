@@ -1,0 +1,67 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Sample-level audio path: the RIFF container must round-trip PCM16
+  * losslessly through javax.sound (the decode q144 actually runs), the
+  * features must match their integer definitions bit-for-bit, and the
+  * corpus query must equal the closed-form formula — proving the WAV
+  * encode/decode added nothing. */
+class AudioOpsSpec extends SparkSpec {
+
+  test("WAV encode → javax.sound decode is a lossless PCM16 round-trip") {
+    val rnd = new scala.util.Random(7)
+    for (n <- Seq(1, 64, 1024)) {
+      val samples = Array.fill(n)(rnd.nextInt(65536) - 32768)
+      val wav = Multimodal.wavBytes(8000, 16, 1, AudioOps.pcm16Body(samples))
+      assert(AudioOps.wavDecodePcm16(wav) === samples, s"mismatch at n=$n")
+    }
+  }
+
+  test("frame energies and features match their integer definitions") {
+    // frame 0 loud ramp, frame 1 exact silence, frames 2+ constant mid
+    val samples = Array.tabulate(AudioOps.NSamples) { i =>
+      val f = i / AudioOps.FrameLen
+      if (f == 0) i * 10 else if (f == 1) 0 else 500
+    }
+    val e = AudioOps.frameEnergies(samples)
+    assert(e(0) === (0 until 64).map(i => (i * 10L) * (i * 10L)).sum)
+    assert(e(1) === 0L)
+    assert(e(2) === 64L * 500 * 500)
+    val (fp, sil, tot) = AudioOps.features(e)
+    // rises: only frame1 -> frame2 (bit 1); frame0 (e=846720) > frame2
+    // (e=16e6)? no: 846720 < 16000000, so bit 0 NOT set (e0 < e1 false:
+    // e1 = 0); bit 0 = e(0) < e(1) = false; bit 1 = 0 < 16e6 = true
+    assert((fp & 1L) === 0L)
+    assert(((fp >> 1) & 1L) === 1L)
+    assert(((fp >> 2) & 1L) === 0L, "constant frames 2.. have equal energies")
+    assert(sil === 1L, "exactly the zero frame is silent")
+    assert(tot === e.sum)
+  }
+
+  test("pcmClip: spaces are exact silence modulo dither; full-length resample") {
+    val clip = AudioOps.pcmClip("     ")
+    assert(clip.zipWithIndex.forall { case (s, i) => s === i % AudioOps.FrameLen })
+    // a 26-letter pangram-ish text yields samples over the letter range
+    val c2 = AudioOps.pcmClip("abcdefghijklmnopqrstuvwxyz")
+    assert(c2.max > 20 * AudioOps.Gain && c2.min >= AudioOps.Gain)
+  }
+
+  test("q144 equals the closed-form formula (WAV round-trip adds nothing)") {
+    val got = graft.SparkEntry.queries("q144_audio_features")(spark, sf001)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val texts = graft.schema.Tables.t(spark, sf001, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    assert(got.size === texts.length)
+    texts.foreach { case (id, text) =>
+      val expected =
+        AudioOps.features(AudioOps.frameEnergies(AudioOps.pcmClip(text)))
+      assert(got(id) === expected, s"feature mismatch for doc $id")
+    }
+    // fingerprints discriminate — the corpus must not collapse
+    assert(got.values.map(_._1).toSet.size > texts.length / 4)
+  }
+}

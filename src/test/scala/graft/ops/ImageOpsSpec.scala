@@ -53,6 +53,47 @@ class ImageOpsSpec extends SparkSpec {
     assert(got.values.toSet.size > texts.length / 4)
   }
 
+  test("neardupPairs == doc-level banding; df cap never loses exact-dup pairs") {
+    val s = spark
+    import s.implicits._
+    // planted: docs 1-3 identical hash; docs 100-129 all share band (0, rb=7)
+    // via distinct hashes (a flooded band value); docs 200/201 a d=1 pair in
+    // an uncrowded band region
+    val flood = (0 until 30).map { i =>
+      (100L + i, 7L | (i.toLong + 1) << 8 | (i.toLong + 1) << 16, (i.toLong + 40) << 8)
+    }
+    val rows = Seq(
+      (1L, 0x01020304L, 0x05060708L),
+      (2L, 0x01020304L, 0x05060708L),
+      (3L, 0x01020304L, 0x05060708L),
+      (200L, 0x90a0b0c0L, 0xd0e0f000L),
+      (201L, 0x90a0b0c1L, 0xd0e0f000L)) ++ flood
+    val h = rows.toDF("doc_id", "dhash_hi", "dhash_lo")
+
+    def bands(hi: Long, lo: Long): Seq[(Int, Long)] =
+      (0 until 8).map(y => y -> (if (y < 4) (hi >> (8 * y)) & 255 else (lo >> (8 * (y - 4))) & 255))
+    val brute = (for {
+      (ida, hia, loa) <- rows; (idb, hib, lob) <- rows
+      if ida < idb
+      if bands(hia, loa).intersect(bands(hib, lob)).nonEmpty
+    } yield (ida, idb,
+      (java.lang.Long.bitCount(hia ^ hib) + java.lang.Long.bitCount(loa ^ lob)).toLong)).sorted
+
+    def run(cap: Long) = ImageOps.neardupPairs(h, cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+
+    val uncapped = run(0L)
+    assert(uncapped == brute, "uncapped engine must equal doc-level banding")
+    assert(uncapped.count(_._3 == 0L) == 3, "three exact-dup pairs among docs 1-3")
+
+    val capped = run(10L)
+    assert(capped.toSet.subsetOf(uncapped.toSet))
+    // the flooded band's cross pairs are cut, the collapse path is not
+    assert(capped.count(_._3 == 0L) == 3, "df cap must never lose exact dups")
+    assert(capped.contains((200L, 201L, 1L)), "uncrowded near pair survives the cap")
+    assert(capped.size < uncapped.size, "the planted flood must actually be cut")
+  }
+
   test("q143: top-25 nearest blocked pairs; pigeonhole covers every d<=7 pair") {
     val hashes = graft.SparkEntry.queries("q142_image_dhash")(spark, sf001)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
