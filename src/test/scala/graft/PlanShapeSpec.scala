@@ -145,4 +145,42 @@ class PlanShapeSpec extends SparkSpec {
       s"top-k fell back to a global sort:\n$p")
     assert(!p.contains("Join"), s"scoring should be one map-side pass:\n$p")
   }
+
+  test("q141: span coalescing windows partition on doc_id, dup join is equi") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val exec = SparkEntry.queries("q141_dup_span_coalesce")(spark, sf001)
+      .queryExecution.executedPlan
+    val p = exec.toString
+    assert(!p.contains("CartesianProduct"), s"cartesian in span coalescing:\n$p")
+    // every window must be partitioned (by doc_id / doc_id+island) — an
+    // empty partitionSpec would funnel the corpus through one task
+    def windows(sp: SparkPlan): Seq[WindowExec] = sp.collect {
+      case w: WindowExec => Seq(w)
+      case a: AdaptiveSparkPlanExec => windows(a.executedPlan)
+    }.flatten
+    val specs = windows(exec).map(_.partitionSpec)
+    assert(specs.nonEmpty, s"no window in the plan:\n$p")
+    specs.foreach(s => assert(s.nonEmpty,
+      s"unpartitioned (global) window in span coalescing:\n$p"))
+  }
+
+  test("q143: image near-dup candidates come from equi-joins, never all-pairs") {
+    val p = plan("q143_image_neardup")
+    assert(!p.contains("CartesianProduct"), s"all-pairs cartesian:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-25 fell back to a global sort:\n$p")
+    graft.ops.CacheRegistry.release(spark, "q142-dhash:")
+  }
+
+  test("q142/q144: codec paths are map-only single passes — no joins, no extra shuffle") {
+    val img = plan("q142_image_dhash")
+    assert(!img.contains("Join") && !img.contains("CartesianProduct"),
+      s"pixel decode should be one mapPartitions pass:\n$img")
+    graft.ops.CacheRegistry.release(spark, "q142-dhash:")
+    val aud = plan("q144_audio_features")
+    assert(!aud.contains("Join") && !aud.contains("CartesianProduct"),
+      s"audio decode should be one mapPartitions pass:\n$aud")
+  }
 }
