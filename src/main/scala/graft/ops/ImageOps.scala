@@ -282,13 +282,33 @@ object ImageOps {
     *
     * Same candidate SET as banding raw doc rows (a doc pair shares a band
     * iff its hash pair does), asserted in ImageOpsSpec. */
-  private[graft] def neardupPairs(h: DataFrame, maxBandDf: Long = 0L): DataFrame = {
-    val within = h.as("a").join(h.as("b"),
-        col("a.dhash_hi") === col("b.dhash_hi") &&
-          col("a.dhash_lo") === col("b.dhash_lo") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        lit(0L).as("hamming"))
+  private[graft] def neardupPairs(h: DataFrame, maxBandDf: Long = 0L,
+      probeDocs: Option[DataFrame] = None): DataFrame = {
+    // incremental maintenance hook (StreamingImageDedupSpec): the pair set
+    // is MONOTONE under arrivals, so the increment for a new batch is
+    // exactly the pairs TOUCHING it — probeDocs (doc_id) restricts the
+    // probe side of every join to the batch, making the increment's cost
+    // ∝ batch, not corpus, while candidates still come from the full store
+    val probeH = probeDocs.fold(h)(pd => h.join(pd, Seq("doc_id"), "left_semi"))
+    // a full run enumerates each within-pair once via the < ordering; a
+    // probe run joins batch × store from the batch side, can see a pair
+    // from both ends, and dedupes on the pair key
+    val within = probeDocs match {
+      case None => h.as("a").join(h.as("b"),
+          col("a.dhash_hi") === col("b.dhash_hi") &&
+            col("a.dhash_lo") === col("b.dhash_lo") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          lit(0L).as("hamming"))
+      case Some(_) => probeH.as("a").join(h.as("b"),
+          col("a.dhash_hi") === col("b.dhash_hi") &&
+            col("a.dhash_lo") === col("b.dhash_lo") &&
+            col("a.doc_id") =!= col("b.doc_id"))
+        .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+          greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"),
+          lit(0L).as("hamming"))
+        .distinct()
+    }
     val allBands = bandsOf(h)
     val bands =
       if (maxBandDf <= 0) allBands
@@ -297,17 +317,41 @@ object ImageOps {
           .agg(count(lit(1)).as("__df")).filter(col("__df") > maxBandDf)
           .select(col("band"), col("rb")),
         Seq("band", "rb"), "left_anti")
-    val hashCand = bands.as("a").join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.rb") === col("b.rb") &&
-          struct(col("a.dhash_hi"), col("a.dhash_lo")) <
-            struct(col("b.dhash_hi"), col("b.dhash_lo")))
-      .select(col("a.dhash_hi").as("h1_hi"), col("a.dhash_lo").as("h1_lo"),
-        col("b.dhash_hi").as("h2_hi"), col("b.dhash_lo").as("h2_lo"))
+    // full run: < ordering in the join halves the output directly; probe
+    // run: the batch's bands probe the full band table from either side
+    // of the ordering, so normalize the hash pair afterward
+    val hashCand = (probeDocs match {
+      case None => bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.rb") === col("b.rb") &&
+            struct(col("a.dhash_hi"), col("a.dhash_lo")) <
+              struct(col("b.dhash_hi"), col("b.dhash_lo")))
+        .select(col("a.dhash_hi").as("h1_hi"), col("a.dhash_lo").as("h1_lo"),
+          col("b.dhash_hi").as("h2_hi"), col("b.dhash_lo").as("h2_lo"))
+      case Some(_) =>
+        val probeBands = bandsOf(probeH)
+          .join(bands.select(col("band"), col("rb")).distinct(),
+            Seq("band", "rb"), "left_semi") // the cap applies to probes too
+        probeBands.as("a").join(bands.as("b"),
+            col("a.band") === col("b.band") && col("a.rb") === col("b.rb") &&
+              struct(col("a.dhash_hi"), col("a.dhash_lo")) =!=
+                struct(col("b.dhash_hi"), col("b.dhash_lo")))
+          .select(
+            when(struct(col("a.dhash_hi"), col("a.dhash_lo")) <
+                struct(col("b.dhash_hi"), col("b.dhash_lo")),
+              struct(col("a.dhash_hi"), col("a.dhash_lo")))
+              .otherwise(struct(col("b.dhash_hi"), col("b.dhash_lo"))).as("h1"),
+            when(struct(col("a.dhash_hi"), col("a.dhash_lo")) <
+                struct(col("b.dhash_hi"), col("b.dhash_lo")),
+              struct(col("b.dhash_hi"), col("b.dhash_lo")))
+              .otherwise(struct(col("a.dhash_hi"), col("a.dhash_lo"))).as("h2"))
+          .select(col("h1.dhash_hi").as("h1_hi"), col("h1.dhash_lo").as("h1_lo"),
+            col("h2.dhash_hi").as("h2_hi"), col("h2.dhash_lo").as("h2_lo"))
+    })
       .distinct()
       .withColumn("hamming",
         (expr("bit_count(h1_hi ^ h2_hi)") + expr("bit_count(h1_lo ^ h2_lo)"))
           .cast("long"))
-    val cross = hashCand
+    val cross0 = hashCand
       .join(h.as("ma"), col("ma.dhash_hi") === col("h1_hi") &&
         col("ma.dhash_lo") === col("h1_lo"))
       .join(h.as("mb"), col("mb.dhash_hi") === col("h2_hi") &&
@@ -315,6 +359,20 @@ object ImageOps {
       .select(least(col("ma.doc_id"), col("mb.doc_id")).as("doc_a"),
         greatest(col("ma.doc_id"), col("mb.doc_id")).as("doc_b"),
         col("hamming"))
+    // probe runs: both member expansions ran over the full store (a probe
+    // hash can be shared with old docs), so keep only pairs touching the
+    // batch
+    val cross = probeDocs.fold(cross0) { pd =>
+      val flags = pd.select(col("doc_id"), lit(true).as("__new"))
+      cross0
+        .join(flags.withColumnRenamed("doc_id", "doc_a")
+          .withColumnRenamed("__new", "__na"), Seq("doc_a"), "left")
+        .join(flags.withColumnRenamed("doc_id", "doc_b")
+          .withColumnRenamed("__new", "__nb"), Seq("doc_b"), "left")
+        .filter(coalesce(col("__na"), lit(false)) ||
+          coalesce(col("__nb"), lit(false)))
+        .select(col("doc_a"), col("doc_b"), col("hamming"))
+    }
     within.union(cross)
   }
 }

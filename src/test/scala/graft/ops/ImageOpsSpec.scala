@@ -92,6 +92,17 @@ class ImageOpsSpec extends SparkSpec {
     assert(capped.count(_._3 == 0L) == 3, "df cap must never lose exact dups")
     assert(capped.contains((200L, 201L, 1L)), "uncrowded near pair survives the cap")
     assert(capped.size < uncapped.size, "the planted flood must actually be cut")
+
+    // probe path (incremental maintenance): pairs touching the probe set,
+    // exactly — including a probe doc whose hash is shared with old docs
+    val probeIds = Set(1L, 200L, 105L)
+    val probed = ImageOps.neardupPairs(h, 0L,
+        Some(probeIds.toSeq.toDF("doc_id")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    val expectedProbe =
+      brute.filter(p => probeIds.contains(p._1) || probeIds.contains(p._2))
+    assert(probed == expectedProbe,
+      s"probe increment diverges:\n$probed\nvs\n$expectedProbe")
   }
 
   test("q143: top-25 nearest blocked pairs; pigeonhole covers every d<=7 pair") {
