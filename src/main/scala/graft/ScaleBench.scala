@@ -161,16 +161,70 @@ object ScaleBench {
         s""""drained":$drained}""")
     }
 
+    // ---- image near-dup phases (q142/q143), shared by "all" and the
+    // "image" one-family rerun. What the numbers mean on THIS corpus: the
+    // generator's synthetic words are digit-based ("w12345"), so the
+    // [a-z ] sanitize collapses every doc to near-identical letter
+    // streams and the dHash space degenerates to a few hundred distinct
+    // values — the adversarial exact-dup-flood regime. That makes the
+    // distinct-hash collapse the load-bearing mitigation: the numbers to
+    // read are |distinct hashes| ≪ docs (the collapse), the HASH-pair
+    // candidate count (the band join's actual work — expanded doc pairs
+    // are answer size, true d=0 dups), and capOFF vs capON growth.
+    def imagePhases(s: SparkSession,
+        ph: (String, Long) => (() => Long) => Unit, dir: String, n: Long): Unit = {
+      ph("q142_dhash_build", n) { () =>
+        ops.ImageOps.dhashFrame(s, dir).count()
+      }
+      // a deterministic 1/10 slice keeps the degenerate corpus's expanded
+      // pair count (true dup pairs, quadratic BY SEMANTICS here) sane
+      val imgN = n / 10
+      val imgHashes = ops.ImageOps.dhashFrame(s, dir)
+        .filter(col("doc_id") < imgN).localCheckpoint()
+      ph("q143_img_distinct_hashes", imgN) { () =>
+        imgHashes.select(col("dhash_hi"), col("dhash_lo")).distinct().count()
+      }
+      ph("q143_img_hashcands_capOFF", imgN) { () =>
+        ops.ImageOps.hashCandidates(imgHashes).count()
+      }
+      ph("q143_img_hashcands_capON", imgN) { () =>
+        ops.ImageOps.hashCandidates(imgHashes, maxBandDf = 20L).count()
+      }
+      ph("q143_img_pairs_capOFF", imgN) { () =>
+        ops.ImageOps.neardupPairs(imgHashes).count()
+      }
+      ops.CacheRegistry.release(s, "q142-dhash:")
+    }
+    val phaseCurried = (name: String, docs: Long) =>
+      (body: () => Long) => phase(name, docs)(body())
+
     // SPARK_GRAFT_SCALE_PHASES=postloop skips the main corpus loop (the
     // doc/ANN phases take ~20 min) and runs only the post-loop phases —
     // semantic dedup, kNN graph, PageRank, power iteration, count-min —
     // against an already-generated corpus, so a one-phase fix doesn't
     // repay the whole generation. ("semdedup" is the legacy alias from
     // when semantic dedup was the only post-loop phase; same scope.)
+    // "image" / "spans" rerun ONLY that family (corpus gen is cached).
     val phaseSel = sys.env.getOrElse("SPARK_GRAFT_SCALE_PHASES", "all")
-    require(Set("all", "postloop", "semdedup").contains(phaseSel),
-      s"SPARK_GRAFT_SCALE_PHASES must be 'all' or 'postloop', got '$phaseSel'" +
-        " (a typo would silently skip corpus generation)")
+    require(Set("all", "postloop", "semdedup", "image", "spans").contains(phaseSel),
+      s"SPARK_GRAFT_SCALE_PHASES must be 'all', 'postloop', 'image' or 'spans'," +
+        s" got '$phaseSel' (a typo would silently skip corpus generation)")
+    if (phaseSel == "image") sizes.foreach { n =>
+      val dir = s"$root/n$n"
+      gen(spark, n, dir)
+      imagePhases(spark, phaseCurried, dir, n)
+    }
+    if (phaseSel == "spans") sizes.foreach { n =>
+      val dir = s"$root/n$n"
+      gen(spark, n, dir)
+      phase("q108_dup_spans", n) {
+        ops.SubstringOps.dupSpanGroups(spark, dir).count()
+      }
+      phase("q141_span_coalesce", n) {
+        ops.SubstringOps.dupSpanIntervals(spark, dir).count()
+      }
+      ops.CacheRegistry.clear(spark)
+    }
     if (phaseSel == "all") sizes.foreach { n =>
       val dir = s"$root/n$n"
       val tGen0 = System.nanoTime()
@@ -199,29 +253,7 @@ object ScaleBench {
       phase("q141_span_coalesce", n) {
         ops.SubstringOps.dupSpanIntervals(spark, dir).count()
       }
-      // ---- image near-dup candidates: the band key space is FIXED (2048
-      // values), so uncapped candidates grow ~quadratically (Σ df²/2 with
-      // df ∝ n) even on a perfectly flat hash distribution — the honest
-      // negative. The mitigations measured against it: distinct-hash
-      // collapse (built into neardupPairs) and the maxBandDf cap, which
-      // bounds candidates at 8·cap·|distinct hashes| (linear) while
-      // provably keeping every exact-dup pair (ImageOpsSpec) ----
-      phase("q142_dhash_build", n) {
-        ops.ImageOps.dhashFrame(spark, dir).count()
-      }
-      // candidate growth on a deterministic 1/10 slice: the uncapped
-      // Σ df²/2 at the full 200k would emit ~6·10⁸ pairs — the ratio
-      // between sizes is the signal, the slice keeps the wall sane
-      val imgN = n / 10
-      val imgHashes = ops.ImageOps.dhashFrame(spark, dir)
-        .filter(col("doc_id") < imgN).localCheckpoint()
-      phase("q143_img_cands_capOFF", imgN) {
-        ops.ImageOps.neardupPairs(imgHashes).count()
-      }
-      phase("q143_img_cands_capON", imgN) {
-        ops.ImageOps.neardupPairs(imgHashes, maxBandDf = 20L).count()
-      }
-      ops.CacheRegistry.release(spark, "q142-dhash:")
+      imagePhases(spark, phaseCurried, dir, n)
       // ---- cap OFF: the quadratic boilerplate pathology is visible ----
       phase("overlap_pairs_capOFF", n)(ops.TextDedup.overlapPairCount(spark, dir))
       phase("q41_lsh_capOFF", n) {
@@ -380,6 +412,9 @@ object ScaleBench {
       recallLine("ann_recall_uniform", udir)
       probeSweep("probe_sweep_uniform", udir)
       ops.CacheRegistry.clear(spark) // release this size's persisted frames
+    }
+    if (phaseSel == "image" || phaseSel == "spans") {
+      spark.stop(); return // one-family rerun done
     }
     // ---- q113 semantic dedup: candidate growth under k ∝ N ----
     // The quantity that decides whether SemDeDup scales is the within-

@@ -309,14 +309,7 @@ object ImageOps {
           lit(0L).as("hamming"))
         .distinct()
     }
-    val allBands = bandsOf(h)
-    val bands =
-      if (maxBandDf <= 0) allBands
-      else allBands.join(
-        allBands.groupBy(col("band"), col("rb"))
-          .agg(count(lit(1)).as("__df")).filter(col("__df") > maxBandDf)
-          .select(col("band"), col("rb")),
-        Seq("band", "rb"), "left_anti")
+    val bands = cappedBands(h, maxBandDf)
     // full run: < ordering in the join halves the output directly; probe
     // run: the batch's bands probe the full band table from either side
     // of the ordering, so normalize the hash pair afterward
@@ -374,5 +367,32 @@ object ImageOps {
         .select(col("doc_a"), col("doc_b"), col("hamming"))
     }
     within.union(cross)
+  }
+
+  /** The band table over distinct hashes, with values whose distinct-hash
+    * df exceeds `maxBandDf` dropped (0 = no cap). */
+  private[graft] def cappedBands(h: DataFrame, maxBandDf: Long): DataFrame = {
+    val allBands = bandsOf(h)
+    if (maxBandDf <= 0) allBands
+    else allBands.join(
+      allBands.groupBy(col("band"), col("rb"))
+        .agg(count(lit(1)).as("__df")).filter(col("__df") > maxBandDf)
+        .select(col("band"), col("rb")),
+      Seq("band", "rb"), "left_anti")
+  }
+
+  /** The banded candidate HASH pairs alone — the frame whose cardinality
+    * is the band join's actual work (ScaleBench measures it directly:
+    * member expansion multiplies by true dup multiplicity, which is
+    * answer size, not join cost). */
+  private[graft] def hashCandidates(h: DataFrame, maxBandDf: Long = 0L): DataFrame = {
+    val bands = cappedBands(h, maxBandDf)
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.rb") === col("b.rb") &&
+          struct(col("a.dhash_hi"), col("a.dhash_lo")) <
+            struct(col("b.dhash_hi"), col("b.dhash_lo")))
+      .select(col("a.dhash_hi").as("h1_hi"), col("a.dhash_lo").as("h1_lo"),
+        col("b.dhash_hi").as("h2_hi"), col("b.dhash_lo").as("h2_lo"))
+      .distinct()
   }
 }
