@@ -72,6 +72,17 @@ object Bench {
     // A failed query reports -1, not its (fast) time-to-throw: a regression
     // into an error must read as a failure in the JSON, never as a speedup.
     case class RunSample(wallSec: Double, bytes: Long, runMs: Long, cpuMs: Long)
+    // CacheRegistry storage high-water mark (round-6 task 3's bench note):
+    // sampled after every query, so the number is the PEAK concurrent
+    // footprint of the shared operator caches under the registry's
+    // MEMORY_AND_DISK + LRU-cap policy, not the end-of-run residue.
+    var cacheHwMemMb = 0.0
+    var cacheHwDiskMb = 0.0
+    def sampleStorage(): Unit = {
+      val infos = spark.sparkContext.getRDDStorageInfo
+      cacheHwMemMb = math.max(cacheHwMemMb, infos.map(_.memSize).sum / 1e6)
+      cacheHwDiskMb = math.max(cacheHwDiskMb, infos.map(_.diskSize).sum / 1e6)
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): RunSample = {
         val (b0, r0, c0) = { drainBus(); counters() }
@@ -85,6 +96,7 @@ object Bench {
       val b = once()
       val t = if (a.wallSec < 0 || b.wallSec < 0) -1.0
               else math.min(a.wallSec, b.wallSec)
+      sampleStorage()
       (name, t, a, b)
     }
     // ms precision and sorted keys keep the JSON line short and stable:
@@ -117,6 +129,8 @@ object Bench {
       val body = s"""{\n"sf": "$sfDir",\n"wall_total_sec": ${f3(total)},\n""" +
         s""""task_total_sec_r1": ${f3(taskTotalSec)},\n""" +
         s""""cpu_total_sec_r1": ${f3(cpuTotalSec)},\n""" +
+        s""""cache_hw_mem_mb": ${f1(cacheHwMemMb)},\n""" +
+        s""""cache_hw_disk_mb": ${f1(cacheHwDiskMb)},\n""" +
         s""""failed": $nFailed,\n"queries": {\n$rows\n}\n}\n"""
       java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
         body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -164,6 +178,7 @@ object Bench {
       s"""{"metric":"total","unit":"sec","fmt":$fmt,""" +
         s""""q":$entries,$jit"sf":"$sfDir","n":${results.size},""" +
         s""""task_sec":${f3(taskTotalSec)},"cpu_sec":${f3(cpuTotalSec)},""" +
+        s""""cache_hw_mb":[${f1(cacheHwMemMb)},${f1(cacheHwDiskMb)}],""" +
         s""""value":${f3(total)},"failed":$nFailed}"""
     }
     // degrade order: raise the MB floor, then drop the jitter pairs, then
