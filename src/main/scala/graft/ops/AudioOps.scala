@@ -125,9 +125,63 @@ object AudioOps {
     (fp, e.count(_ < SilenceEnergy).toLong, e.sum)
   }
 
+  // ------------------------------------------- 64-bit fingerprint (q145)
+
+  /** Fine-frame geometry for the NEAR-DUP fingerprint: the same 1024
+    * decoded samples cut into 64 frames of 16 → 63 adjacent-energy
+    * comparisons — enough bits for the q143 banding engine (8 bands of 8;
+    * bit 63 stays 0, which only fixes one position of band 7). */
+  private[ops] val FineFrameLen = 16
+  private[ops] val NFineFrames = NSamples / FineFrameLen
+
+  private[ops] def fineEnergies(samples: Array[Int]): Array[Long] =
+    Array.tabulate(NFineFrames) { f =>
+      var e = 0L
+      var i = 0
+      while (i < FineFrameLen) {
+        val s = samples(f * FineFrameLen + i).toLong
+        e += s * s
+        i += 1
+      }
+      e
+    }
+
+  /** (hi, lo): bit f of the 63-bit fingerprint is e(f) < e(f+1), packed
+    * little-endian — f 0–31 in hi, 32–62 in lo. The Haitsma–Kalker shape:
+    * energy-gradient signs, invariant under uniform gain. */
+  private[ops] def fingerprint64(e: Array[Long]): (Long, Long) = {
+    var hi = 0L; var lo = 0L
+    var f = 0
+    while (f < NFineFrames - 1) {
+      if (e(f) < e(f + 1)) {
+        if (f < 32) hi |= (1L << f) else lo |= (1L << (f - 32))
+      }
+      f += 1
+    }
+    (hi, lo)
+  }
+
+  /** (doc_id, dhash_hi, dhash_lo) — the fingerprint frame in the exact
+    * column shape [[ImageOps.neardupPairs]] consumes, through the full
+    * codec path. Registry-cached per (session, dir). */
+  private[graft] def fingerprintFrame(s: org.apache.spark.sql.SparkSession,
+      dir: String) =
+    CacheRegistry.cache(s, s"q145-audiofp:$dir") {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) =>
+          val wav = Multimodal.wavBytes(8000, 16, 1, pcm16Body(pcmClip(text)))
+          val (hi, lo) = fingerprint64(fineEnergies(wavDecodePcm16(wav)))
+          (id, hi, lo)
+        })
+        .toDF("doc_id", "dhash_hi", "dhash_lo")
+    }
+
   // --------------------------------------------------------- queries
 
-  private val OracleFrameCte: String =
+  private val OracleSmpCte: String =
     s"""WITH px AS (SELECT doc_id,
        |    regexp_replace(lower(coalesce(text, '')), '[^a-z ]', '', 'g') AS ctext
        |  FROM documents),
@@ -136,7 +190,10 @@ object AudioOps {
        |          THEN unicode(substr(ctext,
        |                 CAST((u.i * len(ctext)) // $NSamples AS BIGINT) + 1, 1))
        |          ELSE 32 END - 32) * $Gain + (u.i % $FrameLen) AS BIGINT) AS s
-       |  FROM px, unnest(range(0, $NSamples)) u(i)),
+       |  FROM px, unnest(range(0, $NSamples)) u(i))""".stripMargin
+
+  private val OracleFrameCte: String =
+    s"""$OracleSmpCte,
        |fr AS (SELECT doc_id, i // $FrameLen AS f, CAST(sum(s * s) AS BIGINT) AS e
        |  FROM smp GROUP BY doc_id, i // $FrameLen)""".stripMargin
 
@@ -177,6 +234,48 @@ object AudioOps {
         }
         .toDF("doc_id", "fingerprint", "silence_frames", "total_energy")
         .orderBy(col("doc_id"))
+    },
+
+    // ---- audio near-dup: the q143 banding engine on the fingerprint ----
+    // q144's coarse 15-bit fingerprint profiles a clip; near-dup needs
+    // more selectivity, so the same decoded samples are cut into 64 fine
+    // frames → a 63-bit Haitsma–Kalker-shaped gradient fingerprint that
+    // feeds ImageOps.neardupPairs UNCHANGED (distinct-hash collapse,
+    // bounded band space, df cap, probe-side increments — one engine, two
+    // modalities). Top-25 nearest candidate pairs; pigeonhole covers
+    // every d ≤ 7 pair as in q143.
+    Q("q145_audio_neardup",
+      s"""$OracleSmpCte,
+         |fr AS (SELECT doc_id, i // $FineFrameLen AS f,
+         |    CAST(sum(s * s) AS BIGINT) AS e
+         |  FROM smp GROUP BY doc_id, i // $FineFrameLen),
+         |fp AS (SELECT l.doc_id,
+         |    CAST(sum(CASE WHEN l.f < 32 AND l.e < r.e
+         |             THEN CAST(1 AS BIGINT) << l.f ELSE 0 END) AS BIGINT) AS hi,
+         |    CAST(sum(CASE WHEN l.f >= 32 AND l.e < r.e
+         |             THEN CAST(1 AS BIGINT) << (l.f - 32) ELSE 0 END) AS BIGINT) AS lo
+         |  FROM fr l JOIN fr r ON l.doc_id = r.doc_id AND r.f = l.f + 1
+         |  GROUP BY l.doc_id),
+         |bd AS (SELECT doc_id, t.y,
+         |    CASE WHEN t.y < 4 THEN (hi >> (8 * t.y)) & 255
+         |         ELSE (lo >> (8 * (t.y - 4))) & 255 END AS rb
+         |  FROM fp, range(0, 8) t(y)),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bd a JOIN bd b ON a.y = b.y AND a.rb = b.rb
+         |    AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b,
+         |    CAST(bit_count(xor(fa.hi, fb.hi))
+         |      + bit_count(xor(fa.lo, fb.lo)) AS BIGINT) AS hamming
+         |FROM cand
+         |JOIN fp fa ON doc_a = fa.doc_id
+         |JOIN fp fb ON doc_b = fb.doc_id
+         |ORDER BY hamming, doc_a, doc_b
+         |LIMIT 25""".stripMargin) { (s, dir) =>
+      val maxBandDf =
+        s.conf.getOption("graft.imagedup.maxBandDf").map(_.toLong).getOrElse(0L)
+      ImageOps.neardupPairs(fingerprintFrame(s, dir), maxBandDf)
+        .orderBy(col("hamming"), col("doc_a"), col("doc_b"))
+        .limit(25)
     }
   )
 }

@@ -48,6 +48,47 @@ class AudioOpsSpec extends SparkSpec {
     assert(c2.max > 20 * AudioOps.Gain && c2.min >= AudioOps.Gain)
   }
 
+  test("fingerprint64 packs fine-frame gradient bits little-endian, hi f<32") {
+    // rising staircase energies → every gradient bit set: hi all-32-bits,
+    // lo the remaining 31 (bit 63 always 0)
+    val rising = Array.tabulate(AudioOps.NFineFrames)(f => f.toLong)
+    assert(AudioOps.fingerprint64(rising) === ((0xffffffffL, 0x7fffffffL)))
+    // single rise at the hi/lo boundary: e(31) < e(32) → hi bit 31 only
+    val step = Array.tabulate(AudioOps.NFineFrames)(f => if (f >= 32) 5L else 1L)
+    assert(AudioOps.fingerprint64(step) === ((1L << 31, 0L)))
+  }
+
+  test("q145: top-25 nearest banded pairs over the codec-derived fingerprint") {
+    val hashes = AudioOps.fingerprintFrame(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // reference list computed independently: candidates = share >= 1 band
+    def bands(hi: Long, lo: Long): Seq[(Int, Long)] =
+      (0 until 8).map(y => y -> (if (y < 4) (hi >> (8 * y)) & 255 else (lo >> (8 * (y - 4))) & 255))
+    val expected = (for {
+      a <- hashes; b <- hashes
+      if a._1 < b._1
+      if bands(a._2, a._3).intersect(bands(b._2, b._3)).nonEmpty
+    } yield (a._1, b._1,
+      (java.lang.Long.bitCount(a._2 ^ b._2) + java.lang.Long.bitCount(a._3 ^ b._3)).toLong))
+      .sortBy { case (da, db, d) => (d, da, db) }
+      .take(25)
+    val got = graft.SparkEntry.queries("q145_audio_neardup")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === expected.toSeq)
+    assert(got.nonEmpty)
+    // fingerprints match the closed-form derivation for a sample of docs
+    val texts = graft.schema.Tables.t(spark, sf001, "documents")
+      .select(col("doc_id"), col("text")).limit(20).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val hashMap = hashes.map(h => h._1 -> (h._2, h._3)).toMap
+    texts.foreach { case (id, text) =>
+      val exp = AudioOps.fingerprint64(
+        AudioOps.fineEnergies(AudioOps.pcmClip(text)))
+      assert(hashMap(id) === exp, s"fingerprint mismatch for doc $id")
+    }
+    graft.ops.CacheRegistry.release(spark, "q145-audiofp:")
+  }
+
   test("q144 equals the closed-form formula (WAV round-trip adds nothing)") {
     val got = graft.SparkEntry.queries("q144_audio_features")(spark, sf001)
       .collect()
