@@ -110,7 +110,13 @@ object SubstringOps {
     * rides along from the same `sequence(…)` enumeration that generates
     * the gram — q108 drops it, q141's span coalescing is built on it. */
   private[ops] def gramRowsPos(s: SparkSession, dir: String) =
-    t(s, dir, "documents")
+    gramRowsPosFrom(t(s, dir, "documents"))
+
+  /** [[gramRowsPos]] over any (doc_id, text, …) frame — the per-batch
+    * map-side landing step of the streaming composition
+    * (StreamingSpanDedupSpec) shares it with the batch queries. */
+  private[graft] def gramRowsPosFrom(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), wordsCol.as("w"))
       .select(col("doc_id"), explode(expr(
         s"""CASE WHEN size(w) >= $GramWords THEN
@@ -153,17 +159,31 @@ object SubstringOps {
     * is per (doc, island). No driver collect anywhere. Output: (doc_id,
     * span_start, span_end, span_words, n_grams), word positions 1-based
     * inclusive. */
-  def dupSpanIntervals(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val g = gramRowsPos(s, dir)
-      .select(col("doc_id"), col("pos"), md5(col("gram")).as("gm"))
+  def dupSpanIntervals(s: SparkSession, dir: String): DataFrame =
+    dupSpanIntervalsFrom(
+      gramRowsPos(s, dir)
+        .select(col("doc_id"), col("pos"), md5(col("gram")).as("gm")))
+
+  /** [[dupSpanIntervals]] over an accumulated (doc_id, pos, gm) gram
+    * store, optionally restricted to `onlyDocs` (doc_id) — the dup-gram
+    * statistic always runs over the FULL store (a gram's duplicated-ness
+    * is a corpus property), the interval rebuild over the restriction.
+    * The streaming composition leans on this split: span intervals are
+    * NOT monotone under arrivals (a new doc can flip a gram from unique
+    * to duplicated, extending or merging islands inside OLD documents),
+    * so the incremental rule is recompute-the-affected, not union — and
+    * the affected set is exactly the holders of newly-duplicated grams
+    * plus the arrivals themselves (proven in StreamingSpanDedupSpec). */
+  private[graft] def dupSpanIntervalsFrom(g: DataFrame,
+      onlyDocs: Option[DataFrame] = None): DataFrame = {
     // grams repeated across ≥2 docs — same statistic as dupSpanGroups,
     // keyed on the md5 so the shuffle never carries span text
     val dups = g.groupBy(col("gm"))
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= 2)
       .select(col("gm"))
-    val flagged = g.join(dups, Seq("gm")).select(col("doc_id"), col("pos"))
+    val scope = onlyDocs.fold(g)(d => g.join(d, Seq("doc_id"), "left_semi"))
+    val flagged = scope.join(dups, Seq("gm")).select(col("doc_id"), col("pos"))
     coalesceSpans(flagged)
   }
 
