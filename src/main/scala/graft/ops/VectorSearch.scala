@@ -359,17 +359,26 @@ object VectorSearch {
 
   /** [[kmeansLloyd]] over any (vec_id, embedding) frame — dimension-
     * agnostic (the rebuild works positionally), so specs can drive the
-    * loop on small synthetic geometries with known convergence. */
+    * loop on small synthetic geometries with known convergence.
+    * `initCentroids` (seed_id, ce: ARRAY<DOUBLE>) WARM-STARTS the loop —
+    * the incremental-maintenance hook, mirroring pagerankUntil: after a
+    * batch of arrivals the previous converged centroids are a far closer
+    * starting state than the vec_id < k seeds, so the loop spends only
+    * the rounds the perturbation needs (StreamingKMeansSpec measures
+    * strictly fewer rounds to the same fixed point). */
   def kmeansLloydFrom(embIn: org.apache.spark.sql.DataFrame,
-      k: Int, maxRounds: Int): (org.apache.spark.sql.DataFrame, Int, Boolean) = {
+      k: Int, maxRounds: Int,
+      initCentroids: Option[org.apache.spark.sql.DataFrame] = None)
+      : (org.apache.spark.sql.DataFrame, Int, Boolean) = {
     require(k >= 1 && maxRounds >= 1, s"need k >= 1 and maxRounds >= 1")
     graft.functions.GraftFunctions.register(embIn.sparkSession)
     val emb = embIn.select(col("vec_id"), col("embedding"))
     // round-0 centroids: the embeddings of vec_id < k, cast to DOUBLE
-    // (float32 values are exactly representable — no rounding needed)
-    var centroids = emb.filter(col("vec_id") < k)
+    // (float32 values are exactly representable — no rounding needed) —
+    // or the caller's previous converged centroid table
+    var centroids = initCentroids.getOrElse(emb.filter(col("vec_id") < k)
       .select(col("vec_id").as("seed_id"),
-        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("ce"))
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("ce")))
     val cosInSeed =
       """round(graft_dot(embedding, s.ce)
         |  / (sqrt(graft_dot(embedding, embedding))

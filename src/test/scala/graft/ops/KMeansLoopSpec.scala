@@ -35,6 +35,47 @@ class KMeansLoopSpec extends SparkSpec {
       !== byParity.filter(_._1 == 1L).map(_._2).distinct)
   }
 
+  test("warm-start from previous centroids: same fixed point, fewer rounds") {
+    import spark.implicits._
+    // angular geometry engineered so the COLD vec_id<k seeds misassign a
+    // boundary vector for a couple of rounds: cluster A hugs 0° (with a
+    // 12° straggler), cluster B hugs 60°, and seed 1 sits at 25° — an
+    // A-member that round-0 assignment treats as a cluster center
+    def v(deg: Double): Array[Float] = {
+      val r = math.toRadians(deg)
+      Array(math.cos(r).toFloat, math.sin(r).toFloat)
+    }
+    val batch1 = Seq(0L -> v(-10), 1L -> v(25), 2L -> v(-5), 3L -> v(5),
+      4L -> v(12), 5L -> v(55)).toDF("vec_id", "embedding")
+    val arrivals = Seq(6L -> v(60), 7L -> v(65)).toDF("vec_id", "embedding")
+    val full = batch1.union(arrivals)
+
+    val (a1, _, conv1) = VectorSearch.kmeansLloydFrom(batch1, k = 2, maxRounds = 10)
+    assert(conv1)
+    // previous converged centroids: rebuild from the final assignment
+    val prevCentroids = VectorSearch.centroidRebuild(
+      a1.select(col("vec_id"), col("seed_id"))
+        .join(batch1, "vec_id")
+        .select(col("seed_id"), col("embedding")))
+
+    val (cold, coldRounds, convC) =
+      VectorSearch.kmeansLloydFrom(full, k = 2, maxRounds = 10)
+    val (warm, warmRounds, convW) = VectorSearch.kmeansLloydFrom(
+      full, k = 2, maxRounds = 10, initCentroids = Some(prevCentroids))
+    assert(convC && convW)
+    def asn(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // same partition of the vectors (cluster LABELS may differ between
+    // starts — compare co-membership, not seed ids)
+    val (cm, wm) = (asn(cold), asn(warm))
+    val ids = cm.keySet.toSeq.sorted
+    for (a <- ids; b <- ids if a < b)
+      assert((cm(a) == cm(b)) === (wm(a) == wm(b)),
+        s"cold and warm disagree on co-membership of $a/$b")
+    assert(warmRounds < coldRounds,
+      s"warm-start must converge faster: warm $warmRounds vs cold $coldRounds")
+  }
+
   test("assignment is stable after convergence: more rounds change nothing") {
     val df = planted(30)
     val (a1, r1, c1) = VectorSearch.kmeansLloydFrom(df, k = 2, maxRounds = 8)
