@@ -166,12 +166,16 @@ class PlanShapeSpec extends SparkSpec {
       s"unpartitioned (global) window in span coalescing:\n$p"))
   }
 
-  test("q143: image near-dup candidates come from equi-joins, never all-pairs") {
-    val p = plan("q143_image_neardup")
-    assert(!p.contains("CartesianProduct"), s"all-pairs cartesian:\n$p")
-    assert(p.contains("TakeOrderedAndProject"),
-      s"top-25 fell back to a global sort:\n$p")
-    graft.ops.CacheRegistry.release(spark, "q142-dhash:")
+  test("q143/q145: banded near-dup candidates come from equi-joins, never all-pairs") {
+    for ((name, cacheKey) <- Seq(
+        "q143_image_neardup" -> "q142-dhash:",
+        "q145_audio_neardup" -> "q145-audiofp:")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name all-pairs cartesian:\n$p")
+      assert(p.contains("TakeOrderedAndProject"),
+        s"$name top-25 fell back to a global sort:\n$p")
+      graft.ops.CacheRegistry.release(spark, cacheKey)
+    }
   }
 
   test("q142/q144: codec paths are map-only single passes — no joins, no extra shuffle") {
