@@ -72,10 +72,14 @@ object Bench {
     // A failed query reports -1, not its (fast) time-to-throw: a regression
     // into an error must read as a failure in the JSON, never as a speedup.
     case class RunSample(wallSec: Double, bytes: Long, runMs: Long, cpuMs: Long)
-    // CacheRegistry storage high-water mark (round-6 task 3's bench note):
-    // sampled after every query, so the number is the PEAK concurrent
-    // footprint of the shared operator caches under the registry's
-    // MEMORY_AND_DISK + LRU-cap policy, not the end-of-run residue.
+    // RDD-storage high-water mark (round-6 task 3's bench note): sampled
+    // at QUERY BOUNDARIES, so it is the peak boundary-visible footprint —
+    // an upper bound on the CacheRegistry caches (localCheckpoint blocks
+    // not yet cleaned also count) and a lower bound on any intra-query
+    // transient peak. Under the registry's MEMORY_AND_DISK + LRU-cap
+    // policy the question this answers is "does the suite's persistent
+    // storage ever approach executor memory" — it does not need
+    // cache-exact attribution for that.
     var cacheHwMemMb = 0.0
     var cacheHwDiskMb = 0.0
     def sampleStorage(): Unit = {

@@ -171,32 +171,29 @@ object ScaleBench {
     // read are |distinct hashes| ≪ docs (the collapse), the HASH-pair
     // candidate count (the band join's actual work — expanded doc pairs
     // are answer size, true d=0 dups), and capOFF vs capON growth.
-    def imagePhases(s: SparkSession,
-        ph: (String, Long) => (() => Long) => Unit, dir: String, n: Long): Unit = {
-      ph("q142_dhash_build", n) { () =>
-        ops.ImageOps.dhashFrame(s, dir).count()
+    def imagePhases(dir: String, n: Long): Unit = {
+      phase("q142_dhash_build", n) {
+        ops.ImageOps.dhashFrame(spark, dir).count()
       }
       // a deterministic 1/10 slice keeps the degenerate corpus's expanded
       // pair count (true dup pairs, quadratic BY SEMANTICS here) sane
       val imgN = n / 10
-      val imgHashes = ops.ImageOps.dhashFrame(s, dir)
+      val imgHashes = ops.ImageOps.dhashFrame(spark, dir)
         .filter(col("doc_id") < imgN).localCheckpoint()
-      ph("q143_img_distinct_hashes", imgN) { () =>
+      phase("q143_img_distinct_hashes", imgN) {
         imgHashes.select(col("dhash_hi"), col("dhash_lo")).distinct().count()
       }
-      ph("q143_img_hashcands_capOFF", imgN) { () =>
+      phase("q143_img_hashcands_capOFF", imgN) {
         ops.ImageOps.hashCandidates(imgHashes).count()
       }
-      ph("q143_img_hashcands_capON", imgN) { () =>
+      phase("q143_img_hashcands_capON", imgN) {
         ops.ImageOps.hashCandidates(imgHashes, maxBandDf = 20L).count()
       }
-      ph("q143_img_pairs_capOFF", imgN) { () =>
+      phase("q143_img_pairs_capOFF", imgN) {
         ops.ImageOps.neardupPairs(imgHashes).count()
       }
-      ops.CacheRegistry.release(s, "q142-dhash:")
+      ops.CacheRegistry.release(spark, "q142-dhash:")
     }
-    val phaseCurried = (name: String, docs: Long) =>
-      (body: () => Long) => phase(name, docs)(body())
 
     // SPARK_GRAFT_SCALE_PHASES=postloop skips the main corpus loop (the
     // doc/ANN phases take ~20 min) and runs only the post-loop phases —
@@ -212,7 +209,7 @@ object ScaleBench {
     if (phaseSel == "image") sizes.foreach { n =>
       val dir = s"$root/n$n"
       gen(spark, n, dir)
-      imagePhases(spark, phaseCurried, dir, n)
+      imagePhases(dir, n)
     }
     if (phaseSel == "spans") sizes.foreach { n =>
       val dir = s"$root/n$n"
@@ -253,7 +250,7 @@ object ScaleBench {
       phase("q141_span_coalesce", n) {
         ops.SubstringOps.dupSpanIntervals(spark, dir).count()
       }
-      imagePhases(spark, phaseCurried, dir, n)
+      imagePhases(dir, n)
       // ---- cap OFF: the quadratic boilerplate pathology is visible ----
       phase("overlap_pairs_capOFF", n)(ops.TextDedup.overlapPairCount(spark, dir))
       phase("q41_lsh_capOFF", n) {

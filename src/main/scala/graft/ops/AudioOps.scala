@@ -87,9 +87,12 @@ object AudioOps {
     val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
       new java.io.ByteArrayInputStream(bytes))
     val fmt = in.getFormat
+    // endianness matters: AudioSystem also parses AIFF/AU, whose PCM is
+    // big-endian — those must trip the guard, not silently byte-swap
     require(fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
-      && fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
-      s"unexpected WAV format: $fmt")
+      && fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1
+      && !fmt.isBigEndian,
+      s"unexpected audio format: $fmt")
     val raw = in.readAllBytes()
     in.close()
     val n = raw.length / 2
@@ -101,17 +104,20 @@ object AudioOps {
   // ----------------------------------------------------------- features
 
   /** Per-frame energies Σ s² — the basis of every derived feature. */
-  private[ops] def frameEnergies(samples: Array[Int]): Array[Long] =
-    Array.tabulate(NFrames) { f =>
+  private def energies(samples: Array[Int], frameLen: Int): Array[Long] =
+    Array.tabulate(samples.length / frameLen) { f =>
       var e = 0L
       var i = 0
-      while (i < FrameLen) {
-        val s = samples(f * FrameLen + i).toLong
+      while (i < frameLen) {
+        val s = samples(f * frameLen + i).toLong
         e += s * s
         i += 1
       }
       e
     }
+
+  private[ops] def frameEnergies(samples: Array[Int]): Array[Long] =
+    energies(samples, FrameLen)
 
   /** (fingerprint, silent frame count, total energy): bit f of the
     * fingerprint is e(f) < e(f+1), packed little-endian — 15 bits. */
@@ -135,16 +141,7 @@ object AudioOps {
   private[ops] val NFineFrames = NSamples / FineFrameLen
 
   private[ops] def fineEnergies(samples: Array[Int]): Array[Long] =
-    Array.tabulate(NFineFrames) { f =>
-      var e = 0L
-      var i = 0
-      while (i < FineFrameLen) {
-        val s = samples(f * FineFrameLen + i).toLong
-        e += s * s
-        i += 1
-      }
-      e
-    }
+    energies(samples, FineFrameLen)
 
   /** (hi, lo): bit f of the 63-bit fingerprint is e(f) < e(f+1), packed
     * little-endian — f 0–31 in hi, 32–62 in lo. The Haitsma–Kalker shape:

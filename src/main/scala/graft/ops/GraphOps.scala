@@ -233,9 +233,13 @@ object GraphOps {
     var delta = Double.MaxValue
     while (rounds < maxRounds && delta > tol) {
       val next = step(pr)
-      delta = next.join(pr.withColumnRenamed("pr", "__prev"), Seq("vec_id"))
+      // max() over zero rows is NULL (reachable with a personalized
+      // teleport set over an empty node universe — the classic-teleport
+      // path already fails fast in prSetup): treat as converged
+      val row = next.join(pr.withColumnRenamed("pr", "__prev"), Seq("vec_id"))
         .agg(max(abs(col("pr") - col("__prev"))))
-        .first().getDouble(0)
+        .first()
+      delta = if (row.isNullAt(0)) 0.0 else row.getDouble(0)
       pr = next
       rounds += 1
     }

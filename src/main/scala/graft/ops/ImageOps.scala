@@ -107,11 +107,15 @@ object ImageOps {
     }
     val deflater = new java.util.zip.Deflater()
     deflater.setInput(raw); deflater.finish()
-    val buf = new Array[Byte](raw.length + 64)
-    val n = deflater.deflate(buf)
+    // drain until finished: a single deflate() call would silently
+    // truncate the IDAT when stored-block overhead on a large
+    // incompressible raster exceeds a fixed slack
+    val out = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
+    val buf = new Array[Byte](8192)
+    while (!deflater.finished()) out.write(buf, 0, deflater.deflate(buf))
     deflater.end()
     val magic = Array(0x89, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n').map(_.toByte)
-    magic ++ chunk("IHDR", ihdr) ++ chunk("IDAT", buf.take(n)) ++
+    magic ++ chunk("IHDR", ihdr) ++ chunk("IDAT", out.toByteArray) ++
       chunk("IEND", Array.empty[Byte])
   }
 
@@ -157,23 +161,31 @@ object ImageOps {
     * values so the blocking join needs no re-hash. */
   private[graft] def dhashFrame(s: org.apache.spark.sql.SparkSession, dir: String) =
     CacheRegistry.cache(s, s"q142-dhash:$dir") {
-      import s.implicits._
-      t(s, dir, "documents")
-        .select(col("doc_id"), col("text"))
-        .as[(Long, String)]
-        .mapPartitions { it =>
-          // codec-per-partition seam: a real codec library would be
-          // initialized here, once per task, not per row
-          it.map { case (id, text) =>
-            val png = pngEncodeGray(GridW, GridH, pixelGrid(text))
-            val (w, h, px) = pngDecodeGray(png)
-            require(w == GridW && h == GridH, s"decode shape $w x $h")
-            val (hi, lo) = dHash(px)
-            (id, hi, lo)
-          }
-        }
-        .toDF("doc_id", "dhash_hi", "dhash_lo")
+      dhashFrameFrom(t(s, dir, "documents"))
     }
+
+  /** [[dhashFrame]] over any (doc_id, text, …) frame — the per-batch
+    * map-side hashing step of the streaming composition
+    * (StreamingImageDedupSpec) shares it with the batch queries. */
+  private[graft] def dhashFrameFrom(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        // codec-per-partition seam: a real codec library would be
+        // initialized here, once per task, not per row
+        it.map { case (id, text) =>
+          val png = pngEncodeGray(GridW, GridH, pixelGrid(text))
+          val (w, h, px) = pngDecodeGray(png)
+          require(w == GridW && h == GridH, s"decode shape $w x $h")
+          val (hi, lo) = dHash(px)
+          (id, hi, lo)
+        }
+      }
+      .toDF("doc_id", "dhash_hi", "dhash_lo")
+  }
 
   /** Shared oracle CTEs: the closed-form pixel grid and per-row hash bytes
     * in DuckDB SQL. `rows` has (doc_id, y, rb). */
@@ -321,9 +333,14 @@ object ImageOps {
         .select(col("a.dhash_hi").as("h1_hi"), col("a.dhash_lo").as("h1_lo"),
           col("b.dhash_hi").as("h2_hi"), col("b.dhash_lo").as("h2_lo"))
       case Some(_) =>
-        val probeBands = bandsOf(probeH)
-          .join(bands.select(col("band"), col("rb")).distinct(),
-            Seq("band", "rb"), "left_semi") // the cap applies to probes too
+        // the cap applies to probes too; with no cap the semi join against
+        // the surviving band values is a guaranteed no-op (probe hashes
+        // are a subset of the store's) — skip the extra aggregate+join
+        val probeBands =
+          if (maxBandDf <= 0) bandsOf(probeH)
+          else bandsOf(probeH)
+            .join(bands.select(col("band"), col("rb")).distinct(),
+              Seq("band", "rb"), "left_semi")
         probeBands.as("a").join(bands.as("b"),
             col("a.band") === col("b.band") && col("a.rb") === col("b.rb") &&
               struct(col("a.dhash_hi"), col("a.dhash_lo")) =!=

@@ -375,8 +375,18 @@ object VectorSearch {
     val emb = embIn.select(col("vec_id"), col("embedding"))
     // round-0 centroids: the embeddings of vec_id < k, cast to DOUBLE
     // (float32 values are exactly representable — no rounding needed) —
-    // or the caller's previous converged centroid table
-    var centroids = initCentroids.getOrElse(emb.filter(col("vec_id") < k)
+    // or the caller's previous converged centroid table. A warm-start
+    // table DEFINES the cluster count, so it must agree with k: silently
+    // running 10 clusters of a k=20 request (or zero, which would yield
+    // null assignments from the empty-seeds argmax) is the bug this guard
+    // exists for; the count is bounded (centroid tables are k rows).
+    val centroids0 = initCentroids.map { c =>
+      val n = c.count()
+      require(n >= 1 && n <= k,
+        s"warm-start centroid table has $n rows; expected 1..$k")
+      c
+    }
+    var centroids = centroids0.getOrElse(emb.filter(col("vec_id") < k)
       .select(col("vec_id").as("seed_id"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("ce")))
     val cosInSeed =

@@ -39,18 +39,10 @@ class StreamingImageDedupSpec extends SparkSpec {
     ImageOps.neardupPairs(h)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
 
-  private def hashOf(batch: DataFrame): DataFrame = {
-    val s = batch.sparkSession
-    import s.implicits._
-    batch.select(col("doc_id"), col("text")).as[(Long, String)]
-      .mapPartitions(_.map { case (id, text) =>
-        val png = ImageOps.pngEncodeGray(9, 8, ImageOps.pixelGrid(text))
-        val (_, _, px) = ImageOps.pngDecodeGray(png)
-        val (hi, lo) = ImageOps.dHash(px)
-        (id, hi, lo)
-      })
-      .toDF("doc_id", "dhash_hi", "dhash_lo")
-  }
+  // the SAME map-side codec path the batch queries run (not a re-derivation
+  // that could drift from it)
+  private def hashOf(batch: DataFrame): DataFrame =
+    ImageOps.dhashFrameFrom(batch)
 
   test("incremental image dedup: monotone pair increments equal the batch answer") {
     val s = spark

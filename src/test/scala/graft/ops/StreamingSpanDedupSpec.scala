@@ -30,8 +30,8 @@ class StreamingSpanDedupSpec extends SparkSpec {
 
   // 8-word grams. A and B share their first 9 words (two overlapping
   // duplicated grams -> one island each); C shares nothing in batch 1 but
-  // its LAST 9 words reappear verbatim in arrival D (batch 2). C's words
-  // 4..12: "c4 .. c8 s1 .. s9" — wait, keep it simple and explicit below.
+  // its LAST 9 words (grams at positions 7 and 8) reappear verbatim in
+  // arrival D (batch 2) — the planted unique->duplicated flip.
   private val shared = (1 to 9).map(i => s"dup$i").mkString(" ")
   private val tail9 = (1 to 9).map(i => s"flip$i").mkString(" ")
   private val b1 = Seq(
