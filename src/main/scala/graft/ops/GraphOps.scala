@@ -551,6 +551,60 @@ object GraphOps {
       lab.join(emb.select(col("vec_id"), col("label").as("true_label")), Seq("vec_id"))
         .select(col("vec_id"), col("lab").as("prop_label"), col("true_label"))
         .orderBy(col("vec_id"))
+    },
+
+    // ---- warm-started PageRank continuation, oracle-checked ----
+    // The q128 recurrence run 3 cold rounds, then handed to
+    // [[pagerankUntil]] as a warm start for 2 more (tol = 0). The fixed
+    // point is start-independent, so the warm path must land bit-identical
+    // to 5 straight recurrence rounds — which is exactly what the oracle
+    // derives (pr0…pr5), making the incremental-maintenance engine's
+    // warm-entry join + convergence probe strict-checkable rather than
+    // spec-only (StreamingPageRankSpec covers the edge-arrival story; this
+    // pins the arithmetic). tol = 0 can only stop early at an EXACT fixed
+    // point, where extra rounds are no-ops — identity is preserved either
+    // way. Scale shape identical to q128: narrow (id, double) state, one
+    // bounded scalar probe per warm round. Top-20 by rank.
+    Q("q147_pagerank_warm", {
+      def iterSql(prev: String, i: Int): String =
+        s"""c$i AS MATERIALIZED (SELECT e.dst AS vec_id,
+           |    CAST(sum(CAST(p.pr / e.outdeg AS DECIMAL(38,12))) AS DOUBLE) AS s
+           |  FROM e2 e JOIN $prev p ON e.src = p.vec_id
+           |  GROUP BY e.dst),
+           |pr$i AS MATERIALIZED (SELECT n.vec_id,
+           |    round(nn.tele + CAST(0.85 AS DOUBLE) * coalesce(c.s, CAST(0.0 AS DOUBLE)), 9) AS pr
+           |  FROM nodes n LEFT JOIN c$i c USING (vec_id), nn)""".stripMargin
+      s"""WITH $duckKnnCtes,
+         |edges AS MATERIALIZED (SELECT vec_id AS src, nbr_id AS dst
+         |  FROM ranked WHERE rn <= $K),
+         |outd AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+         |e2 AS MATERIALIZED (SELECT e.src, e.dst, o.outdeg
+         |  FROM edges e JOIN outd o USING (src)),
+         |nodes AS MATERIALIZED (SELECT vec_id FROM embeddings),
+         |nn AS MATERIALIZED (SELECT
+         |    CAST(0.15 AS DOUBLE) / CAST(count(*) AS DOUBLE) AS tele,
+         |    round(CAST(1.0 AS DOUBLE) / CAST(count(*) AS DOUBLE), 9) AS pr0
+         |  FROM nodes),
+         |pr0 AS MATERIALIZED (SELECT vec_id, nn.pr0 AS pr FROM nodes, nn),
+         |${iterSql("pr0", 1)},
+         |${iterSql("pr1", 2)},
+         |${iterSql("pr2", 3)},
+         |${iterSql("pr3", 4)},
+         |${iterSql("pr4", 5)}
+         |SELECT vec_id, round(pr, 6) AS pagerank
+         |FROM pr5
+         |ORDER BY pr DESC, vec_id
+         |LIMIT 20""".stripMargin
+    }) { (s, dir) =>
+      val edges = knnEdges(s, dir)
+        .select(col("vec_id").as("src"), col("nbr_id").as("dst"))
+      val nodes = embTable(s, dir).select(col("vec_id"))
+      val cold = pagerank(nodes, edges, rounds = 3)
+      val (warm, _) = pagerankUntil(nodes, edges, maxRounds = 2, tol = 0.0,
+        init = Some(cold))
+      warm.select(col("vec_id"), round(col("pr"), 6).as("pagerank"))
+        .orderBy(col("pr").desc, col("vec_id"))
+        .limit(20)
     }
   )
 }

@@ -53,27 +53,39 @@ object ImageOps {
   private[ops] val GridW = 9
   private[ops] val GridH = 8
 
+  /** Tall grid for the 128-bit variant: 9 × 16 → 8 × 16 = 128 bits. The
+    * extra bits come from more ROWS (not wider rows) so every band stays
+    * an 8-bit byte and the packing stays inside 32-bit-per-long — the
+    * same sign-safety discipline as the 64-bit hash (a 17-wide grid's
+    * 16-bit rows would overflow DuckDB's checked BIGINT products at the
+    * top shift). */
+  private[ops] val GridH128 = 16
+
   // ------------------------------------------------------------- synth
 
-  /** Deterministic 9×8 grayscale grid from a document's text: the 72
-    * cells are a nearest-neighbor LINEAR RESAMPLE of the [a-z ]-sanitized
-    * lowercase text — cell i reads char floor(i·L/72) — exactly how real
-    * dHash resizes the whole raster to 9×8 rather than cropping a corner.
+  /** Deterministic w×h grayscale grid from a document's text: the cells
+    * are a nearest-neighbor LINEAR RESAMPLE of the [a-z ]-sanitized
+    * lowercase text — cell i reads char floor(i·L/(w·h)) — exactly how
+    * real dHash resizes the whole raster rather than cropping a corner.
     * Covering the full length matters for the blocking join: a fixed
-    * stride leaves every shorter-than-stride·72 doc with identical
+    * stride leaves every shorter-than-stride·cells doc with identical
     * space-padded tail rows, which collapse thousands of docs into one
     * band bucket (measured above). Empty text → all-space grid. The
     * sanitize step is GLOBAL regex replace — the oracle's regexp_replace
     * needs the 'g' flag to match. */
-  private[ops] def pixelGrid(text: String): Array[Int] = {
+  private[ops] def pixelGridN(text: String, w: Int, h: Int): Array[Int] = {
     val cleaned = Option(text).getOrElse("")
       .toLowerCase(java.util.Locale.ROOT).replaceAll("[^a-z ]", "")
-    val n = GridW * GridH
+    val n = w * h
     Array.tabulate(n) { i =>
       if (cleaned.isEmpty) 32
       else cleaned.charAt((i.toLong * cleaned.length / n).toInt).toInt
     }
   }
+
+  /** The classic 9×8 dHash grid. */
+  private[ops] def pixelGrid(text: String): Array[Int] =
+    pixelGridN(text, GridW, GridH)
 
   // ------------------------------------------------------ PNG encode
 
@@ -152,6 +164,26 @@ object ImageOps {
     (hi, lo)
   }
 
+  /** 128-bit dHash over a 9×16 grid: the same row-wise gradient, 16 row
+    * bytes packed 4-per-long into (h0, h1, h2, h3) — 32 bits used per
+    * long, so every value stays positive and both engines' BIGINT
+    * arithmetic is overflow-free. */
+  def dHash128(px: Array[Int]): (Long, Long, Long, Long) = {
+    val q = new Array[Long](4)
+    var y = 0
+    while (y < GridH128) {
+      var rb = 0L
+      var x = 0
+      while (x < GridW - 1) {
+        if (px(y * GridW + x) < px(y * GridW + x + 1)) rb |= (1L << x)
+        x += 1
+      }
+      q(y / 4) |= rb << (8 * (y % 4))
+      y += 1
+    }
+    (q(0), q(1), q(2), q(3))
+  }
+
   // --------------------------------------------------------- queries
 
   /** (doc_id, dhash_hi, dhash_lo, rb0..rb7) via the FULL pixel path:
@@ -187,6 +219,28 @@ object ImageOps {
       .toDF("doc_id", "dhash_hi", "dhash_lo")
   }
 
+  /** (doc_id, h0..h3) via the same full pixel path as [[dhashFrame]], on
+    * the TALL 9×16 grid — one extra PNG round-trip per doc, cached once
+    * per (session, dir); q148 reports it, q149's blocking join reuses it. */
+  private[graft] def dhash128Frame(s: org.apache.spark.sql.SparkSession, dir: String) =
+    CacheRegistry.cache(s, s"q148-dhash128:$dir") {
+      val docs = t(s, dir, "documents")
+      import s.implicits._
+      docs
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions { it =>
+          it.map { case (id, text) =>
+            val png = pngEncodeGray(GridW, GridH128, pixelGridN(text, GridW, GridH128))
+            val (w, h, px) = pngDecodeGray(png)
+            require(w == GridW && h == GridH128, s"decode shape $w x $h")
+            val (h0, h1, h2, h3) = dHash128(px)
+            (id, h0, h1, h2, h3)
+          }
+        }
+        .toDF("doc_id", "h0", "h1", "h2", "h3")
+    }
+
   /** Shared oracle CTEs: the closed-form pixel grid and per-row hash bytes
     * in DuckDB SQL. `rows` has (doc_id, y, rb). */
   private val OracleRowsCte: String =
@@ -211,6 +265,35 @@ object ImageOps {
        |h AS (SELECT doc_id,
        |    CAST(sum(CASE WHEN y < 4 THEN rb * (1 << (8 * y)) ELSE 0 END) AS BIGINT) AS dhash_hi,
        |    CAST(sum(CASE WHEN y >= 4 THEN rb * (1 << (8 * (y - 4))) ELSE 0 END) AS BIGINT) AS dhash_lo
+       |  FROM rws GROUP BY doc_id)""".stripMargin
+
+  /** The 9×16 twin of [[OracleRowsCte]]: 144 cells, 16 row bytes. */
+  private val OracleRows128Cte: String =
+    """WITH px AS (SELECT doc_id,
+      |    regexp_replace(lower(coalesce(text, '')), '[^a-z ]', '', 'g') AS ctext
+      |  FROM documents),
+      |g AS (SELECT doc_id, t1.y, t2.x,
+      |    CASE WHEN len(ctext) > 0
+      |         THEN unicode(substr(ctext,
+      |                CAST(((t1.y * 9 + t2.x) * len(ctext)) // 144 AS BIGINT) + 1, 1))
+      |         ELSE 32 END AS p
+      |  FROM px, range(0, 16) t1(y), range(0, 9) t2(x)),
+      |bits AS (SELECT l.doc_id, l.y, l.x,
+      |    CASE WHEN l.p < r.p THEN 1 ELSE 0 END AS bit
+      |  FROM g l JOIN g r ON l.doc_id = r.doc_id AND l.y = r.y AND r.x = l.x + 1
+      |  WHERE l.x < 8),
+      |rws AS (SELECT doc_id, y, CAST(sum(bit * (1 << x)) AS BIGINT) AS rb
+      |  FROM bits GROUP BY doc_id, y)""".stripMargin
+
+  /** 16 row bytes packed 4-per-long, mirroring [[dHash128]]'s packing —
+    * every product ≤ 255·2²⁴, far inside checked BIGINT range. */
+  private val OracleHash128Cte: String =
+    s"""$OracleRows128Cte,
+       |h AS (SELECT doc_id,
+       |    CAST(sum(CASE WHEN y < 4 THEN rb * (1 << (8 * y)) ELSE 0 END) AS BIGINT) AS h0,
+       |    CAST(sum(CASE WHEN y BETWEEN 4 AND 7 THEN rb * (1 << (8 * (y - 4))) ELSE 0 END) AS BIGINT) AS h1,
+       |    CAST(sum(CASE WHEN y BETWEEN 8 AND 11 THEN rb * (1 << (8 * (y - 8))) ELSE 0 END) AS BIGINT) AS h2,
+       |    CAST(sum(CASE WHEN y >= 12 THEN rb * (1 << (8 * (y - 12))) ELSE 0 END) AS BIGINT) AS h3
        |  FROM rws GROUP BY doc_id)""".stripMargin
 
   val qs: Seq[Q] = Seq(
@@ -253,6 +336,49 @@ object ImageOps {
       val maxBandDf =
         s.conf.getOption("graft.imagedup.maxBandDf").map(_.toLong).getOrElse(0L)
       neardupPairs(dhashFrame(s, dir), maxBandDf)
+        .orderBy(col("hamming"), col("doc_a"), col("doc_b"))
+        .limit(25)
+    },
+
+    // ---- 128-bit perceptual hash: the hash-width upgrade ----
+    // Same full codec path as q142 (synthesize → real PNG → javax.imageio
+    // → hash the DECODED raster) on the tall 9×16 grid. Twice the bits
+    // halve false-positive collisions for the SAME band width (a random
+    // 8-bit band match carries 1/256 evidence either way, but 16 bands
+    // give the pigeonhole d ≤ 15 instead of d ≤ 7) — ScaleBench's
+    // image128 phase measures the selectivity trade on the real corpus.
+    Q("q148_image_dhash128",
+      s"""$OracleHash128Cte
+         |SELECT doc_id, h0, h1, h2, h3 FROM h
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      dhash128Frame(s, dir).orderBy(col("doc_id"))
+    },
+
+    // ---- Hamming-blocked near-dup on the 128-bit hash ----
+    // The q143 recipe with 16 bands: identical-hash collapse first (an
+    // exact-dup flood never pays df² in the band join), band join over
+    // DISTINCT hashes on (band, byte), optional df cap
+    // (graft.imagedup128.maxBandDf), pair-key dedup, THEN member
+    // expansion. Pigeonhole now covers every pair at Hamming ≤ 15 over
+    // the 128 bits — wider than q143's d ≤ 7 over 64 — while each band
+    // stays a bounded 8-bit key (16 × 256 = 4096 band values).
+    Q("q149_image_neardup128",
+      s"""$OracleHash128Cte,
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM rws a JOIN rws b
+         |    ON a.y = b.y AND a.rb = b.rb AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b,
+         |    CAST(bit_count(xor(ha.h0, hb.h0)) + bit_count(xor(ha.h1, hb.h1))
+         |      + bit_count(xor(ha.h2, hb.h2)) + bit_count(xor(ha.h3, hb.h3))
+         |      AS BIGINT) AS hamming
+         |  FROM cand
+         |  JOIN h ha ON doc_a = ha.doc_id
+         |  JOIN h hb ON doc_b = hb.doc_id
+         |ORDER BY hamming, doc_a, doc_b
+         |LIMIT 25""".stripMargin) { (s, dir) =>
+      val maxBandDf =
+        s.conf.getOption("graft.imagedup128.maxBandDf").map(_.toLong).getOrElse(0L)
+      neardupPairs128(dhash128Frame(s, dir), maxBandDf)
         .orderBy(col("hamming"), col("doc_a"), col("doc_b"))
         .limit(25)
     }
@@ -411,5 +537,72 @@ object ImageOps {
       .select(col("a.dhash_hi").as("h1_hi"), col("a.dhash_lo").as("h1_lo"),
         col("b.dhash_hi").as("h2_hi"), col("b.dhash_lo").as("h2_lo"))
       .distinct()
+  }
+
+  // ------------------------------------- 128-bit near-dup engine (q149)
+
+  private val HCols = Seq("h0", "h1", "h2", "h3")
+  private def hkey(alias: String) = struct(HCols.map(c => col(s"$alias.$c")): _*)
+
+  /** One row per (hash, band) over the DISTINCT 128-bit values: 16 bands
+    * of 8 bits, band y drawn from long y/4 at byte y%4 — [[dHash128]]'s
+    * packing read back. */
+  private[graft] def bandsOf128(hashes: DataFrame): DataFrame =
+    hashes.select(HCols.map(col): _*).distinct()
+      .select(col("h0"), col("h1"), col("h2"), col("h3"), explode(expr(
+        """transform(sequence(0, 15), y -> named_struct('band', y,
+          |  'rb', CASE WHEN y < 4  THEN shiftright(h0, 8 * y) & 255
+          |             WHEN y < 8  THEN shiftright(h1, 8 * (y - 4)) & 255
+          |             WHEN y < 12 THEN shiftright(h2, 8 * (y - 8)) & 255
+          |             ELSE shiftright(h3, 8 * (y - 12)) & 255 END))"""
+          .stripMargin)).as("b"))
+      .select(col("h0"), col("h1"), col("h2"), col("h3"),
+        col("b.band").as("band"), col("b.rb").as("rb"))
+
+  /** [[cappedBands]] for the 128-bit table: drop band values whose
+    * distinct-hash df exceeds `maxBandDf` (0 = no cap). */
+  private[graft] def cappedBands128(h: DataFrame, maxBandDf: Long): DataFrame = {
+    val allBands = bandsOf128(h)
+    if (maxBandDf <= 0) allBands
+    else allBands.join(
+      allBands.groupBy(col("band"), col("rb"))
+        .agg(count(lit(1)).as("__df")).filter(col("__df") > maxBandDf)
+        .select(col("band"), col("rb")),
+      Seq("band", "rb"), "left_anti")
+  }
+
+  /** The banded candidate hash pairs of the 128-bit table — ScaleBench's
+    * selectivity probe, mirroring [[hashCandidates]]. */
+  private[graft] def hashCandidates128(h: DataFrame, maxBandDf: Long = 0L): DataFrame = {
+    val bands = cappedBands128(h, maxBandDf)
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.rb") === col("b.rb") &&
+          hkey("a") < hkey("b"))
+      .select((HCols.map(c => col(s"a.$c").as(s"a_$c")) ++
+        HCols.map(c => col(s"b.$c").as(s"b_$c"))): _*)
+      .distinct()
+  }
+
+  /** [[neardupPairs]] on the 128-bit hash: identical-hash collapse →
+    * distinct-hash band join (df-cappable) → pair-key dedup → member
+    * expansion. No probe hook — incremental maintenance stays the 64-bit
+    * engine's feature; this variant exists to measure the hash-width
+    * trade with the same scale discipline. */
+  private[graft] def neardupPairs128(h: DataFrame, maxBandDf: Long = 0L): DataFrame = {
+    val within = h.as("a").join(h.as("b"),
+        HCols.map(c => col(s"a.$c") === col(s"b.$c")).reduce(_ && _) &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        lit(0L).as("hamming"))
+    val hashCand = hashCandidates128(h, maxBandDf)
+      .withColumn("hamming",
+        HCols.map(c => expr(s"bit_count(a_$c ^ b_$c)")).reduce(_ + _).cast("long"))
+    val cross = hashCand
+      .join(h.as("ma"), HCols.map(c => col(s"ma.$c") === col(s"a_$c")).reduce(_ && _))
+      .join(h.as("mb"), HCols.map(c => col(s"mb.$c") === col(s"b_$c")).reduce(_ && _))
+      .select(least(col("ma.doc_id"), col("mb.doc_id")).as("doc_a"),
+        greatest(col("ma.doc_id"), col("mb.doc_id")).as("doc_b"),
+        col("hamming"))
+    within.union(cross)
   }
 }

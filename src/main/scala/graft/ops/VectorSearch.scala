@@ -990,7 +990,7 @@ object VectorSearch {
     // dimension. At 100 TB each round is one pass; more components =
     // deflate and repeat (Gram–Schmidt against the found directions).
     Q("q125_power_iteration", {
-      s"""WITH ${powerChainsSql(withDeflated = false)}
+      s"""WITH ${powerChainsSql(directions = 1)}
          |SELECT CAST(i AS BIGINT) AS pos, round(v3.v[i], 6) AS loading
          |FROM v3, range(1, 65) t(i)
          |ORDER BY pos""".stripMargin
@@ -1013,7 +1013,7 @@ object VectorSearch {
     // 9dp-rounded — the whole two-eigenvector pipeline hash-matches with
     // zero driver arithmetic.
     Q("q126_power_deflation", {
-      s"""WITH ${powerChainsSql(withDeflated = true)}
+      s"""WITH ${powerChainsSql(directions = 2)}
          |SELECT CAST(i AS BIGINT) AS pos, round(u3.v[i], 6) AS loading2
          |FROM u3, range(1, 65) t(i)
          |ORDER BY pos""".stripMargin
@@ -1035,7 +1035,7 @@ object VectorSearch {
     // with the same per-element DECIMAL dot the d-step uses. Verified
     // slice vec_id < 200.
     Q("q132_pca_project", {
-      s"""WITH ${powerChainsSql(withDeflated = true)}
+      s"""WITH ${powerChainsSql(directions = 2)}
          |SELECT e.vec_id,
          |  round(list_sum(list_transform(range(1, 65),
          |    i -> CAST(embedding[i] AS DOUBLE) * v3.v[i])), 6) AS pc1,
@@ -1121,6 +1121,36 @@ object VectorSearch {
             .as("approx_dot"))
         .orderBy(col("q_dot").desc, col("vec_id"))
         .limit(10)
+    },
+
+    // ---- top-3 principal directions: deflation iterated ----
+    // q126's "deflate and repeat" taken one more step: the third
+    // eigendirection comes from the SAME power loop with the matvec
+    // result Gram–Schmidt-projected off BOTH found directions
+    // (modified-GS order — sequential subtraction from the running w —
+    // which powerIterCte's oracle CTEs encode identically; with
+    // near-orthogonal targets classical vs modified GS differ in the
+    // last rounded bits, so the order is part of the contract). Scale
+    // shape is unchanged from q125/q126: deflation is 64-row work — two
+    // extra DECIMAL dots and subtracts per round — while the corpus
+    // still sees exactly one broadcast + two narrow aggregates per
+    // round and is never shuffled. All three chains are registry-shared
+    // (v3 with q125/q132, u3 with q126/q132, t3 new), so the suite
+    // computes each once. The oracle re-derives the whole three-chain
+    // pipeline; output is the 64×3 loading table.
+    Q("q146_power_top3", {
+      s"""WITH ${powerChainsSql(directions = 3)}
+         |SELECT CAST(i AS BIGINT) AS pos, round(v3.v[i], 6) AS loading1,
+         |  round(u3.v[i], 6) AS loading2, round(t3.v[i], 6) AS loading3
+         |FROM v3, u3, t3, range(1, 65) r(i)
+         |ORDER BY pos""".stripMargin
+    }) { (s, dir) =>
+      topDirection(s, dir).select(col("pos"), round(col("v"), 6).as("loading1"))
+        .join(secondDirection(s, dir)
+          .select(col("pos"), round(col("v"), 6).as("loading2")), Seq("pos"))
+        .join(thirdDirection(s, dir)
+          .select(col("pos"), round(col("v"), 6).as("loading3")), Seq("pos"))
+        .orderBy(col("pos"))
     }
   )
 
@@ -1133,16 +1163,22 @@ object VectorSearch {
     * q125/q126/q132 oracles so the DECIMAL/rounding discipline cannot
     * drift between them. */
   private def powerIterCte(prev: String, out: String,
-      deflate: Option[String]): String = {
-    val (wsrc, extra) = deflate match {
-      case None => (s"w_$out", "")
-      case Some(vt) => (s"w2_$out",
-        s""",
-           |p_$out AS MATERIALIZED (SELECT CAST(sum(CAST(w.w * $vt.v[w.pos] AS DECIMAL(38,12)))
-           |      AS DOUBLE) AS p
-           |  FROM w_$out w, $vt),
-           |w2_$out AS MATERIALIZED (SELECT w.pos, w.w - p_$out.p * $vt.v[w.pos] AS w
-           |  FROM w_$out w, p_$out, $vt)""".stripMargin)
+      deflate: Seq[String]): String = {
+    // Modified Gram–Schmidt: each projection subtracts from the RUNNING w
+    // (w ← w − (w·vt)·vt sequentially per deflation target), matching the
+    // Scala loop's foldLeft order exactly — with near-orthogonal targets
+    // classical and modified GS differ in the last rounded bits, so the
+    // order is part of the cross-engine contract.
+    val (wsrc, extra) = deflate.zipWithIndex.foldLeft((s"w_$out", "")) {
+      case ((prevW, acc), (vt, k)) =>
+        val wNext = s"w${k + 2}_$out"
+        (wNext, acc +
+          s""",
+             |p${k + 1}_$out AS MATERIALIZED (SELECT CAST(sum(CAST(w.w * $vt.v[w.pos] AS DECIMAL(38,12)))
+             |      AS DOUBLE) AS p
+             |  FROM $prevW w, $vt),
+             |$wNext AS MATERIALIZED (SELECT w.pos, w.w - p${k + 1}_$out.p * $vt.v[w.pos] AS w
+             |  FROM $prevW w, p${k + 1}_$out, $vt)""".stripMargin)
     }
     s"""d_$out AS MATERIALIZED (SELECT e.vec_id,
        |    CAST(sum(CAST(CAST(embedding[i] AS DOUBLE) * $prev.v[i] AS DECIMAL(38,12)))
@@ -1160,19 +1196,24 @@ object VectorSearch {
        |  FROM $wsrc, n_$out)""".stripMargin
   }
 
-  /** The v0…v3 undeflated chain + (optionally) the u0…u3 deflated chain —
-    * the WITH bodies of the q125/q126/q132 oracles. */
-  private def powerChainsSql(withDeflated: Boolean): String = {
-    val v = s"""v0 AS MATERIALIZED (SELECT list_transform(range(1, 65), i -> CAST(0.125 AS DOUBLE)) AS v),
-       |${powerIterCte("v0", "v1", None)},
-       |${powerIterCte("v1", "v2", None)},
-       |${powerIterCte("v2", "v3", None)}""".stripMargin
-    if (!withDeflated) v else
-      s"""$v,
-         |u0 AS MATERIALIZED (SELECT list_transform(range(1, 65), i -> CAST(0.125 AS DOUBLE)) AS v),
-         |${powerIterCte("u0", "u1", Some("v3"))},
-         |${powerIterCte("u1", "u2", Some("v3"))},
-         |${powerIterCte("u2", "u3", Some("v3"))}""".stripMargin
+  /** The v0…v3 undeflated chain + (optionally) the u0…u3 once-deflated
+    * and t0…t3 twice-deflated chains — the WITH bodies of the
+    * q125/q126/q132/q146 oracles. `directions` ∈ {1, 2, 3}: each
+    * successive chain deflates against every previously-found direction
+    * (v3, then v3+u3), so chain m converges to the m-th eigendirection. */
+  private def powerChainsSql(directions: Int): String = {
+    require(directions >= 1 && directions <= 3,
+      s"powerChainsSql: $directions directions not in 1..3")
+    def chain(name: String, deflate: Seq[String]): String =
+      s"""${name}0 AS MATERIALIZED (SELECT list_transform(range(1, 65), i -> CAST(0.125 AS DOUBLE)) AS v),
+         |${powerIterCte(s"${name}0", s"${name}1", deflate)},
+         |${powerIterCte(s"${name}1", s"${name}2", deflate)},
+         |${powerIterCte(s"${name}2", s"${name}3", deflate)}""".stripMargin
+    val parts = Seq(
+      chain("v", Seq.empty),
+      chain("u", Seq("v3")),
+      chain("t", Seq("v3", "u3"))).take(directions)
+    parts.mkString(",\n")
   }
 
   /** The 3-round deflated runner-up direction, shared by q126 (its
@@ -1181,7 +1222,16 @@ object VectorSearch {
       : org.apache.spark.sql.DataFrame =
     CacheRegistry.cache(s, s"q126-u3:$dir") {
       powerLoop(s, powerRows(s, dir), 3,
-        deflateAgainst = Some(topDirection(s, dir)))
+        deflateAgainst = Seq(topDirection(s, dir)))
+    }
+
+  /** The 3-round twice-deflated third direction (deflates against BOTH
+    * v3 and u3, modified-GS order), registry-shared with q146. */
+  private def thirdDirection(s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame =
+    CacheRegistry.cache(s, s"q146-t3:$dir") {
+      powerLoop(s, powerRows(s, dir), 3,
+        deflateAgainst = Seq(topDirection(s, dir), secondDirection(s, dir)))
     }
 
   /** The 3-round top principal direction, shared by q125 (its output) and
@@ -1190,7 +1240,7 @@ object VectorSearch {
   private def topDirection(s: org.apache.spark.sql.SparkSession, dir: String)
       : org.apache.spark.sql.DataFrame =
     CacheRegistry.cache(s, s"q125-v3:$dir") {
-      powerLoop(s, powerRows(s, dir), 3, deflateAgainst = None)
+      powerLoop(s, powerRows(s, dir), 3, deflateAgainst = Seq.empty)
     }
 
   /** The (vec_id, pos, x) exploded embedding frame the power-iteration
@@ -1218,20 +1268,33 @@ object VectorSearch {
   def powerIterate(vecs: org.apache.spark.sql.DataFrame, rounds: Int)
       : org.apache.spark.sql.DataFrame = {
     val erows = powerRowsFor(vecs).persist()
-    try powerLoop(vecs.sparkSession, erows, rounds, deflateAgainst = None)
+    try powerLoop(vecs.sparkSession, erows, rounds, deflateAgainst = Seq.empty)
+    finally erows.unpersist()
+  }
+
+  /** [[powerIterate]] with Gram–Schmidt deflation against already-found
+    * direction tables — successive eigendirections over any corpus
+    * (PowerIterationSpec's planted-spectrum checks drive this; the
+    * declared queries share chains through the registry instead). */
+  def powerIterateDeflated(vecs: org.apache.spark.sql.DataFrame, rounds: Int,
+      deflateAgainst: Seq[org.apache.spark.sql.DataFrame])
+      : org.apache.spark.sql.DataFrame = {
+    val erows = powerRowsFor(vecs).persist()
+    try powerLoop(vecs.sparkSession, erows, rounds, deflateAgainst)
     finally erows.unpersist()
   }
 
   /** `rounds` of v ← normalize(X'Xv) from the all-0.125 start, every
     * corpus-sized sum through DECIMAL(38,12) (order-independent), the
-    * direction 9dp-rounded before re-entering each round. With
-    * `deflateAgainst = Some(pv)` the matvec result is Gram–Schmidt-
-    * projected off `pv` (w ← w − (w·pv)·pv) before normalizing — the
-    * deflation that yields successive eigendirections. Returns the 64-row
-    * (pos, v) direction table. */
+    * direction 9dp-rounded before re-entering each round. Each frame in
+    * `deflateAgainst` Gram–Schmidt-projects the matvec result
+    * (w ← w − (w·pv)·pv, sequentially, modified-GS order) before
+    * normalizing — the deflation that yields successive eigendirections;
+    * deflating against the first m−1 directions converges to the m-th.
+    * Returns the 64-row (pos, v) direction table. */
   private def powerLoop(s: org.apache.spark.sql.SparkSession,
       erows: org.apache.spark.sql.DataFrame, rounds: Int,
-      deflateAgainst: Option[org.apache.spark.sql.DataFrame])
+      deflateAgainst: Seq[org.apache.spark.sql.DataFrame])
       : org.apache.spark.sql.DataFrame = {
     val decSum = (c: Column) => sum(c.cast("decimal(38,12)")).cast("double")
     import s.implicits._
@@ -1241,8 +1304,10 @@ object VectorSearch {
         .groupBy(col("vec_id")).agg(decSum(col("x") * col("v")).as("d"))
       val w0 = erows.join(d, Seq("vec_id"))
         .groupBy(col("pos")).agg(decSum(col("d") * col("x")).as("w"))
-      val w = deflateAgainst.fold(w0) { pvt =>
-        val withPv = w0.join(broadcast(pvt.select(col("pos"), col("v").as("pv"))),
+      // modified Gram–Schmidt: each target projects off the RUNNING w —
+      // the same sequential order powerIterCte's oracle CTEs encode
+      val w = deflateAgainst.foldLeft(w0) { (wCur, pvt) =>
+        val withPv = wCur.join(broadcast(pvt.select(col("pos"), col("v").as("pv"))),
           Seq("pos"))
         val p = withPv.agg(decSum(col("w") * col("pv")).as("p"))
         withPv.crossJoin(broadcast(p))

@@ -91,6 +91,26 @@ class GraphOpsSpec extends SparkSpec {
     }
   }
 
+  test("q147: warm continuation is bit-identical to straight cold rounds") {
+    val s = spark
+    import s.implicits._
+    // a small ring + chords graph with a dangling node (9 has no out-edges)
+    val edges = Seq(0L -> 1L, 1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 0L,
+        0L -> 5L, 5L -> 6L, 6L -> 0L, 2L -> 7L, 7L -> 8L, 8L -> 2L, 3L -> 9L)
+      .toDF("src", "dst")
+    val nodes = (0L to 9L).toDF("vec_id")
+    def ranks(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("vec_id").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val cold5 = ranks(GraphOps.pagerank(nodes, edges, rounds = 5))
+    val warm3 = GraphOps.pagerank(nodes, edges, rounds = 3)
+    val (cont, used) = GraphOps.pagerankUntil(nodes, edges, maxRounds = 2,
+      tol = 0.0, init = Some(warm3))
+    assert(used == 2, s"tol=0 on a non-fixpoint state must run both rounds, used $used")
+    assert(ranks(cont) == cold5,
+      "warm 3+2 must equal cold 5 exactly — the fixed point is start-independent " +
+        "and each round's 9dp re-entry is deterministic")
+  }
+
   test("q127/q128 plans: candidate generation is an equi-join, no cartesian") {
     Seq("q127_knn_graph", "q128_pagerank").foreach { n =>
       val p = SparkEntry.queries(n)(spark, sf001)

@@ -133,4 +133,83 @@ class ImageOpsSpec extends SparkSpec {
       s"d<=7 pair (${a._1},${b._1}) missed by banding")
     graft.ops.CacheRegistry.release(spark, "q142-dhash:")
   }
+
+  test("dHash128 packs 16 row bytes 4-per-long, 32 bits used per long") {
+    // row 0 strictly increasing → byte 255 in h0's low byte; rows 1-15 flat
+    val px = Array.tabulate(9 * 16)(i => if (i < 9) i else 0)
+    assert(ImageOps.dHash128(px) === ((255L, 0L, 0L, 0L)))
+    // one rising step at x=2 on row 13 → rb=4 at h3's byte 1 → 4 << 8
+    val px2 = Array.tabulate(9 * 16) { i =>
+      val (y, x) = (i / 9, i % 9)
+      if (y == 13 && x == 3) 9 else if (y == 13) (if (x > 3) 9 else 1) else 5
+    }
+    assert(ImageOps.dHash128(px2) === ((0L, 0L, 0L, 4L << 8)))
+    // every long stays within 32 bits on a random grid (sign-safety)
+    val (h0, h1, h2, h3) = ImageOps.dHash128(rngGrid(11, 9, 16))
+    Seq(h0, h1, h2, h3).foreach(q => assert(q >= 0 && q <= 0xFFFFFFFFL))
+  }
+
+  private def bands16(h: (Long, Long, Long, Long)): Seq[(Int, Long)] = {
+    val qs = Seq(h._1, h._2, h._3, h._4)
+    (0 until 16).map(y => y -> ((qs(y / 4) >> (8 * (y % 4))) & 255))
+  }
+
+  private def dist128(a: (Long, Long, Long, Long), b: (Long, Long, Long, Long)): Long =
+    (java.lang.Long.bitCount(a._1 ^ b._1) + java.lang.Long.bitCount(a._2 ^ b._2) +
+      java.lang.Long.bitCount(a._3 ^ b._3) + java.lang.Long.bitCount(a._4 ^ b._4)).toLong
+
+  test("q149: top-25 blocked pairs on 128 bits; pigeonhole covers every d<=15 pair") {
+    val hashes = graft.SparkEntry.queries("q148_image_dhash128")(spark, sf001)
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+    val expected = (for {
+      (ida, ha) <- hashes; (idb, hb) <- hashes
+      if ida < idb
+      if bands16(ha).intersect(bands16(hb)).nonEmpty
+    } yield (ida, idb, dist128(ha, hb)))
+      .sortBy { case (da, db, d) => (d, da, db) }
+      .take(25)
+    val blocked = graft.SparkEntry.queries("q149_image_neardup128")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(blocked.toSeq === expected.toSeq)
+    assert(blocked.nonEmpty)
+    for {
+      (ida, ha) <- hashes; (idb, hb) <- hashes
+      if ida < idb && dist128(ha, hb) <= 15
+    } assert(bands16(ha).intersect(bands16(hb)).nonEmpty,
+      s"d<=15 pair ($ida,$idb) missed by 16-band blocking")
+    graft.ops.CacheRegistry.release(spark, "q148-dhash128:")
+  }
+
+  test("neardupPairs128: equals doc-level banding; df cap keeps exact dups") {
+    val s = spark
+    import s.implicits._
+    // docs 1-3 share a 128-bit hash; docs 100-129 flood band (0, rb=7)
+    // via distinct hashes; docs 200/201 a d=1 pair in a quiet region
+    val flood = (0 until 30).map { i =>
+      (100L + i, 7L | (i.toLong + 1) << 8, (i.toLong + 40) << 8, 0L, 0L)
+    }
+    val rows = Seq(
+      (1L, 0x01020304L, 0x05060708L, 0x090a0b0cL, 0x0d0e0f10L),
+      (2L, 0x01020304L, 0x05060708L, 0x090a0b0cL, 0x0d0e0f10L),
+      (3L, 0x01020304L, 0x05060708L, 0x090a0b0cL, 0x0d0e0f10L),
+      (200L, 0x90a0b0c0L, 0xd0e0f000L, 0x11223344L, 0x55667788L),
+      (201L, 0x90a0b0c1L, 0xd0e0f000L, 0x11223344L, 0x55667788L)) ++ flood
+    val h = rows.toDF("doc_id", "h0", "h1", "h2", "h3")
+    val brute = (for {
+      (ida, a0, a1, a2, a3) <- rows; (idb, b0, b1, b2, b3) <- rows
+      if ida < idb
+      if bands16((a0, a1, a2, a3)).intersect(bands16((b0, b1, b2, b3))).nonEmpty
+    } yield (ida, idb, dist128((a0, a1, a2, a3), (b0, b1, b2, b3)))).sorted
+    def run(cap: Long) = ImageOps.neardupPairs128(h, cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    val uncapped = run(0L)
+    assert(uncapped == brute, "uncapped 128-bit engine must equal doc-level banding")
+    assert(uncapped.count(_._3 == 0L) == 3)
+    val capped = run(10L)
+    assert(capped.toSet.subsetOf(uncapped.toSet))
+    assert(capped.count(_._3 == 0L) == 3, "df cap must never lose exact dups")
+    assert(capped.contains((200L, 201L, 1L)), "uncrowded near pair survives the cap")
+    assert(capped.size < uncapped.size, "the planted flood must actually be cut")
+  }
 }

@@ -71,4 +71,47 @@ class PowerIterationSpec extends SparkSpec {
     val r2 = ray(pc2)
     assert(r1 > r2, s"top PC Rayleigh $r1 should exceed runner-up $r2")
   }
+
+  test("q146: three mutually-orthogonal unit loadings with descending Rayleigh") {
+    import org.apache.spark.sql.functions._
+    graft.functions.GraftFunctions.register(spark)
+    val rows = SparkEntry.queries("q146_power_top3")(spark, sf001)
+      .orderBy("pos").collect()
+    assert(rows.length == 64)
+    val l1 = rows.map(_.getDouble(1))
+    val l2 = rows.map(_.getDouble(2))
+    val l3 = rows.map(_.getDouble(3))
+    // loading1/loading2 are exactly q125/q126's chains (registry-shared)
+    assert(l1.toSeq == pc1.toSeq && l2.toSeq == pc2.toSeq)
+    assert(math.abs(math.sqrt(dot(l3, l3)) - 1.0) < 1e-4)
+    // double deflation keeps t ⊥ v and t ⊥ u up to the 9dp re-entry
+    // rounding. (No Rayleigh-ORDER assertion between u and t here: the
+    // real corpus tail spectrum is near-flat, and 3 rounds cannot
+    // separate near-equal eigenvalues — the planted test below owns the
+    // ordering property on a corpus where it's actually true.)
+    assert(math.abs(dot(l1, l3)) < 1e-3)
+    assert(math.abs(dot(l2, l3)) < 1e-3)
+  }
+
+  test("double deflation recovers a planted THIRD axis on a separated spectrum") {
+    val s = spark
+    import s.implicits._
+    // amplitudes 10 / 3 / 1 on axes 7 / 23 / 41: an unambiguous spectrum
+    val vecs = (0 until 240).map { i =>
+      val a = Array.fill(64)(0.0f)
+      a(7) = (if (i % 2 == 0) 10f else -10f) + (i % 5) * 0.01f
+      a(23) = (if (i % 3 == 0) 3f else -3f) + (i % 7) * 0.005f
+      a(41) = if (i % 5 == 0) 1f else -1f
+      (i.toLong, a)
+    }.toDF("vec_id", "embedding")
+    val d1 = VectorSearch.powerIterate(vecs, rounds = 3)
+    val d2 = VectorSearch.powerIterateDeflated(vecs, rounds = 3, Seq(d1))
+    val d3 = VectorSearch.powerIterateDeflated(vecs, rounds = 3, Seq(d1, d2))
+    def loadings(df: org.apache.spark.sql.DataFrame): Array[Double] =
+      df.orderBy("pos").collect().map(_.getDouble(1))
+    val (v1, v2, v3) = (loadings(d1), loadings(d2), loadings(d3))
+    assert(math.abs(v1(7)) > 0.99, s"chain 1 should land on axis 7: ${v1.toSeq}")
+    assert(math.abs(v2(23)) > 0.99, s"chain 2 should land on axis 23: ${v2.toSeq}")
+    assert(math.abs(v3(41)) > 0.99, s"chain 3 should land on axis 41: ${v3.toSeq}")
+  }
 }
