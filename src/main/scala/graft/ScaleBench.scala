@@ -193,6 +193,31 @@ object ScaleBench {
         ops.ImageOps.neardupPairs(imgHashes).count()
       }
       ops.CacheRegistry.release(spark, "q142-dhash:")
+      // ---- 128-bit twin (q148/q149): the hash-width vs band-selectivity
+      // trade measured head-to-head on the same slice. Twice the bits ⇒
+      // more distinct hashes (fewer docs collapse to one value) but each
+      // of the 16 bands is still an 8-bit key, so a band bucket's df — and
+      // with it the candidate count — should DROP relative to the 64-bit
+      // run on this degenerate corpus. Read q148_dhash128_distinct vs
+      // q143_img_distinct_hashes and the two hashcands rows.
+      val img128 = ops.ImageOps.dhash128Frame(spark, dir)
+        .filter(col("doc_id") < imgN).localCheckpoint()
+      phase("q148_dhash128_build", n) {
+        ops.ImageOps.dhash128Frame(spark, dir).count()
+      }
+      phase("q148_dhash128_distinct", imgN) {
+        img128.select(col("h0"), col("h1"), col("h2"), col("h3")).distinct().count()
+      }
+      phase("q149_img128_hashcands_capOFF", imgN) {
+        ops.ImageOps.hashCandidates128(img128).count()
+      }
+      phase("q149_img128_hashcands_capON", imgN) {
+        ops.ImageOps.hashCandidates128(img128, maxBandDf = 20L).count()
+      }
+      phase("q149_img128_pairs_capOFF", imgN) {
+        ops.ImageOps.neardupPairs128(img128).count()
+      }
+      ops.CacheRegistry.release(spark, "q148-dhash128:")
     }
 
     // SPARK_GRAFT_SCALE_PHASES=postloop skips the main corpus loop (the

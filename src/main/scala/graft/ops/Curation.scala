@@ -832,6 +832,64 @@ object Curation {
               / lit(72057594037927936.0)) / col("n_words"), 6).as("es_key"))
         .orderBy(col("es_key").desc, col("doc_id"))
         .limit(30)
+    },
+
+    // ---- per-source weighted sample: grouped ES top-k, salted ----
+    // q140's Efraimidis–Spirakis sample stratified BY SOURCE — the
+    // per-domain cap every mixture pipeline actually runs (sample k docs
+    // from each source, length-weighted, deterministically). The naive
+    // plan — one row_number window partitioned by source — funnels each
+    // source through a single task, and source cardinality is TINY (a
+    // handful of domains at any corpus size), so that window is the
+    // classic low-cardinality skew trap at 100 TB. Instead: two-phase
+    // top-k. Phase 1 partitions by (source, salt) — crc32(doc_id) % 8 —
+    // so each source's scan parallelizes 8-way and each bucket keeps
+    // only its local top-5; phase 2 re-ranks the ≤ 8·5 survivors per
+    // source, a frame whose size is sources × 40 regardless of corpus
+    // size. Any doc in a source's true top-5 is top-5 within its salt
+    // bucket (rank can only shrink on a subset), so the composition is
+    // EXACT — the oracle runs the one-window form and must hash-match.
+    Q("q150_group_weighted_sample", {
+      val h1 = TextCommon.duckHex("m", 14)
+      raw"""WITH d AS (SELECT doc_id, source,
+           |    CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS n_words,
+           |    md5(text) AS m
+           |  FROM documents),
+           |scored AS (SELECT doc_id, source, n_words,
+           |    round(ln(($h1 + 1.0) / 72057594037927936.0)
+           |      / n_words, 6) AS es_key
+           |  FROM d WHERE n_words > 0),
+           |r AS (SELECT source, doc_id, n_words, es_key,
+           |    row_number() OVER (PARTITION BY source ORDER BY es_key DESC, doc_id) AS rnk
+           |  FROM scored)
+           |SELECT source, CAST(rnk AS BIGINT) AS rank, doc_id, n_words, es_key
+           |FROM r WHERE rnk <= 5
+           |ORDER BY source, rank""".stripMargin
+    }) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val scored = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          size(TextCommon.wordsCol).cast("long").as("n_words"),
+          md5(col("text")).as("m"))
+        .filter(col("n_words") > 0)
+        .select(col("doc_id"), col("source"), col("n_words"),
+          round(log((conv(substring(col("m"), 1, 14), 16, 10).cast("double") + lit(1.0))
+              / lit(72057594037927936.0)) / col("n_words"), 6).as("es_key"))
+      val salted = scored.withColumn("__salt",
+        pmod(crc32(col("doc_id").cast("string")), lit(8)))
+      val local = salted
+        .withColumn("__rn", row_number().over(Window
+          .partitionBy(col("source"), col("__salt"))
+          .orderBy(col("es_key").desc, col("doc_id"))))
+        .filter(col("__rn") <= 5)
+      local
+        .withColumn("rank", row_number().over(Window
+          .partitionBy(col("source"))
+          .orderBy(col("es_key").desc, col("doc_id"))).cast("bigint"))
+        .filter(col("rank") <= 5)
+        .select(col("source"), col("rank"), col("doc_id"), col("n_words"),
+          col("es_key"))
+        .orderBy(col("source"), col("rank"))
     }
   )
 

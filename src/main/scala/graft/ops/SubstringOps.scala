@@ -211,6 +211,36 @@ object SubstringOps {
         col("n_grams"))
   }
 
+  /** Apply removal intervals to their documents: drop every word whose
+    * 1-based position lies inside one of the doc's spans and report the
+    * residual. `docs` is (doc_id, w: ARRAY<STRING>) — the SAME tokenization
+    * the intervals were computed over; `intervals` is [[dupSpanIntervals]]'
+    * shape (doc_id, span_start, span_end, span_words, …). Intervals are
+    * maximal ⇒ disjoint ⇒ their width sum IS the removed-word count. Docs
+    * without intervals are excluded (nothing to rewrite). The word filter
+    * runs at scan speed via higher-order functions against the doc's OWN
+    * (tiny) interval list — no per-word explode, no window, one doc_id
+    * equi-join. Unit-tested on synthetic intervals in SubstringOpsSpec;
+    * q151 strict-checks the full derivation. */
+  private[graft] def applySpanRemoval(docs: DataFrame,
+      intervals: DataFrame): DataFrame = {
+    val ivs = intervals
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("ivs"),
+        sum(col("span_end") - col("span_start") + 1).as("removed_words"))
+    docs
+      .join(ivs, Seq("doc_id"))
+      .withColumn("kept", expr(
+        """filter(transform(w, (x, j) -> struct(CAST(j + 1 AS BIGINT) AS p, x AS wd)),
+          |  s -> !exists(ivs, v -> s.p >= v.span_start AND s.p <= v.span_end))"""
+          .stripMargin))
+      .select(col("doc_id"),
+        size(col("w")).cast("long").as("n_words"),
+        col("removed_words"),
+        size(col("kept")).cast("long").as("kept_words"),
+        md5(expr("array_join(transform(kept, s -> s.wd), ' ')")).as("residual_md5"))
+  }
+
   val qs: Seq[Q] = Seq(
 
     // ---- duplicated n-gram spans: substring-level exact dedup ----
@@ -456,6 +486,64 @@ object SubstringOps {
            |FROM i GROUP BY doc_id, island
            |ORDER BY doc_id, span_start""".stripMargin) { (s, dir) =>
       dupSpanIntervals(s, dir).orderBy(col("doc_id"), col("span_start"))
+    },
+
+    // ---- span-removal APPLY: cut the q141 intervals out of each doc ----
+    // q141 computes WHAT to remove; this applies it — the rewrite pass a
+    // production substring-dedup pipeline actually ships: every word whose
+    // 1-based position falls inside one of the doc's maximal duplicated
+    // spans is dropped, and the residual document (surviving words joined
+    // by ' ', in order, over the same lowercased-trim tokenization) is
+    // emitted as an md5 so the full rewrite is strict-checkable without
+    // hauling text through the compare. Scale shape: intervals per doc are
+    // few and already per-doc (one collect_list groupBy on doc_id — a
+    // high-cardinality key), the apply is ONE equi-join on doc_id followed
+    // by a scan-speed higher-order filter (no per-word explode join, no
+    // window); docs without removals never enter the join (inner). The
+    // intervals are maximal ⇒ pairwise disjoint ⇒ removed_words is their
+    // exact width sum and kept = n_words − removed always; the oracle
+    // re-derives both sides independently and must hash-match.
+    Q("q151_span_removal_apply",
+      raw"""WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS words
+           |           FROM documents),
+           |g AS (SELECT doc_id, s['pos'] AS pos, s['gram'] AS gram FROM (
+           |    SELECT doc_id, unnest(list_transform(range(1, greatest(len(words) - ${GramWords - 2}, 1)),
+           |      i -> {'pos': i, 'gram': array_to_string(list_slice(words, i, i + ${GramWords - 1}), ' ')})) AS s
+           |    FROM w)),
+           |d AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+           |f AS (SELECT g.doc_id, g.pos FROM g JOIN d USING (gram)),
+           |b AS (SELECT doc_id, pos,
+           |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= $GramWords
+           |         THEN 0 ELSE 1 END AS brk
+           |  FROM f),
+           |i AS (SELECT doc_id, pos,
+           |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island
+           |  FROM b),
+           |iv AS (SELECT doc_id, min(pos) AS span_start, max(pos) + ${GramWords - 1} AS span_end
+           |  FROM i GROUP BY doc_id, island),
+           |ivd AS (SELECT doc_id, sum(span_end - span_start + 1) AS removed_words
+           |  FROM iv GROUP BY doc_id),
+           |pos AS (SELECT doc_id, s['p'] AS p, s['wd'] AS wd FROM (
+           |    SELECT doc_id, unnest(list_transform(range(1, len(words) + 1),
+           |      j -> {'p': j, 'wd': words[j]})) AS s
+           |    FROM w WHERE doc_id IN (SELECT doc_id FROM iv))),
+           |k AS (SELECT p.doc_id, p.p, p.wd
+           |  FROM pos p LEFT JOIN iv v
+           |    ON p.doc_id = v.doc_id AND p.p BETWEEN v.span_start AND v.span_end
+           |  WHERE v.doc_id IS NULL),
+           |res AS (SELECT doc_id, count(*) AS kept_words,
+           |    md5(string_agg(wd, ' ' ORDER BY p)) AS residual_md5
+           |  FROM k GROUP BY doc_id)
+           |SELECT w.doc_id, CAST(len(w.words) AS BIGINT) AS n_words,
+           |  CAST(ivd.removed_words AS BIGINT) AS removed_words,
+           |  CAST(coalesce(res.kept_words, 0) AS BIGINT) AS kept_words,
+           |  coalesce(res.residual_md5, md5('')) AS residual_md5
+           |FROM w JOIN ivd USING (doc_id) LEFT JOIN res USING (doc_id)
+           |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      applySpanRemoval(
+        t(s, dir, "documents").select(col("doc_id"), wordsCol.as("w")),
+        dupSpanIntervals(s, dir))
+        .orderBy(col("doc_id"))
     },
 
     // ---- shingle-set containment: near-superset / quotation detection ----

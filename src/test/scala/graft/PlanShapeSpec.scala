@@ -187,4 +187,47 @@ class PlanShapeSpec extends SparkSpec {
     assert(!aud.contains("Join") && !aud.contains("CartesianProduct"),
       s"audio decode should be one mapPartitions pass:\n$aud")
   }
+
+  test("q149: 128-bit banded candidates are equi-joins, never all-pairs") {
+    val p = plan("q149_image_neardup128")
+    assert(!p.contains("CartesianProduct"), s"q149 all-pairs cartesian:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"q149 top-25 fell back to a global sort:\n$p")
+    graft.ops.CacheRegistry.release(spark, "q148-dhash128:")
+  }
+
+  test("q150: both grouped top-k windows are partitioned — no global window") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val exec = SparkEntry.queries("q150_group_weighted_sample")(spark, sf001)
+      .queryExecution.executedPlan
+    def windows(sp: SparkPlan): Seq[WindowExec] = sp.collect {
+      case w: WindowExec => Seq(w)
+      case a: AdaptiveSparkPlanExec => windows(a.executedPlan)
+    }.flatten
+    val specs = windows(exec).map(_.partitionSpec)
+    // phase 1 (source, salt) + phase 2 (source) — both must partition
+    assert(specs.length >= 2, s"expected both top-k windows:\n$exec")
+    specs.foreach(s => assert(s.nonEmpty,
+      s"unpartitioned (global) window in q150:\n$exec"))
+    // the salt must actually reach phase 1's partition spec: at least one
+    // window partitions on MORE than one expression
+    assert(specs.exists(_.length >= 2),
+      s"no (source, salt) window — the salted phase is gone:\n$exec")
+  }
+
+  test("q151: span-removal apply adds one doc_id equi-join, no per-word explode") {
+    val p = plan("q151_span_removal_apply")
+    assert(!p.contains("CartesianProduct"), s"q151 cartesian:\n$p")
+    // the apply must be the q141 interval derivation + one hash join on
+    // doc_id + a scan-speed higher-order filter. Generate (explode)
+    // appears only inside the inherited gram enumeration — the apply side
+    // adds NONE (a per-word position explode-then-join would double the
+    // Generate count and add a word-sized shuffle)
+    def generates(s: String) = s.sliding("Generate".length).count(_ == "Generate")
+    val base = plan("q141_dup_span_coalesce")
+    assert(generates(p) <= generates(base),
+      s"q151 apply added a per-word explode over q141's derivation:\n$p")
+  }
 }

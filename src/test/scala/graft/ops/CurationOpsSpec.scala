@@ -154,4 +154,35 @@ class CurationOpsSpec extends SparkSpec {
     val keys = sample.map(_.getDouble(2))
     assert(keys.forall(_ <= 0.0) && keys.zip(keys.tail).forall { case (a, b) => a >= b })
   }
+
+  test("q150 salted two-phase grouped top-k equals the plain one-window form") {
+    import org.apache.spark.sql.expressions.Window
+    // rebuild the scored frame exactly as q150 does, then take the top-5
+    // per source with the NAIVE single window — the skew-trap plan the
+    // salted composition must reproduce bit-identically (any doc in a
+    // source's true top-5 is top-5 within its salt bucket)
+    val scored = graft.schema.Tables.t(spark, sf001, "documents")
+      .select(col("doc_id"), col("source"),
+        size(split(lower(trim(col("text"))), "\\s+")).cast("long").as("n_words"),
+        md5(col("text")).as("m"))
+      .filter(col("n_words") > 0)
+      .select(col("doc_id"), col("source"), col("n_words"),
+        round(log((conv(substring(col("m"), 1, 14), 16, 10).cast("double") + lit(1.0))
+            / lit(72057594037927936.0)) / col("n_words"), 6).as("es_key"))
+    val plain = scored
+      .withColumn("rank", row_number().over(Window.partitionBy(col("source"))
+        .orderBy(col("es_key").desc, col("doc_id"))).cast("bigint"))
+      .filter(col("rank") <= 5)
+      .select(col("source"), col("rank"), col("doc_id"), col("n_words"), col("es_key"))
+      .orderBy(col("source"), col("rank"))
+      .collect()
+    val salted = q("q150_group_weighted_sample").collect()
+    assert(salted.toSeq === plain.toSeq)
+    // every source with >=5 scored docs contributes exactly 5 ranks 1..5
+    val bySource = salted.groupBy(_.getString(0))
+    bySource.foreach { case (src, rows) =>
+      assert(rows.map(_.getLong(1)).sorted.toSeq === (1L to rows.length).toSeq,
+        s"source $src ranks not contiguous")
+    }
+  }
 }

@@ -111,6 +111,47 @@ class SubstringOpsSpec extends SparkSpec {
     assert(dupDocs > 0 && rows.nonEmpty)
   }
 
+  test("applySpanRemoval cuts exactly the interval words, keeps order") {
+    val docs = Seq(
+      (1L, Seq("a", "b", "c", "d", "e", "f")),
+      (2L, Seq("x", "y", "z")),
+      (3L, Seq("w1", "w2", "w3", "w4", "w5", "w6", "w7", "w8", "w9", "w10")),
+      (4L, Seq("untouched", "doc"))).toDF("doc_id", "w")
+    val intervals = Seq(
+      (1L, 2L, 4L),             // cut b,c,d     → residual "a e f"
+      (2L, 1L, 3L),             // full cover    → residual ""
+      (3L, 1L, 2L), (3L, 5L, 6L) // two islands  → residual "w3 w4 w7 w8 w9 w10"
+    ).toDF("doc_id", "span_start", "span_end")
+    val out = SubstringOps.applySpanRemoval(docs, intervals)
+      .orderBy(col("doc_id")).collect()
+    def md5Of(s: String) = Seq(s).toDF("t").select(md5(col("t"))).head().getString(0)
+    // doc 4 has no intervals → not rewritten, not emitted
+    assert(out.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+    val byDoc = out.map(r => r.getLong(0) ->
+      ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(byDoc(1L) === ((6L, 3L, 3L, md5Of("a e f"))))
+    assert(byDoc(2L) === ((3L, 3L, 0L, md5Of(""))))
+    assert(byDoc(3L) === ((10L, 4L, 6L, md5Of("w3 w4 w7 w8 w9 w10"))))
+  }
+
+  test("q151 apply is consistent with q141's intervals on real data") {
+    val intervals = graft.SparkEntry.queries("q141_dup_span_coalesce")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val applied = graft.SparkEntry.queries("q151_span_removal_apply")(spark, sf001)
+      .collect()
+    assert(applied.nonEmpty)
+    // one output row per doc holding intervals; removed = interval width
+    // sum (disjointness); kept + removed = n_words always
+    val widthByDoc = intervals.groupBy(_._1).map { case (d, ivs) =>
+      d -> ivs.map { case (_, s, e) => e - s + 1 }.sum }
+    assert(applied.map(_.getLong(0)).toSeq === widthByDoc.keys.toSeq.sorted)
+    applied.foreach { r =>
+      val (doc, n, rem, kept) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(rem === widthByDoc(doc), s"doc $doc removed $rem != width sum")
+      assert(kept === n - rem, s"doc $doc kept $kept != $n - $rem")
+    }
+  }
+
   test("q108 span report: every row spans >=2 docs and occurrences >= docs") {
     val rows = graft.SparkEntry.queries("q108_dup_ngram_spans")(spark, sf001)
       .collect()
