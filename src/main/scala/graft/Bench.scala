@@ -186,11 +186,33 @@ object Bench {
         s""""value":${f3(total)},"failed":$nFailed}"""
     }
     // degrade order: raise the MB floor, then drop the jitter pairs, then
-    // drop MB entirely — task-time is this round's non-negotiable signal
+    // drop MB entirely — task-time is this round's non-negotiable signal.
+    // Budget 1300: the harness tail is 2000 chars and must also hold the
+    // ENTIRE final line below plus sbt's "[success] …" trailer — rounds 6
+    // and 7 both lost the final line's head (=> parsed:null) because the
+    // one line alone filled the whole tail.
     val line = Seq(compact(0.05, true), compact(0.5, true), compact(0.5, false),
         compact(Double.MaxValue, false))
-      .find(_.length <= 2000).getOrElse(compact(Double.MaxValue, false))
+      .find(_.length <= 1300).getOrElse(compact(Double.MaxValue, false))
     println(line)
+    // FINAL line — the machine-parsed contract line, spec shape
+    // {"metric","value","unit","queries","sf"}. Guaranteed short: plain
+    // seconds (min-of-2 wall) listed only for failed queries and the
+    // slowest ones above an adaptive threshold; everything else is in
+    // bench_detail.json and the lines above. Values are plain numbers
+    // (-1.0 = failed) so any JSON parser handles the map uniformly.
+    def contract(thresholdSec: Double): String = {
+      val shown = results.filter { case (_, v, _, _) => v < 0 || v >= thresholdSec }
+      val qmap = shown.map { case (k, v, _, _) => s""""${shortId(k)}":${f1(v)}""" }
+        .mkString("{", ",", "}")
+      s"""{"metric":"wall_total","unit":"sec","queries":$qmap,""" +
+        s""""queries_omitted_below_sec":${f1(thresholdSec)},""" +
+        s""""n":${results.size},"failed":$nFailed,""" +
+        s""""task_sec":${f3(taskTotalSec)},"cpu_sec":${f3(cpuTotalSec)},""" +
+        s""""sf":"$sfDir","value":${f3(total)}}"""
+    }
+    println(Seq(0.5, 1.0, 2.0, 5.0).map(contract)
+      .find(_.length <= 1500).getOrElse(contract(Double.MaxValue)))
     graft.ops.CacheRegistry.clear(spark) // release every operator cache
     spark.stop()
   }

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted, SparkListenerTaskEnd}
+import org.apache.spark.sql.SparkSession
+
+/** Local diagnosis main: run ONE query from SparkEntry.queries and print
+  * per-stage task counts / runtime / cpu / shuffle / spill, to localize
+  * where task-seconds go when `Bench` shows task_s >> cpu_s (VERDICT r7:
+  * q100 at 5.6×). Usage: runMain graft.StageProfile <queryName> [sfDir]. */
+object StageProfile {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    case class St(var n: Int = 0, var runMs: Long = 0, var cpuMs: Long = 0,
+      var shufWriteMb: Double = 0, var spillMb: Double = 0,
+      var gcMs: Long = 0, var deserMs: Long = 0, var resultMs: Long = 0)
+    val stages = scala.collection.concurrent.TrieMap.empty[Int, St]
+    val names = scala.collection.concurrent.TrieMap.empty[Int, String]
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(te: SparkListenerTaskEnd): Unit =
+        Option(te.taskMetrics).foreach { m =>
+          val s = stages.getOrElseUpdate(te.stageId, St())
+          s.synchronized {
+            s.n += 1
+            s.runMs += m.executorRunTime
+            s.cpuMs += m.executorCpuTime / 1000000L
+            s.shufWriteMb += m.shuffleWriteMetrics.bytesWritten / 1e6
+            s.spillMb += (m.memoryBytesSpilled + m.diskBytesSpilled) / 1e6
+            s.gcMs += m.jvmGCTime
+            s.deserMs += m.executorDeserializeTime
+            s.resultMs += m.resultSerializationTime
+          }
+        }
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit =
+        names.put(sc.stageInfo.stageId, sc.stageInfo.name.take(60))
+    })
+    val t0 = System.nanoTime()
+    val rows = SparkEntry.queries(name)(spark, sfDir).count()
+    val wall = (System.nanoTime() - t0) / 1e9
+    Thread.sleep(1500) // listener bus drain
+    println(f"query=$name rows=$rows wall=$wall%.2fs")
+    val tot = stages.values
+    println(f"TOTAL tasks=${tot.map(_.n).sum} run=${tot.map(_.runMs).sum / 1e3}%.1fs " +
+      f"cpu=${tot.map(_.cpuMs).sum / 1e3}%.1fs gc=${tot.map(_.gcMs).sum / 1e3}%.1fs " +
+      f"spill=${tot.map(_.spillMb).sum}%.0fMB")
+    stages.toSeq.sortBy(-_._2.runMs).take(25).foreach { case (id, s) =>
+      println(f"stage $id%4d n=${s.n}%5d run=${s.runMs / 1e3}%8.1fs cpu=${s.cpuMs / 1e3}%8.1fs " +
+        f"gc=${s.gcMs / 1e3}%6.1fs deser=${s.deserMs / 1e3}%6.1fs shufW=${s.shufWriteMb}%7.1fMB " +
+        f"spill=${s.spillMb}%6.0fMB  ${names.getOrElse(id, "?")}")
+    }
+    graft.ops.CacheRegistry.clear(spark)
+    spark.stop()
+  }
+}

@@ -20,15 +20,6 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
-      .filter { case (name, _) => only.isEmpty || only.exists(name.startsWith) }
-      .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
-    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -41,6 +32,33 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    val failed = scala.collection.mutable.ListBuffer.empty[(String, String)]
+    SparkEntry.queries
+      .filter { case (name, _) => only.isEmpty || only.exists(name.startsWith) }
+      .foreach { case (name, fn) =>
+      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/$name")
+      catch { case e: Throwable =>
+        // A throwing query must NOT silently vanish from the driver's
+        // CORRECTNESS artifact (round 7's 20 disappearing rows). Write a
+        // one-row marker parquet so the driver's compare records a loud
+        // schema/hash mismatch for this name instead of no entry at all.
+        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failed += name -> String.valueOf(e.getMessage)
+        import spark.implicits._
+        Seq(("GRAFT_QUERY_ERROR", String.valueOf(e.getMessage).take(500)))
+          .toDF("_graft_error", "_message")
+          .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      }
+    }
+    if (failed.nonEmpty) {
+      val lines = failed.map { case (n, m) =>
+        s"${q(n)}: ${q(m)}" }.mkString("{", ",", "}")
+      Files.writeString(Paths.get(s"$outDir/failed.json"), lines)
+      System.err.println(
+        s"[verify] FAILED queries: ${failed.map(_._1).mkString(", ")}")
+    }
+    println(s"""{"verify_failed": ${failed.size}}""")
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

@@ -23,26 +23,40 @@ object Tables {
 
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 rejects outright
-      // (PARQUET_TYPE_ILLEGAL). Read it as a nanos Long and truncate to
-      // microsecond timestamps — the same truncation DuckDB applies, so the
-      // oracle sees identical values. All graft-owned session builders set
-      // this conf at construction; the set here covers externally-built
-      // sessions. It is deliberately NOT save/restored around the read:
-      // the scan captures the conf lazily at action time, so a restore
-      // would break execution of the returned (lazy) DataFrame. The conf
-      // stays set for the session's lifetime — any later nanos-timestamp
-      // parquet reads in the same session also get the legacy Long shape.
+      // events.ts has shipped as both TIMESTAMP(NANOS) (which Spark 4
+      // rejects outright — PARQUET_TYPE_ILLEGAL — unless nanosAsLong turns
+      // it into a raw Long) and plain TIMESTAMP(MICROS). Set the conf so a
+      // nanos file reads at all, then adapt to what actually came back:
+      // only a Long `ts` needs the nanos→micros truncation (the same
+      // truncation DuckDB applies, so the oracle sees identical values).
+      // The conf is deliberately NOT save/restored around the read: the
+      // scan captures it lazily at action time, so a restore would break
+      // execution of the returned (lazy) DataFrame.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val df = spark.read.parquet(s"$dir/$name.parquet")
       import org.apache.spark.sql.functions.{expr, timestamp_micros}
-      // integer DIV, not `/`: long/int division goes through double and
-      // rounds the microsecond up at ~1.7e18 ns magnitudes
-      df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      import org.apache.spark.sql.types.LongType
+      if (df.schema("ts").dataType == LongType)
+        // integer DIV, not `/`: long/int division goes through double and
+        // rounds the microsecond up at ~1.7e18 ns magnitudes
+        df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      else df
     } else spark.read.parquet(s"$dir/$name.parquet")
 
   /** Register every table as a temp view so `spark.sql` queries (grouping
-    * sets, SQL-only surfaces) can run against the same inputs. */
+    * sets, SQL-only surfaces) can run against the same inputs.
+    *
+    * Per-table isolation: registration of one table must not throw for a
+    * query that never touches it (round 7: an events-loader bug took out 8
+    * SQL-surface queries that only read region/nation). A table whose
+    * *registration* fails is skipped here — the query that actually
+    * references it still fails, with TABLE_OR_VIEW_NOT_FOUND naming the
+    * culprit table, which is the failure we want. */
   def views(spark: SparkSession, dir: String): Unit =
-    all.foreach(n => t(spark, dir, n).createOrReplaceTempView(n))
+    all.foreach { n =>
+      try t(spark, dir, n).createOrReplaceTempView(n)
+      catch { case e: Throwable =>
+        System.err.println(s"[graft] view registration failed for '$n': ${e.getMessage}")
+      }
+    }
 }
