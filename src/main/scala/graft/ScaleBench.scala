@@ -122,12 +122,12 @@ object ScaleBench {
       if (args.nonEmpty) args.toSeq.map(_.toLong) else Seq(100000L, 200000L)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val root = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "target/scaletest")
-    val spark = SparkSession.builder()
+    val spark = SessionDefaults.tune(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
+      .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val shuffleBytes = new java.util.concurrent.atomic.AtomicLong()
