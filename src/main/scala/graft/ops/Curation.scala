@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Q
 import graft.schema.Tables.t
@@ -49,6 +49,35 @@ object Curation {
       .agg(count(lit(1)).cast("long").as("n_docs"), min(col("doc_id")).as("keeper_id"))
       .filter(col("n_docs") >= 2)
       .orderBy(col("fp"))
+
+  /** q93's BM25 scorer (k1=1.2, b=0.75, terms data/scan/hash) as the full
+    * scored candidate list — factored out so q155's hybrid RRF fusion
+    * ranks the SAME scores q93 emits. Candidates are df-bounded (only
+    * docs containing ≥1 query term survive the filter); the 6dp-rounded
+    * score is the rank key downstream, so engine ulp differences in ln()
+    * can never reorder the fused list. */
+  private[ops] def bm25Scored(s: SparkSession, dir: String): DataFrame = {
+    val words = t(s, dir, "documents")
+      .select(col("doc_id"), explode(wordsCol).as("word"))
+    def tfCol(term: String) =
+      sum(when(col("word") === term, 1L).otherwise(0L)).as(s"tf_$term")
+    def dfCol(term: String) =
+      countDistinct(when(col("word") === term, col("doc_id"))).as(s"df_$term")
+    val dlF = words.groupBy(col("doc_id")).agg(count(lit(1)).cast("long").as("dl"))
+    val ad = dlF.agg((sum(col("dl")).cast("long") * lit(1.0) / count(lit(1))).as("avgdl"))
+    val tf = words.groupBy(col("doc_id")).agg(tfCol("data"), tfCol("scan"), tfCol("hash"))
+    val c = words.agg(dfCol("data"), dfCol("scan"), dfCol("hash"))
+    val n = t(s, dir, "documents").agg(count(lit(1)).as("n_docs"))
+    def term(tname: String) =
+      log(lit(1) + (col("n_docs") - col(s"df_$tname") + lit(0.5)) / (col(s"df_$tname") + lit(0.5))) *
+        col(s"tf_$tname") * lit(2.2) /
+        (col(s"tf_$tname") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+    tf.join(dlF, Seq("doc_id"))
+      .crossJoin(broadcast(c)).crossJoin(broadcast(n)).crossJoin(broadcast(ad))
+      .filter(col("tf_data") + col("tf_scan") + col("tf_hash") > 0)
+      .select(col("doc_id"), col("tf_data"), col("tf_scan"), col("tf_hash"), col("dl"),
+        round(term("data") + term("scan") + term("hash"), 6).as("score"))
+  }
 
   val qs: Seq[Q] = Seq(
 
@@ -344,26 +373,7 @@ object Curation {
         |WHERE tf_data + tf_scan + tf_hash > 0
         |ORDER BY score DESC, doc_id
         |LIMIT 15""".stripMargin) { (s, dir) =>
-      val words = t(s, dir, "documents")
-        .select(col("doc_id"), explode(wordsCol).as("word"))
-      def tfCol(term: String) =
-        sum(when(col("word") === term, 1L).otherwise(0L)).as(s"tf_$term")
-      def dfCol(term: String) =
-        countDistinct(when(col("word") === term, col("doc_id"))).as(s"df_$term")
-      val dlF = words.groupBy(col("doc_id")).agg(count(lit(1)).cast("long").as("dl"))
-      val ad = dlF.agg((sum(col("dl")).cast("long") * lit(1.0) / count(lit(1))).as("avgdl"))
-      val tf = words.groupBy(col("doc_id")).agg(tfCol("data"), tfCol("scan"), tfCol("hash"))
-      val c = words.agg(dfCol("data"), dfCol("scan"), dfCol("hash"))
-      val n = t(s, dir, "documents").agg(count(lit(1)).as("n_docs"))
-      def term(tname: String) =
-        log(lit(1) + (col("n_docs") - col(s"df_$tname") + lit(0.5)) / (col(s"df_$tname") + lit(0.5))) *
-          col(s"tf_$tname") * lit(2.2) /
-          (col(s"tf_$tname") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
-      tf.join(dlF, Seq("doc_id"))
-        .crossJoin(broadcast(c)).crossJoin(broadcast(n)).crossJoin(broadcast(ad))
-        .filter(col("tf_data") + col("tf_scan") + col("tf_hash") > 0)
-        .select(col("doc_id"), col("tf_data"), col("tf_scan"), col("tf_hash"), col("dl"),
-          round(term("data") + term("scan") + term("hash"), 6).as("score"))
+      bm25Scored(s, dir)
         .orderBy(col("score").desc, col("doc_id"))
         .limit(15)
     },

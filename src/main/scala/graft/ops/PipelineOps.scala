@@ -1,0 +1,329 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Q
+import graft.schema.Tables.t
+
+/** Round-8 pipeline operators: the compositions a production-scale
+  * training-data pipeline runs ON TOP of the primitive families —
+  * bucketized range joins (the prompt's "range join" beyond q38's as-of),
+  * per-source vocabulary health (Zipf slope), DSIR-style importance
+  * resampling weights, hybrid BM25+vector retrieval fusion (RRF), and a
+  * hashed-feature linear quality classifier. All DuckDB-oracle-checked;
+  * all floating sums in fixed order (the q101/q114 rule).
+  */
+object PipelineOps {
+
+  private val wordsCol = TextCommon.wordsCol
+
+  private def duckHex(expr: String, n: Int): String = TextCommon.duckHex(expr, n)
+
+  /** Shared word-frame (doc_id, lang, word occurrences). */
+  private def words(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"), col("lang"), col("source"),
+      explode(wordsCol).as("word"))
+
+  private val DuckWords =
+    raw"""w AS (SELECT doc_id, lang, source,
+         |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+         |  FROM documents)""".stripMargin
+
+  val qs: Seq[Q] = Seq(
+
+    // ---- bucketized interval/range join over the event stream ----
+    // "All clicks within ±120 s of each error event" — the pure range join
+    // the reference's ClickHouse side would run as ASOF/range and naive
+    // Spark plans as a cartesian theta join. Scale shape: quantize time
+    // into W-sized buckets, explode each error to its 3 candidate buckets
+    // (b-1, b, b+1 — every |Δ|≤W match is in one of them), equi-join on
+    // the bucket, then apply the exact |Δ|≤W residual. O(3·N + M) rows
+    // through a hash-partitioned equi-join instead of O(N·M) comparisons;
+    // a (click, error) pair can only meet in the click's OWN bucket, so
+    // no distinct is needed. Microsecond integers end to end (Spark
+    // unix_micros ≡ DuckDB epoch_us — no double truncation drift).
+    Q("q152_interval_join",
+      """SELECT e.event_id AS event_id,
+        |  CAST(count(c.event_id) AS BIGINT) AS n_nearby
+        |FROM events e LEFT JOIN events c
+        |  ON c.event_type = 'click'
+        | AND abs(epoch_us(c.ts) - epoch_us(e.ts)) <= 120000000
+        |WHERE e.event_type = 'error'
+        |GROUP BY e.event_id
+        |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      val W = 120000000L // ±120 s in microseconds
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("event_type"),
+          expr("unix_micros(CAST(ts AS TIMESTAMP))").as("us"))
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("eid"), col("us").as("eus"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("cid"), expr(s"us DIV $W").as("bkt"), col("us").as("cus"))
+      val probes = errors.select(col("eid"), col("eus"),
+        explode(expr(s"array(eus DIV $W - 1, eus DIV $W, eus DIV $W + 1)")).as("bkt"))
+      probes.join(clicks, Seq("bkt"), "left")
+        .groupBy(col("eid").as("event_id"))
+        .agg(count(when(abs(col("cus") - col("eus")) <= W, col("cid")))
+          .cast("long").as("n_nearby"))
+        .orderBy(col("event_id"))
+    },
+
+    // ---- per-source Zipf slope: vocabulary health check ----
+    // Natural text follows rank-frequency slope ≈ -1 in log-log space; a
+    // source whose slope collapses toward 0 (flat = template spam) or
+    // dives steeply (tiny vocab looping) is machine-generated or broken —
+    // a corpus-level quality gate next to q47's per-doc scores. Shape:
+    // (source, word) counts in one shuffle, per-source top-100 via the
+    // q150 salted two-phase cut (never a window on the bare 20-value
+    // source column), then the OLS slope of ln(freq) on ln(rank) computed
+    // from sums folded in rank order on both engines (q114 rule).
+    Q("q153_zipf_slope", {
+      s"""WITH $DuckWords,
+         |cnt AS (SELECT source, word, CAST(count(*) AS BIGINT) AS c
+         |  FROM w GROUP BY source, word),
+         |rk AS (SELECT source, c,
+         |    row_number() OVER (PARTITION BY source ORDER BY c DESC, word) AS r
+         |  FROM cnt),
+         |top AS (SELECT source, r, c FROM rk WHERE r <= 100),
+         |su AS (SELECT source, CAST(count(*) AS DOUBLE) AS n,
+         |    list_sum(list_transform(list(struct_pack(r := r, c := c) ORDER BY r),
+         |      p -> ln(CAST(p.r AS DOUBLE)))) AS sx,
+         |    list_sum(list_transform(list(struct_pack(r := r, c := c) ORDER BY r),
+         |      p -> ln(CAST(p.c AS DOUBLE)))) AS sy,
+         |    list_sum(list_transform(list(struct_pack(r := r, c := c) ORDER BY r),
+         |      p -> ln(CAST(p.r AS DOUBLE)) * ln(CAST(p.c AS DOUBLE)))) AS sxy,
+         |    list_sum(list_transform(list(struct_pack(r := r, c := c) ORDER BY r),
+         |      p -> ln(CAST(p.r AS DOUBLE)) * ln(CAST(p.r AS DOUBLE)))) AS sxx
+         |  FROM top GROUP BY source),
+         |ty AS (SELECT source, CAST(count(*) AS BIGINT) AS n_types FROM cnt GROUP BY source)
+         |SELECT su.source AS source, ty.n_types,
+         |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS zipf_slope
+         |FROM su JOIN ty ON su.source = ty.source
+         |ORDER BY source""".stripMargin
+    }) { (s, dir) =>
+      val cnt = words(s, dir)
+        .groupBy(col("source"), col("word"))
+        .agg(count(lit(1)).cast("long").as("c"))
+      // two-phase top-100: salt the word into 16 shards so phase 1's
+      // window never keys on the bare 20-value source column (q150 shape);
+      // phase 2 ranks ≤ 1600 survivors per source.
+      val w1 = Window.partitionBy(col("source"), col("salt"))
+        .orderBy(col("c").desc, col("word"))
+      val w2 = Window.partitionBy(col("source"))
+        .orderBy(col("c").desc, col("word"))
+      val top = cnt
+        .withColumn("salt", pmod(hash(col("word")), lit(16)))
+        .withColumn("r1", row_number().over(w1)).filter(col("r1") <= 100)
+        .withColumn("r", row_number().over(w2)).filter(col("r") <= 100)
+        .select(col("source"), col("r").cast("long").as("r"), col("c"))
+      // rank-ordered fold = the oracle's list(... ORDER BY r) + list_sum
+      def foldSum(body: String) = expr(
+        s"""aggregate(
+           |  transform(array_sort(collect_list(struct(r, c))), p -> $body),
+           |  CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)""".stripMargin)
+      val su = top.groupBy(col("source")).agg(
+        count(lit(1)).cast("double").as("n"),
+        foldSum("ln(CAST(p.r AS DOUBLE))").as("sx"),
+        foldSum("ln(CAST(p.c AS DOUBLE))").as("sy"),
+        foldSum("ln(CAST(p.r AS DOUBLE)) * ln(CAST(p.c AS DOUBLE))").as("sxy"),
+        foldSum("ln(CAST(p.r AS DOUBLE)) * ln(CAST(p.r AS DOUBLE))").as("sxx"))
+      val ty = cnt.groupBy(col("source")).agg(count(lit(1)).cast("long").as("n_types"))
+      su.join(ty, Seq("source"))
+        .select(col("source"), col("n_types"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx")), 4).as("zipf_slope"))
+        .orderBy(col("source"))
+    },
+
+    // ---- DSIR-style importance weights for target-domain resampling ----
+    // Data Selection via Importance Resampling (Xie et al. 2023) with
+    // add-1-smoothed unigram LMs: target = the 'en' slice, source = the
+    // whole corpus; every doc scores avg_w [ln p_T(w) − ln p_S(w)], the
+    // log importance weight a resampler (q140's machinery) would sample
+    // by. Shape at 100 TB: the two LMs are one (word → counts) shuffle
+    // reused for both numerators, the corpus scalars broadcast, and each
+    // doc's sum folds in word order (q114 rule) after one equi-join of
+    // per-doc word counts against the word-stat table. Top-25 by weight:
+    // the docs that look most target-like.
+    Q("q154_dsir_importance", {
+      s"""WITH $DuckWords,
+         |ws AS (SELECT word,
+         |    CAST(count(*) AS BIGINT) AS cs,
+         |    CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS ct
+         |  FROM w GROUP BY word),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS ns,
+         |    CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS nt,
+         |    CAST(count(DISTINCT word) AS BIGINT) AS v
+         |  FROM w),
+         |dwc AS (SELECT doc_id, lang, word, CAST(count(*) AS BIGINT) AS c
+         |  FROM w GROUP BY doc_id, lang, word),
+         |d AS (SELECT dwc.doc_id AS doc_id, dwc.lang AS lang,
+         |    CAST(sum(dwc.c) AS BIGINT) AS n_words,
+         |    list_sum(list_transform(
+         |      list(struct_pack(cd := CAST(dwc.c AS DOUBLE),
+         |                       lw := ln((CAST(ws.ct AS DOUBLE) + 1) / (nt + v))
+         |                           - ln((CAST(ws.cs AS DOUBLE) + 1) / (ns + v)))
+         |           ORDER BY dwc.word),
+         |      p -> p.cd * p.lw)) AS s
+         |  FROM dwc JOIN ws ON dwc.word = ws.word, tot
+         |  GROUP BY dwc.doc_id, dwc.lang)
+         |SELECT doc_id, lang, n_words, round(s / n_words, 6) AS dsir_logw
+         |FROM d
+         |ORDER BY dsir_logw DESC, doc_id
+         |LIMIT 25""".stripMargin
+    }) { (s, dir) =>
+      val w = words(s, dir)
+      val ws = w.groupBy(col("word")).agg(
+        count(lit(1)).cast("long").as("cs"),
+        count(when(col("lang") === "en", 1)).cast("long").as("ct"))
+      val tot = w.agg(
+        count(lit(1)).cast("long").as("ns"),
+        count(when(col("lang") === "en", 1)).cast("long").as("nt"),
+        countDistinct(col("word")).cast("long").as("v"))
+      val dwc = w.groupBy(col("doc_id"), col("lang"), col("word"))
+        .agg(count(lit(1)).cast("long").as("c"))
+      val lw = log((col("ct").cast("double") + lit(1)) / (col("nt") + col("v"))) -
+        log((col("cs").cast("double") + lit(1)) / (col("ns") + col("v")))
+      dwc.join(ws, Seq("word"))
+        .crossJoin(broadcast(tot))
+        .withColumn("lw", lw)
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(sum(col("c")).cast("long").as("n_words"),
+          expr("""aggregate(
+                 |  transform(array_sort(collect_list(struct(word, CAST(c AS DOUBLE) AS cd, lw))),
+                 |    p -> p.cd * p.lw),
+                 |  CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)""".stripMargin).as("s"))
+        .select(col("doc_id"), col("lang"), col("n_words"),
+          round(col("s") / col("n_words"), 6).as("dsir_logw"))
+        .orderBy(col("dsir_logw").desc, col("doc_id"))
+        .limit(25)
+    },
+
+    // ---- hybrid retrieval: BM25 + vector cosine fused by RRF ----
+    // The standard RAG retrieval stack: q93's keyword ranks and q44's
+    // embedding ranks for query vec 0, fused by reciprocal-rank fusion
+    // (k = 60; Cormack et al.): score(d) = Σ 1/(k + rank_i(d)), missing
+    // list → contributes 0 (full outer). Ranks key on the 6dp-ROUNDED
+    // scores (doc_id tiebreak), so engine ulp differences in ln()/sqrt()
+    // can never reorder the fused list. Candidate lists are bounded
+    // (BM25: df-bounded term matches; cosine: top-20 cut), so the rank
+    // windows run over small frames — at 100 TB both lists come from
+    // their families' indexed/bucketed paths, not full scans.
+    Q("q155_hybrid_rrf", {
+      val bm25Cte =
+        raw"""WITH w AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+             |           FROM documents),
+             |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM w GROUP BY doc_id),
+             |ad AS (SELECT CAST(sum(dl) AS BIGINT) * 1.0 / count(*) AS avgdl FROM dl),
+             |tf AS (SELECT doc_id,
+             |    CAST(sum(CASE WHEN word = 'data' THEN 1 ELSE 0 END) AS BIGINT) AS tf_data,
+             |    CAST(sum(CASE WHEN word = 'scan' THEN 1 ELSE 0 END) AS BIGINT) AS tf_scan,
+             |    CAST(sum(CASE WHEN word = 'hash' THEN 1 ELSE 0 END) AS BIGINT) AS tf_hash
+             |  FROM w GROUP BY doc_id),
+             |c AS (SELECT
+             |    count(DISTINCT CASE WHEN word = 'data' THEN doc_id END) AS df_data,
+             |    count(DISTINCT CASE WHEN word = 'scan' THEN doc_id END) AS df_scan,
+             |    count(DISTINCT CASE WHEN word = 'hash' THEN doc_id END) AS df_hash
+             |  FROM w),
+             |n AS (SELECT count(*) AS n_docs FROM documents),
+             |scored AS (SELECT tf.doc_id AS doc_id,
+             |  round(
+             |    ln(1 + (n_docs - df_data + 0.5) / (df_data + 0.5))
+             |      * tf_data * 2.2 / (tf_data + 1.2 * (0.25 + 0.75 * dl.dl / avgdl))
+             |  + ln(1 + (n_docs - df_scan + 0.5) / (df_scan + 0.5))
+             |      * tf_scan * 2.2 / (tf_scan + 1.2 * (0.25 + 0.75 * dl.dl / avgdl))
+             |  + ln(1 + (n_docs - df_hash + 0.5) / (df_hash + 0.5))
+             |      * tf_hash * 2.2 / (tf_hash + 1.2 * (0.25 + 0.75 * dl.dl / avgdl)), 6)
+             |    AS score
+             |  FROM tf JOIN dl ON tf.doc_id = dl.doc_id, c, n, ad
+             |  WHERE tf_data + tf_scan + tf_hash > 0)""".stripMargin
+      s"""$bm25Cte,
+         |b AS (SELECT doc_id,
+         |    CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rb
+         |  FROM scored QUALIFY rb <= 20),
+         |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |cs AS (SELECT vec_id, round(
+         |  ${VectorSearch.DuckCos}, 6) AS cos_sim
+         |  FROM embeddings, q WHERE vec_id <> 0),
+         |cr AS (SELECT vec_id,
+         |    CAST(row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rc
+         |  FROM cs QUALIFY rc <= 20)
+         |SELECT coalesce(b.doc_id, cr.vec_id) AS doc_id, b.rb AS bm25_rank,
+         |  cr.rc AS cos_rank,
+         |  round(coalesce(1.0 / (60 + b.rb), 0.0)
+         |      + coalesce(1.0 / (60 + cr.rc), 0.0), 6) AS rrf_score
+         |FROM b FULL OUTER JOIN cr ON b.doc_id = cr.vec_id
+         |ORDER BY rrf_score DESC, doc_id
+         |LIMIT 15""".stripMargin
+    }) { (s, dir) =>
+      // rank windows are global ORDER BY over bounded lists (see scale
+      // note above) — the single-partition WindowExec is on ≤ a few
+      // hundred rows by construction, never the corpus
+      val b = Curation.bm25Scored(s, dir)
+        .withColumn("rb", row_number()
+          .over(Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+        .filter(col("rb") <= 20)
+        .select(col("doc_id"), col("rb"))
+      val emb = VectorSearch.embTable(s, dir)
+      val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+      val cs = emb.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          round(VectorSearch.dotExpr("embedding", "qe") /
+            (VectorSearch.normExpr("embedding") * VectorSearch.normExpr("qe")), 6)
+            .as("cos_sim"))
+      val cr = cs
+        .withColumn("rc", row_number()
+          .over(Window.orderBy(col("cos_sim").desc, col("vec_id"))).cast("long"))
+        .filter(col("rc") <= 20)
+        .select(col("vec_id"), col("rc"))
+      b.join(cr, col("doc_id") === col("vec_id"), "full_outer")
+        .select(coalesce(col("doc_id"), col("vec_id")).as("doc_id"),
+          col("rb").as("bm25_rank"), col("rc").as("cos_rank"),
+          round(coalesce(lit(1.0) / (lit(60) + col("rb")), lit(0.0))
+            + coalesce(lit(1.0) / (lit(60) + col("rc")), lit(0.0)), 6).as("rrf_score"))
+        .orderBy(col("rrf_score").desc, col("doc_id"))
+        .limit(15)
+    },
+
+    // ---- hashed-feature linear quality classifier ----
+    // The fasttext-shaped model-based quality filter: each word hashes to
+    // a deterministic pseudo-weight in [-1, 1) (md5 → first 8 hex chars −
+    // 2^31 — a stand-in for trained weights, exercising the exact
+    // runtime shape), a doc's score is the tf-weighted mean. All-integer
+    // accumulation (BIGINT Σ tf·w_int, any order — exact) with ONE double
+    // division at the end, so no floating-sum ordering concerns at all.
+    // Map + one (doc, word) shuffle; weights would broadcast as a real
+    // model table at 100 TB.
+    Q("q156_quality_classifier", {
+      s"""WITH $DuckWords,
+         |dw AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tfw
+         |  FROM w GROUP BY doc_id, word),
+         |sc AS (SELECT doc_id,
+         |    CAST(sum(tfw) AS BIGINT) AS n_words,
+         |    CAST(sum(tfw * (${duckHex("md5(word)", 8)} - 2147483648)) AS BIGINT) AS raw
+         |  FROM dw GROUP BY doc_id)
+         |SELECT doc_id, n_words,
+         |  round(CAST(raw AS DOUBLE) / (n_words * 2147483648.0), 6) AS quality_score,
+         |  (raw > 0) AS keep
+         |FROM sc
+         |ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      val wInt = conv(substring(md5(col("word")), 1, 8), 16, 10).cast("long") -
+        lit(2147483648L)
+      words(s, dir)
+        .groupBy(col("doc_id"), col("word"))
+        .agg(count(lit(1)).cast("long").as("tfw"))
+        .withColumn("w_int", wInt)
+        .groupBy(col("doc_id"))
+        .agg(sum(col("tfw")).cast("long").as("n_words"),
+          sum(col("tfw") * col("w_int")).cast("long").as("raw"))
+        .select(col("doc_id"), col("n_words"),
+          round(col("raw").cast("double") / (col("n_words") * lit(2147483648.0)), 6)
+            .as("quality_score"),
+          (col("raw") > 0).as("keep"))
+        .orderBy(col("doc_id"))
+    }
+  )
+}

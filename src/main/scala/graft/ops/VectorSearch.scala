@@ -57,7 +57,7 @@ object VectorSearch {
     t(s, dir, "embeddings")
   }
 
-  private val DuckCos: String =
+  private[ops] val DuckCos: String =
     """list_sum(list_transform(range(1, len(embedding) + 1),
       |      i -> CAST(embedding[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)))
       |  / (sqrt(list_sum(list_transform(range(1, len(embedding) + 1),

@@ -1,0 +1,82 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Semantics of the round-8 pipeline operators (q152–q156). Oracle parity
+  * is the driver's job; these pin the properties the oracles can't see —
+  * equivalence to the naive formulation (q152), statistical sanity
+  * (q153/q154), the fusion arithmetic (q155), and classifier invariants
+  * (q156). */
+class PipelineOpsSpec extends SparkSpec {
+
+  private def q(name: String) = graft.SparkEntry.queries(name)(spark, sf001)
+
+  test("q152: bucketed range join equals the naive theta join") {
+    import graft.schema.Tables.t
+    val ev = t(spark, sf001, "events")
+      .select(col("event_id"), col("event_type"),
+        expr("unix_micros(CAST(ts AS TIMESTAMP))").as("us"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("eid"), col("us").as("eus"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("cid"), col("us").as("cus"))
+    val naive = errors.join(clicks,
+        abs(col("cus") - col("eus")) <= 120000000L, "left")
+      .groupBy(col("eid")).agg(count(col("cid")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bucketed = q("q152_interval_join")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bucketed == naive)
+  }
+
+  test("q152: plans as an equi-join on the bucket, never a cartesian") {
+    val p = q("q152_interval_join").queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"range join fell back to all-pairs:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"no equi-join on the bucket:\n$p")
+  }
+
+  test("q153: one slope per source, negative (rank-frequency decays)") {
+    val rows = q("q153_zipf_slope").collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      val slope = r.getAs[Double]("zipf_slope")
+      assert(slope < 0.0, s"source ${r.get(0)} slope $slope not negative")
+      assert(slope > -5.0, s"source ${r.get(0)} slope $slope implausibly steep")
+    }
+  }
+
+  test("q154: importance weights rank target-language docs to the top") {
+    val top = q("q154_dsir_importance").collect()
+    assert(top.length == 25)
+    val enShare = top.count(_.getAs[String]("lang") == "en")
+    // the target slice must dominate its own importance ranking
+    assert(enShare >= 13, s"only $enShare/25 top-importance docs are 'en'")
+    val ws = top.map(_.getAs[Double]("dsir_logw"))
+    assert(ws.sameElements(ws.sorted.reverse), "not sorted by weight desc")
+  }
+
+  test("q155: rrf score matches the rank arithmetic on every row") {
+    q("q155_hybrid_rrf").collect().foreach { r =>
+      val rb = Option(r.getAs[java.lang.Long]("bm25_rank")).map(_.toLong)
+      val rc = Option(r.getAs[java.lang.Long]("cos_rank")).map(_.toLong)
+      val expected = rb.map(x => 1.0 / (60 + x)).getOrElse(0.0) +
+        rc.map(x => 1.0 / (60 + x)).getOrElse(0.0)
+      val got = r.getAs[Double]("rrf_score")
+      assert(math.abs(got - expected) < 1e-6, s"row $r: $got vs $expected")
+      assert(rb.isDefined || rc.isDefined, s"row $r in neither list")
+    }
+  }
+
+  test("q156: scores bounded in [-1, 1), keep consistent with sign") {
+    q("q156_quality_classifier").collect().foreach { r =>
+      val score = r.getAs[Double]("quality_score")
+      assert(score >= -1.0 && score < 1.0, s"score $score out of range")
+      assert(r.getAs[Boolean]("keep") == score > 0 ||
+        math.abs(score) < 1e-6, // keep keys on the unrounded sum near 0
+        s"keep flag inconsistent at $score")
+    }
+  }
+}
