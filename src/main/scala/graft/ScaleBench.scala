@@ -228,9 +228,68 @@ object ScaleBench {
     // when semantic dedup was the only post-loop phase; same scope.)
     // "image" / "spans" rerun ONLY that family (corpus gen is cached).
     val phaseSel = sys.env.getOrElse("SPARK_GRAFT_SCALE_PHASES", "all")
-    require(Set("all", "postloop", "semdedup", "image", "spans").contains(phaseSel),
+    require(Set("all", "postloop", "semdedup", "image", "spans", "events").contains(phaseSel),
       s"SPARK_GRAFT_SCALE_PHASES must be 'all', 'postloop', 'image' or 'spans'," +
         s" got '$phaseSel' (a typo would silently skip corpus generation)")
+        // ---- q152 interval join: candidate growth at fixed event rate ----
+    // The claim to verify: with the event RATE held constant (span grows
+    // with N — the realistic 100 TB regime: more history, same traffic),
+    // the bucketized range join's candidate volume grows ~linearly in N,
+    // because each error probes a CONSTANT expected number of clicks
+    // (rate × 3 buckets). The naive theta join compares every error to
+    // every click — O(N²) growth — measured once at the smaller size as
+    // the control you must not ship. Events are xxhash-deterministic:
+    // 1 event/s mean with sub-second jitter, 5 types round-robin by hash.
+    def eventPhases(): Unit = {
+      val W = 120000000L
+      def genEvents(n: Long, dir: String): Unit = {
+        val p = java.nio.file.Paths.get(s"$dir/events.parquet")
+        if (!java.nio.file.Files.exists(p)) {
+          spark.range(0, n).toDF("id")
+            .select(col("id").as("event_id"),
+              expr("""timestamp_micros(CAST(1704067200000000 AS BIGINT)
+                     | + id * 1000000
+                     | + pmod(xxhash64(concat('jit:', CAST(id AS STRING))), 1000000))"""
+                .stripMargin).as("ts"),
+              expr("""element_at(array('click','view','error','signup','purchase'),
+                     | CAST(pmod(xxhash64(concat('et:', CAST(id AS STRING))), 5) AS INT) + 1)"""
+                .stripMargin).as("event_type"))
+            .write.mode("overwrite").parquet(p.toString)
+        }
+      }
+      sizes.foreach { n =>
+        val edir = s"$root/ev$n"
+        genEvents(n, edir)
+        val ev = spark.read.parquet(s"$edir/events.parquet")
+          .select(col("event_id"), col("event_type"),
+            expr("unix_micros(CAST(ts AS TIMESTAMP))").as("us"))
+        val probes = ev.filter(col("event_type") === "error")
+          .select(col("event_id").as("eid"), col("us").as("eus"),
+            explode(expr(s"array(us DIV $W - 1, us DIV $W, us DIV $W + 1)")).as("bkt"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id").as("cid"), expr(s"us DIV $W").as("bkt"),
+            col("us").as("cus"))
+        // equi-join candidates BEFORE the residual — the volume the
+        // bucketing admits (mirrors PipelineOps q152's probe join)
+        phase("q152_bucket_cands", n) {
+          probes.join(clicks, Seq("bkt")).count()
+        }
+        phase("q152_full_query", n) {
+          SparkEntry.queries("q152_interval_join")(spark, edir).count()
+        }
+        // control at the SMALLER size only: the all-pairs comparison
+        // count the bucketing avoids (grows ~4× per corpus doubling)
+        if (n == sizes.min) phase("q152_naive_theta", n) {
+          val e = ev.filter(col("event_type") === "error")
+            .select(col("event_id").as("eid"), col("us").as("eus"))
+          val c = ev.filter(col("event_type") === "click")
+            .select(col("event_id").as("cid"), col("us").as("cus"))
+          e.join(c, abs(col("cus") - col("eus")) <= W).count()
+        }
+        ops.CacheRegistry.clear(spark)
+      }
+    }
+    if (phaseSel == "events") { eventPhases(); spark.stop(); return }
     if (phaseSel == "image") sizes.foreach { n =>
       val dir = s"$root/n$n"
       gen(spark, n, dir)
@@ -590,6 +649,7 @@ object ScaleBench {
         }
       }
     }
+    if (phaseSel == "all" || phaseSel == "postloop") eventPhases()
     spark.stop()
   }
 }

@@ -1,0 +1,103 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+// top-level so Catalyst can build a codegen'd Encoder
+case class TimedEvent(event_id: Long, ts: java.sql.Timestamp)
+
+/** q152's interval join as a CONTINUOUS query. Structured Streaming
+  * refuses a stream-stream join without an equality predicate (state
+  * would be all-pairs) — and the fix is exactly q152's batch shape: the
+  * error side explodes to its 3 candidate time buckets (b−1, b, b+1),
+  * the click side keys on its own bucket, and the join is bucket
+  * equality + the exact |Δts| ≤ 120 s residual. The bucketization that
+  * de-cartesians the batch plan is what makes the streaming join LEGAL;
+  * the watermarks + the range condition let the symmetric hash join
+  * evict state past max-event-time − watermark − range instead of
+  * growing forever. The spec proves the streamed pairs equal the batch
+  * theta join over the same data across out-of-order batches, and pins
+  * the StreamingSymmetricHashJoin plan. */
+class StreamingIntervalJoinSpec extends SparkSpec {
+
+  private val W = 120000000L // 120 s bucket width in microseconds
+
+  private def t(min: Int, sec: Int = 0): java.sql.Timestamp =
+    java.sql.Timestamp.valueOf(f"2024-01-01 00:$min%02d:$sec%02d")
+
+  /** error stream → (eid, ets, bkt) probes over the 3 candidate buckets;
+    * click stream → (cid, cts, bkt) keyed on its own bucket. */
+  private def probes(errors: DataFrame): DataFrame =
+    errors.select(col("event_id").as("eid"), col("ts").as("ets"))
+      .withWatermark("ets", "10 minutes")
+      .select(col("eid"), col("ets"), explode(expr(
+        s"""array(unix_micros(ets) DIV $W - 1, unix_micros(ets) DIV $W,
+           |      unix_micros(ets) DIV $W + 1)""".stripMargin)).as("bkt"))
+
+  private def keyed(clicks: DataFrame): DataFrame =
+    clicks.select(col("event_id").as("cid"), col("ts").as("cts"))
+      .withWatermark("cts", "10 minutes")
+      .withColumn("bkt", expr(s"unix_micros(cts) DIV $W"))
+
+  private def ranged(e: DataFrame, c: DataFrame): DataFrame =
+    e.join(c, e("bkt") === c("bkt") &&
+      expr("cts BETWEEN ets - INTERVAL 120 SECONDS AND ets + INTERVAL 120 SECONDS"))
+
+  test("watermarked bucket-keyed stream-stream range join equals the batch theta join") {
+    val s = spark
+    import s.implicits._
+    val errors = MemoryStream[TimedEvent](s)
+    val clicks = MemoryStream[TimedEvent](s)
+    val joined = ranged(probes(errors.toDF()), keyed(clicks.toDF()))
+    val query = joined.writeStream.format("memory")
+      .queryName("interval_join_sink").outputMode("append").start()
+    try {
+      // batch 1: e1 with one click inside (+60 s) and one outside (+200 s)
+      errors.addData(TimedEvent(1L, t(10)))
+      clicks.addData(TimedEvent(101L, t(11)), TimedEvent(102L, t(13, 20)))
+      query.processAllAvailable()
+      // batch 2 arrives out of order: a click BEFORE e1 (−90 s, matches)
+      // and a second error matching the batch-1 clicks
+      clicks.addData(TimedEvent(103L, t(8, 30)))
+      errors.addData(TimedEvent(2L, t(12)))
+      query.processAllAvailable()
+
+      val streamed = s.table("interval_join_sink")
+        .select(col("eid"), col("cid")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val allE = Seq(1L -> t(10), 2L -> t(12))
+      val allC = Seq(101L -> t(11), 102L -> t(13, 20), 103L -> t(8, 30))
+      val expected = (for {
+        (eid, ets) <- allE
+        (cid, cts) <- allC
+        if math.abs(cts.getTime - ets.getTime) <= 120000L
+      } yield (eid, cid)).toSet
+      assert(streamed == expected, s"streamed $streamed != batch $expected")
+      assert(expected == Set((1L, 101L), (2L, 101L), (2L, 102L), (1L, 103L)),
+        "test fixture drifted — expected pairs changed")
+    } finally query.stop()
+  }
+
+  test("the plan is a StreamingSymmetricHashJoin keyed on the bucket") {
+    val s = spark
+    import s.implicits._
+    val errors = MemoryStream[TimedEvent](s)
+    val clicks = MemoryStream[TimedEvent](s)
+    val joined = ranged(probes(errors.toDF()), keyed(clicks.toDF()))
+    val query = joined.writeStream.format("memory")
+      .queryName("interval_join_plan").outputMode("append").start()
+    try {
+      errors.addData(TimedEvent(1L, t(10)))
+      clicks.addData(TimedEvent(101L, t(11)))
+      query.processAllAvailable()
+      import org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper
+      val exec = query.asInstanceOf[StreamingQueryWrapper].streamingQuery
+      val plan = exec.lastExecution.executedPlan.toString
+      assert(plan.contains("StreamingSymmetricHashJoin"),
+        s"range join did not plan as a symmetric hash join:\n$plan")
+      assert(plan.contains("bkt"), s"join state not keyed on the bucket:\n$plan")
+    } finally query.stop()
+  }
+}
