@@ -324,6 +324,102 @@ object PipelineOps {
             .as("quality_score"),
           (col("raw") > 0).as("keep"))
         .orderBy(col("doc_id"))
+    },
+
+    // ---- equi-depth histogram via the stitched global rank ----
+    // ClickHouse-parity `histogram`-style summary, in the exact-quantile
+    // equi-depth variant: 10 buckets of (near-)equal row count over
+    // events.value. The naive formulation is ntile() over a GLOBAL window
+    // — a single-partition sort of the corpus, the one shape q75's
+    // engine exists to kill. Here the rank comes from
+    // Skew.globalRowNumber (range-bucket + broadcast prefix-stitch, no
+    // SinglePartition exchange) and the bucket is integer arithmetic on
+    // it: ((rn−1)·10) DIV total — both engines integer-exact, so bucket
+    // edges can never drift on double ulps. Per-bucket min/max/count are
+    // one hash aggregate on the 10-value bucket key.
+    Q("q157_equidepth_histogram",
+      """WITH r AS (SELECT value,
+        |    row_number() OVER (ORDER BY value, event_id) AS rn
+        |  FROM events),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM events)
+        |SELECT CAST(((rn - 1) * 10) // total AS BIGINT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  round(min(value), 6) AS lo,
+        |  round(max(value), 6) AS hi
+        |FROM r, tot
+        |GROUP BY 1
+        |ORDER BY bucket""".stripMargin) { (s, dir) =>
+      val base = t(s, dir, "events").select(col("event_id"), col("value"))
+      val ranked = graft.ops.Skew.globalRowNumber(base,
+        Seq(col("value").asc, col("event_id").asc),
+        numPartitions = s.conf.get("spark.sql.shuffle.partitions").toInt)
+      val tot = base.agg(count(lit(1)).cast("long").as("total"))
+      ranked.crossJoin(broadcast(tot))
+        .select(expr("((rn - 1) * 10) DIV total").as("bucket"), col("value"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).cast("long").as("n_rows"),
+          round(min(col("value")), 6).as("lo"),
+          round(max(col("value")), 6).as("hi"))
+        .orderBy(col("bucket"))
+    },
+
+    // ---- per-user moving average (groupArrayMovingAvg parity) ----
+    // ClickHouse's groupArrayMovingAvg(3) over each user's event stream,
+    // as a bounded-frame window: avg(value) over the user's last 3 events
+    // ordered by (ts, event_id). The frame order is a total order, so
+    // both engines fold the ≤3 doubles in the same sequence — no
+    // FP-ordering caveat. Window partitions on user_id (cardinality ∝
+    // corpus — parallelism scales with data, unlike a per-type window).
+    Q("q158_moving_avg",
+      """SELECT event_id, user_id,
+        |  round(avg(value) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS mavg3
+        |FROM events
+        |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-2, Window.currentRow)
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          round(avg(col("value")).over(w), 6).as("mavg3"))
+        .orderBy(col("event_id"))
+    },
+
+    // ---- forward as-of join with tolerance ----
+    // q38's mirror: for every error, the EARLIEST click by the same user
+    // AT or AFTER it, kept only within a 10-minute tolerance (the
+    // ASOF-forward + tolerance the reference's destination engine and
+    // DuckDB both expose). Same scalable shape as q38 — tag + union + ONE
+    // window over (user, time), never a per-row subquery: min(click_ts)
+    // over the forward frame gives the next click, the tolerance filter
+    // nulls it past 10 minutes. kind orders errors before clicks at equal
+    // ts → "at or after" (>=) on both engines.
+    Q("q159_asof_forward",
+      """SELECT e.event_id, e.user_id,
+        |  (SELECT min(c.ts) FROM events c
+        |   WHERE c.user_id = e.user_id AND c.event_type = 'click'
+        |     AND c.ts >= e.ts AND c.ts <= e.ts + INTERVAL 10 MINUTE)
+        |    AS next_click_ts
+        |FROM events e
+        |WHERE e.event_type = 'error'
+        |ORDER BY e.event_id""".stripMargin) { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("t"), lit(1).as("kind"),
+          col("ts").as("click_ts"), lit(null).cast("long").as("event_id"))
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts").as("t"), lit(0).as("kind"),
+          lit(null).cast("timestamp").as("click_ts"), col("event_id"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("t"), col("kind"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      clicks.unionByName(errors)
+        .withColumn("next_any", min(col("click_ts")).over(w))
+        .filter(col("kind") === 0)
+        .select(col("event_id"), col("user_id"),
+          when(col("next_any") <= col("t") + expr("INTERVAL 10 MINUTE"),
+            col("next_any")).as("next_click_ts"))
+        .orderBy(col("event_id"))
     }
   )
 }

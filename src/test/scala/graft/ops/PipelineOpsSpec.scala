@@ -70,6 +70,68 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("q157: equi-depth buckets cover all rows with near-equal depth, no global window") {
+    val rows = q("q157_equidepth_histogram").collect()
+    assert(rows.length == 10)
+    val counts = rows.map(_.getAs[Long]("n_rows"))
+    assert(counts.max - counts.min <= 1, s"buckets not equi-depth: ${counts.toSeq}")
+    val los = rows.map(_.getAs[Double]("lo"))
+    val his = rows.map(_.getAs[Double]("hi"))
+    rows.indices.foreach(i => assert(los(i) <= his(i)))
+    assert(his.zip(los.drop(1)).forall { case (h, l) => h <= l },
+      "bucket ranges overlap beyond the boundary")
+    // the scale property: rank comes from the stitch engine (its __bucket
+    // partition key is in the window spec), not an unpartitioned
+    // row_number window over the corpus
+    val p = q("q157_equidepth_histogram").queryExecution.executedPlan.toString
+    assert(p.contains("__bucket"), s"stitch engine missing from plan:\n$p")
+    assert(!p.contains("windowspecdefinition(value"),
+      s"global-window ntile shape leaked back:\n$p")
+  }
+
+  test("q158: moving average matches a hand-rolled fold per user") {
+    import graft.schema.Tables.t
+    val ev = t(spark, sf001, "events")
+      .select(col("user_id"), col("event_id"),
+        expr("unix_micros(CAST(ts AS TIMESTAMP))").as("us"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val expected = ev.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      val sorted = rows.sortBy(r => (r._3, r._2)).toSeq
+      sorted.zipWithIndex.map { case ((_, eid, _, _), i) =>
+        val frame = sorted.slice(math.max(0, i - 2), i + 1).map(_._4)
+        eid -> BigDecimal(frame.sum / frame.size)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+    }.toMap
+    val got = q("q158_moving_avg").collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("mavg3")).toMap
+    assert(got.size == expected.size)
+    val mismatches = expected.collect {
+      case (eid, e) if math.abs(got(eid) - e) > 1e-9 => (eid, e, got(eid))
+    }
+    assert(mismatches.isEmpty, s"mismatched rows: ${mismatches.take(5)}")
+  }
+
+  test("q159: forward as-of equals the naive per-row subquery semantics") {
+    import graft.schema.Tables.t
+    val ev = t(spark, sf001, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("unix_micros(CAST(ts AS TIMESTAMP))").as("us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val clicks = ev.filter(_._3 == "click")
+    val expected = ev.filter(_._3 == "error").map { case (uid, eid, _, us) =>
+      val nexts = clicks.filter(c => c._1 == uid && c._4 >= us &&
+        c._4 <= us + 600000000L).map(_._4)
+      eid -> (if (nexts.isEmpty) None else Some(nexts.min))
+    }.toMap
+    val got = q("q159_asof_forward")
+      .select(col("event_id"),
+        expr("unix_micros(CAST(next_click_ts AS TIMESTAMP))").as("nus"))
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(got == expected)
+  }
+
   test("q156: scores bounded in [-1, 1), keep consistent with sign") {
     q("q156_quality_classifier").collect().foreach { r =>
       val score = r.getAs[Double]("quality_score")
