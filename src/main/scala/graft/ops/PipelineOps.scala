@@ -420,6 +420,159 @@ object PipelineOps {
           when(col("next_any") <= col("t") + expr("INTERVAL 10 MINUTE"),
             col("next_any")).as("next_click_ts"))
         .orderBy(col("event_id"))
+    },
+
+    // ---- deterministic corpus shuffle (reproducible training order) ----
+    // Training runs need a global random-but-reproducible document order:
+    // shuffle key = md5(doc_id) (engine-identical hex), position = the
+    // STITCHED global rank over it — the same no-single-partition engine
+    // as q75/q157, because "shuffle the corpus" at 100 TB is exactly the
+    // global-rank shape a naive row_number() window serializes. Re-runs,
+    // re-partitions, and both engines all yield the identical permutation.
+    Q("q160_corpus_shuffle",
+      """SELECT doc_id, shuffle_pos FROM (
+        |  SELECT doc_id,
+        |    CAST(row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+        |      AS BIGINT) AS shuffle_pos
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val base = t(s, dir, "documents")
+        .select(col("doc_id"), md5(col("doc_id").cast("string")).as("__key"))
+      graft.ops.Skew.globalRowNumber(base,
+          Seq(col("__key").asc, col("doc_id").asc),
+          numPartitions = s.conf.get("spark.sql.shuffle.partitions").toInt,
+          outCol = "shuffle_pos")
+        .select(col("doc_id"), col("shuffle_pos"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- exact stratified split (grouped stitch, exact proportions) ----
+    // q94's md5-threshold split is only EXPECTED 80/10/10; per-source
+    // actuals wander (binomial). When the contract is exact proportions
+    // per stratum, rank each source's docs by the same md5 coin and cut
+    // at floor(0.8·n)/floor(0.9·n). The per-source rank comes from
+    // Skew.groupedRowNumber — the 20-value source column never keys a
+    // window (the q90/q91 rule); the oracle states the naive per-source
+    // window. Assignment stays a pure function of (doc_id, corpus
+    // composition), so it is stable across engines and repartitioning.
+    Q("q161_exact_stratified_split",
+      """WITH r AS (SELECT doc_id, source,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rk,
+        |    CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n_src
+        |  FROM documents)
+        |SELECT doc_id, source, rk,
+        |  CASE WHEN rk <= (n_src * 8) // 10 THEN 'train'
+        |       WHEN rk <= (n_src * 9) // 10 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM r
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val base = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          md5(col("doc_id").cast("string")).as("__key"))
+      val ranked = graft.ops.Skew.groupedRowNumber(base, Seq("source"),
+        Seq(col("__key").asc, col("doc_id").asc),
+        numPartitions = s.conf.get("spark.sql.shuffle.partitions").toInt,
+        outCol = "rk")
+      val sizes = base.groupBy(col("source"))
+        .agg(count(lit(1)).cast("long").as("n_src"))
+      ranked.join(broadcast(sizes), Seq("source"))
+        .select(col("doc_id"), col("source"), col("rk"),
+          when(col("rk") <= expr("(n_src * 8) DIV 10"), "train")
+            .when(col("rk") <= expr("(n_src * 9) DIV 10"), "val")
+            .otherwise("test").as("split"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- T5-style span corruption (masked pretraining transform) ----
+    // The pipeline's final mile: ~15% of word positions mask by a
+    // deterministic md5 coin, consecutive masked positions coalesce into
+    // spans (the q141 gaps-and-islands trick: pos − rank-among-masked is
+    // constant within a run), span k of a doc renders as sentinel
+    // <extra_id_k> in the input and (sentinel + original words) in the
+    // target — the exact seq2seq objective shape. All per-doc: explode,
+    // two doc-keyed windows, one pos-ordered fold; nothing corpus-global,
+    // so the transform is map-local at any scale. Both engines assemble
+    // strings in explicit pos/span order — no aggregation-order hazard.
+    Q("q162_span_corruption", {
+      s"""WITH w AS (SELECT doc_id,
+         |    string_split_regex(lower(trim(text)), '\\s+') AS words
+         |  FROM documents),
+         |px AS (SELECT doc_id, words, unnest(range(1, len(words) + 1)) AS i FROM w),
+         |p AS (SELECT doc_id, i AS pos, words[i] AS word,
+         |    (${duckHex("md5(CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR))", 8)}) % 100 < 15 AS m
+         |  FROM px),
+         |mk AS (SELECT doc_id, pos,
+         |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+         |  FROM p WHERE m),
+         |sp AS (SELECT doc_id, grp, min(pos) AS start_pos,
+         |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY min(pos)) - 1
+         |      AS BIGINT) AS span_idx
+         |  FROM mk GROUP BY doc_id, grp),
+         |pieces AS (
+         |  SELECT p.doc_id, p.pos, p.word AS piece
+         |  FROM p WHERE NOT m
+         |  UNION ALL
+         |  SELECT doc_id, start_pos AS pos,
+         |    '<extra_id_' || CAST(span_idx AS VARCHAR) || '>' AS piece
+         |  FROM sp),
+         |masked AS (SELECT doc_id,
+         |    string_agg(piece, ' ' ORDER BY pos) AS masked_text
+         |  FROM pieces GROUP BY doc_id),
+         |tgt_span AS (SELECT mk.doc_id AS doc_id, sp.span_idx,
+         |    '<extra_id_' || CAST(sp.span_idx AS VARCHAR) || '> ' ||
+         |      string_agg(p.word, ' ' ORDER BY p.pos) AS seg
+         |  FROM mk JOIN sp ON mk.doc_id = sp.doc_id AND mk.grp = sp.grp
+         |  JOIN p ON p.doc_id = mk.doc_id AND p.pos = mk.pos
+         |  GROUP BY mk.doc_id, sp.span_idx),
+         |tgt AS (SELECT doc_id,
+         |    CAST(count(*) AS BIGINT) AS n_spans,
+         |    string_agg(seg, ' ' ORDER BY span_idx) AS target_text
+         |  FROM tgt_span GROUP BY doc_id)
+         |SELECT m.doc_id AS doc_id,
+         |  coalesce(t.n_spans, 0) AS n_spans,
+         |  m.masked_text,
+         |  coalesce(t.target_text, '') AS target_text
+         |FROM masked m LEFT JOIN tgt t ON m.doc_id = t.doc_id
+         |ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      val p = t(s, dir, "documents")
+        .select(col("doc_id"), posexplode(wordsCol).as(Seq("pos0", "word")))
+        .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("word"),
+          (conv(substring(md5(concat(col("doc_id").cast("string"), lit(":"),
+            (col("pos0") + 1).cast("string"))), 1, 8), 16, 10).cast("long") % 100 < 15)
+            .as("m"))
+      val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val mk = p.filter(col("m"))
+        .withColumn("grp", col("pos") - row_number().over(wDoc))
+      val sp = mk.groupBy(col("doc_id"), col("grp"))
+        .agg(min(col("pos")).as("start_pos"))
+        .withColumn("span_idx",
+          (row_number().over(Window.partitionBy(col("doc_id"))
+            .orderBy(col("start_pos"))) - 1).cast("long"))
+      val sentinel = concat(lit("<extra_id_"), col("span_idx").cast("string"), lit(">"))
+      val pieces = p.filter(!col("m"))
+        .select(col("doc_id"), col("pos"), col("word").as("piece"))
+        .unionByName(sp.select(col("doc_id"), col("start_pos").as("pos"),
+          sentinel.as("piece")))
+      def orderedJoin(pieceCol: String, orderCol: String) = expr(
+        s"""concat_ws(' ', transform(array_sort(collect_list(struct($orderCol, $pieceCol))),
+           |  q -> q.$pieceCol))""".stripMargin)
+      val masked = pieces.groupBy(col("doc_id"))
+        .agg(orderedJoin("piece", "pos").as("masked_text"))
+      val tgtSpan = mk.join(sp, Seq("doc_id", "grp"))
+        .groupBy(col("doc_id"), col("span_idx"))
+        .agg(concat(lit("<extra_id_"), col("span_idx").cast("string"), lit("> "),
+          orderedJoin("word", "pos")).as("seg"))
+      val tgt = tgtSpan.groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast("long").as("n_spans"),
+          orderedJoin("seg", "span_idx").as("target_text"))
+      masked.join(tgt, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+          col("masked_text"),
+          coalesce(col("target_text"), lit("")).as("target_text"))
+        .orderBy(col("doc_id"))
     }
   )
 }

@@ -132,6 +132,55 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("q160: shuffle positions are a permutation, stable across runs") {
+    val a = q("q160_corpus_shuffle").collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(a.map(_._2).sorted.sameElements(1L to a.length.toLong),
+      "positions are not a 1..N permutation")
+    val b = q("q160_corpus_shuffle").collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(a.toMap == b.toMap, "shuffle is not reproducible across runs")
+    // shuffled: the permutation must not be the identity order
+    assert(a.count { case (id, pos) => id + 1 == pos } < a.length / 10)
+  }
+
+  test("q161: split proportions are exact per source") {
+    val rows = q("q161_exact_stratified_split").collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[String]("split")))
+    rows.groupBy(_._1).foreach { case (src, rs) =>
+      val n = rs.length.toLong
+      val bySplit = rs.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+      assert(bySplit.getOrElse("train", 0L) == n * 8 / 10,
+        s"$src train ${bySplit.get("train")} != ${n * 8 / 10}")
+      assert(bySplit.getOrElse("val", 0L) == n * 9 / 10 - n * 8 / 10)
+      assert(bySplit.getOrElse("test", 0L) == n - n * 9 / 10)
+    }
+  }
+
+  test("q162: masked input + targets reconstruct the original document") {
+    import graft.schema.Tables.t
+    val original = t(spark, sf001, "documents")
+      .select(col("doc_id"), expr("""array_join(split(lower(trim(text)), '\\s+'), ' ')"""))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val sentinelRe = "<extra_id_([0-9]+)>".r
+    q("q162_span_corruption").collect().foreach { r =>
+      val (id, nSpans, masked, target) =
+        (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3))
+      // sentinels appear once each, in order, in BOTH masked and target
+      val mIds = sentinelRe.findAllMatchIn(masked).map(_.group(1).toLong).toSeq
+      val tIds = sentinelRe.findAllMatchIn(target).map(_.group(1).toLong).toSeq
+      assert(mIds == (0L until nSpans) && tIds == (0L until nSpans),
+        s"doc $id sentinel sequence broken: $mIds / $tIds")
+      // splice each target span back into its sentinel slot → original
+      val spans = if (nSpans == 0) Map.empty[Long, String]
+        else target.split("<extra_id_").filter(_.nonEmpty).map { seg =>
+          val Array(k, words) = seg.split(">", 2)
+          k.toLong -> words.trim
+        }.toMap
+      val rebuilt = sentinelRe.replaceAllIn(masked,
+        m => java.util.regex.Matcher.quoteReplacement(spans(m.group(1).toLong)))
+      assert(rebuilt == original(id), s"doc $id does not reconstruct")
+    }
+  }
+
   test("q156: scores bounded in [-1, 1), keep consistent with sign") {
     q("q156_quality_classifier").collect().foreach { r =>
       val score = r.getAs[Double]("quality_score")
