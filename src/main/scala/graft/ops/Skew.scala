@@ -16,6 +16,26 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   * instead of one. */
 object Skew {
 
+  /** How the stitch engines pin the range-parted frame across their two
+    * passes (`graft.stitch.pin`):
+    *  - "checkpoint" (default): localCheckpoint — rows stored as-is,
+    *    strongest guarantee (pass 2/3 literally reread pass 1's blocks;
+    *    on a cluster swap for reliable `checkpoint`);
+    *  - "persist": columnar cache (InMemoryRelation) — cheaper storage,
+    *    same reread guarantee while the blocks stay cached; an evicted
+    *    block recomputes the deterministic plan (see "none");
+    *  - "none": no materialization — leans on range partitioning being
+    *    deterministic (RangePartitioner's reservoir sampling is seeded
+    *    by partition index, parquet splits enumerate stably), so both
+    *    passes recompute identical bucket assignments. Cheapest; the
+    *    property specs run the engine under every mode. */
+  private[ops] def pinned(df: DataFrame): DataFrame =
+    df.sparkSession.conf.getOption("graft.stitch.pin").getOrElse("checkpoint") match {
+      case "none" => df
+      case "persist" => df.persist()
+      case _ => df.localCheckpoint()
+    }
+
   def saltedJoin(
       left: DataFrame,
       right: DataFrame,
@@ -54,9 +74,8 @@ object Skew {
       numPartitions: Int,
       outCol: String = "rn"): DataFrame = {
     require(numPartitions > 0, "numPartitions must be positive")
-    val parted = df.repartitionByRange(numPartitions, order: _*)
-      .withColumn("__bucket", spark_partition_id())
-      .localCheckpoint() // pin bucket assignment across the two passes
+    val parted = pinned(df.repartitionByRange(numPartitions, order: _*)
+      .withColumn("__bucket", spark_partition_id()))
     val offsets = {
       val sizes = parted.groupBy(col("__bucket")).count()
         .collect().map(r => r.getInt(0) -> r.getLong(1)).toSeq.sortBy(_._1)
@@ -149,8 +168,7 @@ object Skew {
     val parted = df
       .withColumn("__val", value.getOrElse(lit(1L)).cast("long"))
       .repartitionByRange(numPartitions, groupCols ++ order: _*)
-      .withColumn("__bucket", spark_partition_id())
-      .localCheckpoint() // pin bucket assignment across the two passes
+      .transform(p => pinned(p.withColumn("__bucket", spark_partition_id())))
     val nG = group.size
     // per-(bucket, group) totals: bounded by numPartitions + |groups| − 1
     // rows (each group's buckets are a contiguous range), so the collect

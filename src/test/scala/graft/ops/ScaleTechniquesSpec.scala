@@ -9,6 +9,15 @@ import graft.schema.Tables
   * for hot keys (same results, spread reducers). */
 class ScaleTechniquesSpec extends SparkSpec {
 
+  /** Run `body` under every stitch pinning mode (graft.stitch.pin):
+    * the engine's identity must hold whether the range-parted frame is
+    * checkpointed, cached, or recomputed from the deterministic plan. */
+  private def underEveryPinMode(body: => Unit): Unit =
+    Seq("checkpoint", "persist", "none").foreach { mode =>
+      spark.conf.set("graft.stitch.pin", mode)
+      try body finally spark.conf.unset("graft.stitch.pin")
+    }
+
   test("bucketed tables join without any Exchange") {
     val s = spark
     val li = Tables.t(s, sf001, "lineitem").select("l_orderkey", "l_quantity")
@@ -169,6 +178,7 @@ class ScaleTechniquesSpec extends SparkSpec {
   }
 
   test("property: globalRowNumber matches the window on random data") {
+    underEveryPinMode {
     val s = spark
     import s.implicits._
     import org.scalacheck.Gen
@@ -192,9 +202,11 @@ class ScaleTechniquesSpec extends SparkSpec {
         .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(_._2)
       assert(got.toSeq == expected.toSeq, s"mismatch at case $i (nPart=$nPart)")
     }
+    }
   }
 
   test("property: grouped stitch matches the per-group window on skewed data") {
+    underEveryPinMode {
     val s = spark
     import s.implicits._
     import org.scalacheck.Gen
@@ -227,6 +239,7 @@ class ScaleTechniquesSpec extends SparkSpec {
         Skew.groupedRunningSum(df, Seq("g"), Seq($"idx"), $"v", nPart), "cum")
       assert(gotRn == expRn, s"row numbers diverge at case $i (nPart=$nPart)")
       assert(gotCum == expCum, s"running sums diverge at case $i (nPart=$nPart)")
+    }
     }
   }
 
