@@ -573,6 +573,34 @@ object PipelineOps {
           col("masked_text"),
           coalesce(col("target_text"), lit("")).as("target_text"))
         .orderBy(col("doc_id"))
+    },
+
+    // ---- argMax / argMin with a deterministic tiebreak ----
+    // ClickHouse's iconic argMax(arg, val) / argMin, via Spark's native
+    // max_by/min_by — keyed on the UNIQUE (value, event_id) struct, never
+    // the bare value: the testdata has hundreds of exact (user, value)
+    // ties, and bare max_by is free to pick either side on a tie (and can
+    // pick DIFFERENTLY between engines, partitionings, or reruns). The
+    // oracle states the identical semantics as max over the packed struct
+    // — equivalent because the key is unique. One hash aggregate on
+    // user_id; map-side partials carry a single struct per group.
+    Q("q163_argminmax",
+      """SELECT user_id,
+        |  (max(struct_pack(v := value, e := event_id, t := event_type))).t AS top_type,
+        |  (min(struct_pack(v := value, e := event_id, t := event_type))).t AS bottom_type,
+        |  round(max(value), 6) AS max_value,
+        |  round(min(value), 6) AS min_value
+        |FROM events
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin) { (s, dir) =>
+      val key = struct(col("value"), col("event_id"))
+      t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(max_by(col("event_type"), key).as("top_type"),
+          min_by(col("event_type"), key).as("bottom_type"),
+          round(max(col("value")), 6).as("max_value"),
+          round(min(col("value")), 6).as("min_value"))
+        .orderBy(col("user_id"))
     }
   )
 }

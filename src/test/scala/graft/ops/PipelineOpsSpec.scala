@@ -181,6 +181,21 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("q163: argMax tiebreak is deterministic on planted value ties") {
+    val s = spark
+    import s.implicits._
+    // two rows tie on value for user 1 — the struct key must pick the
+    // higher event_id ("b"), never whichever partition answered first
+    val df = Seq((1L, 10L, "a", 5.0), (1L, 20L, "b", 5.0), (1L, 15L, "c", 1.0))
+      .toDF("user_id", "event_id", "event_type", "value")
+    val key = struct(col("value"), col("event_id"))
+    val row = df.groupBy(col("user_id"))
+      .agg(max_by(col("event_type"), key).as("top"),
+        min_by(col("event_type"), key).as("bottom"))
+      .collect().head
+    assert(row.getString(1) == "b" && row.getString(2) == "c")
+  }
+
   test("q156: scores bounded in [-1, 1), keep consistent with sign") {
     q("q156_quality_classifier").collect().foreach { r =>
       val score = r.getAs[Double]("quality_score")
