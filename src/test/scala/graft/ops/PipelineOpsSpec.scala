@@ -89,6 +89,27 @@ class PipelineOpsSpec extends SparkSpec {
       s"global-window ntile shape leaked back:\n$p")
   }
 
+  test("approximate deciles track q157's exact bucket edges (sketch path)") {
+    import graft.schema.Tables.t
+    // percentile_approx is the mergeable-sketch answer a streaming or
+    // pre-aggregated rollup would keep; it must land inside (or at worst
+    // adjacent to) the exact equi-depth bucket for every decile
+    val exact = q("q157_equidepth_histogram").collect()
+      .map(r => (r.getAs[Long]("bucket"), r.getAs[Double]("lo"), r.getAs[Double]("hi")))
+      .sortBy(_._1)
+    val approx = t(spark, sf001, "events")
+      .agg(expr("percentile_approx(value, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9), 10000)"))
+      .head().getSeq[Double](0)
+    approx.zipWithIndex.foreach { case (qv, i) =>
+      // decile i is the boundary between bucket i and i+1: allow the
+      // neighborhood [lo(i), hi(i+1)]
+      val lo = exact(i)._2
+      val hi = exact(math.min(i + 1, exact.length - 1))._3
+      assert(qv >= lo && qv <= hi,
+        s"approx decile ${i + 1} = $qv outside exact neighborhood [$lo, $hi]")
+    }
+  }
+
   test("q158: moving average matches a hand-rolled fold per user") {
     import graft.schema.Tables.t
     val ev = t(spark, sf001, "events")
