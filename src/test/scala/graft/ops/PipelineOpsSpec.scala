@@ -30,6 +30,38 @@ class PipelineOpsSpec extends SparkSpec {
     assert(bucketed == naive)
   }
 
+  test("property: bucketization finds exactly the |Δ|≤W pairs on adversarial boundaries") {
+    val s = spark
+    import s.implicits._
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // timestamps drawn from a lattice that lands MANY pairs exactly ON
+    // the ±W boundary and on bucket edges — the off-by-one places a
+    // quantized range join gets wrong
+    val W = 10L
+    val tsGen = Gen.listOfN(40, Gen.choose(0L, 8L).map(_ * 5L)) // multiples of W/2
+    (0 until 8).foreach { i =>
+      val times = tsGen.pureApply(Gen.Parameters.default, Seed(23L + i))
+      val (errT, clkT) = times.splitAt(20)
+      val errs = errT.zipWithIndex.map { case (t, j) => (j.toLong, t) }.toDF("eid", "eus")
+      val clks = clkT.zipWithIndex.map { case (t, j) => (100L + j, t) }.toDF("cid", "cus")
+      val probes = errs.select(col("eid"), col("eus"),
+        explode(expr(s"array(eus DIV $W - 1, eus DIV $W, eus DIV $W + 1)")).as("bkt"))
+      val keyed = clks.withColumn("bkt", expr(s"cus DIV $W"))
+      val got = probes.join(keyed, Seq("bkt"))
+        .filter(abs(col("cus") - col("eus")) <= W)
+        .select(col("eid"), col("cid")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(got.length == got.distinct.length,
+        s"case $i: a pair matched in more than one probed bucket")
+      val expected = for {
+        (et, j) <- errT.zipWithIndex; (ct, k) <- clkT.zipWithIndex
+        if math.abs(ct - et) <= W
+      } yield (j.toLong, 100L + k)
+      assert(got.toSet == expected.toSet, s"case $i: pair sets diverge")
+    }
+  }
+
   test("q152: plans as an equi-join on the bucket, never a cartesian") {
     val p = q("q152_interval_join").queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
