@@ -202,7 +202,11 @@ object Bench {
     // bench_detail.json and the lines above. Values are plain numbers
     // (-1.0 = failed) so any JSON parser handles the map uniformly.
     def contract(thresholdSec: Double): String = {
+      // failed first, then slowest; hard cap 40 entries so even a
+      // mass-failure round (all 160+ queries at -1) keeps the line short
       val shown = results.filter { case (_, v, _, _) => v < 0 || v >= thresholdSec }
+        .sortBy { case (_, v, _, _) => (v >= 0, -v) }
+        .take(40)
       val qmap = shown.map { case (k, v, _, _) => s""""${shortId(k)}":${f1(v)}""" }
         .mkString("{", ",", "}")
       s"""{"metric":"wall_total","unit":"sec","queries":$qmap,""" +
@@ -211,8 +215,11 @@ object Bench {
         s""""task_sec":${f3(taskTotalSec)},"cpu_sec":${f3(cpuTotalSec)},""" +
         s""""sf":"$sfDir","value":${f3(total)}}"""
     }
+    // fallback threshold is a finite 1e9 (renders as "1000000000.0"),
+    // never Double.MaxValue — %.1f of MaxValue is a 310-char number that
+    // would overflow the tail in exactly the catastrophic rounds
     println(Seq(0.5, 1.0, 2.0, 5.0).map(contract)
-      .find(_.length <= 1500).getOrElse(contract(Double.MaxValue)))
+      .find(_.length <= 1500).getOrElse(contract(1e9)))
     graft.ops.CacheRegistry.clear(spark) // release every operator cache
     spark.stop()
   }

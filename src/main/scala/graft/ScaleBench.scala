@@ -229,7 +229,7 @@ object ScaleBench {
     // "image" / "spans" rerun ONLY that family (corpus gen is cached).
     val phaseSel = sys.env.getOrElse("SPARK_GRAFT_SCALE_PHASES", "all")
     require(Set("all", "postloop", "semdedup", "image", "spans", "events").contains(phaseSel),
-      s"SPARK_GRAFT_SCALE_PHASES must be 'all', 'postloop', 'image' or 'spans'," +
+      s"SPARK_GRAFT_SCALE_PHASES must be 'all', 'postloop', 'semdedup', 'image', 'spans' or 'events'," +
         s" got '$phaseSel' (a typo would silently skip corpus generation)")
         // ---- q152 interval join: candidate growth at fixed event rate ----
     // The claim to verify: with the event RATE held constant (span grows

@@ -37,7 +37,13 @@ object SessionDefaults {
     b.config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
     b.config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
     sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").filter(_.nonEmpty)
-      .foreach { kv => val Array(k, v) = kv.split("=", 2); b.config(k, v) })
+      .foreach { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) => b.config(k, v)
+          case _ => System.err.println(
+            s"[graft] ignoring malformed SPARK_GRAFT_CONF entry '$kv' (want k=v)")
+        }
+      })
     b
   }
 }

@@ -12,16 +12,17 @@ object StageProfile {
     val name = args(0)
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val builder = SparkSession.builder()
+    // SessionDefaults.tune: the profiler MUST run the same session
+    // tuning as Bench, or its per-stage numbers diagnose a different
+    // plan than the one Bench measures (it also supplies the
+    // SPARK_GRAFT_CONF hook for A/B experiments)
+    val spark = SessionDefaults.tune(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-    // extra confs for A/B experiments: SPARK_GRAFT_CONF="k=v;k2=v2"
-    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").filter(_.nonEmpty)
-      .foreach { kv => val Array(k, v) = kv.split("=", 2); builder.config(k, v) })
-    val spark = builder.getOrCreate()
+      .config("spark.ui.enabled", "false"))
+      .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     case class St(var n: Int = 0, var runMs: Long = 0, var cpuMs: Long = 0,
       var shufWriteMb: Double = 0, var spillMb: Double = 0,

@@ -45,19 +45,27 @@ object Verify {
         // schema/hash mismatch for this name instead of no entry at all.
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         failed += name -> String.valueOf(e.getMessage)
-        import spark.implicits._
-        Seq(("GRAFT_QUERY_ERROR", String.valueOf(e.getMessage).take(500)))
-          .toDF("_graft_error", "_message")
-          .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        // best-effort: if the marker write ALSO fails (disk full, dead
+        // session), the loop must still reach the remaining queries and
+        // the failed.json/oracle_sql.json writes below
+        try {
+          import spark.implicits._
+          Seq(("GRAFT_QUERY_ERROR", String.valueOf(e.getMessage).take(500)))
+            .toDF("_graft_error", "_message")
+            .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        } catch { case m: Throwable =>
+          System.err.println(s"[verify] $name marker write failed: ${m.getMessage}")
+        }
       }
     }
-    if (failed.nonEmpty) {
-      val lines = failed.map { case (n, m) =>
-        s"${q(n)}: ${q(m)}" }.mkString("{", ",", "}")
-      Files.writeString(Paths.get(s"$outDir/failed.json"), lines)
+    // written unconditionally: a stale failed.json from a previous run
+    // into the same outDir must not survive an all-green rerun
+    val lines = failed.map { case (n, m) =>
+      s"${q(n)}: ${q(m)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/failed.json"), lines)
+    if (failed.nonEmpty)
       System.err.println(
         s"[verify] FAILED queries: ${failed.map(_._1).mkString(", ")}")
-    }
     println(s"""{"verify_failed": ${failed.size}}""")
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")

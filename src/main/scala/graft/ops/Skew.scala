@@ -22,17 +22,24 @@ object Skew {
     *    strongest guarantee (pass 2/3 literally reread pass 1's blocks;
     *    on a cluster swap for reliable `checkpoint`);
     *  - "persist": columnar cache (InMemoryRelation) — cheaper storage,
-    *    same reread guarantee while the blocks stay cached; an evicted
-    *    block recomputes the deterministic plan (see "none");
-    *  - "none": no materialization — leans on range partitioning being
-    *    deterministic (RangePartitioner's reservoir sampling is seeded
-    *    by partition index, parquet splits enumerate stably), so both
-    *    passes recompute identical bucket assignments. Cheapest; the
-    *    property specs run the engine under every mode. */
+    *    same reread guarantee while the blocks stay cached; registered
+    *    with [[CacheRegistry]] so `clear`/LRU can release it (an evicted
+    *    block recomputes the plan, which CAN resample different range
+    *    boundaries — eviction mid-consumer is the mode's known risk).
+    *
+    * There is deliberately NO "skip pinning" mode: an unpinned rerun of
+    * `repartitionByRange` is NOT guaranteed to reproduce bucket
+    * assignment — RangePartitioner seeds its reservoir sampling with the
+    * RDD id (`byteswap32(idx ^ (rdd.id << 16))`), which is a fresh
+    * counter per job, so pass 2's offsets and pass 3's buckets could
+    * disagree on any input large enough to actually sample (round-8
+    * review finding; a prototype "none" mode measured 2× cheaper but
+    * only passed its property tests because test partitions were smaller
+    * than the ~100-row sample size). */
   private[ops] def pinned(df: DataFrame): DataFrame =
     df.sparkSession.conf.getOption("graft.stitch.pin").getOrElse("checkpoint") match {
-      case "none" => df
-      case "persist" => df.persist()
+      case "persist" =>
+        CacheRegistry.track(df.sparkSession, "stitch-pin", df.persist())
       case _ => df.localCheckpoint()
     }
 

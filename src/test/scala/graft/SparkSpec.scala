@@ -11,7 +11,10 @@ trait SparkSpec extends AnyFunSuite {
 
 object SparkSpec {
   lazy val session: SparkSession = {
-    val s = SparkSession.builder()
+    // SessionDefaults.tune: tests must exercise the same AQE policy the
+    // runner mains ship with, or plan-shape assertions drift from what
+    // Bench/Verify actually execute
+    val s = graft.SessionDefaults.tune(SparkSession.builder()
       .master("local[4]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
@@ -20,7 +23,7 @@ object SparkSpec {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.warehouse.dir",
-        java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
+        java.nio.file.Files.createTempDirectory("graft-warehouse").toString))
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

@@ -11,9 +11,10 @@ class ScaleTechniquesSpec extends SparkSpec {
 
   /** Run `body` under every stitch pinning mode (graft.stitch.pin):
     * the engine's identity must hold whether the range-parted frame is
-    * checkpointed, cached, or recomputed from the deterministic plan. */
+    * checkpointed or cached. (A "skip pinning" mode is deliberately NOT
+    * offered — see Skew.pinned: range resampling is seeded per job.) */
   private def underEveryPinMode(body: => Unit): Unit =
-    Seq("checkpoint", "persist", "none").foreach { mode =>
+    Seq("checkpoint", "persist").foreach { mode =>
       spark.conf.set("graft.stitch.pin", mode)
       try body finally spark.conf.unset("graft.stitch.pin")
     }
