@@ -30,6 +30,54 @@ object PipelineOps {
          |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
          |  FROM documents)""".stripMargin
 
+  /** (doc_id, lang, word) occurrence frame of any (doc_id, lang, text)
+    * documents frame — the map-side stage q154 caches per query and the
+    * incremental composition runs per micro-batch. */
+  def dsirWordFrame(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("lang"), explode(wordsCol).as("word"))
+
+  /** The two LM frames of the DSIR model over a word-occurrence frame:
+    * per-word (cs, ct) counts and the one-row (ns, nt, v) totals. Both
+    * are pure aggregates of the store, so the model over an accumulated
+    * idempotent store equals the batch model — the refresh step of the
+    * streaming composition (StreamingDsirSpec). */
+  def dsirModel(w: DataFrame): (DataFrame, DataFrame) = {
+    val ws = w.groupBy(col("word")).agg(
+      count(lit(1)).cast("long").as("cs"),
+      count(when(col("lang") === "en", 1)).cast("long").as("ct"))
+    val tot = w.agg(
+      count(lit(1)).cast("long").as("ns"),
+      count(when(col("lang") === "en", 1)).cast("long").as("nt"),
+      countDistinct(col("word")).cast("long").as("v"))
+    (ws, tot)
+  }
+
+  /** Score any word-occurrence frame against a PINNED (ws, tot) model —
+    * add-1 smoothed log importance weight, word-order folded sum (q114
+    * rule). Unseen words score through the smoothing floor via the LEFT
+    * join + coalesce(0), so arrivals can contain vocabulary the pinned
+    * snapshot has never seen. */
+  def dsirScores(w: DataFrame, ws: DataFrame, tot: DataFrame): DataFrame = {
+    val dwc = w.groupBy(col("doc_id"), col("lang"), col("word"))
+      .agg(count(lit(1)).cast("long").as("c"))
+    val lw = log((col("ct").cast("double") + lit(1)) / (col("nt") + col("v"))) -
+      log((col("cs").cast("double") + lit(1)) / (col("ns") + col("v")))
+    dwc.join(ws, Seq("word"), "left")
+      .select(col("doc_id"), col("lang"), col("word"), col("c"),
+        coalesce(col("cs"), lit(0L)).as("cs"),
+        coalesce(col("ct"), lit(0L)).as("ct"))
+      .crossJoin(broadcast(tot))
+      .withColumn("lw", lw)
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("c")).cast("long").as("n_words"),
+        expr("""aggregate(
+               |  transform(array_sort(collect_list(struct(word, CAST(c AS DOUBLE) AS cd, lw))),
+               |    p -> p.cd * p.lw),
+               |  CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)""".stripMargin).as("s"))
+      .select(col("doc_id"), col("lang"), col("n_words"),
+        round(col("s") / col("n_words"), 6).as("dsir_logw"))
+  }
+
   val qs: Seq[Q] = Seq(
 
     // ---- bucketized interval/range join over the event stream ----
@@ -173,29 +221,9 @@ object PipelineOps {
          |ORDER BY dsir_logw DESC, doc_id
          |LIMIT 25""".stripMargin
     }) { (s, dir) =>
-      val w = words(s, dir)
-      val ws = w.groupBy(col("word")).agg(
-        count(lit(1)).cast("long").as("cs"),
-        count(when(col("lang") === "en", 1)).cast("long").as("ct"))
-      val tot = w.agg(
-        count(lit(1)).cast("long").as("ns"),
-        count(when(col("lang") === "en", 1)).cast("long").as("nt"),
-        countDistinct(col("word")).cast("long").as("v"))
-      val dwc = w.groupBy(col("doc_id"), col("lang"), col("word"))
-        .agg(count(lit(1)).cast("long").as("c"))
-      val lw = log((col("ct").cast("double") + lit(1)) / (col("nt") + col("v"))) -
-        log((col("cs").cast("double") + lit(1)) / (col("ns") + col("v")))
-      dwc.join(ws, Seq("word"))
-        .crossJoin(broadcast(tot))
-        .withColumn("lw", lw)
-        .groupBy(col("doc_id"), col("lang"))
-        .agg(sum(col("c")).cast("long").as("n_words"),
-          expr("""aggregate(
-                 |  transform(array_sort(collect_list(struct(word, CAST(c AS DOUBLE) AS cd, lw))),
-                 |    p -> p.cd * p.lw),
-                 |  CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)""".stripMargin).as("s"))
-        .select(col("doc_id"), col("lang"), col("n_words"),
-          round(col("s") / col("n_words"), 6).as("dsir_logw"))
+      val w = words(s, dir).select(col("doc_id"), col("lang"), col("word"))
+      val (ws, tot) = dsirModel(w)
+      dsirScores(w, ws, tot)
         .orderBy(col("dsir_logw").desc, col("doc_id"))
         .limit(25)
     },
