@@ -159,6 +159,42 @@ object SqlSurface {
           |FROM orders
           |ORDER BY totalprice DESC, o_orderkey
           |LIMIT 10 OFFSET 20""".stripMargin)
+    },
+
+    // ---- FILTER (WHERE …) aggregate modifier ----
+    // The SQL-standard per-aggregate predicate — one pass computing
+    // differently-filtered aggregates side by side, where pre-FILTER SQL
+    // needed CASE-WHEN inside every aggregate. Dialect-identical text
+    // serves both engines (DECIMAL sums exact on both, CAST per parity
+    // rules). Plan shape is the ordinary two-phase hash aggregate: the
+    // filters are per-row predicates inside the partial agg, adding zero
+    // shuffles.
+    Q("q164_filtered_agg", {
+      val sql =
+        """SELECT o_orderpriority,
+          |  CAST(count(*) AS BIGINT) AS n_orders,
+          |  CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_finished,
+          |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+          |    FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS finished_value,
+          |  CAST(count(DISTINCT o_custkey) FILTER (WHERE o_totalprice > 100000)
+          |    AS BIGINT) AS big_spenders
+          |FROM orders
+          |GROUP BY o_orderpriority
+          |ORDER BY o_orderpriority""".stripMargin
+      sql
+    }) { (s, dir) =>
+      Tables.views(s, dir)
+      s.sql(
+        """SELECT o_orderpriority,
+          |  CAST(count(*) AS BIGINT) AS n_orders,
+          |  CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_finished,
+          |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+          |    FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS finished_value,
+          |  CAST(count(DISTINCT o_custkey) FILTER (WHERE o_totalprice > 100000)
+          |    AS BIGINT) AS big_spenders
+          |FROM orders
+          |GROUP BY o_orderpriority
+          |ORDER BY o_orderpriority""".stripMargin)
     }
   )
 }
