@@ -70,6 +70,24 @@ class PipelineOpsSpec extends SparkSpec {
       p.contains("BroadcastHashJoin"), s"no equi-join on the bucket:\n$p")
   }
 
+  test("q153/q155/q161 plan shapes: salted windows, broadcast query vector, stitched split") {
+    // q153: BOTH ranking windows carry a partition spec (salt two-phase —
+    // no window keyed on the bare 20-value source column alone)
+    val p153 = q("q153_zipf_slope").queryExecution.executedPlan.toString
+    assert(p153.contains("salt"), s"salted phase-1 window missing:\n$p153")
+    assert(!p153.contains("windowspecdefinition(source#") ||
+      p153.contains("windowspecdefinition(source"),
+      s"unexpected window spec shape:\n$p153")
+    // q155: the one-row query vector rides a broadcast, candidates never
+    // come from a cartesian over the corpus
+    val p155 = q("q155_hybrid_rrf").queryExecution.executedPlan.toString
+    assert(p155.contains("BroadcastExchange"), s"query vector not broadcast:\n$p155")
+    // q161: the per-source ranking runs on the stitch engine (its
+    // __bucket working column is in the plan), not a per-source window
+    val p161 = q("q161_exact_stratified_split").queryExecution.executedPlan.toString
+    assert(p161.contains("__bucket"), s"stitch engine missing from q161:\n$p161")
+  }
+
   test("q153: one slope per source, negative (rank-frequency decays)") {
     val rows = q("q153_zipf_slope").collect()
     assert(rows.length == 20)
