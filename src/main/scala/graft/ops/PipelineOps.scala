@@ -603,6 +603,39 @@ object PipelineOps {
         .orderBy(col("doc_id"))
     },
 
+    // ---- weekly cohort retention matrix ----
+    // The product-analytics staple q136's ClickHouse `retention()` doesn't
+    // give: users bucketed by FIRST-seen week (cohort), counted distinct
+    // in every later week they return, keyed (cohort_week, week_offset).
+    // Shape: one narrow per-user min-ts aggregate joined back (broadcast
+    // at dim scale, shuffle on user_id at corpus scale — user cardinality
+    // grows with data, so parallelism does too), then a count-distinct on
+    // the small (cohort, offset) grid. All date arithmetic is integer
+    // (ISO week truncation + day diff DIV 7), so both engines bucket
+    // identically.
+    Q("q165_cohort_retention",
+      """WITH first AS (SELECT user_id,
+        |    CAST(date_trunc('week', min(ts)) AS DATE) AS cohort
+        |  FROM events GROUP BY user_id)
+        |SELECT CAST(f.cohort AS TIMESTAMP) AS cohort_week,
+        |  CAST(date_diff('day', f.cohort,
+        |    CAST(date_trunc('week', e.ts) AS DATE)) // 7 AS BIGINT) AS week_offset,
+        |  CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+        |FROM events e JOIN first f USING (user_id)
+        |GROUP BY 1, 2
+        |ORDER BY cohort_week, week_offset""".stripMargin) { (s, dir) =>
+      val ev = t(s, dir, "events").select(col("user_id"), col("ts"))
+      val first = ev.groupBy(col("user_id"))
+        .agg(date_trunc("week", min(col("ts"))).cast("date").as("cohort"))
+      ev.join(first, Seq("user_id"))
+        .select(col("user_id"), col("cohort"),
+          expr("datediff(CAST(date_trunc('week', ts) AS DATE), cohort) DIV 7")
+            .as("week_offset"))
+        .groupBy(col("cohort").cast("timestamp").as("cohort_week"), col("week_offset"))
+        .agg(countDistinct(col("user_id")).cast("long").as("n_users"))
+        .orderBy(col("cohort_week"), col("week_offset"))
+    },
+
     // ---- argMax / argMin with a deterministic tiebreak ----
     // ClickHouse's iconic argMax(arg, val) / argMin, via Spark's native
     // max_by/min_by — keyed on the UNIQUE (value, event_id) struct, never
