@@ -252,6 +252,26 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("q165: cohort matrix invariants — offset 0 is the cohort census") {
+    import graft.schema.Tables.t
+    val rows = q("q165_cohort_retention").collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2)))
+    assert(rows.forall(_._2 >= 0), "negative week offset")
+    // offset 0 counts every user of the cohort (their first event is in it)
+    val cohortSizes = t(spark, sf001, "events")
+      .groupBy(col("user_id"))
+      .agg(date_trunc("week", min(col("ts"))).as("c"))
+      .groupBy(col("c")).agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+    val offset0 = rows.filter(_._2 == 0L).map(r => r._1 -> r._3).toMap
+    assert(offset0 == cohortSizes,
+      s"offset-0 rows $offset0 != cohort census $cohortSizes")
+    // retention can never exceed the cohort's size in any later week
+    rows.foreach { case (c, off, n) =>
+      assert(n <= cohortSizes(c), s"cohort $c offset $off counts $n > census")
+    }
+  }
+
   test("q163: argMax tiebreak is deterministic on planted value ties") {
     val s = spark
     import s.implicits._
