@@ -33,17 +33,21 @@ import org.apache.spark.sql.SparkSession
   * `SPARK_GRAFT_CONF="k=v;k2=v2"` applies last for A/B experiments without
   * a rebuild. */
 object SessionDefaults {
-  def tune(b: SparkSession.Builder): SparkSession.Builder = {
+  /** `applyEnv = false` (the test session) keeps the AQE policy but
+    * ignores SPARK_GRAFT_CONF: an exported A/B experiment for Bench must
+    * not silently re-configure the whole test suite's pinned confs. */
+  def tune(b: SparkSession.Builder, applyEnv: Boolean = true): SparkSession.Builder = {
     b.config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
     b.config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
-    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").filter(_.nonEmpty)
-      .foreach { kv =>
-        kv.split("=", 2) match {
-          case Array(k, v) => b.config(k, v)
-          case _ => System.err.println(
-            s"[graft] ignoring malformed SPARK_GRAFT_CONF entry '$kv' (want k=v)")
-        }
-      })
+    if (applyEnv)
+      sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").filter(_.nonEmpty)
+        .foreach { kv =>
+          kv.split("=", 2) match {
+            case Array(k, v) => b.config(k, v)
+            case _ => System.err.println(
+              s"[graft] ignoring malformed SPARK_GRAFT_CONF entry '$kv' (want k=v)")
+          }
+        })
     b
   }
 }

@@ -58,11 +58,15 @@ object Verify {
         }
       }
     }
-    // written unconditionally: a stale failed.json from a previous run
-    // into the same outDir must not survive an all-green rerun
-    val lines = failed.map { case (n, m) =>
-      s"${q(n)}: ${q(m)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/failed.json"), lines)
+    // FULL runs write failed.json unconditionally (a stale copy from a
+    // previous run must not survive an all-green rerun); a name-FILTERED
+    // local iteration leaves it alone — rewriting it from a partial run
+    // would erase the failure records of every query outside the filter
+    if (only.isEmpty) {
+      val lines = failed.map { case (n, m) =>
+        s"${q(n)}: ${q(m)}" }.mkString("{", ",", "}")
+      Files.writeString(Paths.get(s"$outDir/failed.json"), lines)
+    }
     if (failed.nonEmpty)
       System.err.println(
         s"[verify] FAILED queries: ${failed.map(_._1).mkString(", ")}")

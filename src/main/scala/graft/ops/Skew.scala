@@ -16,32 +16,23 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   * instead of one. */
 object Skew {
 
-  /** How the stitch engines pin the range-parted frame across their two
-    * passes (`graft.stitch.pin`):
-    *  - "checkpoint" (default): localCheckpoint — rows stored as-is,
-    *    strongest guarantee (pass 2/3 literally reread pass 1's blocks;
-    *    on a cluster swap for reliable `checkpoint`);
-    *  - "persist": columnar cache (InMemoryRelation) — cheaper storage,
-    *    same reread guarantee while the blocks stay cached; registered
-    *    with [[CacheRegistry]] so `clear`/LRU can release it (an evicted
-    *    block recomputes the plan, which CAN resample different range
-    *    boundaries — eviction mid-consumer is the mode's known risk).
+  /** Pin the stitch engines' range-parted frame across their two passes:
+    * localCheckpoint — rows stored as-is, pass 2/3 literally reread pass
+    * 1's blocks (on a cluster swap for reliable `checkpoint`; blocks
+    * release via the ContextCleaner once the result is unreferenced).
     *
-    * There is deliberately NO "skip pinning" mode: an unpinned rerun of
-    * `repartitionByRange` is NOT guaranteed to reproduce bucket
-    * assignment — RangePartitioner seeds its reservoir sampling with the
-    * RDD id (`byteswap32(idx ^ (rdd.id << 16))`), which is a fresh
-    * counter per job, so pass 2's offsets and pass 3's buckets could
-    * disagree on any input large enough to actually sample (round-8
-    * review finding; a prototype "none" mode measured 2× cheaper but
-    * only passed its property tests because test partitions were smaller
-    * than the ~100-row sample size). */
-  private[ops] def pinned(df: DataFrame): DataFrame =
-    df.sparkSession.conf.getOption("graft.stitch.pin").getOrElse("checkpoint") match {
-      case "persist" =>
-        CacheRegistry.track(df.sparkSession, "stitch-pin", df.persist())
-      case _ => df.localCheckpoint()
-    }
+    * This is deliberately the ONLY mode. Alternatives were measured and
+    * rejected in the round-8 review (SCALE.md): skipping the pin is
+    * unsound because an unpinned rerun of `repartitionByRange` is NOT
+    * guaranteed to reproduce bucket assignment — RangePartitioner seeds
+    * its reservoir sampling with the RDD id (`byteswap32(idx ^ (rdd.id
+    * << 16))`), a fresh counter per job, so pass 2's offsets and pass
+    * 3's buckets could disagree on any input large enough to actually
+    * sample; and a `persist()` pin is the same unsoundness one LRU
+    * eviction later (an evicted InMemoryRelation block recomputes —
+    * and resamples — the exchange), for no measured gain (44.1 vs 43.8
+    * task-s on q75 at sf0.1). */
+  private[ops] def pinned(df: DataFrame): DataFrame = df.localCheckpoint()
 
   def saltedJoin(
       left: DataFrame,

@@ -17,6 +17,20 @@ object SqlSurface {
     * Spark text and the DuckDB oracle — the same no-drift discipline as
     * TextCommon (q95/q97 genuinely differ per dialect: listagg vs
     * string_agg, date_format vs strftime). */
+  /** q164's SQL is dialect-identical too — one definition, both engines
+    * (the LateralSql discipline). */
+  private val FilteredAggSql =
+    """SELECT o_orderpriority,
+      |  CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_finished,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+      |    FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS finished_value,
+      |  CAST(count(DISTINCT o_custkey) FILTER (WHERE o_totalprice > 100000)
+      |    AS BIGINT) AS big_spenders
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   private val LateralSql =
     """SELECT n.n_name AS nation, l.c_name AS c_name, l.c_acctbal AS acctbal
       |FROM nation n, LATERAL (
@@ -169,32 +183,9 @@ object SqlSurface {
     // rules). Plan shape is the ordinary two-phase hash aggregate: the
     // filters are per-row predicates inside the partial agg, adding zero
     // shuffles.
-    Q("q164_filtered_agg", {
-      val sql =
-        """SELECT o_orderpriority,
-          |  CAST(count(*) AS BIGINT) AS n_orders,
-          |  CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_finished,
-          |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
-          |    FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS finished_value,
-          |  CAST(count(DISTINCT o_custkey) FILTER (WHERE o_totalprice > 100000)
-          |    AS BIGINT) AS big_spenders
-          |FROM orders
-          |GROUP BY o_orderpriority
-          |ORDER BY o_orderpriority""".stripMargin
-      sql
-    }) { (s, dir) =>
+    Q("q164_filtered_agg", FilteredAggSql) { (s, dir) =>
       Tables.views(s, dir)
-      s.sql(
-        """SELECT o_orderpriority,
-          |  CAST(count(*) AS BIGINT) AS n_orders,
-          |  CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_finished,
-          |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
-          |    FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS finished_value,
-          |  CAST(count(DISTINCT o_custkey) FILTER (WHERE o_totalprice > 100000)
-          |    AS BIGINT) AS big_spenders
-          |FROM orders
-          |GROUP BY o_orderpriority
-          |ORDER BY o_orderpriority""".stripMargin)
+      s.sql(FilteredAggSql)
     }
   )
 }

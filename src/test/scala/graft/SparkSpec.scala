@@ -13,8 +13,9 @@ object SparkSpec {
   lazy val session: SparkSession = {
     // SessionDefaults.tune: tests must exercise the same AQE policy the
     // runner mains ship with, or plan-shape assertions drift from what
-    // Bench/Verify actually execute
-    val s = graft.SessionDefaults.tune(SparkSession.builder()
+    // Bench/Verify actually execute. applyEnv=false: an exported
+    // SPARK_GRAFT_CONF A/B experiment must not reconfigure the suite.
+    val s = graft.SessionDefaults.tune(applyEnv = false, b = SparkSession.builder()
       .master("local[4]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")

@@ -71,13 +71,14 @@ class PipelineOpsSpec extends SparkSpec {
   }
 
   test("q153/q155/q161 plan shapes: salted windows, broadcast query vector, stitched split") {
-    // q153: BOTH ranking windows carry a partition spec (salt two-phase —
-    // no window keyed on the bare 20-value source column alone)
+    // q153: the phase-1 ranking window must partition on (source, salt).
+    // Phase 2 legitimately windows on bare source — by then its input is
+    // phase-1's ≤ 1600-rows-per-source survivors, not the corpus — so the
+    // assertion is "a salted window EXISTS", plus both windows present.
     val p153 = q("q153_zipf_slope").queryExecution.executedPlan.toString
     assert(p153.contains("salt"), s"salted phase-1 window missing:\n$p153")
-    assert(!p153.contains("windowspecdefinition(source#") ||
-      p153.contains("windowspecdefinition(source"),
-      s"unexpected window spec shape:\n$p153")
+    assert("windowspecdefinition\\(".r.findAllIn(p153).size >= 2,
+      s"expected the two-phase window pair:\n$p153")
     // q155: the one-row query vector rides a broadcast, candidates never
     // come from a cartesian over the corpus
     val p155 = q("q155_hybrid_rrf").queryExecution.executedPlan.toString

@@ -9,15 +9,6 @@ import graft.schema.Tables
   * for hot keys (same results, spread reducers). */
 class ScaleTechniquesSpec extends SparkSpec {
 
-  /** Run `body` under every stitch pinning mode (graft.stitch.pin):
-    * the engine's identity must hold whether the range-parted frame is
-    * checkpointed or cached. (A "skip pinning" mode is deliberately NOT
-    * offered — see Skew.pinned: range resampling is seeded per job.) */
-  private def underEveryPinMode(body: => Unit): Unit =
-    Seq("checkpoint", "persist").foreach { mode =>
-      spark.conf.set("graft.stitch.pin", mode)
-      try body finally spark.conf.unset("graft.stitch.pin")
-    }
 
   test("bucketed tables join without any Exchange") {
     val s = spark
@@ -179,7 +170,6 @@ class ScaleTechniquesSpec extends SparkSpec {
   }
 
   test("property: globalRowNumber matches the window on random data") {
-    underEveryPinMode {
     val s = spark
     import s.implicits._
     import org.scalacheck.Gen
@@ -204,10 +194,8 @@ class ScaleTechniquesSpec extends SparkSpec {
       assert(got.toSeq == expected.toSeq, s"mismatch at case $i (nPart=$nPart)")
     }
     }
-  }
 
   test("property: grouped stitch matches the per-group window on skewed data") {
-    underEveryPinMode {
     val s = spark
     import s.implicits._
     import org.scalacheck.Gen
@@ -242,7 +230,6 @@ class ScaleTechniquesSpec extends SparkSpec {
       assert(gotCum == expCum, s"running sums diverge at case $i (nPart=$nPart)")
     }
     }
-  }
 
   test("partitioned layout: static partition pruning reaches the scan") {
     val s = spark
