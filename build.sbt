@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run/runMain output goes STRAIGHT to stdout, not through sbt's
+// logger: the driver's bench/verify harness captures a bounded stdout
+// tail and parses the final JSON line — the logger's "[info] " prefix on
+// every line kept that parse failing (BENCH_r01–r08 all show
+// parsed:null even when the JSON line fully fit the tail).
+outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

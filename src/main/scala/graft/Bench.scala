@@ -185,22 +185,16 @@ object Bench {
         s""""cache_hw_mb":[${f1(cacheHwMemMb)},${f1(cacheHwDiskMb)}],""" +
         s""""value":${f3(total)},"failed":$nFailed}"""
     }
-    // degrade order: raise the MB floor, then drop the jitter pairs, then
-    // drop MB entirely — task-time is this round's non-negotiable signal.
-    // Budget 1300: the harness tail is 2000 chars and must also hold the
-    // ENTIRE final line below plus sbt's "[success] …" trailer — rounds 6
-    // and 7 both lost the final line's head (=> parsed:null) because the
-    // one line alone filled the whole tail.
-    val line = Seq(compact(0.05, true), compact(0.5, true), compact(0.5, false),
-        compact(Double.MaxValue, false))
-      .find(_.length <= 1300).getOrElse(compact(Double.MaxValue, false))
-    println(line)
-    // FINAL line — the machine-parsed contract line, spec shape
-    // {"metric","value","unit","queries","sf"}. Guaranteed short: plain
-    // seconds (min-of-2 wall) listed only for failed queries and the
-    // slowest ones above an adaptive threshold; everything else is in
-    // bench_detail.json and the lines above. Values are plain numbers
-    // (-1.0 = failed) so any JSON parser handles the map uniformly.
+    // Contract line built FIRST (it is the non-negotiable machine-parsed
+    // artifact), then the taskds diagnostic line is sized to whatever
+    // budget remains — round 8's fixed 1300+1500 split could sum past the
+    // 2000-char tail and head-truncate the taskds line (ADVICE r8).
+    // FINAL-line shape: {"metric","value","unit","queries","sf"}.
+    // Guaranteed short: plain seconds (min-of-2 wall) listed only for
+    // failed queries and the slowest ones above an adaptive threshold;
+    // everything else is in bench_detail.json and the lines above. Values
+    // are plain numbers (-1.0 = failed) so any JSON parser handles the
+    // map uniformly.
     def contract(thresholdSec: Double): String = {
       // failed first, then slowest; hard cap 40 entries so even a
       // mass-failure round (all 160+ queries at -1) keeps the line short
@@ -218,8 +212,19 @@ object Bench {
     // fallback threshold is a finite 1e9 (renders as "1000000000.0"),
     // never Double.MaxValue — %.1f of MaxValue is a 310-char number that
     // would overflow the tail in exactly the catastrophic rounds
-    println(Seq(0.5, 1.0, 2.0, 5.0).map(contract)
-      .find(_.length <= 1500).getOrElse(contract(1e9)))
+    val contractLine = Seq(0.5, 1.0, 2.0, 5.0).map(contract)
+      .find(_.length <= 1500).getOrElse(contract(1e9))
+    // taskds line budget = tail(2000) − contract − margin for sbt's
+    // trailing "[success] Total time: …" line and newlines (~120 chars);
+    // degrade order: raise the MB floor, then drop the jitter pairs, then
+    // drop MB entirely. If even the floor variant overflows, print it
+    // anyway — it head-truncates, the contract line below survives.
+    val taskdsBudget = 2000 - contractLine.length - 120
+    val line = Seq(compact(0.05, true), compact(0.5, true), compact(0.5, false),
+        compact(Double.MaxValue, false))
+      .find(_.length <= taskdsBudget).getOrElse(compact(Double.MaxValue, false))
+    println(line)
+    println(contractLine)
     graft.ops.CacheRegistry.clear(spark) // release every operator cache
     spark.stop()
   }

@@ -27,12 +27,20 @@ object StageProfile {
     case class St(var n: Int = 0, var runMs: Long = 0, var cpuMs: Long = 0,
       var shufWriteMb: Double = 0, var spillMb: Double = 0,
       var gcMs: Long = 0, var deserMs: Long = 0, var resultMs: Long = 0)
-    val stages = scala.collection.concurrent.TrieMap.empty[Int, St]
+    // Keyed on (stageId, attemptId) with failed/killed tasks counted
+    // separately: merging retried attempts and non-successful tasks into
+    // one bucket would inflate exactly the task-s >> cpu-s signal this
+    // tool exists to attribute (a speculative duplicate burns run-time
+    // with no useful cpu).
+    val stages = scala.collection.concurrent.TrieMap.empty[(Int, Int), St]
     val names = scala.collection.concurrent.TrieMap.empty[Int, String]
+    val nonSuccess = new java.util.concurrent.atomic.AtomicInteger()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onTaskEnd(te: SparkListenerTaskEnd): Unit =
         Option(te.taskMetrics).foreach { m =>
-          val s = stages.getOrElseUpdate(te.stageId, St())
+          if (te.reason != org.apache.spark.Success) nonSuccess.incrementAndGet()
+          else {
+          val s = stages.getOrElseUpdate((te.stageId, te.stageAttemptId), St())
           s.synchronized {
             s.n += 1
             s.runMs += m.executorRunTime
@@ -42,6 +50,7 @@ object StageProfile {
             s.gcMs += m.jvmGCTime
             s.deserMs += m.executorDeserializeTime
             s.resultMs += m.resultSerializationTime
+          }
           }
         }
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit =
@@ -55,9 +64,9 @@ object StageProfile {
     val tot = stages.values
     println(f"TOTAL tasks=${tot.map(_.n).sum} run=${tot.map(_.runMs).sum / 1e3}%.1fs " +
       f"cpu=${tot.map(_.cpuMs).sum / 1e3}%.1fs gc=${tot.map(_.gcMs).sum / 1e3}%.1fs " +
-      f"spill=${tot.map(_.spillMb).sum}%.0fMB")
-    stages.toSeq.sortBy(-_._2.runMs).take(25).foreach { case (id, s) =>
-      println(f"stage $id%4d n=${s.n}%5d run=${s.runMs / 1e3}%8.1fs cpu=${s.cpuMs / 1e3}%8.1fs " +
+      f"spill=${tot.map(_.spillMb).sum}%.0fMB nonSuccessTasks=${nonSuccess.get()}")
+    stages.toSeq.sortBy(-_._2.runMs).take(25).foreach { case ((id, att), s) =>
+      println(f"stage $id%4d.$att n=${s.n}%5d run=${s.runMs / 1e3}%8.1fs cpu=${s.cpuMs / 1e3}%8.1fs " +
         f"gc=${s.gcMs / 1e3}%6.1fs deser=${s.deserMs / 1e3}%6.1fs shufW=${s.shufWriteMb}%7.1fMB " +
         f"spill=${s.spillMb}%6.0fMB  ${names.getOrElse(id, "?")}")
     }

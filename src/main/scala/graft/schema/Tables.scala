@@ -51,11 +51,13 @@ object Tables {
     * SQL-surface queries that only read region/nation). A table whose
     * *registration* fails is skipped here — the query that actually
     * references it still fails, with TABLE_OR_VIEW_NOT_FOUND naming the
-    * culprit table, which is the failure we want. */
+    * culprit table, which is the failure we want. NonFatal only: an OOM or
+    * StackOverflow during a load must propagate — a run that limps on past
+    * a fatal JVM error reports undefined results. */
   def views(spark: SparkSession, dir: String): Unit =
     all.foreach { n =>
       try t(spark, dir, n).createOrReplaceTempView(n)
-      catch { case e: Throwable =>
+      catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[graft] view registration failed for '$n': ${e.getMessage}")
       }
     }
