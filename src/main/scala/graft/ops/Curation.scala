@@ -247,9 +247,8 @@ object Curation {
     // Skew.groupedRowNumber's range-bucket + offset stitch — parallelism
     // scales with data volume, not source count — and the final
     // ORDER BY + LIMIT is top-k (TakeOrderedAndProject), not a full sort.
-    // NOTE the stitch is EAGER (see groupedRowNumber scaladoc): building
-    // this frame runs the pass-1/pass-2 jobs, so even plan-only consumers
-    // pay that execution cost.
+    // Construction runs only the bounded boundary-sample job (Skew
+    // scaladoc); the stitch itself is lazy.
     Q("q90_curriculum_interleave",
       """WITH r AS (SELECT doc_id, source,
         |    CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) AS round
@@ -277,8 +276,8 @@ object Curation {
     // partitioned by bare `source` (which would put each source's whole
     // token stream through one task — a ~20-partition ceiling at 100 TB);
     // the (source, pack) aggregate after it is narrow. No global ordering
-    // anywhere. NOTE the stitch is EAGER (see groupedRowNumber scaladoc):
-    // building this frame runs the pass-1/pass-2 jobs up front.
+    // anywhere. Construction runs only the bounded boundary-sample job
+    // (Skew scaladoc); the stitch itself is lazy.
     Q("q91_sequence_packing",
       """WITH w AS (SELECT doc_id, source,
         |    CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS n_tokens

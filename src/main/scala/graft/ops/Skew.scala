@@ -1,38 +1,39 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.sql.graftaccess.SortNodes
+import org.apache.spark.sql.types._
 
-/** Skew mitigation for heavy-key equi-joins (SCALE.md): AQE's skew-join
-  * splitting covers sort-merge joins automatically, but when one key
-  * dominates a shuffled hash join (one reducer gets the world), salting
-  * spreads the hot key across `buckets` reducers deterministically.
+/** Skew / scale mitigation for the shapes AQE does not cover (SCALE.md):
+  * salted equi-joins for one-reducer-gets-the-world hash joins, and the
+  * range-bucket + prefix-stitch engines that replace single-partition (or
+  * low-cardinality-partition) windows for global/grouped row numbers and
+  * running sums.
   *
-  * Left rows get a salt derived from a high-cardinality discriminator
-  * column (any unique-ish column works — order key, line number, doc id);
-  * the right side is replicated once per salt value. The join key becomes
-  * (key, salt), so a key carrying N rows lands on up to `buckets` reducers
-  * instead of one. */
+  * Stitch engine design (round 9 — replaces the localCheckpoint pin):
+  * range boundaries are sampled ONCE at construction and baked into the
+  * plan as literals, so the bucket id is a PURE function of the row's key
+  * values. Every consumer of the bucket column — the slice aggregate that
+  * yields per-bucket offsets and the per-bucket window that yields local
+  * prefix values — recomputes it identically, which removes the entire
+  * class of resampling hazards the old design pinned against
+  * (RangePartitioner seeds its reservoir with the per-job RDD id, so two
+  * executions of the same `repartitionByRange` can disagree on bucket
+  * assignment). No localCheckpoint, no persisted blocks, nothing to lose
+  * on executor failure: a recomputed partition re-derives the same
+  * buckets from the same rows.
+  *
+  * Cost shape per stitch: one bounded boundary-sampling job over the key
+  * projection (reservoir per input partition, weighted quantile pick —
+  * the same pass RangePartitioner itself would make), then lazily at
+  * action time ONE full-data hash shuffle on (bucket, group) shared by
+  * the window, plus a tiny map-side-combined slice aggregate whose
+  * exclusive prefix (a window over ≤ numPartitions + |groups| − 1 rows)
+  * broadcast-joins back. The old design paid two full-data exchanges plus
+  * a checkpoint write and two checkpoint reads. */
 object Skew {
-
-  /** Pin the stitch engines' range-parted frame across their two passes:
-    * localCheckpoint — rows stored as-is, pass 2/3 literally reread pass
-    * 1's blocks (on a cluster swap for reliable `checkpoint`; blocks
-    * release via the ContextCleaner once the result is unreferenced).
-    *
-    * This is deliberately the ONLY mode. Alternatives were measured and
-    * rejected in the round-8 review (SCALE.md): skipping the pin is
-    * unsound because an unpinned rerun of `repartitionByRange` is NOT
-    * guaranteed to reproduce bucket assignment — RangePartitioner seeds
-    * its reservoir sampling with the RDD id (`byteswap32(idx ^ (rdd.id
-    * << 16))`), a fresh counter per job, so pass 2's offsets and pass
-    * 3's buckets could disagree on any input large enough to actually
-    * sample; and a `persist()` pin is the same unsoundness one LRU
-    * eviction later (an evicted InMemoryRelation block recomputes —
-    * and resamples — the exchange), for no measured gain (44.1 vs 43.8
-    * task-s on q75 at sf0.1). */
-  private[ops] def pinned(df: DataFrame): DataFrame = df.localCheckpoint()
 
   def saltedJoin(
       left: DataFrame,
@@ -51,89 +52,35 @@ object Skew {
   /** Global row numbering without a single-partition window — the
     * 100×-scale answer to `Window.orderBy(...)` with no partition key
     * (which funnels every row through one task, q21's documented
-    * dim-table-only caveat).
-    *
-    * Two-pass range-bucket + stitch:
-    *   1. range-repartition by the total order, so partition i holds keys
-    *      strictly before partition i+1's;
-    *   2. one tiny aggregation (numPartitions rows) gives each bucket's
-    *      size, whose exclusive prefix sum is the bucket's global offset;
-    *   3. a window partitioned by bucket id computes local row numbers in
-    *      parallel; global = local + offset via a broadcast join.
-    *
-    * The order must be total (include a tiebreaker column): range
-    * boundaries may split equal keys across adjacent partitions, which is
-    * fine for row_number but would mis-rank ties. The range-parted frame
-    * is localCheckpointed so pass 2 and pass 3 see the same (sampled)
-    * boundaries; on a cluster use `checkpoint` or persist-replicated. */
+    * dim-table-only caveat). `order` must be a total order (include a
+    * unique tiebreaker), or ties split across bucket edges mis-rank.
+    * Implemented as the grouped stitch with an empty group. */
   def globalRowNumber(
       df: DataFrame,
-      order: Seq[org.apache.spark.sql.Column],
+      order: Seq[Column],
       numPartitions: Int,
-      outCol: String = "rn"): DataFrame = {
-    require(numPartitions > 0, "numPartitions must be positive")
-    val parted = pinned(df.repartitionByRange(numPartitions, order: _*)
-      .withColumn("__bucket", spark_partition_id()))
-    val offsets = {
-      val sizes = parted.groupBy(col("__bucket")).count()
-        .collect().map(r => r.getInt(0) -> r.getLong(1)).toSeq.sortBy(_._1)
-      val running = sizes.scanLeft(0L)(_ + _._2)
-      sizes.map(_._1).zip(running) // bucket -> rows before it
-    }
-    val offsetDf = df.sparkSession
-      .createDataFrame(offsets).toDF("__bucket", "__offset")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("__bucket")).orderBy(order: _*)
-    parted
-      .join(broadcast(offsetDf), Seq("__bucket"))
-      .withColumn(outCol, row_number().over(w) + col("__offset"))
-      .drop("__bucket", "__offset")
-  }
+      outCol: String = "rn"): DataFrame =
+    stitch(df, Seq.empty, order, numPartitions, value = None,
+      rowNumCol = Some(outCol), sumCol = None)
 
-  /** Grouped prefix computations — row number and/or running sum within a
-    * group, ordered by a total order — without `Window.partitionBy(group)`.
-    *
-    * With a LOW-cardinality group key (a training corpus has ~20 sources),
-    * a per-group window funnels each group's entire history through ONE
-    * task: at 100 TB that is a 20-partition bottleneck no matter how many
-    * executors exist. Same two-pass range-bucket + stitch as
-    * [[globalRowNumber]], generalized per group:
-    *
-    *   1. range-repartition by (group ++ order): each group occupies a
-    *      contiguous run of buckets, each bucket bounded by partition size
-    *      — parallelism scales with DATA size, not group count;
-    *   2. one tiny per-(bucket, group) aggregate (≤ numPartitions +
-    *      |groups| − 1 rows, by contiguity of the ranges) collected to the
-    *      driver; its per-group exclusive prefix over buckets is each
-    *      slice's starting row number / running-sum offset;
-    *   3. a window partitioned by (bucket, group) computes LOCAL prefix
-    *      values in parallel; global = local + broadcast offset.
-    *
-    * `order` must be a total order within each group (include a unique
-    * tiebreaker): range boundaries may split equal keys across adjacent
-    * buckets, which would otherwise mis-stitch ties. The range-parted
-    * frame is localCheckpointed so passes 2 and 3 see the same (sampled)
-    * boundaries.
-    *
-    * EAGER: unlike a plain DataFrame transformation, building the result
-    * runs real Spark jobs (the localCheckpoint of pass 1 and the driver
-    * collect of pass 2) before the caller ever triggers an action — so a
-    * plan-only consumer (EXPLAIN tooling, PlanShapeSpec) pays the
-    * repartition + slice-aggregate cost, and the checkpointed blocks stay
-    * pinned until the returned frame is unreferenced. This is inherent to
-    * the two-pass design (pass 3's plan depends on pass 2's data). */
+  /** Per-group row numbering without `Window.partitionBy(group)` — with a
+    * LOW-cardinality group key (a training corpus has ~20 sources), a
+    * per-group window funnels each group's entire history through ONE
+    * task; here parallelism scales with DATA size (bucket count), not
+    * group count. `order` must be a total order within each group. */
   def groupedRowNumber(
       df: DataFrame,
       group: Seq[String],
       order: Seq[Column],
       numPartitions: Int,
-      outCol: String = "rn"): DataFrame =
-    groupedStitch(df, group, order, numPartitions, value = None,
+      outCol: String = "rn"): DataFrame = {
+    require(group.nonEmpty, "group must be non-empty (use globalRowNumber)")
+    stitch(df, group, order, numPartitions, value = None,
       rowNumCol = Some(outCol), sumCol = None)
+  }
 
   /** Running sum of `value` within each group (ROWS UNBOUNDED PRECEDING …
-    * CURRENT ROW), stitched across range buckets — see [[groupedRowNumber]]
-    * for the why, the mechanics, and the EAGER-construction caveat.
+    * CURRENT ROW), stitched across range buckets — see [[groupedRowNumber]].
     * `value` must cast to LONG. */
   def groupedRunningSum(
       df: DataFrame,
@@ -141,11 +88,32 @@ object Skew {
       order: Seq[Column],
       value: Column,
       numPartitions: Int,
-      outCol: String = "cum"): DataFrame =
-    groupedStitch(df, group, order, numPartitions, value = Some(value),
+      outCol: String = "cum"): DataFrame = {
+    require(group.nonEmpty, "group must be non-empty (use globalRowNumber)")
+    stitch(df, group, order, numPartitions, value = Some(value),
       rowNumCol = None, sumCol = Some(outCol))
+  }
 
-  private def groupedStitch(
+  private case class SortKey(c: Column, desc: Boolean, nullsFirst: Boolean) {
+    /** The matching sort Column, for ordering the boundary sample the way
+      * the caller's order would. */
+    def sortCol(over: Column): Column = (desc, nullsFirst) match {
+      case (false, true)  => over.asc_nulls_first
+      case (false, false) => over.asc_nulls_last
+      case (true, true)   => over.desc_nulls_first
+      case (true, false)  => over.desc_nulls_last
+    }
+  }
+
+  /** One unified stitch: 1) sample explicit range boundaries over
+    * (group ++ order); 2) bucket = literal binary-search expression —
+    * deterministic per row; 3) per-(bucket, group) slice totals, whose
+    * per-group exclusive prefix over buckets is each slice's offset
+    * (computed lazily as a window over the tiny slice frame — never a
+    * driver collect); 4) local window per (bucket, group) + broadcast
+    * offset join. Everything after the boundary sample is LAZY: explain()
+    * on the result triggers no full-data job (PlanShapeSpec holds this). */
+  private def stitch(
       df: DataFrame,
       group: Seq[String],
       order: Seq[Column],
@@ -154,53 +122,68 @@ object Skew {
       rowNumCol: Option[String],
       sumCol: Option[String]): DataFrame = {
     require(numPartitions > 0, "numPartitions must be positive")
-    require(group.nonEmpty, "group must be non-empty (use globalRowNumber)")
     val reserved = Seq("__val", "__bucket", "__rn_off", "__sum_off",
       "__off_bucket") ++ group.map(g => s"__off_$g")
     require(!df.columns.exists(reserved.contains),
       s"input must not carry the stitch's working columns ${reserved.mkString(", ")}")
     val groupCols = group.map(col)
-    // localCheckpoint blocks are not CacheRegistry-managed: they are
-    // released by the ContextCleaner once the returned frame is
-    // unreferenced (same lifecycle as clusterPairs' per-round checkpoints)
-    val parted = df
+    // bucket keys: group first (each group occupies a contiguous bucket
+    // range), then the caller's order with its directions
+    val keys = group.map(g => SortKey(col(g), desc = false, nullsFirst = true)) ++
+      order.map { c => val (ch, d, nf) = SortNodes.parse(c); SortKey(ch, d, nf) }
+    val keyTypes = df.select(keys.map(_.c): _*).schema.map(_.dataType)
+    keyTypes.foreach { dt =>
+      val atomic = dt match {
+        case _: NumericType | _: StringType => true
+        case BooleanType | DateType | TimestampType | TimestampNTZType | BinaryType => true
+        case _ => false
+      }
+      require(atomic,
+        s"stitch keys must be atomic (orderable + literal-encodable) types, got $dt")
+    }
+    val bounds = sampleBoundaries(df, keys, numPartitions)
+    val withB = df
       .withColumn("__val", value.getOrElse(lit(1L)).cast("long"))
-      .repartitionByRange(numPartitions, groupCols ++ order: _*)
-      .transform(p => pinned(p.withColumn("__bucket", spark_partition_id())))
-    val nG = group.size
-    // per-(bucket, group) totals: bounded by numPartitions + |groups| − 1
-    // rows (each group's buckets are a contiguous range), so the collect
-    // is a few KB even with thousands of buckets
-    val slices = parted
+      .withColumn("__bucket", bucketExpr(keys, bounds, keyTypes))
+    // per-(bucket, group) totals: a map-side-combined aggregate of ≤
+    // (|bounds|+1) + |groups| − 1 rows (groups are bucket-contiguous)
+    val slices = withB
       .groupBy(col("__bucket") +: groupCols: _*) // groupBy keeps NULL groups
-      .agg(count(lit(1)).as("__cnt"), coalesce(sum(col("__val")), lit(0L)).as("__sum"))
-      .collect()
-    val offsetRows: Seq[Row] = slices
-      .groupBy(r => (1 to nG).map(r.get): Seq[Any])
-      .valuesIterator.flatMap { rs =>
-        var cnt = 0L
-        var sm = 0L
-        rs.sortBy(_.getInt(0)).map { r =>
-          val out = Row.fromSeq(r.toSeq.dropRight(2) ++ Seq(cnt, sm))
-          cnt += r.getLong(nG + 1)
-          sm += r.getLong(nG + 2)
-          out
-        }
-      }.toSeq
-    // offset frame keeps the group columns under aliased names so the join
-    // can be NULL-SAFE on them: Window.partitionBy treats NULL as a regular
-    // partition, and a plain equi-join would silently drop those rows
-    val offSchema = StructType(
-      StructField("__off_bucket", org.apache.spark.sql.types.IntegerType) +:
-        group.map(g => parted.schema(g).copy(name = s"__off_$g")) :+
-        StructField("__rn_off", LongType) :+ StructField("__sum_off", LongType))
-    import scala.jdk.CollectionConverters._
-    val offsetDf = df.sparkSession.createDataFrame(offsetRows.asJava, offSchema)
-    val w = org.apache.spark.sql.expressions.Window
+      .agg(count(lit(1)).as("__cnt"),
+        coalesce(sum(col("__val")), lit(0L)).as("__sum"))
+    // exclusive prefix per group over buckets, WITHOUT a window: a
+    // per-group window here would be 1-ary-partitioned (the exact
+    // low-cardinality shape the engine exists to kill — even if only over
+    // the tiny slice frame, it would make every consumer's plan fail the
+    // "no window keyed on the bare source column" audit), and the global
+    // case would need an unpartitioned window (a SinglePartition
+    // exchange). Instead: broadcast triangular self-join + hash aggregate
+    // — earlier buckets' totals sum into each bucket's offset. Bounded
+    // O(|slices|²) compares on a ≤ numPartitions + |groups| − 1 row frame.
+    // Offsets keep the group columns under aliased names so both joins
+    // can be NULL-SAFE on them: Window.partitionBy treats NULL as a
+    // regular partition, and a plain equi-join would silently drop those
+    // rows.
+    val prior = slices.select(
+      col("__bucket").as("__pb") +:
+        group.map(g => col(g).as(s"__pg_$g")) :+
+        col("__cnt").as("__pc") :+ col("__sum").as("__ps"): _*)
+    val priorCond = group.map(g => col(g) <=> col(s"__pg_$g"))
+      .foldLeft(col("__pb") < col("__bucket"))(_ && _)
+    val offsets = slices
+      .join(broadcast(prior), priorCond, "left")
+      .groupBy(col("__bucket") +: groupCols: _*)
+      .agg(coalesce(sum(col("__pc")), lit(0L)).as("__rn_off"),
+        coalesce(sum(col("__ps")), lit(0L)).as("__sum_off"))
+      .select(
+        col("__bucket").as("__off_bucket") +:
+          group.map(g => col(g).as(s"__off_$g")) :+
+          col("__rn_off") :+ col("__sum_off"): _*)
+    val joinCond = ((col("__bucket") === col("__off_bucket")) +:
+      group.map(g => col(g) <=> col(s"__off_$g"))).reduce(_ && _)
+    val w = Window
       .partitionBy(col("__bucket") +: groupCols: _*).orderBy(order: _*)
-    val joinCond = (col("__bucket") === col("__off_bucket")) +:
-      group.map(g => col(g) <=> col(s"__off_$g"))
-    var res = parted.join(broadcast(offsetDf), joinCond.reduce(_ && _))
+    var res = withB.join(broadcast(offsets), joinCond)
       .drop("__off_bucket" +: group.map(g => s"__off_$g"): _*)
     rowNumCol.foreach { c =>
       res = res.withColumn(c, row_number().over(w) + col("__rn_off"))
@@ -208,9 +191,125 @@ object Skew {
     sumCol.foreach { c =>
       res = res.withColumn(c,
         sum(col("__val")).over(
-          w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-            org.apache.spark.sql.expressions.Window.currentRow)) + col("__sum_off"))
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)) +
+          col("__sum_off"))
     }
     res.drop("__bucket", "__rn_off", "__sum_off", "__val")
   }
+
+  /** Sampled boundary key tuples, ascending in the key order — the same
+    * weighted-reservoir pass RangePartitioner makes, but run ONCE with the
+    * result held as plain values so every consumer of the plan agrees on
+    * bucket edges. Reservoirs are seeded by partition index
+    * (deterministic for a fixed input partitioning; across runs the
+    * boundaries may shift, which only moves load, never results). The
+    * sample is sorted by SPARK in a tiny local frame, so boundary order
+    * follows engine sort semantics exactly (no hand-rolled driver
+    * comparators to drift). */
+  private def sampleBoundaries(
+      df: DataFrame,
+      keys: Seq[SortKey],
+      numPartitions: Int): Seq[Seq[Any]] = {
+    if (numPartitions <= 1) return Seq.empty
+    val spark = df.sparkSession
+    val keyed = df.select(keys.zipWithIndex.map { case (k, i) => k.c.as(s"__k$i") }: _*)
+    val perPart = 200
+    val samples = keyed.rdd.mapPartitionsWithIndex { (idx, it) =>
+      val rng = new java.util.Random(0x9E3779B97F4A7C15L ^ idx.toLong)
+      val res = new Array[Row](perPart)
+      var n = 0L
+      while (it.hasNext) {
+        val r = it.next()
+        if (n < perPart) res(n.toInt) = r
+        else {
+          val j = (rng.nextDouble() * (n + 1)).toLong
+          if (j < perPart) res(j.toInt) = r
+        }
+        n += 1
+      }
+      Iterator.single((n, res.take(math.min(n, perPart.toLong).toInt)))
+    }.collect()
+    val total = samples.map(_._1).sum
+    if (total == 0L) return Seq.empty
+    // weight each sampled row by rowsInPartition / samplesFromPartition so
+    // unevenly sized input partitions don't skew the quantiles
+    val weighted = samples.toSeq.flatMap { case (n, rs) =>
+      if (rs.isEmpty) Seq.empty[Row]
+      else {
+        val w = n.toDouble / rs.length
+        rs.toSeq.map(r => Row.fromSeq(r.toSeq :+ w))
+      }
+    }
+    val schema = StructType(keyed.schema.fields :+ StructField("__w", DoubleType))
+    import scala.jdk.CollectionConverters._
+    // coalesce(1) + sortWithinPartitions: one task, no range exchange (a
+    // plain orderBy would launch a 2-stage sampled sort for a few hundred
+    // local rows); collect preserves within-partition order
+    val sorted = spark.createDataFrame(weighted.asJava, schema)
+      .coalesce(1)
+      .sortWithinPartitions(
+        keys.zipWithIndex.map { case (k, i) => k.sortCol(col(s"__k$i")) }: _*)
+      .collect()
+    val totW = weighted.map(_.getDouble(keys.size)).sum
+    val step = totW / numPartitions
+    val bounds = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+    var cum = 0.0
+    var target = step
+    sorted.foreach { r =>
+      cum += r.getDouble(keys.size)
+      if (cum >= target && bounds.size < numPartitions - 1) {
+        val key = r.toSeq.dropRight(1)
+        if (!bounds.lastOption.contains(key)) bounds += key
+        target += step
+      }
+    }
+    bounds.toSeq
+  }
+
+  /** bucket id ∈ [0, |bounds|] as a literal binary-search expression:
+    * O(log P · |keys|) comparisons per row (a linear boundary chain would
+    * pay O(P) per row — real money at cluster-scale partition counts).
+    * Rows equal to a boundary land in the bucket at and after it, so
+    * bucket i holds keys in [bounds(i−1), bounds(i)). */
+  private def bucketExpr(
+      keys: Seq[SortKey],
+      bounds: Seq[Seq[Any]],
+      keyTypes: Seq[DataType]): Column = {
+    if (bounds.isEmpty) return lit(0L)
+    def search(lo: Int, hi: Int): Column =
+      if (lo == hi) lit(lo.toLong)
+      else {
+        val mid = (lo + hi + 1) / 2 // boundary mid-1 splits [lo, mid-1] / [mid, hi]
+        when(rowLtBoundary(keys, bounds(mid - 1), keyTypes),
+          search(lo, mid - 1)).otherwise(search(mid, hi))
+      }
+    search(0, bounds.size)
+  }
+
+  /** Row strictly-before the boundary tuple under the lexicographic key
+    * order (per-key direction + null ordering respected). */
+  private def rowLtBoundary(
+      keys: Seq[SortKey],
+      bound: Seq[Any],
+      keyTypes: Seq[DataType]): Column =
+    keys.indices.reverse.foldLeft(lit(false)) { (tailLt, i) =>
+      keyLt(keys(i), bound(i), keyTypes(i)) ||
+        ((keys(i).c <=> boundLit(bound(i), keyTypes(i))) && tailLt)
+    }
+
+  private def boundLit(v: Any, dt: DataType): Column =
+    if (v == null) lit(null).cast(dt) else lit(v).cast(dt)
+
+  /** Key strictly sorts before the boundary value, under the key's
+    * direction and null ordering. Null boundary: with nulls first nothing
+    * sorts before null; with nulls last every non-null does. Non-null
+    * boundary: a null key sorts before iff nulls come first; otherwise
+    * the plain comparison (null-guarded to false). */
+  private def keyLt(k: SortKey, v: Any, dt: DataType): Column =
+    if (v == null) {
+      if (k.nullsFirst) lit(false) else k.c.isNotNull
+    } else {
+      val cmp = if (k.desc) k.c > boundLit(v, dt) else k.c < boundLit(v, dt)
+      if (k.nullsFirst) k.c.isNull || cmp else coalesce(cmp, lit(false))
+    }
 }

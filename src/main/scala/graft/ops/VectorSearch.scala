@@ -1221,7 +1221,7 @@ object VectorSearch {
   private def secondDirection(s: org.apache.spark.sql.SparkSession, dir: String)
       : org.apache.spark.sql.DataFrame =
     CacheRegistry.cache(s, s"q126-u3:$dir") {
-      powerLoop(s, powerRows(s, dir), 3,
+      powerLoop(s, embTable(s, dir), 3,
         deflateAgainst = Seq(topDirection(s, dir)))
     }
 
@@ -1230,7 +1230,7 @@ object VectorSearch {
   private def thirdDirection(s: org.apache.spark.sql.SparkSession, dir: String)
       : org.apache.spark.sql.DataFrame =
     CacheRegistry.cache(s, s"q146-t3:$dir") {
-      powerLoop(s, powerRows(s, dir), 3,
+      powerLoop(s, embTable(s, dir), 3,
         deflateAgainst = Seq(topDirection(s, dir), secondDirection(s, dir)))
     }
 
@@ -1240,37 +1240,15 @@ object VectorSearch {
   private def topDirection(s: org.apache.spark.sql.SparkSession, dir: String)
       : org.apache.spark.sql.DataFrame =
     CacheRegistry.cache(s, s"q125-v3:$dir") {
-      powerLoop(s, powerRows(s, dir), 3, deflateAgainst = Seq.empty)
+      powerLoop(s, embTable(s, dir), 3, deflateAgainst = Seq.empty)
     }
 
-  /** The (vec_id, pos, x) exploded embedding frame the power-iteration
-    * family re-reads every round — cached once per sfDir so q125/q126 and
-    * all rounds share one parquet scan + explode. */
-  private def powerRows(s: org.apache.spark.sql.SparkSession, dir: String)
-      : org.apache.spark.sql.DataFrame =
-    CacheRegistry.cache(s, s"q125-erows:$dir") { powerRowsFor(embTable(s, dir)) }
-
-  /** The (vec_id, pos, x) explode of any (vec_id, embedding) frame — ONE
-    * definition shared by the cached query path and ScaleBench's
-    * [[powerIterate]], so the exploded schema cannot drift. */
-  private def powerRowsFor(vecs: org.apache.spark.sql.DataFrame)
-      : org.apache.spark.sql.DataFrame =
-    vecs
-      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "xr")))
-      .select(col("vec_id"), (col("pos") + 1).as("pos"),
-        col("xr").cast("double").as("x"))
-
   /** [[powerLoop]] over any (vec_id, embedding) frame — ScaleBench drives
-    * synthetic corpus sizes through this; the declared queries go through
-    * the CacheRegistry'd [[powerRows]] instead. The exploded component
-    * frame is persisted for the rounds and released before returning (the
-    * result is checkpointed, so the unpersist is safe). */
+    * synthetic corpus sizes through this; the declared queries share
+    * chains through the CacheRegistry instead. */
   def powerIterate(vecs: org.apache.spark.sql.DataFrame, rounds: Int)
-      : org.apache.spark.sql.DataFrame = {
-    val erows = powerRowsFor(vecs).persist()
-    try powerLoop(vecs.sparkSession, erows, rounds, deflateAgainst = Seq.empty)
-    finally erows.unpersist()
-  }
+      : org.apache.spark.sql.DataFrame =
+    powerLoop(vecs.sparkSession, vecs, rounds, deflateAgainst = Seq.empty)
 
   /** [[powerIterate]] with Gram–Schmidt deflation against already-found
     * direction tables — successive eigendirections over any corpus
@@ -1278,11 +1256,8 @@ object VectorSearch {
     * declared queries share chains through the registry instead). */
   def powerIterateDeflated(vecs: org.apache.spark.sql.DataFrame, rounds: Int,
       deflateAgainst: Seq[org.apache.spark.sql.DataFrame])
-      : org.apache.spark.sql.DataFrame = {
-    val erows = powerRowsFor(vecs).persist()
-    try powerLoop(vecs.sparkSession, erows, rounds, deflateAgainst)
-    finally erows.unpersist()
-  }
+      : org.apache.spark.sql.DataFrame =
+    powerLoop(vecs.sparkSession, vecs, rounds, deflateAgainst)
 
   /** `rounds` of v ← normalize(X'Xv) from the all-0.125 start, every
     * corpus-sized sum through DECIMAL(38,12) (order-independent), the
@@ -1291,19 +1266,56 @@ object VectorSearch {
     * (w ← w − (w·pv)·pv, sequentially, modified-GS order) before
     * normalizing — the deflation that yields successive eigendirections;
     * deflating against the first m−1 directions converges to the m-th.
-    * Returns the 64-row (pos, v) direction table. */
+    * Returns the 64-row (pos, v) direction table.
+    *
+    * Round-9 shape (VERDICT r8 task 2): the direction is 64 doubles, so
+    * it rides each round as an ARRAY LITERAL (the q132 precedent —
+    * bounded driver state, never corpus data). The per-vector dot d then
+    * evaluates INLINE over the embedding array — zip_with product, each
+    * product cast to DECIMAL(38,12) exactly like the oracle's d CTE, an
+    * exact (order-free) higher-order sum — and the matvec is ONE
+    * posexplode + 64-group decimal aggregate with d already attached.
+    * Per round: one corpus scan, one tiny 64-group shuffle, ZERO joins.
+    * The old shape joined a persisted (vec_id, pos, x) explode against
+    * the direction table and shuffled corpus-sized partials twice per
+    * round (38 combined task-s for q125/q126/q146 at sf0.1). */
   private def powerLoop(s: org.apache.spark.sql.SparkSession,
-      erows: org.apache.spark.sql.DataFrame, rounds: Int,
+      vecs: org.apache.spark.sql.DataFrame, rounds: Int,
       deflateAgainst: Seq[org.apache.spark.sql.DataFrame])
       : org.apache.spark.sql.DataFrame = {
     val decSum = (c: Column) => sum(c.cast("decimal(38,12)")).cast("double")
+    // HOF accumulator at DECIMAL(28,12): the lambda's add yields
+    // DECIMAL(29,12) — precision GROWS (29 ≤ 38) so the scale is fully
+    // preserved (no precision-loss re-scale, which a (38,12) accumulator
+    // would hit: 38+38 → 38 forces scale 11) — and the cast back to
+    // (28,12) is exact for |sum| < 10^16, far above any |x·v| ≤ 64·max²
+    // here. Value-identical to the oracle's DECIMAL(38,12) per-product
+    // cast + exact sum.
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(28, 12)
     import s.implicits._
     var v = (1 to Dim).map(p => (p.toLong, 0.125)).toDF("pos", "v")
+    var vArr: Seq[Double] = Seq.fill(Dim)(0.125)
     (1 to rounds).foreach { _ =>
-      val d = erows.join(broadcast(v), Seq("pos"))
-        .groupBy(col("vec_id")).agg(decSum(col("x") * col("v")).as("d"))
-      val w0 = erows.join(d, Seq("vec_id"))
-        .groupBy(col("pos")).agg(decSum(col("d") * col("x")).as("w"))
+      val vLit = array(vArr.map(lit): _*)
+      val dCol = aggregate(
+        zip_with(col("embedding"), vLit, (x, vv) => (x.cast("double") * vv).cast(dec)),
+        lit(java.math.BigDecimal.ZERO).cast(dec),
+        (acc, y) => (acc + y).cast(dec)).cast("double")
+      // matvec as ONE no-grouping aggregate of 64 decimal sums — NOT a
+      // posexplode + groupBy(pos): above a Generate the optimizer
+      // re-evaluates the d projection per EXPLODED row (64× the dot
+      // products — measured 5× slower); under an Aggregate the project
+      // runs once per row. Partials are a single 64-decimal row per
+      // partition — the minimum possible shuffle.
+      val wCols = (1 to Dim).map { p =>
+        decSum(col("d") * element_at(col("embedding"), p).cast("double")).as(s"__w$p")
+      }
+      val wRow = vecs.select(col("embedding"), dCol.as("d"))
+        .agg(wCols.head, wCols.tail: _*)
+      val w0 = wRow
+        .select(posexplode(array((1 to Dim).map(p => col(s"__w$p")): _*))
+          .as(Seq("p0", "w")))
+        .select((col("p0") + 1).cast("long").as("pos"), col("w"))
       // modified Gram–Schmidt: each target projects off the RUNNING w —
       // the same sequential order powerIterCte's oracle CTEs encode
       val w = deflateAgainst.foldLeft(w0) { (wCur, pvt) =>
@@ -1317,6 +1329,9 @@ object VectorSearch {
       v = w.crossJoin(broadcast(n))
         .select(col("pos"), round(col("w") / col("n"), 9).as("v"))
         .localCheckpoint() // 64 rows; truncates the per-round lineage
+      // next round's literal — the checkpointed values verbatim (collect
+      // of a 64-row frame; doubles round-trip bit-exactly)
+      vArr = v.orderBy(col("pos")).collect().map(_.getDouble(1)).toSeq
     }
     v
   }

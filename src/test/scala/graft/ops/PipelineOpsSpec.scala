@@ -83,6 +83,11 @@ class PipelineOpsSpec extends SparkSpec {
     // come from a cartesian over the corpus
     val p155 = q("q155_hybrid_rrf").queryExecution.executedPlan.toString
     assert(p155.contains("BroadcastExchange"), s"query vector not broadcast:\n$p155")
+    // the top-20 cuts are per-partition heaps (TakeOrderedAndProject),
+    // never a global-ORDER-BY window over the corpus-scale candidate
+    // lists (ADVICE r8) — the rank windows run over the 20 survivors
+    assert(p155.contains("TakeOrderedAndProject"),
+      s"q155 top-20 cut is not TakeOrderedAndProject:\n$p155")
     // q161: the per-source ranking runs on the stitch engine (its
     // __bucket working column is in the plan), not a per-source window
     val p161 = q("q161_exact_stratified_split").queryExecution.executedPlan.toString

@@ -80,6 +80,91 @@ class StreamingIntervalJoinSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("e2e: the join over Pipeline-landed tables survives a dead-letter replay") {
+    // VERDICT r8 task 6: the same bucket-keyed watermarked join, but the
+    // sources are FILE STREAMS over the ingest pipeline's idempotent
+    // parquet store — errors and clicks land through Pipeline.start, a
+    // transiently-failed click+error batch sits in the dead-letter store,
+    // and Replay lands it mid-stream under its replay partition. The
+    // running join must pick the late files up and converge to the batch
+    // theta-join answer over the full landed store. Late data stays
+    // inside the 10-minute watermark, so nothing is (correctly) evicted.
+    val s = spark
+    import s.implicits._
+    import graft.ingest.{EngineConfig, Pipeline, Replay, TopicConfig}
+    import graft.functions.SnappyDecode
+    val root = java.nio.file.Files.createTempDirectory("graft-ij-e2e").toString
+    val tcErr = TopicConfig("t.err", "err", "event_id\tInt64\t\t\nts_us\tInt64\t\t")
+    val tcClk = TopicConfig("t.clk", "clk", "event_id\tInt64\t\t\nts_us\tInt64\t\t")
+    val cfg = EngineConfig(
+      topics = Seq(tcErr, tcClk),
+      tableRoot = s"$root/tables",
+      deadLetterRoot = s"$root/dead",
+      checkpointRoot = s"$root/ckpt",
+      metricsPort = 0)
+    def payload(topic: String, eid: Long, ts: java.sql.Timestamp) =
+      (topic, SnappyDecode.compress(
+        s"""{"event_id": $eid, "ts_us": ${ts.getTime * 1000L}}""".getBytes("UTF-8")))
+
+    // live ingest: e1/e2 and c101 land; replay comes later
+    val mem = MemoryStream[(String, Array[Byte])](s)
+    val (ingest, _) = Pipeline.start(s, cfg, mem.toDF().toDF("topic", "value"))
+    try {
+      mem.addData(payload("t.err", 1L, t(10)), payload("t.err", 2L, t(12)),
+        payload("t.clk", 101L, t(11)))
+      ingest.processAllAvailable()
+    } finally ingest.stop()
+
+    // transiently-failed late batch parked per-table in the dead-letter
+    // store: a click 90 s BEFORE e1, and an error matching c101
+    Seq(payload("t.clk", 103L, t(8, 30)))
+      .toDF("topic", "value")
+      .write.mode("append").parquet(s"$root/dead/clk/batch_id=manual")
+    Seq(payload("t.err", 3L, t(11, 30)))
+      .toDF("topic", "value")
+      .write.mode("append").parquet(s"$root/dead/err/batch_id=manual")
+
+    def landed(table: String): DataFrame = {
+      val dir = s"$root/tables/$table"
+      // batch_id must be declared STRING: live batches are numeric but
+      // Replay lands under batch_id=replay-N, and a stream that inferred
+      // INT from the first files would die at the replay partition
+      val sch = org.apache.spark.sql.types.StructType(
+        s.read.parquet(dir).schema.map(f =>
+          if (f.name == "batch_id")
+            f.copy(dataType = org.apache.spark.sql.types.StringType)
+          else f))
+      s.readStream.schema(sch).parquet(dir)
+        .select(col("event_id"), timestamp_micros(col("ts_us")).as("ts"))
+    }
+    val joined = ranged(probes(landed("err")), keyed(landed("clk")))
+    val query = joined.writeStream.format("memory")
+      .queryName("interval_join_e2e").outputMode("append").start()
+    try {
+      query.processAllAvailable()
+      val first = s.table("interval_join_e2e").select(col("eid"), col("cid"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(first == Set((1L, 101L), (2L, 101L)), s"pre-replay pairs: $first")
+
+      // replay the dead letters → idempotent landing under batch_id=replay-*
+      Replay.replayAll(s, cfg)
+      query.processAllAvailable()
+      val streamed = s.table("interval_join_e2e").select(col("eid"), col("cid"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+      // batch q152 answer over the full landed store
+      def full(table: String) = s.read.parquet(s"$root/tables/$table")
+        .select(col("event_id"), timestamp_micros(col("ts_us")).as("ts"))
+      val expected = full("err").as("e").join(full("clk").as("c"),
+          expr("c.ts BETWEEN e.ts - INTERVAL 120 SECONDS AND e.ts + INTERVAL 120 SECONDS"))
+        .select(col("e.event_id"), col("c.event_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamed == expected, s"streamed $streamed != batch $expected")
+      assert(expected == Set((1L, 101L), (2L, 101L), (1L, 103L), (3L, 101L)),
+        "fixture drifted — expected post-replay pairs changed")
+    } finally query.stop()
+  }
+
   test("the plan is a StreamingSymmetricHashJoin keyed on the bucket") {
     val s = spark
     import s.implicits._
