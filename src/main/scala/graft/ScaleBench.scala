@@ -647,6 +647,20 @@ object ScaleBench {
         phase("q129_vocab_groupby", n) {
           occ.groupBy(col("word")).agg(count(lit(1))).count()
         }
+        // ---- Misra–Gries candidate sketch: the bounded-state claim ----
+        // q167's pass 1 shuffles ONE ≤2k-entry counter map per partition
+        // regardless of vocabulary — like the count-min grid, its shuffle
+        // should stay ~flat as docs double while q129_vocab_groupby's
+        // doubles. (The synthetic w<digits> vocabulary GROWS with n, so
+        // the testdata's never-prunes regime does not apply here — the
+        // sketch actually overflows and prunes.)
+        phase("q167_mg_sketch", n) {
+          import spark.implicits._
+          val sketch = graft.functions.MisraGries(1024)
+          occ.select(col("word")).as[String]
+            .select(sketch.toColumn).toDF("cands")
+            .select(explode(col("cands"))).count()
+        }
       }
     }
     if (phaseSel == "all" || phaseSel == "postloop") eventPhases()

@@ -737,6 +737,161 @@ object PipelineOps {
         .groupBy(col("item")).agg(count(lit(1)).cast("long").as("cnt"))
         .orderBy(col("cnt").desc, col("item").asc)
         .limit(25)
+    },
+
+    // ---- exact weighted deciles (quantileExactWeighted parity) ----
+    // ClickHouse's quantileExactWeighted(q)(v, w): sort by v, the
+    // q-quantile is the first value whose cumulative weight reaches
+    // q·ΣW. The cumulative weight rides Skew.globalRunningSum (stitched,
+    // no single-partition window — the q157 rule, weighted), and every
+    // comparison is INTEGER (cum·10 ≥ d·W, never a double ratio), so a
+    // boundary can't drift on ulps. Each row then knows locally which
+    // deciles it covers — (prev·10 DIV W + 1) .. (cum·10 DIV W), an O(1)
+    // per-row sequence explode (≤ 9 total covering rows corpus-wide) —
+    // instead of a 9× crossJoin re-scan; the oracle states the naive
+    // range-join form. Weights are integral doubles (l_quantity), cast
+    // BIGINT on both engines.
+    Q("q168_weighted_deciles",
+      """WITH r AS (SELECT l_extendedprice AS v,
+        |    sum(CAST(l_quantity AS BIGINT)) OVER (
+        |      ORDER BY l_extendedprice, l_orderkey, l_linenumber
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM lineitem),
+        |tot AS (SELECT CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS tw
+        |  FROM lineitem)
+        |SELECT CAST(t.d AS BIGINT) AS decile, min(r.v) AS value
+        |FROM range(1, 10) t(d), r, tot
+        |WHERE r.cum * 10 >= t.d * tot.tw
+        |GROUP BY t.d
+        |ORDER BY decile""".stripMargin) { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+        .select(col("l_extendedprice").as("v"),
+          col("l_quantity").cast("long").as("w"),
+          col("l_orderkey"), col("l_linenumber"))
+      val cum = graft.ops.Skew.globalRunningSum(li,
+        Seq(col("v").asc, col("l_orderkey").asc, col("l_linenumber").asc),
+        value = col("w"),
+        numPartitions = s.conf.get("spark.sql.shuffle.partitions").toInt)
+      val tot = li.agg(sum(col("w")).cast("long").as("tw"))
+      cum.crossJoin(broadcast(tot))
+        .select(col("v"), explode(expr(
+          """CASE WHEN (cum - w) * 10 DIV tw + 1 <= least(cum * 10 DIV tw, 9L)
+            |  THEN sequence((cum - w) * 10 DIV tw + 1, least(cum * 10 DIV tw, 9L))
+            |  ELSE CAST(array() AS ARRAY<BIGINT>) END""".stripMargin)).as("decile"))
+        .filter(col("decile").between(1, 9))
+        .groupBy(col("decile")).agg(min(col("v")).as("value"))
+        .orderBy(col("decile"))
+    },
+
+    // ---- batch sessionization (30-minute inactivity gap) ----
+    // The batch twin of q36's streaming session windows: per-user event
+    // streams cut at >30 min gaps, one summary row per session. The
+    // session id is a running sum of new-session flags over a window
+    // partitioned by user_id — legitimate at 100 TB because user_id
+    // cardinality GROWS with the data (1500 at sf0.1), unlike the ~20-
+    // value source column the grouped stitch exists for; AQE sizes the
+    // user-hash exchange like any other. All arithmetic on epoch micros
+    // (exact longs); ts ties broken by event_id.
+    Q("q169_batch_sessionize",
+      """WITH e AS (SELECT user_id, event_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT user_id, event_id, ts, value,
+        |    CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+        |  FROM e)
+        |SELECT user_id, sid,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  min(ts) AS session_start,
+        |  CAST((epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS BIGINT)
+        |    AS duration_sec,
+        |  round(CAST(sum(CAST(value AS DECIMAL(38,12))) AS DOUBLE), 6) AS sum_value
+        |FROM s
+        |GROUP BY user_id, sid
+        |ORDER BY user_id, sid""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      // ts loads as TIMESTAMP_NTZ; unix_micros needs TIMESTAMP — identity
+      // cast under the pinned UTC session zone (the q158 rule)
+      val us = (c: org.apache.spark.sql.Column) => unix_micros(c.cast("timestamp"))
+      val flagged = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+        .withColumn("new_s",
+          when(lag(col("ts"), 1).over(w).isNull
+            .or(us(col("ts")) - us(lag(col("ts"), 1).over(w))
+              > 1800000000L), 1L).otherwise(0L))
+      flagged
+        .withColumn("sid", sum(col("new_s"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("sid"))
+        .agg(count(lit(1)).cast("long").as("n_events"),
+          min(col("ts")).as("session_start"),
+          expr("""(unix_micros(CAST(max(ts) AS TIMESTAMP))
+                 | - unix_micros(CAST(min(ts) AS TIMESTAMP))) DIV 1000000"""
+            .stripMargin).cast("long").as("duration_sec"),
+          round(sum(col("value").cast("decimal(38,12)")).cast("double"), 6)
+            .as("sum_value"))
+        .orderBy(col("user_id"), col("sid"))
+    },
+
+    // ---- bounded-state distinct cap (uniqUpTo parity) ----
+    // ClickHouse's uniqUpTo(N)(x): exact while ≤ N, N+1 as the saturated
+    // marker — the cardinality GATE (is this group small?) answered in
+    // O(N) state per group instead of count(DISTINCT)'s O(cardinality).
+    // Typed [[graft.functions.UniqUpTo]] Aggregator via functions.udaf:
+    // buffer caps at N+1 values, merge truncates (only the size can
+    // matter once saturated). Two caps exercise both regimes on the
+    // testdata: N=5 saturates everywhere, N=200 is exact at sf≤0.01 and
+    // saturated at sf0.1. Oracle states the same contract via
+    // least(count(DISTINCT…), N+1).
+    Q("q170_uniq_upto",
+      """SELECT event_type,
+        |  least(CAST(count(DISTINCT user_id) AS BIGINT), 6) AS u5,
+        |  least(CAST(count(DISTINCT user_id) AS BIGINT), 201) AS u200
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val u5 = udaf(graft.functions.UniqUpTo(5))
+      val u200 = udaf(graft.functions.UniqUpTo(200))
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(u5(col("user_id")).as("u5"), u200(col("user_id")).as("u200"))
+        .orderBy(col("event_type"))
+    },
+
+    // ---- per-key map aggregate (sumMap parity, canonical form) ----
+    // ClickHouse's sumMap merges (key → value) maps across rows, summing
+    // per key. Spark-side: per-(user, type) partial counts → one map per
+    // user via map_from_entries over the SORTED entry list, canonicalized
+    // to a "type:count,…" string for the cross-engine compare (JSON/map
+    // formatting is engine-specific; the sorted entry string is not).
+    // Two narrow hash aggregates, map-side combined — the map never
+    // shuffles, only (user, type, count) partials do.
+    Q("q171_sum_map",
+      """WITH c AS (SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS cnt
+        |           FROM events GROUP BY user_id, event_type)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_types,
+        |  string_agg(event_type || ':' || cnt, ',' ORDER BY event_type)
+        |    AS type_counts
+        |FROM c
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin) { (s, dir) =>
+      val c = t(s, dir, "events")
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).cast("long").as("cnt"))
+      c.groupBy(col("user_id"))
+        .agg(count(lit(1)).cast("long").as("n_types"),
+          array_join(
+            transform(
+              map_entries(map_from_entries(
+                array_sort(collect_list(struct(col("event_type"), col("cnt")))))),
+              e => concat(e.getField("key"), lit(":"),
+                e.getField("value").cast("string"))),
+            ",").as("type_counts"))
+        .orderBy(col("user_id"))
     }
   )
 }

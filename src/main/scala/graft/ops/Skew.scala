@@ -63,6 +63,20 @@ object Skew {
     stitch(df, Seq.empty, order, numPartitions, value = None,
       rowNumCol = Some(outCol), sumCol = None)
 
+  /** Global running sum (ROWS UNBOUNDED PRECEDING … CURRENT ROW over the
+    * whole frame) without a single-partition window — the weighted-rank
+    * primitive behind exact weighted quantiles (q168). Same engine as
+    * [[globalRowNumber]]; `value` must cast to LONG and `order` must be
+    * total. */
+  def globalRunningSum(
+      df: DataFrame,
+      order: Seq[Column],
+      value: Column,
+      numPartitions: Int,
+      outCol: String = "cum"): DataFrame =
+    stitch(df, Seq.empty, order, numPartitions, value = Some(value),
+      rowNumCol = None, sumCol = Some(outCol))
+
   /** Per-group row numbering without `Window.partitionBy(group)` — with a
     * LOW-cardinality group key (a training corpus has ~20 sources), a
     * per-group window funnels each group's entire history through ONE
