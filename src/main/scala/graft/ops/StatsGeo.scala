@@ -1,0 +1,241 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Q
+import graft.schema.Tables.t
+
+/** Round-9 statistical / geo / network scalar-and-aggregate parity — the
+  * ClickHouse destination-engine functions a reference user could call on
+  * landed tables that were not yet covered by q12/q24–q28/q77:
+  * skewPop/kurtPop/corr/covarPop (q172), simpleLinearRegression (q173),
+  * groupBitAnd/Or/Xor + groupBoolAnd/Or (q174), URL functions (q175),
+  * IPv4NumToString/StringToNum (q176), greatCircleDistance (q177),
+  * runningDifference/deltaSum (q178). Cf. the reference's ClickHouse DDL
+  * surface (/root/reference/internal/collector/collector.go) — the engine
+  * its tables land in exposes all of these.
+  *
+  * Every aggregate here is a single map-side-combinable hash aggregate or
+  * a high-cardinality-keyed window — no single-partition shapes; scalar
+  * batteries are pure per-row codegen'd projections that fuse into one
+  * WholeStageCodegen span over the scan.
+  */
+object StatsGeo {
+
+  def qs: Seq[Q] = Seq(
+
+    // ---- higher central moments + covariance (skewPop/kurtPop/corr/covarPop) ----
+    // Spark's skewness/kurtosis are the POPULATION forms (g1 = m3/m2^1.5,
+    // excess g2 = m4/m2^2 − 3); DuckDB's builtins are the SAMPLE forms, so
+    // the oracle states the population definition explicitly from raw
+    // central moments (two-pass over the per-group mean — exact, order-
+    // insensitive after the round(6)). skew/kurt/corr are scale-free O(1)
+    // values and covar_pop is shared-definition in both engines; round(4)
+    // on the scaled covariance absorbs summation-order ulps.
+    Q("q172_stats_moments",
+      """WITH mu AS (SELECT c_mktsegment, avg(c_acctbal) AS m
+        |  FROM customer GROUP BY c_mktsegment),
+        |mom AS (SELECT c.c_mktsegment,
+        |    count(*) AS n,
+        |    avg(pow(c_acctbal - m, 2)) AS m2,
+        |    avg(pow(c_acctbal - m, 3)) AS m3,
+        |    avg(pow(c_acctbal - m, 4)) AS m4,
+        |    corr(c_acctbal, CAST(c_nationkey AS DOUBLE)) AS r,
+        |    covar_pop(c_acctbal, CAST(c_nationkey AS DOUBLE)) AS cv
+        |  FROM customer c JOIN mu USING (c_mktsegment)
+        |  GROUP BY c.c_mktsegment)
+        |SELECT c_mktsegment, CAST(n AS BIGINT) AS n,
+        |  round(m3 / pow(m2, 1.5), 6) AS skew_pop,
+        |  round(m4 / (m2 * m2) - 3, 6) AS kurt_pop,
+        |  round(r, 6) AS corr_bal_nation,
+        |  round(cv, 4) AS covar_pop_bal_nation
+        |FROM mom
+        |ORDER BY c_mktsegment""".stripMargin) { (s, dir) =>
+      t(s, dir, "customer")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          round(skewness(col("c_acctbal")), 6).as("skew_pop"),
+          round(kurtosis(col("c_acctbal")), 6).as("kurt_pop"),
+          round(corr(col("c_acctbal"), col("c_nationkey").cast("double")), 6)
+            .as("corr_bal_nation"),
+          round(covar_pop(col("c_acctbal"), col("c_nationkey").cast("double")), 4)
+            .as("covar_pop_bal_nation"))
+        .orderBy(col("c_mktsegment"))
+    },
+
+    // ---- ordinary least squares (simpleLinearRegression parity) ----
+    // y = l_extendedprice on x = l_quantity per return flag. regr_* share
+    // one definition across engines (slope = covar/var, r2 = corr²); both
+    // are ratios of big sums, so the quotient is ulp-stable and round(4)
+    // is conservative. One hash aggregate, map-side partials — the shape
+    // survives any scale.
+    Q("q173_linreg",
+      """SELECT l_returnflag,
+        |  CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n,
+        |  round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+        |  round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+        |  round(regr_r2(l_extendedprice, l_quantity), 6) AS r2
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT)").as("n"),
+          expr("round(regr_slope(l_extendedprice, l_quantity), 4)").as("slope"),
+          expr("round(regr_intercept(l_extendedprice, l_quantity), 4)").as("intercept"),
+          expr("round(regr_r2(l_extendedprice, l_quantity), 6)").as("r2"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // ---- bitwise + boolean aggregates (groupBitAnd/Or/Xor, groupBoolAnd/Or) ----
+    // Exact integer/boolean lattice aggregates — commutative, associative,
+    // perfectly mergeable partials (the cheapest possible 100 TB shape).
+    Q("q174_bit_aggregates",
+      """SELECT o_orderstatus,
+        |  CAST(bit_and(o_orderkey) AS BIGINT) AS band,
+        |  CAST(bit_or(o_orderkey) AS BIGINT) AS bor,
+        |  CAST(bit_xor(o_orderkey) AS BIGINT) AS bxor,
+        |  bool_and(o_totalprice > 1000.0) AS all_big,
+        |  bool_or(o_totalprice > 100000.0) AS any_huge
+        |FROM orders
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          expr("CAST(bit_and(o_orderkey) AS BIGINT)").as("band"),
+          expr("CAST(bit_or(o_orderkey) AS BIGINT)").as("bor"),
+          expr("CAST(bit_xor(o_orderkey) AS BIGINT)").as("bxor"),
+          expr("bool_and(o_totalprice > 1000.0D)").as("all_big"),
+          expr("bool_or(o_totalprice > 100000.0D)").as("any_huge"))
+        .orderBy(col("o_orderstatus"))
+    },
+
+    // ---- URL decomposition (domain/topLevelDomain/path/param/fragment) ----
+    // A deterministic URL is manufactured per document, then decomposed
+    // with Spark's codegen'd parse_url. The oracle states the expected
+    // parts from the SAME source columns directly — ground truth, not a
+    // second parser — so any parse_url deviation (scheme handling, query
+    // splitting, fragment cut) fails loudly.
+    Q("q175_url_funcs",
+      """SELECT doc_id,
+        |  source || '.example.com' AS host,
+        |  'com' AS tld,
+        |  '/' || lang || '/doc-' || doc_id AS path,
+        |  'lang=' || lang || '&src=' || source AS query,
+        |  source AS src_param,
+        |  'f' || doc_id AS fragment
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val url = concat(lit("https://"), col("source"), lit(".example.com/"),
+        col("lang"), lit("/doc-"), col("doc_id"),
+        lit("?lang="), col("lang"), lit("&src="), col("source"),
+        lit("#f"), col("doc_id"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), url.as("u"))
+        .select(col("doc_id"),
+          expr("parse_url(u, 'HOST')").as("host"),
+          element_at(split(expr("parse_url(u, 'HOST')"), "\\."), -1).as("tld"),
+          expr("parse_url(u, 'PATH')").as("path"),
+          expr("parse_url(u, 'QUERY')").as("query"),
+          expr("parse_url(u, 'QUERY', 'src')").as("src_param"),
+          expr("parse_url(u, 'REF')").as("fragment"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- IPv4 num↔string roundtrip (IPv4NumToString/IPv4StringToNum) ----
+    // A synthetic /32 per customer (Knuth-hash of the key into 2^32),
+    // rendered dotted-quad by octet arithmetic and parsed back — both
+    // directions exact integer math, one codegen'd projection. The oracle
+    // repeats the octet arithmetic in DuckDB (`//` ≡ Spark `div`).
+    Q("q176_ip_funcs",
+      """WITH i AS (SELECT c_custkey, (c_custkey * 2654435761) % 4294967296 AS ip
+        |  FROM customer)
+        |SELECT c_custkey, CAST(ip AS BIGINT) AS ip,
+        |  CAST(ip // 16777216 AS VARCHAR) || '.' ||
+        |  CAST(ip // 65536 % 256 AS VARCHAR) || '.' ||
+        |  CAST(ip // 256 % 256 AS VARCHAR) || '.' ||
+        |  CAST(ip % 256 AS VARCHAR) AS dotted,
+        |  CAST(ip AS BIGINT) AS ip_rt
+        |FROM i
+        |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      val ip = (col("c_custkey") * lit(2654435761L)) % lit(4294967296L)
+      val oct = Seq(16777216L, 65536L, 256L, 1L).map(d =>
+        ((col("ip").divide(lit(d)).cast("long")) % lit(256L)).cast("string"))
+      t(s, dir, "customer")
+        .select(col("c_custkey"), ip.cast("long").as("ip"))
+        .select(col("c_custkey"), col("ip"),
+          concat_ws(".", oct: _*).as("dotted"))
+        .select(col("c_custkey"), col("ip"), col("dotted"),
+          aggregate(split(col("dotted"), "\\."), lit(0L),
+            (acc, o) => acc * lit(256L) + o.cast("long")).as("ip_rt"))
+        .orderBy(col("c_custkey"))
+    },
+
+    // ---- great-circle distance (greatCircleDistance parity) ----
+    // Synthetic lat/lon per customer; haversine metres to a fixed point
+    // (ClickHouse returns metres). The formula is stated identically on
+    // both engines over identical double inputs — a handful of
+    // transcendental ops whose fp error is ~1 ulp, so round to whole
+    // metres. Pure per-row projection, fuses into the scan.
+    Q("q177_great_circle",
+      """WITH g AS (SELECT c_custkey,
+        |    (c_custkey * 7919) % 18000 / 100.0 - 90.0 AS lat,
+        |    (c_custkey * 104729) % 36000 / 100.0 - 180.0 AS lon
+        |  FROM customer)
+        |SELECT c_custkey, round(lat, 2) AS lat, round(lon, 2) AS lon,
+        |  round(2 * 6371000 * asin(sqrt(
+        |    pow(sin(radians(lat - 48.8566) / 2), 2) +
+        |    cos(radians(lat)) * cos(radians(48.8566)) *
+        |    pow(sin(radians(lon - 2.3522) / 2), 2))), 0) AS metres
+        |FROM g
+        |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      val lat = (col("c_custkey") * lit(7919L)) % lit(18000L) / lit(100.0) - lit(90.0)
+      val lon = (col("c_custkey") * lit(104729L)) % lit(36000L) / lit(100.0) - lit(180.0)
+      val hav = lit(2.0) * lit(6371000.0) * asin(sqrt(
+        pow(sin(radians(col("lat") - lit(48.8566)) / 2), 2) +
+          cos(radians(col("lat"))) * cos(radians(lit(48.8566))) *
+            pow(sin(radians(col("lon") - lit(2.3522)) / 2), 2)))
+      t(s, dir, "customer")
+        .select(col("c_custkey"), lat.as("lat"), lon.as("lon"))
+        .select(col("c_custkey"), round(col("lat"), 2).as("lat"),
+          round(col("lon"), 2).as("lon"), round(hav, 0).as("metres"))
+        .orderBy(col("c_custkey"))
+    },
+
+    // ---- runningDifference + deltaSum per user stream ----
+    // ClickHouse's runningDifference(value) is lag-subtract in stream
+    // order; deltaSum(value) accumulates only the POSITIVE deltas. Window
+    // keys on user_id (cardinality grows with the data — the q169 rule),
+    // ties broken by event_id; per-row deltas round(6), and the per-user
+    // reduction sums DECIMAL(18,6)-quantized deltas so the total is
+    // order-independent (the q101 folded-sum rule, decimal form).
+    Q("q178_delta_sum",
+      """WITH d AS (SELECT user_id, event_id,
+        |    CAST(round(value - lag(value) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id), 6)
+        |      AS DECIMAL(18,6)) AS diff
+        |  FROM events)
+        |SELECT user_id,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(count(diff) AS BIGINT) AS n_diffs,
+        |  CAST(coalesce(sum(CASE WHEN diff > 0 THEN diff END), 0) AS DOUBLE)
+        |    AS delta_sum
+        |FROM d
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          round(col("value") - lag(col("value"), 1).over(w), 6)
+            .cast("decimal(18,6)").as("diff"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).cast("long").as("n_events"),
+          count(col("diff")).cast("long").as("n_diffs"),
+          coalesce(sum(when(col("diff") > 0, col("diff"))), lit(0))
+            .cast("double").as("delta_sum"))
+        .orderBy(col("user_id"))
+    }
+  )
+}

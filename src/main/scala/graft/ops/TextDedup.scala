@@ -640,6 +640,56 @@ object TextDedup {
       jaccardPairsFrom(capped.select(col("doc_id"), col("h1").as("h")))
         .select(col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jaccard"))
         .orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    // ---- blocked edit-distance near-dup (record-linkage blocking) ----
+    // The edit-distance member of the fuzzy-dedup family (complements
+    // set-similarity q41/q42/q100): candidate pairs come ONLY from
+    // blocks keyed (lang, first word, second word), oversized blocks
+    // (> 32 docs) are skipped entirely — the standard blocking-with-cap
+    // recall tradeoff, and the cap is INSIDE the oracle so capped
+    // answers stay checked answers (the q100 rule). Within a block,
+    // pairwise Levenshtein runs on the 4-word prefix phrase only (a
+    // bounded-length key, so each comparison is O(1) at any corpus
+    // size); both engines implement classic unit-cost edit distance, so
+    // the join is strict-checkable. At 100 TB: block count scales with
+    // prefix cardinality (grows with a real corpus), per-block work is
+    // ≤ cap², and the shuffle carries (bucket, doc_id, prefix) — never
+    // document text.
+    Q("q180_edit_blocked",
+      raw"""WITH p AS (SELECT doc_id, lang,
+           |    array_to_string((string_split_regex(lower(trim(text)), '\s+'))[1:4], ' ') AS pre,
+           |    (string_split_regex(lower(trim(text)), '\s+'))[1] AS w1,
+           |    (string_split_regex(lower(trim(text)), '\s+'))[2] AS w2
+           |  FROM documents),
+           |sz AS (SELECT lang, w1, w2 FROM p
+           |  GROUP BY lang, w1, w2 HAVING count(*) <= 32),
+           |ok AS (SELECT p.* FROM p JOIN sz USING (lang, w1, w2))
+           |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |  CAST(levenshtein(a.pre, b.pre) AS BIGINT) AS dist
+           |FROM ok a JOIN ok b ON a.lang = b.lang AND a.w1 = b.w1
+           |  AND a.w2 = b.w2 AND a.doc_id < b.doc_id
+           |WHERE levenshtein(a.pre, b.pre) <= 6
+           |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+      val p = graft.schema.Tables.t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), TextCommon.wordsCol.as("ws"))
+        .select(col("doc_id"), col("lang"),
+          concat_ws(" ", slice(col("ws"), 1, 4)).as("pre"),
+          col("ws").getItem(0).as("w1"), col("ws").getItem(1).as("w2"))
+      val keep = p.groupBy(col("lang"), col("w1"), col("w2"))
+        .agg(count(lit(1)).as("c")).filter(col("c") <= 32)
+        .drop("c")
+      val ok = p.join(keep, Seq("lang", "w1", "w2"))
+      val a = ok.select(col("lang"), col("w1"), col("w2"),
+        col("doc_id").as("doc_a"), col("pre").as("pa"))
+      val b = ok.select(col("lang"), col("w1"), col("w2"),
+        col("doc_id").as("doc_b"), col("pre").as("pb"))
+      a.join(b, Seq("lang", "w1", "w2"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          levenshtein(col("pa"), col("pb")).cast("long").as("dist"))
+        .filter(col("dist") <= 6)
+        .orderBy(col("doc_a"), col("doc_b"))
     }
   )
 }
