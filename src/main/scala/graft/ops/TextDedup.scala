@@ -338,6 +338,25 @@ object TextDedup {
     val loopParts =
       math.max(1L, math.min(defaultParts.toLong, nEdges / 2000000L + 1L))
     loop.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
+    // LOCAL-CONTRACTION PRE-PASS: per-partition union-find replaces each
+    // partition's subgraph with a star forest (node → partition-local
+    // root) in ONE narrow pass, no shuffle. Connectivity is exactly
+    // preserved — both endpoints of an intra-partition edge share a root,
+    // and a node split across partitions bridges its per-partition roots
+    // — while the effective diameter drops from the graph's diameter to
+    // ~#partitions. The alternation loop below is O(log diameter), so
+    // the giant-long-chain regime (SCALE.md "Mutual-kNN components")
+    // collapses from ~log₂(chain length) rounds to a couple of
+    // confirmation rounds. Per-partition state is one long→long map over
+    // the partition's nodes — bounded by the scan's maxPartitionBytes at
+    // any corpus size. Applied only to LongType node ids (every ops.*
+    // caller) so label output types never shift.
+    val preContracted =
+      if (nEdges > 0 &&
+        init.schema.fields.forall(_.dataType ==
+          org.apache.spark.sql.types.LongType))
+        localForest(edges0).localCheckpoint(eager = false)
+      else edges0
     // decimal(38,0) sum: a long sum of 2^63-scale hashes overflows (an
     // ERROR under ANSI mode, silent wraparound otherwise); 1e12 edges ×
     // 9.2e18 max hash ≈ 9e30 stays inside 38 digits
@@ -346,7 +365,7 @@ object TextDedup {
         sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)"))).head()
       (r.getLong(0), if (r.isNullAt(1)) BigDecimal(0) else BigDecimal(r.getDecimal(1)))
     }
-    var edges: DataFrame = edges0
+    var edges: DataFrame = preContracted
     var converged = nEdges == 0L
     var round = 0
     var prevSig: (Long, BigDecimal) = (-1L, BigDecimal(-1))
@@ -391,6 +410,41 @@ object TextDedup {
       .join(starOut.withColumnRenamed("u", "doc"), Seq("doc"), "left")
       .select(col("doc"), coalesce(col("v"), col("doc")).as("cluster_id"))
     assembleClusters(comp)
+  }
+
+  /** One sequential union-find (path compression + union-by-min) per
+    * partition of a canonical (u, v) LongType edge frame; emits the
+    * partition-local star forest as (node, root) rows, node > root (the
+    * root is its set's minimum, so orientation stays canonical). Emitted
+    * row count is ≤ nodes-in-partition − #local-roots — for dense
+    * partitions this SHRINKS the edge list before the first shuffle. */
+  private def localForest(edges: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.Encoders.scalaLong,
+      org.apache.spark.sql.Encoders.scalaLong)
+    edges.select(col("u"), col("v")).as[(Long, Long)](enc)
+      .mapPartitions { it =>
+        val parent = new scala.collection.mutable.LongMap[Long]()
+        def find(x0: Long): Long = {
+          var x = x0
+          while (parent.getOrElse(x, x) != x) x = parent.getOrElse(x, x)
+          var y = x0 // path-compress the walked chain
+          while (y != x) { val n = parent.getOrElse(y, y); parent.update(y, x); y = n }
+          x
+        }
+        it.foreach { case (a, b) =>
+          parent.getOrElseUpdate(a, a)
+          parent.getOrElseUpdate(b, b)
+          val ra = find(a); val rb = find(b)
+          if (ra < rb) parent.update(rb, ra)
+          else if (rb < ra) parent.update(ra, rb)
+        }
+        // materialize keys first: find() path-compresses (mutates values)
+        // and LongMap iteration is not mutation-safe
+        val nodes = parent.keys.toArray
+        nodes.iterator.map(n => (n, find(n))).filter { case (n, r) => n != r }
+      }(enc)
+      .toDF("u", "v")
   }
 
   /** Conf-gated dispatch between the two distributed CC engines —

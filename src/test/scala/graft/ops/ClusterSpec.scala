@@ -68,6 +68,31 @@ class ClusterSpec extends SparkSpec {
     CacheRegistry.clear(s)
   }
 
+  test("random multi-partition graph: star (with local-contraction pre-pass) matches pointer") {
+    val s = spark
+    import s.implicits._
+    // deterministic LCG edges over 500 nodes — enough rows that the edge
+    // frame spans several partitions, so the star engine's per-partition
+    // union-find pre-pass must bridge partition-local roots through
+    // shared nodes rather than solve each component in one map
+    var seed = 0x5DEECE66DL
+    def next(bound: Long): Long = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      math.floorMod(seed >>> 16, bound)
+    }
+    val pairs = (1 to 600).map { _ => (next(500), next(500)) }
+      .filter { case (a, b) => a != b }
+      .toDF("doc_a", "doc_b")
+      .repartition(8)
+    val pointer = TextDedup.clusterPairs(s, pairs)
+      .orderBy("doc_id").collect().toSeq
+    val star = TextDedup.clusterPairsStar(s, pairs)
+      .orderBy("doc_id").collect().toSeq
+    assert(pointer.nonEmpty)
+    assert(star == pointer, "engines disagree on the random graph")
+    CacheRegistry.clear(s)
+  }
+
   test("conf gate dispatches q72's clustering to the star engine") {
     val s = spark
     import s.implicits._
