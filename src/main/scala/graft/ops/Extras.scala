@@ -468,6 +468,60 @@ object Extras {
         .agg(count(lit(1)).cast("long").as("n_lines"),
           sum(col("l_quantity")).cast("double").as("sum_qty"))
         .orderBy(col("l_orderkey"), col("o_orderstatus"))
+    },
+
+    // ---- array analytics battery (arrayCumSum / arrayDifference /
+    //      arrayCompact parity) ----
+    // ClickHouse's per-row array transforms, as codegen'd higher-order
+    // functions over the doc's first-6-word-length array: running sum
+    // (arrayCumSum), adjacent difference with a leading 0
+    // (arrayDifference), consecutive-duplicate removal (arrayCompact,
+    // via an aggregate() fold whose try_element_at(-1) peeks the last
+    // kept value without an ANSI bounds error on the empty seed). All
+    // four columns render as comma-joined strings — the driver's hasher
+    // cannot sort array-typed cells (the q171 rule). The oracle states
+    // the same semantics the ground-truth way: unnest + ordinal windows
+    // + ordered string_agg. Pure per-row projection — fuses into the
+    // scan, nothing shuffles but the final sort.
+    Q("q183_array_analytics",
+      raw"""WITH d AS (SELECT doc_id,
+           |    list_transform((string_split_regex(lower(trim(text)), '\s+'))[1:6],
+           |                   w -> length(w)) AS a
+           |  FROM documents),
+           |u AS (SELECT doc_id, generate_subscripts(a, 1) AS i, unnest(a) AS v FROM d),
+           |w AS (SELECT doc_id, i, v,
+           |    lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv,
+           |    sum(v) OVER (PARTITION BY doc_id ORDER BY i
+           |                 ROWS UNBOUNDED PRECEDING) AS cum
+           |  FROM u)
+           |SELECT doc_id,
+           |  string_agg(CAST(v AS VARCHAR), ',' ORDER BY i) AS lens,
+           |  string_agg(CAST(cum AS VARCHAR), ',' ORDER BY i) AS cum_sum,
+           |  string_agg(CAST(v - coalesce(pv, v) AS VARCHAR), ',' ORDER BY i) AS diffs,
+           |  string_agg(CASE WHEN pv IS NULL OR v != pv
+           |                  THEN CAST(v AS VARCHAR) END, ',' ORDER BY i) AS compact
+           |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.schema.Tables.t(s, dir, "documents")
+        .select(col("doc_id"),
+          expr("transform(slice(split(lower(trim(text)), '\\\\s+'), 1, 6), w -> length(w))")
+            .as("a"))
+        .select(col("doc_id"),
+          expr("array_join(transform(a, x -> cast(x AS STRING)), ',')").as("lens"),
+          expr("""array_join(transform(sequence(1, size(a)),
+                 |  i -> cast(aggregate(slice(a, 1, i), CAST(0 AS BIGINT),
+                 |                      (s, x) -> s + x) AS STRING)), ',')"""
+            .stripMargin).as("cum_sum"),
+          expr("""array_join(transform(sequence(1, size(a)),
+                 |  i -> cast(element_at(a, i) -
+                 |            CASE WHEN i = 1 THEN element_at(a, i)
+                 |                 ELSE element_at(a, i - 1) END AS STRING)), ',')"""
+            .stripMargin).as("diffs"),
+          expr("""array_join(transform(
+                 |  aggregate(a, CAST(array() AS ARRAY<INT>),
+                 |    (acc, x) -> CASE WHEN size(acc) > 0 AND try_element_at(acc, -1) = x
+                 |                     THEN acc ELSE concat(acc, array(x)) END),
+                 |  x -> cast(x AS STRING)), ',')""".stripMargin).as("compact"))
+        .orderBy(col("doc_id"))
     }
   )
 }

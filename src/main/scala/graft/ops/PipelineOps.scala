@@ -932,6 +932,99 @@ object PipelineOps {
         .groupBy(col("item")).agg(sum(col("n_chars")).cast("long").as("wt"))
         .orderBy(col("wt").desc, col("item").asc)
         .limit(25)
+    },
+
+    // ---- mergeable HLL rollup (uniqCombined / uniqMerge parity) ----
+    // ClickHouse's uniqCombined materializes per-group distinct-count
+    // STATES that uniqMerge rolls up without rescanning — the
+    // AggregatingMergeTree idiom. Here: one Datasketches HLL sketch per
+    // event_type (hll_sketch_agg — map-side-combined partials), the ALL
+    // row from hll_union_agg over those per-type sketches alone (the
+    // rollup never touches raw rows — at 100 TB that is the whole
+    // point), estimates surfaced per row. Rows-only check like q52:
+    // estimate values are implementation-defined (DuckDB's HLL differs);
+    // the row contract (5 types + ALL × two cardinality columns) is not.
+    // HllRollupSpec pins the error envelope and union-vs-direct
+    // consistency; user_id exercises the exact-sparse regime (≤1500
+    // distinct), props the estimating regime (~|rows| distinct).
+    Q.rowsOnly("q181_hll_rollup") { (s, dir) =>
+      val per = t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(hll_sketch_agg(col("user_id")).as("sk_u"),
+          hll_sketch_agg(col("props")).as("sk_p"),
+          count(lit(1)).cast("long").as("n_rows"))
+      val glob = per
+        .agg(hll_union_agg(col("sk_u")).as("sk_u"),
+          hll_union_agg(col("sk_p")).as("sk_p"),
+          sum(col("n_rows")).cast("long").as("n_rows"))
+        .select(lit("ALL").as("event_type"), col("sk_u"), col("sk_p"), col("n_rows"))
+      per.unionByName(glob)
+        .select(col("event_type"), col("n_rows"),
+          hll_sketch_estimate(col("sk_u")).as("approx_users"),
+          hll_sketch_estimate(col("sk_p")).as("approx_props"))
+        .orderBy(col("event_type"))
+    },
+
+    // ---- sign-collapse state (CollapsingMergeTree parity) ----
+    // ClickHouse's CollapsingMergeTree cancels (+1, -1) row pairs per
+    // key at merge time; the canonical read is sum(value·sign) GROUP BY
+    // key HAVING sum(sign) > 0 — stated here verbatim over a
+    // deterministic sign derivation (every third event retracts). Values
+    // quantized DECIMAL(18,6) before the signed sum so the collapse is
+    // exact and order-independent on both engines (the q101 rule). One
+    // map-side-combined hash aggregate; the HAVING prunes dead keys
+    // before any downstream join would see them.
+    Q("q182_collapsing_state",
+      """WITH s AS (SELECT user_id,
+        |    CAST(value AS DECIMAL(18,6)) AS v,
+        |    CASE WHEN event_id % 3 = 0 THEN -1 ELSE 1 END AS sign
+        |  FROM events)
+        |SELECT user_id,
+        |  CAST(sum(sign) AS BIGINT) AS net_rows,
+        |  CAST(sum(v * sign) AS DOUBLE) AS net_value
+        |FROM s
+        |GROUP BY user_id
+        |HAVING sum(sign) > 0
+        |ORDER BY user_id""".stripMargin) { (s, dir) =>
+      t(s, dir, "events")
+        .select(col("user_id"), col("value").cast("decimal(18,6)").as("v"),
+          when(col("event_id") % 3 === 0, lit(-1)).otherwise(lit(1)).as("sign"))
+        .groupBy(col("user_id"))
+        .agg(sum(col("sign")).cast("long").as("net_rows"),
+          sum(col("v") * col("sign")).cast("double").as("net_value"))
+        .filter(col("net_rows") > 0)
+        .orderBy(col("user_id"))
+    },
+
+    // ---- adjacent-pair sequence count (sequenceCount parity, strict-
+    //      next form) ----
+    // ClickHouse's sequenceCount('(?1)(?2)')(ts, c1, c2) counts
+    // non-overlapping conditionA→conditionB matches per key; this states
+    // the strict-next variant (B immediately follows A in the user's
+    // (ts, event_id)-ordered stream — adjacent matches can't overlap, so
+    // the count is exactly the adjacent-pair count). lead() keys on
+    // user_id (cardinality grows with data, the q169 rule), then one
+    // conditional count per user.
+    Q("q184_sequence_count",
+      """WITH o AS (SELECT user_id, event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |                           ORDER BY ts, event_id) AS nxt
+        |  FROM events)
+        |SELECT user_id,
+        |  CAST(count(*) FILTER (WHERE event_type = 'click'
+        |                          AND nxt = 'purchase') AS BIGINT)
+        |    AS click_then_buy
+        |FROM o
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          lead(col("event_type"), 1).over(w).as("nxt"))
+        .groupBy(col("user_id"))
+        .agg(count(when(col("event_type") === "click" && col("nxt") === "purchase", 1))
+          .cast("long").as("click_then_buy"))
+        .orderBy(col("user_id"))
     }
   )
 }
