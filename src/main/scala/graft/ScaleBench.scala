@@ -661,6 +661,27 @@ object ScaleBench {
             .select(sketch.toColumn).toDF("cands")
             .select(explode(col("cands"))).count()
         }
+        // ---- blocked edit-distance candidates (q180): boilerplate
+        //      block vs the cap ----
+        // This corpus draws words from a 50k vocabulary, so ordinary
+        // (w1, w2) blocks stay tiny — EXCEPT the 1% of docs that carry
+        // the shared Boiler prefix (blockpos = 50), which all land in
+        // ONE block. That is precisely the real-corpus pathology
+        // (boilerplate openings: "terms of service", "click here to"),
+        // and it makes the uncapped pair count quadratic: measured 505k
+        // pairs at 100k docs → 2.01M at 200k (4.0× at 2× docs — one
+        // 1k-doc block is 500k pairs). With the 32-doc cap the
+        // boilerplate block is skipped and candidates are the planted
+        // copies alone: 5,634 → 11,332 (2.01× — linear). The cap costs
+        // one extra groupBy+join (visible in wall at toy scale) and
+        // buys a 90× candidate cut before any Levenshtein runs.
+        val langed = docs.withColumn("lang", lit("xx"))
+        phase("q180_blocked_cands_capOFF", n) {
+          ops.TextDedup.editBlockedPairs(langed, cap = 0).count()
+        }
+        phase("q180_blocked_cands_capON", n) {
+          ops.TextDedup.editBlockedPairs(langed, cap = 32).count()
+        }
       }
     }
     if (phaseSel == "all" || phaseSel == "postloop") eventPhases()

@@ -470,6 +470,133 @@ object Extras {
         .orderBy(col("l_orderkey"), col("o_orderstatus"))
     },
 
+    // ---- bounded ordered collect (groupArray(N) / groupArraySorted
+    //      parity) ----
+    // ClickHouse's groupArray(N) keeps at most N elements per group;
+    // groupArraySorted(N) keeps the N smallest under a sort key. Stated
+    // as one hash aggregate: collect_list of (sort-key, payload) structs,
+    // array_sort (ascending struct order — acctbal NEGATED for the
+    // descending rank, custkey tiebreak), slice to 5, project the
+    // payload, render as the canonical comma string (the q171 rule). The
+    // oracle uses DuckDB's ordered list() + list_slice. At 100 TB the
+    // collect_list per group is the operator's semantics (bounded output
+    // needs the full group's elements to pick the top N — same cost
+    // shape as ClickHouse's own implementation); groups here are the
+    // 5-value segment column, so the FINAL agg is 5 rows while the
+    // partial aggs stay map-side-combined.
+    Q("q185_group_array_bounded",
+      """SELECT c_mktsegment,
+        |  array_to_string(list_slice(
+        |    list(c_name ORDER BY c_acctbal DESC, c_custkey), 1, 5), ',')
+        |    AS top5_names,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM customer
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin) { (s, dir) =>
+      t(s, dir, "customer")
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          expr("""array_join(transform(
+                 |  slice(array_sort(collect_list(
+                 |    struct(-c_acctbal AS s, c_custkey AS k, c_name AS n))), 1, 5),
+                 |  x -> x.n), ',')""".stripMargin).as("top5_names"),
+          count(lit(1)).cast("long").as("n"))
+        .orderBy(col("c_mktsegment"))
+    },
+
+    // ---- calendar/time bucket floors (toStartOfFiveMinutes /
+    //      toStartOfHour / toStartOfWeek parity) ----
+    // ClickHouse's toStartOf* family as exact integer epoch arithmetic
+    // (5-minute floor — no built-in truncation unit, so epoch_us DIV
+    // 300e6 on both engines) and date_trunc (hour; week — both engines
+    // start weeks on Monday). All under the pinned UTC session zone with
+    // the q158 NTZ cast rule; DuckDB's to_timestamp returns TIMESTAMPTZ,
+    // cast back to TIMESTAMP for schema parity. Buckets aggregate
+    // map-side like any GROUP BY over a derived key.
+    Q("q186_time_buckets",
+      """SELECT CAST(to_timestamp((epoch_us(ts) // 300000000) * 300)
+        |       AS TIMESTAMP) AS t5m,
+        |  CAST(date_trunc('hour', ts) AS TIMESTAMP) AS th,
+        |  CAST(date_trunc('week', ts) AS TIMESTAMP) AS tw,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS users
+        |FROM events
+        |GROUP BY 1, 2, 3
+        |ORDER BY t5m""".stripMargin) { (s, dir) =>
+      val ts = col("ts").cast("timestamp")
+      t(s, dir, "events")
+        .select(
+          timestamp_seconds((unix_micros(ts) / 300000000L).cast("long") * 300)
+            .as("t5m"),
+          date_trunc("hour", ts).as("th"),
+          date_trunc("week", ts).as("tw"),
+          col("user_id"))
+        .groupBy(col("t5m"), col("th"), col("tw"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          countDistinct(col("user_id")).cast("long").as("users"))
+        .orderBy(col("t5m"))
+    },
+
+    // ---- binary encodings battery (hex / unhex / base64 parity) ----
+    // ClickHouse's hex/unhex/base64Encode/base64Decode over a binary
+    // column manufactured from the row's own name (UTF-8 bytes — the
+    // opaque-binary discipline the multimodal tables use). Round trips
+    // prove decode∘encode = id on both engines; DuckDB renders hex
+    // uppercase and Spark lowercase, so both sides pin lower(). Pure
+    // codegen'd projection, fuses into the scan.
+    Q("q187_binary_encodings",
+      """SELECT c_custkey,
+        |  lower(hex(CAST(c_name AS BLOB))) AS hx,
+        |  CAST(unhex(hex(CAST(c_name AS BLOB))) AS VARCHAR) AS hx_rt,
+        |  to_base64(CAST(c_name AS BLOB)) AS b64,
+        |  CAST(from_base64(to_base64(CAST(c_name AS BLOB))) AS VARCHAR) AS b64_rt
+        |FROM customer
+        |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      val bin = col("c_name").cast("binary")
+      t(s, dir, "customer")
+        .select(col("c_custkey"),
+          lower(hex(bin)).as("hx"),
+          unhex(hex(bin)).cast("string").as("hx_rt"),
+          base64(bin).as("b64"),
+          unbase64(base64(bin)).cast("string").as("b64_rt"))
+        .orderBy(col("c_custkey"))
+    },
+
+    // ---- dedup-on-read with tombstones (ReplacingMergeTree FINAL
+    //      parity) ----
+    // ClickHouse's ReplacingMergeTree(ver, is_deleted): a SELECT … FINAL
+    // keeps only the max-version row per key and drops it entirely when
+    // that winner is a tombstone. The version stream is manufactured
+    // from events (key = user_id, version = (ts, event_id) — total
+    // order; tombstone = every 7th event). One per-key window keyed on
+    // user_id (cardinality grows with data, the q169 rule) + rank-1 cut
+    // + tombstone filter — the CDC "latest state wins" read every
+    // landed-table consumer needs. q163's argMax picks one COLUMN's
+    // winner; this keeps the winner's whole row.
+    Q("q188_replacing_final",
+      """WITH v AS (SELECT user_id, event_id, ts, event_type, value,
+        |    CASE WHEN event_id % 7 = 0 THEN 1 ELSE 0 END AS is_deleted,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id, event_id, event_type,
+        |  CAST(round(value, 6) AS DOUBLE) AS value
+        |FROM v
+        |WHERE rn = 1 AND is_deleted = 0
+        |ORDER BY user_id""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"),
+          col("value"),
+          when(col("event_id") % 7 === 0, lit(1)).otherwise(lit(0)).as("is_deleted"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1 && col("is_deleted") === 0)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          round(col("value"), 6).cast("double").as("value"))
+        .orderBy(col("user_id"))
+    },
+
     // ---- array analytics battery (arrayCumSum / arrayDifference /
     //      arrayCompact parity) ----
     // ClickHouse's per-row array transforms, as codegen'd higher-order

@@ -725,25 +725,36 @@ object TextDedup {
            |  AND a.w2 = b.w2 AND a.doc_id < b.doc_id
            |WHERE levenshtein(a.pre, b.pre) <= 6
            |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
-      val p = graft.schema.Tables.t(s, dir, "documents")
-        .select(col("doc_id"), col("lang"), TextCommon.wordsCol.as("ws"))
-        .select(col("doc_id"), col("lang"),
-          concat_ws(" ", slice(col("ws"), 1, 4)).as("pre"),
-          col("ws").getItem(0).as("w1"), col("ws").getItem(1).as("w2"))
-      val keep = p.groupBy(col("lang"), col("w1"), col("w2"))
-        .agg(count(lit(1)).as("c")).filter(col("c") <= 32)
-        .drop("c")
-      val ok = p.join(keep, Seq("lang", "w1", "w2"))
-      val a = ok.select(col("lang"), col("w1"), col("w2"),
-        col("doc_id").as("doc_a"), col("pre").as("pa"))
-      val b = ok.select(col("lang"), col("w1"), col("w2"),
-        col("doc_id").as("doc_b"), col("pre").as("pb"))
-      a.join(b, Seq("lang", "w1", "w2"))
-        .filter(col("doc_a") < col("doc_b"))
+      editBlockedPairs(graft.schema.Tables.t(s, dir, "documents"), cap = 32)
         .select(col("doc_a"), col("doc_b"),
           levenshtein(col("pa"), col("pb")).cast("long").as("dist"))
         .filter(col("dist") <= 6)
         .orderBy(col("doc_a"), col("doc_b"))
     }
   )
+
+  /** q180's candidate generator, reusable by ScaleBench: block docs on
+    * (lang, first word, second word), drop blocks larger than `cap`
+    * (cap ≤ 0 disables the cap — the measured-contrast control), and emit
+    * the intra-block (doc_a < doc_b) pairs with both 4-word prefix
+    * phrases attached. Levenshtein thresholding is the caller's. */
+  def editBlockedPairs(docs: DataFrame, cap: Int): DataFrame = {
+    val p = docs
+      .select(col("doc_id"), col("lang"), TextCommon.wordsCol.as("ws"))
+      .select(col("doc_id"), col("lang"),
+        concat_ws(" ", slice(col("ws"), 1, 4)).as("pre"),
+        col("ws").getItem(0).as("w1"), col("ws").getItem(1).as("w2"))
+    val ok = if (cap <= 0) p else {
+      val keep = p.groupBy(col("lang"), col("w1"), col("w2"))
+        .agg(count(lit(1)).as("c")).filter(col("c") <= cap)
+        .drop("c")
+      p.join(keep, Seq("lang", "w1", "w2"))
+    }
+    val a = ok.select(col("lang"), col("w1"), col("w2"),
+      col("doc_id").as("doc_a"), col("pre").as("pa"))
+    val b = ok.select(col("lang"), col("w1"), col("w2"),
+      col("doc_id").as("doc_b"), col("pre").as("pb"))
+    a.join(b, Seq("lang", "w1", "w2"))
+      .filter(col("doc_a") < col("doc_b"))
+  }
 }
