@@ -537,6 +537,165 @@ object Extras {
         .orderBy(col("t5m"))
     },
 
+    // ---- bag-semantics set operations (INTERSECT ALL / EXCEPT ALL) ----
+    // q23 covers the DISTINCT forms; these are the multiset forms
+    // (min(m,n) copies / m−n copies — the semantics dedup accounting
+    // needs when duplicates are the signal). Spark plans both as
+    // aggregate-rewritten joins — no row-by-row anything.
+    Q("q189_set_ops_all",
+      """WITH a AS (SELECT o_orderstatus AS s FROM orders
+        |           WHERE o_totalprice > 50000),
+        |b AS (SELECT o_orderstatus AS s FROM orders
+        |      WHERE o_orderpriority = '1-URGENT')
+        |SELECT 'intersect_all' AS op, s, CAST(count(*) AS BIGINT) AS n
+        |FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b) GROUP BY s
+        |UNION ALL
+        |SELECT 'except_all' AS op, s, CAST(count(*) AS BIGINT) AS n
+        |FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b) GROUP BY s
+        |ORDER BY op, s""".stripMargin) { (s, dir) =>
+      val o = t(s, dir, "orders")
+      val a = o.filter(col("o_totalprice") > 50000).select(col("o_orderstatus").as("s"))
+      val b = o.filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderstatus").as("s"))
+      val ia = a.intersectAll(b).groupBy(col("s"))
+        .agg(count(lit(1)).cast("long").as("n"))
+        .select(lit("intersect_all").as("op"), col("s"), col("n"))
+      val ea = a.exceptAll(b).groupBy(col("s"))
+        .agg(count(lit(1)).cast("long").as("n"))
+        .select(lit("except_all").as("op"), col("s"), col("n"))
+      ia.unionByName(ea).orderBy(col("op"), col("s"))
+    },
+
+    // ---- map higher-order functions (transform_keys / transform_values
+    //      / map_filter / map_zip_with) ----
+    // The map-HOF quartet over q171's per-user type-count map, every
+    // output rendered as the sorted canonical entry string (array_sort
+    // over map_entries — immune to engine-internal map entry order, the
+    // q171 rule). The oracle never builds a map: it states the expected
+    // entries straight from the counts, which is the ground truth the
+    // HOFs must reproduce.
+    Q("q190_map_hof",
+      """WITH c AS (SELECT user_id, event_type AS k,
+        |    CAST(count(*) AS BIGINT) AS v
+        |  FROM events GROUP BY user_id, event_type)
+        |SELECT user_id,
+        |  string_agg(k || ':' || (v * 2), ',' ORDER BY k) AS doubled,
+        |  string_agg(CASE WHEN v >= 3 THEN k || ':' || v END, ',' ORDER BY k)
+        |    AS big_only,
+        |  string_agg(k || '_t:' || v, ',' ORDER BY k) AS keyed,
+        |  string_agg(k || ':' || CASE WHEN v >= 3 THEN v ELSE 0 END,
+        |             ',' ORDER BY k) AS zipped
+        |FROM c GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+      def render(m: String): org.apache.spark.sql.Column =
+        expr(s"""array_join(transform(array_sort(map_entries($m)),
+                |  e -> concat(e.key, ':', CAST(e.value AS STRING))), ',')"""
+          .stripMargin)
+      t(s, dir, "events")
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).cast("long").as("cnt"))
+        .groupBy(col("user_id"))
+        .agg(expr("""map_from_entries(array_sort(
+                    |  collect_list(struct(event_type, cnt))))""".stripMargin).as("m"))
+        .select(col("user_id"),
+          render("transform_values(m, (k, v) -> v * 2)").as("doubled"),
+          render("map_filter(m, (k, v) -> v >= 3)").as("big_only"),
+          render("transform_keys(m, (k, v) -> concat(k, '_t'))").as("keyed"),
+          render("""map_zip_with(m, map_filter(m, (k, v) -> v >= 3),
+                   |  (k, v1, v2) -> coalesce(v2, CAST(0 AS BIGINT)))"""
+            .stripMargin).as("zipped"))
+        .orderBy(col("user_id"))
+    },
+
+    // ---- string battery 2 (initcap / translate / instr / overlay /
+    //      reverse / repeat / ascii) ----
+    // The remaining ClickHouse/ANSI string functions q24 didn't cover,
+    // over the doc's first-3-word phrase. DuckDB lacks initcap and
+    // overlay, so the oracle states both from first principles (per-word
+    // upper-first/lower-rest; substring splice) — a second parser would
+    // only hide deviations. One codegen'd projection.
+    Q("q191_string_battery2",
+      raw"""WITH p AS (SELECT doc_id,
+           |    array_to_string((string_split_regex(lower(trim(text)), '\s+'))[1:3], ' ')
+           |      AS ph
+           |  FROM documents)
+           |SELECT doc_id,
+           |  array_to_string(list_transform(string_split(ph, ' '),
+           |    w -> upper(w[1:1]) || lower(w[2:])), ' ') AS ic,
+           |  translate(ph, 'aeiou', '12345') AS tr,
+           |  CAST(instr(ph, 'a') AS BIGINT) AS pos_a,
+           |  substr(ph, 1, 1) || 'XX' || substr(ph, 5) AS ov,
+           |  reverse(ph) AS rev,
+           |  repeat(substr(ph, 1, 2), 2) AS rep,
+           |  CAST(ascii(ph) AS BIGINT) AS asc
+           |FROM p ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          concat_ws(" ", slice(split(lower(trim(col("text"))), "\\s+"), 1, 3)).as("ph"))
+        .select(col("doc_id"),
+          initcap(col("ph")).as("ic"),
+          translate(col("ph"), "aeiou", "12345").as("tr"),
+          instr(col("ph"), "a").cast("long").as("pos_a"),
+          overlay(col("ph"), lit("XX"), lit(2), lit(3)).as("ov"),
+          reverse(col("ph")).as("rev"),
+          repeat(substring(col("ph"), 1, 2), 2).as("rep"),
+          ascii(col("ph")).cast("long").as("asc"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- ANSI-safe try_* arithmetic ----
+    // The session runs ANSI mode (Spark 4 default): divide-by-zero and
+    // overflow are ERRORS unless the try_* forms absorb them to NULL —
+    // the safety surface any long-running pipeline needs (one poisoned
+    // row must not kill a 100 TB job). The oracle states each NULL
+    // condition explicitly; mixed NULL/value rows come from the
+    // first-line divisor (l_linenumber − 1 = 0 exactly on line 1) and
+    // from orderkey 0, the one key where MAX+key does NOT overflow.
+    Q("q192_try_arithmetic",
+      """SELECT l_orderkey, l_linenumber,
+        |  CASE WHEN l_linenumber = 1 THEN NULL
+        |       ELSE round(l_extendedprice / (l_linenumber - 1), 6)
+        |  END AS div_prev_line,
+        |  NULL AS div_zero,
+        |  CASE WHEN l_orderkey = 0 THEN 9223372036854775807 END AS add_overflow,
+        |  CAST(l_linenumber AS BIGINT) AS elem_at
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(expr("try_divide(l_extendedprice, CAST(l_linenumber - 1 AS DOUBLE))"), 6)
+            .as("div_prev_line"),
+          expr("try_divide(l_extendedprice, CAST(l_quantity - l_quantity AS DOUBLE))")
+            .as("div_zero"),
+          expr("try_add(9223372036854775807L, l_orderkey)").as("add_overflow"),
+          expr("CAST(try_element_at(sequence(1, l_linenumber), l_linenumber) AS BIGINT)")
+            .as("elem_at"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    },
+
+    // ---- null-preserving generators (explode_outer / LATERAL VIEW
+    //      OUTER) ----
+    // q54's generators DROP rows whose array is empty; the OUTER forms
+    // keep them with a NULL element — the difference between "docs and
+    // their matches" and "docs WITH matches" in any per-hit explode.
+    // The filter keeps only 'spark' occurrences, so most docs explode
+    // to nothing and the outer row is the signal.
+    Q("q193_outer_generators",
+      raw"""WITH d AS (SELECT doc_id,
+           |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+           |                w -> w = 'spark') AS a
+           |  FROM documents),
+           |u AS (SELECT doc_id, unnest(a) AS w FROM d)
+           |SELECT d.doc_id, CAST(len(d.a) AS BIGINT) AS n_hits, u.w
+           |FROM d LEFT JOIN u USING (doc_id)
+           |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          expr("filter(split(lower(trim(text)), '\\\\s+'), w -> w = 'spark')").as("a"))
+        .select(col("doc_id"), size(col("a")).cast("long").as("n_hits"),
+          explode_outer(col("a")).as("w"))
+        .orderBy(col("doc_id"))
+    },
+
     // ---- binary encodings battery (hex / unhex / base64 parity) ----
     // ClickHouse's hex/unhex/base64Encode/base64Decode over a binary
     // column manufactured from the row's own name (UTF-8 bytes — the
