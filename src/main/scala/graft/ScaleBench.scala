@@ -228,8 +228,8 @@ object ScaleBench {
     // when semantic dedup was the only post-loop phase; same scope.)
     // "image" / "spans" rerun ONLY that family (corpus gen is cached).
     val phaseSel = sys.env.getOrElse("SPARK_GRAFT_SCALE_PHASES", "all")
-    require(Set("all", "postloop", "semdedup", "image", "spans", "events").contains(phaseSel),
-      s"SPARK_GRAFT_SCALE_PHASES must be 'all', 'postloop', 'semdedup', 'image', 'spans' or 'events'," +
+    require(Set("all", "postloop", "semdedup", "image", "spans", "events", "cc").contains(phaseSel),
+      s"SPARK_GRAFT_SCALE_PHASES must be 'all', 'postloop', 'semdedup', 'image', 'spans', 'events' or 'cc'," +
         s" got '$phaseSel' (a typo would silently skip corpus generation)")
         // ---- q152 interval join: candidate growth at fixed event rate ----
     // The claim to verify: with the event RATE held constant (span grows
@@ -290,6 +290,31 @@ object ScaleBench {
       }
     }
     if (phaseSel == "events") { eventPhases(); spark.stop(); return }
+    // ---- CC chain regime (pointer vs star engines) ----
+    // A single path graph of diameter n — the adversarial shape for label
+    // propagation (the near-dup clique regime the q72 phases measure
+    // converges in ~1 round regardless of engine). Both engines run a
+    // per-partition union-find pre-pass, so the loop starts from effective
+    // diameter ≈ #partitions, not n; rounds ≈ log₂(parts) plus
+    // confirmation. Parity: both must emit n nodes in ONE component rooted
+    // at 0 (rows_out = n — the filter proves the root). Wall and
+    // shuffle_mb compare loop volume; no corpus generation needed.
+    if (phaseSel == "cc") {
+      sizes.foreach { n =>
+        val chainPairs = spark.range(0, n - 1, 1, 32)
+          .select(col("id").as("doc_a"), (col("id") + lit(1L)).as("doc_b"))
+        phase("cc_chain_pointer", n) {
+          ops.TextDedup.clusterPairs(spark, chainPairs)
+            .filter(col("cluster_id") === 0).count()
+        }
+        spark.conf.set("graft.textdedup.ccAlgo", "star")
+        try phase("cc_chain_star", n) {
+          ops.TextDedup.clusterComponents(spark, chainPairs)
+            .filter(col("cluster_id") === 0).count()
+        } finally spark.conf.unset("graft.textdedup.ccAlgo")
+      }
+      spark.stop(); return
+    }
     if (phaseSel == "image") sizes.foreach { n =>
       val dir = s"$root/n$n"
       gen(spark, n, dir)

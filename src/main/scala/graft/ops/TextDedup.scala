@@ -238,13 +238,32 @@ object TextDedup {
     // the self-loop edges make min-over-neighbors = min(self, neighbors),
     // so threshold-clique families (every member adjacent to the keeper —
     // the typical near-dup shape) carry the final label after round 0 and
-    // the loop only has to confirm the fixpoint.
+    // the loop only has to confirm the fixpoint. On LongType ids the seed
+    // is further tightened by the same per-partition union-find pre-pass
+    // the star engine runs ([[localForest]]): label₀ = least(neighborhood
+    // min, partition-local component root). The root is a member of the
+    // doc's component and ≤ every partition-local member, so the monotone-
+    // decrease invariant (and with it the label-sum convergence signal)
+    // is untouched — but intra-partition chain distance collapses to 1
+    // and the O(log D) doubling rounds start from the cross-partition
+    // diameter (~#partitions) instead of the graph diameter. One narrow
+    // pass over the persisted edge list + one (node, root) min-shuffle.
     var labels: DataFrame = null
     var converged = false
     var round = 0
     try {
-      labels = edges.groupBy(col("a").as("doc")).agg(min(col("b")).as("lbl"))
-        .localCheckpoint(eager = false)
+      val seedBase = edges.groupBy(col("a").as("doc")).agg(min(col("b")).as("lbl"))
+      val seed =
+        if (nEdges > 0 &&
+          pairs.schema.fields.forall(_.dataType ==
+            org.apache.spark.sql.types.LongType)) {
+          val roots = localForest(edges.toDF("u", "v"))
+            .groupBy(col("u").as("doc")).agg(min(col("v")).as("r"))
+          seedBase.join(roots, Seq("doc"), "left")
+            .select(col("doc"),
+              least(col("lbl"), coalesce(col("r"), col("lbl"))).as("lbl"))
+        } else seedBase
+      labels = seed.localCheckpoint(eager = false)
       // Min-propagation is monotone: labels only ever decrease, so the label
       // sum is a complete convergence signal — computing it on the lazily-
       // checkpointed frame materializes the checkpoint AND returns the
