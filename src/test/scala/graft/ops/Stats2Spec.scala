@@ -1,0 +1,106 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Invariants of the q194–q197 hypothesis-test / interval / decay battery
+  * that the DuckDB oracle cannot state (the oracle checks VALUES; these
+  * check the statistical contracts). */
+class Stats2Spec extends SparkSpec {
+
+  private def q(name: String) = graft.SparkEntry.queries(name)(spark, sf001)
+
+  test("q194: complements partition the population; Welch df between min-1 and pooled df") {
+    val rows = q("q194_ttests").collect()
+    assert(rows.length == 5)
+    val total = rows.head.getAs[Long]("n_a") + rows.head.getAs[Long]("n_b")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_a") + r.getAs[Long]("n_b") == total,
+        "every segment-vs-rest split must cover the same population")
+      assert(r.getAs[Long]("df_student") == total - 2)
+      val dfW = r.getAs[Double]("df_welch")
+      val lo = math.min(r.getAs[Long]("n_a"), r.getAs[Long]("n_b")) - 1.0
+      assert(dfW >= lo - 1e-9 && dfW <= (total - 2) + 1e-9,
+        s"Welch–Satterthwaite df $dfW outside [$lo, ${total - 2}]")
+      // same mean difference, different scaling: the two t's share a sign
+      assert(r.getAs[Double]("t_student").sign == r.getAs[Double]("t_welch").sign ||
+        r.getAs[Double]("t_student") == 0.0)
+    }
+  }
+
+  test("q195: U within [0, na*nb] and the five one-vs-rest U's obey ΣU = Σ na*nb / 2-ish per-row bound") {
+    val rows = q("q195_mann_whitney").collect()
+    assert(rows.length == 5)
+    val n = rows.map(_.getAs[Long]("n_a")).sum
+    rows.foreach { r =>
+      val na = r.getAs[Long]("n_a"); val nb = n - na
+      val u = r.getAs[Double]("u")
+      assert(u >= 0.0 && u <= na.toDouble * nb,
+        s"U=$u outside [0, ${na.toDouble * nb}]")
+      // U_A + U_B = na*nb; recompute U_B by symmetry from the z-free identity:
+      // 2·(R_A + R_B) over the SAME ranking must equal n(n+1) ⇒ U_B determined
+      val uB = na.toDouble * nb - u
+      assert(uB >= 0.0 && uB <= na.toDouble * nb)
+    }
+  }
+
+  test("q195: hand-computed U on a tiny two-group frame (textbook midranks)") {
+    // values: A = [1, 2, 2], B = [2, 3] → ranks 1, 3, 3, 3, 5
+    // R_A = 1 + 3 + 3 = 7, U_A = 7 − 3·4/2 = 1
+    val s = spark
+    import s.implicits._
+    val df = Seq(("A", 1.0), ("A", 2.0), ("A", 2.0), ("B", 2.0), ("B", 3.0))
+      .toDF("grp", "v")
+    val g = df.groupBy(col("v")).agg(count(lit(1)).as("cnt"))
+    val r = Skew.globalRunningSum(g, Seq(col("v")), col("cnt"), 2, "cum")
+      .select(col("v"), col("cnt"), (col("cum") - col("cnt")).as("cum_before"))
+    val rs = df.groupBy(col("grp"), col("v")).agg(count(lit(1)).as("cseg"))
+      .join(r, Seq("v"))
+      .groupBy(col("grp"))
+      .agg(sum(col("cseg")).as("n_a"),
+        sum(col("cseg") * (lit(2) * col("cum_before") + col("cnt") + 1)).as("r2"))
+      .collect().map(x => x.getAs[String]("grp") ->
+        (x.getAs[Long]("n_a"), x.getAs[Long]("r2"))).toMap
+    val (na, r2a) = rs("A")
+    assert(na == 3 && r2a == 14, s"twice-ranksum of A should be 14, got $r2a")
+    assert((r2a - na * (na + 1)) / 2.0 == 1.0)
+    val (nb, r2b) = rs("B")
+    assert(nb == 2 && (r2b - nb * (nb + 1)) / 2.0 == 5.0) // U_A + U_B = 3·2
+  }
+
+  test("q196: covered time within [300s, n·300s]; peak depth witnessed by covered < n·300s iff depth > 1") {
+    val byUser = q("q196_interval_analytics").collect()
+    assert(byUser.nonEmpty)
+    val counts = graft.schema.Tables.t(spark, sf001, "events")
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("n")).toMap
+    byUser.foreach { r =>
+      val n = counts(r.getAs[Long]("user_id"))
+      val cov = r.getAs[Long]("covered_us")
+      val depth = r.getAs[Long]("max_depth")
+      assert(cov >= 300000000L && cov <= n * 300000000L)
+      assert(depth >= 1L && depth <= n)
+      // depth 1 everywhere ⇔ no overlap ⇔ union is the full n·300s
+      if (depth == 1L) assert(cov == n * 300000000L)
+      if (cov == n * 300000000L) assert(depth == 1L)
+    }
+  }
+
+  test("q197: decayed average lies within the user's value range; single-event user is exact") {
+    val rows = q("q197_time_decayed_avg").collect()
+    assert(rows.nonEmpty)
+    val ranges = graft.schema.Tables.t(spark, sf001, "events")
+      .groupBy(col("user_id"))
+      .agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
+      .collect().map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Double]("lo"), r.getAs[Double]("hi"))).toMap
+    rows.foreach { r =>
+      val (lo, hi) = ranges(r.getAs[Long]("user_id"))
+      val ema = r.getAs[Double]("decayed_avg")
+      assert(ema >= lo - 1e-6 && ema <= hi + 1e-6,
+        s"convex combination must stay inside [$lo, $hi], got $ema")
+      if (r.getAs[Long]("n_events") == 1L)
+        assert(math.abs(ema - lo) < 1e-6)
+    }
+  }
+}
