@@ -652,6 +652,49 @@ object Relational {
         .orderBy(col("kind"), col("nationkey"))
     },
 
+    // ---- runtime bloom-filter join pruning (the beyond-broadcast dim) ----
+    // The 100 TB regime q03's broadcast hint cannot reach: a SELECTIVE
+    // dimension that has outgrown the broadcast threshold. Catalyst's
+    // InjectRuntimeFilter builds a bloom filter over the filtered dim's
+    // join keys and pushes a might_contain probe beneath the fact side's
+    // shuffle, so non-matching fact rows die at the scan instead of
+    // paying exchange + join. This query plans exactly that shape: a
+    // conf-isolated child session (the clusterPairs rule — never mutate
+    // the caller's SQLConf) disables broadcast to simulate the oversized
+    // dim and drops the application-side size floor so the rule fires at
+    // test scale; RelationalSpec asserts the bloom actually injects into
+    // the optimized plan AND that on/off results are identical. Results
+    // are exact either way — the bloom only prunes, the join verifies —
+    // so the oracle is the plain join.
+    Q("q198_runtime_filter_join",
+      """SELECT o_orderpriority,
+        |  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS mon,
+        |  CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        |      * CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY 1, 2
+        |ORDER BY mon""".stripMargin) { (s, dir) =>
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      s2.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      val o = t(s2, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_orderdate"))
+      t(s2, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"),
+          date_trunc("month", col("o_orderdate")).as("mon"))
+        .agg(count(lit(1)).cast("long").as("n_items"),
+          sumD(sum(col("l_extendedprice").cast("decimal(12,2)")
+            * (lit(1) - col("l_discount")).cast("decimal(4,2)"))).as("revenue"))
+        .orderBy(col("mon"))
+    },
+
     // ---- DISTINCT projection (exact dedup on a projection) ----
     Q("q30_distinct",
       """SELECT DISTINCT l_returnflag, l_linestatus,

@@ -230,4 +230,37 @@ class PlanShapeSpec extends SparkSpec {
     assert(generates(p) <= generates(base),
       s"q151 apply added a per-word explode over q141's derivation:\n$p")
   }
+
+  test("q198: the runtime bloom filter injects into the fact side; results match the bloom-off join") {
+    val df = SparkEntry.queries("q198_runtime_filter_join")(spark, sf001)
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("bloom_filter") || optimized.contains("might_contain"),
+      s"InjectRuntimeFilter did not fire — no bloom probe in:\n$optimized")
+    // the probe must land on the FACT side (lineitem scan), pruning before
+    // the exchange: physical plan shows might_contain in a Filter above
+    // the lineitem relation
+    val physical = df.queryExecution.executedPlan.toString
+    assert(physical.contains("might_contain"),
+      s"bloom probe optimized away before execution:\n$physical")
+    // exactness: the bloom only prunes, the join verifies — bloom-off twin
+    // (default conf session: broadcast allowed, no injection) is identical
+    val off = {
+      import org.apache.spark.sql.functions._
+      import graft.schema.Tables.t
+      val o = t(spark, sf001, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_orderdate"))
+      t(spark, sf001, "lineitem")
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"),
+          date_trunc("month", col("o_orderdate")).as("mon"))
+        .agg(count(lit(1)).cast("long").as("n_items"),
+          sum(col("l_extendedprice").cast("decimal(12,2)")
+            * (lit(1) - col("l_discount")).cast("decimal(4,2)"))
+            .cast("double").as("revenue"))
+    }
+    assert(df.exceptAll(off).isEmpty && off.exceptAll(df).isEmpty,
+      "bloom-pruned join result diverged from the plain join")
+  }
 }
