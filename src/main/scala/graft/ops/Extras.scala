@@ -808,6 +808,96 @@ object Extras {
                  |                     THEN acc ELSE concat(acc, array(x)) END),
                  |  x -> cast(x AS STRING)), ',')""".stripMargin).as("compact"))
         .orderBy(col("doc_id"))
+    },
+
+    // ---- character n-gram string distance (ngramDistance parity) ----
+    // ClickHouse's ngramDistance(a, b): 1 − |grams(a) ∩ grams(b)| /
+    // |grams(a) ∪ grams(b)| over character trigram SETS. Here between
+    // each document's opening and closing 5-word phrases — a pure
+    // per-row projection (gram enumeration via transform over a
+    // sequence, set ops via array_distinct/intersect/union), fuses into
+    // the scan. Sizes are exact integers; the distance is one IEEE
+    // division, so no rounding is needed (the q199 rule).
+    Q("q201_ngram_distance",
+      raw"""WITH p AS (SELECT doc_id,
+           |    array_to_string((string_split_regex(lower(trim(text)), '\s+'))[1:5], ' ')
+           |      AS ha,
+           |    array_to_string(list_reverse(list_reverse(
+           |      string_split_regex(lower(trim(text)), '\s+'))[1:5]), ' ') AS hb
+           |  FROM documents),
+           |g AS (SELECT doc_id,
+           |    list_distinct([ha[i:i+2] FOR i IN range(1, greatest(len(ha) - 1, 1))])
+           |      AS ga,
+           |    list_distinct([hb[i:i+2] FOR i IN range(1, greatest(len(hb) - 1, 1))])
+           |      AS gb
+           |  FROM p),
+           |m AS (SELECT doc_id,
+           |    CAST(len(ga) AS BIGINT) AS n_a, CAST(len(gb) AS BIGINT) AS n_b,
+           |    CAST(len(list_filter(ga, x -> list_contains(gb, x))) AS BIGINT)
+           |      AS inter
+           |  FROM g)
+           |SELECT doc_id, n_a, n_b, inter,
+           |  n_a + n_b - inter AS uni,
+           |  1 - CAST(inter AS DOUBLE) / CAST(n_a + n_b - inter AS DOUBLE) AS dist
+           |FROM m ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      def grams(c: String) = expr(
+        s"""array_distinct(transform(
+           |  sequence(1, greatest(length($c) - 2, 1)),
+           |  i -> substring($c, i, 3)))""".stripMargin)
+      graft.schema.Tables.t(s, dir, "documents")
+        .select(col("doc_id"),
+          concat_ws(" ", slice(split(lower(trim(col("text"))), "\\s+"), 1, 5)).as("ha"),
+          concat_ws(" ", reverse(slice(reverse(split(lower(trim(col("text"))), "\\s+")), 1, 5)))
+            .as("hb"))
+        .select(col("doc_id"), grams("ha").as("ga"), grams("hb").as("gb"))
+        .select(col("doc_id"),
+          size(col("ga")).cast("long").as("n_a"),
+          size(col("gb")).cast("long").as("n_b"),
+          size(array_intersect(col("ga"), col("gb"))).cast("long").as("inter"))
+        .select(col("doc_id"), col("n_a"), col("n_b"), col("inter"),
+          (col("n_a") + col("n_b") - col("inter")).as("uni"),
+          (lit(1) - col("inter").cast("double")
+            / (col("n_a") + col("n_b") - col("inter")).cast("double")).as("dist"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- next node after a matched anchor (sequenceNextNode parity) ----
+    // ClickHouse's sequenceNextNode(forward, head)(ts, event_type, cond):
+    // the event that FOLLOWS the first matching anchor in each user's
+    // stream. Anchor = the user's first 'click' (total order ts,
+    // event_id); the answer is the next event's type and timestamp —
+    // NULL when the anchor is the user's last event. One per-user window
+    // pass (lead + row_number on the same ordering collapses into a
+    // single Window operator), user_id cardinality grows with the data.
+    Q("q202_sequence_next_node",
+      """WITH o AS (SELECT user_id, event_type, event_id,
+        |    epoch_us(ts) AS us,
+        |    lead(event_type) OVER w AS next_type,
+        |    lead(epoch_us(ts)) OVER w AS next_us
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+        |a AS (SELECT user_id, event_id, us, next_type, next_us,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY us, event_id)
+        |      AS rn
+        |  FROM o WHERE event_type = 'click')
+        |SELECT user_id, CAST(us AS BIGINT) AS anchor_us, next_type,
+        |  CAST(next_us AS BIGINT) AS next_us
+        |FROM a WHERE rn = 1 ORDER BY user_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+      val o = graft.schema.Tables.t(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          unix_micros(col("ts").cast("timestamp")).as("us"))
+        .select(col("user_id"), col("event_type"), col("event_id"), col("us"),
+          lead(col("event_type"), 1).over(w).as("next_type"),
+          lead(col("us"), 1).over(w).as("next_us"))
+      o.filter(col("event_type") === "click")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("us").cast("long").as("anchor_us"),
+          col("next_type"), col("next_us").cast("long").as("next_us"))
+        .orderBy(col("user_id"))
     }
   )
 }

@@ -267,6 +267,148 @@ object Stats2 {
         .agg(count(lit(1)).cast("long").as("n_events"),
           round(sum(col("value") * decay) / sum(decay), 6).as("decayed_avg"))
         .orderBy(col("user_id"))
+    },
+
+    // ---- time-series gap fill + linear interpolation (ORDER BY … WITH
+    //      FILL INTERPOLATE / timeSeriesResample parity) ----
+    // Each user's value series resampled onto a dense 1-hour grid between
+    // the user's first and last observed hours: observed hours keep the
+    // LAST observation in the hour (row_number over (us, event_id) desc —
+    // fully deterministic tiebreak, stated identically in the oracle);
+    // missing hours get the linear interpolation between the surrounding
+    // observations via IGNORE NULLS fills in both directions. Grid
+    // generation is sequence-explode per user (output grows with the
+    // user's SPAN, not the corpus row count); every window keys on
+    // user_id. Interpolation arithmetic: doubles from exact integer hour
+    // distances + observed values, the SAME IEEE expression both engines
+    // — bit-identical, so the output is deliberately UNROUNDED (grid
+    // fractions like k/32 terminate in a half-way decimal digit, where
+    // Spark's HALF_UP and DuckDB's rounding disagree; rounding would
+    // ADD flakes here, not remove them).
+    Q("q199_gapfill_interpolate",
+      """WITH e AS (SELECT user_id, value,
+        |    epoch_us(ts) // 3600000000 AS hr,
+        |    row_number() OVER (PARTITION BY user_id, epoch_us(ts) // 3600000000
+        |      ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |  FROM events),
+        |obs AS (SELECT user_id, hr, value AS v FROM e WHERE rn = 1),
+        |span AS (SELECT user_id, min(hr) AS mn, max(hr) AS mx
+        |  FROM obs GROUP BY 1),
+        |grid AS (SELECT user_id, unnest(generate_series(mn, mx)) AS hr
+        |  FROM span),
+        |f AS (SELECT g.user_id, g.hr, o.v,
+        |    last_value(o.v IGNORE NULLS) OVER wb AS pv,
+        |    last_value(CASE WHEN o.v IS NOT NULL THEN g.hr END IGNORE NULLS)
+        |      OVER wb AS ph,
+        |    first_value(o.v IGNORE NULLS) OVER wf AS nv,
+        |    first_value(CASE WHEN o.v IS NOT NULL THEN g.hr END IGNORE NULLS)
+        |      OVER wf AS nh
+        |  FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.hr = o.hr
+        |  WINDOW wb AS (PARTITION BY g.user_id ORDER BY g.hr
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |  wf AS (PARTITION BY g.user_id ORDER BY g.hr
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT user_id, CAST(hr AS BIGINT) AS hr,
+        |  v IS NOT NULL AS observed,
+        |  CASE WHEN v IS NOT NULL THEN v
+        |    ELSE pv + (nv - pv) * (hr - ph) / (nh - ph) END AS filled
+        |FROM f ORDER BY user_id, hr""".stripMargin) { (s, dir) =>
+      val wRn = Window.partitionBy(col("user_id"), col("hr"))
+        .orderBy(col("us").desc, col("event_id").desc)
+      val obs = t(s, dir, "events")
+        .select(col("user_id"), col("value"),
+          unix_micros(col("ts").cast("timestamp")).as("us"), col("event_id"))
+        .withColumn("hr", (col("us") / lit(3600000000L)).cast("long"))
+        .withColumn("rn", row_number().over(wRn))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("hr"), col("value").as("v"))
+      val grid = obs.groupBy(col("user_id"))
+        .agg(min(col("hr")).as("mn"), max(col("hr")).as("mx"))
+        .select(col("user_id"), explode(sequence(col("mn"), col("mx"))).as("hr"))
+      val wb = Window.partitionBy(col("user_id")).orderBy(col("hr"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wf = Window.partitionBy(col("user_id")).orderBy(col("hr"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val obsHr = when(col("v").isNotNull, col("hr"))
+      grid.join(obs, Seq("user_id", "hr"), "left")
+        .select(col("user_id"), col("hr"), col("v"),
+          last(col("v"), ignoreNulls = true).over(wb).as("pv"),
+          last(obsHr, ignoreNulls = true).over(wb).as("ph"),
+          first(col("v"), ignoreNulls = true).over(wf).as("nv"),
+          first(obsHr, ignoreNulls = true).over(wf).as("nh"))
+        .select(col("user_id"), col("hr").cast("long").as("hr"),
+          col("v").isNotNull.as("observed"),
+          when(col("v").isNotNull, col("v"))
+            .otherwise(col("pv") + (col("nv") - col("pv"))
+              * (col("hr") - col("ph")) / (col("nh") - col("ph")))
+            .as("filled"))
+        .orderBy(col("user_id"), col("hr"))
+    },
+
+    // ---- categorical association (cramersV / theilsU / contingency
+    //      parity) ----
+    // Association between event_type and a 10-way user cohort: the full
+    // contingency machinery from ONE cell aggregate (groupBy(x, y)) —
+    // marginals are re-aggregations of the CELLS (r×c rows, never a
+    // second corpus scan) and every statistic is a fold over cells.
+    // χ²/φc (Cramér's V with and without the Bartlett bias correction)
+    // and the uncertainty coefficient U(X|Y) = (H(X) − H(X|Y))/H(X).
+    // Counts are exact integers; the entropy/chi folds are doubles over
+    // ≤ r·c cells with identical formulas in the oracle, round(6).
+    Q("q200_contingency",
+      """WITH cells AS (SELECT event_type AS x, user_id % 10 AS y,
+        |    count(*) AS o
+        |  FROM events GROUP BY 1, 2),
+        |rt AS (SELECT x, sum(o) AS r FROM cells GROUP BY 1),
+        |ct AS (SELECT y, sum(o) AS c FROM cells GROUP BY 1),
+        |n AS (SELECT sum(o) AS n, count(*) AS k FROM cells),
+        |dims AS (SELECT (SELECT count(*) FROM rt) AS nr,
+        |               (SELECT count(*) FROM ct) AS nc),
+        |chi AS (SELECT sum(pow(CAST(o AS DOUBLE)
+        |      - CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / CAST(n AS DOUBLE), 2)
+        |      / (CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / CAST(n AS DOUBLE)))
+        |      AS chi2
+        |  FROM cells JOIN rt USING (x) JOIN ct USING (y), n),
+        |hx AS (SELECT -sum(CAST(r AS DOUBLE) / CAST(n AS DOUBLE)
+        |      * ln(CAST(r AS DOUBLE) / CAST(n AS DOUBLE))) AS hx
+        |  FROM rt, n),
+        |hxy AS (SELECT -sum(CAST(o AS DOUBLE) / CAST(n AS DOUBLE)
+        |      * ln(CAST(o AS DOUBLE) / CAST(c AS DOUBLE))) AS hxy
+        |  FROM cells JOIN ct USING (y), n)
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  CAST(nr AS BIGINT) AS r_levels, CAST(nc AS BIGINT) AS c_levels,
+        |  round(chi2, 4) AS chi2,
+        |  round(sqrt(chi2 / n / least(nr - 1, nc - 1)), 6) AS cramers_v,
+        |  round((hx - hxy) / hx, 6) AS theils_u
+        |FROM chi, hx, hxy, n, dims""".stripMargin) { (s, dir) =>
+      val cells = t(s, dir, "events")
+        .groupBy(col("event_type").as("x"), (col("user_id") % 10).as("y"))
+        .agg(count(lit(1)).as("o"))
+      val rt = cells.groupBy(col("x")).agg(sum(col("o")).as("r"))
+      val ct = cells.groupBy(col("y")).agg(sum(col("o")).as("c"))
+      val n = cells.agg(sum(col("o")).as("n"), count(lit(1)).as("k"))
+      val dims = rt.agg(count(lit(1)).as("nr"))
+        .crossJoin(ct.agg(count(lit(1)).as("nc")))
+      val oD = col("o").cast("double"); val rD = col("r").cast("double")
+      val cD = col("c").cast("double"); val nD = col("n").cast("double")
+      val e = rD * cD / nD
+      val chi = cells.join(broadcast(rt), Seq("x")).join(broadcast(ct), Seq("y"))
+        .crossJoin(broadcast(n))
+        .agg(sum(pow(oD - e, 2) / e).as("chi2"))
+      val hx = rt.crossJoin(broadcast(n))
+        .agg((-sum(rD / nD * log(rD / nD))).as("hx"))
+      val hxy = cells.join(broadcast(ct), Seq("y")).crossJoin(broadcast(n))
+        .agg((-sum(oD / nD * log(oD / cD))).as("hxy"))
+      chi.crossJoin(broadcast(hx)).crossJoin(broadcast(hxy))
+        .crossJoin(broadcast(n)).crossJoin(broadcast(dims))
+        .select(col("n").cast("long").as("n"),
+          col("nr").cast("long").as("r_levels"),
+          col("nc").cast("long").as("c_levels"),
+          round(col("chi2"), 4).as("chi2"),
+          round(sqrt(col("chi2") / col("n").cast("double")
+            / least(col("nr") - 1, col("nc") - 1).cast("double")), 6)
+            .as("cramers_v"),
+          round((col("hx") - col("hxy")) / col("hx"), 6).as("theils_u"))
     }
   )
 }

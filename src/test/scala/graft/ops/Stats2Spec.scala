@@ -103,4 +103,31 @@ class Stats2Spec extends SparkSpec {
         assert(math.abs(ema - lo) < 1e-6)
     }
   }
+
+  test("q199: dense grid, observed endpoints, interpolations convex between neighbors") {
+    val rows = q("q199_gapfill_interpolate")
+      .collect().groupBy(_.getAs[Long]("user_id"))
+    assert(rows.nonEmpty)
+    rows.foreach { case (u, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("hr"))
+      // grid is gap-free and endpoints are real observations
+      assert(sorted.head.getAs[Boolean]("observed"), s"user $u: first grid hour must be observed")
+      assert(sorted.last.getAs[Boolean]("observed"), s"user $u: last grid hour must be observed")
+      sorted.sliding(2).foreach { case Array(a, b) =>
+        assert(b.getAs[Long]("hr") == a.getAs[Long]("hr") + 1, s"user $u: grid gap")
+      }
+      // every filled value lies between its surrounding observations
+      val obs = sorted.filter(_.getAs[Boolean]("observed"))
+        .map(r => r.getAs[Long]("hr") -> r.getAs[Double]("filled"))
+      sorted.filterNot(_.getAs[Boolean]("observed")).foreach { r =>
+        val h = r.getAs[Long]("hr"); val v = r.getAs[Double]("filled")
+        val (ph, pv) = obs.takeWhile(_._1 < h).last
+        val (nh, nv) = obs.dropWhile(_._1 < h).head
+        assert(v >= math.min(pv, nv) - 1e-9 && v <= math.max(pv, nv) + 1e-9,
+          s"user $u hr $h: $v outside [$pv, $nv]")
+        val expect = pv + (nv - pv) * (h - ph).toDouble / (nh - ph)
+        assert(math.abs(v - expect) < 1e-9, s"user $u hr $h: $v != $expect")
+      }
+    }
+  }
 }
