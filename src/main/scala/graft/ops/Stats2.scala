@@ -409,6 +409,79 @@ object Stats2 {
             / least(col("nr") - 1, col("nc") - 1).cast("double")), 6)
             .as("cramers_v"),
           round((col("hx") - col("hxy")) / col("hx"), 6).as("theils_u"))
+    },
+
+    // ---- Spearman rank correlation (rankCorr parity) ----
+    // ρ between value and event time WITHIN each event_type: Pearson over
+    // tie-midranks. The midranks reuse q195's exact-integer machinery
+    // (2·cumBefore + cnt + 1), but through the GROUPED stitch
+    // (`Skew.groupedRunningSum`): event_type is a low-cardinality key, so
+    // a bare per-type window would funnel each type's whole distinct-value
+    // frame through one task (the q90/q91 rule) — the stitch keeps
+    // parallelism proportional to data. Both rank maps join back to the
+    // event rows by (type, value)/(type, us); the five per-type moment
+    // sums are exact DECIMAL(38,0) (doubled ranks ≤ 2n+1, so Σxy ≤
+    // n(2n+1)² needs >64 bits at ~10⁹ rows — the casts are the overflow
+    // discipline, HUGEINT in the oracle); ρ is one double formula from
+    // exact sums, identical both engines, round(6).
+    Q("q203_rank_corr",
+      """WITH gx AS (SELECT event_type AS g, value AS v, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |rx AS (SELECT g, v,
+        |    2 * (sum(cnt) OVER (PARTITION BY g ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt)
+        |      + cnt + 1 AS r2x
+        |  FROM gx),
+        |gy AS (SELECT event_type AS g, epoch_us(ts) AS u, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |ry AS (SELECT g, u,
+        |    2 * (sum(cnt) OVER (PARTITION BY g ORDER BY u
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt)
+        |      + cnt + 1 AS r2y
+        |  FROM gy),
+        |j AS (SELECT e.event_type AS g,
+        |    CAST(rx.r2x AS HUGEINT) AS x, CAST(ry.r2y AS HUGEINT) AS y
+        |  FROM events e
+        |  JOIN rx ON rx.g = e.event_type AND rx.v = e.value
+        |  JOIN ry ON ry.g = e.event_type AND ry.u = epoch_us(e.ts)),
+        |m AS (SELECT g, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |    sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+        |  FROM j GROUP BY g)
+        |SELECT g, CAST(n AS BIGINT) AS n,
+        |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |      * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS rho
+        |FROM m ORDER BY g""".stripMargin) { (s, dir) =>
+      val ev = t(s, dir, "events")
+        .select(col("event_type").as("g"), col("value").as("v"),
+          unix_micros(col("ts").cast("timestamp")).as("u"))
+      val parts = s.conf.get("spark.sql.shuffle.partitions").toInt
+      def midranks(keyCol: String, out: String): org.apache.spark.sql.DataFrame = {
+        val grp = ev.groupBy(col("g"), col(keyCol)).agg(count(lit(1)).as("cnt"))
+        Skew.groupedRunningSum(grp, Seq("g"), Seq(col(keyCol)), col("cnt"),
+            parts, "cum")
+          .select(col("g"), col(keyCol),
+            (lit(2) * (col("cum") - col("cnt")) + col("cnt") + 1).as(out))
+      }
+      val rx = midranks("v", "r2x")
+      val ry = midranks("u", "r2y")
+      val dec = "decimal(38,0)"
+      val j = ev.join(rx, Seq("g", "v")).join(ry, Seq("g", "u"))
+        .select(col("g"), col("r2x").cast(dec).as("x"), col("r2y").cast(dec).as("y"))
+      val m = j.groupBy(col("g"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"),
+          sum(col("x") * col("y")).as("sxy"))
+      val nD = col("n").cast("double")
+      val sxD = col("sx").cast("double"); val syD = col("sy").cast("double")
+      m.select(col("g"), col("n").cast("long").as("n"),
+          round((nD * col("sxy").cast("double") - sxD * syD)
+            / sqrt((nD * col("sxx").cast("double") - sxD * sxD)
+              * (nD * col("syy").cast("double") - syD * syD)), 6).as("rho"))
+        .orderBy(col("g"))
     }
   )
 }

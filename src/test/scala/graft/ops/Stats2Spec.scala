@@ -130,4 +130,35 @@ class Stats2Spec extends SparkSpec {
       }
     }
   }
+
+  test("q203: rho in [-1, 1] and matches a sequential midrank Spearman per type") {
+    val rows = q("q203_rank_corr").collect()
+      .map(r => r.getAs[String]("g") -> r.getAs[Double]("rho")).toMap
+    assert(rows.size == 5)
+    rows.values.foreach(rho => assert(rho >= -1.0 && rho <= 1.0))
+    // independent sequential recomputation (plain Scala, no Spark)
+    val data = graft.schema.Tables.t(spark, sf001, "events")
+      .select(col("event_type"), col("value"),
+        unix_micros(col("ts").cast("timestamp")).as("us"))
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    def midranks[T](xs: Seq[T])(implicit o: Ordering[T]): Map[T, Double] =
+      xs.groupBy(identity).view.mapValues(_.size).toSeq.sortBy(_._1).
+        foldLeft((0L, Map.empty[T, Double])) { case ((before, acc), (v, cnt)) =>
+          (before + cnt, acc + (v -> (before + (cnt + 1) / 2.0)))
+        }._2
+    data.groupBy(_._1).foreach { case (g, es) =>
+      val rv = midranks(es.toSeq.map(_._2))
+      val ru = midranks(es.toSeq.map(_._3))
+      val xs = es.map(e => rv(e._2)); val ys = es.map(e => ru(e._3))
+      val n = xs.length.toDouble
+      val sx = xs.sum; val sy = ys.sum
+      val sxx = xs.map(x => x * x).sum; val syy = ys.map(y => y * y).sum
+      val sxy = xs.zip(ys).map { case (x, y) => x * y }.sum
+      val rho = (n * sxy - sx * sy) /
+        math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+      assert(math.abs(rows(g) - rho) < 1e-5,
+        s"type $g: query rho ${rows(g)} vs sequential $rho")
+    }
+  }
 }
