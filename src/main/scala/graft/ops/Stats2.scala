@@ -482,6 +482,76 @@ object Stats2 {
             / sqrt((nD * col("sxx").cast("double") - sxD * sxD)
               * (nD * col("syy").cast("double") - syD * syD)), 6).as("rho"))
         .orderBy(col("g"))
+    },
+
+    // ---- two-sample Kolmogorov–Smirnov test (kolmogorovSmirnovTest
+    //      parity) ----
+    // D = sup|F₁ − F₂| between the 'click' and 'purchase' value
+    // distributions, EXACT: at every distinct value, the ECDF gap
+    // cross-multiplies to integers (|cumA·nB − cumB·nA| — no division
+    // until the end), so the supremum is an integer max, immune to fp.
+    // Cumulative counts ride ONE stitched global running sum over the
+    // distinct-value frame carrying (total, A) counts — cumB = cumTot −
+    // cumA, so the second distribution costs no second pass. The
+    // KS statistic and the asymptotic p-value (two-term-truncated
+    // Kolmogorov series — stated with the same fixed truncation in the
+    // oracle, so both engines compute the identical expression) are one
+    // double formula from exact integers, round(6).
+    Q("q205_ks_test",
+      """WITH e AS (SELECT value AS v,
+        |    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS isa
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |g AS (SELECT v, count(*) AS cnt, sum(isa) AS ca
+        |  FROM e GROUP BY 1),
+        |r AS (SELECT v, cnt, ca,
+        |    sum(cnt) OVER wo AS cumt, sum(ca) OVER wo AS cuma
+        |  FROM g
+        |  WINDOW wo AS (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |n AS (SELECT sum(ca) AS na, sum(cnt - ca) AS nb FROM g),
+        |d AS (SELECT max(abs(cuma * nb - (cumt - cuma) * na)) AS dnum
+        |  FROM r, n)
+        |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        |  CAST(dnum AS BIGINT) AS d_num,
+        |  round(CAST(dnum AS DOUBLE) / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6)
+        |    AS d,
+        |  round(2 * (exp(-2 * pow(CAST(dnum AS DOUBLE)
+        |        / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
+        |        * sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
+        |               / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))), 2))
+        |      - exp(-8 * pow(CAST(dnum AS DOUBLE)
+        |        / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
+        |        * sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
+        |               / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))), 2))), 6)
+        |    AS p_approx
+        |FROM d, n""".stripMargin) { (s, dir) =>
+      val e = t(s, dir, "events")
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("value").as("v"),
+          when(col("event_type") === "click", lit(1L)).otherwise(lit(0L)).as("isa"))
+      val g = e.groupBy(col("v"))
+        .agg(count(lit(1)).as("cnt"), sum(col("isa")).as("ca"))
+      val parts = s.conf.get("spark.sql.shuffle.partitions").toInt
+      // the stitch engine sums one value column per pass, so the two
+      // prefixes (total, A) are two stitches over the SAME distinct-value
+      // frame joined back on v — cumB then costs nothing (cumt − cuma)
+      val ct = Skew.globalRunningSum(g, Seq(col("v")), col("cnt"), parts, "cumt")
+        .select(col("v"), col("cumt"))
+      val caR = Skew.globalRunningSum(g, Seq(col("v")), col("ca"), parts, "cuma")
+        .select(col("v"), col("cuma"))
+      val n = g.agg(sum(col("ca")).as("na"), sum(col("cnt") - col("ca")).as("nb"))
+      val r = ct.join(caR, Seq("v")).crossJoin(broadcast(n))
+      val d = r.agg(max(abs(col("cuma") * col("nb")
+        - (col("cumt") - col("cuma")) * col("na"))).as("dnum"))
+      val naD = col("na").cast("double"); val nbD = col("nb").cast("double")
+      val dD = col("dnum").cast("double") / (naD * nbD)
+      val lam = dD * sqrt(naD * nbD / (naD + nbD))
+      d.crossJoin(broadcast(n))
+        .select(col("na").cast("long").as("n_a"), col("nb").cast("long").as("n_b"),
+          col("dnum").cast("long").as("d_num"),
+          round(dD, 6).as("d"),
+          round(lit(2) * (exp(lit(-2) * pow(lam, 2))
+            - exp(lit(-8) * pow(lam, 2))), 6).as("p_approx"))
     }
   )
 }

@@ -161,4 +161,28 @@ class Stats2Spec extends SparkSpec {
         s"type $g: query rho ${rows(g)} vs sequential $rho")
     }
   }
+
+  test("q205: D matches a sequential two-sample KS; p in [0, 1]") {
+    val row = q("q205_ks_test").collect().head
+    val (na, nb) = (row.getAs[Long]("n_a"), row.getAs[Long]("n_b"))
+    val d = row.getAs[Double]("d")
+    assert(d >= 0.0 && d <= 1.0)
+    assert(row.getAs[Double]("p_approx") >= 0.0 && row.getAs[Double]("p_approx") <= 1.0)
+    val vals = graft.schema.Tables.t(spark, sf001, "events")
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_type"), col("value")).collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val a = vals.filter(_._1 == "click").map(_._2).sorted
+    val b = vals.filter(_._1 == "purchase").map(_._2).sorted
+    assert(a.length == na && b.length == nb)
+    // sequential sup over the pooled distinct values
+    val dist = (a ++ b).distinct.sorted
+    val dSeq = dist.map { v =>
+      val fa = a.count(_ <= v).toDouble / a.length
+      val fb = b.count(_ <= v).toDouble / b.length
+      math.abs(fa - fb)
+    }.max
+    assert(math.abs(d - dSeq) < 1e-6, s"query D $d vs sequential $dSeq")
+    assert(row.getAs[Long]("d_num") == math.round(dSeq * na * nb))
+  }
 }
