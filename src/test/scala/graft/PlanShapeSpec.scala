@@ -231,6 +231,33 @@ class PlanShapeSpec extends SparkSpec {
       s"q151 apply added a per-word explode over q141's derivation:\n$p")
   }
 
+  test("q195/q203/q205: rank machinery has no single-partition exchange; q204 no cartesian") {
+    // The midrank/ECDF prefixes ride the stitch engine — an unpartitioned
+    // ORDER BY window here would funnel the whole distinct-value frame
+    // through one task at any corpus size. (SinglePartition text alone is
+    // NOT the signal: the 1-row scalar reductions (tie totals, n) end in
+    // a legitimate global aggregate — the claim is about WINDOWS.)
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    def windowSpecs(p: SparkPlan): Seq[Seq[Any]] = p.collect {
+      case a: AdaptiveSparkPlanExec => windowSpecs(a.executedPlan)
+      case w: WindowExec => Seq(w.partitionSpec)
+    }.flatten
+    Seq("q195_mann_whitney", "q203_rank_corr", "q205_ks_test").foreach { n =>
+      val exec = SparkEntry.queries(n)(spark, sf001).queryExecution.executedPlan
+      val specs = windowSpecs(exec)
+      assert(specs.nonEmpty, s"$n: expected the stitch window in:\n$exec")
+      specs.foreach(spec => assert(spec.nonEmpty,
+        s"$n: unpartitioned window — single-task prefix at any scale:\n$exec"))
+    }
+    // q204's 8 rounds must stay equi-joins on user_id (a cartesian would
+    // be candidates × winners). localCheckpoint runs jobs at construction,
+    // so only assert on the FINAL plan text.
+    val p204 = plan("q204_lttb_downsample")
+    assert(!p204.contains("CartesianProduct"), s"q204 cartesian:\n$p204")
+  }
+
   test("q198: the runtime bloom filter injects into the fact side; results match the bloom-off join") {
     val df = SparkEntry.queries("q198_runtime_filter_join")(spark, sf001)
     val optimized = df.queryExecution.optimizedPlan.toString
