@@ -1,0 +1,155 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.Q
+import graft.schema.Tables.t
+
+/** Model-evaluation / distribution-drift metrics at corpus scale — the
+  * companion surface to the quality classifiers (q74/q156): once a
+  * filter model scores 100 TB of documents, these are the aggregates
+  * that decide whether to trust it. ROC curve with exact confusion
+  * counts (q206), calibration / reliability bins (q207), population
+  * stability index (q208). Score = the event value, label = purchase —
+  * stand-ins with the same shapes as any classifier-score column.
+  *
+  * Exactness discipline: confusion counts are integers off the stitched
+  * distinct-score prefix (q205's machinery), bin rates are exact-integer
+  * divisions, and every transcendental (ln in PSI) is applied to
+  * identical doubles in both engines — only cross-row double SUMS
+  * (q208's total) get a round(6).
+  */
+object ModelEval {
+
+  def qs: Seq[Q] = Seq(
+
+    // ---- ROC curve with exact confusion counts ----
+    // One row per distinct score threshold v: the confusion matrix of
+    // the rule "predict positive when score ≥ v". TP/FP come from the
+    // SAME two stitched prefix sums the KS test uses (total + positive
+    // counts over the distinct-score frame — parallelism scales with
+    // score cardinality); tpr/fpr are exact divisions. The trapezoid
+    // integral of this curve must equal the midrank AUC — pinned in
+    // `ModelEvalSpec`, not here, because the oracle already re-derives
+    // every row.
+    Q("q206_roc_curve",
+      """WITH e AS (SELECT value AS v,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        |  FROM events),
+        |g AS (SELECT v, count(*) AS cnt, sum(y) AS pos FROM e GROUP BY 1),
+        |r AS (SELECT v, cnt, pos,
+        |    sum(cnt) OVER wo AS cumt, sum(pos) OVER wo AS cump
+        |  FROM g
+        |  WINDOW wo AS (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |n AS (SELECT sum(pos) AS np, sum(cnt - pos) AS nn FROM g)
+        |SELECT v AS thr,
+        |  CAST(np - cump + pos AS BIGINT) AS tp,
+        |  CAST(cump - pos AS BIGINT) AS fn,
+        |  CAST(nn - (cumt - cump) + (cnt - pos) AS BIGINT) AS fp,
+        |  CAST((cumt - cump) - (cnt - pos) AS BIGINT) AS tn,
+        |  CAST(np - cump + pos AS DOUBLE) / CAST(np AS DOUBLE) AS tpr,
+        |  CAST(nn - (cumt - cump) + (cnt - pos) AS DOUBLE) / CAST(nn AS DOUBLE)
+        |    AS fpr
+        |FROM r, n ORDER BY thr""".stripMargin) { (s, dir) =>
+      val e = t(s, dir, "events")
+        .select(col("value").as("v"),
+          when(col("event_type") === "purchase", lit(1L)).otherwise(lit(0L)).as("y"))
+      val g = e.groupBy(col("v"))
+        .agg(count(lit(1)).as("cnt"), sum(col("y")).as("pos"))
+      val parts = s.conf.get("spark.sql.shuffle.partitions").toInt
+      val ct = Skew.globalRunningSum(g, Seq(col("v")), col("cnt"), parts, "cumt")
+        .select(col("v"), col("cumt"))
+      val cp = Skew.globalRunningSum(g, Seq(col("v")), col("pos"), parts, "cump")
+        .select(col("v"), col("cump"), col("cnt"), col("pos"))
+      val n = g.agg(sum(col("pos")).as("np"), sum(col("cnt") - col("pos")).as("nn"))
+      val tp = col("np") - col("cump") + col("pos")
+      val fp = col("nn") - (col("cumt") - col("cump")) + (col("cnt") - col("pos"))
+      ct.join(cp, Seq("v")).crossJoin(broadcast(n))
+        .select(col("v").as("thr"),
+          tp.cast("long").as("tp"),
+          (col("cump") - col("pos")).cast("long").as("fn"),
+          fp.cast("long").as("fp"),
+          ((col("cumt") - col("cump")) - (col("cnt") - col("pos")))
+            .cast("long").as("tn"),
+          (tp.cast("double") / col("np").cast("double")).as("tpr"),
+          (fp.cast("double") / col("nn").cast("double")).as("fpr"))
+        .orderBy(col("thr"))
+    },
+
+    // ---- calibration / reliability bins ----
+    // Treat score/500 as a predicted probability; 10 fixed bins. Per
+    // bin: count, mean predicted probability (EXACT: the 2-decimal score
+    // sums as DECIMAL, one division at the end), observed positive rate
+    // (exact integer division), and the calibration gap. Fixed bin edges
+    // mean one hash aggregate, perfectly mergeable at any scale.
+    Q("q207_calibration_bins",
+      """WITH e AS (SELECT value,
+        |    least(CAST(floor(value / 50) AS BIGINT), 9) AS b,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        |  FROM events)
+        |SELECT b, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / (count(*) * 500)
+        |    AS mean_pred,
+        |  CAST(sum(y) AS DOUBLE) / count(*) AS obs_rate,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / (count(*) * 500)
+        |    - CAST(sum(y) AS DOUBLE) / count(*) AS gap
+        |FROM e GROUP BY b ORDER BY b""".stripMargin) { (s, dir) =>
+      val e = t(s, dir, "events")
+        .select(col("value"),
+          least(floor(col("value") / 50).cast("long"), lit(9L)).as("b"),
+          when(col("event_type") === "purchase", lit(1L)).otherwise(lit(0L)).as("y"))
+      val meanPred = sum(col("value").cast("decimal(18,2)")).cast("double") /
+        (count(lit(1)) * 500)
+      val obsRate = sum(col("y")).cast("double") / count(lit(1))
+      e.groupBy(col("b"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          meanPred.as("mean_pred"), obsRate.as("obs_rate"),
+          (meanPred - obsRate).as("gap"))
+        .orderBy(col("b"))
+    },
+
+    // ---- population stability index (the binned drift score) ----
+    // PSI between the even- and odd-user cohorts over 10 fixed score
+    // bins: Σ (p_a − p_b)·ln(p_a / p_b). The rates are exact-integer
+    // divisions (identical doubles, left unrounded — the q199 rule), but
+    // ln is NOT bit-portable: DuckDB's libm and the JVM disagree by one
+    // ulp on some inputs (measured at sf0.1), so the per-bin term rounds
+    // at 9 decimals — 12 orders of magnitude above the ulp noise. Zero
+    // bins take the standard 0.5-count continuity correction, stated
+    // identically in the oracle; the 10-term total rounds at 6.
+    Q("q208_psi",
+      """WITH e AS (SELECT least(CAST(floor(value / 50) AS BIGINT), 9) AS b,
+        |    CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS isa
+        |  FROM events),
+        |g AS (SELECT b, sum(isa) AS ca, sum(1 - isa) AS cb FROM e GROUP BY 1),
+        |n AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM g),
+        |p AS (SELECT b,
+        |    (CASE WHEN ca = 0 THEN 0.5 ELSE CAST(ca AS DOUBLE) END)
+        |      / CAST(na AS DOUBLE) AS pa,
+        |    (CASE WHEN cb = 0 THEN 0.5 ELSE CAST(cb AS DOUBLE) END)
+        |      / CAST(nb AS DOUBLE) AS pb
+        |  FROM g, n),
+        |terms AS (SELECT b, pa, pb, round((pa - pb) * ln(pa / pb), 9) AS term
+        |  FROM p)
+        |SELECT b, pa, pb, term,
+        |  round((SELECT sum(term) FROM terms), 6) AS psi_total
+        |FROM terms ORDER BY b""".stripMargin) { (s, dir) =>
+      val e = t(s, dir, "events")
+        .select(least(floor(col("value") / 50).cast("long"), lit(9L)).as("b"),
+          when(col("user_id") % 2 === 0, lit(1L)).otherwise(lit(0L)).as("isa"))
+      val g = e.groupBy(col("b"))
+        .agg(sum(col("isa")).as("ca"), sum(lit(1L) - col("isa")).as("cb"))
+      val n = g.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+      val p = g.crossJoin(broadcast(n))
+        .select(col("b"),
+          (when(col("ca") === 0, lit(0.5)).otherwise(col("ca").cast("double"))
+            / col("na").cast("double")).as("pa"),
+          (when(col("cb") === 0, lit(0.5)).otherwise(col("cb").cast("double"))
+            / col("nb").cast("double")).as("pb"))
+      val terms = p.select(col("b"), col("pa"), col("pb"),
+        round((col("pa") - col("pb")) * log(col("pa") / col("pb")), 9).as("term"))
+      val total = terms.agg(round(sum(col("term")), 6).as("psi_total"))
+      terms.crossJoin(broadcast(total)).orderBy(col("b"))
+    }
+  )
+}

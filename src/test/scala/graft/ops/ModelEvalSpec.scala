@@ -1,0 +1,76 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Contracts of the q206–q208 model-eval family that the oracle cannot
+  * state: the ROC curve must integrate to the midrank AUC, bins must
+  * partition the population, PSI terms are individually non-negative. */
+class ModelEvalSpec extends SparkSpec {
+
+  private def q(name: String) = graft.SparkEntry.queries(name)(spark, sf001)
+
+  test("q206: monotone curve, endpoints, trapezoid AUC equals midrank AUC") {
+    val curve = q("q206_roc_curve").collect()
+      .map(r => (r.getAs[Double]("fpr"), r.getAs[Double]("tpr"),
+        r.getAs[Long]("tp"), r.getAs[Long]("fn"),
+        r.getAs[Long]("fp"), r.getAs[Long]("tn")))
+    assert(curve.nonEmpty)
+    val (np, nn) = (curve.head._3 + curve.head._4, curve.head._5 + curve.head._6)
+    curve.foreach { case (fpr, tpr, tp, fn, fp, tn) =>
+      assert(tp + fn == np && fp + tn == nn, "confusion rows must partition")
+      assert(fpr >= 0 && fpr <= 1 && tpr >= 0 && tpr <= 1)
+    }
+    // thresholds ascend → (fpr, tpr) descend monotonically
+    curve.sliding(2).foreach { case Array(a, b) =>
+      assert(b._1 <= a._1 + 1e-12 && b._2 <= a._2 + 1e-12, "curve not monotone")
+    }
+    // trapezoid over the full curve incl. the implicit (0,0) endpoint
+    val pts = ((0.0, 0.0) +: curve.map(c => (c._1, c._2)).reverse.toSeq).distinct
+    val trap = pts.sliding(2).map {
+      case Seq((x0, y0), (x1, y1)) => (x1 - x0) * (y0 + y1) / 2
+      case _ => 0.0
+    }.sum
+    // midrank AUC from raw data (sequential, plain Scala)
+    val data = graft.schema.Tables.t(spark, sf001, "events")
+      .select(col("value"), (col("event_type") === "purchase").as("y"))
+      .collect().map(r => (r.getDouble(0), r.getBoolean(1)))
+    val ranks = data.map(_._1).groupBy(identity).view.mapValues(_.length).toSeq
+      .sortBy(_._1)
+      .foldLeft((0L, Map.empty[Double, Double])) { case ((c, m), (v, k)) =>
+        (c + k, m + (v -> (c + (k + 1) / 2.0)))
+      }._2
+    val posRanks = data.filter(_._2).map(e => ranks(e._1))
+    val nP = posRanks.length.toDouble; val nN = data.length - nP
+    val aucMid = (posRanks.sum - nP * (nP + 1) / 2) / (nP * nN)
+    assert(math.abs(trap - aucMid) < 1e-9,
+      s"trapezoid AUC $trap != midrank AUC $aucMid")
+  }
+
+  test("q207: bins partition the population; rates and predictions in [0, 1]") {
+    val rows = q("q207_calibration_bins").collect()
+    val total = graft.schema.Tables.t(spark, sf001, "events").count()
+    assert(rows.map(_.getAs[Long]("n")).sum == total)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("mean_pred") >= 0 && r.getAs[Double]("mean_pred") <= 1)
+      assert(r.getAs[Double]("obs_rate") >= 0 && r.getAs[Double]("obs_rate") <= 1)
+      assert(math.abs(r.getAs[Double]("gap")
+        - (r.getAs[Double]("mean_pred") - r.getAs[Double]("obs_rate"))) < 1e-12)
+    }
+  }
+
+  test("q208: every PSI term non-negative, total is their sum, probabilities sum to ~1") {
+    val rows = q("q208_psi").collect()
+    val terms = rows.map(_.getAs[Double]("term"))
+    terms.foreach(t => assert(t >= 0.0, s"(pa-pb)ln(pa/pb) must be >= 0, got $t"))
+    val total = rows.head.getAs[Double]("psi_total")
+    assert(math.abs(terms.sum - total) < 1e-5)
+    // empty bins carry the 0.5-count continuity correction, so each sum
+    // may exceed 1 by up to bins·0.5/n — never fall below 1
+    val slack = rows.length * 0.5 / 100.0
+    val sa = rows.map(_.getAs[Double]("pa")).sum
+    val sb = rows.map(_.getAs[Double]("pb")).sum
+    assert(sa >= 1.0 - 1e-9 && sa <= 1.0 + slack, s"pa sum $sa")
+    assert(sb >= 1.0 - 1e-9 && sb <= 1.0 + slack, s"pb sum $sb")
+  }
+}
