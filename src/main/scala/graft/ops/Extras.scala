@@ -861,6 +861,46 @@ object Extras {
         .orderBy(col("doc_id"))
     },
 
+    // ---- per-key map extremes + bounded distinct collect (minMap /
+    //      maxMap / groupUniqArray(N) parity) ----
+    // q171 covers sumMap (per-key additive merge); these are the lattice
+    // forms — per event type the min and max value seen by each user —
+    // plus the bounded distinct collect (first 3 types in sorted order,
+    // so the "any N" contract is deterministic). Values render through
+    // DECIMAL(12,2) so both engines print identical scale. One hash
+    // aggregate per level, map-side combinable.
+    Q("q209_map_extremes",
+      """WITH c AS (SELECT user_id, event_type,
+        |    CAST(min(value) AS DECIMAL(12,2)) AS mn,
+        |    CAST(max(value) AS DECIMAL(12,2)) AS mx
+        |  FROM events GROUP BY user_id, event_type)
+        |SELECT user_id,
+        |  string_agg(event_type || ':' || mn, ',' ORDER BY event_type)
+        |    AS min_map,
+        |  string_agg(event_type || ':' || mx, ',' ORDER BY event_type)
+        |    AS max_map,
+        |  array_to_string(list_sort(list(DISTINCT event_type))[1:3], ',')
+        |    AS first3_types
+        |FROM c GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+      graft.schema.Tables.t(s, dir, "events")
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(min(col("value")).cast("decimal(12,2)").as("mn"),
+          max(col("value")).cast("decimal(12,2)").as("mx"))
+        .groupBy(col("user_id"))
+        .agg(
+          expr("""array_join(transform(array_sort(
+                 |  collect_list(struct(event_type, mn))),
+                 |  e -> concat(e.event_type, ':', CAST(e.mn AS STRING))), ',')"""
+            .stripMargin).as("min_map"),
+          expr("""array_join(transform(array_sort(
+                 |  collect_list(struct(event_type, mx))),
+                 |  e -> concat(e.event_type, ':', CAST(e.mx AS STRING))), ',')"""
+            .stripMargin).as("max_map"),
+          expr("array_join(slice(array_sort(collect_set(event_type)), 1, 3), ',')")
+            .as("first3_types"))
+        .orderBy(col("user_id"))
+    },
+
     // ---- next node after a matched anchor (sequenceNextNode parity) ----
     // ClickHouse's sequenceNextNode(forward, head)(ts, event_type, cond):
     // the event that FOLLOWS the first matching anchor in each user's
