@@ -150,6 +150,69 @@ object ModelEval {
         round((col("pa") - col("pb")) * log(col("pa") / col("pb")), 9).as("term"))
       val total = terms.agg(round(sum(col("term")), 6).as("psi_total"))
       terms.crossJoin(broadcast(total)).orderBy(col("b"))
+    },
+
+    // ---- gradient-descent training rounds (stochasticLinearRegression
+    //      parity, deterministic full-batch form) ----
+    // Three GD rounds fitting price ≈ w·quantity + b on normalized
+    // lineitem columns — the TRAINING-step shape (ClickHouse's
+    // stochasticLinearRegression aggregate), distinct from q173's
+    // closed-form regr_*. Determinism is the q125 power-iteration
+    // discipline verbatim: each round's gradient sums run through
+    // per-row DECIMAL(38,12) quantization (partial-agg order cannot
+    // wiggle a bit), the (w, b) state re-enters the next round
+    // 9dp-rounded, and the whole 3-round chain is oracle-checked with
+    // zero driver arithmetic (the state stays in 1-row frames; the
+    // oracle chains the same rounds as CTEs). Scale shape per round:
+    // one broadcast of the 1-row state + one map-side-combined corpus
+    // aggregate — the vectors never shuffle. At 100 TB each round is
+    // one pass; mini-batching is a WHERE on a hash of the row id.
+    Q("q210_gd_linreg", {
+      val rounds = (1 to 3).map { k =>
+        s"""g$k AS (SELECT
+           |    sum(CAST(x * (w * x + b - y) AS DECIMAL(38,12))) AS gw,
+           |    sum(CAST(w * x + b - y AS DECIMAL(38,12))) AS gb,
+           |    count(*) AS n
+           |  FROM d, s${k - 1}),
+           |s$k AS (SELECT
+           |    round(w - 0.5 * CAST(gw AS DOUBLE) / n, 9) AS w,
+           |    round(b - 0.5 * CAST(gb AS DOUBLE) / n, 9) AS b
+           |  FROM g$k, s${k - 1})""".stripMargin
+      }.mkString(",\n")
+      s"""WITH d AS (SELECT CAST(l_quantity AS DOUBLE) / 50 AS x,
+         |    CAST(l_extendedprice AS DOUBLE) / 100000 AS y
+         |  FROM lineitem),
+         |s0 AS (SELECT CAST(0.0 AS DOUBLE) AS w, CAST(0.0 AS DOUBLE) AS b),
+         |$rounds,
+         |m AS (SELECT sum(CAST(pow(w * x + b - y, 2) AS DECIMAL(38,12))) AS sq,
+         |    count(*) AS n
+         |  FROM d, s3)
+         |SELECT w, b, round(CAST(sq AS DOUBLE) / n, 6) AS mse,
+         |  CAST(n AS BIGINT) AS n
+         |FROM s3, m""".stripMargin
+    }) { (s, dir) =>
+      val d = t(s, dir, "lineitem")
+        .select((col("l_quantity").cast("double") / 50).as("x"),
+          (col("l_extendedprice").cast("double") / 100000).as("y"))
+      val dec = "decimal(38,12)"
+      def resid = col("w") * col("x") + col("b") - col("y")
+      var st = s.range(1).select(lit(0.0).as("w"), lit(0.0).as("b"))
+      for (_ <- 1 to 3) {
+        val g = d.crossJoin(broadcast(st))
+          .agg(sum((col("x") * resid).cast(dec)).as("gw"),
+            sum(resid.cast(dec)).as("gb"), count(lit(1)).as("n"))
+        st = g.crossJoin(broadcast(st)).select(
+          round(col("w") - lit(0.5) * col("gw").cast("double") / col("n"), 9)
+            .as("w"),
+          round(col("b") - lit(0.5) * col("gb").cast("double") / col("n"), 9)
+            .as("b"))
+      }
+      val m = d.crossJoin(broadcast(st))
+        .agg(sum(pow(resid, 2).cast(dec)).as("sq"), count(lit(1)).as("n"))
+      st.crossJoin(broadcast(m))
+        .select(col("w"), col("b"),
+          round(col("sq").cast("double") / col("n"), 6).as("mse"),
+          col("n").cast("long").as("n"))
     }
   )
 }

@@ -73,4 +73,34 @@ class ModelEvalSpec extends SparkSpec {
     assert(sa >= 1.0 - 1e-9 && sa <= 1.0 + slack, s"pa sum $sa")
     assert(sb >= 1.0 - 1e-9 && sb <= 1.0 + slack, s"pb sum $sb")
   }
+
+  test("q210: GD matches a sequential recompute, reduces loss, moves toward the OLS slope") {
+    val row = q("q210_gd_linreg").collect().head
+    val (w, b) = (row.getAs[Double]("w"), row.getAs[Double]("b"))
+    val data = graft.schema.Tables.t(spark, sf001, "lineitem")
+      .select(col("l_quantity").cast("double") / 50, col("l_extendedprice").cast("double") / 100000)
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    val n = data.length.toDouble
+    def mse(wk: Double, bk: Double): Double =
+      data.map { case (x, y) => math.pow(wk * x + bk - y, 2) }.sum / n
+    var (ws, bs) = (0.0, 0.0)
+    var losses = List(mse(ws, bs))
+    for (_ <- 1 to 3) {
+      val gw = data.map { case (x, y) => x * (ws * x + bs - y) }.sum
+      val gb = data.map { case (x, y) => ws * x + bs - y }.sum
+      ws = BigDecimal(ws - 0.5 * gw / n).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      bs = BigDecimal(bs - 0.5 * gb / n).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      losses ::= mse(ws, bs)
+    }
+    assert(math.abs(w - ws) < 1e-6 && math.abs(b - bs) < 1e-6,
+      s"distributed ($w, $b) != sequential ($ws, $bs)")
+    // full-batch GD with a sane step must descend every round here
+    losses.reverse.sliding(2).foreach { case List(l0, l1) =>
+      assert(l1 < l0, s"loss went up: $l0 -> $l1")
+    case _ => ()
+    }
+    assert(math.abs(row.getAs[Double]("mse") - mse(ws, bs)) < 1e-6)
+    // price grows with quantity: the learned slope must be positive like OLS's
+    assert(w > 0.0)
+  }
 }
