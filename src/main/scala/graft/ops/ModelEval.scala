@@ -57,14 +57,13 @@ object ModelEval {
       val g = e.groupBy(col("v"))
         .agg(count(lit(1)).as("cnt"), sum(col("y")).as("pos"))
       val parts = s.conf.get("spark.sql.shuffle.partitions").toInt
-      val ct = Skew.globalRunningSum(g, Seq(col("v")), col("cnt"), parts, "cumt")
-        .select(col("v"), col("cumt"))
-      val cp = Skew.globalRunningSum(g, Seq(col("v")), col("pos"), parts, "cump")
-        .select(col("v"), col("cump"), col("cnt"), col("pos"))
+      // both prefixes in ONE stitch (one boundary sample, one exchange)
+      val cums = Skew.globalRunningSums(g, Seq(col("v")),
+        Seq(col("cnt") -> "cumt", col("pos") -> "cump"), parts)
       val n = g.agg(sum(col("pos")).as("np"), sum(col("cnt") - col("pos")).as("nn"))
       val tp = col("np") - col("cump") + col("pos")
       val fp = col("nn") - (col("cumt") - col("cump")) + (col("cnt") - col("pos"))
-      ct.join(cp, Seq("v")).crossJoin(broadcast(n))
+      cums.crossJoin(broadcast(n))
         .select(col("v").as("thr"),
           tp.cast("long").as("tp"),
           (col("cump") - col("pos")).cast("long").as("fn"),

@@ -60,8 +60,8 @@ object Skew {
       order: Seq[Column],
       numPartitions: Int,
       outCol: String = "rn"): DataFrame =
-    stitch(df, Seq.empty, order, numPartitions, value = None,
-      rowNumCol = Some(outCol), sumCol = None)
+    stitch(df, Seq.empty, order, numPartitions, sums = Seq.empty,
+      rowNumCol = Some(outCol))
 
   /** Global running sum (ROWS UNBOUNDED PRECEDING … CURRENT ROW over the
     * whole frame) without a single-partition window — the weighted-rank
@@ -74,8 +74,23 @@ object Skew {
       value: Column,
       numPartitions: Int,
       outCol: String = "cum"): DataFrame =
-    stitch(df, Seq.empty, order, numPartitions, value = Some(value),
-      rowNumCol = None, sumCol = Some(outCol))
+    stitch(df, Seq.empty, order, numPartitions, sums = Seq(value -> outCol),
+      rowNumCol = None)
+
+  /** Several running sums in ONE stitch: the ECDF/prefix consumers that
+    * need two cumulative columns (q205's total+positive counts, q206's
+    * total+label counts) would otherwise pay the boundary sample and the
+    * (bucket, group) exchange twice — once per column — for prefixes over
+    * the SAME ordering. Values must cast to LONG; `order` must be total. */
+  def globalRunningSums(
+      df: DataFrame,
+      order: Seq[Column],
+      values: Seq[(Column, String)],
+      numPartitions: Int): DataFrame = {
+    require(values.nonEmpty, "values must be non-empty")
+    stitch(df, Seq.empty, order, numPartitions, sums = values,
+      rowNumCol = None)
+  }
 
   /** Per-group row numbering without `Window.partitionBy(group)` — with a
     * LOW-cardinality group key (a training corpus has ~20 sources), a
@@ -89,8 +104,8 @@ object Skew {
       numPartitions: Int,
       outCol: String = "rn"): DataFrame = {
     require(group.nonEmpty, "group must be non-empty (use globalRowNumber)")
-    stitch(df, group, order, numPartitions, value = None,
-      rowNumCol = Some(outCol), sumCol = None)
+    stitch(df, group, order, numPartitions, sums = Seq.empty,
+      rowNumCol = Some(outCol))
   }
 
   /** Running sum of `value` within each group (ROWS UNBOUNDED PRECEDING …
@@ -104,8 +119,8 @@ object Skew {
       numPartitions: Int,
       outCol: String = "cum"): DataFrame = {
     require(group.nonEmpty, "group must be non-empty (use globalRowNumber)")
-    stitch(df, group, order, numPartitions, value = Some(value),
-      rowNumCol = None, sumCol = Some(outCol))
+    stitch(df, group, order, numPartitions, sums = Seq(value -> outCol),
+      rowNumCol = None)
   }
 
   private case class SortKey(c: Column, desc: Boolean, nullsFirst: Boolean) {
@@ -132,12 +147,13 @@ object Skew {
       group: Seq[String],
       order: Seq[Column],
       numPartitions: Int,
-      value: Option[Column],
-      rowNumCol: Option[String],
-      sumCol: Option[String]): DataFrame = {
+      sums: Seq[(Column, String)],
+      rowNumCol: Option[String]): DataFrame = {
     require(numPartitions > 0, "numPartitions must be positive")
-    val reserved = Seq("__val", "__bucket", "__rn_off", "__sum_off",
-      "__off_bucket") ++ group.map(g => s"__off_$g")
+    val si = sums.indices
+    val reserved = Seq("__bucket", "__rn_off", "__off_bucket") ++
+      si.flatMap(i => Seq(s"__val_$i", s"__sum_off_$i")) ++
+      group.map(g => s"__off_$g")
     require(!df.columns.exists(reserved.contains),
       s"input must not carry the stitch's working columns ${reserved.mkString(", ")}")
     val groupCols = group.map(col)
@@ -156,15 +172,17 @@ object Skew {
         s"stitch keys must be atomic (orderable + literal-encodable) types, got $dt")
     }
     val bounds = sampleBoundaries(df, keys, numPartitions)
-    val withB = df
-      .withColumn("__val", value.getOrElse(lit(1L)).cast("long"))
+    val withB = sums.zipWithIndex.foldLeft(df) { case (acc, ((v, _), i)) =>
+        acc.withColumn(s"__val_$i", v.cast("long"))
+      }
       .withColumn("__bucket", bucketExpr(keys, bounds, keyTypes))
     // per-(bucket, group) totals: a map-side-combined aggregate of ≤
     // (|bounds|+1) + |groups| − 1 rows (groups are bucket-contiguous)
+    val sliceAggs = count(lit(1)).as("__cnt") +:
+      si.map(i => coalesce(sum(col(s"__val_$i")), lit(0L)).as(s"__sum_$i"))
     val slices = withB
       .groupBy(col("__bucket") +: groupCols: _*) // groupBy keeps NULL groups
-      .agg(count(lit(1)).as("__cnt"),
-        coalesce(sum(col("__val")), lit(0L)).as("__sum"))
+      .agg(sliceAggs.head, sliceAggs.tail: _*)
     // exclusive prefix per group over buckets, WITHOUT a window: a
     // per-group window here would be 1-ary-partitioned (the exact
     // low-cardinality shape the engine exists to kill — even if only over
@@ -179,20 +197,23 @@ object Skew {
     // regular partition, and a plain equi-join would silently drop those
     // rows.
     val prior = slices.select(
-      col("__bucket").as("__pb") +:
+      (col("__bucket").as("__pb") +:
         group.map(g => col(g).as(s"__pg_$g")) :+
-        col("__cnt").as("__pc") :+ col("__sum").as("__ps"): _*)
+        col("__cnt").as("__pc")) ++
+        si.map(i => col(s"__sum_$i").as(s"__ps_$i")): _*)
     val priorCond = group.map(g => col(g) <=> col(s"__pg_$g"))
       .foldLeft(col("__pb") < col("__bucket"))(_ && _)
+    val offAggs = coalesce(sum(col("__pc")), lit(0L)).as("__rn_off") +:
+      si.map(i => coalesce(sum(col(s"__ps_$i")), lit(0L)).as(s"__sum_off_$i"))
     val offsets = slices
       .join(broadcast(prior), priorCond, "left")
       .groupBy(col("__bucket") +: groupCols: _*)
-      .agg(coalesce(sum(col("__pc")), lit(0L)).as("__rn_off"),
-        coalesce(sum(col("__ps")), lit(0L)).as("__sum_off"))
+      .agg(offAggs.head, offAggs.tail: _*)
       .select(
-        col("__bucket").as("__off_bucket") +:
+        (col("__bucket").as("__off_bucket") +:
           group.map(g => col(g).as(s"__off_$g")) :+
-          col("__rn_off") :+ col("__sum_off"): _*)
+          col("__rn_off")) ++
+          si.map(i => col(s"__sum_off_$i")): _*)
     val joinCond = ((col("__bucket") === col("__off_bucket")) +:
       group.map(g => col(g) <=> col(s"__off_$g"))).reduce(_ && _)
     val w = Window
@@ -202,13 +223,14 @@ object Skew {
     rowNumCol.foreach { c =>
       res = res.withColumn(c, row_number().over(w) + col("__rn_off"))
     }
-    sumCol.foreach { c =>
-      res = res.withColumn(c,
-        sum(col("__val")).over(
+    sums.zipWithIndex.foreach { case ((_, outCol), i) =>
+      res = res.withColumn(outCol,
+        sum(col(s"__val_$i")).over(
           w.rowsBetween(Window.unboundedPreceding, Window.currentRow)) +
-          col("__sum_off"))
+          col(s"__sum_off_$i"))
     }
-    res.drop("__bucket", "__rn_off", "__sum_off", "__val")
+    res.drop(Seq("__bucket", "__rn_off") ++
+      si.flatMap(i => Seq(s"__sum_off_$i", s"__val_$i")): _*)
   }
 
   /** Sampled boundary key tuples, ascending in the key order — the same

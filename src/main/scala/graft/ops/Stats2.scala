@@ -532,15 +532,12 @@ object Stats2 {
       val g = e.groupBy(col("v"))
         .agg(count(lit(1)).as("cnt"), sum(col("isa")).as("ca"))
       val parts = s.conf.get("spark.sql.shuffle.partitions").toInt
-      // the stitch engine sums one value column per pass, so the two
-      // prefixes (total, A) are two stitches over the SAME distinct-value
-      // frame joined back on v — cumB then costs nothing (cumt − cuma)
-      val ct = Skew.globalRunningSum(g, Seq(col("v")), col("cnt"), parts, "cumt")
-        .select(col("v"), col("cumt"))
-      val caR = Skew.globalRunningSum(g, Seq(col("v")), col("ca"), parts, "cuma")
-        .select(col("v"), col("cuma"))
+      // BOTH prefixes (total, A) ride ONE stitch — one boundary sample,
+      // one (bucket) exchange; cumB then costs nothing (cumt − cuma)
+      val cums = Skew.globalRunningSums(g, Seq(col("v")),
+        Seq(col("cnt") -> "cumt", col("ca") -> "cuma"), parts)
       val n = g.agg(sum(col("ca")).as("na"), sum(col("cnt") - col("ca")).as("nb"))
-      val r = ct.join(caR, Seq("v")).crossJoin(broadcast(n))
+      val r = cums.crossJoin(broadcast(n))
       val d = r.agg(max(abs(col("cuma") * col("nb")
         - (col("cumt") - col("cuma")) * col("na"))).as("dnum"))
       val naD = col("na").cast("double"); val nbD = col("nb").cast("double")
