@@ -231,6 +231,40 @@ class ScaleTechniquesSpec extends SparkSpec {
     }
     }
 
+  test("property: multi-value stitch matches two windows AND the single-value engine") {
+    val s = spark
+    import s.implicits._
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val W = org.apache.spark.sql.expressions.Window
+    // two value columns carried through ONE stitch (q205/q206's shape);
+    // duplicates in the key force tiebreaker healing across bucket edges
+    val listGen = Gen.listOfN(70, Gen.choose(0, 11))
+    (0 until 8).foreach { i =>
+      val vals = listGen.pureApply(Gen.Parameters.default, Seed(23L + i))
+      val nPart = 1 + i % 6
+      val df = vals.zipWithIndex
+        .map { case (v, idx) => (v, idx.toLong, (idx % 5 + 1).toLong, (idx % 3).toLong) }
+        .toDF("v", "idx", "a", "b")
+      val order = Seq($"v".asc, $"idx".asc)
+      val w = W.orderBy(order: _*).rowsBetween(W.unboundedPreceding, W.currentRow)
+      def dump(d: org.apache.spark.sql.DataFrame, cs: Seq[String]) =
+        d.select("idx", cs: _*).collect()
+          .map(r => (r.getLong(0), cs.indices.map(j => r.getLong(j + 1)).toList))
+          .sortBy(_._1).toSeq
+      val exp = dump(df
+        .withColumn("ca", sum($"a").over(w))
+        .withColumn("cb", sum($"b").over(w)), Seq("ca", "cb"))
+      val got = dump(Skew.globalRunningSums(df, order,
+        Seq($"a" -> "ca", $"b" -> "cb"), nPart), Seq("ca", "cb"))
+      assert(got == exp, s"multi-sum diverges from windows at case $i (nPart=$nPart)")
+      // and from the single-value engine run twice
+      val one = dump(Skew.globalRunningSum(df, order, $"a", nPart, "ca"), Seq("ca"))
+      assert(got.map { case (idx, l) => (idx, List(l.head)) } == one,
+        s"multi-sum first column diverges from the single-value engine at case $i")
+    }
+  }
+
   test("stitch construction is lazy: no shuffle, no pinned blocks, bounded jobs") {
     val s = spark
     // Round-9 contract (VERDICT r8 tasks 1/5/7): the stitch's bucket ids
