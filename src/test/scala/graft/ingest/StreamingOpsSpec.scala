@@ -291,6 +291,39 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("session window with a DYNAMIC per-event gap (expression gap, Spark 3.2+)") {
+    val s = spark
+    import s.implicits._
+    val mem = MemoryStream[Ev](s)
+    // gap depends on the row: v = 1 → 30-minute gap, else 5-minute — the
+    // "heavy users idle longer" policy a fixed-gap session can't express
+    val gap = when(col("value") === 1.0, lit("30 minutes"))
+      .otherwise(lit("5 minutes"))
+    val agg = mem.toDF()
+      .withWatermark("ts", "2 hours")
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("session_window.start").as("st"), col("n"))
+    val q = agg.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("dynsess_out").start()
+    try {
+      // user 1 (v=1, 30-min gap): events 20 min apart MERGE into one session
+      // user 2 (v=0, 5-min gap): the same spacing SPLITS into two sessions
+      mem.addData(Ev(ts(0), 1, 1), Ev(ts(20), 1, 1),
+        Ev(ts(0), 2, 0), Ev(ts(20), 2, 0))
+      q.processAllAvailable()
+      mem.addData(Ev(Timestamp.valueOf("2024-01-01 14:00:00"), 9, 0))
+      q.processAllAvailable()
+      mem.addData(Ev(Timestamp.valueOf("2024-01-01 14:01:00"), 9, 0))
+      q.processAllAvailable()
+      val rows = s.table("dynsess_out").where("user_id IN (1, 2)")
+        .orderBy("user_id", "st").collect()
+        .map(r => (r.getLong(0), r.getLong(2)))
+      assert(rows.toSeq == Seq((1L, 2L), (2L, 1L), (2L, 1L)),
+        s"dynamic gap sessions wrong: ${rows.toSeq}")
+    } finally q.stop()
+  }
+
   test("stream-static join: enrich a stream against a batch dimension") {
     val s = spark
     import s.implicits._
