@@ -212,6 +212,88 @@ object ModelEval {
         .select(col("w"), col("b"),
           round(col("sq").cast("double") / col("n"), 6).as("mse"),
           col("n").cast("long").as("n"))
+    },
+
+    // ---- logistic-regression GD rounds (stochasticLogisticRegression
+    //      parity) ----
+    // q210's loop with a sigmoid residual, predicting purchase from the
+    // normalized score. The extra hazard over q210, handled explicitly:
+    // exp() is NOT bit-portable across libm implementations (the q208
+    // ln() lesson), so the per-row sigmoid is rounded to 6dp BEFORE the
+    // DECIMAL(38,12) gradient quantization — a 1-ulp exp() divergence
+    // flips a 6dp rounding only within ~2 ulp of a half-way point
+    // (~2e-10 per row per round; ~4e-4 expected flips across the whole
+    // 3-round suite at sf0.1). Everything else is the q125/q210
+    // discipline: exact quantized gradient sums, 9dp state re-entry,
+    // zero driver arithmetic, oracle rounds generated by the same loop.
+    // Output: the trained (w, b), exact threshold-0.5 accuracy counts
+    // (integer — the rounded sigmoids compare identically), and the
+    // mean log-loss (per-row 6dp-rounded ln terms, exact DECIMAL mean).
+    Q("q211_gd_logreg", {
+      val rounds = (1 to 3).map { k =>
+        s"""p$k AS (SELECT x, y,
+           |    round(1.0 / (1.0 + exp(-(w * x + b))), 6) AS p
+           |  FROM d, s${k - 1}),
+           |g$k AS (SELECT
+           |    sum(CAST(x * (p - y) AS DECIMAL(38,12))) AS gw,
+           |    sum(CAST(p - y AS DECIMAL(38,12))) AS gb,
+           |    count(*) AS n
+           |  FROM p$k),
+           |s$k AS (SELECT
+           |    round(w - 2.0 * CAST(gw AS DOUBLE) / n, 9) AS w,
+           |    round(b - 2.0 * CAST(gb AS DOUBLE) / n, 9) AS b
+           |  FROM g$k, s${k - 1})""".stripMargin
+      }.mkString(",\n")
+      s"""WITH d AS (SELECT CAST(value AS DOUBLE) / 500 AS x,
+         |    CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END AS y
+         |  FROM events),
+         |s0 AS (SELECT CAST(0.0 AS DOUBLE) AS w, CAST(0.0 AS DOUBLE) AS b),
+         |$rounds,
+         |pf AS (SELECT x, y,
+         |    round(1.0 / (1.0 + exp(-(w * x + b))), 6) AS p
+         |  FROM d, s3),
+         |m AS (SELECT
+         |    sum(CASE WHEN (p > 0.5) = (y = 1.0) THEN 1 ELSE 0 END) AS correct,
+         |    sum(CAST(round(-(y * ln(p) + (1 - y) * ln(1 - p)), 6)
+         |        AS DECIMAL(38,12))) AS ll,
+         |    count(*) AS n
+         |  FROM pf)
+         |SELECT w, b, CAST(correct AS BIGINT) AS correct,
+         |  CAST(n AS BIGINT) AS n,
+         |  round(CAST(ll AS DOUBLE) / n, 6) AS logloss
+         |FROM s3, m""".stripMargin
+    }) { (s, dir) =>
+      val d = t(s, dir, "events")
+        .select((col("value").cast("double") / 500).as("x"),
+          when(col("event_type") === "purchase", lit(1.0)).otherwise(lit(0.0))
+            .as("y"))
+      val dec = "decimal(38,12)"
+      def sig = round(lit(1.0) / (lit(1.0)
+        + exp(-(col("w") * col("x") + col("b")))), 6)
+      var st = s.range(1).select(lit(0.0).as("w"), lit(0.0).as("b"))
+      for (_ <- 1 to 3) {
+        val p = d.crossJoin(broadcast(st)).withColumn("p", sig)
+        val g = p.agg(
+          sum((col("x") * (col("p") - col("y"))).cast(dec)).as("gw"),
+          sum((col("p") - col("y")).cast(dec)).as("gb"),
+          count(lit(1)).as("n"))
+        st = g.crossJoin(broadcast(st)).select(
+          round(col("w") - lit(2.0) * col("gw").cast("double") / col("n"), 9)
+            .as("w"),
+          round(col("b") - lit(2.0) * col("gb").cast("double") / col("n"), 9)
+            .as("b"))
+      }
+      val pf = d.crossJoin(broadcast(st)).withColumn("p", sig)
+      val m = pf.agg(
+        sum(when((col("p") > 0.5) === (col("y") === 1.0), lit(1))
+          .otherwise(lit(0))).as("correct"),
+        sum(round(-(col("y") * log(col("p"))
+          + (lit(1) - col("y")) * log(lit(1) - col("p"))), 6).cast(dec)).as("ll"),
+        count(lit(1)).as("n"))
+      st.crossJoin(broadcast(m))
+        .select(col("w"), col("b"), col("correct").cast("long").as("correct"),
+          col("n").cast("long").as("n"),
+          round(col("ll").cast("double") / col("n"), 6).as("logloss"))
     }
   )
 }

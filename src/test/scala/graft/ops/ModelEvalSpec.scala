@@ -103,4 +103,35 @@ class ModelEvalSpec extends SparkSpec {
     // price grows with quantity: the learned slope must be positive like OLS's
     assert(w > 0.0)
   }
+
+  test("q211: logistic GD matches a sequential recompute; loss and accuracy sane") {
+    val row = q("q211_gd_logreg").collect().head
+    val (w, b) = (row.getAs[Double]("w"), row.getAs[Double]("b"))
+    val data = graft.schema.Tables.t(spark, sf001, "events")
+      .select(col("value").cast("double") / 500,
+        (col("event_type") === "purchase").cast("double"))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    val n = data.length.toDouble
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r9(x: Double) =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    var (ws, bs) = (0.0, 0.0)
+    for (_ <- 1 to 3) {
+      val ps = data.map { case (x, _) => r6(1.0 / (1.0 + math.exp(-(ws * x + bs)))) }
+      val gw = data.zip(ps).map { case ((x, y), p) => x * (p - y) }.sum
+      val gb = data.zip(ps).map { case ((_, y), p) => p - y }.sum
+      ws = r9(ws - 2.0 * gw / n)
+      bs = r9(bs - 2.0 * gb / n)
+    }
+    assert(math.abs(w - ws) < 1e-6 && math.abs(b - bs) < 1e-6,
+      s"distributed ($w, $b) != sequential ($ws, $bs)")
+    val correct = row.getAs[Long]("correct")
+    // ~20% of events are purchases: predicting "not purchase" everywhere
+    // is ~80% accurate; the trained model must not be WORSE than chance
+    // around that majority rate, and log-loss must beat the w=b=0 ln(2)
+    assert(correct >= (0.7 * n).toLong, s"accuracy ${correct / n} degenerate")
+    assert(row.getAs[Double]("logloss") < math.log(2.0),
+      s"log-loss ${row.getAs[Double]("logloss")} no better than the zero model")
+  }
 }
