@@ -1151,6 +1151,74 @@ object VectorSearch {
         .join(thirdDirection(s, dir)
           .select(col("pos"), round(col("v"), 6).as("loading3")), Seq("pos"))
         .orderBy(col("pos"))
+    },
+
+    // ---- farthest-point (k-center greedy) diverse seed selection ----
+    // Five maximally-spread exemplars under cosine distance — the
+    // deterministic diversity-sampling primitive behind coreset picks and
+    // k-means++-style seeding (greedy 2-approximation to the k-center
+    // objective). Like q204's LTTB, the selection is sequential with
+    // CONSTANT depth (each pick anchors the next round's max-min), so it
+    // unrolls into 4 corpus-parallel rounds: anti-join away the chosen
+    // ids, broadcast the ≤5 chosen vectors, per-vector min distance, one
+    // argmax (max-min distance, earliest id on ties). Distances are
+    // 9dp-rounded cosines via the native sequential-fold `graft_dot` —
+    // per-row bit-identical to the oracle's list_sum (the q132 note), so
+    // the argmax needs no tolerance. Per-round winners localCheckpoint
+    // (1 row — the q204 lineage rule). At 100 TB each round is one pass.
+    Q("q212_kcenter_seeds", {
+      def cosSql(a: String, b: String) =
+        s"""(list_sum(list_transform(range(1, len($a) + 1),
+           |    i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))
+           | / (sqrt(list_sum(list_transform(range(1, len($a) + 1),
+           |    i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE))))
+           |  * sqrt(list_sum(list_transform(range(1, len($b) + 1),
+           |    i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))))))""".stripMargin
+      val rounds = (2 to 5).map { k =>
+        s"""cand${k - 1} AS (SELECT e.vec_id, e.embedding,
+           |    min(1 - round(${cosSql("e.embedding", "c.embedding")}, 9)) AS md
+           |  FROM embeddings e, c${k - 1} c
+           |  WHERE e.vec_id NOT IN (SELECT vec_id FROM c${k - 1})
+           |  GROUP BY e.vec_id, e.embedding),
+           |w${k - 1} AS (SELECT max(struct_pack(md := md, ni := -vec_id,
+           |    emb := embedding)) AS w FROM cand${k - 1}),
+           |c$k AS (SELECT * FROM c${k - 1}
+           |  UNION ALL SELECT $k, -(w['ni']), w['emb'], w['md'] FROM w${k - 1})"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH c1 AS (SELECT 1 AS rank, vec_id, embedding,
+         |    CAST(NULL AS DOUBLE) AS sel_d
+         |  FROM embeddings
+         |  WHERE vec_id = (SELECT min(vec_id) FROM embeddings)),
+         |$rounds
+         |SELECT CAST(rank AS BIGINT) AS rank, CAST(vec_id AS BIGINT) AS vec_id,
+         |  sel_d
+         |FROM c5 ORDER BY rank""".stripMargin
+    }) { (s, dir) =>
+      val emb = embTable(s, dir).select(col("vec_id"), col("embedding"))
+      val cosC = round(dotExpr("embedding", "ce")
+        / (normExpr("embedding") * normExpr("ce")), 9)
+      var chosen = emb.orderBy(col("vec_id")).limit(1)
+        .select(lit(1L).as("rank"), col("vec_id"), col("embedding"),
+          lit(null).cast("double").as("sel_d"))
+        .localCheckpoint()
+      for (k <- 2 to 5) {
+        val cand = emb
+          .join(chosen.select(col("vec_id")), Seq("vec_id"), "left_anti")
+          .crossJoin(broadcast(chosen.select(col("embedding").as("ce"))))
+          .select(col("vec_id"), col("embedding"), (lit(1.0) - cosC).as("d"))
+          .groupBy(col("vec_id"), col("embedding")).agg(min(col("d")).as("md"))
+        val w = cand
+          .agg(max(struct(col("md"), (-col("vec_id")).as("ni"),
+            col("embedding").as("emb"))).as("w"))
+          .select(lit(k.toLong).as("rank"), (-col("w.ni")).as("vec_id"),
+            col("w.emb").as("embedding"), col("w.md").as("sel_d"))
+          .localCheckpoint()
+        chosen = chosen.unionByName(w).localCheckpoint()
+      }
+      chosen.select(col("rank").cast("long").as("rank"),
+          col("vec_id").cast("long").as("vec_id"), col("sel_d"))
+        .orderBy(col("rank"))
     }
   )
 
