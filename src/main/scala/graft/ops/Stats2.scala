@@ -549,6 +549,58 @@ object Stats2 {
           round(dD, 6).as("d"),
           round(lit(2) * (exp(lit(-2) * pow(lam, 2))
             - exp(lit(-8) * pow(lam, 2))), 6).as("p_approx"))
+    },
+
+    // ---- fixed-grid timing quantiles (quantileTiming parity) ----
+    // ClickHouse's quantileTiming answers latency quantiles from a FIXED
+    // bucket grid (exact ms below 1024, a 16 ms grid to 30 s, clamp at
+    // 30 000), which makes the state bounded (≤ ~2 837 buckets) and
+    // perfectly mergeable at any corpus size — the histogram twin of
+    // q166's sketch path, but with DETERMINISTIC values. Input: per-user
+    // inter-event gaps in ms (lag over the per-user stream). The grid is
+    // stated identically in the oracle; quantile = smallest bucket whose
+    // cumulative count reaches ceil(q·n) — all exact integers. The
+    // cumulatives ride the stitched prefix for engine consistency even
+    // though the grid is bounded. Latency source: a synthetic per-event
+    // request latency (value×10 ms, spanning both the exact-ms and the
+    // 16 ms-grid regions of the grid).
+    Q("q213_quantile_timing",
+      """WITH gaps AS (SELECT CAST(floor(value * 10) AS BIGINT) AS ms FROM events),
+        |b AS (SELECT CASE WHEN ms < 1024 THEN ms
+        |    WHEN ms <= 30000 THEN (ms // 16) * 16
+        |    ELSE 30000 END AS bucket
+        |  FROM gaps WHERE ms IS NOT NULL),
+        |g AS (SELECT bucket, count(*) AS cnt FROM b GROUP BY 1),
+        |r AS (SELECT bucket, sum(cnt) OVER (ORDER BY bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM g),
+        |n AS (SELECT sum(cnt) AS n FROM g),
+        |qs AS (SELECT CAST(unnest([0.5, 0.9, 0.99]) AS DOUBLE) AS q)
+        |SELECT q, CAST(min(bucket) AS BIGINT) AS timing_ms,
+        |  CAST(n AS BIGINT) AS n
+        |FROM qs, r, n
+        |WHERE cum >= CAST(ceil(q * n) AS BIGINT)
+        |GROUP BY q, n
+        |ORDER BY q""".stripMargin) { (s, dir) =>
+      val gaps = t(s, dir, "events")
+        .select(floor(col("value") * 10).cast("long").as("ms"))
+        .filter(col("ms").isNotNull)
+      val bucket = when(col("ms") < 1024, col("ms"))
+        .when(col("ms") <= 30000, (col("ms") / lit(16L)).cast("long") * 16)
+        .otherwise(lit(30000L))
+      val g = gaps.select(bucket.as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
+      val parts = s.conf.get("spark.sql.shuffle.partitions").toInt
+      val r = Skew.globalRunningSum(g, Seq(col("bucket")), col("cnt"), parts, "cum")
+      val n = g.agg(sum(col("cnt")).as("n"))
+      val qs = s.range(1).select(explode(array(lit(0.5), lit(0.9), lit(0.99)))
+        .as("q"))
+      qs.crossJoin(r).crossJoin(broadcast(n))
+        .filter(col("cum") >= ceil(col("q") * col("n")).cast("long"))
+        .groupBy(col("q"), col("n"))
+        .agg(min(col("bucket")).cast("long").as("timing_ms"))
+        .select(col("q"), col("timing_ms"), col("n").cast("long").as("n"))
+        .orderBy(col("q"))
     }
   )
 }
