@@ -185,4 +185,27 @@ class Stats2Spec extends SparkSpec {
     assert(math.abs(d - dSeq) < 1e-6, s"query D $d vs sequential $dSeq")
     assert(row.getAs[Long]("d_num") == math.round(dSeq * na * nb))
   }
+
+  test("q213: quantiles monotone in q, on the grid, and match a sequential recompute") {
+    val rows = q("q213_quantile_timing").collect()
+      .map(r => (r.getAs[Double]("q"), r.getAs[Long]("timing_ms"), r.getAs[Long]("n")))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(0.5, 0.9, 0.99))
+    rows.map(_._2).sliding(2).foreach { case Array(a, b) => assert(b >= a) }
+    def onGrid(v: Long) =
+      v < 1024 || (v <= 30000 && v % 16 == 0) || v == 30000
+    rows.foreach { case (_, v, _) => assert(onGrid(v), s"$v off the timing grid") }
+    val ms = graft.schema.Tables.t(spark, sf001, "events")
+      .select(floor(col("value") * 10).cast("long").as("ms"))
+      .collect().map(_.getLong(0))
+      .map(m => if (m < 1024) m else if (m <= 30000) m / 16 * 16 else 30000L)
+      .sorted
+    rows.foreach { case (qq, v, n) =>
+      assert(n == ms.length)
+      val thr = math.ceil(qq * ms.length).toLong
+      // smallest bucket whose cumulative count reaches the threshold ==
+      // the thr-th order statistic of the bucketed values
+      assert(v == ms(thr.toInt - 1), s"q=$qq: $v != ${ms(thr.toInt - 1)}")
+    }
+  }
 }
