@@ -20,8 +20,10 @@ import org.apache.spark.sql.expressions.Aggregator
   * every item whose true total weight exceeds W/k, which licenses the
   * same two-pass exact top-N as q167: recount only the ≤2k candidates.
   *
-  * Weights must be non-negative; a zero-weight item still claims a
-  * counter slot until the next prune (harmless — the bound is on mass). */
+  * Non-positive weights add no mass, so they are skipped outright: the
+  * error bound only needs non-negative mass added, and at corpus scale
+  * one poisoned row must not abort the whole pass (the q192 try_*
+  * discipline). Callers wanting hard rejection pre-filter upstream. */
 case class MisraGriesWeighted(k: Int)(
     implicit bufEnc: Encoder[Map[String, Long]],
     outEnc: Encoder[Seq[String]])
@@ -31,9 +33,11 @@ case class MisraGriesWeighted(k: Int)(
   def zero: Map[String, Long] = Map.empty
 
   def reduce(b: Map[String, Long], in: (String, Long)): Map[String, Long] = {
-    require(in._2 >= 0L, s"negative weight for item '${in._1}'")
-    val b2 = b.updated(in._1, b.getOrElse(in._1, 0L) + in._2)
-    if (b2.size > 2 * k) prune(b2) else b2
+    if (in._2 <= 0L) b
+    else {
+      val b2 = b.updated(in._1, b.getOrElse(in._1, 0L) + in._2)
+      if (b2.size > 2 * k) prune(b2) else b2
+    }
   }
 
   def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] = {

@@ -838,12 +838,19 @@ object Extras {
            |  FROM g)
            |SELECT doc_id, n_a, n_b, inter,
            |  n_a + n_b - inter AS uni,
-           |  1 - CAST(inter AS DOUBLE) / CAST(n_a + n_b - inter AS DOUBLE) AS dist
+           |  CASE WHEN n_a + n_b - inter = 0 THEN CAST(0.0 AS DOUBLE)
+           |       ELSE 1 - CAST(inter AS DOUBLE)
+           |              / CAST(n_a + n_b - inter AS DOUBLE) END AS dist
            |FROM m ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      // Phrases shorter than 3 chars have NO trigram (matching the
+      // oracle's empty range) — without the guard, sequence(1,
+      // greatest(len-2,1)) would emit one truncated gram the oracle
+      // doesn't, and uni = 0 would make dist 0/0 (ADVICE r9).
       def grams(c: String) = expr(
-        s"""array_distinct(transform(
-           |  sequence(1, greatest(length($c) - 2, 1)),
-           |  i -> substring($c, i, 3)))""".stripMargin)
+        s"""CASE WHEN length($c) >= 3 THEN array_distinct(transform(
+           |    sequence(1, length($c) - 2),
+           |    i -> substring($c, i, 3)))
+           |  ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin)
       graft.schema.Tables.t(s, dir, "documents")
         .select(col("doc_id"),
           concat_ws(" ", slice(split(lower(trim(col("text"))), "\\s+"), 1, 5)).as("ha"),
@@ -855,9 +862,11 @@ object Extras {
           size(col("gb")).cast("long").as("n_b"),
           size(array_intersect(col("ga"), col("gb"))).cast("long").as("inter"))
         .select(col("doc_id"), col("n_a"), col("n_b"), col("inter"),
-          (col("n_a") + col("n_b") - col("inter")).as("uni"),
-          (lit(1) - col("inter").cast("double")
-            / (col("n_a") + col("n_b") - col("inter")).cast("double")).as("dist"))
+          (col("n_a") + col("n_b") - col("inter")).as("uni"))
+        .withColumn("dist",
+          when(col("uni") === 0, lit(0.0))
+            .otherwise(lit(1) - col("inter").cast("double")
+              / col("uni").cast("double")))
         .orderBy(col("doc_id"))
     },
 

@@ -249,12 +249,14 @@ object ModelEval {
          |  FROM events),
          |s0 AS (SELECT CAST(0.0 AS DOUBLE) AS w, CAST(0.0 AS DOUBLE) AS b),
          |$rounds,
-         |pf AS (SELECT x, y,
-         |    round(1.0 / (1.0 + exp(-(w * x + b))), 6) AS p
-         |  FROM d, s3),
+         |pf AS (SELECT x, y, p,
+         |    least(greatest(p, 0.000001), 0.999999) AS pc
+         |  FROM (SELECT x, y,
+         |      round(1.0 / (1.0 + exp(-(w * x + b))), 6) AS p
+         |    FROM d, s3)),
          |m AS (SELECT
          |    sum(CASE WHEN (p > 0.5) = (y = 1.0) THEN 1 ELSE 0 END) AS correct,
-         |    sum(CAST(round(-(y * ln(p) + (1 - y) * ln(1 - p)), 6)
+         |    sum(CAST(round(-(y * ln(pc) + (1 - y) * ln(1 - pc)), 6)
          |        AS DECIMAL(38,12))) AS ll,
          |    count(*) AS n
          |  FROM pf)
@@ -283,12 +285,18 @@ object ModelEval {
           round(col("b") - lit(2.0) * col("gb").cast("double") / col("n"), 9)
             .as("b"))
       }
+      // Clamp the 6dp-rounded sigmoid away from {0, 1} before the ln
+      // terms: at exactly 0/1 Spark's log() returns NULL (silently
+      // dropped from the sum) while DuckDB's ln() returns -inf — a
+      // data-dependent divergence (ADVICE r9). The clamp is stated
+      // identically in the oracle, so both engines see the same pc.
       val pf = d.crossJoin(broadcast(st)).withColumn("p", sig)
+        .withColumn("pc", least(greatest(col("p"), lit(1e-6)), lit(0.999999)))
       val m = pf.agg(
         sum(when((col("p") > 0.5) === (col("y") === 1.0), lit(1))
           .otherwise(lit(0))).as("correct"),
-        sum(round(-(col("y") * log(col("p"))
-          + (lit(1) - col("y")) * log(lit(1) - col("p"))), 6).cast(dec)).as("ll"),
+        sum(round(-(col("y") * log(col("pc"))
+          + (lit(1) - col("y")) * log(lit(1) - col("pc"))), 6).cast(dec)).as("ll"),
         count(lit(1)).as("n"))
       st.crossJoin(broadcast(m))
         .select(col("w"), col("b"), col("correct").cast("long").as("correct"),

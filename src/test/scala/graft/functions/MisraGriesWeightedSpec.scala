@@ -67,12 +67,17 @@ class MisraGriesWeightedSpec extends SparkSpec {
     assert(got == expected)
   }
 
-  test("negative weights are rejected") {
+  test("non-positive weights add no mass and do not abort the pass") {
     val s = spark
     import s.implicits._
     val mg = MisraGriesWeighted(4)
-    intercept[IllegalArgumentException] {
-      mg.reduce(mg.zero, ("bad", -1L))
-    }
+    // A poisoned row is a no-op, not a task-killing exception — at
+    // 100 TB one bad record must not abort the whole aggregation.
+    assert(mg.reduce(mg.zero, ("bad", -1L)) == mg.zero)
+    assert(mg.reduce(mg.zero, ("zero", 0L)) == mg.zero)
+    // Positive mass around a poisoned row is still counted exactly.
+    val b = Seq(("a", 5L), ("bad", -7L), ("a", 3L))
+      .foldLeft(mg.zero)(mg.reduce)
+    assert(b == Map("a" -> 8L))
   }
 }
