@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Q
+import graft.ops.Loops._
 
 /** Graph operators over the embedding corpus: kNN-graph construction
   * (the structure every graph-based curation step — connectivity pruning,
@@ -172,7 +173,7 @@ object GraphOps {
   def pagerank(nodes: DataFrame, edges: DataFrame, rounds: Int,
       teleportTo: Option[DataFrame] = None): DataFrame = {
     val (base, step) = prSetup(nodes, edges, teleportTo)
-    var pr = base.select(col("vec_id"), col("__pr0").as("pr")).localCheckpoint()
+    var pr = base.select(col("vec_id"), col("__pr0").as("pr")).pin()
     (1 to rounds).foreach(_ => pr = step(pr))
     pr
   }
@@ -204,7 +205,7 @@ object GraphOps {
             when(col("__in"), lit(0.15 / m)).otherwise(lit(0.0)).as("__tele"),
             when(col("__in"), round(lit(1.0 / m), 9)).otherwise(lit(0.0)).as("__pr0"))
     }
-    val base = flagged.localCheckpoint()
+    val base = flagged.pin()
     val step = (pr: DataFrame) => {
       val contrib = e2.join(pr.withColumnRenamed("vec_id", "src"), Seq("src"))
         .groupBy(col("dst"))
@@ -213,7 +214,7 @@ object GraphOps {
       base.join(contrib, Seq("vec_id"), "left")
         .select(col("vec_id"),
           round(col("__tele") + lit(0.85) * coalesce(col("s"), lit(0.0)), 9).as("pr"))
-        .localCheckpoint() // narrow N-row state; keeps per-round lineage flat
+        .pin() // narrow N-row state; keeps per-round lineage flat
     }
     (base, step)
   }
@@ -241,7 +242,7 @@ object GraphOps {
             Seq("vec_id"), "left")
           .select(col("vec_id"), coalesce(col("__warm"), col("__pr0")).as("pr"))
       case None => base.select(col("vec_id"), col("__pr0").as("pr"))
-    }).localCheckpoint()
+    }).pin()
     var rounds = 0
     var delta = Double.MaxValue
     while (rounds < maxRounds && delta > tol) {
@@ -375,7 +376,7 @@ object GraphOps {
       val knn = knnEdges(s, dir).select(col("vec_id"), col("nbr_id"))
       var lab = emb.select(col("vec_id"),
           when(col("vec_id") < 100, col("label")).as("lab"))
-        .localCheckpoint()
+        .pin()
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("vec_id")).orderBy(col("n").desc, col("lab"))
       (1 to 2).foreach { _ =>
@@ -390,7 +391,7 @@ object GraphOps {
           .select(col("vec_id"),
             when(col("vec_id") < 100, col("lab"))
               .otherwise(coalesce(col("win"), col("lab"))).as("lab"))
-          .localCheckpoint() // narrow (id, label) state per round
+          .pin() // narrow (id, label) state per round
       }
       lab.join(emb.select(col("vec_id"), col("label").as("true_label")), Seq("vec_id"))
         .select(col("vec_id"), col("lab").as("prop_label"), col("true_label"))
@@ -541,7 +542,7 @@ object GraphOps {
       val knn = knnEdges(s, dir).select(col("vec_id"), col("nbr_id"), col("c"))
       var lab = emb.select(col("vec_id"),
           when(col("vec_id") < 100, col("label")).as("lab"))
-        .localCheckpoint()
+        .pin()
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("vec_id")).orderBy(col("wv").desc, col("lab"))
       (1 to 2).foreach { _ =>
@@ -557,7 +558,7 @@ object GraphOps {
           .select(col("vec_id"),
             when(col("vec_id") < 100, col("lab"))
               .otherwise(coalesce(col("win"), col("lab"))).as("lab"))
-          .localCheckpoint()
+          .pin()
       }
       lab.join(emb.select(col("vec_id"), col("label").as("true_label")), Seq("vec_id"))
         .select(col("vec_id"), col("lab").as("prop_label"), col("true_label"))

@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Q
+import graft.ops.Loops._
 import graft.schema.Tables.t
 
 /** Substring- and token-level curation operators: duplicated n-gram span
@@ -99,7 +100,7 @@ object SubstringOps {
         // truncate lineage every few rewrites: each merge nests another
         // fold into the plan, and an unbounded expression tree is a driver
         // cost even before execution (same discipline as clusterPairs)
-        if (round % 4 == 0) vocab = vocab.localCheckpoint(false)
+        if (round % 4 == 0) vocab = vocab.pin(false)
       }
     }
     (merges.result(), vocab)
@@ -365,7 +366,7 @@ object SubstringOps {
         .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("word"))
         .limit(20)
-        .localCheckpoint()
+        .pin()
       val (_, vocab) = bpeTrain(words, numMerges = 2)
       vocab.select(col("word"), col("cnt"), array_join(col("syms"), " ").as("syms"))
         .orderBy(col("word"))
@@ -437,7 +438,7 @@ object SubstringOps {
       // weight symbol counts by the word's corpus frequency
       val allWords = qualifying
         .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
-        .localCheckpoint()
+        .pin()
       val top20 = allWords
         .orderBy(col("cnt").desc, col("word"))
         .limit(20)

@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Q
+import graft.ops.Loops._
 import graft.schema.Tables.t
 
 /** Document deduplication for LLM-pipeline data curation: exact (hash
@@ -234,6 +235,9 @@ object TextDedup {
     val loopParts =
       math.max(1L, math.min(defaultParts.toLong, nEdges / 2000000L + 1L))
     loop.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
+    // newSession starts from SparkContext defaults, not the caller's
+    // runtime confs — carry the caller's checkpoint posture into the loop
+    s.conf.getOption(Loops.PinKey).foreach(loop.conf.set(Loops.PinKey, _))
     // Seed with one neighborhood-min pre-pass instead of identity labels:
     // the self-loop edges make min-over-neighbors = min(self, neighbors),
     // so threshold-clique families (every member adjacent to the keeper —
@@ -263,7 +267,7 @@ object TextDedup {
             .select(col("doc"),
               least(col("lbl"), coalesce(col("r"), col("lbl"))).as("lbl"))
         } else seedBase
-      labels = seed.localCheckpoint(eager = false)
+      labels = seed.pin(eager = false)
       // Min-propagation is monotone: labels only ever decrease, so the label
       // sum is a complete convergence signal — computing it on the lazily-
       // checkpointed frame materializes the checkpoint AND returns the
@@ -284,7 +288,7 @@ object TextDedup {
         val prop = doubled.join(edges, col("doc") === col("a"))
           .select(col("b").as("doc"), col("lbl"))
           .groupBy(col("doc")).agg(min(col("lbl")).as("lbl"))
-          .localCheckpoint(eager = false) // first action checkpoints + truncates lineage
+          .pin(eager = false) // first action checkpoints + truncates lineage
         val sumNow = prop.agg(sum(col("lbl"))).head().getLong(0)
         labels = prop
         converged = sumNow == prevSum
@@ -357,6 +361,9 @@ object TextDedup {
     val loopParts =
       math.max(1L, math.min(defaultParts.toLong, nEdges / 2000000L + 1L))
     loop.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
+    // newSession starts from SparkContext defaults, not the caller's
+    // runtime confs — carry the caller's checkpoint posture into the loop
+    s.conf.getOption(Loops.PinKey).foreach(loop.conf.set(Loops.PinKey, _))
     // LOCAL-CONTRACTION PRE-PASS: per-partition union-find replaces each
     // partition's subgraph with a star forest (node → partition-local
     // root) in ONE narrow pass, no shuffle. Connectivity is exactly
@@ -374,7 +381,7 @@ object TextDedup {
       if (nEdges > 0 &&
         init.schema.fields.forall(_.dataType ==
           org.apache.spark.sql.types.LongType))
-        localForest(edges0).localCheckpoint(eager = false)
+        localForest(edges0).pin(eager = false)
       else edges0
     // decimal(38,0) sum: a long sum of 2^63-scale hashes overflows (an
     // ERROR under ANSI mode, silent wraparound otherwise); 1e12 edges ×
@@ -409,7 +416,7 @@ object TextDedup {
           .select(col("v").as("u"), col("m").as("v"))
           .union(minsS.select(col("u"), col("m").as("v")))
           .distinct()
-          .localCheckpoint(eager = false) // first action checkpoints + truncates lineage
+          .pin(eager = false) // first action checkpoints + truncates lineage
         val sig = signature(small)
         edges = small
         converged = sig == prevSig

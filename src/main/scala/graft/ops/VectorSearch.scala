@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import graft.Q
+import graft.ops.Loops._
 import graft.schema.Tables.t
 
 /** Similarity search over the embedding column (LLM-pipeline ANN surface).
@@ -406,7 +407,7 @@ object VectorSearch {
           .as("b"))
         .select(col("vec_id"), col("embedding"),
           (-col("b.negseed")).as("seed_id"), col("b.cos").as("cos"))
-        .localCheckpoint()
+        .pin()
       converged = assigned != null && next.as("n")
         .join(assigned.as("p"), "vec_id")
         .filter(col("n.seed_id") =!= col("p.seed_id")).isEmpty
@@ -1201,7 +1202,7 @@ object VectorSearch {
       var chosen = emb.orderBy(col("vec_id")).limit(1)
         .select(lit(1L).as("rank"), col("vec_id"), col("embedding"),
           lit(null).cast("double").as("sel_d"))
-        .localCheckpoint()
+        .pin()
       for (k <- 2 to 5) {
         val cand = emb
           .join(chosen.select(col("vec_id")), Seq("vec_id"), "left_anti")
@@ -1213,8 +1214,8 @@ object VectorSearch {
             col("embedding").as("emb"))).as("w"))
           .select(lit(k.toLong).as("rank"), (-col("w.ni")).as("vec_id"),
             col("w.emb").as("embedding"), col("w.md").as("sel_d"))
-          .localCheckpoint()
-        chosen = chosen.unionByName(w).localCheckpoint()
+          .pin()
+        chosen = chosen.unionByName(w).pin()
       }
       chosen.select(col("rank").cast("long").as("rank"),
           col("vec_id").cast("long").as("vec_id"), col("sel_d"))
@@ -1396,7 +1397,7 @@ object VectorSearch {
       val n = w.agg(sqrt(decSum(col("w") * col("w"))).as("n"))
       v = w.crossJoin(broadcast(n))
         .select(col("pos"), round(col("w") / col("n"), 9).as("v"))
-        .localCheckpoint() // 64 rows; truncates the per-round lineage
+        .pin() // 64 rows; truncates the per-round lineage
       // next round's literal — the checkpointed values verbatim (collect
       // of a 64-row frame; doubles round-trip bit-exactly)
       vArr = v.orderBy(col("pos")).collect().map(_.getDouble(1)).toSeq
