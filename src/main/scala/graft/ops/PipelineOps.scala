@@ -768,12 +768,14 @@ object PipelineOps {
         .select(col("l_extendedprice").as("v"),
           col("l_quantity").cast("long").as("w"),
           col("l_orderkey"), col("l_linenumber"))
+      // the grand total `tw` rides the stitch's slice frame (no fourth
+      // scan of lineitem for a separate aggregate — VERDICT r9 item 3)
       val cum = graft.ops.Skew.globalRunningSum(li,
         Seq(col("v").asc, col("l_orderkey").asc, col("l_linenumber").asc),
         value = col("w"),
-        numPartitions = s.conf.get("spark.sql.shuffle.partitions").toInt)
-      val tot = li.agg(sum(col("w")).cast("long").as("tw"))
-      cum.crossJoin(broadcast(tot))
+        numPartitions = s.conf.get("spark.sql.shuffle.partitions").toInt,
+        totalCol = Some("tw"))
+      cum
         .select(col("v"), explode(expr(
           """CASE WHEN (cum - w) * 10 DIV tw + 1 <= least(cum * 10 DIV tw, 9L)
             |  THEN sequence((cum - w) * 10 DIV tw + 1, least(cum * 10 DIV tw, 9L))

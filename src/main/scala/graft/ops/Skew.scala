@@ -73,9 +73,10 @@ object Skew {
       order: Seq[Column],
       value: Column,
       numPartitions: Int,
-      outCol: String = "cum"): DataFrame =
+      outCol: String = "cum",
+      totalCol: Option[String] = None): DataFrame =
     stitch(df, Seq.empty, order, numPartitions, sums = Seq(value -> outCol),
-      rowNumCol = None)
+      rowNumCol = None, sumTotals = totalCol.toSeq)
 
   /** Several running sums in ONE stitch: the ECDF/prefix consumers that
     * need two cumulative columns (q205's total+positive counts, q206's
@@ -148,10 +149,13 @@ object Skew {
       order: Seq[Column],
       numPartitions: Int,
       sums: Seq[(Column, String)],
-      rowNumCol: Option[String]): DataFrame = {
+      rowNumCol: Option[String],
+      sumTotals: Seq[String] = Seq.empty): DataFrame = {
     require(numPartitions > 0, "numPartitions must be positive")
+    require(sumTotals.isEmpty || sumTotals.length == sums.length,
+      "sumTotals must be empty or name one total per running sum")
     val si = sums.indices
-    val reserved = Seq("__bucket", "__rn_off", "__off_bucket") ++
+    val reserved = Seq("__bucket", "__chunk", "__rn_off", "__off_bucket") ++
       si.flatMap(i => Seq(s"__val_$i", s"__sum_off_$i")) ++
       group.map(g => s"__off_$g")
     require(!df.columns.exists(reserved.contains),
@@ -189,31 +193,100 @@ object Skew {
     // the tiny slice frame, it would make every consumer's plan fail the
     // "no window keyed on the bare source column" audit), and the global
     // case would need an unpartitioned window (a SinglePartition
-    // exchange). Instead: broadcast triangular self-join + hash aggregate
-    // — earlier buckets' totals sum into each bucket's offset. Bounded
-    // O(|slices|²) compares on a ≤ numPartitions + |groups| − 1 row frame.
-    // Offsets keep the group columns under aliased names so both joins
+    // exchange). Instead: broadcast self-joins + hash aggregates — earlier
+    // buckets' totals sum into each bucket's offset. The prefix is
+    // HYBRID on P (VERDICT r9 item 2):
+    //  - P ≤ 256: one flat triangular self-join — O(P²) ≤ 65k compares,
+    //    trivial, and 3 fewer tiny broadcast stages than the chunked
+    //    path (each costs real scheduling latency at local scale:
+    //    measured +0.5–2 task-s per stitch on the sf0.1 bench).
+    //  - P > 256: two-level chunked prefix. A flat join at a cluster's
+    //    P≈10⁵ compares 10¹⁰ pairs inside a broadcast NLJ; chunking
+    //    buckets into √P-sized runs gives (a) a within-chunk prefix
+    //    whose join carries an EQUI key on the chunk id — Catalyst plans
+    //    a broadcast HASH join, so only the ≤√P same-chunk prior slices
+    //    materialize per row: O(P·√P) — and (b) a flat triangular prefix
+    //    over the ≤√P chunk totals: O(P). Total O(P^1.5) — at P=10⁵,
+    //    ~3×10⁷ compares instead of 10¹⁰.
+    // Offsets keep the group columns under aliased names so all joins
     // can be NULL-SAFE on them: Window.partitionBy treats NULL as a
     // regular partition, and a plain equi-join would silently drop those
     // rows.
-    val prior = slices.select(
-      (col("__bucket").as("__pb") +:
-        group.map(g => col(g).as(s"__pg_$g")) :+
-        col("__cnt").as("__pc")) ++
-        si.map(i => col(s"__sum_$i").as(s"__ps_$i")): _*)
-    val priorCond = group.map(g => col(g) <=> col(s"__pg_$g"))
-      .foldLeft(col("__pb") < col("__bucket"))(_ && _)
-    val offAggs = coalesce(sum(col("__pc")), lit(0L)).as("__rn_off") +:
-      si.map(i => coalesce(sum(col(s"__ps_$i")), lit(0L)).as(s"__sum_off_$i"))
-    val offsets = slices
-      .join(broadcast(prior), priorCond, "left")
-      .groupBy(col("__bucket") +: groupCols: _*)
-      .agg(offAggs.head, offAggs.tail: _*)
-      .select(
-        (col("__bucket").as("__off_bucket") +:
-          group.map(g => col(g).as(s"__off_$g")) :+
-          col("__rn_off")) ++
-          si.map(i => col(s"__sum_off_$i")): _*)
+    //
+    // flatPrefix: exclusive prefix of (cnt, sums) over `ord` within each
+    // group, via one broadcast triangular join — O(|frame|²) compares.
+    // cnt/sumCols name the input measure columns; outputs are
+    // (ord, group..., outRn, outSums...).
+    def flatPrefix(
+        frame: DataFrame, ord: String, cnt: String, sumCols: Seq[String],
+        outRn: String, outSums: Seq[String]): DataFrame = {
+      val pr = frame.select(
+        (col(ord).as("__pb") +:
+          group.map(g => col(g).as(s"__pg_$g")) :+
+          col(cnt).as("__pc")) ++
+          sumCols.zipWithIndex.map { case (c, i) => col(c).as(s"__ps_$i") }: _*)
+      val cond = group.map(g => col(g) <=> col(s"__pg_$g"))
+        .foldLeft(col("__pb") < col(ord))(_ && _)
+      val aggs = coalesce(sum(col("__pc")), lit(0L)).as(outRn) +:
+        si.map(i => coalesce(sum(col(s"__ps_$i")), lit(0L)).as(outSums(i)))
+      frame.join(broadcast(pr), cond, "left")
+        .groupBy(col(ord) +: groupCols: _*)
+        .agg(aggs.head, aggs.tail: _*)
+    }
+    val sumNames = si.map(i => s"__sum_$i")
+    val offsets0 =
+      if (numPartitions <= 256) {
+        flatPrefix(slices, "__bucket", "__cnt", sumNames,
+          "__rn_off", si.map(i => s"__sum_off_$i"))
+      } else {
+        val chunkSize = math.max(1L, math.round(math.sqrt(numPartitions.toDouble)))
+        val sl = slices.withColumn("__chunk", expr(s"__bucket div $chunkSize"))
+        // (a) within-chunk exclusive prefix — equi on chunk, < on bucket
+        val prior = sl.select(
+          (col("__chunk").as("__pch") +:
+            col("__bucket").as("__pb") +:
+            group.map(g => col(g).as(s"__pg_$g")) :+
+            col("__cnt").as("__pc")) ++
+            si.map(i => col(s"__sum_$i").as(s"__ps_$i")): _*)
+        val withinCond = (group.map(g => col(g) <=> col(s"__pg_$g")) :+
+          (col("__pb") < col("__bucket")))
+          .foldLeft(col("__chunk") === col("__pch"))(_ && _)
+        val withinAggs = coalesce(sum(col("__pc")), lit(0L)).as("__w_rn") +:
+          si.map(i => coalesce(sum(col(s"__ps_$i")), lit(0L)).as(s"__w_s_$i"))
+        val within = sl
+          .join(broadcast(prior), withinCond, "left")
+          .groupBy(col("__bucket") +: col("__chunk") +: groupCols: _*)
+          .agg(withinAggs.head, withinAggs.tail: _*)
+        // (b) chunk totals and THEIR flat exclusive prefix (≤√P rows)
+        val cAggs = sum(col("__cnt")).as("__ccnt") +:
+          si.map(i => sum(col(s"__sum_$i")).as(s"__cs_$i"))
+        val chunkTotals = sl.groupBy(col("__chunk") +: groupCols: _*)
+          .agg(cAggs.head, cAggs.tail: _*)
+        val chunkOff = flatPrefix(chunkTotals, "__chunk", "__ccnt",
+          si.map(i => s"__cs_$i"), "__c_rn", si.map(i => s"__c_s_$i"))
+          .select(
+            (col("__chunk").as("__co_chunk") +:
+              group.map(g => col(g).as(s"__cog_$g")) :+
+              col("__c_rn")) ++
+              si.map(i => col(s"__c_s_$i")): _*)
+        // offset(bucket) = earlier-chunks total + earlier-buckets-in-chunk
+        // total; inner join is safe — within's (chunk, group) keys are a
+        // subset of chunkTotals' by construction
+        val coCond = group.map(g => col(g) <=> col(s"__cog_$g"))
+          .foldLeft(col("__chunk") === col("__co_chunk"))(_ && _)
+        within
+          .join(broadcast(chunkOff), coCond)
+          .select(
+            (col("__bucket") +:
+              groupCols :+
+              (col("__w_rn") + col("__c_rn")).as("__rn_off")) ++
+              si.map(i => (col(s"__w_s_$i") + col(s"__c_s_$i")).as(s"__sum_off_$i")): _*)
+      }
+    val offsets = offsets0.select(
+      (col("__bucket").as("__off_bucket") +:
+        group.map(g => col(g).as(s"__off_$g")) :+
+        col("__rn_off")) ++
+        si.map(i => col(s"__sum_off_$i")): _*)
     val joinCond = ((col("__bucket") === col("__off_bucket")) +:
       group.map(g => col(g) <=> col(s"__off_$g"))).reduce(_ && _)
     val w = Window
@@ -228,6 +301,28 @@ object Skew {
         sum(col(s"__val_$i")).over(
           w.rowsBetween(Window.unboundedPreceding, Window.currentRow)) +
           col(s"__sum_off_$i"))
+    }
+    // whole-frame totals ride the SLICE frame (Σ over its per-bucket
+    // sums), so a consumer that needs `cum` AND the grand total (exact
+    // weighted quantiles: cum·k ≥ d·W) pays no extra full-data scan —
+    // the slice subtree is already in the plan and its exchange is
+    // reused. Global case: a broadcast 1-row cross join; grouped case:
+    // a null-safe broadcast join on the group key.
+    if (sumTotals.nonEmpty) {
+      val tAggs = si.map(i =>
+        coalesce(sum(col(s"__sum_$i")), lit(0L)).as(sumTotals(i)))
+      if (group.isEmpty) {
+        val totals = slices.agg(tAggs.head, tAggs.tail: _*)
+        res = res.crossJoin(broadcast(totals))
+      } else {
+        val totals = slices.groupBy(groupCols: _*)
+          .agg(tAggs.head, tAggs.tail: _*)
+          .select(group.map(g => col(g).as(s"__tg_$g")) ++
+            sumTotals.map(col): _*)
+        val tCond = group.map(g => col(g) <=> col(s"__tg_$g")).reduce(_ && _)
+        res = res.join(broadcast(totals), tCond)
+          .drop(group.map(g => s"__tg_$g"): _*)
+      }
     }
     res.drop(Seq("__bucket", "__rn_off") ++
       si.flatMap(i => Seq(s"__sum_off_$i", s"__val_$i")): _*)
