@@ -29,5 +29,29 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_dot_int"),
       new ExpressionInfo(classOf[graft.functions.ArrayDotInt].getName, "graft_dot_int"),
       (exprs: Seq[Expression]) => graft.functions.ArrayDotInt(exprs(0), exprs(1))))
+    e.injectFunction((
+      new FunctionIdentifier("graft_dot_dec"),
+      new ExpressionInfo(classOf[graft.functions.ArrayDotDec].getName, "graft_dot_dec"),
+      (exprs: Seq[Expression]) => graft.functions.ArrayDotDec(exprs(0), exprs(1))))
+    e.injectFunction((
+      new FunctionIdentifier("graft_matvec_dec"),
+      new ExpressionInfo(classOf[graft.functions.DecMatvec].getName, "graft_matvec_dec"),
+      (exprs: Seq[Expression]) => graft.functions.DecMatvec(exprs(0), exprs(1))))
+    // the mergeable sketch Aggregators, SQL-callable (VERDICT r9 item 4):
+    // same ScalaAggregator node the typed `udaf()` path plans, so partial
+    // aggregation / map-side combine behave identically from SQL text
+    e.injectFunction((
+      new FunctionIdentifier("graft_topk"),
+      new ExpressionInfo(classOf[graft.functions.MisraGries].getName, "graft_topk"),
+      graft.functions.GraftFunctions.topKBuilder))
+    e.injectFunction((
+      new FunctionIdentifier("graft_topk_weighted"),
+      new ExpressionInfo(
+        classOf[graft.functions.MisraGriesWeighted].getName, "graft_topk_weighted"),
+      graft.functions.GraftFunctions.topKWeightedBuilder))
+    e.injectFunction((
+      new FunctionIdentifier("graft_uniq_upto"),
+      new ExpressionInfo(classOf[graft.functions.UniqUpTo].getName, "graft_uniq_upto"),
+      graft.functions.GraftFunctions.uniqUpToBuilder))
   }
 }

@@ -1,8 +1,12 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.execution.aggregate.ScalaAggregator
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions.{call_function, udaf}
+import org.apache.spark.sql.types.{IntegerType, LongType}
 import org.apache.spark.sql.Encoders
 
 /** Session registration + Column-API wrappers for the engine's custom
@@ -20,7 +24,74 @@ object GraftFunctions {
       "graft_dot", exprs => ArrayDot(exprs(0), exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot_int", exprs => ArrayDotInt(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_dot_dec", exprs => ArrayDotDec(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_matvec_dec", exprs => DecMatvec(exprs(0), exprs(1)), "scala_udf")
     spark.udf.register("weighted_avg", weightedAvgUdaf)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_topk", topKBuilder, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_topk_weighted", topKWeightedBuilder, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_uniq_upto", uniqUpToBuilder, "scala_udf")
+  }
+
+  // ---- SQL surface for the mergeable sketch Aggregators (VERDICT r9
+  // item 4): the reference's users speak SQL at the destination, so the
+  // parity operators must resolve from SQL text, not only the typed
+  // Column API. Each builder turns the call's trailing integer LITERAL
+  // into the sketch size (state shape is a plan-time constant — a
+  // per-row k would make partial buffers unmergeable) and wraps the
+  // existing Aggregator in the same ScalaAggregator node
+  // `functions.udaf` uses, so partial aggregation / map-side combine
+  // behave identically to the typed path. ----
+
+  private def litK(exprs: Seq[Expression], arity: Int, name: String): Int = {
+    require(exprs.length == arity,
+      s"$name expects $arity arguments, got ${exprs.length}")
+    exprs.last match {
+      case Literal(v: Int, IntegerType) => v
+      case Literal(v: Long, LongType) => v.toInt
+      case other => throw new IllegalArgumentException(
+        s"$name: the sketch size must be an integer literal, got $other")
+    }
+  }
+
+  /** `graft_topk(item, k)` — Misra–Gries candidate list (sorted array of
+    * ≤2k items containing every item with frequency > n/k). */
+  def topKBuilder(exprs: Seq[Expression]): Expression = {
+    val k = litK(exprs, 2, "graft_topk")
+    val bufEnc = ExpressionEncoder[Map[String, Long]]()
+    val outEnc = ExpressionEncoder[Seq[String]]()
+    new ScalaAggregator[String, Map[String, Long], Seq[String]](
+      exprs.init, MisraGries(k)(bufEnc, outEnc),
+      ExpressionEncoder[String](), bufEnc,
+      true, true, 0, 0, Some("graft_topk"))
+  }
+
+  /** `graft_topk_weighted(item, weight, k)` — weighted Misra–Gries
+    * candidates (every item with total weight > W/k retained). */
+  def topKWeightedBuilder(exprs: Seq[Expression]): Expression = {
+    val k = litK(exprs, 3, "graft_topk_weighted")
+    val bufEnc = ExpressionEncoder[Map[String, Long]]()
+    val outEnc = ExpressionEncoder[Seq[String]]()
+    new ScalaAggregator[(String, Long), Map[String, Long], Seq[String]](
+      exprs.init, MisraGriesWeighted(k)(bufEnc, outEnc),
+      ExpressionEncoder[(String, Long)](), bufEnc,
+      true, true, 0, 0, Some("graft_topk_weighted"))
+  }
+
+  /** `graft_uniq_upto(x, n)` — exact distinct count while ≤ n, else n+1
+    * (bounded O(n) state per group). */
+  def uniqUpToBuilder(exprs: Seq[Expression]): Expression = {
+    val n = litK(exprs, 2, "graft_uniq_upto")
+    val bufEnc = ExpressionEncoder[Set[Long]]()
+    val outEnc = ExpressionEncoder[Long]()
+    new ScalaAggregator[Long, Set[Long], Long](
+      exprs.init, UniqUpTo(n)(bufEnc, outEnc),
+      ExpressionEncoder[Long](), bufEnc,
+      true, true, 0, 0, Some("graft_uniq_upto"))
   }
 
   def snappy_decode(c: Column): Column = call_function("snappy_decode", c)
@@ -30,6 +101,11 @@ object GraftFunctions {
   def graft_dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
 
   def graft_dot_int(a: Column, b: Column): Column = call_function("graft_dot_int", a, b)
+
+  def graft_dot_dec(a: Column, b: Column): Column = call_function("graft_dot_dec", a, b)
+
+  def graft_matvec_dec(a: Column, b: Column): Column =
+    call_function("graft_matvec_dec", a, b)
 
   def weighted_avg(value: Column, weight: Column): Column =
     weightedAvgUdaf(value, weight)
