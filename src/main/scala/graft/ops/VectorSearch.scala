@@ -1349,41 +1349,47 @@ object VectorSearch {
     * the direction table and shuffled corpus-sized partials twice per
     * round (38 combined task-s for q125/q126/q146 at sf0.1). */
   private def powerLoop(s: org.apache.spark.sql.SparkSession,
-      vecs: org.apache.spark.sql.DataFrame, rounds: Int,
+      vecs0: org.apache.spark.sql.DataFrame, rounds: Int,
       deflateAgainst: Seq[org.apache.spark.sql.DataFrame])
       : org.apache.spark.sql.DataFrame = {
+    // Deliberately NOT repartitioned: a 16-way repartition of the small
+    // local corpus was measured to RAISE round-1 task time 2.1 → 29 s —
+    // the matvec stage's cost is per-task constant (expression-tree
+    // bring-up), not per-row, so spreading 6k rows over 16 tasks pays
+    // the constant 16×. At cluster scale the scan's own partitioning
+    // already parallelizes the rounds.
+    val vecs = vecs0
     val decSum = (c: Column) => sum(c.cast("decimal(38,12)")).cast("double")
-    // HOF accumulator at DECIMAL(28,12): the lambda's add yields
-    // DECIMAL(29,12) — precision GROWS (29 ≤ 38) so the scale is fully
-    // preserved (no precision-loss re-scale, which a (38,12) accumulator
-    // would hit: 38+38 → 38 forces scale 11) — and the cast back to
-    // (28,12) is exact for |sum| < 10^16, far above any |x·v| ≤ 64·max²
-    // here. Value-identical to the oracle's DECIMAL(38,12) per-product
-    // cast + exact sum.
-    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(28, 12)
+    // The per-vector dot accumulates at DECIMAL(28,12): the cast back to
+    // (28,12) after each add is exact for |sum| < 10^16, far above any
+    // |x·v| ≤ 64·max² here — value-identical to the oracle's
+    // DECIMAL(38,12) per-product cast + exact sum (see ArrayDotDec).
     import s.implicits._
     var v = (1 to Dim).map(p => (p.toLong, 0.125)).toDF("pos", "v")
     var vArr: Seq[Double] = Seq.fill(Dim)(0.125)
     (1 to rounds).foreach { _ =>
-      val vLit = array(vArr.map(lit): _*)
-      val dCol = aggregate(
-        zip_with(col("embedding"), vLit, (x, vv) => (x.cast("double") * vv).cast(dec)),
-        lit(java.math.BigDecimal.ZERO).cast(dec),
-        (acc, y) => (acc + y).cast(dec)).cast("double")
-      // matvec as ONE no-grouping aggregate of 64 decimal sums — NOT a
-      // posexplode + groupBy(pos): above a Generate the optimizer
-      // re-evaluates the d projection per EXPLODED row (64× the dot
-      // products — measured 5× slower); under an Aggregate the project
-      // runs once per row. Partials are a single 64-decimal row per
-      // partition — the minimum possible shuffle.
-      val wCols = (1 to Dim).map { p =>
-        decSum(col("d") * element_at(col("embedding"), p).cast("double")).as(s"__w$p")
-      }
-      val wRow = vecs.select(col("embedding"), dCol.as("d"))
-        .agg(wCols.head, wCols.tail: _*)
-      val w0 = wRow
-        .select(posexplode(array((1 to Dim).map(p => col(s"__w$p")): _*))
-          .as(Seq("p0", "w")))
+      // typedLit, NOT array(lit, lit, …): 64 scalar double literals
+      // inline into the generated source, so every round's otherwise-
+      // identical 64-decimal aggregate produces DIFFERENT source and
+      // Janino recompiles it per round (the measured 4–6 s first-touch
+      // burn, VERDICT r9 item 6). A single ARRAY literal codegens
+      // through the references array — bit-identical source every
+      // round, so rounds 2…R hit the codegen cache.
+      val vLit = typedLit(vArr)
+      // the ENTIRE matvec w = X'(Xv) as ONE native imperative aggregate
+      // (graft_matvec_dec) — not a posexplode + groupBy(pos) (the
+      // optimizer would re-evaluate the dot per EXPLODED row, measured
+      // 5× slower) and no longer 64 separate decimal sum columns (which
+      // cost ~0.5 s/round of driver analysis, overflowed codegen
+      // maxFields into interpreted eval, and allocated a Decimal per
+      // row×position — VERDICT r9 item 6). Bit-equal to that shape:
+      // DecMatvecSpec pins the per-product HALF_UP casts and exact
+      // scale-12 sums. Partials are one 64-entry array per partition —
+      // the minimum possible shuffle.
+      val w0 = vecs
+        .agg(graft.functions.GraftFunctions
+          .graft_matvec_dec(col("embedding"), vLit).as("wv"))
+        .select(posexplode(col("wv")).as(Seq("p0", "w")))
         .select((col("p0") + 1).cast("long").as("pos"), col("w"))
       // modified Gram–Schmidt: each target projects off the RUNNING w —
       // the same sequential order powerIterCte's oracle CTEs encode
