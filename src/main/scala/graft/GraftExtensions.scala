@@ -53,5 +53,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_uniq_upto"),
       new ExpressionInfo(classOf[graft.functions.UniqUpTo].getName, "graft_uniq_upto"),
       graft.functions.GraftFunctions.uniqUpToBuilder))
+    e.injectFunction((
+      new FunctionIdentifier("graft_min_k"),
+      new ExpressionInfo(classOf[graft.functions.MinK].getName, "graft_min_k"),
+      graft.functions.GraftFunctions.minKBuilder))
   }
 }

@@ -35,6 +35,8 @@ object GraftFunctions {
       "graft_topk_weighted", topKWeightedBuilder, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_uniq_upto", uniqUpToBuilder, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_min_k", minKBuilder, "scala_udf")
   }
 
   // ---- SQL surface for the mergeable sketch Aggregators (VERDICT r9
@@ -80,6 +82,17 @@ object GraftFunctions {
       exprs.init, MisraGriesWeighted(k)(bufEnc, outEnc),
       ExpressionEncoder[(String, Long)](), bufEnc,
       true, true, 0, 0, Some("graft_topk_weighted"))
+  }
+
+  /** `graft_min_k(x, k)` — the k smallest DISTINCT strings (the KMV
+    * distinct sketch state / groupArraySorted surface, bounded state). */
+  def minKBuilder(exprs: Seq[Expression]): Expression = {
+    val k = litK(exprs, 2, "graft_min_k")
+    val bufEnc = ExpressionEncoder[Seq[String]]()
+    new ScalaAggregator[String, Seq[String], Seq[String]](
+      exprs.init, MinK(k)(bufEnc, bufEnc),
+      ExpressionEncoder[String](), bufEnc,
+      true, true, 0, 0, Some("graft_min_k"))
   }
 
   /** `graft_uniq_upto(x, n)` — exact distinct count while ≤ n, else n+1

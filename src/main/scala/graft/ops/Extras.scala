@@ -947,6 +947,32 @@ object Extras {
         .select(col("user_id"), col("us").cast("long").as("anchor_us"),
           col("next_type"), col("next_us").cast("long").as("next_us"))
         .orderBy(col("user_id"))
+    },
+
+    // ---- relative-rank windows (percent_rank / cume_dist) ----
+    // Completes q21's rank battery with the two RELATIVE rank forms —
+    // per market segment so the windows key on a real partition column.
+    // Both are ratios of exact integers ((rank−1)/(n−1), peers/n): the
+    // single IEEE division is bit-identical across engines, so no
+    // rounding (the q199 rule). Singleton partitions make percent_rank
+    // 0/0 → both engines define it as 0.
+    Q("q221_relative_rank",
+      """SELECT c_mktsegment, c_custkey, c_acctbal,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cume,
+        |  CAST(ntile(10) OVER w AS INTEGER) AS decile
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment
+        |  ORDER BY c_acctbal, c_custkey)
+        |ORDER BY c_mktsegment, c_acctbal, c_custkey""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      t(s, dir, "customer")
+        .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cume"),
+          ntile(10).over(w).cast("int").as("decile"))
+        .orderBy(col("c_mktsegment"), col("c_acctbal"), col("c_custkey"))
     }
   )
 }

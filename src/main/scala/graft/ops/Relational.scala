@@ -706,6 +706,45 @@ object Relational {
           year(col("l_shipdate")).as("ship_yr"))
         .distinct()
         .orderBy(col("l_returnflag"), col("l_linestatus"), col("ship_yr"))
+    },
+
+    // ---- positional zip of two derived tables (PASTE JOIN parity) ----
+    // ClickHouse's PASTE JOIN concatenates two result sets row-by-row in
+    // their output order. Well-defined only under a stated total order on
+    // each side, so both sides declare one — orders by key vs orders by
+    // (price desc, key) — and the zip pairs each order with the
+    // equally-ranked order by price. The naive shape is two
+    // single-partition row_number windows; here both sides ride
+    // Skew.globalRowNumber (the stitch), so the rank assignment scales
+    // with bucket count and the zip itself is an ordinary shuffled
+    // equi-join on rn. Output trimmed to the first 500 ranks AFTER the
+    // join shape is built (the limit prunes via the rn predicate, it
+    // does not change the operator).
+    Q("q219_paste_join",
+      """WITH a AS (SELECT o_orderkey,
+        |    row_number() OVER (ORDER BY o_orderkey) AS rn
+        |  FROM orders),
+        |b AS (SELECT o_orderkey AS price_orderkey, o_totalprice,
+        |    row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |SELECT CAST(a.rn AS BIGINT) AS rn, a.o_orderkey,
+        |  b.price_orderkey, b.o_totalprice
+        |FROM a JOIN b USING (rn)
+        |WHERE rn <= 500
+        |ORDER BY rn""".stripMargin) { (s, dir) =>
+      val parts = s.conf.get("spark.sql.shuffle.partitions").toInt
+      val a = graft.ops.Skew.globalRowNumber(
+        t(s, dir, "orders").select(col("o_orderkey")),
+        Seq(col("o_orderkey").asc), parts)
+      val b = graft.ops.Skew.globalRowNumber(
+        t(s, dir, "orders")
+          .select(col("o_orderkey").as("price_orderkey"), col("o_totalprice")),
+        Seq(col("o_totalprice").desc, col("price_orderkey").asc), parts)
+      a.join(b, Seq("rn"))
+        .filter(col("rn") <= 500)
+        .select(col("rn"), col("o_orderkey"),
+          col("price_orderkey"), col("o_totalprice"))
+        .orderBy(col("rn"))
     }
   )
 }

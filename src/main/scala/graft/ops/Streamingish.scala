@@ -266,6 +266,71 @@ object Streamingish {
           max(when(col("event_type") === "purchase", col("ts")))).as("matched"))
         .filter(col("matched").isNotNull)
         .orderBy(col("user_id"))
+    },
+
+    // ---- windowFunnel strict_order mode ----
+    // q135 is the default (greedy-earliest-chain) windowFunnel; this is
+    // ClickHouse's `strict_order` mode: the funnel advances ONLY while
+    // the tracked-event stream matches the step sequence exactly — the
+    // first tracked event that is not the next expected step ends the
+    // chain. Semantics reduce to the user's first 3 tracked events in
+    // (ts, event_id) order: level = longest prefix of (view, click,
+    // purchase) they spell, with steps 2-3 inside the 24 h window from
+    // step 1. One user-keyed window (user_id cardinality GROWS with the
+    // corpus — the q169 rationale) + one conditional aggregate; no
+    // per-user state machine, no collect.
+    Q("q220_funnel_strict_order",
+      """WITH tracked AS (SELECT user_id, ts, event_type,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS rn
+        |  FROM events
+        |  WHERE event_type IN ('view', 'click', 'purchase')),
+        |f3 AS (SELECT user_id,
+        |    max(CASE WHEN rn = 1 THEN event_type END) AS e1,
+        |    max(CASE WHEN rn = 1 THEN ts END) AS t1,
+        |    max(CASE WHEN rn = 2 THEN event_type END) AS e2,
+        |    max(CASE WHEN rn = 2 THEN ts END) AS t2,
+        |    max(CASE WHEN rn = 3 THEN event_type END) AS e3,
+        |    max(CASE WHEN rn = 3 THEN ts END) AS t3
+        |  FROM tracked WHERE rn <= 3 GROUP BY user_id),
+        |lvl AS (SELECT user_id, CASE
+        |    WHEN e1 = 'view' AND e2 = 'click' AND e3 = 'purchase'
+        |         AND t3 <= t1 + INTERVAL 24 HOUR THEN 3
+        |    WHEN e1 = 'view' AND e2 = 'click'
+        |         AND t2 <= t1 + INTERVAL 24 HOUR THEN 2
+        |    WHEN e1 = 'view' THEN 1 ELSE 0 END AS level
+        |  FROM f3),
+        |u AS (SELECT DISTINCT user_id FROM events)
+        |SELECT coalesce(lvl.level, 0) AS level,
+        |  CAST(count(*) AS BIGINT) AS n_users
+        |FROM u LEFT JOIN lvl USING (user_id)
+        |GROUP BY 1 ORDER BY level""".stripMargin) { (s, dir) =>
+      val W = org.apache.spark.sql.expressions.Window
+      val tracked = t(s, dir, "events")
+        .filter(col("event_type").isin("view", "click", "purchase"))
+        .withColumn("rn", row_number().over(W.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))))
+        .filter(col("rn") <= 3)
+      val f3 = tracked.groupBy(col("user_id")).agg(
+        max(when(col("rn") === 1, col("event_type"))).as("e1"),
+        max(when(col("rn") === 1, col("ts"))).as("t1"),
+        max(when(col("rn") === 2, col("event_type"))).as("e2"),
+        max(when(col("rn") === 2, col("ts"))).as("t2"),
+        max(when(col("rn") === 3, col("event_type"))).as("e3"),
+        max(when(col("rn") === 3, col("ts"))).as("t3"))
+      val lvl = f3.select(col("user_id"),
+        when(col("e1") === "view" && col("e2") === "click" &&
+          col("e3") === "purchase" &&
+          col("t3") <= col("t1") + expr("INTERVAL 24 HOURS"), 3)
+          .when(col("e1") === "view" && col("e2") === "click" &&
+            col("t2") <= col("t1") + expr("INTERVAL 24 HOURS"), 2)
+          .when(col("e1") === "view", 1)
+          .otherwise(0).as("level"))
+      t(s, dir, "events").select(col("user_id")).distinct()
+        .join(lvl, Seq("user_id"), "left")
+        .select(coalesce(col("level"), lit(0)).as("level"))
+        .groupBy(col("level")).agg(count(lit(1)).cast("long").as("n_users"))
+        .orderBy(col("level"))
     }
   )
 }
