@@ -973,6 +973,124 @@ object Extras {
           cume_dist().over(w).as("cume"),
           ntile(10).over(w).cast("int").as("decile"))
         .orderBy(col("c_mktsegment"), col("c_acctbal"), col("c_custkey"))
+    },
+
+    // ---- groupArrayMovingSum / groupArrayMovingAvg parity ----
+    // Per user, the ordered array of trailing-3 moving sums and means of
+    // `value`. The moving sum is an EXPLICIT lag chain
+    // (v + lag(v,1,0)) + lag(v,2,0) — not a windowed sum() — because a
+    // framed sum() lets each engine pick its own summation tree (DuckDB
+    // uses a segment tree) and double addition is not associative; the
+    // lag chain pins one association order in both engines. Arrays are
+    // emitted as comma-joined micro-unit integers (round(ms·1e6) — all
+    // values ≥ 0 so HALF_UP and away-from-zero agree), the repo's
+    // array-render discipline. The per-user window is scale-legal:
+    // user_id cardinality grows with the data (the q169 argument).
+    Q("q226_moving_window_arrays",
+      raw"""WITH w AS (SELECT user_id, ts, event_id, value,
+           |    (value + coalesce(lag(value, 1) OVER
+           |       (PARTITION BY user_id ORDER BY ts, event_id), 0))
+           |     + coalesce(lag(value, 2) OVER
+           |       (PARTITION BY user_id ORDER BY ts, event_id), 0) AS ms,
+           |    least(CAST(row_number() OVER
+           |       (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT),
+           |       3) AS k
+           |  FROM events)
+           |SELECT user_id,
+           |  string_agg(CAST(CAST(round(ms * 1000000.0, 0) AS BIGINT)
+           |             AS VARCHAR), ',' ORDER BY ts, event_id) AS moving_sum_u,
+           |  string_agg(CAST(CAST(round(ms / k * 1000000.0, 0) AS BIGINT)
+           |             AS VARCHAR), ',' ORDER BY ts, event_id) AS moving_avg_u
+           |FROM w GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val ms = (col("value") + coalesce(lag(col("value"), 1).over(w), lit(0))) +
+        coalesce(lag(col("value"), 2).over(w), lit(0))
+      val k = least(row_number().over(w).cast("long"), lit(3L))
+      t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          ms.as("ms"), k.as("k"))
+        .groupBy(col("user_id"))
+        .agg(
+          concat_ws(",", sort_array(collect_list(struct(
+            col("ts"), col("event_id"),
+            round(col("ms") * lit(1000000.0), 0).cast("long").cast("string")
+              .as("r")))).getField("r")).as("moving_sum_u"),
+          concat_ws(",", sort_array(collect_list(struct(
+            col("ts"), col("event_id"),
+            round(col("ms") / col("k") * lit(1000000.0), 0).cast("long").cast("string")
+              .as("r")))).getField("r")).as("moving_avg_u"))
+        .orderBy(col("user_id"))
+    },
+
+    // ---- arrayEnumerateUniq / arrayEnumerateDense parity ----
+    // Over each doc's first 12 tokens: per position, the occurrence
+    // index of that value so far (Uniq) and the value's first-appearance
+    // dense id (Dense) — pure nested HOFs over a 12-element array, O(n²)
+    // with n=12, entirely inside whole-stage codegen; no shuffle but the
+    // final report sort.
+    Q("q229_array_enumerate",
+      raw"""WITH d AS (SELECT doc_id,
+           |    (string_split_regex(lower(trim(text)), '\s+'))[1:12] AS a
+           |  FROM documents),
+           |e AS (SELECT doc_id,
+           |    list_transform(range(1, len(a) + 1),
+           |      i -> len(list_filter(a[1:i], x -> x = a[i]))) AS uq,
+           |    list_transform(range(1, len(a) + 1),
+           |      i -> len(list_distinct(a[1:list_position(a, a[i])]))) AS de
+           |  FROM d)
+           |SELECT doc_id,
+           |  array_to_string(uq, ',') AS enum_uniq,
+           |  array_to_string(de, ',') AS enum_dense
+           |FROM e ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          expr(raw"slice(split(lower(trim(text)), '\\s+'), 1, 12)").as("a"))
+        .select(col("doc_id"),
+          expr("""array_join(transform(sequence(1, size(a)),
+                 |  i -> cast(size(filter(slice(a, 1, i),
+                 |         x -> x = element_at(a, i))) AS STRING)), ',')"""
+            .stripMargin).as("enum_uniq"),
+          expr("""array_join(transform(sequence(1, size(a)),
+                 |  i -> cast(size(array_distinct(
+                 |         slice(a, 1, cast(array_position(a, element_at(a, i)) AS INT))))
+                 |       AS STRING)), ',')""".stripMargin).as("enum_dense"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- sparkbar parity ----
+    // Per event_type, the 24-char hour-of-day activity bar — ClickHouse's
+    // sparkbar(24) rendered from exact hourly counts. The glyph level is
+    // ceil(cnt · 8 / max): cnt·8.0 is integer-exact in a double below
+    // 2^50 and an exact division can't straddle a ceil boundary, so the
+    // glyph index is deterministic in both engines. One tiny two-level
+    // aggregate (|types|·24 rows), then a per-type string fold.
+    Q("q230_sparkbar",
+      raw"""WITH h AS (SELECT event_type, CAST(hour(ts) AS BIGINT) AS hr,
+           |    count(*) AS cnt
+           |  FROM events GROUP BY event_type, hr),
+           |m AS (SELECT event_type, max(cnt) AS mx FROM h GROUP BY event_type)
+           |SELECT h.event_type,
+           |  string_agg(substr('▁▂▃▄▅▆▇█',
+           |    CAST(ceil(cnt * 8.0 / mx) AS BIGINT), 1), '' ORDER BY hr)
+           |    AS bar,
+           |  CAST(sum(cnt) AS BIGINT) AS n
+           |FROM h JOIN m USING (event_type)
+           |GROUP BY h.event_type ORDER BY h.event_type""".stripMargin) { (s, dir) =>
+      val h = t(s, dir, "events")
+        .groupBy(col("event_type"), hour(col("ts")).cast("long").as("hr"))
+        .agg(count(lit(1)).as("cnt"))
+      val m = h.groupBy(col("event_type")).agg(max(col("cnt")).as("mx"))
+      h.join(broadcast(m), Seq("event_type"))
+        .select(col("event_type"), col("hr"), col("cnt"),
+          lit("▁▂▃▄▅▆▇█")
+            .substr(ceil(col("cnt") * lit(8.0) / col("mx")).cast("int"), lit(1))
+            .as("g"))
+        .groupBy(col("event_type"))
+        .agg(
+          concat_ws("", sort_array(collect_list(struct(col("hr"), col("g"))))
+            .getField("g")).as("bar"),
+          sum(col("cnt")).as("n"))
+        .orderBy(col("event_type"))
     }
   )
 }

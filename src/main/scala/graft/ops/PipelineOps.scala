@@ -1027,6 +1027,74 @@ object PipelineOps {
         .agg(count(when(col("event_type") === "click" && col("nxt") === "purchase", 1))
           .cast("long").as("click_then_buy"))
         .orderBy(col("user_id"))
+    },
+
+    // ---- first-touch / last-touch attribution ----
+    // Marketing attribution over the event stream: each purchase's value
+    // is credited to the user's FIRST preceding non-purchase event type
+    // (first-touch model) and separately to the LAST one (last-touch);
+    // purchases with no prior touch land on '(none)'. Both carries are
+    // IGNORE NULLS window navigations over the per-user timeline —
+    // scale-legal per the q169 rule (user_id cardinality grows with
+    // data) — followed by a |channels|-row aggregate. Revenue sums in
+    // DECIMAL(18,6) micro-units of the double `value` (cast is tie-free:
+    // a double landing exactly on a .5 micro-unit boundary is not
+    // representable), so the per-channel totals are exact in both
+    // engines — no fold-order hazard.
+    Q("q228_attribution",
+      raw"""WITH o AS (SELECT user_id, ts, event_id, event_type, value,
+           |    CASE WHEN event_type <> 'purchase' THEN event_type END AS touch
+           |  FROM events),
+           |c AS (SELECT *,
+           |    first_value(touch IGNORE NULLS) OVER
+           |      (PARTITION BY user_id ORDER BY ts, event_id
+           |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ft,
+           |    last_value(touch IGNORE NULLS) OVER
+           |      (PARTITION BY user_id ORDER BY ts, event_id
+           |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lt
+           |  FROM o),
+           |p AS (SELECT coalesce(ft, '(none)') AS first_touch,
+           |    coalesce(lt, '(none)') AS last_touch,
+           |    CAST(value AS DECIMAL(18,6)) AS rev
+           |  FROM c WHERE event_type = 'purchase')
+           |SELECT model, channel, count(*) AS conv,
+           |  CAST(sum(rev) AS DOUBLE) AS revenue
+           |FROM (
+           |  SELECT 'first_touch' AS model, first_touch AS channel, rev FROM p
+           |  UNION ALL
+           |  SELECT 'last_touch' AS model, last_touch AS channel, rev FROM p)
+           |GROUP BY model, channel
+           |ORDER BY model, channel""".stripMargin) { (s, dir) =>
+      attribution(t(s, dir, "events"))
     }
   )
+
+  /** The q228 attribution core over ANY events-shaped frame — public so
+    * the spec can drive planted timelines through the exact production
+    * windows. */
+  def attribution(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touch = when(col("event_type") =!= "purchase", col("event_type"))
+    val p = events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        col("value"), touch.as("touch"))
+      .select(col("*"),
+        first(col("touch"), ignoreNulls = true).over(w).as("ft"),
+        last(col("touch"), ignoreNulls = true).over(w).as("lt"))
+      .filter(col("event_type") === "purchase")
+      .select(
+        coalesce(col("ft"), lit("(none)")).as("first_touch"),
+        coalesce(col("lt"), lit("(none)")).as("last_touch"),
+        col("value").cast("decimal(18,6)").as("rev"))
+    val ftAgg = p.select(lit("first_touch").as("model"),
+      col("first_touch").as("channel"), col("rev"))
+    val ltAgg = p.select(lit("last_touch").as("model"),
+      col("last_touch").as("channel"), col("rev"))
+    ftAgg.unionAll(ltAgg)
+      .groupBy(col("model"), col("channel"))
+      .agg(count(lit(1)).as("conv"),
+        sum(col("rev")).cast("double").as("revenue"))
+      .orderBy(col("model"), col("channel"))
+  }
 }

@@ -601,6 +601,91 @@ object Stats2 {
         .agg(min(col("bucket")).cast("long").as("timing_ms"))
         .select(col("q"), col("timing_ms"), col("n").cast("long").as("n"))
         .orderBy(col("q"))
+    },
+
+    // ---- adaptive equal-width histogram (histogram(N) parity) ----
+    // 10 equal-width bins per event_type over `value`, bounds derived
+    // from the group's own min/max — ClickHouse's histogram() shape with
+    // the deterministic twist (its adaptive variant is randomized; the
+    // equal-width form is a pure function of the data, so it is STRICT).
+    // Engine shape: scan 1 is a tiny per-type (min, max) aggregate that
+    // broadcasts back onto scan 2's bucketing map — two narrow passes,
+    // no window, no sort until the ≤ |types|·10-row report. Both engines
+    // compute the bin from the IDENTICAL expression tree
+    // floor((v - mn) * 10.0 / (mx - mn)) so the IEEE result (and thus
+    // every boundary case) is bit-equal — no rounding needed on the bin.
+    Q("q225_histogram",
+      raw"""WITH ev AS (SELECT event_type, value FROM events
+           |  WHERE value IS NOT NULL AND NOT isnan(value)),
+           |mm AS (SELECT event_type, min(value) AS mn, max(value) AS mx
+           |  FROM ev GROUP BY event_type),
+           |b AS (SELECT ev.event_type, mn, mx,
+           |    CASE WHEN mx = mn THEN 0
+           |         ELSE least(CAST(floor((value - mn) * 10.0 / (mx - mn))
+           |                         AS BIGINT), 9) END AS bin
+           |  FROM ev JOIN mm USING (event_type))
+           |SELECT event_type, bin, count(*) AS cnt,
+           |  round(mn + bin * (mx - mn) / 10.0, 6) AS bin_lo,
+           |  round(mn + (bin + 1) * (mx - mn) / 10.0, 6) AS bin_hi
+           |FROM b GROUP BY event_type, bin, mn, mx
+           |ORDER BY event_type, bin""".stripMargin) { (s, dir) =>
+      val ev = t(s, dir, "events")
+        .filter(col("value").isNotNull && !isnan(col("value")))
+        .select(col("event_type"), col("value"))
+      val mm = ev.groupBy(col("event_type"))
+        .agg(min(col("value")).as("mn"), max(col("value")).as("mx"))
+      val bin = when(col("mx") === col("mn"), lit(0L))
+        .otherwise(least(
+          floor((col("value") - col("mn")) * lit(10.0) / (col("mx") - col("mn"))),
+          lit(9L)))
+      ev.join(broadcast(mm), Seq("event_type"))
+        .select(col("event_type"), col("mn"), col("mx"), bin.as("bin"))
+        .groupBy(col("event_type"), col("bin"), col("mn"), col("mx"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("event_type"), col("bin"), col("cnt"),
+          round(col("mn") + col("bin") * (col("mx") - col("mn")) / lit(10.0), 6)
+            .as("bin_lo"),
+          round(col("mn") + (col("bin") + lit(1)) * (col("mx") - col("mn")) / lit(10.0), 6)
+            .as("bin_hi"))
+        .orderBy(col("event_type"), col("bin"))
+    },
+
+    // ---- boundingRatio parity ----
+    // Per event_type: slope between the chronologically first and last
+    // points, (v_last − v_first) / Δt_seconds. ClickHouse's boundingRatio
+    // aggregate — here as two lexicographic struct extremes
+    // (min/max of (unix_micros, event_id, value)), which is one narrow
+    // map-side-combined aggregate: NO per-type window over the corpus
+    // (event_type is low-cardinality, so a window here would be the
+    // single-partition trap the stitch engine exists to avoid — but an
+    // extremes aggregate doesn't need the stitch at all). Ties on ts are
+    // broken by event_id inside the struct, so first/last are total.
+    Q("q227_bounding_ratio",
+      raw"""WITH x AS (SELECT event_type,
+           |    min(struct_pack(u := epoch_us(ts), e := event_id, v := value)) AS f,
+           |    max(struct_pack(u := epoch_us(ts), e := event_id, v := value)) AS l,
+           |    count(*) AS n
+           |  FROM events GROUP BY event_type)
+           |SELECT event_type, n,
+           |  CASE WHEN l.u = f.u THEN NULL
+           |       ELSE round((l.v - f.v) * 1000000.0 / (l.u - f.u), 9)
+           |  END AS bounding_ratio
+           |FROM x ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val pt = struct(
+        unix_micros(col("ts").cast("timestamp")).as("u"), col("event_id").as("e"),
+        col("value").as("v"))
+      t(s, dir, "events")
+        .select(col("event_type"), pt.as("pt"))
+        .groupBy(col("event_type"))
+        .agg(min(col("pt")).as("f"), max(col("pt")).as("l"),
+          count(lit(1)).as("n"))
+        .select(col("event_type"), col("n"),
+          when(col("l.u") === col("f.u"), lit(null))
+            .otherwise(round(
+              (col("l.v") - col("f.v")) * lit(1000000.0) / (col("l.u") - col("f.u")),
+              9))
+            .as("bounding_ratio"))
+        .orderBy(col("event_type"))
     }
   )
 }
