@@ -228,9 +228,36 @@ object ScaleBench {
     // when semantic dedup was the only post-loop phase; same scope.)
     // "image" / "spans" rerun ONLY that family (corpus gen is cached).
     val phaseSel = sys.env.getOrElse("SPARK_GRAFT_SCALE_PHASES", "all")
-    require(Set("all", "postloop", "semdedup", "image", "spans", "events", "cc").contains(phaseSel),
-      s"SPARK_GRAFT_SCALE_PHASES must be 'all', 'postloop', 'semdedup', 'image', 'spans', 'events' or 'cc'," +
+    require(Set("all", "postloop", "semdedup", "image", "spans", "events", "cc", "contam").contains(phaseSel),
+      s"SPARK_GRAFT_SCALE_PHASES must be 'all', 'postloop', 'semdedup', 'image', 'spans', 'events', 'cc' or 'contam'," +
         s" got '$phaseSel' (a typo would silently skip corpus generation)")
+    // ---- q222 contamination: the broadcast-probe linearity claim ----
+    // The report is a semi-join of train grams against the (broadcast)
+    // eval gram set — NO pair blowup is possible by construction, unlike
+    // the dedup family's candidate joins. Measured claim: doubling the
+    // corpus doubles train grams, report rows, and shuffle (the per-doc
+    // count aggregate) — all ~2.0× at 2× docs, nothing quadratic. Runs
+    // against the cached 'all'-loop corpora (50k-word vocabulary, 1%
+    // boilerplate-prefix docs — the prefix makes REAL cross-partition
+    // gram collisions, so hit counts are nonzero).
+    if (phaseSel == "contam") {
+      sizes.foreach { n =>
+        val docs = spark.read.parquet(s"$root/n$n/documents.parquet")
+        phase("q222_train_grams", n) {
+          ops.TextDedup.shingleRowsFor(docs)
+            .filter(col("doc_id") % 97 =!= 0).count()
+        }
+        phase("q222_report", n) {
+          ops.Governance.contaminationFor(ops.TextDedup.shingleRowsFor(docs))
+            .count()
+        }
+        phase("q222_contaminated", n) {
+          ops.Governance.contaminationFor(ops.TextDedup.shingleRowsFor(docs))
+            .filter(col("n_hit") > 0).count()
+        }
+      }
+      spark.stop(); return
+    }
         // ---- q152 interval join: candidate growth at fixed event rate ----
     // The claim to verify: with the event RATE held constant (span grows
     // with N — the realistic 100 TB regime: more history, same traffic),

@@ -59,8 +59,14 @@ object Governance {
     * is fixed-size reference data and does not grow with the corpus — so
     * the 100 TB train side is probed map-side with NO shuffle: one narrow
     * aggregate per doc and one broadcast-hash semi-probe. */
-  private def contamination(s: SparkSession, dir: String): DataFrame = {
-    val grams = TextDedup.shingleRows(s, dir)
+  private def contamination(s: SparkSession, dir: String): DataFrame =
+    contaminationFor(TextDedup.shingleRows(s, dir))
+
+  /** The contamination report over ANY (doc_id, h1, h2) hashed-gram
+    * frame — the batch Q feeds it the memoized per-dir cache; the
+    * streaming composition (StreamingContaminationSpec) feeds it the
+    * accumulated per-batch store. */
+  def contaminationFor(grams: DataFrame): DataFrame = {
     val eval_ = broadcast(
       grams.filter(col("doc_id") % 97 === 0).select(col("h1"), col("h2")).distinct())
     val train = grams.filter(col("doc_id") % 97 =!= 0)

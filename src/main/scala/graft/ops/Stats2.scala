@@ -686,6 +686,108 @@ object Stats2 {
               9))
             .as("bounding_ratio"))
         .orderBy(col("event_type"))
+    },
+
+    // ---- one-way ANOVA (analysisOfVariance parity) ----
+    // F-test of `value` across event_type groups. Discipline: per-group
+    // (n, Σx, Σx²) are EXACT decimal partials from one scan; the grand
+    // totals re-aggregate the 5 group rows (decimal addition is
+    // order-immune). The only cross-group DOUBLE sum — Σ_g S_g²/n_g —
+    // is a lambda fold over the event_type-ordered group array
+    // (Spark aggregate() == DuckDB list_reduce(), both left-to-right
+    // with a 0-init that is an IEEE no-op on the positive terms), so
+    // its association order is pinned and the F statistic is
+    // bit-deterministic before the final round. O(|groups|) state,
+    // one corpus scan, no window.
+    Q("q231_anova",
+      raw"""WITH g AS (SELECT event_type, count(*) AS n,
+           |    sum(CAST(value AS DECIMAL(18,6))) AS s,
+           |    sum(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS q
+           |  FROM events GROUP BY event_type),
+           |tot AS (SELECT CAST(count(*) AS BIGINT) AS k,
+           |    CAST(sum(n) AS BIGINT) AS nn,
+           |    CAST(sum(s) AS DOUBLE) AS ts,
+           |    CAST(sum(q) AS DOUBLE) AS tq FROM g),
+           |tb AS (SELECT list_reduce(
+           |    list(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n ORDER BY event_type),
+           |    (x, y) -> x + y) AS tb FROM g)
+           |SELECT k, nn AS n,
+           |  round(tb - ts * ts / nn, 6) AS ss_between,
+           |  round(tq - tb, 6) AS ss_within,
+           |  round(((tb - ts * ts / nn) / (k - 1))
+           |        / ((tq - tb) / (nn - k)), 6) AS f_stat
+           |FROM tot, tb""".stripMargin) { (s, dir) =>
+      val vd = col("value").cast("decimal(18,6)")
+      val g = t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(vd).as("s"), sum(vd * vd).as("q"))
+      g.agg(
+          count(lit(1)).cast("long").as("k"),
+          sum(col("n")).cast("long").as("nn"),
+          sum(col("s")).cast("double").as("ts"),
+          sum(col("q")).cast("double").as("tq"),
+          sort_array(collect_list(struct(
+            col("event_type"),
+            (col("s").cast("double") * col("s").cast("double") / col("n"))
+              .as("term")))).as("a"))
+        .select(col("k"), col("nn").as("n"),
+          expr("aggregate(transform(a, x -> x.term), 0D, (x, y) -> x + y)")
+            .as("tb"),
+          col("ts"), col("tq"), col("nn"))
+        .select(col("k"), col("n"),
+          round(col("tb") - col("ts") * col("ts") / col("nn"), 6)
+            .as("ss_between"),
+          round(col("tq") - col("tb"), 6).as("ss_within"),
+          round(((col("tb") - col("ts") * col("ts") / col("nn")) / (col("k") - lit(1)))
+            / ((col("tq") - col("tb")) / (col("nn") - col("k"))), 6)
+            .as("f_stat"))
+    },
+
+    // ---- Tukey-fence outlier detection (seriesOutliersDetectTukey) ----
+    // Per event_type: quartiles, 1.5·IQR fences, and the count of values
+    // beyond each fence. The quartiles interpolate (type-7) so they are
+    // rounded to 4 dp FIRST — `value` is 2-decimal data, quartile
+    // fractions are quarters, so the true quartile has ≤ 4 decimals and
+    // the round is flake-free (the q16 argument) — and the fences are
+    // then derived from the ROUNDED quartiles with one identical
+    // expression tree in both engines, making the outlier predicate
+    // bit-deterministic even exactly ON a fence. Fences report at 6 dp
+    // (their true value has ≤ 5 decimals: exact again). Two narrow
+    // aggregates + a broadcast-back probe; no window over the corpus.
+    Q("q232_tukey_outliers",
+      raw"""WITH f AS (SELECT event_type,
+           |    round(quantile_cont(value, 0.25), 4) AS q1,
+           |    round(quantile_cont(value, 0.75), 4) AS q3
+           |  FROM events GROUP BY event_type)
+           |SELECT e.event_type, q1, q3,
+           |  round(q1 - 1.5 * (q3 - q1), 6) AS fence_lo,
+           |  round(q3 + 1.5 * (q3 - q1), 6) AS fence_hi,
+           |  count(*) AS n,
+           |  CAST(count(CASE WHEN value < q1 - 1.5 * (q3 - q1) THEN 1 END)
+           |       AS BIGINT) AS n_below,
+           |  CAST(count(CASE WHEN value > q3 + 1.5 * (q3 - q1) THEN 1 END)
+           |       AS BIGINT) AS n_above
+           |FROM events e JOIN f USING (event_type)
+           |GROUP BY e.event_type, q1, q3
+           |ORDER BY e.event_type""".stripMargin) { (s, dir) =>
+      val f = t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(
+          round(percentile(col("value"), lit(0.25)), 4).as("q1"),
+          round(percentile(col("value"), lit(0.75)), 4).as("q3"))
+      val lo = col("q1") - lit(1.5) * (col("q3") - col("q1"))
+      val hi = col("q3") + lit(1.5) * (col("q3") - col("q1"))
+      t(s, dir, "events")
+        .join(broadcast(f), Seq("event_type"))
+        .groupBy(col("event_type"), col("q1"), col("q3"))
+        .agg(
+          count(lit(1)).as("n"),
+          count(when(col("value") < lo, 1)).cast("long").as("n_below"),
+          count(when(col("value") > hi, 1)).cast("long").as("n_above"))
+        .select(col("event_type"), col("q1"), col("q3"),
+          round(lo, 6).as("fence_lo"), round(hi, 6).as("fence_hi"),
+          col("n"), col("n_below"), col("n_above"))
+        .orderBy(col("event_type"))
     }
   )
 }

@@ -331,6 +331,111 @@ object Streamingish {
         .select(coalesce(col("level"), lit(0)).as("level"))
         .groupBy(col("level")).agg(count(lit(1)).cast("long").as("n_users"))
         .orderBy(col("level"))
+    },
+
+    // ---- windowFunnel strict_dedup + strict_increase modes ----
+    // The two remaining ClickHouse funnel modes beside the default
+    // (q135) and strict_order (q220), both from ONE shared chain of
+    // per-user conditional aggregates over the first-'view' anchor:
+    //   t1 = first view; t2 = first click strictly after t1;
+    //   t3 = first purchase strictly after t2;
+    //   d1v = first DUPLICATE view after t1; d2v/d2c = first duplicate
+    //   view/click after t2.
+    // strict_increase needs only t1<t2<t3 (already strict by
+    // construction) within the 24 h window; strict_dedup additionally
+    // interrupts the chain when a repeat of an already-matched
+    // condition arrives before the next step (t2 < d1v for step 2,
+    // t3 < min(d2v, d2c) for step 3). Every stage is a user-keyed
+    // hash aggregate joined back on user_id — the q135 chained-narrow-
+    // aggregate shape, never a per-user collect or state machine.
+    Q("q233_funnel_modes",
+      raw"""WITH t1 AS (SELECT user_id, min(ts) AS t1 FROM events
+           |  WHERE event_type = 'view' GROUP BY user_id),
+           |s2 AS (SELECT e.user_id, any_value(t1.t1) AS t1,
+           |    min(CASE WHEN event_type = 'click' AND ts > t1.t1 THEN ts END) AS t2,
+           |    min(CASE WHEN event_type = 'view' AND ts > t1.t1 THEN ts END) AS d1v
+           |  FROM events e JOIN t1 ON e.user_id = t1.user_id
+           |  GROUP BY e.user_id),
+           |s3 AS (SELECT e.user_id,
+           |    min(CASE WHEN event_type = 'purchase' AND ts > s2.t2 THEN ts END) AS t3,
+           |    min(CASE WHEN event_type = 'view' AND ts > s2.t2 THEN ts END) AS d2v,
+           |    min(CASE WHEN event_type = 'click' AND ts > s2.t2 THEN ts END) AS d2c
+           |  FROM events e JOIN s2 ON e.user_id = s2.user_id
+           |  WHERE s2.t2 IS NOT NULL
+           |  GROUP BY e.user_id),
+           |lv AS (SELECT s2.user_id,
+           |    CASE WHEN s3.t3 IS NOT NULL
+           |              AND s3.t3 <= s2.t1 + INTERVAL 24 HOUR THEN 3
+           |         WHEN s2.t2 IS NOT NULL
+           |              AND s2.t2 <= s2.t1 + INTERVAL 24 HOUR THEN 2
+           |         ELSE 1 END AS lvl_inc,
+           |    CASE WHEN s3.t3 IS NOT NULL
+           |              AND s3.t3 <= s2.t1 + INTERVAL 24 HOUR
+           |              AND (s2.d1v IS NULL OR s2.t2 < s2.d1v)
+           |              AND s3.t3 < coalesce(s3.d2v, TIMESTAMP '9999-01-01')
+           |              AND s3.t3 < coalesce(s3.d2c, TIMESTAMP '9999-01-01')
+           |         THEN 3
+           |         WHEN s2.t2 IS NOT NULL
+           |              AND s2.t2 <= s2.t1 + INTERVAL 24 HOUR
+           |              AND (s2.d1v IS NULL OR s2.t2 < s2.d1v) THEN 2
+           |         ELSE 1 END AS lvl_dedup
+           |  FROM s2 LEFT JOIN s3 ON s2.user_id = s3.user_id),
+           |u AS (SELECT DISTINCT user_id FROM events)
+           |SELECT mode, level, CAST(count(*) AS BIGINT) AS n_users FROM (
+           |  SELECT 'strict_increase' AS mode, coalesce(lvl_inc, 0) AS level
+           |  FROM u LEFT JOIN lv USING (user_id)
+           |  UNION ALL
+           |  SELECT 'strict_dedup' AS mode, coalesce(lvl_dedup, 0) AS level
+           |  FROM u LEFT JOIN lv USING (user_id))
+           |GROUP BY mode, level ORDER BY mode, level""".stripMargin) { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val t1 = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+      val s2 = ev.join(t1, Seq("user_id"))
+        .groupBy(col("user_id"))
+        .agg(first(col("t1")).as("t1"),
+          min(when(col("event_type") === "click" && col("ts") > col("t1"),
+            col("ts"))).as("t2"),
+          min(when(col("event_type") === "view" && col("ts") > col("t1"),
+            col("ts"))).as("d1v"))
+      val s3 = ev.join(s2.filter(col("t2").isNotNull)
+          .select(col("user_id"), col("t2").as("t2j")), Seq("user_id"))
+        .groupBy(col("user_id"))
+        .agg(
+          min(when(col("event_type") === "purchase" && col("ts") > col("t2j"),
+            col("ts"))).as("t3"),
+          min(when(col("event_type") === "view" && col("ts") > col("t2j"),
+            col("ts"))).as("d2v"),
+          min(when(col("event_type") === "click" && col("ts") > col("t2j"),
+            col("ts"))).as("d2c"))
+      val far = lit("9999-01-01").cast("timestamp_ntz")
+      val lv = s2.join(s3, Seq("user_id"), "left")
+        .select(col("user_id"),
+          when(col("t3").isNotNull &&
+            col("t3") <= col("t1") + expr("INTERVAL 24 HOURS"), 3)
+            .when(col("t2").isNotNull &&
+              col("t2") <= col("t1") + expr("INTERVAL 24 HOURS"), 2)
+            .otherwise(1).as("lvl_inc"),
+          when(col("t3").isNotNull &&
+            col("t3") <= col("t1") + expr("INTERVAL 24 HOURS") &&
+            (col("d1v").isNull || col("t2") < col("d1v")) &&
+            col("t3") < coalesce(col("d2v"), far) &&
+            col("t3") < coalesce(col("d2c"), far), 3)
+            .when(col("t2").isNotNull &&
+              col("t2") <= col("t1") + expr("INTERVAL 24 HOURS") &&
+              (col("d1v").isNull || col("t2") < col("d1v")), 2)
+            .otherwise(1).as("lvl_dedup"))
+      val u = ev.select(col("user_id")).distinct()
+      val inc = u.join(lv, Seq("user_id"), "left")
+        .select(lit("strict_increase").as("mode"),
+          coalesce(col("lvl_inc"), lit(0)).as("level"))
+      val ded = u.join(lv, Seq("user_id"), "left")
+        .select(lit("strict_dedup").as("mode"),
+          coalesce(col("lvl_dedup"), lit(0)).as("level"))
+      inc.unionAll(ded)
+        .groupBy(col("mode"), col("level"))
+        .agg(count(lit(1)).cast("long").as("n_users"))
+        .orderBy(col("mode"), col("level"))
     }
   )
 }

@@ -485,6 +485,50 @@ object TextAnalysis {
       countMinEstimate(top20, sketch)
         .select(col("word"), col("exact_cnt"), col("cm_est"))
         .orderBy(col("exact_cnt").desc, col("word"))
+    },
+
+    // ---- groupArrayIntersect parity ----
+    // Per source: the tokens present in EVERY doc of that source — the
+    // set-intersection aggregate, computed as "document frequency ==
+    // group size" over distinct (source, doc, token) rows: an
+    // intersection over millions of docs costs one distinct + one
+    // count aggregate, never an array-by-array fold. Sources whose
+    // intersection is empty still report (left join back onto the
+    // source spine).
+    Q("q234_group_array_intersect",
+      raw"""WITH s AS (SELECT source, count(*) AS n_docs
+           |  FROM documents GROUP BY source),
+           |tk AS (SELECT DISTINCT source, doc_id,
+           |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+           |  FROM documents),
+           |df AS (SELECT source, tok, count(*) AS df
+           |  FROM tk GROUP BY source, tok),
+           |c AS (SELECT df.source, CAST(count(*) AS BIGINT) AS n_common,
+           |    string_agg(tok, ',' ORDER BY tok) AS common_toks
+           |  FROM df JOIN s USING (source) WHERE df = n_docs
+           |  GROUP BY df.source)
+           |SELECT s.source, n_docs,
+           |  coalesce(n_common, 0) AS n_common,
+           |  coalesce(common_toks, '') AS common_toks
+           |FROM s LEFT JOIN c USING (source)
+           |ORDER BY s.source""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val spine = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      val tk = docs
+        .select(col("source"), col("doc_id"), explode(wordsCol).as("tok"))
+        .distinct()
+      val c = tk.groupBy(col("source"), col("tok"))
+        .agg(count(lit(1)).as("df"))
+        .join(spine, Seq("source"))
+        .filter(col("df") === col("n_docs"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).cast("long").as("n_common"),
+          concat_ws(",", sort_array(collect_list(col("tok")))).as("common_toks"))
+      spine.join(c, Seq("source"), "left")
+        .select(col("source"), col("n_docs"),
+          coalesce(col("n_common"), lit(0L)).as("n_common"),
+          coalesce(col("common_toks"), lit("")).as("common_toks"))
+        .orderBy(col("source"))
     }
   )
 
