@@ -13,7 +13,8 @@ object SparkEntry {
       ops.Multimodal.qs ++ ops.Extras.qs ++ ops.Curation.qs ++ ops.SqlSurface.qs ++
       ops.SubstringOps.qs ++ ops.GraphOps.qs ++ ops.ImageOps.qs ++ ops.AudioOps.qs ++
       ops.PipelineOps.qs ++ ops.StatsGeo.qs ++ ops.Stats2.qs ++ ops.Lttb.qs ++
-      ops.ModelEval.qs ++ ops.SetSketches.qs ++ ops.Dictionary.qs ++ ops.Governance.qs
+      ops.ModelEval.qs ++ ops.SetSketches.qs ++ ops.Dictionary.qs ++ ops.Governance.qs ++
+      ops.TimeSeries.qs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

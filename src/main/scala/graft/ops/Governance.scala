@@ -137,6 +137,163 @@ object Governance {
       piiReport(t(s, dir, "documents")).orderBy(col("doc_id"))
     },
 
+    // ---- k-anonymity audit ----
+    // Privacy-release gate over the quasi-identifier pair (c_nationkey,
+    // c_mktsegment): for each candidate k, how many equivalence classes
+    // fall below k members and how many rows those classes expose. Shape:
+    // ONE hash aggregate over the corpus produces the class-size frame —
+    // bounded by the QI domain product (|nations|·|segments|), not the
+    // row count — and everything after runs on that tiny frame crossed
+    // with a 4-row literal spine. At 100 TB the class frame is the only
+    // shuffle; the per-k fold is driver-free and broadcast-sized.
+    Q("q235_k_anonymity",
+      raw"""WITH sz AS (SELECT c_nationkey, c_mktsegment, count(*) AS cnt
+           |  FROM customer GROUP BY 1, 2),
+           |ks AS (SELECT unnest([2, 5, 10, 20]) AS k)
+           |SELECT k, CAST(count(*) AS BIGINT) AS n_classes,
+           |  CAST(count(CASE WHEN cnt < k THEN 1 END) AS BIGINT) AS n_small,
+           |  CAST(coalesce(sum(CASE WHEN cnt < k THEN cnt END), 0) AS BIGINT)
+           |    AS n_rows_at_risk
+           |FROM sz CROSS JOIN ks
+           |GROUP BY k ORDER BY k""".stripMargin) { (s, dir) =>
+      val sz = t(s, dir, "customer")
+        .groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("cnt"))
+      val ks = s.range(1).select(
+        explode(array(lit(2), lit(5), lit(10), lit(20))).as("k"))
+      sz.crossJoin(broadcast(ks))
+        .groupBy(col("k"))
+        .agg(count(lit(1)).cast("long").as("n_classes"),
+          count(when(col("cnt") < col("k"), 1)).cast("long").as("n_small"),
+          coalesce(sum(when(col("cnt") < col("k"), col("cnt"))), lit(0L))
+            .cast("long").as("n_rows_at_risk"))
+        .orderBy(col("k"))
+    },
+
+    // ---- dataset column profile ----
+    // The pre-ship data-quality report: per column of `documents`, row
+    // count, null count, exact distinct count, and md5 of the lexical
+    // min/max value (md5 so a multi-KB extreme text row never lands in
+    // the report). One scan, stack()-unpivoted to (col_name, val), one
+    // aggregate. The 5-group key is NOT a reducer hotspot: Spark plans
+    // the distinct as a two-phase expand — partial distinct on
+    // (col_name, val) across all partitions, then the 5-row final — so
+    // the heavy dedup work stays fully parallel at any corpus size.
+    // (approx_count_distinct is the knob when exactness isn't required;
+    // exact here so the oracle can agree.)
+    Q("q236_column_profile",
+      raw"""WITH u AS (
+           |  SELECT 'doc_id' AS col_name, CAST(doc_id AS VARCHAR) AS val FROM documents
+           |  UNION ALL SELECT 'text', text FROM documents
+           |  UNION ALL SELECT 'lang', lang FROM documents
+           |  UNION ALL SELECT 'source', source FROM documents
+           |  UNION ALL SELECT 'n_chars', CAST(n_chars AS VARCHAR) FROM documents)
+           |SELECT col_name, count(*) AS n_rows,
+           |  CAST(count(*) - count(val) AS BIGINT) AS n_null,
+           |  count(DISTINCT val) AS n_distinct,
+           |  md5(min(val)) AS min_md5, md5(max(val)) AS max_md5
+           |FROM u GROUP BY col_name ORDER BY col_name""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents")
+        .select(expr(
+          """stack(5,
+            |  'doc_id', CAST(doc_id AS STRING),
+            |  'text', text,
+            |  'lang', lang,
+            |  'source', source,
+            |  'n_chars', CAST(n_chars AS STRING)) AS (col_name, val)""".stripMargin))
+        .groupBy(col("col_name"))
+        .agg(count(lit(1)).as("n_rows"),
+          (count(lit(1)) - count(col("val"))).cast("long").as("n_null"),
+          countDistinct(col("val")).as("n_distinct"),
+          md5(min(col("val"))).as("min_md5"),
+          md5(max(col("val"))).as("max_md5"))
+        .orderBy(col("col_name"))
+    },
+
+    // ---- Benford first-digit audit ----
+    // Fabricated-data screen over o_totalprice: observed first-significant-
+    // digit distribution vs Benford's log10(1 + 1/d), with the chi-square
+    // contribution per digit. Digit extraction goes through
+    // floor() -> BIGINT -> string (floor is exact on doubles; a direct
+    // double->BIGINT cast would TRUNCATE in Spark but ROUND in DuckDB).
+    // log10 is libm (1-ulp cross-engine) so the expected p rounds at 6dp
+    // first and the chi term is computed FROM the rounded ps — both
+    // engines state the identical expression tree. A 9-row digit spine
+    // left-joins the counts so absent digits still report (obs_p = 0).
+    // One narrow aggregate over the scan; everything after is 9 rows.
+    Q("q237_benford_audit",
+      raw"""WITH d AS (SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+           |      AS VARCHAR), 1, 1) AS INT) AS digit
+           |  FROM orders WHERE o_totalprice >= 1),
+           |c AS (SELECT digit, count(*) AS cnt FROM d GROUP BY digit),
+           |n AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c),
+           |sp AS (SELECT unnest(range(1, 10)) AS digit)
+           |SELECT CAST(sp.digit AS INT) AS digit,
+           |  CAST(coalesce(cnt, 0) AS BIGINT) AS n,
+           |  round(coalesce(cnt, 0) * 1.0 / total, 6) AS obs_p,
+           |  round(log10(1 + 1.0 / sp.digit), 6) AS exp_p,
+           |  round((round(coalesce(cnt, 0) * 1.0 / total, 6)
+           |         - round(log10(1 + 1.0 / sp.digit), 6))
+           |        * (round(coalesce(cnt, 0) * 1.0 / total, 6)
+           |           - round(log10(1 + 1.0 / sp.digit), 6))
+           |        / round(log10(1 + 1.0 / sp.digit), 6) * total, 6) AS chi_term
+           |FROM sp LEFT JOIN c ON sp.digit = c.digit CROSS JOIN n
+           |ORDER BY digit""".stripMargin) { (s, dir) =>
+      val d = t(s, dir, "orders")
+        .filter(col("o_totalprice") >= 1)
+        .select(substring(floor(col("o_totalprice")).cast("long").cast("string"), 1, 1)
+          .cast("int").as("digit"))
+      val c = d.groupBy(col("digit")).agg(count(lit(1)).as("cnt"))
+      val n = c.agg(sum(col("cnt")).cast("long").as("total"))
+      val sp = s.range(1).select(explode(sequence(lit(1), lit(9))).as("digit"))
+        .select(col("digit").cast("int").as("digit"))
+      val obsP = round(coalesce(col("cnt"), lit(0)) * lit(1.0) / col("total"), 6)
+      val expP = round(log10(lit(1) + lit(1.0) / col("digit")), 6)
+      sp.join(c, Seq("digit"), "left").crossJoin(broadcast(n))
+        .select(col("digit"),
+          coalesce(col("cnt"), lit(0)).cast("long").as("n"),
+          obsP.as("obs_p"), expP.as("exp_p"),
+          round((obsP - expP) * (obsP - expP) / expP * col("total"), 6)
+            .as("chi_term"))
+        .orderBy(col("digit"))
+    },
+
+    // ---- seeded differentially-private count release ----
+    // Laplace-noised per-event_type counts (epsilon = 0.5, sensitivity 1
+    // => scale b = 2) with the noise drawn DETERMINISTICALLY from the
+    // group key: u = first 52 md5 bits as a binary fraction, inverse-CDF
+    // transform -b*sign(u-1/2)*ln(1-2|u-1/2|). Determinism makes the
+    // release idempotent across reruns (the same group never gets two
+    // different noises — a real DP-deployment property, not just a test
+    // convenience) and lets the oracle recompute the identical release.
+    // ln is libm (1-ulp cross-engine): noise rounds at 6dp, the q208
+    // discipline. The ln argument is clamped to >= 1e-15 so the
+    // probability-zero u = 1/2 row can't produce 0 * -inf = NaN. One
+    // narrow count aggregate; the noise math runs on |event types| rows.
+    Q("q238_dp_counts",
+      raw"""WITH c AS (SELECT event_type, count(*) AS n FROM events GROUP BY event_type),
+           |u AS (SELECT event_type, n,
+           |    ${TextCommon.duckHex("md5(event_type)", 13)}
+           |      / 4503599627370496.0 AS u
+           |  FROM c)
+           |SELECT event_type, CAST(n AS BIGINT) AS n,
+           |  round(-2.0 * sign(u - 0.5)
+           |        * ln(greatest(1e-15, 1 - 2 * abs(u - 0.5))), 6) AS noise,
+           |  round(n + round(-2.0 * sign(u - 0.5)
+           |        * ln(greatest(1e-15, 1 - 2 * abs(u - 0.5))), 6), 6) AS n_dp
+           |FROM u ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val c = t(s, dir, "events")
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      val u = conv(substring(md5(col("event_type")), 1, 13), 16, 10)
+        .cast("long") / lit(4503599627370496.0)
+      val noise = round(lit(-2.0) * signum(u - 0.5) *
+        log(greatest(lit(1e-15), lit(1) - lit(2) * abs(u - 0.5))), 6)
+      c.select(col("event_type"), col("n").cast("long").as("n"),
+          noise.as("noise"),
+          round(col("n") + noise, 6).as("n_dp"))
+        .orderBy(col("event_type"))
+    },
+
     // ---- inverted-index AND search ----
     // The three highest-document-frequency tokens (ties by token asc)
     // form the query; a doc matches when it contains ALL of them.

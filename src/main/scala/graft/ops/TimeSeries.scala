@@ -1,0 +1,258 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.Q
+import graft.schema.Tables.t
+
+/** Time-series diagnostics over the landed `events` table — the
+  * seriesPeriodDetectFFT / seriesOutliersDetectTukey-adjacent surface of
+  * the destination engine (cf. /root/reference/prepare-functions.go:161-176
+  * — the reference's users run analytical SQL at the ClickHouse end):
+  * dominant-period detection (q239), CUSUM changepoint (q240), Theil–Sen
+  * robust trend (q241), autocorrelation (q242).
+  *
+  * One scale discipline for the whole family: the corpus is reduced FIRST
+  * to a calendar-bounded frame (hourly or daily aggregates — rows bounded
+  * by the observed timespan, never by the event count) with exact DECIMAL
+  * partials, and the statistic runs on that tiny frame. Windows/self-joins
+  * below always run on the aggregated frame — at 100 TB the only
+  * corpus-size-dependent work is the first map-side-combined GROUP BY.
+  *
+  * Determinism discipline: transcendental weights (cos/sin) quantize at
+  * 9 dp and then sum as exact DECIMALs so association order can't drift
+  * (the q208/q239 libm rule); pure-integer/DECIMAL statistics (q240) stay
+  * exact end-to-end; double medians select explicit ranked elements
+  * instead of engine-interpolated quantiles (q241). */
+object TimeSeries {
+
+  /** Daily exact-decimal partials per event_type: (event_type, day_idx,
+    * day, cnt, s). day_idx is integer epoch-days (UTC-pinned), `s` the
+    * DECIMAL(18,6) value sum — shared by q240/q241/q242. */
+  private def daily(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(col("event_type"),
+        (unix_micros(col("ts").cast("timestamp")) / 86400000000L)
+          .cast("long").as("day_idx"),
+        to_date(col("ts").cast("timestamp")).as("day"),
+        col("value").cast("decimal(18,6)").as("v"))
+      .groupBy(col("event_type"), col("day_idx"), col("day"))
+      .agg(count(lit(1)).as("cnt"), sum(col("v")).as("s"))
+
+  /** The daily CTE stated once for every oracle in the family. */
+  private val DailySql =
+    raw"""d AS (SELECT event_type,
+         |    epoch_us(ts) // 86400000000 AS day_idx,
+         |    CAST(ts AS DATE) AS day,
+         |    count(*) AS cnt,
+         |    sum(CAST(value AS DECIMAL(18,6))) AS s
+         |  FROM events GROUP BY 1, 2, 3)""".stripMargin
+
+  def qs: Seq[Q] = Seq(
+
+    // ---- dominant-period detection (seriesPeriodDetectFFT parity) ----
+    // Discrete-Fourier power of the hourly event-count series at every
+    // candidate period 2..24 h. The DFT weights cos/sin(2π·(t mod p)/p)
+    // are transcendental (libm, 1-ulp cross-engine) so each weight
+    // quantizes at 9 dp into DECIMAL(12,9) FIRST; count·weight products
+    // then sum EXACTLY, making the spectral sums order-immune, and only
+    // the final power re-enters double space. (t mod p keeps the argument
+    // small — cos of a 6-digit phase would amplify the libm divergence.)
+    // Shape: one corpus GROUP BY to the hourly frame (rows = timespan
+    // hours × types), a broadcast 23-row period spine, one tiny aggregate.
+    Q("q239_periodogram",
+      raw"""WITH h AS (SELECT event_type,
+           |    epoch_us(ts) // 3600000000 AS hr, count(*) AS cnt
+           |  FROM events GROUP BY 1, 2),
+           |sp AS (SELECT unnest(range(2, 25)) AS p),
+           |w AS (SELECT event_type, p,
+           |    CAST(cnt AS DECIMAL(20,0))
+           |      * CAST(round(cos(2 * pi() * (hr % p) / p), 9)
+           |             AS DECIMAL(12,9)) AS tc,
+           |    CAST(cnt AS DECIMAL(20,0))
+           |      * CAST(round(sin(2 * pi() * (hr % p) / p), 9)
+           |             AS DECIMAL(12,9)) AS ts
+           |  FROM h CROSS JOIN sp)
+           |SELECT event_type, CAST(p AS BIGINT) AS p,
+           |  round(CAST(sum(tc) AS DOUBLE) * CAST(sum(tc) AS DOUBLE)
+           |        + CAST(sum(ts) AS DOUBLE) * CAST(sum(ts) AS DOUBLE), 6)
+           |    AS power
+           |FROM w GROUP BY event_type, p
+           |ORDER BY event_type, p""".stripMargin) { (s, dir) =>
+      val h = t(s, dir, "events")
+        .select(col("event_type"),
+          (unix_micros(col("ts").cast("timestamp")) / 3600000000L)
+            .cast("long").as("hr"))
+        .groupBy(col("event_type"), col("hr"))
+        .agg(count(lit(1)).as("cnt"))
+      val sp = s.range(2, 25).select(col("id").as("p"))
+      val theta = lit(2) * lit(math.Pi) * (col("hr") % col("p")) / col("p")
+      val w = h.crossJoin(broadcast(sp))
+        .select(col("event_type"), col("p"),
+          (col("cnt").cast("decimal(20,0)")
+            * round(cos(theta), 9).cast("decimal(12,9)")).as("tc"),
+          (col("cnt").cast("decimal(20,0)")
+            * round(sin(theta), 9).cast("decimal(12,9)")).as("ts"))
+      w.groupBy(col("event_type"), col("p"))
+        .agg(round(sum(col("tc")).cast("double") * sum(col("tc")).cast("double")
+          + sum(col("ts")).cast("double") * sum(col("ts")).cast("double"), 6)
+          .as("power"))
+        .select(col("event_type"), col("p").cast("long").as("p"), col("power"))
+        .orderBy(col("event_type"), col("p"))
+    },
+
+    // ---- CUSUM changepoint detection ----
+    // Per event_type, the day k maximizing |n·S_k − k·S_n| over the
+    // daily-sum series (the scaled CUSUM deviation — multiplying through
+    // by n keeps every comparison EXACT DECIMAL, so the argmax cannot
+    // drift on ulps; ties break to the earliest day, stated in both
+    // engines). The window runs over the AGGREGATED daily frame (≤
+    // timespan-days rows per type — the q155 rule), never the corpus.
+    Q("q240_cusum_changepoint",
+      raw"""WITH $DailySql,
+           |c AS (SELECT event_type, day_idx, day,
+           |    row_number() OVER w AS k,
+           |    sum(s) OVER (PARTITION BY event_type ORDER BY day_idx
+           |                 ROWS UNBOUNDED PRECEDING) AS cum,
+           |    count(*) OVER (PARTITION BY event_type) AS n,
+           |    sum(s) OVER (PARTITION BY event_type) AS tot
+           |  FROM d WINDOW w AS (PARTITION BY event_type ORDER BY day_idx))
+           |SELECT event_type, day AS cp_day,
+           |  CAST(abs(n * cum - k * tot) AS DOUBLE) AS stat,
+           |  CAST(n AS BIGINT) AS n_days
+           |FROM c
+           |QUALIFY row_number() OVER (PARTITION BY event_type
+           |  ORDER BY abs(n * cum - k * tot) DESC, day_idx ASC) = 1
+           |ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val byDay = Window.partitionBy(col("event_type")).orderBy(col("day_idx"))
+      val whole = Window.partitionBy(col("event_type"))
+      val c = daily(s, dir)
+        .select(col("event_type"), col("day_idx"), col("day"),
+          row_number().over(byDay).as("k"),
+          sum(col("s")).over(byDay.rowsBetween(Window.unboundedPreceding, 0))
+            .as("cum"),
+          count(lit(1)).over(whole).as("n"),
+          sum(col("s")).over(whole).as("tot"))
+        .withColumn("stat0", abs(col("n") * col("cum") - col("k") * col("tot")))
+      c.withColumn("rn", row_number().over(
+          Window.partitionBy(col("event_type"))
+            .orderBy(col("stat0").desc, col("day_idx").asc)))
+        .filter(col("rn") === 1)
+        .select(col("event_type"), col("day").as("cp_day"),
+          col("stat0").cast("double").as("stat"),
+          col("n").cast("long").as("n_days"))
+        .orderBy(col("event_type"))
+    },
+
+    // ---- Theil–Sen robust trend (median of pairwise slopes) ----
+    // Per event_type over the daily-mean series: the median pairwise
+    // slope (m_j − m_i)/(j − i) — the outlier-robust trend estimator.
+    // The O(T²) pair join runs on the DAILY frame: T is the observed
+    // timespan in days, so pair count is calendar-bounded (≤ T²/2 per
+    // type) and independent of the corpus row count. The median is an
+    // explicitly RANKED element — rows (n+1) DIV 2 and n DIV 2 + 1 of
+    // the (slope, i, j)-ordered pair frame, averaged — because engine
+    // quantile interpolation (l+(u−l)·f vs l·(1−f)+u·f) differs by ulps;
+    // selecting elements makes the median bit-deterministic.
+    Q("q241_theil_sen",
+      raw"""WITH $DailySql,
+           |m AS (SELECT event_type, day_idx,
+           |    CAST(s AS DOUBLE) / cnt AS m FROM d),
+           |p AS (SELECT a.event_type,
+           |    (b.m - a.m) / (b.day_idx - a.day_idx) AS slope,
+           |    a.day_idx AS i, b.day_idx AS j
+           |  FROM m a JOIN m b ON a.event_type = b.event_type
+           |    AND a.day_idx < b.day_idx),
+           |r AS (SELECT event_type, slope,
+           |    row_number() OVER (PARTITION BY event_type
+           |      ORDER BY slope, i, j) AS rn,
+           |    count(*) OVER (PARTITION BY event_type) AS n
+           |  FROM p)
+           |SELECT event_type, CAST(any_value(n) AS BIGINT) AS n_pairs,
+           |  round(avg(slope), 9) AS slope_median
+           |FROM r WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1
+           |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val m = daily(s, dir)
+        .select(col("event_type"), col("day_idx"),
+          (col("s").cast("double") / col("cnt")).as("m"))
+      val a = m.select(col("event_type"), col("day_idx").as("i"), col("m").as("ma"))
+      val b = m.select(col("event_type"), col("day_idx").as("j"), col("m").as("mb"))
+      val p = a.join(b, Seq("event_type")).filter(col("i") < col("j"))
+        .select(col("event_type"),
+          ((col("mb") - col("ma")) / (col("j") - col("i"))).as("slope"),
+          col("i"), col("j"))
+      val r = p.select(col("event_type"), col("slope"),
+        row_number().over(Window.partitionBy(col("event_type"))
+          .orderBy(col("slope"), col("i"), col("j"))).as("rn"),
+        count(lit(1)).over(Window.partitionBy(col("event_type"))).as("n"))
+      r.filter(col("rn") === (col("n") + 1) / 2 || col("rn") === col("n") / 2 + 1)
+        .groupBy(col("event_type"))
+        .agg(first(col("n")).cast("long").as("n_pairs"),
+          round(avg(col("slope")), 9).as("slope_median"))
+        .orderBy(col("event_type"))
+    },
+
+    // ---- autocorrelation function (lags 1..7) ----
+    // Per event_type: ACF of the daily-mean series at weekly-scale lags —
+    // r_k = Σ(x_t−x̄)(x_{t+k}−x̄) / Σ(x_t−x̄)². The series values quantize
+    // ONCE at 9 dp (DECIMAL(28,9)) so the mean is a ratio of an exact sum;
+    // deviation products re-quantize at 9 dp and sum exactly — the whole
+    // statistic is association-order-immune and only the final ratio is
+    // floating. Lag pairs come from a self-join of the daily frame on
+    // day_idx + k (calendar-bounded, like q241's pairs).
+    Q("q242_acf",
+      raw"""WITH $DailySql,
+           |m AS (SELECT event_type, day_idx,
+           |    CAST(round(CAST(s AS DOUBLE) / cnt, 9) AS DECIMAL(28,9)) AS md
+           |  FROM d),
+           |xb AS (SELECT event_type,
+           |    CAST(sum(md) AS DOUBLE) / count(*) AS xbar FROM m GROUP BY 1),
+           |dev AS (SELECT m.event_type, day_idx,
+           |    CAST(md AS DOUBLE) - xbar AS dv
+           |  FROM m JOIN xb ON m.event_type = xb.event_type),
+           |den AS (SELECT event_type,
+           |    sum(CAST(round(dv * dv, 9) AS DECIMAL(28,9))) AS den
+           |  FROM dev GROUP BY 1),
+           |sp AS (SELECT unnest(range(1, 8)) AS lag),
+           |num AS (SELECT a.event_type, lag,
+           |    sum(CAST(round(a.dv * b.dv, 9) AS DECIMAL(28,9))) AS num,
+           |    count(*) AS n_terms
+           |  FROM dev a CROSS JOIN sp
+           |  JOIN dev b ON a.event_type = b.event_type
+           |    AND b.day_idx = a.day_idx + lag
+           |  GROUP BY 1, 2)
+           |SELECT num.event_type, CAST(lag AS BIGINT) AS lag,
+           |  CAST(n_terms AS BIGINT) AS n_terms,
+           |  round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) AS acf
+           |FROM num JOIN den ON num.event_type = den.event_type
+           |ORDER BY num.event_type, lag""".stripMargin) { (s, dir) =>
+      val m = daily(s, dir)
+        .select(col("event_type"), col("day_idx"),
+          round(col("s").cast("double") / col("cnt"), 9)
+            .cast("decimal(28,9)").as("md"))
+      val xb = m.groupBy(col("event_type"))
+        .agg((sum(col("md")).cast("double") / count(lit(1))).as("xbar"))
+      val dev = m.join(xb, Seq("event_type"))
+        .select(col("event_type"), col("day_idx"),
+          (col("md").cast("double") - col("xbar")).as("dv"))
+      val den = dev.groupBy(col("event_type"))
+        .agg(sum(round(col("dv") * col("dv"), 9).cast("decimal(28,9)")).as("den"))
+      val sp = s.range(1, 8).select(col("id").as("lag"))
+      val a = dev.crossJoin(broadcast(sp))
+      val b = dev.select(col("event_type"), col("day_idx").as("bj"), col("dv").as("dvb"))
+      a.join(b, a("event_type") === b("event_type")
+          && col("bj") === col("day_idx") + col("lag"))
+        .drop(b("event_type"))
+        .groupBy(col("event_type"), col("lag"))
+        .agg(sum(round(col("dv") * col("dvb"), 9).cast("decimal(28,9)")).as("num"),
+          count(lit(1)).cast("long").as("n_terms"))
+        .join(den, Seq("event_type"))
+        .select(col("event_type"), col("lag").cast("long").as("lag"),
+          col("n_terms"),
+          round(col("num").cast("double") / col("den").cast("double"), 6)
+            .as("acf"))
+        .orderBy(col("event_type"), col("lag"))
+    }
+  )
+}

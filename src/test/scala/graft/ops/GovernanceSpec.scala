@@ -43,4 +43,32 @@ class GovernanceSpec extends SparkSpec {
     val twice = once.select(Governance.redactCol(col("text")).as("text"))
     assert(once.as[String].head() == twice.as[String].head())
   }
+
+  test("q235: risk is monotone non-increasing in privacy (higher k ⇒ more exposure, never less)") {
+    val rows = graft.SparkEntry.queries("q235_k_anonymity")(spark, sf001)
+      .orderBy("k").collect()
+    assert(rows.map(_.getAs[Int]("k")).toSeq == Seq(2, 5, 10, 20))
+    val classes = rows.map(_.getAs[Long]("n_classes")).distinct
+    assert(classes.length == 1, "class count is k-independent")
+    val small = rows.map(_.getAs[Long]("n_small"))
+    val risk = rows.map(_.getAs[Long]("n_rows_at_risk"))
+    assert(small.sameElements(small.sorted) && risk.sameElements(risk.sorted),
+      "raising k can only add at-risk classes/rows")
+    rows.foreach(r => assert(r.getAs[Long]("n_rows_at_risk") >=
+      r.getAs[Long]("n_small"), "each small class holds ≥ 1 row"))
+  }
+
+  test("q238: the DP release is deterministic across reruns and the noise is bounded sane") {
+    val a = graft.SparkEntry.queries("q238_dp_counts")(spark, sf001).collect()
+    val b = graft.SparkEntry.queries("q238_dp_counts")(spark, sf001).collect()
+    assert(a.map(_.toString).sameElements(b.map(_.toString)),
+      "same group key must always draw the same noise (idempotent release)")
+    a.foreach { r =>
+      val noise = r.getAs[Double]("noise")
+      // Laplace(b=2): |noise| = 2*|ln(u')| — astronomically unlikely past
+      // ~70 (u' < 1e-15 is clamped), and 0 only on the u=1/2 null set
+      assert(math.abs(noise) > 0.0 && math.abs(noise) < 70.0)
+      assert(math.abs(r.getAs[Double]("n_dp") - r.getAs[Long]("n") - noise) < 1e-9)
+    }
+  }
 }
