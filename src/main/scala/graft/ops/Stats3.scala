@@ -1,0 +1,310 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.Q
+import graft.schema.Tables.t
+
+/** Round-10 statistical destination-surface additions: the remaining
+  * ClickHouse aggregate-combinator families a reference user could call
+  * on landed tables — corrMatrix (q245), meanZTest + the variance-ratio
+  * F statistic + cramersVBiasCorrected (q246), the four exact-quantile
+  * interpolation modes quantileExactLow/High/Exclusive/Inclusive (q247)
+  * — plus a join-key skew audit (q248), the governance pass that decides
+  * WHETHER a 100 TB join needs the salting/AQE-skew treatment the engine
+  * ships (Skew.saltedJoin, SCALE.md) before it runs.
+  *
+  * Scale discipline: q245/q246 are single map-side-combinable hash
+  * aggregates (a correlation MATRIX is one pass carrying k(k-1)/2 moment
+  * sets, never k² scans); q247/q248 take exact order statistics through
+  * the stitched global/grouped rank engine — no single-partition window
+  * anywhere, parallelism scales with data volume, and only the requested
+  * ranks (≤ a few dozen rows) ever leave the ranked frame.
+  */
+object Stats3 {
+
+  def qs: Seq[Q] = Seq(
+
+    // ---- pairwise correlation matrix (corrMatrix parity) ----
+    // All six correlations among four lineitem measures from ONE scan:
+    // a single hash aggregate evaluates six corr() states side by side
+    // (each keeps its own co-moments; partials merge map-side), then a
+    // stack() unpivots the 1-row result into the (col_a, col_b, corr)
+    // triangle. The oracle computes the same six corr() values in one
+    // DuckDB aggregate. Shared sample-correlation definition; round(6)
+    // absorbs summation-order ulps (q172 precedent).
+    Q("q245_corr_matrix",
+      """WITH a AS (SELECT
+        |    corr(l_discount, l_extendedprice) AS c_de,
+        |    corr(l_discount, l_quantity) AS c_dq,
+        |    corr(l_discount, l_tax) AS c_dt,
+        |    corr(l_extendedprice, l_quantity) AS c_eq,
+        |    corr(l_extendedprice, l_tax) AS c_et,
+        |    corr(l_quantity, l_tax) AS c_qt
+        |  FROM lineitem)
+        |SELECT col_a, col_b, round(c, 6) AS corr_v FROM (
+        |  SELECT 'l_discount' AS col_a, 'l_extendedprice' AS col_b, c_de AS c FROM a
+        |  UNION ALL SELECT 'l_discount', 'l_quantity', c_dq FROM a
+        |  UNION ALL SELECT 'l_discount', 'l_tax', c_dt FROM a
+        |  UNION ALL SELECT 'l_extendedprice', 'l_quantity', c_eq FROM a
+        |  UNION ALL SELECT 'l_extendedprice', 'l_tax', c_et FROM a
+        |  UNION ALL SELECT 'l_quantity', 'l_tax', c_qt FROM a)
+        |ORDER BY col_a, col_b""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .agg(
+          corr(col("l_discount"), col("l_extendedprice")).as("c_de"),
+          corr(col("l_discount"), col("l_quantity")).as("c_dq"),
+          corr(col("l_discount"), col("l_tax")).as("c_dt"),
+          corr(col("l_extendedprice"), col("l_quantity")).as("c_eq"),
+          corr(col("l_extendedprice"), col("l_tax")).as("c_et"),
+          corr(col("l_quantity"), col("l_tax")).as("c_qt"))
+        .selectExpr(
+          """stack(6,
+            |  'l_discount', 'l_extendedprice', c_de,
+            |  'l_discount', 'l_quantity', c_dq,
+            |  'l_discount', 'l_tax', c_dt,
+            |  'l_extendedprice', 'l_quantity', c_eq,
+            |  'l_extendedprice', 'l_tax', c_et,
+            |  'l_quantity', 'l_tax', c_qt) AS (col_a, col_b, c)""".stripMargin)
+        .select(col("col_a"), col("col_b"), round(col("c"), 6).as("corr_v"))
+        .orderBy(col("col_a"), col("col_b"))
+    },
+
+    // ---- two-sample z / F tests + bias-corrected Cramér's V ----
+    // The remaining hypothesis-test surface next to q194/q195/q200:
+    // meanZTest (population-variance z statistic, the variances estimated
+    // from the same pass), the variance-ratio F statistic, and
+    // cramersVBiasCorrected (Bartlett's correction on q200's φ²). The
+    // numeric half is ONE conditional hash aggregate over lineitem
+    // (A-vs-R segments via when(); no second scan, no join); the
+    // categorical half re-aggregates the r×c contingency CELLS exactly
+    // like q200. Round(6) on the scale-free statistics, round(2) on the
+    // means (q01 discipline), round(4) on χ².
+    Q("q246_ztest_battery",
+      """WITH seg AS (SELECT
+        |    count(CASE WHEN l_returnflag = 'A' THEN 1 END) AS n_a,
+        |    count(CASE WHEN l_returnflag = 'R' THEN 1 END) AS n_b,
+        |    avg(CASE WHEN l_returnflag = 'A' THEN l_extendedprice END) AS m_a,
+        |    avg(CASE WHEN l_returnflag = 'R' THEN l_extendedprice END) AS m_b,
+        |    var_pop(CASE WHEN l_returnflag = 'A' THEN l_extendedprice END) AS vp_a,
+        |    var_pop(CASE WHEN l_returnflag = 'R' THEN l_extendedprice END) AS vp_b,
+        |    var_samp(CASE WHEN l_returnflag = 'A' THEN l_extendedprice END) AS vs_a,
+        |    var_samp(CASE WHEN l_returnflag = 'R' THEN l_extendedprice END) AS vs_b
+        |  FROM lineitem),
+        |cells AS (SELECT l_returnflag AS x, l_linestatus AS y, count(*) AS o
+        |  FROM lineitem GROUP BY 1, 2),
+        |rt AS (SELECT x, sum(o) AS r FROM cells GROUP BY 1),
+        |ct AS (SELECT y, sum(o) AS c FROM cells GROUP BY 1),
+        |nn AS (SELECT sum(o) AS n FROM cells),
+        |dims AS (SELECT (SELECT count(*) FROM rt) AS nr,
+        |               (SELECT count(*) FROM ct) AS nc),
+        |chi AS (SELECT sum(pow(CAST(o AS DOUBLE)
+        |      - CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / CAST(n AS DOUBLE), 2)
+        |      / (CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / CAST(n AS DOUBLE)))
+        |      AS chi2
+        |  FROM cells JOIN rt USING (x) JOIN ct USING (y), nn),
+        |vc AS (SELECT chi2,
+        |    greatest(0.0, chi2 / n - CAST((nr - 1) * (nc - 1) AS DOUBLE) / (n - 1)) AS phi2c,
+        |    nr - CAST((nr - 1) * (nr - 1) AS DOUBLE) / (n - 1) AS rc,
+        |    nc - CAST((nc - 1) * (nc - 1) AS DOUBLE) / (n - 1) AS cc
+        |  FROM chi, nn, dims)
+        |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        |  round(m_a, 2) AS mean_a, round(m_b, 2) AS mean_b,
+        |  round((m_a - m_b) / sqrt(vp_a / n_a + vp_b / n_b), 6) AS z_stat,
+        |  round(vs_a / vs_b, 6) AS f_ratio,
+        |  round(chi2, 4) AS chi2,
+        |  round(sqrt(phi2c / least(rc - 1, cc - 1)), 6) AS cramers_v_corrected
+        |FROM seg, vc""".stripMargin) { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      val price = col("l_extendedprice")
+      def seg(f: String, agg: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+        agg(when(col("l_returnflag") === f, price))
+      val segs = li.agg(
+        count(when(col("l_returnflag") === "A", 1)).as("n_a"),
+        count(when(col("l_returnflag") === "R", 1)).as("n_b"),
+        seg("A", avg).as("m_a"), seg("R", avg).as("m_b"),
+        seg("A", var_pop).as("vp_a"), seg("R", var_pop).as("vp_b"),
+        seg("A", var_samp).as("vs_a"), seg("R", var_samp).as("vs_b"))
+      val cells = li.groupBy(col("l_returnflag").as("x"), col("l_linestatus").as("y"))
+        .agg(count(lit(1)).as("o"))
+      val rt = cells.groupBy(col("x")).agg(sum(col("o")).as("r"))
+      val ct = cells.groupBy(col("y")).agg(sum(col("o")).as("c"))
+      val nn = cells.agg(sum(col("o")).as("n"))
+      val dims = rt.agg(count(lit(1)).as("nr"))
+        .crossJoin(ct.agg(count(lit(1)).as("nc")))
+      val oD = col("o").cast("double"); val e =
+        col("r").cast("double") * col("c").cast("double") / col("n").cast("double")
+      val chi = cells.join(broadcast(rt), Seq("x")).join(broadcast(ct), Seq("y"))
+        .crossJoin(broadcast(nn))
+        .agg(sum(pow(oD - e, 2) / e).as("chi2"))
+      val nD = col("n").cast("double")
+      val vc = chi.crossJoin(broadcast(nn)).crossJoin(broadcast(dims))
+        .select(col("chi2"),
+          greatest(lit(0.0), col("chi2") / nD
+            - ((col("nr") - 1) * (col("nc") - 1)).cast("double") / (nD - 1)).as("phi2c"),
+          (col("nr") - ((col("nr") - 1) * (col("nr") - 1)).cast("double") / (nD - 1)).as("rc"),
+          (col("nc") - ((col("nc") - 1) * (col("nc") - 1)).cast("double") / (nD - 1)).as("cc"))
+      segs.crossJoin(broadcast(vc))
+        .select(
+          col("n_a").cast("long").as("n_a"), col("n_b").cast("long").as("n_b"),
+          round(col("m_a"), 2).as("mean_a"), round(col("m_b"), 2).as("mean_b"),
+          round((col("m_a") - col("m_b"))
+            / sqrt(col("vp_a") / col("n_a") + col("vp_b") / col("n_b")), 6).as("z_stat"),
+          round(col("vs_a") / col("vs_b"), 6).as("f_ratio"),
+          round(col("chi2"), 4).as("chi2"),
+          round(sqrt(col("phi2c") / least(col("rc") - 1, col("cc") - 1)), 6)
+            .as("cramers_v_corrected"))
+    },
+
+    // ---- exact-quantile interpolation modes ----
+    // quantileExactLow / High / Exclusive / Inclusive over l_quantity per
+    // return flag, all four from ONE stitched grouped rank pass
+    // (Skew.groupedRowNumber — l_returnflag is a 3-value key, so a bare
+    // per-group window would funnel a third of the corpus through one
+    // task). Definitions (1-based rank k over the (v, orderkey,
+    // linenumber) total order, n = group size):
+    //   low  = v[⌊p(n−1)⌋+1],  high = v[⌈p(n−1)⌉+1]
+    //   exclusive (R-6): h = p(n+1), interpolate v[⌊h⌋]..v[⌊h⌋+1]
+    //   inclusive (R-7): h = 1+p(n−1), interpolate v[⌊h⌋]..v[⌊h⌋+1]
+    // Only the ≤ 6 requested ranks per (group, p) leave the ranked frame
+    // (an equi-join against the broadcast spec); the interpolation is
+    // pure IEEE arithmetic on exact quarter fractions — bit-identical
+    // across engines, no rounding needed (q199 precedent).
+    Q("q247_quantile_modes",
+      """WITH base AS (SELECT l_returnflag AS g, l_quantity AS v,
+        |    l_orderkey AS k1, l_linenumber AS k2 FROM lineitem),
+        |r AS (SELECT g, v,
+        |    row_number() OVER (PARTITION BY g ORDER BY v, k1, k2) AS rn
+        |  FROM base),
+        |s AS (SELECT g, count(*) AS n FROM base GROUP BY g),
+        |ps AS (SELECT CAST(unnest([0.25, 0.5, 0.75]) AS DOUBLE) AS p),
+        |spec AS (SELECT g, n, p,
+        |    CAST(floor(p * (n - 1)) AS BIGINT) + 1 AS k_low,
+        |    CAST(ceil(p * (n - 1)) AS BIGINT) + 1 AS k_high,
+        |    greatest(CAST(floor(p * (n + 1)) AS BIGINT), 1) AS k_exc,
+        |    p * (n + 1) - floor(p * (n + 1)) AS f_exc,
+        |    CAST(floor(1 + p * (n - 1)) AS BIGINT) AS k_inc,
+        |    1 + p * (n - 1) - floor(1 + p * (n - 1)) AS f_inc
+        |  FROM s, ps)
+        |SELECT spec.g AS g, p,
+        |  vl.v AS q_low, vh.v AS q_high,
+        |  ve0.v + f_exc * (ve1.v - ve0.v) AS q_exc,
+        |  vi0.v + f_inc * (vi1.v - vi0.v) AS q_inc
+        |FROM spec
+        |JOIN r vl ON vl.g = spec.g AND vl.rn = spec.k_low
+        |JOIN r vh ON vh.g = spec.g AND vh.rn = spec.k_high
+        |JOIN r ve0 ON ve0.g = spec.g AND ve0.rn = spec.k_exc
+        |JOIN r ve1 ON ve1.g = spec.g AND ve1.rn = least(spec.k_exc + 1, spec.n)
+        |JOIN r vi0 ON vi0.g = spec.g AND vi0.rn = spec.k_inc
+        |JOIN r vi1 ON vi1.g = spec.g AND vi1.rn = least(spec.k_inc + 1, spec.n)
+        |ORDER BY g, p""".stripMargin) { (s, dir) =>
+      val base = t(s, dir, "lineitem")
+        .select(col("l_returnflag").as("g"), col("l_quantity").as("v"),
+          col("l_orderkey").as("k1"), col("l_linenumber").as("k2"))
+      val ranked = Skew.groupedRowNumber(base, Seq("g"),
+        Seq(col("v").asc, col("k1").asc, col("k2").asc),
+        numPartitions = s.conf.get("spark.sql.shuffle.partitions").toInt)
+        .select(col("g"), col("v"), col("rn"))
+      val sizes = base.groupBy(col("g")).agg(count(lit(1)).as("n"))
+      val ps = s.range(0, 3).select(((col("id") + 1) * 0.25).as("p"))
+      val nD = col("n").cast("double")
+      val spec = sizes.crossJoin(ps)
+        .withColumn("k_low", floor(col("p") * (nD - 1)).cast("long") + 1)
+        .withColumn("k_high", ceil(col("p") * (nD - 1)).cast("long") + 1)
+        .withColumn("k_exc", greatest(floor(col("p") * (nD + 1)).cast("long"), lit(1L)))
+        .withColumn("f_exc", col("p") * (nD + 1) - floor(col("p") * (nD + 1)))
+        .withColumn("k_inc", floor(lit(1) + col("p") * (nD - 1)).cast("long"))
+        .withColumn("f_inc",
+          lit(1) + col("p") * (nD - 1) - floor(lit(1) + col("p") * (nD - 1)))
+      // the only ranks that leave the ranked frame: ≤ 6 per (g, p), each
+      // tagged with its role so ONE equi-join + one tiny pivot aggregate
+      // serves all four modes (never re-running the stitch per mode)
+      val roles = spec.select(col("g"), col("p"), explode(array(
+          struct(lit("low").as("role"), col("k_low").as("krn")),
+          struct(lit("high").as("role"), col("k_high").as("krn")),
+          struct(lit("e0").as("role"), col("k_exc").as("krn")),
+          struct(lit("e1").as("role"), least(col("k_exc") + 1, col("n")).as("krn")),
+          struct(lit("i0").as("role"), col("k_inc").as("krn")),
+          struct(lit("i1").as("role"), least(col("k_inc") + 1, col("n")).as("krn"))))
+          .as("rr"))
+        .select(col("g"), col("p"), col("rr.role").as("role"), col("rr.krn").as("rn"))
+      val vals = ranked.join(broadcast(roles), Seq("g", "rn"))
+        .groupBy(col("g"), col("p"))
+        .agg(
+          max(when(col("role") === "low", col("v"))).as("v_low"),
+          max(when(col("role") === "high", col("v"))).as("v_high"),
+          max(when(col("role") === "e0", col("v"))).as("v_e0"),
+          max(when(col("role") === "e1", col("v"))).as("v_e1"),
+          max(when(col("role") === "i0", col("v"))).as("v_i0"),
+          max(when(col("role") === "i1", col("v"))).as("v_i1"))
+      spec.join(broadcast(vals), Seq("g", "p"))
+        .select(col("g"), col("p"),
+          col("v_low").as("q_low"), col("v_high").as("q_high"),
+          (col("v_e0") + col("f_exc") * (col("v_e1") - col("v_e0"))).as("q_exc"),
+          (col("v_i0") + col("f_inc") * (col("v_i1") - col("v_i0"))).as("q_inc"))
+        .orderBy(col("g"), col("p"))
+    },
+
+    // ---- join-key skew audit ----
+    // The pre-flight governance pass for a 100 TB join: profile the key
+    // frequency distribution of lineitem.l_partkey in one aggregate +
+    // one stitched rank over the |keys|-row frequency frame (never the
+    // corpus), and report the numbers that decide the salting/AQE
+    // treatment — top-key shares, median/p99 frequency, and the Gini
+    // coefficient of the key mass ((2·Σ rank·cnt − (K+1)·N) / (K·N),
+    // ranks ascending — exact DECIMAL arithmetic, only the final ratios
+    // are doubles). All order statistics fall out of ONE conditional
+    // aggregate over the ranked frame; nothing driver-side.
+    Q("q248_key_skew_audit",
+      """WITH freq AS (SELECT l_partkey AS k, count(*) AS cnt
+        |  FROM lineitem GROUP BY 1),
+        |r AS (SELECT k, cnt,
+        |    row_number() OVER (ORDER BY cnt, k) AS rn FROM freq),
+        |tot AS (SELECT count(*) AS nk, sum(cnt) AS nr, max(cnt) AS top1
+        |  FROM freq),
+        |g AS (SELECT sum(CAST(rn AS DECIMAL(38,0)) * cnt) AS s_rc FROM r),
+        |t10 AS (SELECT sum(cnt) AS top10 FROM r, tot WHERE rn > nk - 10),
+        |p50 AS (SELECT cnt AS p50_freq FROM r, tot
+        |  WHERE rn = CAST(ceil(0.5 * nk) AS BIGINT)),
+        |p99 AS (SELECT cnt AS p99_freq FROM r, tot
+        |  WHERE rn = CAST(ceil(0.99 * nk) AS BIGINT))
+        |SELECT CAST(nk AS BIGINT) AS n_keys, CAST(nr AS BIGINT) AS n_rows,
+        |  round(CAST(top1 AS DOUBLE) / nr, 6) AS top1_share,
+        |  round(CAST(top10 AS DOUBLE) / nr, 6) AS top10_share,
+        |  CAST(p50_freq AS BIGINT) AS p50_freq,
+        |  CAST(p99_freq AS BIGINT) AS p99_freq,
+        |  round((2.0 * s_rc - CAST(nk + 1 AS DOUBLE) * nr)
+        |    / (CAST(nk AS DOUBLE) * nr), 6) AS gini
+        |FROM tot, g, t10, p50, p99""".stripMargin) { (s, dir) =>
+      // the frequency frame feeds both the totals and the rank stitch —
+      // registry-cached so lineitem is scanned once (the q168/q204 share
+      // pattern), and the ranked frame is consumed by ONE aggregate
+      val freq = CacheRegistry.cache(s, s"q248-freq:$dir") {
+        t(s, dir, "lineitem")
+          .groupBy(col("l_partkey").as("k")).agg(count(lit(1)).as("cnt"))
+      }
+      val ranked = Skew.globalRowNumber(freq,
+        Seq(col("cnt").asc, col("k").asc),
+        numPartitions = s.conf.get("spark.sql.shuffle.partitions").toInt)
+      val tot = freq.agg(count(lit(1)).as("nk"), sum(col("cnt")).as("nr"),
+        max(col("cnt")).as("top1"))
+      val stats = ranked.crossJoin(broadcast(tot))
+        .agg(
+          sum(col("rn").cast("decimal(38,0)") * col("cnt")).as("s_rc"),
+          sum(when(col("rn") > col("nk") - 10, col("cnt"))).as("top10"),
+          max(when(col("rn") === ceil(lit(0.5) * col("nk")).cast("long"),
+            col("cnt"))).as("p50_freq"),
+          max(when(col("rn") === ceil(lit(0.99) * col("nk")).cast("long"),
+            col("cnt"))).as("p99_freq"))
+      val nrD = col("nr").cast("double")
+      tot.crossJoin(broadcast(stats))
+        .select(col("nk").cast("long").as("n_keys"),
+          col("nr").cast("long").as("n_rows"),
+          round(col("top1").cast("double") / nrD, 6).as("top1_share"),
+          round(col("top10").cast("double") / nrD, 6).as("top10_share"),
+          col("p50_freq").cast("long").as("p50_freq"),
+          col("p99_freq").cast("long").as("p99_freq"),
+          round((lit(2.0) * col("s_rc") - (col("nk") + 1).cast("double") * col("nr"))
+            / (col("nk").cast("double") * nrD), 6).as("gini"))
+    }
+  )
+}
