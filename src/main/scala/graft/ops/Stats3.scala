@@ -244,6 +244,61 @@ object Stats3 {
         .orderBy(col("g"), col("p"))
     },
 
+    // ---- A/B-test sample-size planning (minSampleSizeConversion /
+    //      minSampleSizeContinuous parity) ----
+    // The experiment-planning pair next to the test statistics (q194/
+    // q246): given the LANDED data's own baseline — purchase-conversion
+    // share for the binary arm, value mean/variance for the continuous
+    // arm — the per-variant n needed to detect the stated MDE at
+    // α = 0.05, power = 0.8. The normal quantiles are fixed LITERALS
+    // (z_{0.975} = 1.959964, z_{0.8} = 0.841621) — no erfinv in either
+    // engine, and CH hardcodes the same pair. Baselines reduce to one
+    // narrow aggregate each (conversion = event-level purchase share —
+    // comfortably interior, so p1 + MDE stays a probability;
+    // μ/σ² = moment aggregate); every derived value rounds at 6 dp
+    // BEFORE the closed-form n (and n = ceil of a 6dp-rounded ratio),
+    // so the integer outputs cannot drift on summation-order ulps.
+    Q("q251_min_sample_size",
+      """WITH conv AS (SELECT
+        |    CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS DOUBLE)
+        |    / count(*) AS p1
+        |  FROM events),
+        |mom AS (SELECT round(avg(value), 6) AS m,
+        |    round(var_samp(value), 6) AS v FROM events),
+        |arm AS (SELECT p1, p1 + 0.02 AS p2, (p1 + p1 + 0.02) / 2 AS pbar
+        |  FROM conv)
+        |SELECT round(p1, 6) AS base_rate,
+        |  CAST(ceil(round(
+        |    pow(1.959964 * sqrt(2 * pbar * (1 - pbar))
+        |      + 0.841621 * sqrt(p1 * (1 - p1) + p2 * (1 - p2)), 2)
+        |    / pow(p2 - p1, 2), 6)) AS BIGINT) AS n_conversion,
+        |  m AS value_mean, v AS value_var,
+        |  CAST(ceil(round(
+        |    2 * pow(1.959964 + 0.841621, 2) * v / pow(0.02 * m, 2), 6))
+        |    AS BIGINT) AS n_continuous
+        |FROM arm, mom""".stripMargin) { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val conv = ev.agg(
+        (count(when(col("event_type") === "purchase", 1))
+          .cast("double") / count(lit(1))).as("p1"))
+      val mom = ev.agg(round(avg(col("value")), 6).as("m"),
+        round(var_samp(col("value")), 6).as("v"))
+      val za = lit(1.959964); val zb = lit(0.841621)
+      val arm = conv.select(col("p1"), (col("p1") + 0.02).as("p2"),
+        ((col("p1") + col("p1") + 0.02) / 2).as("pbar"))
+      arm.crossJoin(broadcast(mom))
+        .select(round(col("p1"), 6).as("base_rate"),
+          ceil(round(
+            pow(za * sqrt(lit(2) * col("pbar") * (lit(1) - col("pbar")))
+              + zb * sqrt(col("p1") * (lit(1) - col("p1"))
+                + col("p2") * (lit(1) - col("p2"))), 2)
+              / pow(col("p2") - col("p1"), 2), 6)).cast("long").as("n_conversion"),
+          col("m").as("value_mean"), col("v").as("value_var"),
+          ceil(round(
+            lit(2) * pow(za + zb, 2) * col("v") / pow(lit(0.02) * col("m"), 2), 6))
+            .cast("long").as("n_continuous"))
+    },
+
     // ---- join-key skew audit ----
     // The pre-flight governance pass for a 100 TB join: profile the key
     // frequency distribution of lineitem.l_partkey in one aggregate +

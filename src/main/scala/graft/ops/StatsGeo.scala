@@ -22,6 +22,21 @@ import graft.schema.Tables.t
   */
 object StatsGeo {
 
+  /** q249's polygon: a fixed convex-ish pentagon in (lon, lat), and the
+    * unrolled ray-cast predicate generated ONCE for both engines — five
+    * edge-crossing terms summed, inside = odd parity. */
+  private val Poly: Seq[(Double, Double)] =
+    Seq((-60.0, -30.0), (40.0, -50.0), (70.0, 0.0), (10.0, 55.0), (-50.0, 40.0))
+
+  private lazy val InsidePolySql: String = {
+    val terms = Poly.zip(Poly.tail :+ Poly.head).map { case ((x1, y1), (x2, y2)) =>
+      s"""(CASE WHEN (($y1 > lat) <> ($y2 > lat))
+         | AND (lon < ($x2 - $x1) * (lat - $y1) / ($y2 - $y1) + $x1)
+         | THEN 1 ELSE 0 END)""".stripMargin.replace("\n", "")
+    }
+    s"(${terms.mkString(" + ")}) % 2 = 1"
+  }
+
   def qs: Seq[Q] = Seq(
 
     // ---- higher central moments + covariance (skewPop/kurtPop/corr/covarPop) ----
@@ -202,6 +217,46 @@ object StatsGeo {
         .select(col("c_custkey"), round(col("lat"), 2).as("lat"),
           round(col("lon"), 2).as("lon"), round(hav, 0).as("metres"))
         .orderBy(col("c_custkey"))
+    },
+
+    // ---- point-in-polygon containment (pointInPolygon parity) ----
+    // Ray casting against a fixed 5-vertex polygon, fully unrolled: the
+    // five edge-crossing tests AND the parity fold are ONE generated SQL
+    // expression — built by the same Scala loop for both engines (the
+    // q204 oracle-generation idiom), evaluated by Spark via expr() so
+    // the expression trees are textually identical. Pure comparisons and
+    // rational arithmetic on synthetic (q177) coordinates — no
+    // transcendentals, bit-identical, no rounding on the predicate. The
+    // whole classify step is a per-row codegen'd projection fused into
+    // the scan (zero shuffle); only the |nations|-key count aggregate
+    // exchanges. At 100 TB a polygon table would broadcast and the same
+    // expression runs per (point, polygon) candidate.
+    Q("q249_point_in_polygon",
+      s"""WITH g AS (SELECT c_custkey, c_nationkey,
+         |    (c_custkey * 7919) % 18000 / 100.0 - 90.0 AS lat,
+         |    (c_custkey * 104729) % 36000 / 100.0 - 180.0 AS lon
+         |  FROM customer),
+         |f AS (SELECT c_nationkey, ($InsidePolySql) AS inside FROM g)
+         |SELECT c_nationkey,
+         |  CAST(count(*) AS BIGINT) AS n_customers,
+         |  CAST(sum(CASE WHEN inside THEN 1 ELSE 0 END) AS BIGINT) AS n_inside,
+         |  round(CAST(sum(CASE WHEN inside THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / count(*), 6) AS inside_share
+         |FROM f
+         |GROUP BY c_nationkey
+         |ORDER BY c_nationkey""".stripMargin) { (s, dir) =>
+      val lat = (col("c_custkey") * lit(7919L)) % lit(18000L) / lit(100.0) - lit(90.0)
+      val lon = (col("c_custkey") * lit(104729L)) % lit(36000L) / lit(100.0) - lit(180.0)
+      t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"),
+          lat.as("lat"), lon.as("lon"))
+        .withColumn("inside", expr(InsidePolySql))
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).cast("long").as("n_customers"),
+          sum(when(col("inside"), 1).otherwise(0)).cast("long").as("n_inside"),
+          round(sum(when(col("inside"), 1).otherwise(0)).cast("double")
+            / count(lit(1)), 6).as("inside_share"))
+        .orderBy(col("c_nationkey"))
     },
 
     // ---- runningDifference + deltaSum per user stream ----

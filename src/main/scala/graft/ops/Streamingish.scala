@@ -436,6 +436,57 @@ object Streamingish {
         .groupBy(col("mode"), col("level"))
         .agg(count(lit(1)).cast("long").as("n_users"))
         .orderBy(col("mode"), col("level"))
+    },
+
+    // ---- time-constrained sequence match ----
+    // ClickHouse `sequenceMatch('(?1)(?t<=3600)(?2)')`: does a click →
+    // purchase pair exist with the purchase AT MOST 1 h after the click?
+    // q137 is the unconstrained order test; the time condition changes
+    // the shape — existence is no longer two scalar extremes. The
+    // scale-correct reduction: one user-keyed window carries the latest
+    // click instant seen STRICTLY BEFORE each row (max of a conditional
+    // over ROWS UNBOUNDED PRECEDING..1 PRECEDING — user_id cardinality
+    // grows with the corpus, the q169 rule), then each purchase row
+    // tests its gap locally and one aggregate counts matches per user.
+    // No pair join, no per-user collect; exact integer microseconds.
+    Q("q250_sequence_match_timed",
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_type, event_id
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |w AS (SELECT user_id, us, event_type,
+        |    max(CASE WHEN event_type = 'click' THEN us END)
+        |      OVER (PARTITION BY user_id ORDER BY us, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click
+        |  FROM e)
+        |SELECT user_id,
+        |  CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT)
+        |    AS n_purchases,
+        |  CAST(count(CASE WHEN event_type = 'purchase' AND last_click IS NOT NULL
+        |    AND us - last_click <= 3600000000 THEN 1 END) AS BIGINT) AS n_matched,
+        |  count(CASE WHEN event_type = 'purchase' AND last_click IS NOT NULL
+        |    AND us - last_click <= 3600000000 THEN 1 END) > 0 AS matched
+        |FROM w
+        |GROUP BY user_id
+        |HAVING count(CASE WHEN event_type = 'purchase' THEN 1 END) > 0
+        |ORDER BY user_id""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val hit = col("event_type") === "purchase" && col("last_click").isNotNull &&
+        col("us") - col("last_click") <= 3600000000L
+      t(s, dir, "events")
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("user_id"), unix_micros(col("ts").cast("timestamp")).as("us"),
+          col("event_type"), col("event_id"))
+        .withColumn("last_click",
+          max(when(col("event_type") === "click", col("us"))).over(w))
+        .groupBy(col("user_id"))
+        .agg(
+          count(when(col("event_type") === "purchase", 1)).cast("long")
+            .as("n_purchases"),
+          count(when(hit, 1)).cast("long").as("n_matched"),
+          (count(when(hit, 1)) > 0).as("matched"))
+        .filter(col("n_purchases") > 0)
+        .orderBy(col("user_id"))
     }
   )
 }

@@ -202,57 +202,113 @@ object TimeSeries {
     // floating. Lag pairs come from a self-join of the daily frame on
     // day_idx + k (calendar-bounded, like q241's pairs).
     Q("q242_acf",
-      raw"""WITH $DailySql,
-           |m AS (SELECT event_type, day_idx,
-           |    CAST(round(CAST(s AS DOUBLE) / cnt, 9) AS DECIMAL(28,9)) AS md
-           |  FROM d),
-           |xb AS (SELECT event_type,
-           |    CAST(sum(md) AS DOUBLE) / count(*) AS xbar FROM m GROUP BY 1),
-           |dev AS (SELECT m.event_type, day_idx,
-           |    CAST(md AS DOUBLE) - xbar AS dv
-           |  FROM m JOIN xb ON m.event_type = xb.event_type),
-           |den AS (SELECT event_type,
-           |    sum(CAST(round(dv * dv, 9) AS DECIMAL(28,9))) AS den
-           |  FROM dev GROUP BY 1),
-           |sp AS (SELECT unnest(range(1, 8)) AS lag),
-           |num AS (SELECT a.event_type, lag,
-           |    sum(CAST(round(a.dv * b.dv, 9) AS DECIMAL(28,9))) AS num,
-           |    count(*) AS n_terms
-           |  FROM dev a CROSS JOIN sp
-           |  JOIN dev b ON a.event_type = b.event_type
-           |    AND b.day_idx = a.day_idx + lag
-           |  GROUP BY 1, 2)
-           |SELECT num.event_type, CAST(lag AS BIGINT) AS lag,
-           |  CAST(n_terms AS BIGINT) AS n_terms,
-           |  round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) AS acf
-           |FROM num JOIN den ON num.event_type = den.event_type
-           |ORDER BY num.event_type, lag""".stripMargin) { (s, dir) =>
-      val m = daily(s, dir)
-        .select(col("event_type"), col("day_idx"),
-          round(col("s").cast("double") / col("cnt"), 9)
-            .cast("decimal(28,9)").as("md"))
-      val xb = m.groupBy(col("event_type"))
-        .agg((sum(col("md")).cast("double") / count(lit(1))).as("xbar"))
-      val dev = m.join(xb, Seq("event_type"))
-        .select(col("event_type"), col("day_idx"),
-          (col("md").cast("double") - col("xbar")).as("dv"))
-      val den = dev.groupBy(col("event_type"))
-        .agg(sum(round(col("dv") * col("dv"), 9).cast("decimal(28,9)")).as("den"))
-      val sp = s.range(1, 8).select(col("id").as("lag"))
-      val a = dev.crossJoin(broadcast(sp))
-      val b = dev.select(col("event_type"), col("day_idx").as("bj"), col("dv").as("dvb"))
-      a.join(b, a("event_type") === b("event_type")
-          && col("bj") === col("day_idx") + col("lag"))
-        .drop(b("event_type"))
-        .groupBy(col("event_type"), col("lag"))
-        .agg(sum(round(col("dv") * col("dvb"), 9).cast("decimal(28,9)")).as("num"),
-          count(lit(1)).cast("long").as("n_terms"))
-        .join(den, Seq("event_type"))
-        .select(col("event_type"), col("lag").cast("long").as("lag"),
-          col("n_terms"),
-          round(col("num").cast("double") / col("den").cast("double"), 6)
-            .as("acf"))
-        .orderBy(col("event_type"), col("lag"))
+      raw"""WITH $AcfSql
+           |SELECT event_type, lag, n_terms, acf FROM acf
+           |ORDER BY event_type, lag""".stripMargin) { (s, dir) =>
+      acfFrame(s, dir).orderBy(col("event_type"), col("lag"))
+    },
+
+    // ---- partial autocorrelation (PACF lags 1–3) ----
+    // Durbin–Levinson on q242's ACF values: φ11 = r1, φ22 = (r2 − r1²)
+    // / (1 − r1²), φ33 = (r3 − φ21·r2 − φ22·r1) / (1 − φ21·r1 − φ22·r2)
+    // with φ21 = r1(1 − φ22) — the AR-order diagnostic every
+    // Box–Jenkins pass reads next to the ACF. The recursion depth is a
+    // CONSTANT 3, so it unrolls into one closed-form projection over
+    // the |event types|-row pivoted ACF frame (the q204/q212
+    // constant-depth discipline); determinism comes free because the
+    // inputs are q242's already-6dp-rounded ratios and both engines
+    // state the identical expression tree over them.
+    Q("q252_pacf",
+      raw"""WITH $AcfSql,
+           |p AS (SELECT event_type,
+           |    max(CASE WHEN lag = 1 THEN acf END) AS r1,
+           |    max(CASE WHEN lag = 2 THEN acf END) AS r2,
+           |    max(CASE WHEN lag = 3 THEN acf END) AS r3
+           |  FROM acf GROUP BY 1),
+           |lv AS (SELECT event_type, r1, r2, r3,
+           |    (r2 - r1 * r1) / (1 - r1 * r1) AS p22 FROM p),
+           |lv2 AS (SELECT event_type, r1, r2, r3, p22,
+           |    r1 * (1 - p22) AS p21 FROM lv)
+           |SELECT event_type,
+           |  round(r1, 6) AS pacf1,
+           |  round(p22, 6) AS pacf2,
+           |  round((r3 - p21 * r2 - p22 * r1)
+           |    / (1 - p21 * r1 - p22 * r2), 6) AS pacf3
+           |FROM lv2
+           |ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val p = acfFrame(s, dir).filter(col("lag") <= 3)
+        .groupBy(col("event_type"))
+        .agg(max(when(col("lag") === 1, col("acf"))).as("r1"),
+          max(when(col("lag") === 2, col("acf"))).as("r2"),
+          max(when(col("lag") === 3, col("acf"))).as("r3"))
+      val lv = p.withColumn("p22",
+        (col("r2") - col("r1") * col("r1")) / (lit(1) - col("r1") * col("r1")))
+      val lv2 = lv.withColumn("p21", col("r1") * (lit(1) - col("p22")))
+      lv2.select(col("event_type"),
+          round(col("r1"), 6).as("pacf1"),
+          round(col("p22"), 6).as("pacf2"),
+          round((col("r3") - col("p21") * col("r2") - col("p22") * col("r1"))
+            / (lit(1) - col("p21") * col("r1") - col("p22") * col("r2")), 6)
+            .as("pacf3"))
+        .orderBy(col("event_type"))
     }
   )
+
+  /** q242's ACF pipeline as a frame: (event_type, lag 1–7, n_terms, acf)
+    * with acf already rounded at 6 dp — shared by q242 and q252. */
+  private def acfFrame(s: SparkSession, dir: String): DataFrame = {
+    val m = daily(s, dir)
+      .select(col("event_type"), col("day_idx"),
+        round(col("s").cast("double") / col("cnt"), 9)
+          .cast("decimal(28,9)").as("md"))
+    val xb = m.groupBy(col("event_type"))
+      .agg((sum(col("md")).cast("double") / count(lit(1))).as("xbar"))
+    val dev = m.join(xb, Seq("event_type"))
+      .select(col("event_type"), col("day_idx"),
+        (col("md").cast("double") - col("xbar")).as("dv"))
+    val den = dev.groupBy(col("event_type"))
+      .agg(sum(round(col("dv") * col("dv"), 9).cast("decimal(28,9)")).as("den"))
+    val sp = s.range(1, 8).select(col("id").as("lag"))
+    val a = dev.crossJoin(broadcast(sp))
+    val b = dev.select(col("event_type"), col("day_idx").as("bj"), col("dv").as("dvb"))
+    a.join(b, a("event_type") === b("event_type")
+        && col("bj") === col("day_idx") + col("lag"))
+      .drop(b("event_type"))
+      .groupBy(col("event_type"), col("lag"))
+      .agg(sum(round(col("dv") * col("dvb"), 9).cast("decimal(28,9)")).as("num"),
+        count(lit(1)).cast("long").as("n_terms"))
+      .join(den, Seq("event_type"))
+      .select(col("event_type"), col("lag").cast("long").as("lag"),
+        col("n_terms"),
+        round(col("num").cast("double") / col("den").cast("double"), 6)
+          .as("acf"))
+  }
+
+  /** The ACF CTE chain stated once for the q242/q252 oracles: defines
+    * `acf` with (event_type, lag, n_terms, acf@6dp). */
+  private lazy val AcfSql: String =
+    raw"""$DailySql,
+         |m AS (SELECT event_type, day_idx,
+         |    CAST(round(CAST(s AS DOUBLE) / cnt, 9) AS DECIMAL(28,9)) AS md
+         |  FROM d),
+         |xb AS (SELECT event_type,
+         |    CAST(sum(md) AS DOUBLE) / count(*) AS xbar FROM m GROUP BY 1),
+         |dev AS (SELECT m.event_type, day_idx,
+         |    CAST(md AS DOUBLE) - xbar AS dv
+         |  FROM m JOIN xb ON m.event_type = xb.event_type),
+         |den AS (SELECT event_type,
+         |    sum(CAST(round(dv * dv, 9) AS DECIMAL(28,9))) AS den
+         |  FROM dev GROUP BY 1),
+         |sp AS (SELECT unnest(range(1, 8)) AS lag),
+         |num AS (SELECT a.event_type, lag,
+         |    sum(CAST(round(a.dv * b.dv, 9) AS DECIMAL(28,9))) AS num,
+         |    count(*) AS n_terms
+         |  FROM dev a CROSS JOIN sp
+         |  JOIN dev b ON a.event_type = b.event_type
+         |    AND b.day_idx = a.day_idx + lag
+         |  GROUP BY 1, 2),
+         |acf AS (SELECT num.event_type, CAST(lag AS BIGINT) AS lag,
+         |    CAST(n_terms AS BIGINT) AS n_terms,
+         |    round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) AS acf
+         |  FROM num JOIN den ON num.event_type = den.event_type)""".stripMargin
 }

@@ -84,6 +84,97 @@ class Stats3Spec extends SparkSpec {
     assert(z.getDouble(7) >= 0 && z.getDouble(7) <= 1) // bias-corrected V
   }
 
+  test("q249: unrolled ray-cast equals a textbook point-in-polygon pass") {
+    val poly = Seq((-60.0, -30.0), (40.0, -50.0), (70.0, 0.0), (10.0, 55.0), (-50.0, 40.0))
+    def inside(lon: Double, lat: Double): Boolean = {
+      val crossings = poly.zip(poly.tail :+ poly.head).count { case ((x1, y1), (x2, y2)) =>
+        ((y1 > lat) != (y2 > lat)) && lon < (x2 - x1) * (lat - y1) / (y2 - y1) + x1
+      }
+      crossings % 2 == 1
+    }
+    val custs = graft.schema.Tables.t(spark, sf001, "customer")
+      .select(col("c_custkey"), col("c_nationkey")).collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue))
+    val expected = custs.groupBy(_._2).map { case (nk, cs) =>
+      val ins = cs.count { case (ck, _) =>
+        val lat = ck * 7919 % 18000 / 100.0 - 90.0
+        val lon = ck * 104729 % 36000 / 100.0 - 180.0
+        inside(lon, lat)
+      }
+      nk -> ((cs.length.toLong, ins.toLong))
+    }
+    val got = graft.SparkEntry.queries("q249_point_in_polygon")(spark, sf001)
+      .collect()
+      .map(r => r.getAs[Number](0).longValue -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === expected)
+    // the polygon discriminates on this corpus: both regimes occur
+    assert(got.values.exists(_._2 > 0) && got.values.exists(v => v._2 < v._1))
+  }
+
+  test("q250: timed sequence match equals a brute-force pair scan per user") {
+    val events = graft.schema.Tables.t(spark, sf001, "events")
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), unix_micros(col("ts").cast("timestamp")),
+        col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val expected = events.groupBy(_._1).flatMap { case (u, evs) =>
+      val clicks = evs.filter(_._3 == "click").map(_._2)
+      val purchases = evs.filter(_._3 == "purchase").map(_._2)
+      if (purchases.isEmpty) None
+      else {
+        val matched = purchases.count(p =>
+          clicks.exists(c => c < p && p - c <= 3600000000L))
+        Some(u -> ((purchases.length.toLong, matched.toLong, matched > 0)))
+      }
+    }
+    val got = graft.SparkEntry.queries("q250_sequence_match_timed")(spark, sf001)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got === expected)
+    assert(got.values.exists(_._3) && got.values.exists(!_._3))
+  }
+
+  test("q251: sample sizes match the closed form from the reported baselines") {
+    val r = graft.SparkEntry.queries("q251_min_sample_size")(spark, sf001)
+      .collect().head
+    val (p1, nConv, m, v, nCont) = (r.getDouble(0), r.getLong(1),
+      r.getDouble(2), r.getDouble(3), r.getLong(4))
+    val (za, zb) = (1.959964, 0.841621)
+    val p2 = p1 + 0.02; val pbar = (p1 + p1 + 0.02) / 2
+    val nc = math.ceil(BigDecimal(
+      math.pow(za * math.sqrt(2 * pbar * (1 - pbar))
+        + zb * math.sqrt(p1 * (1 - p1) + p2 * (1 - p2)), 2)
+        / math.pow(p2 - p1, 2)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      .toDouble).toLong
+    // base_rate is itself 6dp-rounded in the output, so allow one count
+    // of drift from recomputing off the rounded rate
+    assert(math.abs(nConv - nc) <= math.max(1L, nc / 1000))
+    val ncont = math.ceil(BigDecimal(
+      2 * math.pow(za + zb, 2) * v / math.pow(0.02 * m, 2))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble).toLong
+    assert(nCont === ncont)
+    assert(nConv > 0 && nCont > 0 && p1 > 0 && p1 < 1)
+  }
+
+  test("q252: pacf1 equals acf1 and the Durbin-Levinson fold matches q242") {
+    val acf = graft.SparkEntry.queries("q242_acf")(spark, sf001)
+      .filter(col("lag") <= 3).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    def rnd6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = graft.SparkEntry.queries("q252_pacf")(spark, sf001).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val g = r.getString(0)
+      val (r1, r2, r3) = (acf((g, 1L)), acf((g, 2L)), acf((g, 3L)))
+      assert(r.getDouble(1) === rnd6(r1))
+      val p22 = (r2 - r1 * r1) / (1 - r1 * r1)
+      assert(r.getDouble(2) === rnd6(p22))
+      val p21 = r1 * (1 - p22)
+      assert(r.getDouble(3) ===
+        rnd6((r3 - p21 * r2 - p22 * r1) / (1 - p21 * r1 - p22 * r2)))
+    }
+  }
+
   test("q247/q248 plan no single-partition window over the corpus") {
     for (n <- Seq("q247_quantile_modes", "q248_key_skew_audit")) {
       val p = graft.SparkEntry.queries(n)(spark, sf001)
