@@ -146,6 +146,24 @@ object VideoOps {
   private[graft] def frameHashesFrom(docs: DataFrame): DataFrame =
     frameHashes(docs, _ => true)
 
+  /** q244's shot report over any (doc_id, frame_idx, dhash_hi, dhash_lo)
+    * frame — shared by the batch query and the streaming composition
+    * (StreamingVideoSpec), so the incremental path cannot drift from the
+    * batch semantics. */
+  private[graft] def shotsFrom(frames: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    frames
+      .withColumn("d",
+        bit_count(col("dhash_hi").bitwiseXOR(lag(col("dhash_hi"), 1).over(w)))
+          + bit_count(col("dhash_lo").bitwiseXOR(lag(col("dhash_lo"), 1).over(w))))
+      .filter(col("d").isNotNull)
+      .groupBy(col("doc_id"))
+      .agg(
+        (lit(1L) + count(when(col("d") >= ShotHamming, 1))).as("n_shots"),
+        max(col("d")).cast("long").as("max_step"),
+        sum(col("d")).cast("long").as("sum_step"))
+  }
+
   // -------------------------------------------------------------- oracle
 
   /** Closed-form per-frame hash rows in DuckDB SQL: the [[ImageOps]]
@@ -215,18 +233,7 @@ object VideoOps {
          |FROM steps WHERE d IS NOT NULL
          |GROUP BY doc_id
          |ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
-      allFrameHashes(s, dir)
-        .withColumn("d",
-          bit_count(col("dhash_hi").bitwiseXOR(lag(col("dhash_hi"), 1).over(w)))
-            + bit_count(col("dhash_lo").bitwiseXOR(lag(col("dhash_lo"), 1).over(w))))
-        .filter(col("d").isNotNull)
-        .groupBy(col("doc_id"))
-        .agg(
-          (lit(1L) + count(when(col("d") >= ShotHamming, 1))).as("n_shots"),
-          max(col("d")).cast("long").as("max_step"),
-          sum(col("d")).cast("long").as("sum_step"))
-        .orderBy(col("doc_id"))
+      shotsFrom(allFrameHashes(s, dir)).orderBy(col("doc_id"))
     }
   )
 }
