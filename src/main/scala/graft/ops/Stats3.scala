@@ -244,6 +244,93 @@ object Stats3 {
         .orderBy(col("g"), col("p"))
     },
 
+    // ---- weight of evidence + information value ----
+    // ClickHouse `categoricalInformationValue` parity — the feature-
+    // screening statistic every quality-classifier pipeline (q74/q156)
+    // runs before training: for a categorical feature (the 10-way user
+    // cohort) against the binary purchase outcome, WoE_i =
+    // ln((g_i/G)/(b_i/B)) and IV = Σ (g_i/G − b_i/B)·WoE_i. One cell
+    // aggregate over the corpus (the q200 discipline: marginals
+    // re-aggregate the ≤10 CELLS, never the rows); +0.5 Laplace
+    // smoothing on every cell so empty cells stay finite, stated
+    // identically in the oracle. ln is libm → WoE rounds at 6 dp and
+    // the IV fold runs over the ROUNDED WoE (the q208 rule).
+    Q("q253_information_value",
+      """WITH cells AS (SELECT user_id % 10 AS cohort,
+        |    count(CASE WHEN event_type = 'purchase' THEN 1 END) + 0.5 AS g,
+        |    count(CASE WHEN event_type <> 'purchase' THEN 1 END) + 0.5 AS b
+        |  FROM events GROUP BY 1),
+        |tot AS (SELECT sum(g) AS gt, sum(b) AS bt FROM cells),
+        |woe AS (SELECT cohort, g, b,
+        |    round(ln((g / gt) / (b / bt)), 6) AS woe,
+        |    (g / gt - b / bt) AS share_gap
+        |  FROM cells, tot)
+        |SELECT CAST(cohort AS BIGINT) AS cohort,
+        |  CAST(g - 0.5 AS BIGINT) AS goods, CAST(b - 0.5 AS BIGINT) AS bads,
+        |  woe, round(share_gap * woe, 6) AS iv_term,
+        |  round((SELECT sum(round(share_gap * woe, 6)) FROM woe), 6) AS iv_total
+        |FROM woe
+        |ORDER BY cohort""".stripMargin) { (s, dir) =>
+      // the 10-row cell frame feeds both the WoE rows and the IV total —
+      // registry-cached so the corpus is scanned once (the q248 pattern)
+      val cells = CacheRegistry.cache(s, s"q253-cells:$dir") {
+        t(s, dir, "events")
+          .groupBy((col("user_id") % 10).as("cohort"))
+          .agg((count(when(col("event_type") === "purchase", 1)) + 0.5).as("g"),
+            (count(when(col("event_type") =!= "purchase", 1)) + 0.5).as("b"))
+      }
+      val tot = cells.agg(sum(col("g")).as("gt"), sum(col("b")).as("bt"))
+      val woe = cells.crossJoin(broadcast(tot))
+        .select(col("cohort"), col("g"), col("b"),
+          round(log((col("g") / col("gt")) / (col("b") / col("bt"))), 6).as("woe"),
+          (col("g") / col("gt") - col("b") / col("bt")).as("share_gap"))
+      val ivTot = woe.agg(round(sum(round(col("share_gap") * col("woe"), 6)), 6)
+        .as("iv_total"))
+      woe.crossJoin(broadcast(ivTot))
+        .select(col("cohort").cast("long").as("cohort"),
+          (col("g") - 0.5).cast("long").as("goods"),
+          (col("b") - 0.5).cast("long").as("bads"),
+          col("woe"), round(col("share_gap") * col("woe"), 6).as("iv_term"),
+          col("iv_total"))
+        .orderBy(col("cohort"))
+    },
+
+    // ---- deterministic per-group sample (groupArraySample parity) ----
+    // k = 5 representatives per event_type, chosen by md5(event_id)
+    // hash rank — seedless-deterministic (same rows on any cluster
+    // layout, the q71 content-keyed discipline). event_type is a
+    // LOW-cardinality key, but the rank-≤-k window is still scale-legal
+    // because Spark's WindowGroupLimit pushes the top-k cut MAP-SIDE:
+    // each input partition forwards at most k rows per group, so the
+    // exchange carries ≤ k·P rows, never a group's full history
+    // (asserted in Stats3Spec — the q96 plan shape). Output renders the
+    // sample as a canonical sorted id list.
+    Q("q254_group_array_sample",
+      """WITH r AS (SELECT event_type, event_id,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rn
+        |  FROM events)
+        |SELECT event_type,
+        |  string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY event_id)
+        |    AS sample_ids
+        |FROM r WHERE rn <= 5
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(md5(col("event_id").cast("string")), col("event_id"))
+      t(s, dir, "events")
+        .select(col("event_type"), col("event_id"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .groupBy(col("event_type"))
+        .agg(collect_list(col("event_id")).as("ids"))
+        .select(col("event_type"),
+          expr("array_join(transform(array_sort(ids), x -> CAST(x AS STRING)), ',')")
+            .as("sample_ids"))
+        .orderBy(col("event_type"))
+    },
+
     // ---- A/B-test sample-size planning (minSampleSizeConversion /
     //      minSampleSizeContinuous parity) ----
     // The experiment-planning pair next to the test statistics (q194/

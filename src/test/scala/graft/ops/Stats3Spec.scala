@@ -175,6 +175,44 @@ class Stats3Spec extends SparkSpec {
     }
   }
 
+  test("q253: WoE/IV equals brute force over the cohort cells") {
+    val events = graft.schema.Tables.t(spark, sf001, "events")
+      .select(col("user_id") % 10, col("event_type")).collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getString(1)))
+    def rnd6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val cells = events.groupBy(_._1).map { case (c, es) =>
+      c -> ((es.count(_._2 == "purchase") + 0.5, es.count(_._2 != "purchase") + 0.5))
+    }
+    val gt = cells.values.map(_._1).sum; val bt = cells.values.map(_._2).sum
+    val woe = cells.map { case (c, (g, b)) =>
+      c -> ((g, b, rnd6(math.log((g / gt) / (b / bt))), g / gt - b / bt))
+    }
+    val ivTotal = rnd6(woe.values.map(v => rnd6(v._4 * v._3)).sum)
+    val got = graft.SparkEntry.queries("q253_information_value")(spark, sf001)
+      .collect()
+    assert(got.length === cells.size)
+    got.foreach { r =>
+      val (g, b, w, gap) = woe(r.getLong(0))
+      assert(r.getLong(1) === (g - 0.5).toLong && r.getLong(2) === (b - 0.5).toLong)
+      assert(r.getDouble(3) === w && r.getDouble(4) === rnd6(gap * w))
+      assert(r.getDouble(5) === ivTotal)
+    }
+    assert(ivTotal >= 0.0)
+  }
+
+  test("q254: sample is deterministic and the rank cut is pushed map-side") {
+    val a = graft.SparkEntry.queries("q254_group_array_sample")(spark, sf001)
+      .collect().map(_.toSeq)
+    val b = graft.SparkEntry.queries("q254_group_array_sample")(spark, sf001)
+      .collect().map(_.toSeq)
+    assert(a === b && a.nonEmpty)
+    a.foreach(r => assert(r(1).asInstanceOf[String].split(",").length <= 5))
+    val plan = graft.SparkEntry.queries("q254_group_array_sample")(spark, sf001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      "rank<=k cut must push map-side (WindowGroupLimit)")
+  }
+
   test("q247/q248 plan no single-partition window over the corpus") {
     for (n <- Seq("q247_quantile_modes", "q248_key_skew_audit")) {
       val p = graft.SparkEntry.queries(n)(spark, sf001)
