@@ -302,6 +302,88 @@ object ModelEval {
         .select(col("w"), col("b"), col("correct").cast("long").as("correct"),
           col("n").cast("long").as("n"),
           round(col("ll").cast("double") / col("n"), 6).as("logloss"))
+    },
+
+    // ---- precision-recall curve summary: average precision + best F1 ----
+    // The PR twin of q206's ROC, the metric that matters when positives
+    // are rare (a filter pass over a 100 TB corpus keeps a sliver).
+    // Same machinery: one hash aggregate to the distinct-score frame,
+    // BOTH prefix sums in one stitch, then per-threshold exact rational
+    // identities — precision = tp/k, recall = tp/np, F1 = 2·tp/(k+np).
+    // AP needs no lag: descending past score v adds pos_v/np recall, so
+    // AP = Σ_v (pos_v/np)·precision_v — each term quantizes at 9 dp into
+    // DECIMAL (the q239 order-immunity rule) and sums exactly. Best F1
+    // rounds at 9 dp first, and its threshold is the MIN score attaining
+    // the max — a stated tiebreak, not an engine argmax.
+    Q("q255_pr_curve",
+      """WITH e AS (SELECT value AS v,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        |  FROM events),
+        |g AS (SELECT v, count(*) AS cnt, sum(y) AS pos FROM e GROUP BY 1),
+        |r AS (SELECT v, cnt, pos,
+        |    sum(cnt) OVER wo AS cumt, sum(pos) OVER wo AS cump
+        |  FROM g
+        |  WINDOW wo AS (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |n AS (SELECT sum(pos) AS np, sum(cnt) AS tot,
+        |    count(*) AS nthr FROM g),
+        |pts AS (SELECT v,
+        |    np - cump + pos AS tp,
+        |    tot - cumt + cnt AS k,
+        |    pos, np
+        |  FROM r, n),
+        |terms AS (SELECT v,
+        |    CAST(round((CAST(pos AS DOUBLE) / np)
+        |      * (CAST(tp AS DOUBLE) / k), 9) AS DECIMAL(28,9)) AS term,
+        |    round(2.0 * tp / (k + np), 9) AS f19
+        |  FROM pts),
+        |ap AS (SELECT sum(term) AS ap_sum FROM terms),
+        |bf AS (SELECT max(f19) AS best_f1 FROM terms),
+        |bt AS (SELECT min(v) AS best_thr FROM terms, bf
+        |  WHERE f19 = best_f1)
+        |SELECT CAST(np AS BIGINT) AS n_pos,
+        |  CAST(tot - np AS BIGINT) AS n_neg,
+        |  CAST(nthr AS BIGINT) AS n_thresholds,
+        |  round(CAST(ap_sum AS DOUBLE), 6) AS avg_precision,
+        |  round(best_f1, 6) AS best_f1, best_thr
+        |FROM n, ap, bf, bt""".stripMargin) { (s, dir) =>
+      val e = t(s, dir, "events")
+        .select(col("value").as("v"),
+          when(col("event_type") === "purchase", lit(1L)).otherwise(lit(0L)).as("y"))
+      // the distinct-score frame feeds the stitch, the totals, and the
+      // term folds — registry-cached, one corpus scan (the q248 pattern)
+      val g = CacheRegistry.cache(s, s"q255-scores:$dir") {
+        e.groupBy(col("v"))
+          .agg(count(lit(1)).as("cnt"), sum(col("y")).as("pos"))
+      }
+      val parts = s.conf.get("spark.sql.shuffle.partitions").toInt
+      val cums = Skew.globalRunningSums(g, Seq(col("v")),
+        Seq(col("cnt") -> "cumt", col("pos") -> "cump"), parts)
+      val n = g.agg(sum(col("pos")).as("np"), sum(col("cnt")).as("tot"),
+        count(lit(1)).as("nthr"))
+      val pts = cums.crossJoin(broadcast(n))
+        .select(col("v"),
+          (col("np") - col("cump") + col("pos")).as("tp"),
+          (col("tot") - col("cumt") + col("cnt")).as("k"),
+          col("pos"), col("np"))
+      val terms = pts.select(col("v"),
+        round((col("pos").cast("double") / col("np"))
+          * (col("tp").cast("double") / col("k")), 9)
+          .cast("decimal(28,9)").as("term"),
+        round(lit(2.0) * col("tp") / (col("k") + col("np")), 9).as("f19"))
+      // AP and max-F1 fold in ONE aggregate; only the stated-tiebreak
+      // threshold lookup needs the second pass over the tiny term frame
+      val stats = terms.agg(sum(col("term")).as("ap_sum"),
+        max(col("f19")).as("best_f1"))
+      val bt = terms.crossJoin(broadcast(stats))
+        .filter(col("f19") === col("best_f1"))
+        .agg(min(col("v")).as("best_thr"))
+      n.crossJoin(broadcast(stats)).crossJoin(broadcast(bt))
+        .select(col("np").cast("long").as("n_pos"),
+          (col("tot") - col("np")).cast("long").as("n_neg"),
+          col("nthr").cast("long").as("n_thresholds"),
+          round(col("ap_sum").cast("double"), 6).as("avg_precision"),
+          round(col("best_f1"), 6).as("best_f1"), col("best_thr"))
     }
   )
 }

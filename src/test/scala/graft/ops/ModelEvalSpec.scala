@@ -134,4 +134,32 @@ class ModelEvalSpec extends SparkSpec {
     assert(row.getAs[Double]("logloss") < math.log(2.0),
       s"log-loss ${row.getAs[Double]("logloss")} no better than the zero model")
   }
+
+  test("q255: AP and best F1 match a sequential descending-threshold pass") {
+    import org.apache.spark.sql.functions._
+    def rnd(x: Double, s: Int) = BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP)
+    val rows = graft.schema.Tables.t(spark, sf001, "events")
+      .select(col("value"), (col("event_type") === "purchase").cast("int"))
+      .collect().map(r => (r.getDouble(0), r.getInt(1)))
+    val np = rows.map(_._2.toLong).sum
+    val byScore = rows.groupBy(_._1).map { case (v, es) =>
+      (v, es.length.toLong, es.map(_._2.toLong).sum)
+    }.toSeq.sortBy(-_._1)
+    var tp = 0L; var k = 0L
+    var ap = BigDecimal(0); var bestF1 = 0.0; var bestThr = Double.MaxValue
+    byScore.foreach { case (v, cnt, pos) =>
+      tp += pos; k += cnt
+      ap += rnd((pos.toDouble / np) * (tp.toDouble / k), 9)
+      val f1 = rnd(2.0 * tp / (k + np), 9).toDouble
+      if (f1 > bestF1 || (f1 == bestF1 && v < bestThr)) { bestF1 = f1; bestThr = v }
+    }
+    val r = graft.SparkEntry.queries("q255_pr_curve")(spark, sf001).collect().head
+    assert(r.getLong(0) === np)
+    assert(r.getLong(2) === byScore.length.toLong)
+    assert(r.getDouble(3) === rnd(ap.toDouble, 6).toDouble)
+    assert(r.getDouble(4) === rnd(bestF1, 6).toDouble)
+    assert(r.getDouble(5) === bestThr)
+    // AP of a useful ranking beats the prevalence-random baseline floor 0
+    assert(r.getDouble(3) > 0.0 && r.getDouble(4) > 0.0 && r.getDouble(4) <= 1.0)
+  }
 }
