@@ -1220,6 +1220,93 @@ object VectorSearch {
       chosen.select(col("rank").cast("long").as("rank"),
           col("vec_id").cast("long").as("vec_id"), col("sel_d"))
         .orderBy(col("rank"))
+    },
+
+    // ---- centroid silhouette: clustering-quality score ----
+    // The evaluation pass every clustering run (q110/q113/q120) needs
+    // before its output is trusted: the centroid-based silhouette
+    // s_i = (b_i − a_i) / max(a_i, b_i) with a = cosine distance to the
+    // OWN (nearest) seed and b = distance to the second-nearest — the
+    // O(N·k) simplification of the O(N²) pairwise silhouette, the only
+    // form that scales. One pass: the q110 broadcast-seed-array argmax
+    // extended to keep the TOP-2 of the per-seed struct array, so a and
+    // b fall out of the same sorted literal array — corpus never joins,
+    // never shuffles vectors; the per-cluster report aggregates
+    // (seed_id, s) pairs. s derives from 9dp-rounded cosines (identical
+    // both engines), means sum as DECIMAL(38,12); exact-duplicate-seed
+    // degeneracy (a = b = 0) is a stated s = 0. ALL row = re-aggregation
+    // of the narrow (seed, s) rows, not a second scan.
+    Q("q256_silhouette", {
+      def cosSql(a: String, b: String) =
+        s"""(list_sum(list_transform(range(1, len($a) + 1),
+           |    i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))
+           | / (sqrt(list_sum(list_transform(range(1, len($a) + 1),
+           |    i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE))))
+           |  * sqrt(list_sum(list_transform(range(1, len($b) + 1),
+           |    i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))))))""".stripMargin
+      s"""WITH seeds AS (SELECT vec_id AS seed_id, embedding AS se
+         |  FROM embeddings WHERE vec_id < 5),
+         |scored AS (SELECT e.vec_id, s.seed_id,
+         |    round(${cosSql("embedding", "se")}, 9) AS cos
+         |  FROM embeddings e, seeds s),
+         |best AS (SELECT vec_id, seed_id, cos,
+         |    row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY cos DESC, seed_id) AS rn
+         |  FROM scored),
+         |picks AS (SELECT vec_id,
+         |    max(CASE WHEN rn = 1 THEN seed_id END) AS seed_id,
+         |    max(CASE WHEN rn = 1 THEN cos END) AS c1,
+         |    max(CASE WHEN rn = 2 THEN cos END) AS c2
+         |  FROM best WHERE rn <= 2 GROUP BY vec_id),
+         |sil AS (SELECT seed_id,
+         |    CASE WHEN greatest(1 - c1, 1 - c2) = 0 THEN 0.0
+         |         ELSE (c1 - c2) / greatest(1 - c1, 1 - c2) END AS s
+         |  FROM picks),
+         |per AS (SELECT seed_id, count(*) AS n,
+         |    sum(CAST(round(s, 9) AS DECIMAL(38,12))) AS ssum
+         |  FROM sil GROUP BY seed_id)
+         |SELECT CAST(seed_id AS BIGINT) AS seed_id, CAST(n AS BIGINT) AS n,
+         |  round(CAST(ssum AS DOUBLE) / n, 6) AS mean_sil
+         |FROM per
+         |UNION ALL
+         |SELECT -1, CAST(sum(n) AS BIGINT),
+         |  round(CAST(sum(ssum) AS DOUBLE) / sum(n), 6)
+         |FROM per
+         |ORDER BY seed_id""".stripMargin
+    }) { (s, dir) =>
+      val emb = embTable(s, dir)
+      val seedRow = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("seed_id"), col("embedding").as("se"))
+        .agg(array_sort(collect_list(struct(col("seed_id"), col("se")))).as("seeds"))
+      val cosInSeed =
+        """round(graft_dot(embedding, s.se)
+          |  / (sqrt(graft_dot(embedding, embedding))
+          |   * sqrt(graft_dot(s.se, s.se))), 9)""".stripMargin
+      // the k-row per-cluster frame feeds both the report rows and the
+      // ALL re-aggregation — registry-cached so the corpus pass runs once
+      val per = CacheRegistry.cache(s, s"q256-per:$dir") { emb.crossJoin(broadcast(seedRow))
+        .select(col("vec_id"), expr(
+          s"""array_sort(transform(seeds,
+             |  s -> struct(-($cosInSeed) AS negcos, s.seed_id AS sid)))""".stripMargin)
+          .as("sc"))
+        .select(col("sc")(0).getField("sid").as("seed_id"),
+          (-col("sc")(0).getField("negcos")).as("c1"),
+          (-col("sc")(1).getField("negcos")).as("c2"))
+        .select(col("seed_id"),
+          when(greatest(lit(1) - col("c1"), lit(1) - col("c2")) === 0, lit(0.0))
+            .otherwise((col("c1") - col("c2"))
+              / greatest(lit(1) - col("c1"), lit(1) - col("c2"))).as("s"))
+        .groupBy(col("seed_id"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("s"), 9).cast("decimal(38,12)")).as("ssum"))
+      }
+      val withAll = per.unionByName(
+        per.agg(sum(col("n")).as("n"), sum(col("ssum")).as("ssum"))
+          .select(lit(-1L).as("seed_id"), col("n"), col("ssum")))
+      withAll.select(col("seed_id").cast("long").as("seed_id"),
+          col("n").cast("long").as("n"),
+          round(col("ssum").cast("double") / col("n"), 6).as("mean_sil"))
+        .orderBy(col("seed_id"))
     }
   )
 
