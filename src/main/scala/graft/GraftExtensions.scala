@@ -37,6 +37,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_matvec_dec"),
       new ExpressionInfo(classOf[graft.functions.DecMatvec].getName, "graft_matvec_dec"),
       (exprs: Seq[Expression]) => graft.functions.DecMatvec(exprs(0), exprs(1))))
+    e.injectFunction((
+      new FunctionIdentifier("graft_jaro"),
+      new ExpressionInfo(classOf[graft.functions.JaroSim].getName, "graft_jaro"),
+      (exprs: Seq[Expression]) => graft.functions.JaroSim(exprs(0), exprs(1))))
+    e.injectFunction((
+      new FunctionIdentifier("graft_jaro_winkler"),
+      new ExpressionInfo(
+        classOf[graft.functions.JaroWinklerSim].getName, "graft_jaro_winkler"),
+      (exprs: Seq[Expression]) => graft.functions.JaroWinklerSim(exprs(0), exprs(1))))
+    e.injectFunction((
+      new FunctionIdentifier("graft_damerau"),
+      new ExpressionInfo(
+        classOf[graft.functions.DamerauLevenshtein].getName, "graft_damerau"),
+      (exprs: Seq[Expression]) => graft.functions.DamerauLevenshtein(exprs(0), exprs(1))))
     // the mergeable sketch Aggregators, SQL-callable (VERDICT r9 item 4):
     // same ScalaAggregator node the typed `udaf()` path plans, so partial
     // aggregation / map-side combine behave identically from SQL text

@@ -28,6 +28,12 @@ object GraftFunctions {
       "graft_dot_dec", exprs => ArrayDotDec(exprs(0), exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_matvec_dec", exprs => DecMatvec(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_jaro", exprs => JaroSim(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_jaro_winkler", exprs => JaroWinklerSim(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_damerau", exprs => DamerauLevenshtein(exprs(0), exprs(1)), "scala_udf")
     spark.udf.register("weighted_avg", weightedAvgUdaf)
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_topk", topKBuilder, "scala_udf")
