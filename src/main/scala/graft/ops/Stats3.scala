@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Q
 import graft.schema.Tables.t
@@ -447,6 +448,92 @@ object Stats3 {
           col("p99_freq").cast("long").as("p99_freq"),
           round((lit(2.0) * col("s_rc") - (col("nk") + 1).cast("double") * col("nr"))
             / (col("nk").cast("double") * nrD), 6).as("gini"))
+    },
+
+    // ---- Benjamini–Hochberg FDR over a hypothesis family ----
+    // The multiple-testing control every segment-drilldown battery needs:
+    // testing 100 segments at α=0.05 uncorrected expects 5 false alarms,
+    // so per-segment z-tests (bucket mean vs its event_type's mean, the
+    // type's σ treated as known) feed the BH step-up: rank p ascending,
+    // reject ranks ≤ k where k = max{i: p_(i) ≤ i·α/m}, and report the
+    // standard adjusted p (reverse running min of p·m/i, capped at 1).
+    //
+    // Parity: p comes from the Abramowitz–Stegun 7.1.26 erfc polynomial —
+    // z is 9dp-rounded BEFORE the polynomial and p 9dp-rounded after it
+    // (exp() is not libm-portable; the q211 rounding discipline), and the
+    // identical formula text runs in both engines. Scale: two map-side-
+    // combined aggregates + a broadcast join build the hypothesis frame;
+    // the ranking windows run over the m = 5×20 = 100-row hypothesis
+    // family, bounded by construction — never over event rows.
+    Q("q260_bh_fdr",
+      """WITH per AS (SELECT event_type, user_id % 20 AS bucket,
+        |    count(*) AS n, avg(value) AS mb
+        |  FROM events GROUP BY 1, 2),
+        |g AS (SELECT event_type, avg(value) AS mu,
+        |    sqrt(var_pop(value)) AS sd
+        |  FROM events GROUP BY 1),
+        |zs AS (SELECT per.event_type, bucket, n,
+        |    round((mb - mu) * sqrt(CAST(n AS DOUBLE)) / sd, 9) AS z
+        |  FROM per JOIN g ON per.event_type = g.event_type),
+        |ps AS (SELECT event_type, bucket, n, z,
+        |    round(((((1.061405429 * (1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(2.0))))
+        |        - 1.453152027) * (1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(2.0))))
+        |        + 1.421413741) * (1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(2.0))))
+        |        - 0.284496736) * (1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(2.0))))
+        |        + 0.254829592) * (1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(2.0))))
+        |      * exp(-(abs(z) / sqrt(2.0)) * (abs(z) / sqrt(2.0))), 9) AS p
+        |  FROM zs),
+        |rk AS (SELECT *, row_number() OVER (ORDER BY p, event_type, bucket) AS i,
+        |    count(*) OVER () AS m
+        |  FROM ps),
+        |kk AS (SELECT coalesce(max(CASE WHEN p <= CAST(i AS DOUBLE) * 0.05
+        |      / CAST(m AS DOUBLE) THEN i END), 0) AS k
+        |  FROM rk),
+        |adj AS (SELECT rk.*, kk.k,
+        |    min(least(1.0, p * CAST(m AS DOUBLE) / CAST(i AS DOUBLE)))
+        |      OVER (ORDER BY i DESC
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p_adj
+        |  FROM rk, kk)
+        |SELECT event_type, CAST(bucket AS BIGINT) AS bucket,
+        |  CAST(n AS BIGINT) AS n, z, p, round(p_adj, 6) AS p_adj,
+        |  CAST(i AS BIGINT) AS rank_p, (i <= k) AS rejected
+        |FROM adj
+        |ORDER BY rank_p""".stripMargin) { (s, dir) =>
+      val ev = t(s, dir, "events")
+        .select(col("event_type"), (col("user_id") % 20).as("bucket"), col("value"))
+      val per = ev.groupBy(col("event_type"), col("bucket"))
+        .agg(count(lit(1)).as("n"), avg(col("value")).as("mb"))
+      val g = ev.groupBy(col("event_type"))
+        .agg(avg(col("value")).as("mu"), sqrt(var_pop(col("value"))).as("sd"))
+      val zs = per.join(broadcast(g), Seq("event_type"))
+        .select(col("event_type"), col("bucket"), col("n"),
+          round((col("mb") - col("mu")) * sqrt(col("n").cast("double")) / col("sd"), 9)
+            .as("z"))
+      val x = abs(col("z")) / sqrt(lit(2.0))
+      val tt = lit(1.0) / (lit(1.0) + lit(0.3275911) * x)
+      val poly = ((((lit(1.061405429) * tt - lit(1.453152027)) * tt
+        + lit(1.421413741)) * tt - lit(0.284496736)) * tt + lit(0.254829592)) * tt
+      val ps = zs.select(col("event_type"), col("bucket"), col("n"), col("z"),
+        round(poly * exp(-x * x), 9).as("p"))
+      // m = 100-row hypothesis family: the unpartitioned windows below are
+      // bounded by construction (types × buckets), never corpus-sized
+      val wRank = Window.orderBy(col("p"), col("event_type"), col("bucket"))
+      val rk = ps.select(col("*"), row_number().over(wRank).as("i"),
+        count(lit(1)).over(Window.partitionBy()).as("m"))
+      val kk = rk.agg(coalesce(max(when(
+          col("p") <= col("i").cast("double") * lit(0.05) / col("m").cast("double"),
+          col("i"))), lit(0)).as("k"))
+      val wAdj = Window.orderBy(col("i").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      rk.crossJoin(broadcast(kk))
+        .select(col("*"),
+          min(least(lit(1.0), col("p") * col("m").cast("double")
+            / col("i").cast("double"))).over(wAdj).as("p_adj"))
+        .select(col("event_type"), col("bucket").cast("long").as("bucket"),
+          col("n").cast("long").as("n"), col("z"), col("p"),
+          round(col("p_adj"), 6).as("p_adj"),
+          col("i").cast("long").as("rank_p"), (col("i") <= col("k")).as("rejected"))
+        .orderBy(col("rank_p"))
     }
   )
 }
