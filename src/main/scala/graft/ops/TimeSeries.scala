@@ -251,6 +251,104 @@ object TimeSeries {
             / (lit(1) - col("p21") * col("r1") - col("p22") * col("r2")), 6)
             .as("pacf3"))
         .orderBy(col("event_type"))
+    },
+
+    // ---- additive seasonal decomposition (STL-lite) ----
+    // The classical decomposition behind seriesDecomposeSTL, restated
+    // with deterministic arithmetic: per event_type over the HOURLY count
+    // series, trend = 25-point centered moving average (RANGE-bounded on
+    // h_idx so calendar gaps shrink the window and those edges yield NULL
+    // trend — only exact-25 windows survive), seasonal = per-phase
+    // (hour-of-day) mean of the detrended series re-centered by the
+    // overall detrended mean, residual = detrended − seasonal, and
+    // seasonal strength = max(0, 1 − var(resid)/var(detrended)).
+    //
+    // Determinism: the detrended value quantizes at 6 dp into
+    // DECIMAL(18,6) the moment it's born (trend is one exact integer-sum
+    // division), every later mean/variance is a ratio of exact DECIMAL
+    // sums, and only final ratios re-enter double space (the family's
+    // q240/q242 discipline). Windows run over the hourly AGGREGATE
+    // (calendar-bounded: rows = hours in span, not event count).
+    Q("q261_seasonal_decompose",
+      """WITH h AS (SELECT event_type,
+        |    epoch_us(ts) // 3600000000 AS h_idx, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |tw AS (SELECT event_type, h_idx, h_idx % 24 AS phase, cnt,
+        |    sum(cnt) OVER w AS s25, count(*) OVER w AS n25
+        |  FROM h WINDOW w AS (PARTITION BY event_type ORDER BY h_idx
+        |    RANGE BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+        |d AS (SELECT event_type, phase,
+        |    CAST(round(cnt - CAST(s25 AS DOUBLE) / 25, 6) AS DECIMAL(18,6)) AS detr
+        |  FROM tw WHERE n25 = 25),
+        |sm AS (SELECT event_type, phase, count(*) AS n, sum(detr) AS sd
+        |  FROM d GROUP BY 1, 2),
+        |ctr AS (SELECT event_type, sum(sd) AS tsd, sum(n) AS tn
+        |  FROM sm GROUP BY 1),
+        |sc AS (SELECT sm.event_type, phase, n,
+        |    CAST(round(CAST(sd AS DOUBLE) / n
+        |      - CAST(tsd AS DOUBLE) / tn, 6) AS DECIMAL(18,6)) AS seasonal
+        |  FROM sm JOIN ctr ON sm.event_type = ctr.event_type),
+        |r AS (SELECT d.event_type, d.detr - sc.seasonal AS resid, d.detr AS dt
+        |  FROM d JOIN sc ON d.event_type = sc.event_type AND d.phase = sc.phase),
+        |v AS (SELECT event_type, count(*) AS nv,
+        |    sum(resid) AS sr, sum(resid * resid) AS srr,
+        |    sum(dt) AS sd2, sum(dt * dt) AS sdd
+        |  FROM r GROUP BY 1),
+        |st AS (SELECT event_type,
+        |    round(greatest(0,
+        |      1 - (CAST(srr AS DOUBLE) - CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE)
+        |            / CAST(nv AS DOUBLE))
+        |        / (CAST(sdd AS DOUBLE) - CAST(sd2 AS DOUBLE) * CAST(sd2 AS DOUBLE)
+        |            / CAST(nv AS DOUBLE))), 6) AS strength
+        |  FROM v)
+        |SELECT sc.event_type, CAST(phase AS BIGINT) AS phase,
+        |  CAST(n AS BIGINT) AS n, CAST(seasonal AS DOUBLE) AS seasonal,
+        |  st.strength AS strength
+        |FROM sc JOIN st ON sc.event_type = st.event_type
+        |ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      val h = t(s, dir, "events")
+        .select(col("event_type"),
+          (unix_micros(col("ts").cast("timestamp")) / 3600000000L)
+            .cast("long").as("h_idx"))
+        .groupBy(col("event_type"), col("h_idx"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("h_idx"))
+        .rangeBetween(-12, 12)
+      val dec = "decimal(18,6)"
+      val d = h
+        .select(col("event_type"), (col("h_idx") % 24).as("phase"), col("cnt"),
+          sum(col("cnt")).over(w).as("s25"), count(lit(1)).over(w).as("n25"))
+        .filter(col("n25") === 25)
+        .select(col("event_type"), col("phase"),
+          round(col("cnt") - col("s25").cast("double") / 25, 6).cast(dec).as("detr"))
+      val sm = d.groupBy(col("event_type"), col("phase"))
+        .agg(count(lit(1)).as("n"), sum(col("detr")).as("sd"))
+      val ctr = sm.groupBy(col("event_type"))
+        .agg(sum(col("sd")).as("tsd"), sum(col("n")).as("tn"))
+      val sc = sm.join(broadcast(ctr), Seq("event_type"))
+        .select(col("event_type"), col("phase"), col("n"),
+          round(col("sd").cast("double") / col("n")
+            - col("tsd").cast("double") / col("tn"), 6).cast(dec).as("seasonal"))
+      val r = d.join(broadcast(sc), Seq("event_type", "phase"))
+        .select(col("event_type"),
+          (col("detr") - col("seasonal")).as("resid"), col("detr").as("dt"))
+      val v = r.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("nv"), sum(col("resid")).as("sr"),
+          sum(col("resid") * col("resid")).as("srr"),
+          sum(col("dt")).as("sd2"), sum(col("dt") * col("dt")).as("sdd"))
+      val nvD = col("nv").cast("double")
+      val st = v.select(col("event_type"),
+        round(greatest(lit(0),
+          lit(1) - (col("srr").cast("double")
+              - col("sr").cast("double") * col("sr").cast("double") / nvD)
+            / (col("sdd").cast("double")
+              - col("sd2").cast("double") * col("sd2").cast("double") / nvD)), 6)
+          .as("strength"))
+      sc.join(broadcast(st), Seq("event_type"))
+        .select(col("event_type"), col("phase").cast("long").as("phase"),
+          col("n").cast("long").as("n"),
+          col("seasonal").cast("double").as("seasonal"), col("strength"))
+        .orderBy(col("event_type"), col("phase"))
     }
   )
 
