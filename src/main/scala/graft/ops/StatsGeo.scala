@@ -291,6 +291,77 @@ object StatsGeo {
           coalesce(sum(when(col("diff") > 0, col("diff"))), lit(0))
             .cast("double").as("delta_sum"))
         .orderBy(col("user_id"))
+    },
+
+    // ---- geohash encode + decode roundtrip (geohashEncode parity) ----
+    // Standard geohash at precision 6: 15 lon bits and 15 lat bits
+    // interleaved lon-first into a 30-bit cell id, base32-coded with the
+    // canonical "0123456789bcdefghjkmnpqrstuvwxyz" alphabet. The
+    // interleave/char-split/decode expressions are GENERATED by one Scala
+    // loop for both engines (the q204 generated-oracle idiom) — Spark gets
+    // shiftright/&-based bit extraction, DuckDB the same arithmetic with
+    // its operators — so the bit layout cannot drift between sides.
+    // Decode is exercised for real: the hash string is re-parsed through
+    // the alphabet (instr/strpos) back to the cell id and compared.
+    // Scale: a pure per-row codegen'd projection over the scan — one
+    // WholeStageCodegen span, no shuffle at all.
+    Q("q262_geohash", {
+      val duckG = (0 until 15).map { j =>
+        s"((lon_n // ${1L << (14 - j)}) % 2) * ${1L << (29 - 2 * j)}" +
+          s" + ((lat_n // ${1L << (14 - j)}) % 2) * ${1L << (28 - 2 * j)}"
+      }.mkString(" + ")
+      val duckHash = (0 until 6).map { c =>
+        s"substr('$GeoAlpha', CAST((g // ${1L << (25 - 5 * c)}) % 32 AS INT) + 1, 1)"
+      }.mkString(" || ")
+      val duckG2 = (0 until 6).map { c =>
+        s"(strpos('$GeoAlpha', substr(geohash, ${c + 1}, 1)) - 1) * ${1L << (25 - 5 * c)}"
+      }.mkString(" + ")
+      s"""WITH pts AS (SELECT c_custkey,
+        |    (c_custkey * 7919) % 18000 / 100.0 - 90.0 AS lat,
+        |    (c_custkey * 104729) % 36000 / 100.0 - 180.0 AS lon
+        |  FROM customer),
+        |q AS (SELECT c_custkey, lat, lon,
+        |    CAST(floor((lat + 90.0) / 180.0 * 32768.0) AS BIGINT) AS lat_n,
+        |    CAST(floor((lon + 180.0) / 360.0 * 32768.0) AS BIGINT) AS lon_n
+        |  FROM pts),
+        |gg AS (SELECT c_custkey, lat_n, lon_n, $duckG AS g FROM q),
+        |hh AS (SELECT c_custkey, lat_n, lon_n, g, $duckHash AS geohash FROM gg)
+        |SELECT c_custkey, geohash,
+        |  round((CAST(lat_n AS DOUBLE) + 0.5) / 32768.0 * 180.0 - 90.0, 6) AS lat_c,
+        |  round((CAST(lon_n AS DOUBLE) + 0.5) / 32768.0 * 360.0 - 180.0, 6) AS lon_c,
+        |  ($duckG2) = g AS roundtrip
+        |FROM hh
+        |ORDER BY c_custkey""".stripMargin
+    }) { (s, dir) =>
+      val lat = (col("c_custkey") * lit(7919L)) % lit(18000L) / lit(100.0) - lit(90.0)
+      val lon = (col("c_custkey") * lit(104729L)) % lit(36000L) / lit(100.0) - lit(180.0)
+      val q = t(s, dir, "customer").select(col("c_custkey"),
+        floor((lat + 90.0) / 180.0 * 32768.0).cast("long").as("lat_n"),
+        floor((lon + 180.0) / 360.0 * 32768.0).cast("long").as("lon_n"))
+      val g = (0 until 15).map { j =>
+        (shiftright(col("lon_n"), 14 - j) % 2) * lit(1L << (29 - 2 * j)) +
+          (shiftright(col("lat_n"), 14 - j) % 2) * lit(1L << (28 - 2 * j))
+      }.reduce(_ + _)
+      val gg = q.select(col("c_custkey"), col("lat_n"), col("lon_n"), g.as("g"))
+      val hash = concat((0 until 6).map { c =>
+        expr(s"substr('$GeoAlpha', CAST(shiftright(g, ${25 - 5 * c}) % 32 AS INT) + 1, 1)")
+      }: _*)
+      val hh = gg.select(col("c_custkey"), col("lat_n"), col("lon_n"), col("g"),
+        hash.as("geohash"))
+      val g2 = (0 until 6).map { c =>
+        (expr(s"instr('$GeoAlpha', substr(geohash, ${c + 1}, 1))") - 1) *
+          lit(1L << (25 - 5 * c))
+      }.reduce(_ + _)
+      hh.select(col("c_custkey"), col("geohash"),
+          round((col("lat_n").cast("double") + 0.5) / 32768.0 * 180.0 - 90.0, 6)
+            .as("lat_c"),
+          round((col("lon_n").cast("double") + 0.5) / 32768.0 * 360.0 - 180.0, 6)
+            .as("lon_c"),
+          (g2 === col("g")).as("roundtrip"))
+        .orderBy(col("c_custkey"))
     }
   )
+
+  /** Canonical geohash base32 alphabet (no a/i/l/o). */
+  private val GeoAlpha = "0123456789bcdefghjkmnpqrstuvwxyz"
 }
