@@ -1307,6 +1307,87 @@ object VectorSearch {
           col("n").cast("long").as("n"),
           round(col("ssum").cast("double") / col("n"), 6).as("mean_sil"))
         .orderBy(col("seed_id"))
+    },
+
+    // ---- hybrid retrieval: reciprocal-rank fusion of BM25 + cosine ----
+    // The standard RAG retrieval pattern: a lexical ranker (q93's BM25
+    // over the fixed term set, scores shared via Curation.bm25Scored) and
+    // a semantic ranker (exact cosine against query vector 0, the q44
+    // discipline — embeddings and documents share the 0-based id space)
+    // each produce a top-20 list; RRF fuses them with
+    // Σ 1/(60 + rank) over the lists a doc appears in. Rank integers make
+    // the fusion score a sum of exact rationals evaluated in identical
+    // textual order, so only the input rankings (already 6dp-rounded,
+    // id-tie-broken) carry cross-engine risk. Scale: both rankers cut to
+    // top-20 via TakeOrderedAndProject before any window; the fusion
+    // full-outer-join touches ≤ 40 rows.
+    Q("q263_hybrid_rrf",
+      s"""WITH w AS (SELECT doc_id,
+        |    unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+        |  FROM documents),
+        |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM w GROUP BY doc_id),
+        |ad AS (SELECT CAST(sum(dl) AS BIGINT) * 1.0 / count(*) AS avgdl FROM dl),
+        |tf AS (SELECT doc_id,
+        |    CAST(sum(CASE WHEN word = 'data' THEN 1 ELSE 0 END) AS BIGINT) AS tf_data,
+        |    CAST(sum(CASE WHEN word = 'scan' THEN 1 ELSE 0 END) AS BIGINT) AS tf_scan,
+        |    CAST(sum(CASE WHEN word = 'hash' THEN 1 ELSE 0 END) AS BIGINT) AS tf_hash
+        |  FROM w GROUP BY doc_id),
+        |c AS (SELECT
+        |    count(DISTINCT CASE WHEN word = 'data' THEN doc_id END) AS df_data,
+        |    count(DISTINCT CASE WHEN word = 'scan' THEN doc_id END) AS df_scan,
+        |    count(DISTINCT CASE WHEN word = 'hash' THEN doc_id END) AS df_hash
+        |  FROM w),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |lexs AS (SELECT tf.doc_id AS doc_id,
+        |  round(
+        |    ln(1 + (n_docs - df_data + 0.5) / (df_data + 0.5))
+        |      * tf_data * 2.2 / (tf_data + 1.2 * (0.25 + 0.75 * dl.dl / avgdl))
+        |  + ln(1 + (n_docs - df_scan + 0.5) / (df_scan + 0.5))
+        |      * tf_scan * 2.2 / (tf_scan + 1.2 * (0.25 + 0.75 * dl.dl / avgdl))
+        |  + ln(1 + (n_docs - df_hash + 0.5) / (df_hash + 0.5))
+        |      * tf_hash * 2.2 / (tf_hash + 1.2 * (0.25 + 0.75 * dl.dl / avgdl)), 6)
+        |    AS score
+        |  FROM tf JOIN dl ON tf.doc_id = dl.doc_id, c, n, ad
+        |  WHERE tf_data + tf_scan + tf_hash > 0),
+        |lex AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id)
+        |    AS r_lex
+        |  FROM (SELECT * FROM lexs ORDER BY score DESC, doc_id LIMIT 20)),
+        |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |sems AS (SELECT vec_id AS doc_id, round($DuckCos, 6) AS cos_sim
+        |  FROM embeddings, q WHERE vec_id <> 0),
+        |sem AS (SELECT doc_id, row_number() OVER (ORDER BY cos_sim DESC, doc_id)
+        |    AS r_sem
+        |  FROM (SELECT * FROM sems ORDER BY cos_sim DESC, doc_id LIMIT 20))
+        |SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id,
+        |  CAST(r_lex AS BIGINT) AS r_lex, CAST(r_sem AS BIGINT) AS r_sem,
+        |  round(coalesce(1.0 / (60 + r_lex), 0.0)
+        |      + coalesce(1.0 / (60 + r_sem), 0.0), 9) AS rrf
+        |FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
+        |ORDER BY rrf DESC, doc_id
+        |LIMIT 10""".stripMargin) { (s, dir) =>
+      val emb = embTable(s, dir)
+      val wTop = org.apache.spark.sql.expressions.Window
+      val lex = Curation.bm25Scored(s, dir)
+        .orderBy(col("score").desc, col("doc_id")).limit(20)
+        .select(col("doc_id"), row_number().over(
+          wTop.orderBy(col("score").desc, col("doc_id"))).as("r_lex"))
+      val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+      val sem = emb.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id").as("doc_id"),
+          round(dotExpr("embedding", "qe") / (normExpr("embedding") * normExpr("qe")), 6)
+            .as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("doc_id")).limit(20)
+        .select(col("doc_id"), row_number().over(
+          wTop.orderBy(col("cos_sim").desc, col("doc_id"))).as("r_sem"))
+      lex.join(sem, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          col("r_lex").cast("long").as("r_lex"),
+          col("r_sem").cast("long").as("r_sem"),
+          round(coalesce(lit(1.0) / (lit(60) + col("r_lex")), lit(0.0))
+            + coalesce(lit(1.0) / (lit(60) + col("r_sem")), lit(0.0)), 9).as("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id"))
+        .limit(10)
     }
   )
 
