@@ -534,6 +534,74 @@ object Stats3 {
           round(col("p_adj"), 6).as("p_adj"),
           col("i").cast("long").as("rank_p"), (col("i") <= col("k")).as("rejected"))
         .orderBy(col("rank_p"))
+    },
+
+    // ---- robust means: exact 5%-trimmed and winsorized (per group) ----
+    // The robust-statistics companions to q232's Tukey fences: drop (trim)
+    // or clamp (winsorize) the k = n div 20 most extreme values on each
+    // side, using EXACT order statistics. No row-level rank is ever
+    // materialized: the stitched grouped running count over the DISTINCT
+    // (group, value) frame gives each value its rank interval
+    // [cum−cnt+1, cum], from which the kept-row count, the k+1-th and the
+    // (n−k)-th order statistics all fall out arithmetically — the same
+    // no-single-partition-window discipline as q203/q247, with work
+    // proportional to distinct values, not rows. Values quantize at 6 dp
+    // into DECIMAL(18,6) so the trimmed/winsorized sums are exact and only
+    // the two final mean ratios are floating.
+    Q("q264_trimmed_stats",
+      """WITH g AS (SELECT event_type AS g, value AS v, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |c AS (SELECT g, v, cnt,
+        |    sum(cnt) OVER (PARTITION BY g ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM g),
+        |t AS (SELECT g, max(cum) AS n FROM c GROUP BY 1),
+        |p AS (SELECT g, n, n // 20 AS k FROM t),
+        |j AS (SELECT c.g AS g, CAST(round(v, 6) AS DECIMAL(18,6)) AS vq,
+        |    cnt, cum, n, k
+        |  FROM c JOIN p ON c.g = p.g),
+        |kept AS (SELECT g, vq, cnt, cum, n, k,
+        |    greatest(0, least(cum, n - k) - greatest(cum - cnt, k)) AS kc
+        |  FROM j),
+        |agg AS (SELECT g, max(n) AS n, max(k) AS k,
+        |    sum(vq * kc) AS ts,
+        |    max(CASE WHEN k + 1 > cum - cnt AND k + 1 <= cum THEN vq END) AS lo,
+        |    max(CASE WHEN n - k > cum - cnt AND n - k <= cum THEN vq END) AS hi
+        |  FROM kept GROUP BY 1)
+        |SELECT g AS event_type, CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+        |  round(CAST(ts AS DOUBLE) / (n - 2 * k), 6) AS trimmed_mean,
+        |  round(CAST(ts + k * lo + k * hi AS DOUBLE) / n, 6) AS winsor_mean,
+        |  CAST(lo AS DOUBLE) AS lo, CAST(hi AS DOUBLE) AS hi
+        |FROM agg ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val parts = s.conf.get("spark.sql.shuffle.partitions").toInt
+      val grp = t(s, dir, "events")
+        .groupBy(col("event_type").as("g"), col("value").as("v"))
+        .agg(count(lit(1)).as("cnt"))
+      val c = Skew.groupedRunningSum(grp, Seq("g"), Seq(col("v")), col("cnt"),
+        parts, "cum")
+      val p = c.groupBy(col("g")).agg(max(col("cum")).as("n"))
+        .select(col("g"), col("n"), expr("n div 20").as("k"))
+      val j = c.join(broadcast(p), Seq("g"))
+        .select(col("g"), round(col("v"), 6).cast("decimal(18,6)").as("vq"),
+          col("cnt"), col("cum"), col("n"), col("k"))
+      val kept = j.withColumn("kc",
+        greatest(lit(0L), least(col("cum"), col("n") - col("k"))
+          - greatest(col("cum") - col("cnt"), col("k"))))
+      val agg = kept.groupBy(col("g"))
+        .agg(max(col("n")).as("n"), max(col("k")).as("k"),
+          sum(col("vq") * col("kc")).as("ts"),
+          max(when(col("k") + 1 > col("cum") - col("cnt")
+            && col("k") + 1 <= col("cum"), col("vq"))).as("lo"),
+          max(when(col("n") - col("k") > col("cum") - col("cnt")
+            && col("n") - col("k") <= col("cum"), col("vq"))).as("hi"))
+      agg.select(col("g").as("event_type"),
+          col("n").cast("long").as("n"), col("k").cast("long").as("k"),
+          round(col("ts").cast("double") / (col("n") - lit(2) * col("k")), 6)
+            .as("trimmed_mean"),
+          round((col("ts") + col("k") * col("lo") + col("k") * col("hi"))
+            .cast("double") / col("n"), 6).as("winsor_mean"),
+          col("lo").cast("double").as("lo"), col("hi").cast("double").as("hi"))
+        .orderBy(col("event_type"))
     }
   )
 }
