@@ -487,6 +487,66 @@ object Streamingish {
           (count(when(hit, 1)) > 0).as("matched"))
         .filter(col("n_purchases") > 0)
         .orderBy(col("user_id"))
+    },
+
+    // ---- funnel conversion-latency exact deciles ----
+    // The companion distribution to q135's funnel counts and q250's timed
+    // match: how LONG does click→purchase take? Per user, latency = first
+    // purchase strictly after the first click, in whole seconds (exact
+    // integer difference), then the EXACT latency deciles across users.
+    // No row-level rank: the stitched global running count over the
+    // DISTINCT latency frame gives each latency a rank interval, decile
+    // ranks are the exact integers (n·d + 9) div 10, and the 9-row decile
+    // spine joins the interval that contains each rank — the q264 rank-
+    // interval arithmetic applied to a derived funnel metric. Work scales
+    // with distinct latencies; the per-user phase is two hash aggregates
+    // and one user-keyed join.
+    Q("q265_conversion_latency",
+      """WITH c AS (SELECT user_id, min(ts) AS c_ts FROM events
+        |  WHERE event_type = 'click' GROUP BY 1),
+        |p AS (SELECT e.user_id,
+        |    (epoch_us(min(e.ts)) - epoch_us(min(c.c_ts))) // 1000000 AS lat
+        |  FROM events e JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.c_ts
+        |  GROUP BY 1),
+        |g AS (SELECT lat, count(*) AS cnt FROM p GROUP BY 1),
+        |cc AS (SELECT lat, cnt,
+        |    sum(cnt) OVER (ORDER BY lat
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM g),
+        |t AS (SELECT max(cum) AS n FROM cc),
+        |sp AS (SELECT unnest(range(1, 10)) AS d)
+        |SELECT CAST(d AS BIGINT) AS decile,
+        |  CAST((t.n * d + 9) // 10 AS BIGINT) AS rank_at,
+        |  CAST(t.n AS BIGINT) AS n_users,
+        |  CAST(cc.lat AS BIGINT) AS latency_s
+        |FROM sp, t, cc
+        |WHERE (t.n * d + 9) // 10 > cc.cum - cc.cnt
+        |  AND (t.n * d + 9) // 10 <= cc.cum
+        |ORDER BY decile""".stripMargin) { (s, dir) =>
+      val parts = s.conf.get("spark.sql.shuffle.partitions").toInt
+      val ev = t(s, dir, "events")
+      val c = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("c_ts"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(c, Seq("user_id"))
+        .filter(col("ts") > col("c_ts"))
+        .groupBy(col("user_id"))
+        .agg(((unix_micros(min(col("ts")).cast("timestamp"))
+          - unix_micros(min(col("c_ts")).cast("timestamp"))) / lit(1000000L))
+          .cast("long").as("lat"))
+      val g = p.groupBy(col("lat")).agg(count(lit(1)).as("cnt"))
+      val cc = Skew.globalRunningSum(g, Seq(col("lat")), col("cnt"), parts,
+        "cum", totalCol = Some("n"))
+      val sp = s.range(1, 10).select(col("id").as("d"))
+      cc.crossJoin(broadcast(sp))
+        .filter(expr("(n * d + 9) div 10") > col("cum") - col("cnt")
+          && expr("(n * d + 9) div 10") <= col("cum"))
+        .select(col("d").cast("long").as("decile"),
+          expr("(n * d + 9) div 10").cast("long").as("rank_at"),
+          col("n").cast("long").as("n_users"),
+          col("lat").cast("long").as("latency_s"))
+        .orderBy(col("decile"))
     }
   )
 }
