@@ -161,14 +161,23 @@ object CorpusStats {
         |  (SELECT CAST(max(vocab) AS BIGINT) FROM cum) AS vocabulary,
         |  $fitSqlCols
         |FROM m""".stripMargin) { (s, dir) =>
-      val tok = t(s, dir, "documents")
+      heapsFrame(s, t(s, dir, "documents"))
+    }
+  )
+
+  /** q259's Spark side over any (doc_id, text, …) frame — the streaming
+    * refresh composition (StreamingCorpusStatsSpec) recomputes it over
+    * the accumulated idempotent store, the batch query over the table. */
+  private[graft] def heapsFrame(s: org.apache.spark.sql.SparkSession,
+      docs: DataFrame): DataFrame = {
+      val tok = docs
         .select(col("doc_id"), wordsCol.as("w"))
         .select(col("doc_id"), explode(expr(
           """CASE WHEN size(w) >= 3 THEN
             |  transform(sequence(1, size(w) - 2),
             |    i -> array_join(slice(w, i, 3), ' '))
             |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin)).as("gram"))
-      val mx = t(s, dir, "documents").agg(max(col("doc_id")).as("m"))
+      val mx = docs.agg(max(col("doc_id")).as("m"))
       def bucket(c: org.apache.spark.sql.Column) =
         greatest(ceil(c * lit(8.0) / col("m")).cast("long"), lit(1L))
       val nb = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("cnt"))
@@ -198,6 +207,5 @@ object CorpusStats {
       fitCols(m.crossJoin(broadcast(tot)))
         .select(col("n").cast("long").as("n_points"), col("n_tokens"),
           col("vocabulary"), col("slope"), col("intercept"), col("r2"))
-    }
-  )
+  }
 }
