@@ -349,6 +349,50 @@ object TimeSeries {
           col("n").cast("long").as("n"),
           col("seasonal").cast("double").as("seasonal"), col("strength"))
         .orderBy(col("event_type"), col("phase"))
+    },
+
+    // ---- exact rolling 7-day active users (WAU) per day ----
+    // The product metric a sliding count-distinct can't decompose:
+    // |{users active in [d−6, d]}| is NOT a sum of daily counts, and
+    // sketch unions (q181) are approximate. The exact scalable shape is
+    // the cover-explode: each DISTINCT (user, day) activity contributes
+    // to the 7 covering days — a BOUNDED ×7 fanout on the deduplicated
+    // pair frame (never on raw events) — then one distinct count per
+    // cover day. DAU rides the same pair frame; stickiness = DAU/WAU.
+    // Trailing phantom days are cut against the broadcast max day.
+    Q("q266_sliding_wau",
+      """WITH ud AS (SELECT DISTINCT user_id,
+        |    epoch_us(ts) // 86400000000 AS day_idx
+        |  FROM events),
+        |mx AS (SELECT max(day_idx) AS md FROM ud),
+        |cov AS (SELECT DISTINCT user_id, day_idx + k AS d
+        |  FROM ud, (SELECT unnest(range(0, 7)) AS k) sp),
+        |wau AS (SELECT d, count(*) AS wau
+        |  FROM cov, mx WHERE d <= md GROUP BY d),
+        |dau AS (SELECT day_idx AS d, count(*) AS dau FROM ud GROUP BY 1)
+        |SELECT wau.d AS day_idx, CAST(dau.dau AS BIGINT) AS dau,
+        |  CAST(wau.wau AS BIGINT) AS wau,
+        |  round(CAST(dau.dau AS DOUBLE) / wau.wau, 6) AS stickiness
+        |FROM wau JOIN dau ON wau.d = dau.d
+        |ORDER BY day_idx""".stripMargin) { (s, dir) =>
+      val ud = t(s, dir, "events")
+        .select(col("user_id"),
+          (unix_micros(col("ts").cast("timestamp")) / 86400000000L)
+            .cast("long").as("day_idx"))
+        .distinct()
+      val mx = ud.agg(max(col("day_idx")).as("md"))
+      val cov = ud.select(col("user_id"), col("day_idx"),
+          explode(sequence(lit(0), lit(6))).as("k"))
+        .select(col("user_id"), (col("day_idx") + col("k")).as("d"))
+        .distinct()
+      val wau = cov.crossJoin(broadcast(mx)).filter(col("d") <= col("md"))
+        .groupBy(col("d")).agg(count(lit(1)).as("wau"))
+      val dau = ud.groupBy(col("day_idx").as("d")).agg(count(lit(1)).as("dau"))
+      wau.join(dau, Seq("d"))
+        .select(col("d").as("day_idx"), col("dau").cast("long").as("dau"),
+          col("wau").cast("long").as("wau"),
+          round(col("dau").cast("double") / col("wau"), 6).as("stickiness"))
+        .orderBy(col("day_idx"))
     }
   )
 
