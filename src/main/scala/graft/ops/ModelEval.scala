@@ -384,6 +384,81 @@ object ModelEval {
           col("nthr").cast("long").as("n_thresholds"),
           round(col("ap_sum").cast("double"), 6).as("avg_precision"),
           round(col("best_f1"), 6).as("best_f1"), col("best_thr"))
+    },
+
+    // ---- quantile-regression GD rounds (pinball / check loss, τ=0.9) ----
+    // The robust-regression sibling of q210: fit the CONDITIONAL 0.9-
+    // quantile line price ≈ w·qty + b by subgradient descent on the
+    // pinball loss. Per-row subgradient is the two-valued step
+    // (pred ≥ y → 1−τ, else −τ; the tie assigned to the ≥ branch so both
+    // engines pick the same side), which makes this loop FULLY
+    // deterministic — no exp/ln anywhere, so unlike q211 there is no
+    // rounded-transcendental hazard at all: preds are identical doubles
+    // from the 9dp state, comparisons are exact, and the quantized
+    // DECIMAL(38,12) gradient sums are order-immune. Output: (w, b),
+    // empirical coverage P(y ≤ pred) — which GD drives toward τ — and
+    // the mean pinball loss. Scale: q210's shape — per round one
+    // broadcast 1-row state + one map-side-combined corpus aggregate.
+    Q("q267_quantile_regression", {
+      val rounds = (1 to 8).map { k =>
+        s"""g$k AS (SELECT
+           |    sum(CAST(x * (CASE WHEN w * x + b >= y THEN 0.1 ELSE -0.9 END)
+           |        AS DECIMAL(38,12))) AS gw,
+           |    sum(CAST((CASE WHEN w * x + b >= y THEN 0.1 ELSE -0.9 END)
+           |        AS DECIMAL(38,12))) AS gb,
+           |    count(*) AS n
+           |  FROM d, s${k - 1}),
+           |s$k AS (SELECT
+           |    round(w - 0.5 * CAST(gw AS DOUBLE) / n, 9) AS w,
+           |    round(b - 0.5 * CAST(gb AS DOUBLE) / n, 9) AS b
+           |  FROM g$k, s${k - 1})""".stripMargin
+      }.mkString(",\n")
+      s"""WITH d AS (SELECT CAST(l_quantity AS DOUBLE) / 50 AS x,
+         |    CAST(l_extendedprice AS DOUBLE) / 100000 AS y
+         |  FROM lineitem),
+         |s0 AS (SELECT CAST(0.0 AS DOUBLE) AS w, CAST(0.0 AS DOUBLE) AS b),
+         |$rounds,
+         |m AS (SELECT
+         |    sum(CASE WHEN y <= w * x + b THEN 1 ELSE 0 END) AS covered,
+         |    sum(CAST(round(CASE WHEN w * x + b >= y
+         |          THEN 0.1 * (w * x + b - y)
+         |          ELSE 0.9 * (y - (w * x + b)) END, 9)
+         |        AS DECIMAL(38,12))) AS pb,
+         |    count(*) AS n
+         |  FROM d, s8)
+         |SELECT w, b,
+         |  round(CAST(covered AS DOUBLE) / n, 6) AS coverage,
+         |  round(CAST(pb AS DOUBLE) / n, 6) AS pinball,
+         |  CAST(n AS BIGINT) AS n
+         |FROM s8, m""".stripMargin
+    }) { (s, dir) =>
+      val d = t(s, dir, "lineitem")
+        .select((col("l_quantity").cast("double") / 50).as("x"),
+          (col("l_extendedprice").cast("double") / 100000).as("y"))
+      val dec = "decimal(38,12)"
+      def pred = col("w") * col("x") + col("b")
+      def gmult = when(pred >= col("y"), lit(0.1)).otherwise(lit(-0.9))
+      var st = s.range(1).select(lit(0.0).as("w"), lit(0.0).as("b"))
+      for (_ <- 1 to 8) {
+        val g = d.crossJoin(broadcast(st))
+          .agg(sum((col("x") * gmult).cast(dec)).as("gw"),
+            sum(gmult.cast(dec)).as("gb"), count(lit(1)).as("n"))
+        st = g.crossJoin(broadcast(st)).select(
+          round(col("w") - lit(0.5) * col("gw").cast("double") / col("n"), 9)
+            .as("w"),
+          round(col("b") - lit(0.5) * col("gb").cast("double") / col("n"), 9)
+            .as("b"))
+      }
+      val m = d.crossJoin(broadcast(st))
+        .agg(sum(when(col("y") <= pred, 1L).otherwise(0L)).as("covered"),
+          sum(round(when(pred >= col("y"), lit(0.1) * (pred - col("y")))
+            .otherwise(lit(0.9) * (col("y") - pred)), 9).cast(dec)).as("pb"),
+          count(lit(1)).as("n"))
+      st.crossJoin(broadcast(m))
+        .select(col("w"), col("b"),
+          round(col("covered").cast("double") / col("n"), 6).as("coverage"),
+          round(col("pb").cast("double") / col("n"), 6).as("pinball"),
+          col("n").cast("long").as("n"))
     }
   )
 }

@@ -162,4 +162,20 @@ class ModelEvalSpec extends SparkSpec {
     // AP of a useful ranking beats the prevalence-random baseline floor 0
     assert(r.getDouble(3) > 0.0 && r.getDouble(4) > 0.0 && r.getDouble(4) <= 1.0)
   }
+
+  test("q267 pinball GD: coverage converges toward tau and beats the start") {
+    val r = graft.SparkEntry.queries("q267_quantile_regression")(spark, sf001)
+      .collect().head
+    val coverage = r.getDouble(2)
+    val pinball = r.getDouble(3)
+    // subgradient equilibrium puts ~tau of the mass at or under the line
+    assert(coverage > 0.8 && coverage < 0.98, s"coverage $coverage far from 0.9")
+    // the y ≥ 0 start (w=0, b=0) has pinball = 0.9·mean(y); training must
+    // have cut it substantially
+    val meanY = graft.schema.Tables.t(spark, sf001, "lineitem")
+      .select(avg(col("l_extendedprice").cast("double") / 100000)).collect()
+      .head.getDouble(0)
+    assert(pinball < 0.5 * 0.9 * meanY,
+      s"pinball $pinball did not descend from the 0.9·mean(y) start")
+  }
 }
