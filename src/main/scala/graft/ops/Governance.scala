@@ -323,6 +323,45 @@ object Governance {
         .groupBy(col("doc_id")).agg(count(lit(1)).as("n_terms"))
         .filter(col("n_terms") === 3)
         .orderBy(col("doc_id"))
+    },
+
+    // ---- query-log normalization + fingerprint (normalizeQuery /
+    //      normalizedQueryHash parity) ----
+    // The observability staple at the destination: strip literals from a
+    // query-log line so the millions of per-user statements collapse to
+    // their template, then count per fingerprint. The log line is built
+    // deterministically from events (numeric literals rendered through
+    // BIGINT so string rendering can't diverge across engines — double
+    // formatting is NOT cross-engine-stable), normalization is one
+    // digit-run regexp_replace shared by both regex engines (Java and
+    // RE2 agree on '[0-9]+'), and the fingerprint is md5 of the
+    // template. Scale: per-row projection + one map-side-combined count.
+    Q("q268_normalize_query",
+      """WITH logs AS (SELECT
+        |    'SELECT v FROM events WHERE user_id = ' ||
+        |    CAST(user_id AS VARCHAR) || ' AND value < ' ||
+        |    CAST(CAST(floor(value * 100) AS BIGINT) AS VARCHAR) ||
+        |    ' AND event_type = ''' || event_type || '''' AS q
+        |  FROM events),
+        |n AS (SELECT regexp_replace(q, '[0-9]+', '?', 'g') AS template
+        |  FROM logs)
+        |SELECT md5(template) AS fingerprint, template,
+        |  CAST(count(*) AS BIGINT) AS n_queries
+        |FROM n GROUP BY 1, 2
+        |ORDER BY template""".stripMargin) { (s, dir) =>
+      val q = concat(
+        lit("SELECT v FROM events WHERE user_id = "),
+        col("user_id").cast("string"),
+        lit(" AND value < "),
+        floor(col("value") * 100).cast("long").cast("string"),
+        lit(" AND event_type = '"), col("event_type"), lit("'"))
+      t(s, dir, "events")
+        .select(regexp_replace(q, "[0-9]+", "?").as("template"))
+        .groupBy(col("template"))
+        .agg(count(lit(1)).cast("long").as("n_queries"))
+        .select(md5(col("template")).as("fingerprint"), col("template"),
+          col("n_queries"))
+        .orderBy(col("template"))
     }
   )
 }

@@ -602,6 +602,106 @@ object Stats3 {
             .cast("double") / col("n"), 6).as("winsor_mean"),
           col("lo").cast("double").as("lo"), col("hi").cast("double").as("hi"))
         .orderBy(col("event_type"))
+    },
+
+    // ---- CUPED variance reduction for experiment metrics ----
+    // The standard pre-period covariate adjustment (q251's sample-size
+    // planner's natural companion): per user, pre = value mass in the
+    // first 15 days, post = the rest; θ = cov(pre, post)/var(pre) pooled
+    // across arms; adjusted = post − θ·(pre − mean(pre)). Reported per
+    // arm (user_id parity): the post/adjusted means and variances and
+    // the realized variance-reduction share. Exactness: per-user sums
+    // land in DECIMAL(18,2) (value is money-like), every moment is an
+    // exact DECIMAL sum (products ≤ DECIMAL(37,4)), θ and the means are
+    // single divisions, and the per-user adjusted metric re-quantizes at
+    // 6 dp before its variance moments. Scale: two hash aggregates
+    // (user, then arm) + one broadcast 1-row θ frame.
+    Q("q269_cuped",
+      """WITH bounds AS (SELECT min(epoch_us(ts) // 86400000000) + 15 AS split
+        |  FROM events),
+        |u AS (SELECT user_id,
+        |    CAST(sum(CASE WHEN epoch_us(ts) // 86400000000 < split
+        |      THEN CAST(value AS DECIMAL(19,2)) ELSE CAST(0 AS DECIMAL(19,2))
+        |      END) AS DECIMAL(19,2)) AS pre,
+        |    CAST(sum(CASE WHEN epoch_us(ts) // 86400000000 >= split
+        |      THEN CAST(value AS DECIMAL(19,2)) ELSE CAST(0 AS DECIMAL(19,2))
+        |      END) AS DECIMAL(19,2)) AS post
+        |  FROM events, bounds GROUP BY 1),
+        |m AS (SELECT count(*) AS n, sum(pre) AS sp, sum(post) AS so,
+        |    sum(pre * pre) AS spp, sum(pre * post) AS spo
+        |  FROM u),
+        |th AS (SELECT
+        |    (CAST(n AS DOUBLE) * CAST(spo AS DOUBLE)
+        |      - CAST(sp AS DOUBLE) * CAST(so AS DOUBLE))
+        |    / (CAST(n AS DOUBLE) * CAST(spp AS DOUBLE)
+        |      - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE)) AS theta,
+        |    CAST(sp AS DOUBLE) / n AS mean_pre
+        |  FROM m),
+        |adj AS (SELECT user_id % 2 AS arm,
+        |    post,
+        |    CAST(round(CAST(post AS DOUBLE)
+        |      - theta * (CAST(pre AS DOUBLE) - mean_pre), 6)
+        |      AS DECIMAL(19,6)) AS a
+        |  FROM u, th),
+        |per AS (SELECT arm, count(*) AS n, sum(post) AS so,
+        |    sum(post * post) AS soo, sum(a) AS sa, sum(a * a) AS saa
+        |  FROM adj GROUP BY 1)
+        |SELECT CAST(arm AS BIGINT) AS arm, CAST(n AS BIGINT) AS n,
+        |  round(CAST(so AS DOUBLE) / n, 6) AS mean_post,
+        |  round(CAST(sa AS DOUBLE) / n, 6) AS mean_adj,
+        |  round((CAST(soo AS DOUBLE) - CAST(so AS DOUBLE) * CAST(so AS DOUBLE)
+        |      / CAST(n AS DOUBLE)) / n, 6) AS var_post,
+        |  round((CAST(saa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)
+        |      / CAST(n AS DOUBLE)) / n, 6) AS var_adj,
+        |  round(1 - (CAST(saa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)
+        |      / CAST(n AS DOUBLE))
+        |    / (CAST(soo AS DOUBLE) - CAST(so AS DOUBLE) * CAST(so AS DOUBLE)
+        |      / CAST(n AS DOUBLE)), 6) AS var_reduction
+        |FROM per ORDER BY arm""".stripMargin) { (s, dir) =>
+      val dayIdx = (unix_micros(col("ts").cast("timestamp")) / 86400000000L)
+        .cast("long")
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), dayIdx.as("d"), col("value"))
+      val bounds = ev.agg((min(col("d")) + 15).as("split"))
+      val dec2 = "decimal(19,2)"
+      val u = ev.crossJoin(broadcast(bounds))
+        .groupBy(col("user_id"))
+        .agg(
+          sum(when(col("d") < col("split"), col("value").cast(dec2))
+            .otherwise(lit(0).cast(dec2))).cast(dec2).as("pre"),
+          sum(when(col("d") >= col("split"), col("value").cast(dec2))
+            .otherwise(lit(0).cast(dec2))).cast(dec2).as("post"))
+      val m = u.agg(count(lit(1)).as("n"), sum(col("pre")).as("sp"),
+        sum(col("post")).as("so"), sum(col("pre") * col("pre")).as("spp"),
+        sum(col("pre") * col("post")).as("spo"))
+      val nD = col("n").cast("double")
+      val th = m.select(
+        ((nD * col("spo").cast("double")
+          - col("sp").cast("double") * col("so").cast("double"))
+          / (nD * col("spp").cast("double")
+            - col("sp").cast("double") * col("sp").cast("double"))).as("theta"),
+        (col("sp").cast("double") / col("n")).as("mean_pre"))
+      val adj = u.crossJoin(broadcast(th))
+        .select((col("user_id") % 2).as("arm"), col("post"),
+          round(col("post").cast("double")
+            - col("theta") * (col("pre").cast("double") - col("mean_pre")), 6)
+            .cast("decimal(19,6)").as("a"))
+      val per = adj.groupBy(col("arm"))
+        .agg(count(lit(1)).as("n"), sum(col("post")).as("so"),
+          sum(col("post") * col("post")).as("soo"),
+          sum(col("a")).as("sa"), sum(col("a") * col("a")).as("saa"))
+      val npD = col("n").cast("double")
+      val varPost = col("soo").cast("double") -
+        col("so").cast("double") * col("so").cast("double") / npD
+      val varAdj = col("saa").cast("double") -
+        col("sa").cast("double") * col("sa").cast("double") / npD
+      per.select(col("arm").cast("long").as("arm"), col("n").cast("long").as("n"),
+          round(col("so").cast("double") / col("n"), 6).as("mean_post"),
+          round(col("sa").cast("double") / col("n"), 6).as("mean_adj"),
+          round(varPost / col("n"), 6).as("var_post"),
+          round(varAdj / col("n"), 6).as("var_adj"),
+          round(lit(1) - varAdj / varPost, 6).as("var_reduction"))
+        .orderBy(col("arm"))
     }
   )
 }
