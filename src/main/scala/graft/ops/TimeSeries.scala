@@ -393,6 +393,77 @@ object TimeSeries {
           col("wau").cast("long").as("wau"),
           round(col("dau").cast("double") / col("wau"), 6).as("stickiness"))
         .orderBy(col("day_idx"))
+    },
+
+    // ---- Mann–Kendall trend test (significance companion to q241) ----
+    // Theil–Sen gives the robust slope; Mann–Kendall decides whether a
+    // monotone trend is THERE: S = Σ_{i<j} sign(m_j − m_i) over the daily
+    // series, Var(S) with the tie correction, and the continuity-
+    // corrected z. Everything up to the final z is INTEGER arithmetic —
+    // sign comparisons on the 9dp-rounded daily means (identical doubles
+    // both engines), exact tie-group counts, and both variance terms as
+    // exact integer numerators over 18 — so the only floating step is
+    // one division and one sqrt. Pair count is calendar-bounded (q241's
+    // argument verbatim).
+    Q("q270_mann_kendall",
+      raw"""WITH $DailySql,
+           |m AS (SELECT event_type, day_idx,
+           |    round(CAST(s AS DOUBLE) / cnt, 9) AS m FROM d),
+           |p AS (SELECT a.event_type AS event_type,
+           |    sum(CASE WHEN b.m > a.m THEN 1
+           |             WHEN b.m < a.m THEN -1 ELSE 0 END) AS s_stat,
+           |    count(*) AS n_pairs
+           |  FROM m a JOIN m b ON a.event_type = b.event_type
+           |    AND a.day_idx < b.day_idx
+           |  GROUP BY 1),
+           |nd AS (SELECT event_type, count(*) AS n FROM m GROUP BY 1),
+           |ties AS (SELECT event_type,
+           |    coalesce(sum(t * (t - 1) * (2 * t + 5)), 0) AS tie_num
+           |  FROM (SELECT event_type, m, count(*) AS t FROM m GROUP BY 1, 2) tg
+           |  WHERE t > 1 GROUP BY 1),
+           |v AS (SELECT nd.event_type AS event_type, n, s_stat, n_pairs,
+           |    (n * (n - 1) * (2 * n + 5) - coalesce(tie_num, 0)) AS var18
+           |  FROM nd JOIN p ON nd.event_type = p.event_type
+           |    LEFT JOIN ties ON nd.event_type = ties.event_type)
+           |SELECT event_type, CAST(n AS BIGINT) AS n_days,
+           |  CAST(s_stat AS BIGINT) AS s_stat,
+           |  round(CAST(var18 AS DOUBLE) / 18, 6) AS var_s,
+           |  round(CASE WHEN s_stat > 0
+           |      THEN (s_stat - 1) / sqrt(CAST(var18 AS DOUBLE) / 18)
+           |    WHEN s_stat < 0
+           |      THEN (s_stat + 1) / sqrt(CAST(var18 AS DOUBLE) / 18)
+           |    ELSE 0.0 END, 6) AS z
+           |FROM v ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val m = daily(s, dir)
+        .select(col("event_type"), col("day_idx"),
+          round(col("s").cast("double") / col("cnt"), 9).as("m"))
+      val a = m.select(col("event_type"), col("day_idx").as("i"), col("m").as("ma"))
+      val b = m.select(col("event_type"), col("day_idx").as("j"), col("m").as("mb"))
+      val p = a.join(b, Seq("event_type")).filter(col("i") < col("j"))
+        .groupBy(col("event_type"))
+        .agg(sum(when(col("mb") > col("ma"), 1L)
+          .when(col("mb") < col("ma"), -1L).otherwise(0L)).as("s_stat"),
+          count(lit(1)).as("n_pairs"))
+      val nd = m.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      val ties = m.groupBy(col("event_type"), col("m"))
+        .agg(count(lit(1)).as("t"))
+        .filter(col("t") > 1)
+        .groupBy(col("event_type"))
+        .agg(coalesce(sum(col("t") * (col("t") - 1) * (lit(2) * col("t") + 5)),
+          lit(0L)).as("tie_num"))
+      val v = nd.join(p, Seq("event_type"))
+        .join(ties, Seq("event_type"), "left")
+        .select(col("event_type"), col("n"), col("s_stat"),
+          (col("n") * (col("n") - 1) * (lit(2) * col("n") + 5)
+            - coalesce(col("tie_num"), lit(0L))).as("var18"))
+      val sd = sqrt(col("var18").cast("double") / 18)
+      v.select(col("event_type"), col("n").cast("long").as("n_days"),
+          col("s_stat").cast("long").as("s_stat"),
+          round(col("var18").cast("double") / 18, 6).as("var_s"),
+          round(when(col("s_stat") > 0, (col("s_stat") - 1) / sd)
+            .when(col("s_stat") < 0, (col("s_stat") + 1) / sd)
+            .otherwise(lit(0.0)), 6).as("z"))
+        .orderBy(col("event_type"))
     }
   )
 
