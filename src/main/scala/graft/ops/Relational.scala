@@ -39,6 +39,58 @@ object Relational {
 
   val qs: Seq[Q] = Seq(
 
+    // ---- market-basket association rules over order contents ----
+    // Classic basket mining on the fact tables: baskets = orders, items =
+    // part brands; for brand pairs co-occurring in an order, support,
+    // confidence and lift from exact co-occurrence counts. Scale shape:
+    // the pair generator self-joins the DISTINCT (order, brand) frame on
+    // the order key, so fanout is bounded by items-per-order (~7 -> <= 21
+    // pairs), never corpus-squared; per-brand and pair counts are map-
+    // side-combined aggregates, the rule table is cut by support >= 20
+    // then top-20 by lift via TakeOrderedAndProject. All three measures
+    // are single divisions of exact integers, rounded at 6.
+    Q("q271_basket_rules",
+      """WITH ob AS (SELECT DISTINCT l.l_orderkey AS o, p.p_brand AS b
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+        |n AS (SELECT count(DISTINCT o) AS n_orders FROM ob),
+        |ib AS (SELECT b, count(*) AS cnt FROM ob GROUP BY 1),
+        |pr AS (SELECT a.b AS b1, c.b AS b2, count(*) AS ab
+        |  FROM ob a JOIN ob c ON a.o = c.o AND a.b < c.b
+        |  GROUP BY 1, 2),
+        |r AS (SELECT b1, b2, ab, ia.cnt AS ca, ic.cnt AS cb, n_orders,
+        |    round(CAST(ab AS DOUBLE) / n_orders, 6) AS support,
+        |    round(CAST(ab AS DOUBLE) / ia.cnt, 6) AS confidence,
+        |    round(CAST(ab AS DOUBLE) * n_orders
+        |      / (CAST(ia.cnt AS DOUBLE) * ic.cnt), 6) AS lift
+        |  FROM pr JOIN ib ia ON pr.b1 = ia.b JOIN ib ic ON pr.b2 = ic.b, n
+        |  WHERE ab >= 20)
+        |SELECT b1, b2, CAST(ab AS BIGINT) AS ab, support, confidence, lift
+        |FROM r
+        |ORDER BY lift DESC, b1, b2
+        |LIMIT 20""".stripMargin) { (s, dir) =>
+      val ob = t(s, dir, "lineitem").select(col("l_orderkey").as("o"), col("l_partkey"))
+        .join(t(s, dir, "part").select(col("p_partkey"), col("p_brand").as("b")),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("o"), col("b")).distinct()
+      val n = ob.agg(countDistinct(col("o")).as("n_orders"))
+      val ib = ob.groupBy(col("b")).agg(count(lit(1)).as("cnt"))
+      val a = ob.select(col("o"), col("b").as("b1"))
+      val c = ob.select(col("o"), col("b").as("b2"))
+      val pr = a.join(c, Seq("o")).filter(col("b1") < col("b2"))
+        .groupBy(col("b1"), col("b2")).agg(count(lit(1)).as("ab"))
+      pr.join(broadcast(ib.select(col("b").as("b1"), col("cnt").as("ca"))), Seq("b1"))
+        .join(broadcast(ib.select(col("b").as("b2"), col("cnt").as("cb"))), Seq("b2"))
+        .crossJoin(broadcast(n))
+        .filter(col("ab") >= 20)
+        .select(col("b1"), col("b2"), col("ab").cast("long").as("ab"),
+          round(col("ab").cast("double") / col("n_orders"), 6).as("support"),
+          round(col("ab").cast("double") / col("ca"), 6).as("confidence"),
+          round(col("ab").cast("double") * col("n_orders")
+            / (col("ca").cast("double") * col("cb")), 6).as("lift"))
+        .orderBy(col("lift").desc, col("b1"), col("b2"))
+        .limit(20)
+    },
+
     // ---- aggregation over a filtered scan (TPC-H Q1 shape) ----
     // Filter + projection reach the parquet scan (PushedFilters/ReadSchema);
     // groupBy on 2 low-cardinality keys → tiny shuffle after partial agg.
