@@ -640,6 +640,66 @@ object PipelineOps {
         .orderBy(col("cohort_week"), col("week_offset"))
     },
 
+    // ---- weekly cohort LTV curve ----
+    // q165's money twin: cumulative purchase revenue per signup cohort by
+    // cohort age, normalized per user — the lifetime-value curve that
+    // decides acquisition spend. Same integer week bucketing as q165;
+    // revenue accumulates as exact DECIMAL(18,2) sums and the running
+    // total is a per-cohort window over the ≤ weeks-in-span row grid
+    // (calendar-bounded, never corpus rows); only the final per-user
+    // ratio is floating.
+    Q("q272_cohort_ltv",
+      """WITH first AS (SELECT user_id,
+        |    CAST(date_trunc('week', min(ts)) AS DATE) AS cohort
+        |  FROM events GROUP BY user_id),
+        |sz AS (SELECT cohort, count(*) AS cohort_size FROM first GROUP BY 1),
+        |rev AS (SELECT f.cohort AS cohort,
+        |    CAST(date_diff('day', f.cohort,
+        |      CAST(date_trunc('week', e.ts) AS DATE)) // 7 AS BIGINT) AS age,
+        |    sum(CAST(e.value AS DECIMAL(18,2))) AS rev
+        |  FROM events e JOIN first f USING (user_id)
+        |  WHERE e.event_type = 'purchase'
+        |  GROUP BY 1, 2),
+        |cum AS (SELECT cohort, age, rev,
+        |    sum(rev) OVER (PARTITION BY cohort ORDER BY age
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rev
+        |  FROM rev)
+        |SELECT CAST(c.cohort AS TIMESTAMP) AS cohort_week, age,
+        |  CAST(sz.cohort_size AS BIGINT) AS cohort_size,
+        |  CAST(c.rev AS DOUBLE) AS revenue,
+        |  CAST(c.cum_rev AS DOUBLE) AS cum_revenue,
+        |  round(CAST(c.cum_rev AS DOUBLE) / sz.cohort_size, 6) AS ltv_per_user
+        |FROM cum c JOIN sz ON c.cohort = sz.cohort
+        |ORDER BY cohort_week, age""".stripMargin) { (s, dir) =>
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_type"), col("value"))
+      val first = ev.groupBy(col("user_id"))
+        .agg(date_trunc("week", min(col("ts"))).cast("date").as("cohort"))
+      val sz = first.groupBy(col("cohort")).agg(count(lit(1)).as("cohort_size"))
+      val rev = ev.filter(col("event_type") === "purchase")
+        .join(first, Seq("user_id"))
+        .select(col("cohort"),
+          expr("datediff(CAST(date_trunc('week', ts) AS DATE), cohort) DIV 7")
+            .as("age"),
+          col("value").cast("decimal(18,2)").as("v"))
+        .groupBy(col("cohort"), col("age"))
+        .agg(sum(col("v")).as("rev"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cohort")).orderBy(col("age"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      rev.select(col("cohort"), col("age"), col("rev"),
+          sum(col("rev")).over(w).as("cum_rev"))
+        .join(broadcast(sz), Seq("cohort"))
+        .select(col("cohort").cast("timestamp").as("cohort_week"), col("age"),
+          col("cohort_size").cast("long").as("cohort_size"),
+          col("rev").cast("double").as("revenue"),
+          col("cum_rev").cast("double").as("cum_revenue"),
+          round(col("cum_rev").cast("double") / col("cohort_size"), 6)
+            .as("ltv_per_user"))
+        .orderBy(col("cohort_week"), col("age"))
+    },
+
     // ---- argMax / argMin with a deterministic tiebreak ----
     // ClickHouse's iconic argMax(arg, val) / argMin, via Spark's native
     // max_by/min_by — keyed on the UNIQUE (value, event_id) struct, never
