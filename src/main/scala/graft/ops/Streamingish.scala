@@ -547,6 +547,46 @@ object Streamingish {
           col("n").cast("long").as("n_users"),
           col("lat").cast("long").as("latency_s"))
         .orderBy(col("decile"))
+    },
+
+    // ---- top user paths (first-3-event journey mining) ----
+    // The Sankey/path-analysis staple next to q202's sequenceNextNode:
+    // each user's first three events (by ts, event_id tiebreak) form a
+    // journey string; count users per journey, top-20. The per-user rank
+    // is a window over the HIGH-cardinality user key (state scales out
+    // with users); the first-3 pivot avoids ordered string_agg — max-per-
+    // rank is associative, so partial-agg order can't reorder the path —
+    // and concat_ws drops the missing steps of short histories
+    // identically in both engines.
+    Q("q273_user_paths",
+      """WITH r AS (SELECT user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |p AS (SELECT user_id,
+        |    concat_ws('>',
+        |      max(CASE WHEN rn = 1 THEN event_type END),
+        |      max(CASE WHEN rn = 2 THEN event_type END),
+        |      max(CASE WHEN rn = 3 THEN event_type END)) AS path
+        |  FROM r WHERE rn <= 3 GROUP BY 1)
+        |SELECT path, CAST(count(*) AS BIGINT) AS n_users
+        |FROM p GROUP BY 1
+        |ORDER BY n_users DESC, path
+        |LIMIT 20""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val r = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          row_number().over(w).as("rn"))
+        .filter(col("rn") <= 3)
+      r.groupBy(col("user_id"))
+        .agg(concat_ws(">",
+          max(when(col("rn") === 1, col("event_type"))),
+          max(when(col("rn") === 2, col("event_type"))),
+          max(when(col("rn") === 3, col("event_type")))).as("path"))
+        .groupBy(col("path"))
+        .agg(count(lit(1)).cast("long").as("n_users"))
+        .orderBy(col("n_users").desc, col("path"))
+        .limit(20)
     }
   )
 }
