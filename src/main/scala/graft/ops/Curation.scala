@@ -104,6 +104,75 @@ object Curation {
       chunkDupReport(chunkFingerprints(t(s, dir, "documents")))
     },
 
+    // ---- contrastive training triplets (anchor / positive / negative) ----
+    // Embedding-model data prep over the corpus: every 10-word chunk with
+    // a successor in the same document anchors a triplet — the successor
+    // is the positive, and the negative is chunk 0 of a DETERMINISTIC
+    // other document (md5(doc:chunk) coin → offset in [1, N−1], so
+    // neg_doc ≠ doc_id and the draw is reproducible across runs, engines
+    // and repartitionings — the q86/q94 coin discipline; this is in-batch-
+    // negative sampling without an RNG). Scale: chunking is map-side
+    // (fanout |words|/10), the positive lookup is a self-join on the
+    // (doc, chunk-index) key, the negative lookup a hash join on
+    // (neg_doc, 0) — no broadcast of the corpus, no shuffle beyond the
+    // two keyed joins.
+    Q("q274_contrastive_triplets",
+      s"""WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS words
+         |           FROM documents),
+         |ch AS (SELECT doc_id, g.ci AS ci, g.ch AS chunk FROM (
+         |    SELECT doc_id, unnest(list_transform(range(0, len(words) // 10),
+         |      i -> struct_pack(ci := i,
+         |             ch := array_to_string(words[i*10+1 : i*10+10], ' ')))) AS g
+         |    FROM w) q),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |tri AS (SELECT a.doc_id AS doc_id, a.ci AS anchor_ci,
+         |    p.ci AS pos_ci,
+         |    (a.doc_id + 1 + ${TextCommon.duckHex(
+              "substr(md5(CAST(a.doc_id AS VARCHAR) || ':' || CAST(a.ci AS VARCHAR)), 1, 8)", 8)}
+         |      % (n_docs - 1)) % n_docs AS neg_doc,
+         |    substr(a.chunk, 1, 25) AS anchor_snip,
+         |    substr(p.chunk, 1, 25) AS pos_snip
+         |  FROM ch a JOIN ch p ON a.doc_id = p.doc_id AND p.ci = a.ci + 1, n)
+         |SELECT t.doc_id, CAST(anchor_ci AS BIGINT) AS anchor_ci,
+         |  CAST(pos_ci AS BIGINT) AS pos_ci, CAST(neg_doc AS BIGINT) AS neg_doc,
+         |  anchor_snip, pos_snip, substr(ng.chunk, 1, 25) AS neg_snip
+         |FROM tri t JOIN ch ng ON ng.doc_id = t.neg_doc AND ng.ci = 0
+         |ORDER BY t.doc_id, anchor_ci""".stripMargin) { (s, dir) =>
+      val ch = t(s, dir, "documents")
+        .select(col("doc_id"), wordsCol.as("words"))
+        .select(col("doc_id"), explode(expr(
+          """CASE WHEN size(words) >= 10 THEN
+            |  transform(sequence(0, size(words) DIV 10 - 1),
+            |    i -> struct(CAST(i AS BIGINT) AS ci,
+            |                concat_ws(' ', slice(words, i*10+1, 10)) AS ch))
+            |ELSE CAST(array() AS ARRAY<STRUCT<ci: BIGINT, ch: STRING>>) END"""
+            .stripMargin)).as("g"))
+        .select(col("doc_id"), col("g.ci").as("ci"), col("g.ch").as("chunk"))
+      val n = t(s, dir, "documents").agg(count(lit(1)).as("n_docs"))
+      val coin = conv(substring(md5(concat(col("doc_id").cast("string"), lit(":"),
+        col("ci").cast("string"))), 1, 8), 16, 10).cast("long")
+      val a = ch.select(col("doc_id"), col("ci"), col("chunk"))
+      val p = ch.select(col("doc_id"), (col("ci") - 1).as("ci"),
+        col("chunk").as("pos_chunk"))
+      val tri = a.join(p, Seq("doc_id", "ci"))
+        .crossJoin(broadcast(n))
+        .select(col("doc_id"), col("ci").as("anchor_ci"),
+          (col("ci") + 1).as("pos_ci"),
+          ((col("doc_id") + 1 + coin % (col("n_docs") - 1)) % col("n_docs"))
+            .as("neg_doc"),
+          substring(col("chunk"), 1, 25).as("anchor_snip"),
+          substring(col("pos_chunk"), 1, 25).as("pos_snip"))
+      val ng = ch.filter(col("ci") === 0)
+        .select(col("doc_id").as("neg_doc"),
+          substring(col("chunk"), 1, 25).as("neg_snip"))
+      tri.join(ng, Seq("neg_doc"))
+        .select(col("doc_id"), col("anchor_ci").cast("long").as("anchor_ci"),
+          col("pos_ci").cast("long").as("pos_ci"),
+          col("neg_doc").cast("long").as("neg_doc"),
+          col("anchor_snip"), col("pos_snip"), col("neg_snip"))
+        .orderBy(col("doc_id"), col("anchor_ci"))
+    },
+
     // ---- mixture-weight application: balance sources by downsampling ----
     // The acting half of q80's mixture weights: downsample every source to
     // a balanced budget (here 50% of the smallest source's size, so the
