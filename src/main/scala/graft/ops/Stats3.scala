@@ -702,6 +702,54 @@ object Stats3 {
           round(varAdj / col("n"), 6).as("var_adj"),
           round(lit(1) - varAdj / varPost, 6).as("var_reduction"))
         .orderBy(col("arm"))
+    },
+
+    // ---- exact class-balanced downsampling ----
+    // The training-label balancer q86's rate-coin can only approximate:
+    // keep EXACTLY min-class-count rows per class. Per-class order is the
+    // md5(event_id) coin (deterministic, uniform, engine-stable), the
+    // per-class rank comes from the stitched grouped row number (a
+    // 5-value class key would funnel each class through one partition
+    // under Window.partitionBy — the q75/q247 argument), and the keep
+    // rule is rank ≤ target. Output: per-class before/after counts plus
+    // the exact integer fingerprint (sum + min/max of kept ids) so the
+    // oracle pins the SELECTED SET, not just its size.
+    Q("q275_balanced_downsample",
+      """WITH r AS (SELECT event_type, event_id,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rn
+        |  FROM events),
+        |c AS (SELECT event_type, count(*) AS n_before FROM events GROUP BY 1),
+        |tgt AS (SELECT min(n_before) AS target FROM c),
+        |kept AS (SELECT event_type, event_id FROM r, tgt WHERE rn <= target)
+        |SELECT c.event_type AS event_type,
+        |  CAST(c.n_before AS BIGINT) AS n_before,
+        |  CAST(count(k.event_id) AS BIGINT) AS n_kept,
+        |  CAST(sum(k.event_id) AS BIGINT) AS id_sum,
+        |  CAST(min(k.event_id) AS BIGINT) AS id_min,
+        |  CAST(max(k.event_id) AS BIGINT) AS id_max
+        |FROM c JOIN kept k ON c.event_type = k.event_type
+        |GROUP BY 1, 2
+        |ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val parts = s.conf.get("spark.sql.shuffle.partitions").toInt
+      val ev = t(s, dir, "events")
+        .select(col("event_type"), col("event_id"),
+          md5(col("event_id").cast("string")).as("coin"))
+      val r = Skew.groupedRowNumber(ev, Seq("event_type"),
+        Seq(col("coin"), col("event_id")), parts, "rn")
+      val c = t(s, dir, "events").groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_before"))
+      val tgt = c.agg(min(col("n_before")).as("target"))
+      val kept = r.crossJoin(broadcast(tgt)).filter(col("rn") <= col("target"))
+      kept.join(broadcast(c), Seq("event_type"))
+        .groupBy(col("event_type"), col("n_before"))
+        .agg(count(col("event_id")).cast("long").as("n_kept"),
+          sum(col("event_id")).cast("long").as("id_sum"),
+          min(col("event_id")).cast("long").as("id_min"),
+          max(col("event_id")).cast("long").as("id_max"))
+        .select(col("event_type"), col("n_before").cast("long").as("n_before"),
+          col("n_kept"), col("id_sum"), col("id_min"), col("id_max"))
+        .orderBy(col("event_type"))
     }
   )
 }
