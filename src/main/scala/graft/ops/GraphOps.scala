@@ -616,6 +616,82 @@ object GraphOps {
       warm.select(col("vec_id"), round(col("pr"), 6).as("pagerank"))
         .orderBy(col("pr").desc, col("vec_id"))
         .limit(20)
+    },
+
+    // ---- triangle count + global clustering coefficient ----
+    // The remaining classic distributed-graph statistic over the q127
+    // kNN graph: exact triangles via the DEGREE-ORIENTED join — every
+    // undirected edge points from its lower-(degree, id) endpoint to the
+    // higher, wedges pair two out-edges of the same source ordered by the
+    // dsts' (degree, id), and the closing edge lookup is one more keyed
+    // hash join. The orientation is what makes this scale: out-degrees
+    // are bounded by O(√m), so wedge fanout is O(m^1.5) worst-case
+    // instead of Σ deg² — the textbook bound — and every step is an
+    // equi-join or map-side-combined count, no broadcast of the graph.
+    // Global coefficient = 3·triangles / wedges, with Σ deg(deg−1) kept
+    // integer to the end (each term is even, so halving stays exact).
+    Q("q276_triangles", {
+      s"""WITH $duckKnnCtes,
+         |e AS (SELECT DISTINCT least(vec_id, nbr_id) AS u,
+         |    greatest(vec_id, nbr_id) AS v
+         |  FROM ranked WHERE rn <= $K),
+         |deg AS (SELECT id, count(*) AS dg
+         |  FROM (SELECT u AS id FROM e UNION ALL SELECT v AS id FROM e) t
+         |  GROUP BY 1),
+         |oe AS (SELECT
+         |    CASE WHEN da.dg <= db.dg THEN e.u ELSE e.v END AS src,
+         |    CASE WHEN da.dg <= db.dg THEN e.v ELSE e.u END AS dst,
+         |    CASE WHEN da.dg <= db.dg THEN db.dg ELSE da.dg END AS ddst
+         |  FROM e JOIN deg da ON da.id = e.u JOIN deg db ON db.id = e.v),
+         |tri AS (SELECT count(*) AS n_tri
+         |  FROM oe a JOIN oe b ON a.src = b.src
+         |    AND (a.ddst < b.ddst OR (a.ddst = b.ddst AND a.dst < b.dst))
+         |  JOIN oe c ON c.src = a.dst AND c.dst = b.dst),
+         |ne AS (SELECT count(*) AS n_edges FROM e),
+         |nd AS (SELECT count(*) AS n_nodes,
+         |    sum(dg * (dg - 1)) // 2 AS n_wedges
+         |  FROM deg)
+         |SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+         |  CAST(n_edges AS BIGINT) AS n_edges,
+         |  CAST(n_wedges AS BIGINT) AS n_wedges,
+         |  CAST(n_tri AS BIGINT) AS n_triangles,
+         |  CASE WHEN n_wedges = 0 THEN NULL
+         |    ELSE round(3.0 * n_tri / n_wedges, 6) END AS global_cc
+         |FROM nd, ne, tri""".stripMargin
+    }) { (s, dir) =>
+      val e = knnEdges(s, dir).filter(col("rn") <= K)
+        .select(least(col("vec_id"), col("nbr_id")).as("u"),
+          greatest(col("vec_id"), col("nbr_id")).as("v"))
+        .distinct()
+      val deg = e.select(col("u").as("id"))
+        .unionAll(e.select(col("v").as("id")))
+        .groupBy(col("id")).agg(count(lit(1)).as("dg"))
+      val oe = e
+        .join(deg.select(col("id").as("u"), col("dg").as("da")), Seq("u"))
+        .join(deg.select(col("id").as("v"), col("dg").as("db")), Seq("v"))
+        .select(
+          when(col("da") <= col("db"), col("u")).otherwise(col("v")).as("src"),
+          when(col("da") <= col("db"), col("v")).otherwise(col("u")).as("dst"),
+          when(col("da") <= col("db"), col("db")).otherwise(col("da")).as("ddst"))
+      val a = oe.select(col("src"), col("dst").as("v1"), col("ddst").as("d1"))
+      val b = oe.select(col("src"), col("dst").as("v2"), col("ddst").as("d2"))
+      val wedges = a.join(b, Seq("src"))
+        .filter(col("d1") < col("d2") || (col("d1") === col("d2")
+          && col("v1") < col("v2")))
+      val closing = oe.select(col("src").as("v1"), col("dst").as("v2"))
+      val tri = wedges.join(closing, Seq("v1", "v2"))
+        .agg(count(lit(1)).as("n_tri"))
+      val ne = e.agg(count(lit(1)).as("n_edges"))
+      val nd = deg.agg(count(lit(1)).as("n_nodes"),
+        (sum(col("dg") * (col("dg") - 1)) / 2).cast("long").as("n_wedges"))
+      nd.crossJoin(broadcast(ne)).crossJoin(broadcast(tri))
+        .select(col("n_nodes").cast("long").as("n_nodes"),
+          col("n_edges").cast("long").as("n_edges"),
+          col("n_wedges"),
+          col("n_tri").cast("long").as("n_triangles"),
+          when(col("n_wedges") === 0, lit(null))
+            .otherwise(round(lit(3.0) * col("n_tri") / col("n_wedges"), 6))
+            .as("global_cc"))
     }
   )
 }
