@@ -692,6 +692,65 @@ object TextDedup {
       clusterComponents(s, pairs).orderBy(col("doc_id"))
     },
 
+    // ---- cluster keeper selection under a quality policy ----
+    // q72 labels clusters and keeps min-id; real curation keeps the BEST
+    // member — here the longest (most-complete-version heuristic), ties
+    // to the lower id — and accounts what the collapse deletes. Keeper =
+    // argmax (n_words, −doc_id) via a lexicographic struct max (one hash
+    // aggregate, associative — no window); tokens_dropped = Σ words of
+    // the losers. Reuses q72's verified components and the memoized pair
+    // frame; the oracle re-derives the same clusters with the recursive
+    // CTE and states the same struct-max tiebreak.
+    Q("q277_cluster_keeper", {
+      val cte = ShingleCte.replaceFirst("^WITH ", "WITH RECURSIVE ")
+      s"""$cte,
+         |hs AS (SELECT doc_id, h1 AS h FROM sh),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM hs GROUP BY doc_id),
+         |inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS i
+         |  FROM hs x JOIN hs y ON x.h = y.h AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2),
+         |pairs AS (SELECT doc_a, doc_b FROM inter
+         |  JOIN sizes sa ON doc_a = sa.doc_id
+         |  JOIN sizes sb ON doc_b = sb.doc_id
+         |  WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+         |  UNION ALL SELECT doc_b AS a, doc_a AS b FROM pairs),
+         |reach(doc, lbl) AS (
+         |  SELECT DISTINCT a AS doc, a AS lbl FROM edges
+         |  UNION
+         |  SELECT e.b AS doc, r.lbl FROM reach r JOIN edges e ON e.a = r.doc),
+         |comp AS (SELECT doc, min(lbl) AS cluster_id FROM reach GROUP BY doc),
+         |wc AS (SELECT doc_id,
+         |    len(string_split_regex(lower(trim(text)), '\\s+')) AS n_words
+         |  FROM documents),
+         |lab AS (SELECT c.doc AS doc_id, c.cluster_id, w.n_words
+         |  FROM comp c JOIN wc w ON w.doc_id = c.doc)
+         |SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size,
+         |  CAST((max(struct_pack(w := n_words, d := -doc_id))).d * -1 AS BIGINT)
+         |    AS keeper_id,
+         |  CAST((max(struct_pack(w := n_words, d := -doc_id))).w AS BIGINT)
+         |    AS keeper_words,
+         |  CAST(sum(n_words) - (max(struct_pack(w := n_words, d := -doc_id))).w
+         |    AS BIGINT) AS tokens_dropped
+         |FROM lab GROUP BY cluster_id
+         |ORDER BY cluster_id""".stripMargin
+    }) { (s, dir) =>
+      val pairs = jaccardPairs(s, dir).select(col("doc_a"), col("doc_b"))
+      val comp = clusterComponents(s, pairs)
+        .select(col("doc_id"), col("cluster_id"))
+      val wc = t(s, dir, "documents")
+        .select(col("doc_id"), size(TextCommon.wordsCol).as("n_words"))
+      val best = max(struct(col("n_words").as("w"), (-col("doc_id")).as("d")))
+      comp.join(wc, Seq("doc_id"))
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).cast("long").as("cluster_size"),
+          (best.getField("d") * -1).cast("long").as("keeper_id"),
+          best.getField("w").cast("long").as("keeper_words"),
+          (sum(col("n_words")) - best.getField("w")).cast("long")
+            .as("tokens_dropped"))
+        .orderBy(col("cluster_id"))
+    },
+
     // ---- n-gram Jaccard under the doc-frequency skew cap ----
     // The q42 pipeline with the stop-shingle cap ACTIVE (maxDf=3) and the
     // identical filter in the oracle's CTE — so the skew-mitigation path
