@@ -18,7 +18,7 @@ import graft.ops.Loops._
   */
 object GraphOps {
 
-  import VectorSearch.{NumPlanes, embTable, duckPlaneList, duckDot}
+  import VectorSearch.{NumPlanes, embTable, duckPlaneList, duckDot, DuckCos}
 
   private val K = 3 // neighbors kept per vector
 
@@ -616,6 +616,65 @@ object GraphOps {
       warm.select(col("vec_id"), round(col("pr"), 6).as("pagerank"))
         .orderBy(col("pr").desc, col("vec_id"))
         .limit(20)
+    },
+
+    // ---- ANN recall@k, evaluated in-engine ----
+    // The index-quality audit as a first-class query (SCALE.md's recall
+    // curves, operationalized): for a 20-query sample, exact cosine top-3
+    // (ground truth) vs the q127 LSH multi-probe top-3, recall = |∩|/3
+    // per query plus the ALL row. Ground truth is the honest cost of
+    // evaluation — the corpus crossed with the BROADCAST query sample,
+    // ranked per query; the per-query window funnels N·20 candidate rows
+    // through 20 partitions, which is the deliberate price of exactness
+    // over a BOUNDED query sample (the index being audited is what makes
+    // full-corpus exact ranking unnecessary in production). Both sides
+    // rank 9dp-rounded cosines with id tiebreaks, so the compared sets
+    // are deterministic.
+    Q("q278_ann_recall", {
+      s"""WITH $duckKnnCtes,
+         |qs AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+         |  WHERE vec_id < 20),
+         |ex AS (SELECT qid, vec_id AS nbr, row_number() OVER (
+         |    PARTITION BY qid ORDER BY c DESC, vec_id) AS rn
+         |  FROM (SELECT q.qid AS qid, e.vec_id AS vec_id,
+         |      round($DuckCos, 9) AS c
+         |    FROM embeddings e, qs q WHERE e.vec_id <> q.qid) t),
+         |ann AS (SELECT vec_id AS qid, nbr_id AS nbr FROM ranked
+         |  WHERE rn <= $K AND vec_id < 20),
+         |hit AS (SELECT e.qid AS qid, count(a.nbr) AS n_hit
+         |  FROM ex e LEFT JOIN ann a ON a.qid = e.qid AND a.nbr = e.nbr
+         |  WHERE e.rn <= $K
+         |  GROUP BY 1),
+         |per AS (SELECT qid, round(n_hit * 1.0 / $K, 6) AS recall FROM hit)
+         |SELECT CAST(qid AS BIGINT) AS qid, recall FROM per
+         |UNION ALL
+         |SELECT -1, round(avg(recall), 6) FROM per
+         |ORDER BY qid""".stripMargin
+    }) { (s, dir) =>
+      val emb = embTable(s, dir)
+      val qs = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+          sqrt(expr("graft_dot(embedding, embedding)")).as("qn"))
+      val cand = emb.crossJoin(broadcast(qs))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("nbr"),
+          round(expr("graft_dot(embedding, qe)")
+            / (sqrt(expr("graft_dot(embedding, embedding)")) * col("qn")), 9)
+            .as("c"))
+      val wq = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(col("c").desc, col("nbr"))
+      val ex = cand.withColumn("rn", row_number().over(wq))
+        .filter(col("rn") <= K).select(col("qid"), col("nbr"))
+      val ann = knnEdges(s, dir).filter(col("rn") <= K && col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("nbr_id").as("nbr"),
+          lit(1L).as("hitmark"))
+      val per = ex.join(ann, Seq("qid", "nbr"), "left")
+        .groupBy(col("qid"))
+        .agg(round(count(col("hitmark")) * lit(1.0) / K, 6).as("recall"))
+      per.select(col("qid").cast("long").as("qid"), col("recall"))
+        .unionAll(per.agg(round(avg(col("recall")), 6).as("recall"))
+          .select(lit(-1L).as("qid"), col("recall")))
+        .orderBy(col("qid"))
     },
 
     // ---- triangle count + global clustering coefficient ----
