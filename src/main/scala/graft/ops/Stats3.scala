@@ -750,6 +750,84 @@ object Stats3 {
         .select(col("event_type"), col("n_before").cast("long").as("n_before"),
           col("n_kept"), col("id_sum"), col("id_min"), col("id_max"))
         .orderBy(col("event_type"))
+    },
+
+    // ---- always-valid sequential test (mSPRT) over accreting days ----
+    // The peeking-safe monitor a fixed-n z-test (q246) can't give: per
+    // day, the mixture-SPRT likelihood ratio for arm A vs arm B means
+    // (normal mixture prior τ² = σ², σ² the pooled global variance) and
+    // the always-valid p = running min of 1/Λ — monotone by construction,
+    // so an experimenter may stop ANY day without inflating error.
+    // Exactness: daily sums are exact DECIMAL(19,2) running totals over
+    // the calendar-bounded day grid (≤ span-days rows per arm); the one
+    // exp() rounds at 9 before the running min (the q208/q211 libm rule);
+    // σ² is a single broadcast scalar stated identically in both engines.
+    Q("q279_msprt",
+      """WITH sig AS (SELECT var_pop(value) AS s2 FROM events),
+        |d AS (SELECT epoch_us(ts) // 86400000000 AS day_idx,
+        |    user_id % 2 AS arm, count(*) AS n,
+        |    CAST(sum(CAST(value AS DECIMAL(19,2))) AS DECIMAL(19,2)) AS s
+        |  FROM events GROUP BY 1, 2),
+        |c AS (SELECT day_idx, arm,
+        |    sum(n) OVER w AS cn, CAST(sum(s) OVER w AS DOUBLE) AS cs
+        |  FROM d WINDOW w AS (PARTITION BY arm ORDER BY day_idx
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |j AS (SELECT a.day_idx AS day_idx, a.cn AS na, b.cn AS nb,
+        |    a.cs / a.cn - b.cs / b.cn AS delta,
+        |    CAST(a.cn AS DOUBLE) * b.cn / (a.cn + b.cn) AS neff
+        |  FROM c a JOIN c b ON a.day_idx = b.day_idx
+        |    AND a.arm = 0 AND b.arm = 1),
+        |lam AS (SELECT day_idx, na, nb, delta,
+        |    round(sqrt(2.0 * s2 / (2.0 * s2 + neff * s2))
+        |      * exp(neff * neff * s2 * delta * delta
+        |          / (2.0 * s2 * (2.0 * s2 + neff * s2))), 9) AS lambda
+        |  FROM j, sig),
+        |p AS (SELECT day_idx, na, nb, delta, lambda,
+        |    min(least(1.0, 1.0 / lambda)) OVER (ORDER BY day_idx
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p_seq
+        |  FROM lam)
+        |SELECT CAST(day_idx AS BIGINT) AS day_idx,
+        |  CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
+        |  round(delta, 6) AS delta, round(lambda, 6) AS lambda,
+        |  round(p_seq, 6) AS p_always_valid
+        |FROM p ORDER BY day_idx""".stripMargin) { (s, dir) =>
+      val ev = t(s, dir, "events")
+        .select((unix_micros(col("ts").cast("timestamp")) / 86400000000L)
+          .cast("long").as("day_idx"),
+          (col("user_id") % 2).as("arm"), col("value"))
+      val sig = ev.agg(var_pop(col("value")).as("s2"))
+      val d = ev.groupBy(col("day_idx"), col("arm"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(19,2)")).cast("decimal(19,2)").as("s"))
+      val w = Window.partitionBy(col("arm")).orderBy(col("day_idx"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val c = d.select(col("day_idx"), col("arm"),
+        sum(col("n")).over(w).as("cn"), sum(col("s")).over(w).cast("double").as("cs"))
+      val a = c.filter(col("arm") === 0)
+        .select(col("day_idx"), col("cn").as("na"), col("cs").as("csa"))
+      val b = c.filter(col("arm") === 1)
+        .select(col("day_idx"), col("cn").as("nb"), col("cs").as("csb"))
+      val j = a.join(b, Seq("day_idx"))
+        .select(col("day_idx"), col("na"), col("nb"),
+          (col("csa") / col("na") - col("csb") / col("nb")).as("delta"),
+          (col("na").cast("double") * col("nb") / (col("na") + col("nb")))
+            .as("neff"))
+      val s2 = col("s2")
+      val lam = j.crossJoin(broadcast(sig))
+        .select(col("day_idx"), col("na"), col("nb"), col("delta"),
+          round(sqrt(lit(2.0) * s2 / (lit(2.0) * s2 + col("neff") * s2))
+            * exp(col("neff") * col("neff") * s2 * col("delta") * col("delta")
+              / (lit(2.0) * s2 * (lit(2.0) * s2 + col("neff") * s2))), 9)
+            .as("lambda"))
+      val wp = Window.orderBy(col("day_idx"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      lam.select(col("day_idx").cast("long").as("day_idx"),
+          col("na").cast("long").as("na"), col("nb").cast("long").as("nb"),
+          round(col("delta"), 6).as("delta"),
+          round(col("lambda"), 6).as("lambda"),
+          round(min(least(lit(1.0), lit(1.0) / col("lambda"))).over(wp), 6)
+            .as("p_always_valid"))
+        .orderBy(col("day_idx"))
     }
   )
 }
