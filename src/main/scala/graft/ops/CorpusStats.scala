@@ -64,7 +64,9 @@ object CorpusStats {
       |    ELSE round($cov * $cov / ($varx * $vary), 6) END AS r2""".stripMargin
   }
 
-  def qs: Seq[Q] = Seq(
+  def qs: Seq[Q] = mainQs ++ extraQs
+
+  private val mainQs: Seq[Q] = Seq(
 
     // ---- Zipf rank-frequency fit (per language) ----
     // ln(freq) regressed on ln(rank) over each language's top-200 words:
@@ -164,6 +166,69 @@ object CorpusStats {
       heapsFrame(s, t(s, dir, "documents"))
     }
   )
+
+  private val extraQs: Seq[Q] = Seq(
+
+    // ---- unseen-species estimation: Good–Turing mass + Chao1 richness ----
+    // The coverage audit behind "have we crawled enough": from the
+    // frequency-of-frequencies of 3-word shingles (the q259 unit),
+    // Good–Turing's unseen-probability mass n₁/N and the Chao1 richness
+    // floor V + n₁²/(2n₂) — how much vocabulary the corpus has NOT seen
+    // yet. Everything is exact integer arithmetic off two nested
+    // map-side-combined aggregates (gram counts → count-of-counts; the
+    // second one's key space is tiny); the two output ratios are single
+    // divisions rounded at 6. Per language, so the audit localizes.
+    Q("q280_chao1",
+      """WITH w AS (SELECT lang,
+        |    string_split_regex(lower(trim(text)), '\s+') AS words
+        |  FROM documents),
+        |tok AS (SELECT lang,
+        |    unnest(CASE WHEN len(words) >= 3 THEN
+        |        list_transform(range(1, len(words) - 1),
+        |          i -> array_to_string(list_slice(words, i, i + 2), ' '))
+        |      ELSE [] END) AS gram
+        |  FROM w),
+        |g AS (SELECT lang, gram, count(*) AS c FROM tok GROUP BY 1, 2),
+        |ff AS (SELECT lang, c, count(*) AS n_c FROM g GROUP BY 1, 2),
+        |m AS (SELECT lang,
+        |    sum(n_c) AS v,
+        |    sum(c * n_c) AS n_tok,
+        |    coalesce(sum(CASE WHEN c = 1 THEN n_c END), 0) AS n1,
+        |    coalesce(sum(CASE WHEN c = 2 THEN n_c END), 0) AS n2
+        |  FROM ff GROUP BY 1)
+        |SELECT lang, CAST(v AS BIGINT) AS vocabulary,
+        |  CAST(n_tok AS BIGINT) AS n_tokens,
+        |  CAST(n1 AS BIGINT) AS n_singletons,
+        |  CAST(n2 AS BIGINT) AS n_doubletons,
+        |  round(CAST(n1 AS DOUBLE) / n_tok, 6) AS unseen_mass,
+        |  CASE WHEN n2 = 0 THEN NULL
+        |    ELSE round(v + CAST(n1 AS DOUBLE) * n1 / (2.0 * n2), 6)
+        |  END AS chao1
+        |FROM m ORDER BY lang""".stripMargin) { (s, dir) =>
+      val tok = t(s, dir, "documents")
+        .select(col("lang"), wordsCol.as("w"))
+        .select(col("lang"), explode(expr(
+          """CASE WHEN size(w) >= 3 THEN
+            |  transform(sequence(1, size(w) - 2),
+            |    i -> array_join(slice(w, i, 3), ' '))
+            |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin)).as("gram"))
+      val g = tok.groupBy(col("lang"), col("gram")).agg(count(lit(1)).as("c"))
+      val ff = g.groupBy(col("lang"), col("c")).agg(count(lit(1)).as("n_c"))
+      val m = ff.groupBy(col("lang"))
+        .agg(sum(col("n_c")).as("v"),
+          sum(col("c") * col("n_c")).as("n_tok"),
+          coalesce(sum(when(col("c") === 1, col("n_c"))), lit(0L)).as("n1"),
+          coalesce(sum(when(col("c") === 2, col("n_c"))), lit(0L)).as("n2"))
+      m.select(col("lang"), col("v").cast("long").as("vocabulary"),
+          col("n_tok").cast("long").as("n_tokens"),
+          col("n1").cast("long").as("n_singletons"),
+          col("n2").cast("long").as("n_doubletons"),
+          round(col("n1").cast("double") / col("n_tok"), 6).as("unseen_mass"),
+          when(col("n2") === 0, lit(null))
+            .otherwise(round(col("v") + col("n1").cast("double") * col("n1")
+              / (lit(2.0) * col("n2")), 6)).as("chao1"))
+        .orderBy(col("lang"))
+    })
 
   /** q259's Spark side over any (doc_id, text, …) frame — the streaming
     * refresh composition (StreamingCorpusStatsSpec) recomputes it over
