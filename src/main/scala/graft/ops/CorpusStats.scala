@@ -228,6 +228,87 @@ object CorpusStats {
             .otherwise(round(col("v") + col("n1").cast("double") * col("n1")
               / (lit(2.0) * col("n2")), 6)).as("chao1"))
         .orderBy(col("lang"))
+    },
+
+    // ---- per-source KL-divergence skew audit ----
+    // Which sources' word distributions diverge from the corpus — the
+    // text twin of q208's PSI, and the audit that catches a crawler
+    // feeding boilerplate: KL(p_source ‖ p_corpus) over the corpus
+    // top-200 words plus an OTHER bucket (shared support, so no zero
+    // denominators), with the single word driving the skew reported via
+    // a lexicographic struct max. Terms quantize at 9 dp into
+    // DECIMAL(18,9) before the per-source sum (201 rounded ln terms —
+    // plain double summation order would diverge across engines, the
+    // q101 fold lesson); the vocabulary cut is one TakeOrdered top-200
+    // broadcast against the per-source counts.
+    Q("q281_source_kl",
+      """WITH w AS (SELECT source,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+        |  FROM documents),
+        |cw AS (SELECT word, count(*) AS c FROM w GROUP BY 1),
+        |top AS (SELECT word, c FROM cw ORDER BY c DESC, word LIMIT 200),
+        |nc AS (SELECT sum(c) AS n FROM cw),
+        |sw AS (SELECT source, word, count(*) AS c FROM w GROUP BY 1, 2),
+        |ns AS (SELECT source, sum(c) AS n FROM sw GROUP BY 1),
+        |stop AS (SELECT sw.source AS source, sw.word AS word, sw.c AS c
+        |  FROM sw JOIN top ON sw.word = top.word),
+        |rows_ AS (
+        |  SELECT s.source AS source, t.word AS word,
+        |    coalesce(st.c, 0) AS cs, t.c AS cc, s.n AS nsrc, nc.n AS ncor
+        |  FROM ns s CROSS JOIN top t
+        |    LEFT JOIN stop st ON st.source = s.source AND st.word = t.word,
+        |    nc
+        |  UNION ALL
+        |  SELECT s.source, '__other__',
+        |    s.n - coalesce((SELECT sum(c) FROM stop WHERE stop.source = s.source), 0),
+        |    nc.n - (SELECT sum(c) FROM top), s.n, nc.n
+        |  FROM ns s, nc),
+        |terms AS (SELECT source, word,
+        |    CAST(round(CASE WHEN cs = 0 THEN 0.0
+        |      ELSE (CAST(cs AS DOUBLE) / nsrc)
+        |        * ln((CAST(cs AS DOUBLE) / nsrc) / (CAST(cc AS DOUBLE) / ncor))
+        |      END, 9) AS DECIMAL(18,9)) AS term
+        |  FROM rows_)
+        |SELECT source,
+        |  round(CAST(sum(term) AS DOUBLE), 6) AS kl,
+        |  (max(struct_pack(t := term, w := word))).w AS top_word,
+        |  CAST((max(struct_pack(t := term, w := word))).t AS DOUBLE) AS top_term
+        |FROM terms GROUP BY source
+        |ORDER BY source""".stripMargin) { (s, dir) =>
+      val w = t(s, dir, "documents")
+        .select(col("source"), explode(wordsCol).as("word"))
+      val cw = w.groupBy(col("word")).agg(count(lit(1)).as("c"))
+      val top = cw.orderBy(col("c").desc, col("word")).limit(200)
+      val nc = cw.agg(sum(col("c")).as("ncor"))
+      val sw = w.groupBy(col("source"), col("word")).agg(count(lit(1)).as("c"))
+      val ns = sw.groupBy(col("source")).agg(sum(col("c")).as("nsrc"))
+      val stop = sw.join(broadcast(top.select(col("word"))), Seq("word"))
+      val grid = ns.crossJoin(broadcast(top.select(col("word"), col("c").as("cc"))))
+        .join(stop.select(col("source"), col("word"), col("c").as("cs")),
+          Seq("source", "word"), "left")
+        .select(col("source"), col("word"), coalesce(col("cs"), lit(0L)).as("cs"),
+          col("cc"), col("nsrc"))
+      val otherRow = {
+        val sTop = stop.groupBy(col("source")).agg(sum(col("c")).as("cs_top"))
+        val ccOther = top.agg(sum(col("c")).as("cc_top"))
+        ns.join(sTop, Seq("source"), "left")
+          .crossJoin(broadcast(ccOther)).crossJoin(broadcast(nc))
+          .select(col("source"), lit("__other__").as("word"),
+            (col("nsrc") - coalesce(col("cs_top"), lit(0L))).as("cs"),
+            (col("ncor") - col("cc_top")).as("cc"), col("nsrc"))
+      }
+      val rows = grid.unionByName(otherRow).crossJoin(broadcast(nc))
+      val ps = col("cs").cast("double") / col("nsrc")
+      val pc = col("cc").cast("double") / col("ncor")
+      val terms = rows.select(col("source"), col("word"),
+        round(when(col("cs") === 0, lit(0.0)).otherwise(ps * log(ps / pc)), 9)
+          .cast("decimal(18,9)").as("term"))
+      val best = max(struct(col("term").as("t"), col("word").as("w")))
+      terms.groupBy(col("source"))
+        .agg(round(sum(col("term")).cast("double"), 6).as("kl"),
+          best.getField("w").as("top_word"),
+          best.getField("t").cast("double").as("top_term"))
+        .orderBy(col("source"))
     })
 
   /** q259's Spark side over any (doc_id, text, …) frame — the streaming
