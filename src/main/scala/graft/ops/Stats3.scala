@@ -828,6 +828,91 @@ object Stats3 {
           round(min(least(lit(1.0), lit(1.0) / col("lambda"))).over(wp), 6)
             .as("p_always_valid"))
         .orderBy(col("day_idx"))
+    },
+
+    // ---- deterministic Poisson-bootstrap confidence interval ----
+    // The nonparametric CI machinery with the engine's no-RNG discipline:
+    // 50 bootstrap replicas of the mean daily purchase count, each row's
+    // replica weight a Poisson(1) draw INVERTED from the md5(day:rep)
+    // uniform against literal cumulative thresholds (e⁻¹-based constants
+    // stated identically in both engines — reproducible across runs,
+    // engines and repartitionings, the q86/q274 coin rule). The replica
+    // grid is days × 50 — calendar-bounded, tiny; the 95% band is read
+    // from EXPLICIT ranked elements of the 50 replica means (rank 2 and
+    // rank 49 — no engine quantile interpolation).
+    Q("q282_bootstrap_ci",
+      s"""WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day_idx,
+        |    count(*) AS x
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |reps AS (SELECT unnest(range(0, 50)) AS r),
+        |wt AS (SELECT day_idx, x, r,
+        |    (CASE
+        |      WHEN u < 0.367879441 THEN 0 WHEN u < 0.735758882 THEN 1
+        |      WHEN u < 0.919698603 THEN 2 WHEN u < 0.981011843 THEN 3
+        |      WHEN u < 0.996340153 THEN 4 WHEN u < 0.999405815 THEN 5
+        |      ELSE 6 END) AS w
+        |  FROM (SELECT day_idx, x, r,
+        |      ${TextCommon.duckHex(
+             "substr(md5(CAST(day_idx AS VARCHAR) || ':' || CAST(r AS VARCHAR)), 1, 8)",
+             8)} / 4294967296.0 AS u
+        |    FROM d, reps) t),
+        |bm AS (SELECT r,
+        |    CASE WHEN sum(w) = 0 THEN NULL
+        |      ELSE round(CAST(sum(w * x) AS DOUBLE) / sum(w), 9) END AS m
+        |  FROM wt GROUP BY r),
+        |rk AS (SELECT m, row_number() OVER (ORDER BY m, r) AS rn,
+        |    count(*) OVER () AS nr
+        |  FROM bm WHERE m IS NOT NULL),
+        |s AS (SELECT count(*) AS nrep, sum(CAST(m AS DECIMAL(19,9))) AS sm,
+        |    sum(CAST(m AS DECIMAL(19,9)) * CAST(m AS DECIMAL(19,9))) AS smm
+        |  FROM rk),
+        |base AS (SELECT count(*) AS n_days,
+        |    round(avg(CAST(x AS DOUBLE)), 6) AS est FROM d)
+        |SELECT CAST(n_days AS BIGINT) AS n_days, est,
+        |  CAST(nrep AS BIGINT) AS n_replicas,
+        |  round(CAST(sm AS DOUBLE) / nrep, 6) AS boot_mean,
+        |  round(sqrt((CAST(smm AS DOUBLE) - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE)
+        |      / nrep) / (nrep - 1)), 6) AS boot_se,
+        |  (SELECT m FROM rk WHERE rn = 2) AS lo95,
+        |  (SELECT m FROM rk WHERE rn = nr - 1) AS hi95
+        |FROM s, base""".stripMargin) { (s, dir) =>
+      val d = t(s, dir, "events").filter(col("event_type") === "purchase")
+        .groupBy((unix_micros(col("ts").cast("timestamp")) / 86400000000L)
+          .cast("long").as("day_idx"))
+        .agg(count(lit(1)).as("x"))
+      val reps = s.range(0, 50).select(col("id").as("r"))
+      val u = conv(substring(md5(concat(col("day_idx").cast("string"), lit(":"),
+        col("r").cast("string"))), 1, 8), 16, 10).cast("long") / lit(4294967296.0)
+      val wt = d.crossJoin(broadcast(reps))
+        .select(col("day_idx"), col("x"), col("r"),
+          when(u < 0.367879441, 0L).when(u < 0.735758882, 1L)
+            .when(u < 0.919698603, 2L).when(u < 0.981011843, 3L)
+            .when(u < 0.996340153, 4L).when(u < 0.999405815, 5L)
+            .otherwise(6L).as("w"))
+      val bm = wt.groupBy(col("r"))
+        .agg(when(sum(col("w")) === 0, lit(null))
+          .otherwise(round(sum(col("w") * col("x")).cast("double")
+            / sum(col("w")), 9)).as("m"))
+      val wr = Window.orderBy(col("m"), col("r")) // 50-row frame, bounded
+      val rk = bm.filter(col("m").isNotNull)
+        .select(col("m"), row_number().over(wr).as("rn"),
+          count(lit(1)).over(Window.partitionBy()).as("nr"))
+      val dec9 = "decimal(19,9)"
+      val st = rk.agg(count(lit(1)).as("nrep"),
+        sum(col("m").cast(dec9)).as("sm"),
+        sum(col("m").cast(dec9) * col("m").cast(dec9)).as("smm"))
+      val base = d.agg(count(lit(1)).as("n_days"),
+        round(avg(col("x").cast("double")), 6).as("est"))
+      val lo = rk.filter(col("rn") === 2).select(col("m").as("lo95"))
+      val hi = rk.filter(col("rn") === col("nr") - 1).select(col("m").as("hi95"))
+      val smD = col("sm").cast("double")
+      st.crossJoin(broadcast(base)).crossJoin(broadcast(lo)).crossJoin(broadcast(hi))
+        .select(col("n_days").cast("long").as("n_days"), col("est"),
+          col("nrep").cast("long").as("n_replicas"),
+          round(smD / col("nrep"), 6).as("boot_mean"),
+          round(sqrt((col("smm").cast("double") - smD * smD / col("nrep"))
+            / (col("nrep") - 1)), 6).as("boot_se"),
+          col("lo95"), col("hi95"))
     }
   )
 }
