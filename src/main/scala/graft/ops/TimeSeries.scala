@@ -375,24 +375,10 @@ object TimeSeries {
         |  round(CAST(dau.dau AS DOUBLE) / wau.wau, 6) AS stickiness
         |FROM wau JOIN dau ON wau.d = dau.d
         |ORDER BY day_idx""".stripMargin) { (s, dir) =>
-      val ud = t(s, dir, "events")
+      rollingWau(t(s, dir, "events")
         .select(col("user_id"),
           (unix_micros(col("ts").cast("timestamp")) / 86400000000L)
-            .cast("long").as("day_idx"))
-        .distinct()
-      val mx = ud.agg(max(col("day_idx")).as("md"))
-      val cov = ud.select(col("user_id"), col("day_idx"),
-          explode(sequence(lit(0), lit(6))).as("k"))
-        .select(col("user_id"), (col("day_idx") + col("k")).as("d"))
-        .distinct()
-      val wau = cov.crossJoin(broadcast(mx)).filter(col("d") <= col("md"))
-        .groupBy(col("d")).agg(count(lit(1)).as("wau"))
-      val dau = ud.groupBy(col("day_idx").as("d")).agg(count(lit(1)).as("dau"))
-      wau.join(dau, Seq("d"))
-        .select(col("d").as("day_idx"), col("dau").cast("long").as("dau"),
-          col("wau").cast("long").as("wau"),
-          round(col("dau").cast("double") / col("wau"), 6).as("stickiness"))
-        .orderBy(col("day_idx"))
+            .cast("long").as("day_idx")))
     },
 
     // ---- Mann–Kendall trend test (significance companion to q241) ----
@@ -466,6 +452,27 @@ object TimeSeries {
         .orderBy(col("event_type"))
     }
   )
+
+  /** q266's Spark side over any (user_id, day_idx) activity frame —
+    * the streaming refresh composition (StreamingWauSpec) recomputes it
+    * over the accumulated idempotent store; dedup happens here, so raw
+    * multi-event and replayed frames are both fine. */
+  private[graft] def rollingWau(pairs: DataFrame): DataFrame = {
+    val ud = pairs.select(col("user_id"), col("day_idx")).distinct()
+    val mx = ud.agg(max(col("day_idx")).as("md"))
+    val cov = ud.select(col("user_id"), col("day_idx"),
+        explode(sequence(lit(0), lit(6))).as("k"))
+      .select(col("user_id"), (col("day_idx") + col("k")).as("d"))
+      .distinct()
+    val wau = cov.crossJoin(broadcast(mx)).filter(col("d") <= col("md"))
+      .groupBy(col("d")).agg(count(lit(1)).as("wau"))
+    val dau = ud.groupBy(col("day_idx").as("d")).agg(count(lit(1)).as("dau"))
+    wau.join(dau, Seq("d"))
+      .select(col("d").as("day_idx"), col("dau").cast("long").as("dau"),
+        col("wau").cast("long").as("wau"),
+        round(col("dau").cast("double") / col("wau"), 6).as("stickiness"))
+      .orderBy(col("day_idx"))
+  }
 
   /** q242's ACF pipeline as a frame: (event_type, lag 1–7, n_terms, acf)
     * with acf already rounded at 6 dp — shared by q242 and q252. */
