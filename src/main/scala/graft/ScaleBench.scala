@@ -228,9 +228,51 @@ object ScaleBench {
     // when semantic dedup was the only post-loop phase; same scope.)
     // "image" / "spans" rerun ONLY that family (corpus gen is cached).
     val phaseSel = sys.env.getOrElse("SPARK_GRAFT_SCALE_PHASES", "all")
-    require(Set("all", "postloop", "semdedup", "image", "spans", "events", "cc", "contam").contains(phaseSel),
-      s"SPARK_GRAFT_SCALE_PHASES must be 'all', 'postloop', 'semdedup', 'image', 'spans', 'events', 'cc' or 'contam'," +
+    require(Set("all", "postloop", "semdedup", "image", "spans", "events", "cc",
+      "contam", "triangles").contains(phaseSel),
+      s"SPARK_GRAFT_SCALE_PHASES must be 'all', 'postloop', 'semdedup', 'image', 'spans', 'events', 'cc', 'contam' or 'triangles'," +
         s" got '$phaseSel' (a typo would silently skip corpus generation)")
+    // ---- q276 triangles: the degree-orientation wedge bound ----
+    // A synthetic SKEWED graph (one hub adjacent to 5% of nodes over a
+    // 3-edges/node random background) makes the counterfactual concrete:
+    // an unoriented wedge join generates Σ deg(deg−1)/2 candidates —
+    // dominated by the hub's deg² — while the degree-oriented join's
+    // candidates are bounded by Σ outdeg² with outdeg ≤ O(√m). The phase
+    // reports both counts (the naive one computed arithmetically, not
+    // run) and the end-to-end oriented triangle wall.
+    if (phaseSel == "triangles") {
+      import spark.implicits._
+      sizes.foreach { n =>
+        val nodes = n / 10
+        val bg = spark.range(0, nodes * 3, 1, 32)
+          .select((col("id") % nodes).as("u"),
+            (abs(xxhash64(concat(lit("e:"), col("id").cast("string")))) % nodes)
+              .as("v"))
+        val hub = spark.range(0, nodes / 20, 1, 32)
+          .select(lit(0L).as("u"),
+            (abs(xxhash64(concat(lit("h:"), col("id").cast("string")))) % nodes)
+              .as("v"))
+        val e = bg.unionAll(hub)
+          .select(least(col("u"), col("v")).as("u"),
+            greatest(col("u"), col("v")).as("v"))
+          .filter(col("u") =!= col("v")).distinct()
+          .localCheckpoint()
+        val deg = ops.GraphOps.degrees(e).localCheckpoint()
+        phase("q276_naive_wedges", nodes) {
+          deg.agg((sum(col("dg") * (col("dg") - 1)) / 2).cast("long"))
+            .collect()(0).getLong(0)
+        }
+        val oe = ops.GraphOps.orientEdges(e, deg)
+        phase("q276_oriented_wedges", nodes) {
+          ops.GraphOps.orientedWedges(oe).count()
+        }
+        phase("q276_triangles_e2e", nodes) {
+          val closing = oe.select(col("src").as("v1"), col("dst").as("v2"))
+          ops.GraphOps.orientedWedges(oe).join(closing, Seq("v1", "v2")).count()
+        }
+      }
+      spark.stop(); return
+    }
     // ---- q222 contamination: the broadcast-probe linearity claim ----
     // The report is a semi-join of train grams against the (broadcast)
     // eval gram set — NO pair blowup is possible by construction, unlike

@@ -22,6 +22,33 @@ object GraphOps {
 
   private val K = 3 // neighbors kept per vector
 
+  /** Degree table of an undirected (u, v) edge frame. */
+  private[graft] def degrees(e: DataFrame): DataFrame =
+    e.select(col("u").as("id")).unionAll(e.select(col("v").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("dg"))
+
+  /** Degree-oriented edges: each undirected edge points from its lower-
+    * (degree, id) endpoint — out-degree is then O(√m), the bound that
+    * keeps q276's wedge join at O(m^1.5) (ScaleBench "triangles" phase
+    * measures the counterfactual Σ deg² blowup this avoids). */
+  private[graft] def orientEdges(e: DataFrame, deg: DataFrame): DataFrame =
+    e.join(deg.select(col("id").as("u"), col("dg").as("da")), Seq("u"))
+      .join(deg.select(col("id").as("v"), col("dg").as("db")), Seq("v"))
+      .select(
+        when(col("da") <= col("db"), col("u")).otherwise(col("v")).as("src"),
+        when(col("da") <= col("db"), col("v")).otherwise(col("u")).as("dst"),
+        when(col("da") <= col("db"), col("db")).otherwise(col("da")).as("ddst"))
+
+  /** (src, v1, v2) wedge pairs of oriented out-edges, dst-ordered by
+    * (degree, id) so each unordered out-pair appears once. */
+  private[graft] def orientedWedges(oe: DataFrame): DataFrame = {
+    val a = oe.select(col("src"), col("dst").as("v1"), col("ddst").as("d1"))
+    val b = oe.select(col("src"), col("dst").as("v2"), col("ddst").as("d2"))
+    a.join(b, Seq("src"))
+      .filter(col("d1") < col("d2") || (col("d1") === col("d2")
+        && col("v1") < col("v2")))
+  }
+
   /** Shared oracle prelude: planes → coded → Hamming-≤1 candidate pairs →
     * per-vector top-K by 9dp cosine. MATERIALIZED throughout — every CTE
     * is referenced more than once downstream and DuckDB would otherwise
@@ -722,21 +749,9 @@ object GraphOps {
         .select(least(col("vec_id"), col("nbr_id")).as("u"),
           greatest(col("vec_id"), col("nbr_id")).as("v"))
         .distinct()
-      val deg = e.select(col("u").as("id"))
-        .unionAll(e.select(col("v").as("id")))
-        .groupBy(col("id")).agg(count(lit(1)).as("dg"))
-      val oe = e
-        .join(deg.select(col("id").as("u"), col("dg").as("da")), Seq("u"))
-        .join(deg.select(col("id").as("v"), col("dg").as("db")), Seq("v"))
-        .select(
-          when(col("da") <= col("db"), col("u")).otherwise(col("v")).as("src"),
-          when(col("da") <= col("db"), col("v")).otherwise(col("u")).as("dst"),
-          when(col("da") <= col("db"), col("db")).otherwise(col("da")).as("ddst"))
-      val a = oe.select(col("src"), col("dst").as("v1"), col("ddst").as("d1"))
-      val b = oe.select(col("src"), col("dst").as("v2"), col("ddst").as("d2"))
-      val wedges = a.join(b, Seq("src"))
-        .filter(col("d1") < col("d2") || (col("d1") === col("d2")
-          && col("v1") < col("v2")))
+      val deg = degrees(e)
+      val oe = orientEdges(e, deg)
+      val wedges = orientedWedges(oe)
       val closing = oe.select(col("src").as("v1"), col("dst").as("v2"))
       val tri = wedges.join(closing, Seq("v1", "v2"))
         .agg(count(lit(1)).as("n_tri"))
