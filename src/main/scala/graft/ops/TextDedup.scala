@@ -751,6 +751,89 @@ object TextDedup {
         .orderBy(col("cluster_id"))
     },
 
+    // ---- the dedup funnel: raw → exact → near-dup, with token costs ----
+    // The one-table summary a curation run reports: how many documents
+    // and tokens survive exact dedup (md5(text), keeper = min id — q40's
+    // rule) and then near-dup collapse (q72's clusters over ALL docs;
+    // keeper = the min SURVIVING member, so a cluster whose min-id member
+    // was already exact-dropped still keeps one copy). Three rows, each
+    // stage's doc/token counts and shares of raw. Everything reuses the
+    // verified building blocks — fingerprints, the memoized pair frame,
+    // the CC engine — plus one narrow token-count aggregate.
+    Q("q283_dedup_funnel", {
+      val cte = ShingleCte.replaceFirst("^WITH ", "WITH RECURSIVE ")
+      s"""$cte,
+         |hs AS (SELECT doc_id, h1 AS h FROM sh),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM hs GROUP BY doc_id),
+         |inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS i
+         |  FROM hs x JOIN hs y ON x.h = y.h AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2),
+         |pairs AS (SELECT doc_a, doc_b FROM inter
+         |  JOIN sizes sa ON doc_a = sa.doc_id
+         |  JOIN sizes sb ON doc_b = sb.doc_id
+         |  WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+         |  UNION ALL SELECT doc_b AS a, doc_a AS b FROM pairs),
+         |reach(doc, lbl) AS (
+         |  SELECT DISTINCT a AS doc, a AS lbl FROM edges
+         |  UNION
+         |  SELECT e.b AS doc, r.lbl FROM reach r JOIN edges e ON e.a = r.doc),
+         |comp AS (SELECT doc, min(lbl) AS cluster_id FROM reach GROUP BY doc),
+         |tok AS (SELECT doc_id,
+         |    len(string_split_regex(lower(trim(text)), '\\s+')) AS n_words,
+         |    md5(text) AS fp
+         |  FROM documents),
+         |ex AS (SELECT t.doc_id, t.n_words FROM tok t
+         |  JOIN (SELECT fp, min(doc_id) AS keeper FROM tok GROUP BY fp) k
+         |    ON t.fp = k.fp AND t.doc_id = k.keeper),
+         |k2 AS (SELECT c.cluster_id, min(e.doc_id) AS keeper2
+         |  FROM comp c JOIN ex e ON e.doc_id = c.doc GROUP BY 1),
+         |nd AS (SELECT e.doc_id, e.n_words FROM ex e
+         |  LEFT JOIN comp c ON c.doc = e.doc_id
+         |  LEFT JOIN k2 ON k2.cluster_id = c.cluster_id
+         |  WHERE c.doc IS NULL OR e.doc_id = k2.keeper2),
+         |raw_ AS (SELECT count(*) AS d, sum(n_words) AS t FROM tok),
+         |s1 AS (SELECT count(*) AS d, sum(n_words) AS t FROM ex),
+         |s2 AS (SELECT count(*) AS d, sum(n_words) AS t FROM nd)
+         |SELECT stage, CAST(d AS BIGINT) AS n_docs, CAST(t AS BIGINT) AS n_tokens,
+         |  round(CAST(d AS DOUBLE) / (SELECT d FROM raw_), 6) AS doc_share,
+         |  round(CAST(t AS DOUBLE) / (SELECT t FROM raw_), 6) AS token_share
+         |FROM (
+         |  SELECT 0 AS stage, d, t FROM raw_
+         |  UNION ALL SELECT 1, d, t FROM s1
+         |  UNION ALL SELECT 2, d, t FROM s2) f
+         |ORDER BY stage""".stripMargin
+    }) { (s, dir) =>
+      val tok = t(s, dir, "documents")
+        .select(col("doc_id"), size(TextCommon.wordsCol).as("n_words"),
+          md5(col("text")).as("fp"))
+      val keep = tok.groupBy(col("fp")).agg(min(col("doc_id")).as("keeper"))
+      val ex = tok.join(keep,
+        tok("fp") === keep("fp") && tok("doc_id") === keep("keeper"))
+        .select(col("doc_id"), col("n_words"))
+      val comp = clusterComponents(s,
+        jaccardPairs(s, dir).select(col("doc_a"), col("doc_b")))
+        .select(col("doc_id").as("cdoc"), col("cluster_id"))
+      val k2 = comp.join(ex, comp("cdoc") === ex("doc_id"))
+        .groupBy(col("cluster_id")).agg(min(col("doc_id")).as("keeper2"))
+      val nd = ex.join(comp, ex("doc_id") === comp("cdoc"), "left")
+        .join(k2, Seq("cluster_id"), "left")
+        .filter(col("cdoc").isNull || col("doc_id") === col("keeper2"))
+        .select(col("doc_id"), col("n_words"))
+      def stage(df: org.apache.spark.sql.DataFrame, k: Int) =
+        df.agg(count(lit(1)).as("d"), sum(col("n_words")).as("t"))
+          .select(lit(k).as("stage"), col("d"), col("t"))
+      val rawS = stage(tok, 0)
+      val funnel = rawS.unionAll(stage(ex, 1)).unionAll(stage(nd, 2))
+      val denom = rawS.select(col("d").as("d0"), col("t").as("t0"))
+      funnel.crossJoin(broadcast(denom))
+        .select(col("stage"), col("d").cast("long").as("n_docs"),
+          col("t").cast("long").as("n_tokens"),
+          round(col("d").cast("double") / col("d0"), 6).as("doc_share"),
+          round(col("t").cast("double") / col("t0"), 6).as("token_share"))
+        .orderBy(col("stage"))
+    },
+
     // ---- n-gram Jaccard under the doc-frequency skew cap ----
     // The q42 pipeline with the stop-shingle cap ACTIVE (maxDf=3) and the
     // identical filter in the oracle's CTE — so the skew-mitigation path
