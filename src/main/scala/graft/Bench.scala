@@ -87,7 +87,13 @@ object Bench {
       cacheHwMemMb = math.max(cacheHwMemMb, infos.map(_.memSize).sum / 1e6)
       cacheHwDiskMb = math.max(cacheHwDiskMb, infos.map(_.diskSize).sum / 1e6)
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional name-prefix filters (same contract as Verify's args): spot-
+    // bench one query/family while iterating without paying the full suite.
+    val picked =
+      if (args.isEmpty) SparkEntry.queries.toSeq
+      else SparkEntry.queries.toSeq
+        .filter { case (n, _) => args.exists(n.startsWith) }
+    val results = picked.sortBy(_._1).map { case (name, fn) =>
       def once(): RunSample = {
         val (b0, r0, c0) = { drainBus(); counters() }
         val t0 = System.nanoTime()

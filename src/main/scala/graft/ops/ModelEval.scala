@@ -161,11 +161,13 @@ object ModelEval {
     // per-row DECIMAL(38,12) quantization (partial-agg order cannot
     // wiggle a bit), the (w, b) state re-enters the next round
     // 9dp-rounded, and the whole 3-round chain is oracle-checked with
-    // zero driver arithmetic (the state stays in 1-row frames; the
-    // oracle chains the same rounds as CTEs). Scale shape per round:
-    // one broadcast of the 1-row state + one map-side-combined corpus
-    // aggregate — the vectors never shuffle. At 100 TB each round is
-    // one pass; mini-batching is a WHERE on a hash of the row id.
+    // zero driver arithmetic (the driver only transports Spark's own
+    // rounded doubles back in as literals — the q125 direction-fold;
+    // the oracle chains the same rounds as CTEs). Scale shape per
+    // round: one map-side-combined aggregate over the ONE cached
+    // (x, y) projection — nothing shuffles, and at 100 TB a persisted
+    // projection beats re-reading parquet every round; mini-batching
+    // is a WHERE on a hash of the row id.
     Q("q210_gd_linreg", {
       val rounds = (1 to 3).map { k =>
         s"""g$k AS (SELECT
@@ -190,26 +192,55 @@ object ModelEval {
          |  CAST(n AS BIGINT) AS n
          |FROM s3, m""".stripMargin
     }) { (s, dir) =>
-      val d = t(s, dir, "lineitem")
-        .select((col("l_quantity").cast("double") / 50).as("x"),
-          (col("l_extendedprice").cast("double") / 100000).as("y"))
+      // One corpus scan total: the (x, y) projection is registry-cached
+      // (at 100 TB a persisted projection beats 4 parquet passes), and the
+      // loop folds the 1-row state back in per round the q125 power-
+      // iteration way — the driver transports Spark's own 9dp-rounded
+      // doubles (zero driver arithmetic), so the chain is bit-identical to
+      // the old nested-plan form while keeping every round's plan SHALLOW
+      // (the nested form re-embedded the prior round's plan twice per
+      // round — exponential Catalyst planning cost by round 8, see q267:
+      // ~9 s of pure planning for <1 task-second of work).
+      // The explicit repartition before persist matters twice over: a
+      // small projection cached off a 1-split scan would make every round
+      // single-threaded (and Spark's in-memory columnar scan is ~3× the
+      // per-row cost of the vectorized parquet reader — measured r2
+      // task 2.5 s vs 0.9 s here without it), and `repartition(n)` is
+      // immune to AQE re-coalescing the cached plan's output to 1
+      // partition (`canChangeCachedPlanOutputPartitioning=true` bit this
+      // exact loop once — see the parity-traps note in SCALE.md).
+      val parts = s.conf.get("spark.sql.shuffle.partitions").toInt
+      val d = CacheRegistry.cache(s, s"gd-lineitem-xy:$dir") {
+        t(s, dir, "lineitem")
+          .select((col("l_quantity").cast("double") / 50).as("x"),
+            (col("l_extendedprice").cast("double") / 100000).as("y"))
+          .repartition(parts)
+      }
       val dec = "decimal(38,12)"
+      // State re-enters each round as a 1-row broadcast frame rather than
+      // inlined literals: literals bake into the generated source, so each
+      // round would compile AND cold-run a fresh codegen class over the
+      // corpus (measured ~1 s/round vs a ~0.4 s warm floor); as broadcast
+      // ATTRIBUTES the corpus stage's generated code is byte-identical
+      // every round — one compiled class, JIT-warm from round 2.
+      var w = 0.0; var b = 0.0
+      def stFrame = s.range(1).select(lit(w).as("w"), lit(b).as("b"))
       def resid = col("w") * col("x") + col("b") - col("y")
-      var st = s.range(1).select(lit(0.0).as("w"), lit(0.0).as("b"))
       for (_ <- 1 to 3) {
-        val g = d.crossJoin(broadcast(st))
+        val r = d.crossJoin(broadcast(stFrame))
           .agg(sum((col("x") * resid).cast(dec)).as("gw"),
             sum(resid.cast(dec)).as("gb"), count(lit(1)).as("n"))
-        st = g.crossJoin(broadcast(st)).select(
-          round(col("w") - lit(0.5) * col("gw").cast("double") / col("n"), 9)
-            .as("w"),
-          round(col("b") - lit(0.5) * col("gb").cast("double") / col("n"), 9)
-            .as("b"))
+          .select(
+            round(lit(w) - lit(0.5) * col("gw").cast("double") / col("n"), 9)
+              .as("w"),
+            round(lit(b) - lit(0.5) * col("gb").cast("double") / col("n"), 9)
+              .as("b"))
+          .head()
+        w = r.getDouble(0); b = r.getDouble(1)
       }
-      val m = d.crossJoin(broadcast(st))
+      d.crossJoin(broadcast(stFrame))
         .agg(sum(pow(resid, 2).cast(dec)).as("sq"), count(lit(1)).as("n"))
-      st.crossJoin(broadcast(m))
-        .select(col("w"), col("b"),
+        .select(lit(w).as("w"), lit(b).as("b"),
           round(col("sq").cast("double") / col("n"), 6).as("mse"),
           col("n").cast("long").as("n"))
     },
@@ -265,41 +296,52 @@ object ModelEval {
          |  round(CAST(ll AS DOUBLE) / n, 6) AS logloss
          |FROM s3, m""".stripMargin
     }) { (s, dir) =>
-      val d = t(s, dir, "events")
-        .select((col("value").cast("double") / 500).as("x"),
-          when(col("event_type") === "purchase", lit(1.0)).otherwise(lit(0.0))
-            .as("y"))
+      // Same cached-projection + literal-folded state as q210 (scaladoc
+      // there); the sigmoid/clamp semantics are untouched.
+      val d = CacheRegistry.cache(s, s"gd-events-xy:$dir") {
+        t(s, dir, "events")
+          .select((col("value").cast("double") / 500).as("x"),
+            when(col("event_type") === "purchase", lit(1.0)).otherwise(lit(0.0))
+              .as("y"))
+          .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
+      }
       val dec = "decimal(38,12)"
+      // broadcast-frame state for codegen-class reuse across rounds — the
+      // q210 note
+      var w = 0.0; var b = 0.0
+      def stFrame = s.range(1).select(lit(w).as("w"), lit(b).as("b"))
       def sig = round(lit(1.0) / (lit(1.0)
         + exp(-(col("w") * col("x") + col("b")))), 6)
-      var st = s.range(1).select(lit(0.0).as("w"), lit(0.0).as("b"))
       for (_ <- 1 to 3) {
-        val p = d.crossJoin(broadcast(st)).withColumn("p", sig)
-        val g = p.agg(
-          sum((col("x") * (col("p") - col("y"))).cast(dec)).as("gw"),
-          sum((col("p") - col("y")).cast(dec)).as("gb"),
-          count(lit(1)).as("n"))
-        st = g.crossJoin(broadcast(st)).select(
-          round(col("w") - lit(2.0) * col("gw").cast("double") / col("n"), 9)
-            .as("w"),
-          round(col("b") - lit(2.0) * col("gb").cast("double") / col("n"), 9)
-            .as("b"))
+        val r = d.crossJoin(broadcast(stFrame)).withColumn("p", sig)
+          .agg(
+            sum((col("x") * (col("p") - col("y"))).cast(dec)).as("gw"),
+            sum((col("p") - col("y")).cast(dec)).as("gb"),
+            count(lit(1)).as("n"))
+          .select(
+            round(lit(w) - lit(2.0) * col("gw").cast("double") / col("n"), 9)
+              .as("w"),
+            round(lit(b) - lit(2.0) * col("gb").cast("double") / col("n"), 9)
+              .as("b"))
+          .head()
+        w = r.getDouble(0); b = r.getDouble(1)
       }
       // Clamp the 6dp-rounded sigmoid away from {0, 1} before the ln
       // terms: at exactly 0/1 Spark's log() returns NULL (silently
       // dropped from the sum) while DuckDB's ln() returns -inf — a
       // data-dependent divergence (ADVICE r9). The clamp is stated
       // identically in the oracle, so both engines see the same pc.
-      val pf = d.crossJoin(broadcast(st)).withColumn("p", sig)
+      val pf = d.crossJoin(broadcast(stFrame)).withColumn("p", sig)
         .withColumn("pc", least(greatest(col("p"), lit(1e-6)), lit(0.999999)))
-      val m = pf.agg(
-        sum(when((col("p") > 0.5) === (col("y") === 1.0), lit(1))
-          .otherwise(lit(0))).as("correct"),
-        sum(round(-(col("y") * log(col("pc"))
-          + (lit(1) - col("y")) * log(lit(1) - col("pc"))), 6).cast(dec)).as("ll"),
-        count(lit(1)).as("n"))
-      st.crossJoin(broadcast(m))
-        .select(col("w"), col("b"), col("correct").cast("long").as("correct"),
+      pf.agg(
+          sum(when((col("p") > 0.5) === (col("y") === 1.0), lit(1))
+            .otherwise(lit(0))).as("correct"),
+          sum(round(-(col("y") * log(col("pc"))
+            + (lit(1) - col("y")) * log(lit(1) - col("pc"))), 6).cast(dec))
+            .as("ll"),
+          count(lit(1)).as("n"))
+        .select(lit(w).as("w"), lit(b).as("b"),
+          col("correct").cast("long").as("correct"),
           col("n").cast("long").as("n"),
           round(col("ll").cast("double") / col("n"), 6).as("logloss"))
     },
@@ -398,7 +440,7 @@ object ModelEval {
     // DECIMAL(38,12) gradient sums are order-immune. Output: (w, b),
     // empirical coverage P(y ≤ pred) — which GD drives toward τ — and
     // the mean pinball loss. Scale: q210's shape — per round one
-    // broadcast 1-row state + one map-side-combined corpus aggregate.
+    // map-side-combined aggregate over the one cached (x, y) frame.
     Q("q267_quantile_regression", {
       val rounds = (1 to 8).map { k =>
         s"""g$k AS (SELECT
@@ -432,30 +474,44 @@ object ModelEval {
          |  CAST(n AS BIGINT) AS n
          |FROM s8, m""".stripMargin
     }) { (s, dir) =>
-      val d = t(s, dir, "lineitem")
-        .select((col("l_quantity").cast("double") / 50).as("x"),
-          (col("l_extendedprice").cast("double") / 100000).as("y"))
+      // Cached projection + literal-folded state (the q210 scaladoc): at
+      // 8 rounds the nested-plan form embedded the prior round's plan
+      // twice per round — a 2^8 Catalyst tree that cost ~9 s of pure
+      // planning for <1 task-second of work. Shallow per-round plans over
+      // the one cached (x, y) frame keep the chain bit-identical (the
+      // driver transports Spark's own 9dp-rounded doubles) and drop the
+      // wall to the actual aggregate cost.
+      val d = CacheRegistry.cache(s, s"gd-lineitem-xy:$dir") {
+        t(s, dir, "lineitem")
+          .select((col("l_quantity").cast("double") / 50).as("x"),
+            (col("l_extendedprice").cast("double") / 100000).as("y"))
+          .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
+      }
       val dec = "decimal(38,12)"
+      // broadcast-frame state for codegen-class reuse across rounds — the
+      // q210 note (at 8 rounds a fresh cold class per round dominated)
+      var w = 0.0; var b = 0.0
+      def stFrame = s.range(1).select(lit(w).as("w"), lit(b).as("b"))
       def pred = col("w") * col("x") + col("b")
       def gmult = when(pred >= col("y"), lit(0.1)).otherwise(lit(-0.9))
-      var st = s.range(1).select(lit(0.0).as("w"), lit(0.0).as("b"))
       for (_ <- 1 to 8) {
-        val g = d.crossJoin(broadcast(st))
+        val r = d.crossJoin(broadcast(stFrame))
           .agg(sum((col("x") * gmult).cast(dec)).as("gw"),
             sum(gmult.cast(dec)).as("gb"), count(lit(1)).as("n"))
-        st = g.crossJoin(broadcast(st)).select(
-          round(col("w") - lit(0.5) * col("gw").cast("double") / col("n"), 9)
-            .as("w"),
-          round(col("b") - lit(0.5) * col("gb").cast("double") / col("n"), 9)
-            .as("b"))
+          .select(
+            round(lit(w) - lit(0.5) * col("gw").cast("double") / col("n"), 9)
+              .as("w"),
+            round(lit(b) - lit(0.5) * col("gb").cast("double") / col("n"), 9)
+              .as("b"))
+          .head()
+        w = r.getDouble(0); b = r.getDouble(1)
       }
-      val m = d.crossJoin(broadcast(st))
+      d.crossJoin(broadcast(stFrame))
         .agg(sum(when(col("y") <= pred, 1L).otherwise(0L)).as("covered"),
           sum(round(when(pred >= col("y"), lit(0.1) * (pred - col("y")))
             .otherwise(lit(0.9) * (col("y") - pred)), 9).cast(dec)).as("pb"),
           count(lit(1)).as("n"))
-      st.crossJoin(broadcast(m))
-        .select(col("w"), col("b"),
+        .select(lit(w).as("w"), lit(b).as("b"),
           round(col("covered").cast("double") / col("n"), 6).as("coverage"),
           round(col("pb").cast("double") / col("n"), 6).as("pinball"),
           col("n").cast("long").as("n"))
