@@ -828,18 +828,32 @@ object PipelineOps {
         .select(col("l_extendedprice").as("v"),
           col("l_quantity").cast("long").as("w"),
           col("l_orderkey"), col("l_linenumber"))
-      // the grand total `tw` rides the stitch's slice frame (no fourth
-      // scan of lineitem for a separate aggregate — VERDICT r9 item 3)
+      // The grand total `tw` is ONE exact long — collect it and fold it in
+      // as a literal. Its previous ride on the stitch's slice frame
+      // (totalCol, VERDICT r9 item 3) avoided a separate aggregate but
+      // attached tw to every corpus row through a BroadcastNestedLoopJoin
+      // whose condition — this decile predicate — ran INTERPRETED per row
+      // (BNLJ is outside whole-stage codegen), and the totalCol slice
+      // rebuild itself cost a third corpus scan. As a literal the
+      // predicate codegens into the window's own output stage, the BNLJ
+      // and the extra scan disappear, and the dedicated tw pass is the
+      // cheapest possible shape (vectorized scan + map-side-combined sum).
+      val tw = li.agg(sum(col("w"))).head().getLong(0)
       val cum = graft.ops.Skew.globalRunningSum(li,
         Seq(col("v").asc, col("l_orderkey").asc, col("l_linenumber").asc),
         value = col("w"),
-        numPartitions = s.conf.get("spark.sql.shuffle.partitions").toInt,
-        totalCol = Some("tw"))
+        numPartitions = s.conf.get("spark.sql.shuffle.partitions").toInt)
+      // Filter to boundary-crossing rows BEFORE the Generate: the explode
+      // used to evaluate the sequence CASE (and allocate an empty array)
+      // for every corpus row. The integer predicate keeps ≤9 rows
+      // corpus-wide, so the explode is free; the kept rows' sequences are
+      // non-empty by construction.
       cum
+        .filter(expr(
+          s"(cum - w) * 10 DIV ${tw}L + 1 <= least(cum * 10 DIV ${tw}L, 9L)"))
         .select(col("v"), explode(expr(
-          """CASE WHEN (cum - w) * 10 DIV tw + 1 <= least(cum * 10 DIV tw, 9L)
-            |  THEN sequence((cum - w) * 10 DIV tw + 1, least(cum * 10 DIV tw, 9L))
-            |  ELSE CAST(array() AS ARRAY<BIGINT>) END""".stripMargin)).as("decile"))
+          s"sequence((cum - w) * 10 DIV ${tw}L + 1, least(cum * 10 DIV ${tw}L, 9L))"))
+          .as("decile"))
         .filter(col("decile").between(1, 9))
         .groupBy(col("decile")).agg(min(col("v")).as("value"))
         .orderBy(col("decile"))
