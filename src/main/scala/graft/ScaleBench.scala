@@ -8,8 +8,11 @@ import org.apache.spark.sql.functions._
   * section): the 100 TB claims are plan-shape-proven at 17 MB; this main
   * measures them at ~1 GB on a DETERMINISTIC synthetic corpus with
   *  - planted near-dup families: docs with id % 100 ∈ {1,2,3} are ~2%-
-  *    perturbed copies of their block head → 6 true pairs per 100 docs,
-  *    linear in corpus size by construction;
+  *    perturbed copies of their block head (J ≈ 0.85 vs base) and docs
+  *    with id % 100 ∈ {4,5} are ~10%-perturbed WEAK copies (J ≈ 0.45–0.6
+  *    — straddling the 0.5 near-dup threshold, the regime where LSH band
+  *    count decides recall); families are linear in corpus size by
+  *    construction;
   *  - a planted boilerplate hot key: 1% of docs share a fixed 22-word
   *    header, so each header shingle's doc frequency grows with the
   *    corpus and contributes O(n²/10⁴) candidate pairs UNCAPPED — the
@@ -30,9 +33,13 @@ object ScaleBench {
   private val Boiler: String =
     (0 until 22).map(i => s"boiler$i").mkString(" ")
 
+  // pert_mod: 50 → ~2% perturbed words (strong copies, 3-shingle Jaccard
+  // vs base ≈ 0.85); 10 → ~10% (weak copies, J ≈ 0.45–0.6 — the straddle-
+  // the-0.5-threshold regime where LSH band count decides recall);
+  // 0 → not a copy
   private val DocBodyExpr: String =
     """concat_ws(' ', transform(sequence(0, n_words - 1), k ->
-      |  CASE WHEN is_copy AND pmod(xxhash64(concat('pert:', CAST(id AS STRING), ':', CAST(k AS STRING))), 50) = 0
+      |  CASE WHEN pert_mod > 0 AND pmod(xxhash64(concat('pert:', CAST(id AS STRING), ':', CAST(k AS STRING))), pert_mod) = 0
       |    THEN concat('p', CAST(pmod(xxhash64(concat('pw:', CAST(id AS STRING), ':', CAST(k AS STRING))), 50000) AS STRING))
       |    ELSE concat('w', CAST(pmod(xxhash64(concat('bw:', CAST(base_id AS STRING), ':', CAST(k AS STRING))), 50000) AS STRING))
       |  END))""".stripMargin
@@ -41,7 +48,7 @@ object ScaleBench {
     * hash below) whenever the generator changes, so a stale
     * previously-generated corpus can never be silently measured against
     * new code — same guard the embeddings generator carries. */
-  private val DocVersion = "v1"
+  private val DocVersion = "v2" // v2: weak-copy family at blockpos 4–5
 
   private def gen(s: SparkSession, n: Long, dir: String): Unit = {
     // reuse only a COMPLETE, CURRENT previous generation: a crashed run
@@ -55,15 +62,19 @@ object ScaleBench {
       new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == current) return
     val df = s.range(0, n, 1, 64).toDF("id")
       .withColumn("blockpos", pmod(col("id"), lit(100L)))
-      .withColumn("is_copy", col("blockpos").between(1, 3))
+      .withColumn("is_copy", col("blockpos").between(1, 5))
+      .withColumn("pert_mod",
+        when(col("blockpos").between(1, 3), lit(50L))
+          .when(col("blockpos").between(4, 5), lit(10L))
+          .otherwise(lit(0L)))
       .withColumn("base_id",
         when(col("is_copy"), col("id") - col("blockpos")).otherwise(col("id")))
       .withColumn("n_words",
         (lit(400) + pmod(xxhash64(concat(lit("len:"), col("base_id"))), lit(400L))).cast("int"))
-      // word k of a copy matches its base except at ~2% of positions
-      // (independent per copy, so copy↔copy Jaccard ≈ 0.85, well over the
-      // 0.5 near-dup threshold); vocabulary 50k keeps accidental 3-shingle
-      // collisions across unrelated docs at ~0
+      // word k of a copy matches its base except at ~2% (strong) / ~10%
+      // (weak) of positions, independent per copy — strong copy↔copy
+      // Jaccard ≈ 0.8, weak↔base ≈ 0.45–0.6; vocabulary 50k keeps
+      // accidental 3-shingle collisions across unrelated docs at ~0
       .withColumn("body", expr(DocBodyExpr))
       .withColumn("text",
         when(col("blockpos") === 50, concat(lit(Boiler + " "), col("body")))
@@ -229,8 +240,8 @@ object ScaleBench {
     // "image" / "spans" rerun ONLY that family (corpus gen is cached).
     val phaseSel = sys.env.getOrElse("SPARK_GRAFT_SCALE_PHASES", "all")
     require(Set("all", "postloop", "semdedup", "image", "spans", "events", "cc",
-      "contam", "triangles").contains(phaseSel),
-      s"SPARK_GRAFT_SCALE_PHASES must be 'all', 'postloop', 'semdedup', 'image', 'spans', 'events', 'cc', 'contam' or 'triangles'," +
+      "contam", "triangles", "minhash", "funnel").contains(phaseSel),
+      s"SPARK_GRAFT_SCALE_PHASES must be 'all', 'postloop', 'semdedup', 'image', 'spans', 'events', 'cc', 'contam', 'triangles', 'minhash' or 'funnel'," +
         s" got '$phaseSel' (a typo would silently skip corpus generation)")
     // ---- q276 triangles: the degree-orientation wedge bound ----
     // A synthetic SKEWED graph (one hub adjacent to 5% of nodes over a
@@ -297,6 +308,101 @@ object ScaleBench {
           ops.Governance.contaminationFor(ops.TextDedup.shingleRowsFor(docs))
             .filter(col("n_hit") > 0).count()
         }
+      }
+      spark.stop(); return
+    }
+
+    // ---- q41 signature width: recall/precision vs k (graft.minhash.*) ----
+    // The default 8-hash/2-row signature is oracle-friendly but thin: at
+    // Jaccard s, b bands of r rows catch a pair with prob 1−(1−s^r)^b.
+    // Planted truth is EXACT here — per-pair 3-shingle Jaccard over the
+    // family docs — so recall is measured per similarity bin (the weak
+    // family, J 0.5–0.7, is where band count decides) and precision is
+    // true-candidates over all candidates. Cap OFF so the boilerplate
+    // family contributes its real false-positive mass.
+    if (phaseSel == "minhash") {
+      val n = sizes.min
+      val mdir = s"$root/n$n"
+      gen(spark, n, mdir)
+      val docs = spark.read.parquet(s"$mdir/documents.parquet")
+      val sh = ops.TextDedup.shingleRowsFor(docs).persist()
+      sh.count()
+      // exact planted-pair Jaccard: families are the 6-doc blocks {0..5}
+      // per 100 ids; intersections via the (h1,h2) equi-join within family
+      val fam = sh.filter(pmod(col("doc_id"), lit(100L)) <= 5)
+        .withColumn("fam", col("doc_id") - pmod(col("doc_id"), lit(100L)))
+      val szs = fam.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      val inter = fam.as("a").join(fam.as("b"),
+          col("a.fam") === col("b.fam") && col("a.h1") === col("b.h1") &&
+            col("a.h2") === col("b.h2") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+        .agg(count(lit(1)).as("ix"))
+      val truth = inter
+        .join(szs.select(col("doc_id").as("da"), col("sz").as("sa")), "da")
+        .join(szs.select(col("doc_id").as("db"), col("sz").as("sb")), "db")
+        .select(col("da"), col("db"),
+          (col("ix").cast("double") / (col("sa") + col("sb") - col("ix")))
+            .as("jac"))
+        .filter(col("jac") >= 0.5)
+        .persist()
+      val binned = truth.groupBy((col("jac") >= 0.7).as("hi")).count()
+        .collect().map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+      val tMid = binned.getOrElse(false, 0L)
+      val tHi = binned.getOrElse(true, 0L)
+      println(s"""SCALE {"phase":"q41_width_truth","docs":$n,""" +
+        s""""true_pairs_mid":$tMid,"true_pairs_hi":$tHi}""")
+      for ((k, r) <- Seq((8, 2), (64, 2), (128, 2))) {
+        spark.conf.set("graft.minhash.hashes", k.toString)
+        spark.conf.set("graft.minhash.bandRows", r.toString)
+        var cands: DataFrame = null
+        phase(s"q41_width_k${k}_cands", n) {
+          cands = ops.TextDedup.bandCandidates(ops.TextDedup.bandRows(sh))
+            .persist()
+          cands.count()
+        }
+        val nC = cands.count()
+        val hits = cands.join(truth,
+            cands("doc_a") === truth("da") && cands("doc_b") === truth("db"))
+          .groupBy((col("jac") >= 0.7).as("hi")).count()
+          .collect().map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+        val hMid = hits.getOrElse(false, 0L)
+        val hHi = hits.getOrElse(true, 0L)
+        def rat(a: Long, b: Long) = if (b == 0) 1.0 else a.toDouble / b
+        println(s"""SCALE {"phase":"q41_width_k${k}_recall","docs":$n,""" +
+          s""""cands":$nC,"recall_mid":${f(rat(hMid, tMid))},""" +
+          s""""recall_hi":${f(rat(hHi, tHi))},""" +
+          s""""precision":${f(rat(hMid + hHi, nC))}}""")
+        cands.unpersist()
+      }
+      spark.conf.unset("graft.minhash.hashes")
+      spark.conf.unset("graft.minhash.bandRows")
+      spark.stop(); return
+    }
+
+    // ---- the composed dedup funnel, end to end at two sizes ----
+    // q283 is the report a nightly curation run lands; its PIECES are
+    // measured linear individually (shingles, capped pairs, CC) but the
+    // composition — shingle cache → exact fp → overlap pairs → CC →
+    // keeper → report, stitched through the shared CacheRegistry frames —
+    // is what a user actually runs. Each stage runs as the REAL registered
+    // query (so the memoized caches compose exactly as in production),
+    // with the skew cap ON — the 100 TB configuration; the boilerplate
+    // family would otherwise contribute its quadratic hot-key mass.
+    // Linearity = wall/shuffle ratios ≈ 2× between the two sizes.
+    if (phaseSel == "funnel") {
+      sizes.foreach { n =>
+        val fdir = s"$root/n$n"
+        gen(spark, n, fdir)
+        spark.conf.set("graft.textdedup.maxShingleDf", "64")
+        Seq("q40_dedup_exact", "q41_minhash_lsh", "q42_ngram_jaccard",
+          "q72_neardup_clusters", "q277_cluster_keeper", "q283_dedup_funnel")
+          .foreach { qn =>
+            phase(s"funnel_$qn", n) {
+              SparkEntry.queries(qn)(spark, fdir).count()
+            }
+          }
+        spark.conf.unset("graft.textdedup.maxShingleDf")
+        ops.CacheRegistry.clear(spark)
       }
       spark.stop(); return
     }

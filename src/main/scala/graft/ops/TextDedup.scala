@@ -25,8 +25,31 @@ import graft.schema.Tables.t
   */
 object TextDedup {
 
-  private val NumHashes = 8 // minhash signature length
-  private val BandRows = 2 // rows per LSH band → 4 bands
+  private val NumHashes = 8 // DEFAULT minhash signature length
+  private val BandRows = 2 // DEFAULT rows per LSH band → 4 bands
+
+  /** Runtime signature-width knobs: `graft.minhash.hashes` (k) and
+    * `graft.minhash.bandRows` (r), defaults 8/2 — unchanged so q41's
+    * statically-generated oracle stays strict. The defaults are
+    * oracle-friendly but THIN for real 100 TB recall targets: with 4
+    * bands of 2 the catch probability at Jaccard s is 1−(1−s²)⁴ (≈0.83
+    * at s=0.6), while 64 hashes/2-row bands give 1−(1−s²)³² (≈1 at
+    * s=0.6) — measured, not asserted, in SCALE.md's width table on
+    * ScaleBench's planted near-dup families. k ≤ 128 is the exact
+    * overflow bound of the Kirsch–Mitzenmacher seeds: h1, h2 < 2^56, so
+    * max(i)·h2 + h1 ≤ 127·(2^56−1) + (2^56−1) = 2^63 − 128 < 2^63 —
+    * still overflow-free in ANSI Spark and DuckDB BIGINT alike. */
+  private[ops] def widths(s: SparkSession): (Int, Int) = {
+    val k = s.conf.getOption("graft.minhash.hashes")
+      .map(_.trim.toInt).getOrElse(NumHashes)
+    val r = s.conf.getOption("graft.minhash.bandRows")
+      .map(_.trim.toInt).getOrElse(BandRows)
+    require(k > 0 && k <= 128 && r > 0 && k % r == 0,
+      s"graft.minhash.hashes ($k) must be in [1, 128] and a multiple of " +
+        s"graft.minhash.bandRows ($r); 128 is the overflow bound of the " +
+        "h1 + i*h2 seed family")
+    (k, r)
+  }
 
   /** words of the lower-cased, trimmed text (Spark side). */
   private val wordsCol: Column = TextCommon.wordsCol
@@ -47,9 +70,11 @@ object TextDedup {
     * digest splits into h1 (chars 1–14) and h2 (chars 15–28), and every
     * downstream hash derives arithmetically — q42/q79 join on h1, q43's
     * 32-bit simhash base is h1's top 8 hex chars, q41's k minhash seeds
-    * are h1 + i·h2 (Kirsch–Mitzenmacher double hashing; i ≤ 7 and
-    * h2 < 2^56 keep i·h2 + h1 < 2^60, overflow-free in ANSI Spark and
-    * DuckDB BIGINT alike). The old layout persisted shingle *strings* and
+    * are (h1 + i·h2) mod (2^61−1) — the classic universal double-hashing
+    * family; h1, h2 < 2^56 keep i·h2 + h1 < 2^63 for every i ≤ 127,
+    * overflow-free in ANSI Spark and DuckDB BIGINT alike (see [[SeedMod]]
+    * for why the modular wrap is load-bearing). The old layout persisted
+    * shingle *strings* and
     * paid 8 md5s per shingle inside q41's aggregate; this persists 16
     * bytes/shingle and makes the signature aggregate pure arithmetic.
     * distinct runs on the hashes (identical in both engines, so oracle
@@ -110,14 +135,24 @@ object TextDedup {
     * one row per (partition, doc); band rows are 4 per doc. Crucially for
     * incremental use, the signature of a document depends ONLY on its own
     * shingles, so per-batch band rows are exactly the batch-global ones. */
+  /** Mersenne prime 2^61−1: the modulus of the minhash seed family. The
+    * wrap is NOT cosmetic — without it h1 + i·h2 is monotone in i·h2, so
+    * for growing i the argmin converges to the h2 ordering and every
+    * extra band re-measures the same permutation (measured: recall on the
+    * planted mid-band plateaued at 0.82 from k=8's 0.67 even at k=128).
+    * With the wrap the seeds are the classic universal family
+    * (h1 + i·h2) mod p — measured recall 0.99+ at k=64 (SCALE.md). */
+  private val SeedMod = 2305843009213693951L
+
   def bandRows(shingles: DataFrame): DataFrame = {
-    val sigAggs = (0 until NumHashes).map { i =>
-      min(col("h1") + lit(i.toLong) * col("h2")).as(s"s$i")
+    val (numHashes, bandRowsN) = widths(shingles.sparkSession)
+    val sigAggs = (0 until numHashes).map { i =>
+      min(pmod(col("h1") + lit(i.toLong) * col("h2"), lit(SeedMod))).as(s"s$i")
     }
     val sig = shingles.groupBy(col("doc_id")).agg(sigAggs.head, sigAggs.tail: _*)
-    val bandStructs = (0 until NumHashes / BandRows).map { j =>
+    val bandStructs = (0 until numHashes / bandRowsN).map { j =>
       val key = concat_ws("|",
-        (0 until BandRows).map(r => col(s"s${j * BandRows + r}")): _*)
+        (0 until bandRowsN).map(r => col(s"s${j * bandRowsN + r}")): _*)
       struct(lit(j).as("band"), key.as("bkey"))
     }
     sig
@@ -516,15 +551,18 @@ object TextDedup {
     },
 
     // ---- MinHash + LSH banding: near-dup candidate pairs ----
-    // The k per-seed hashes are h1 + i·h2 over the shared one-md5 shingle
-    // hash (Kirsch–Mitzenmacher double hashing — the standard way to get k
-    // independent-enough hash functions from one digest; no per-seed md5).
+    // The k per-seed hashes are (h1 + i·h2) mod (2^61−1) over the shared
+    // one-md5 shingle hash — universal double hashing: k independent-
+    // enough functions from one digest, no per-seed md5, and the modular
+    // wrap is what keeps bands independent as k grows (see [[SeedMod]]).
     // min over a fixed-width long keeps the signature aggregate hash-based
     // (min over strings forces SortAggregate) and the shuffled signature
-    // is 8×8 bytes.
+    // is 8×8 bytes at the default width (conf-gated wider via
+    // graft.minhash.hashes/bandRows — SCALE.md's recall table).
     Q("q41_minhash_lsh", {
       val sigCols = (0 until NumHashes)
-        .map(i => s"min(h1 + $i * h2) AS s$i").mkString(",\n    ")
+        .map(i => s"min((h1 + $i * h2) % 2305843009213693951) AS s$i")
+        .mkString(",\n    ")
       val bandSelects = (0 until NumHashes / BandRows).map { j =>
         val key = (0 until BandRows).map(r => s"CAST(s${j * BandRows + r} AS VARCHAR)")
           .mkString(" || '|' || ")
@@ -552,7 +590,10 @@ object TextDedup {
       // Registered for release via CacheRegistry.clear. Keyed on the
       // doc-frequency cap so toggling it can't serve stale candidates.
       val capKey = s.conf.getOption("graft.textdedup.maxShingleDf").getOrElse("off")
-      val bands = CacheRegistry.cache(s, s"q41-bands:$dir:cap=$capKey") {
+      // keyed on the signature width too: a session that widens
+      // graft.minhash.hashes mid-flight must not be served 8-hash bands
+      val (wk, wr) = widths(s)
+      val bands = CacheRegistry.cache(s, s"q41-bands:$dir:cap=$capKey:k=$wk:r=$wr") {
         bandRows(cappedShingleRows(s, dir))
       }
       bandCandidates(bands)

@@ -31,6 +31,25 @@ class StreamingMinHashSpec extends SparkSpec {
     (1 to 30).map(i => s"$seed$i").mkString(" ")
 
   test("MinHash/LSH dedup composes with foreachBatch + idempotent batch_id sink") {
+    runComposition()
+  }
+
+  test("composition holds under a non-default signature width (64 hashes, 4-row bands)") {
+    // the conf-gated width (graft.minhash.hashes/bandRows) is the real-
+    // corpus recall path; the incremental decomposition must be width-
+    // agnostic because a signature still depends only on the doc's own
+    // shingles, whatever k — proven by running the same three-batch drive
+    val s = spark
+    s.conf.set("graft.minhash.hashes", "64")
+    s.conf.set("graft.minhash.bandRows", "4")
+    try runComposition()
+    finally {
+      s.conf.unset("graft.minhash.hashes")
+      s.conf.unset("graft.minhash.bandRows")
+    }
+  }
+
+  private def runComposition(): Unit = {
     val s = spark
     import s.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft-stream-minhash").toString
