@@ -381,8 +381,90 @@ object ImageOps {
       neardupPairs128(dhash128Frame(s, dir), maxBandDf)
         .orderBy(col("hamming"), col("doc_a"), col("doc_b"))
         .limit(25)
+    },
+
+    // ---- baseline JPEG decode: the lossy-codec boundary, moved ----
+    // Every doc's synthesized 24×16 raster (3×2 MCUs) goes through a REAL
+    // lossy JPEG round: encoded by the JDK's libjpeg-backed ImageIO
+    // writer (quality 0.9), then decoded TWICE — by [[JpegCodec]] (the
+    // pure-JVM baseline decoder) and independently by the JDK reader —
+    // and the row records whether the two conforming decoders agree
+    // within the ±1/pixel latitude T.81 grants the IDCT. The oracle
+    // can't run a DCT, but it doesn't need to: the contract columns
+    // (shape + parity bool) are exact literals, so ANY decoder
+    // regression — wrong dims, wrong Huffman path, drifted IDCT — flips
+    // a value and fails the strict hash. The cross-decoder latitude
+    // itself is pinned tighter in JpegCodecSpec (gray ±1 across shapes
+    // and qualities, color ≤ 8 through 4:2:0 chroma). Scale shape: one
+    // embarrassingly-parallel mapPartitions — the codec-per-partition
+    // seam q142 established; no shuffle at all before the final sort.
+    Q("q284_jpeg_decode",
+      """SELECT doc_id, CAST(24 AS INT) AS width, CAST(16 AS INT) AS height,
+        |  CAST(1 AS BOOLEAN) AS jdk_parity_within_1
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions { it =>
+          // codec-per-partition seam: reader/writer factories touched
+          // once per task, not per row
+          it.map { case (id, text) =>
+            val px = pixelGridN(text, JpegW, JpegH)
+            val bytes = jpegEncodeGrayJdk(JpegW, JpegH, px, 0.9f)
+            val ours = JpegCodec.decode(bytes)
+            val jdk = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bytes))
+            var maxd = 0
+            if (ours.width == JpegW && ours.height == JpegH && ours.ncomp == 1) {
+              var y = 0
+              while (y < JpegH) {
+                var x = 0
+                while (x < JpegW) {
+                  val d = math.abs(ours.pixels(y * JpegW + x)
+                    - jdk.getRaster.getSample(x, y, 0))
+                  if (d > maxd) maxd = d
+                  x += 1
+                }
+                y += 1
+              }
+            } else maxd = 256
+            (id, ours.width, ours.height, maxd <= 1)
+          }
+        }
+        .toDF("doc_id", "width", "height", "jdk_parity_within_1")
+        .orderBy(col("doc_id"))
     }
   )
+
+  /** JPEG-audit raster: 24×16 = 3×2 MCUs, so the decode walks real
+    * multi-MCU scans (DC prediction chains across blocks). */
+  private[ops] val JpegW = 24
+  private[ops] val JpegH = 16
+
+  /** Gray JPEG bytes via the JDK encoder at a pinned quality — the
+    * third-party half of the q284 cross-decoder audit. */
+  private[ops] def jpegEncodeGrayJdk(w: Int, h: Int, px: Array[Int],
+      quality: Float): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.getRaster.setSample(x, y, 0, px(y * w + x) & 0xff); x += 1 }
+      y += 1
+    }
+    val wr = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    wr.setOutput(ios)
+    val p = wr.getDefaultWriteParam
+    p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionQuality(quality)
+    wr.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    ios.close(); wr.dispose()
+    bos.toByteArray
+  }
 
   // ------------------------------------------- near-dup candidate engine
 
