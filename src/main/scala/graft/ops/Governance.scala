@@ -62,6 +62,25 @@ object Governance {
   private def contamination(s: SparkSession, dir: String): DataFrame =
     contaminationFor(TextDedup.shingleRows(s, dir))
 
+  /** The k-anonymity audit over ANY equivalence-class count frame (any
+    * grouping columns + a `cnt` column) — the batch Q feeds it the
+    * one-scan customer aggregate; the streaming composition
+    * (StreamingGovernanceSpec) feeds it class counts re-aggregated from
+    * accumulated per-batch PARTIALS (counts are additive, so the
+    * decomposition is the plain map-side-combine identity). */
+  def kAnonymityFor(sz: DataFrame): DataFrame = {
+    val s = sz.sparkSession
+    val ks = s.range(1).select(
+      explode(array(lit(2), lit(5), lit(10), lit(20))).as("k"))
+    sz.crossJoin(broadcast(ks))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).cast("long").as("n_classes"),
+        count(when(col("cnt") < col("k"), 1)).cast("long").as("n_small"),
+        coalesce(sum(when(col("cnt") < col("k"), col("cnt"))), lit(0L))
+          .cast("long").as("n_rows_at_risk"))
+      .orderBy(col("k"))
+  }
+
   /** The contamination report over ANY (doc_id, h1, h2) hashed-gram
     * frame — the batch Q feeds it the memoized per-dir cache; the
     * streaming composition (StreamingContaminationSpec) feeds it the
@@ -156,18 +175,9 @@ object Governance {
            |    AS n_rows_at_risk
            |FROM sz CROSS JOIN ks
            |GROUP BY k ORDER BY k""".stripMargin) { (s, dir) =>
-      val sz = t(s, dir, "customer")
+      kAnonymityFor(t(s, dir, "customer")
         .groupBy(col("c_nationkey"), col("c_mktsegment"))
-        .agg(count(lit(1)).as("cnt"))
-      val ks = s.range(1).select(
-        explode(array(lit(2), lit(5), lit(10), lit(20))).as("k"))
-      sz.crossJoin(broadcast(ks))
-        .groupBy(col("k"))
-        .agg(count(lit(1)).cast("long").as("n_classes"),
-          count(when(col("cnt") < col("k"), 1)).cast("long").as("n_small"),
-          coalesce(sum(when(col("cnt") < col("k"), col("cnt"))), lit(0L))
-            .cast("long").as("n_rows_at_risk"))
-        .orderBy(col("k"))
+        .agg(count(lit(1)).as("cnt")))
     },
 
     // ---- dataset column profile ----

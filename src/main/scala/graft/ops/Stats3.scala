@@ -23,6 +23,39 @@ import graft.schema.Tables.t
   */
 object Stats3 {
 
+  /** The key-skew audit over ANY (k, cnt) key-frequency frame — the batch
+    * q248 feeds it the cached lineitem aggregate; the streaming
+    * composition (StreamingGovernanceSpec) feeds it frequencies
+    * re-summed from accumulated per-batch partials (counts are additive —
+    * the map-side-combine identity). One stitched rank over the
+    * |keys|-row frame (never the corpus), one conditional aggregate. */
+  def keySkewFor(freq: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val s = freq.sparkSession
+    val ranked = Skew.globalRowNumber(freq,
+      Seq(col("cnt").asc, col("k").asc),
+      numPartitions = s.conf.get("spark.sql.shuffle.partitions").toInt)
+    val tot = freq.agg(count(lit(1)).as("nk"), sum(col("cnt")).as("nr"),
+      max(col("cnt")).as("top1"))
+    val stats = ranked.crossJoin(broadcast(tot))
+      .agg(
+        sum(col("rn").cast("decimal(38,0)") * col("cnt")).as("s_rc"),
+        sum(when(col("rn") > col("nk") - 10, col("cnt"))).as("top10"),
+        max(when(col("rn") === ceil(lit(0.5) * col("nk")).cast("long"),
+          col("cnt"))).as("p50_freq"),
+        max(when(col("rn") === ceil(lit(0.99) * col("nk")).cast("long"),
+          col("cnt"))).as("p99_freq"))
+    val nrD = col("nr").cast("double")
+    tot.crossJoin(broadcast(stats))
+      .select(col("nk").cast("long").as("n_keys"),
+        col("nr").cast("long").as("n_rows"),
+        round(col("top1").cast("double") / nrD, 6).as("top1_share"),
+        round(col("top10").cast("double") / nrD, 6).as("top10_share"),
+        col("p50_freq").cast("long").as("p50_freq"),
+        col("p99_freq").cast("long").as("p99_freq"),
+        round((lit(2.0) * col("s_rc") - (col("nk") + 1).cast("double") * col("nr"))
+          / (col("nk").cast("double") * nrD), 6).as("gini"))
+  }
+
   def qs: Seq[Q] = Seq(
 
     // ---- pairwise correlation matrix (corrMatrix parity) ----
@@ -425,29 +458,7 @@ object Stats3 {
         t(s, dir, "lineitem")
           .groupBy(col("l_partkey").as("k")).agg(count(lit(1)).as("cnt"))
       }
-      val ranked = Skew.globalRowNumber(freq,
-        Seq(col("cnt").asc, col("k").asc),
-        numPartitions = s.conf.get("spark.sql.shuffle.partitions").toInt)
-      val tot = freq.agg(count(lit(1)).as("nk"), sum(col("cnt")).as("nr"),
-        max(col("cnt")).as("top1"))
-      val stats = ranked.crossJoin(broadcast(tot))
-        .agg(
-          sum(col("rn").cast("decimal(38,0)") * col("cnt")).as("s_rc"),
-          sum(when(col("rn") > col("nk") - 10, col("cnt"))).as("top10"),
-          max(when(col("rn") === ceil(lit(0.5) * col("nk")).cast("long"),
-            col("cnt"))).as("p50_freq"),
-          max(when(col("rn") === ceil(lit(0.99) * col("nk")).cast("long"),
-            col("cnt"))).as("p99_freq"))
-      val nrD = col("nr").cast("double")
-      tot.crossJoin(broadcast(stats))
-        .select(col("nk").cast("long").as("n_keys"),
-          col("nr").cast("long").as("n_rows"),
-          round(col("top1").cast("double") / nrD, 6).as("top1_share"),
-          round(col("top10").cast("double") / nrD, 6).as("top10_share"),
-          col("p50_freq").cast("long").as("p50_freq"),
-          col("p99_freq").cast("long").as("p99_freq"),
-          round((lit(2.0) * col("s_rc") - (col("nk") + 1).cast("double") * col("nr"))
-            / (col("nk").cast("double") * nrD), 6).as("gini"))
+      keySkewFor(freq)
     },
 
     // ---- Benjamini–Hochberg FDR over a hypothesis family ----
