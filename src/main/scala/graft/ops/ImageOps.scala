@@ -434,8 +434,104 @@ object ImageOps {
         }
         .toDF("doc_id", "width", "height", "jdk_parity_within_1")
         .orderBy(col("doc_id"))
+    },
+
+    // ---- color JPEG decode audit: the 4:2:0 chroma path at corpus scale ----
+    // q284's cross-decoder audit through the SUBSAMPLED color pipeline:
+    // the JDK encoder writes RGB as 4:2:0 YCbCr, so [[JpegCodec]]'s
+    // multi-component MCU walk (2×2 luma blocks + subsampled chroma),
+    // replication upsampling, and YCbCr→RGB conversion all exercise per
+    // document. Rasters are per-doc-parameterized SMOOTH gradients —
+    // chroma upsampling is implementation-defined (libjpeg interpolates,
+    // we replicate), and smooth chroma is where two conforming decoders
+    // must agree closely; JpegCodecSpec measured max 4 / mean 0.59 on
+    // this shape, pinned here at ≤ 8 per channel. Same strict-literal
+    // contract as q284: any decode regression flips the bool.
+    Q("q285_jpeg_color_decode",
+      """SELECT doc_id, CAST(3 AS INT) AS n_components,
+        |  CAST(1 AS BOOLEAN) AS jdk_parity_within_8
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      t(s, dir, "documents")
+        .select(col("doc_id"))
+        .as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val a = (id % 5 + 1).toInt; val b = (id % 3 + 1).toInt
+            val c = (id % 4 + 1).toInt; val d = (id % 6 + 1).toInt
+            val px = new Array[Int](3 * JpegW * JpegH)
+            var y = 0
+            while (y < JpegH) {
+              var x = 0
+              while (x < JpegW) {
+                val base = 3 * (y * JpegW + x)
+                px(base) = 16 + a * x + b * y
+                px(base + 1) = 200 - c * x - y
+                px(base + 2) = 40 + x + d * y
+                x += 1
+              }
+              y += 1
+            }
+            val bytes = jpegEncodeRgbJdk(JpegW, JpegH, px, 0.9f)
+            val ours = JpegCodec.decode(bytes)
+            val jdk = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bytes))
+            var maxd = 0
+            if (ours.ncomp == 3 && ours.width == JpegW && ours.height == JpegH) {
+              var yy = 0
+              while (yy < JpegH) {
+                var xx = 0
+                while (xx < JpegW) {
+                  val rgb = jdk.getRGB(xx, yy)
+                  val base = 3 * (yy * JpegW + xx)
+                  var ch = 0
+                  while (ch < 3) {
+                    val j = (rgb >> (16 - 8 * ch)) & 0xff
+                    val dd = math.abs(ours.pixels(base + ch) - j)
+                    if (dd > maxd) maxd = dd
+                    ch += 1
+                  }
+                  xx += 1
+                }
+                yy += 1
+              }
+            } else maxd = 256
+            (id, ours.ncomp, maxd <= 8)
+          }
+        }
+        .toDF("doc_id", "n_components", "jdk_parity_within_8")
+        .orderBy(col("doc_id"))
     }
   )
+
+  /** RGB JPEG bytes via the JDK encoder (writes 4:2:0 YCbCr) at a pinned
+    * quality — the color half of the cross-decoder audit. */
+  private[ops] def jpegEncodeRgbJdk(w: Int, h: Int, px: Array[Int],
+      quality: Float): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val base = 3 * (y * w + x)
+        img.setRGB(x, y, ((px(base) & 0xff) << 16) | ((px(base + 1) & 0xff) << 8)
+          | (px(base + 2) & 0xff))
+        x += 1
+      }
+      y += 1
+    }
+    val wr = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    wr.setOutput(ios)
+    val p = wr.getDefaultWriteParam
+    p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionQuality(quality)
+    wr.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    ios.close(); wr.dispose()
+    bos.toByteArray
+  }
 
   /** JPEG-audit raster: 24×16 = 3×2 MCUs, so the decode walks real
     * multi-MCU scans (DC prediction chains across blocks). */

@@ -269,6 +269,42 @@ object Stats2 {
         .orderBy(col("user_id"))
     },
 
+    // ---- the rest of the time-decayed family (exponentialTimeDecayedSum/
+    //      Count/Max parity) ----
+    // q197's max-anchored weights carry the whole family: decayed SUM is
+    // the raw Σ v·w, decayed COUNT the Σ w (each event contributes its
+    // decayed unit mass), decayed MAX the max of per-event decayed values
+    // — all three commutative/associative over the same (0, 1]-bounded
+    // weights, so the aggregate stays two map-side-combinable sums plus a
+    // max at any history length. Half-life 1 h, anchored at the per-user
+    // last event like q197 (one unordered per-user window max).
+    Q("q288_time_decayed_family",
+      """WITH w AS (SELECT user_id, value, epoch_us(ts) AS us,
+        |    max(epoch_us(ts)) OVER (PARTITION BY user_id) AS mx
+        |  FROM events)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  round(sum(value * pow(2.0, -((mx - us) / 3600000000.0))), 6)
+        |    AS decayed_sum,
+        |  round(sum(pow(2.0, -((mx - us) / 3600000000.0))), 6)
+        |    AS decayed_count,
+        |  round(max(value * pow(2.0, -((mx - us) / 3600000000.0))), 6)
+        |    AS decayed_max
+        |FROM w GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+      val wUser = Window.partitionBy(col("user_id"))
+      val w = t(s, dir, "events")
+        .select(col("user_id"), col("value"),
+          unix_micros(col("ts").cast("timestamp")).as("us"))
+        .withColumn("mx", max(col("us")).over(wUser))
+      val decay = pow(lit(2.0),
+        -((col("mx") - col("us")) / lit(3600000000.0)))
+      w.groupBy(col("user_id"))
+        .agg(count(lit(1)).cast("long").as("n_events"),
+          round(sum(col("value") * decay), 6).as("decayed_sum"),
+          round(sum(decay), 6).as("decayed_count"),
+          round(max(col("value") * decay), 6).as("decayed_max"))
+        .orderBy(col("user_id"))
+    },
+
     // ---- time-series gap fill + linear interpolation (ORDER BY … WITH
     //      FILL INTERPOLATE / timeSeriesResample parity) ----
     // Each user's value series resampled onto a dense 1-hour grid between
