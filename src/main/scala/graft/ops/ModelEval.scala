@@ -209,12 +209,18 @@ object ModelEval {
       // immune to AQE re-coalescing the cached plan's output to 1
       // partition (`canChangeCachedPlanOutputPartitioning=true` bit this
       // exact loop once — see the parity-traps note in SCALE.md).
+      // parts/4 (floor 8): every round launches one task per cached
+      // partition, and at the full shuffle.partitions width the ~50 ms
+      // fixed task cost dominated the 19k-row partitions (q267's 8 rounds
+      // measured 63 task-s for <10 s of work); a real cluster raises
+      // shuffle.partitions with the data, so the ratio keeps rounds wide
+      // there while local rounds stop paying 32 near-empty tasks each.
       val parts = s.conf.get("spark.sql.shuffle.partitions").toInt
       val d = CacheRegistry.cache(s, s"gd-lineitem-xy:$dir") {
         t(s, dir, "lineitem")
           .select((col("l_quantity").cast("double") / 50).as("x"),
             (col("l_extendedprice").cast("double") / 100000).as("y"))
-          .repartition(parts)
+          .repartition(math.max(8, parts / 4))
       }
       val dec = "decimal(38,12)"
       // State re-enters each round as a 1-row broadcast frame rather than
@@ -303,7 +309,7 @@ object ModelEval {
           .select((col("value").cast("double") / 500).as("x"),
             when(col("event_type") === "purchase", lit(1.0)).otherwise(lit(0.0))
               .as("y"))
-          .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
+          .repartition(math.max(8, s.conf.get("spark.sql.shuffle.partitions").toInt / 4))
       }
       val dec = "decimal(38,12)"
       // broadcast-frame state for codegen-class reuse across rounds — the
@@ -485,7 +491,7 @@ object ModelEval {
         t(s, dir, "lineitem")
           .select((col("l_quantity").cast("double") / 50).as("x"),
             (col("l_extendedprice").cast("double") / 100000).as("y"))
-          .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
+          .repartition(math.max(8, s.conf.get("spark.sql.shuffle.partitions").toInt / 4))
       }
       val dec = "decimal(38,12)"
       // broadcast-frame state for codegen-class reuse across rounds — the

@@ -413,6 +413,63 @@ object StatsGeo {
           round((col("y_last") - col("y_first"))
             / (col("x_max") - col("x_min")), 6).as("bounding_ratio"))
         .orderBy(col("c_mktsegment"))
+    },
+
+    // ---- CIDR containment join (isIPAddressInRange / IPv4CIDRToRange
+    //      parity) ----
+    // Per synthetic /p block (p = 8 + nationkey mod 17 ∈ [8, 24], network
+    // = masked hash), count the customer IPs (q177's integer synthesis)
+    // it contains. The JOIN SHAPE is the point: containment is a
+    // variable-length prefix predicate — a theta join naively — but with
+    // p ≥ 8 every block lies inside exactly one /8, so the probe becomes
+    // an EQUI-join on the /8 octet plus a codegen'd residual shift
+    // compare: the q152 bucket idiom on address space. At 100 TB (a
+    // routing table of millions of blocks, billions of flows) that
+    // equi-join hash-partitions like any other; blocks with p < 8 would
+    // explode into their ≤ 2^(8−p) /8 buckets — noted, not needed here.
+    // The oracle states the naive prefix predicate; masks are pure
+    // integer arithmetic (shifts and mods), bit-identical.
+    Q("q291_cidr_join",
+      """WITH ip AS (SELECT c_custkey,
+        |    (c_custkey * 2654435761) % 4294967296 AS ip FROM customer),
+        |blk AS (SELECT n_nationkey, 8 + (n_nationkey % 17) AS p,
+        |    (CAST(n_nationkey AS BIGINT) * 122949829) % 4294967296 AS raw
+        |  FROM nation),
+        |b2 AS (SELECT n_nationkey, p,
+        |    raw - (raw % CAST(pow(2, 32 - p) AS BIGINT)) AS net FROM blk)
+        |SELECT n_nationkey,
+        |  CAST(net >> 24 AS VARCHAR) || '.' ||
+        |  CAST((net >> 16) % 256 AS VARCHAR) || '.' ||
+        |  CAST((net >> 8) % 256 AS VARCHAR) || '.' ||
+        |  CAST(net % 256 AS VARCHAR) || '/' || CAST(p AS VARCHAR) AS cidr,
+        |  CAST(count(ip.c_custkey) AS BIGINT) AS n_ips
+        |FROM b2 LEFT JOIN ip ON (ip.ip >> (32 - p)) = (net >> (32 - p))
+        |GROUP BY n_nationkey, cidr
+        |ORDER BY n_nationkey""".stripMargin) { (s, dir) =>
+      val ips = t(s, dir, "customer")
+        .select(col("c_custkey"),
+          ((col("c_custkey") * lit(2654435761L)) % lit(4294967296L)).as("ip"))
+        .withColumn("bkt", expr("ip >> 24"))
+      val blocks = t(s, dir, "nation")
+        .select(col("n_nationkey"),
+          (lit(8) + col("n_nationkey") % 17).as("p"),
+          ((col("n_nationkey") * lit(122949829L)) % lit(4294967296L)).as("raw"))
+        .select(col("n_nationkey"), col("p"),
+          (col("raw") - (col("raw") % expr("CAST(pow(2, 32 - p) AS BIGINT)")))
+            .as("net"))
+        .withColumn("bkt", expr("net >> 24"))
+      val dotted = concat(
+        expr("CAST(net >> 24 AS STRING)"), lit("."),
+        expr("CAST((net >> 16) % 256 AS STRING)"), lit("."),
+        expr("CAST((net >> 8) % 256 AS STRING)"), lit("."),
+        expr("CAST(net % 256 AS STRING)"), lit("/"), col("p").cast("string"))
+      broadcast(blocks)
+        .join(ips,
+          blocks("bkt") === ips("bkt") &&
+            expr("(ip >> (32 - p)) = (net >> (32 - p))"), "left")
+        .groupBy(col("n_nationkey"), dotted.as("cidr"))
+        .agg(count(col("c_custkey")).cast("long").as("n_ips"))
+        .orderBy(col("n_nationkey"))
     }
   )
 

@@ -576,6 +576,47 @@ object TextAnalysis {
         .select(col("doc_id"), col("n_cp_decomposed"), col("n_cp_nfc"),
           col("changed"), md5(col("norm").cast("binary")).as("nfc_md5"))
         .orderBy(col("doc_id"))
+    },
+
+    // ---- diacritics folding (accent-insensitive matching) ----
+    // The other normalization multilingual dedup/search needs: fold
+    // 'crème' → 'creme' so accent variants hash/join together. Both
+    // engines accent a deterministic sample of the text's vowels (the
+    // translate below), then strip with INDEPENDENT implementations —
+    // Spark decomposes with java.text.Normalizer NFD and drops the
+    // combining marks (the textbook fold); DuckDB uses its native
+    // strip_accents — and the md5 of the folded text must agree
+    // byte-for-byte. The chosen accents (é à ç ü ñ ö) all decompose to
+    // base + combining mark, where the two definitions provably
+    // coincide. Per-row projection; the map seam is the q286 shape.
+    Q("q289_strip_accents",
+      """WITH d AS (SELECT doc_id,
+        |    translate(text, 'eacuno', 'éàçüñö') AS accented
+        |  FROM documents),
+        |f AS (SELECT doc_id, accented,
+        |    strip_accents(accented) AS folded
+        |  FROM d)
+        |SELECT doc_id,
+        |  (accented <> folded) AS changed,
+        |  md5(folded) AS folded_md5
+        |FROM f ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          translate(col("text"), "eacuno", "éàçüñö").as("accented"))
+        .as[(Long, String)]
+        .mapPartitions { it =>
+          it.map { case (id, acc) =>
+            val folded = java.text.Normalizer
+              .normalize(acc, java.text.Normalizer.Form.NFD)
+              .replaceAll("\\p{Mn}+", "")
+            (id, acc != folded, folded)
+          }
+        }
+        .toDF("doc_id", "changed", "folded")
+        .select(col("doc_id"), col("changed"),
+          md5(col("folded").cast("binary")).as("folded_md5"))
+        .orderBy(col("doc_id"))
     }
   )
 

@@ -1,0 +1,119 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Independent-reference checks for the round-11 kernels, beyond their
+  * DuckDB oracles (the Round10OpsSpec discipline): the oracle pins
+  * cross-ENGINE agreement, these pin agreement with a second,
+  * structurally different implementation. */
+class Round11OpsSpec extends SparkSpec {
+
+  test("array enumeration matches a hash-map reference on random arrays") {
+    // reference: single pass with occurrence/first-seen maps — the
+    // opposite structure to the query's prefix-slice lambdas
+    def refUniq(a: Seq[Int]): Seq[Int] = {
+      val seen = scala.collection.mutable.Map.empty[Int, Int]
+      a.map { x => val c = seen.getOrElse(x, 0) + 1; seen(x) = c; c }
+    }
+    def refDense(a: Seq[Int]): Seq[Int] = {
+      val code = scala.collection.mutable.LinkedHashMap.empty[Int, Int]
+      a.map { x => code.getOrElseUpdate(x, code.size + 1) }
+    }
+    val rows = graft.SparkEntry.queries("q290_array_enumerate")(spark, sf001)
+      .collect()
+    assert(rows.nonEmpty)
+    // rebuild each doc's length array exactly as the query defines it
+    val arrs = graft.schema.Tables.t(spark, sf001, "documents")
+      .select(col("doc_id"),
+        expr("transform(slice(split(lower(trim(text)), '\\\\s+'), 1, 6), w -> length(w))"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    rows.take(200).foreach { r =>
+      val a = arrs(r.getLong(0))
+      assert(r.getString(1) == refUniq(a).mkString(","), s"uniq @ ${r.getLong(0)}")
+      assert(r.getString(2) == refDense(a).mkString(","), s"dense @ ${r.getLong(0)}")
+    }
+  }
+
+  test("CIDR containment matches java.net-free big-integer mask arithmetic") {
+    val rows = graft.SparkEntry.queries("q291_cidr_join")(spark, sf001)
+      .collect()
+      .map(r => (r.getAs[Number](0).intValue, r.getString(1), r.getLong(2)))
+      .toSeq
+    assert(rows.nonEmpty)
+    val custkeys = graft.schema.Tables.t(spark, sf001, "customer")
+      .select(col("c_custkey")).collect().map(_.getLong(0))
+    val ips = custkeys.map(k => BigInt(k) * 2654435761L mod BigInt(4294967296L))
+    rows.foreach { case (nk, cidr, nIps) =>
+      val Array(dotted, pS) = cidr.split("/")
+      val p = pS.toInt
+      assert(p == 8 + nk % 17, s"prefix length drifted for nation $nk")
+      val net = dotted.split("\\.").map(BigInt(_)).reduce(_ * 256 + _)
+      // the network address must be p-bit aligned
+      assert(net % (BigInt(1) << (32 - p)) == 0, s"unaligned network in $cidr")
+      val expect = ips.count(ip => (ip >> (32 - p)) == (net >> (32 - p)))
+      assert(nIps == expect, s"$cidr: $nIps != $expect")
+    }
+  }
+
+  test("strip-accents fold equals an explicit per-character map") {
+    val fold = Map('é' -> 'e', 'à' -> 'a', 'ç' -> 'c', 'ü' -> 'u',
+      'ñ' -> 'n', 'ö' -> 'o')
+    val docs = graft.schema.Tables.t(spark, sf001, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = graft.SparkEntry.queries("q289_strip_accents")(spark, sf001)
+      .collect()
+    rows.take(200).foreach { r =>
+      val accented = docs(r.getLong(0)).map { ch =>
+        "eacuno".indexOf(ch) match {
+          case -1 => ch
+          case i => "éàçüñö".charAt(i)
+        }
+      }
+      val folded = accented.map(ch => fold.getOrElse(ch, ch))
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(folded.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      assert(r.getString(2) == md, s"fold md5 drifted @ ${r.getLong(0)}")
+      assert(r.getBoolean(1) == (accented != folded))
+    }
+  }
+
+  test("decayed sum/count/max match a sequential per-user reference") {
+    val events = graft.schema.Tables.t(spark, sf001, "events")
+      .select(col("user_id"), col("value").cast("double"),
+        unix_micros(col("ts").cast("timestamp")))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    val byUser = events.groupBy(_._1)
+    val rows = graft.SparkEntry.queries("q288_time_decayed_family")(spark, sf001)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val es = byUser(r.getLong(0))
+      val mx = es.map(_._3).max
+      val ws = es.map { case (_, v, us) =>
+        (v, math.pow(2.0, -((mx - us) / 3600000000.0))) }
+      def r6(x: Double) = BigDecimal(x)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getLong(1) == es.length)
+      assert(math.abs(r.getDouble(2) - r6(ws.map(p => p._1 * p._2).sum)) < 2e-6)
+      assert(math.abs(r.getDouble(3) - r6(ws.map(_._2).sum)) < 2e-6)
+      assert(r.getDouble(4) == r6(ws.map(p => p._1 * p._2).max))
+    }
+  }
+
+  test("NFC normalization is idempotent and length-consistent") {
+    val rows = graft.SparkEntry.queries("q286_nfc_normalize")(spark, sf001)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (dec, nfc) = (r.getLong(1), r.getLong(2))
+      // every injected combining mark composes away: the decomposed form
+      // is longer by exactly the number of 'e's, the NFC form restores
+      // the original length; changed must reflect a real difference
+      assert(nfc <= dec)
+      assert(r.getBoolean(3) == (dec != nfc))
+    }
+  }
+}
