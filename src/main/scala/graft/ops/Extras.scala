@@ -810,45 +810,6 @@ object Extras {
         .orderBy(col("doc_id"))
     },
 
-    // ---- array analytics 2: occurrence enumeration (arrayEnumerateUniq /
-    //      arrayEnumerateDense parity) ----
-    // Over the same first-6-word-length array as q183: per element, its
-    // 1-based occurrence index among equal values so far (EnumerateUniq),
-    // and the first-appearance dense code (EnumerateDense — the rank of
-    // the element's value in order of first occurrence, via the distinct
-    // count of the prefix ending at the value's FIRST position). Both are
-    // prefix-lambda folds — O(k²) per row on a BOUNDED k=6 array, a pure
-    // projection that fuses into the scan; the unbounded-array form of
-    // this op is q169's sessionize/rank machinery, not a per-row lambda.
-    Q("q290_array_enumerate",
-      raw"""WITH d AS (SELECT doc_id,
-           |    list_transform((string_split_regex(lower(trim(text)), '\s+'))[1:6],
-           |                   w -> length(w)) AS a
-           |  FROM documents)
-           |SELECT doc_id,
-           |  list_aggregate(list_transform(range(1, len(a) + 1),
-           |    i -> CAST(len(list_filter(a[1:i], x -> x = a[i])) AS VARCHAR)),
-           |    'string_agg', ',') AS enum_uniq,
-           |  list_aggregate(list_transform(range(1, len(a) + 1),
-           |    i -> CAST(len(list_distinct(a[1:list_position(a, a[i])])) AS VARCHAR)),
-           |    'string_agg', ',') AS enum_dense
-           |FROM d ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      graft.schema.Tables.t(s, dir, "documents")
-        .select(col("doc_id"),
-          expr("transform(slice(split(lower(trim(text)), '\\\\s+'), 1, 6), w -> length(w))")
-            .as("a"))
-        .select(col("doc_id"),
-          expr("""array_join(transform(sequence(1, size(a)),
-                 |  i -> cast(size(filter(slice(a, 1, i),
-                 |                        x -> x = element_at(a, i))) AS STRING)), ',')"""
-            .stripMargin).as("enum_uniq"),
-          expr("""array_join(transform(sequence(1, size(a)),
-                 |  i -> cast(size(array_distinct(
-                 |         slice(a, 1, array_position(a, element_at(a, i))))) AS STRING)), ',')"""
-            .stripMargin).as("enum_dense"))
-        .orderBy(col("doc_id"))
-    },
-
     // ---- character n-gram string distance (ngramDistance parity) ----
     // ClickHouse's ngramDistance(a, b): 1 − |grams(a) ∩ grams(b)| /
     // |grams(a) ∪ grams(b)| over character trigram SETS. Here between

@@ -290,4 +290,14 @@ class PlanShapeSpec extends SparkSpec {
     assert(df.exceptAll(off).isEmpty && off.exceptAll(df).isEmpty,
       "bloom-pruned join result diverged from the plain join")
   }
+
+  test("q291: CIDR containment is a hash equi-join on the /8 bucket, not a nested loop") {
+    val p = plan("q291_cidr_join")
+    // the variable-prefix predicate must ride as a RESIDUAL on the bucket
+    // equi-join — a BroadcastNestedLoopJoin here means the theta form
+    // leaked through and the op degenerates to |blocks|×|ips| compares
+    assert(p.contains("BroadcastHashJoin"), s"q291 lost the bucket equi-join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"q291 planned the naive theta join:\n$p")
+  }
 }

@@ -9,32 +9,6 @@ import org.apache.spark.sql.functions._
   * structurally different implementation. */
 class Round11OpsSpec extends SparkSpec {
 
-  test("array enumeration matches a hash-map reference on random arrays") {
-    // reference: single pass with occurrence/first-seen maps — the
-    // opposite structure to the query's prefix-slice lambdas
-    def refUniq(a: Seq[Int]): Seq[Int] = {
-      val seen = scala.collection.mutable.Map.empty[Int, Int]
-      a.map { x => val c = seen.getOrElse(x, 0) + 1; seen(x) = c; c }
-    }
-    def refDense(a: Seq[Int]): Seq[Int] = {
-      val code = scala.collection.mutable.LinkedHashMap.empty[Int, Int]
-      a.map { x => code.getOrElseUpdate(x, code.size + 1) }
-    }
-    val rows = graft.SparkEntry.queries("q290_array_enumerate")(spark, sf001)
-      .collect()
-    assert(rows.nonEmpty)
-    // rebuild each doc's length array exactly as the query defines it
-    val arrs = graft.schema.Tables.t(spark, sf001, "documents")
-      .select(col("doc_id"),
-        expr("transform(slice(split(lower(trim(text)), '\\\\s+'), 1, 6), w -> length(w))"))
-      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
-    rows.take(200).foreach { r =>
-      val a = arrs(r.getLong(0))
-      assert(r.getString(1) == refUniq(a).mkString(","), s"uniq @ ${r.getLong(0)}")
-      assert(r.getString(2) == refDense(a).mkString(","), s"dense @ ${r.getLong(0)}")
-    }
-  }
-
   test("CIDR containment matches java.net-free big-integer mask arithmetic") {
     val rows = graft.SparkEntry.queries("q291_cidr_join")(spark, sf001)
       .collect()
