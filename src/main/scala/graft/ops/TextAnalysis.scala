@@ -531,53 +531,6 @@ object TextAnalysis {
         .orderBy(col("source"))
     },
 
-    // ---- Unicode NFC normalization fingerprint ----
-    // Real multilingual corpora carry the same text in composed ('é',
-    // U+00E9) and decomposed ('e' + U+0301) forms — byte-different,
-    // canonically equal, so exact dedup and every hash-keyed operator
-    // silently treats them as distinct unless a normalization pass runs
-    // first. The pass: NFC-normalize, fingerprint the NORMALIZED bytes.
-    // Both engines build the SAME decomposed variant (every 'e' gains a
-    // combining acute, the worst-case dense decomposition), then
-    // normalize with two INDEPENDENT Unicode implementations —
-    // java.text.Normalizer (ICU lineage) on the Spark side inside the
-    // per-partition seam, utf8proc (DuckDB's nfc_normalize) in the
-    // oracle — and the md5 of the result must agree byte-for-byte:
-    // a strict cross-library Unicode-conformance check, the q284 idea
-    // applied to text. n_cp counts codepoints (Spark length() counts
-    // UTF-16 units — identical here because every char is BMP; the
-    // combining mark U+0301 is 2 units nowhere).
-    Q("q286_nfc_normalize",
-      """WITH d AS (SELECT doc_id,
-        |    replace(text, 'e', 'e' || chr(769)) AS dec
-        |  FROM documents),
-        |n AS (SELECT doc_id, dec, nfc_normalize(dec) AS norm FROM d)
-        |SELECT doc_id,
-        |  CAST(length(dec) AS BIGINT) AS n_cp_decomposed,
-        |  CAST(length(norm) AS BIGINT) AS n_cp_nfc,
-        |  (dec <> norm) AS changed,
-        |  md5(norm) AS nfc_md5
-        |FROM n ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      import s.implicits._
-      t(s, dir, "documents")
-        .select(col("doc_id"),
-          regexp_replace(col("text"), "e", "e\u0301").as("dec"))
-        .as[(Long, String)]
-        .mapPartitions { it =>
-          // normalizer-per-partition seam: Normalizer is static, but the
-          // row loop stays inside one task like every codec map
-          it.map { case (id, dec) =>
-            val norm = java.text.Normalizer
-              .normalize(dec, java.text.Normalizer.Form.NFC)
-            (id, dec.length.toLong, norm.length.toLong, dec != norm, norm)
-          }
-        }
-        .toDF("doc_id", "n_cp_decomposed", "n_cp_nfc", "changed", "norm")
-        .select(col("doc_id"), col("n_cp_decomposed"), col("n_cp_nfc"),
-          col("changed"), md5(col("norm").cast("binary")).as("nfc_md5"))
-        .orderBy(col("doc_id"))
-    },
-
     // ---- diacritics folding (accent-insensitive matching) ----
     // The other normalization multilingual dedup/search needs: fold
     // 'crème' → 'creme' so accent variants hash/join together. Both
@@ -588,7 +541,9 @@ object TextAnalysis {
     // strip_accents — and the md5 of the folded text must agree
     // byte-for-byte. The chosen accents (é à ç ü ñ ö) all decompose to
     // base + combining mark, where the two definitions provably
-    // coincide. Per-row projection; the map seam is the q286 shape.
+    // coincide. Composition-direction NFC is q92's native expression;
+    // the NFD+strip fold has no such expression yet, so it runs in the
+    // per-partition map seam (the q142 codec shape).
     Q("q289_strip_accents",
       """WITH d AS (SELECT doc_id,
         |    translate(text, 'eacuno', 'éàçüñö') AS accented

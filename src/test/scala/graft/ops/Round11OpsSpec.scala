@@ -76,18 +76,4 @@ class Round11OpsSpec extends SparkSpec {
       assert(r.getDouble(4) == r6(ws.map(p => p._1 * p._2).max))
     }
   }
-
-  test("NFC normalization is idempotent and length-consistent") {
-    val rows = graft.SparkEntry.queries("q286_nfc_normalize")(spark, sf001)
-      .collect()
-    assert(rows.nonEmpty)
-    rows.foreach { r =>
-      val (dec, nfc) = (r.getLong(1), r.getLong(2))
-      // every injected combining mark composes away: the decomposed form
-      // is longer by exactly the number of 'e's, the NFC form restores
-      // the original length; changed must reflect a real difference
-      assert(nfc <= dec)
-      assert(r.getBoolean(3) == (dec != nfc))
-    }
-  }
 }
