@@ -361,18 +361,16 @@ object StatsGeo {
         .orderBy(col("c_custkey"))
     },
 
-    // ---- sample moments + bounding ratio (skewSamp/kurtSamp/
-    //      boundingRatio parity) ----
+    // ---- sample central moments (skewSamp / kurtSamp parity) ----
     // q172's population moments have sample-form siblings in the
-    // reference surface (skewSamp = m3ₛ/m2ₛ^1.5, kurtSamp = m4ₛ/m2ₛ² with
-    // n−1 denominators, NOT excess), and boundingRatio is the endpoint
-    // slope (y at max x − y at min x)/(max x − min x). Neither engine's
-    // builtin skew/kurt matches these conventions (Spark = population,
+    // reference surface: skewSamp = m3ₛ/m2ₛ^1.5 and kurtSamp = m4ₛ/m2ₛ²
+    // with n−1 denominators (kurtSamp NOT excess-adjusted). Neither
+    // engine's builtin matches these conventions (Spark = population g's,
     // DuckDB = bias-adjusted G-statistics), so BOTH sides state the
     // formulas from raw two-pass central-moment sums — convention pinned
-    // by construction, not by luck. Endpoint picks are arg_max/arg_min on
-    // the unique custkey — deterministic. One shuffle (the group-by),
-    // map-side-combinable sums; the mean join broadcasts (≤ |segments|).
+    // by construction, not by luck. (The endpoint-slope boundingRatio is
+    // q227's op.) One shuffle (the group-by), map-side-combinable sums;
+    // the mean join broadcasts (≤ |segments|).
     Q("q287_sample_moments",
       """WITH mu AS (SELECT c_mktsegment, avg(c_acctbal) AS m
         |  FROM customer GROUP BY c_mktsegment),
@@ -380,17 +378,12 @@ object StatsGeo {
         |    count(*) AS n,
         |    sum(pow(c_acctbal - m, 2)) / (count(*) - 1) AS m2s,
         |    sum(pow(c_acctbal - m, 3)) / (count(*) - 1) AS m3s,
-        |    sum(pow(c_acctbal - m, 4)) / (count(*) - 1) AS m4s,
-        |    arg_max(c_acctbal, c_custkey) AS y_last,
-        |    arg_min(c_acctbal, c_custkey) AS y_first,
-        |    max(c_custkey) AS x_max,
-        |    min(c_custkey) AS x_min
+        |    sum(pow(c_acctbal - m, 4)) / (count(*) - 1) AS m4s
         |  FROM customer c JOIN mu USING (c_mktsegment)
         |  GROUP BY c.c_mktsegment)
         |SELECT c_mktsegment, CAST(n AS BIGINT) AS n,
         |  round(m3s / pow(m2s, 1.5), 6) AS skew_samp,
-        |  round(m4s / (m2s * m2s), 6) AS kurt_samp,
-        |  round((y_last - y_first) / (x_max - x_min), 6) AS bounding_ratio
+        |  round(m4s / (m2s * m2s), 6) AS kurt_samp
         |FROM mom
         |ORDER BY c_mktsegment""".stripMargin) { (s, dir) =>
       val cust = t(s, dir, "customer")
@@ -402,16 +395,10 @@ object StatsGeo {
         .agg(count(lit(1)).as("n"),
           (sum(pow(d, 2)) / nm1).as("m2s"),
           (sum(pow(d, 3)) / nm1).as("m3s"),
-          (sum(pow(d, 4)) / nm1).as("m4s"),
-          max_by(col("c_acctbal"), col("c_custkey")).as("y_last"),
-          min_by(col("c_acctbal"), col("c_custkey")).as("y_first"),
-          max(col("c_custkey")).as("x_max"),
-          min(col("c_custkey")).as("x_min"))
+          (sum(pow(d, 4)) / nm1).as("m4s"))
       mom.select(col("c_mktsegment"), col("n").cast("long").as("n"),
           round(col("m3s") / pow(col("m2s"), 1.5), 6).as("skew_samp"),
-          round(col("m4s") / (col("m2s") * col("m2s")), 6).as("kurt_samp"),
-          round((col("y_last") - col("y_first"))
-            / (col("x_max") - col("x_min")), 6).as("bounding_ratio"))
+          round(col("m4s") / (col("m2s") * col("m2s")), 6).as("kurt_samp"))
         .orderBy(col("c_mktsegment"))
     },
 
