@@ -22,6 +22,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.NfcNormalize].getName, "nfc_normalize"),
       (exprs: Seq[Expression]) => graft.functions.NfcNormalize(exprs.head)))
     e.injectFunction((
+      new FunctionIdentifier("fold_accents"),
+      new ExpressionInfo(classOf[graft.functions.FoldAccents].getName, "fold_accents"),
+      (exprs: Seq[Expression]) => graft.functions.FoldAccents(exprs.head)))
+    e.injectFunction((
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[graft.functions.ArrayDot].getName, "graft_dot"),
       (exprs: Seq[Expression]) => graft.functions.ArrayDot(exprs(0), exprs(1))))

@@ -21,6 +21,8 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "nfc_normalize", exprs => NfcNormalize(exprs.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "fold_accents", exprs => FoldAccents(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot", exprs => ArrayDot(exprs(0), exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot_int", exprs => ArrayDotInt(exprs(0), exprs(1)), "scala_udf")
@@ -116,6 +118,8 @@ object GraftFunctions {
   def snappy_decode(c: Column): Column = call_function("snappy_decode", c)
 
   def nfc_normalize(c: Column): Column = call_function("nfc_normalize", c)
+
+  def fold_accents(c: Column): Column = call_function("fold_accents", c)
 
   def graft_dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
 

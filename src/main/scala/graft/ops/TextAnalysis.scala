@@ -541,9 +541,10 @@ object TextAnalysis {
     // strip_accents — and the md5 of the folded text must agree
     // byte-for-byte. The chosen accents (é à ç ü ñ ö) all decompose to
     // base + combining mark, where the two definitions provably
-    // coincide. Composition-direction NFC is q92's native expression;
-    // the NFD+strip fold has no such expression yet, so it runs in the
-    // per-partition map seam (the q142 codec shape).
+    // coincide. Like q92's composition direction, the fold is a native
+    // codegen'd expression (`functions/FoldAccents`, with an all-ASCII
+    // zero-alloc fast path — the overwhelming case at 100 TB), not a
+    // per-row closure.
     Q("q289_strip_accents",
       """WITH d AS (SELECT doc_id,
         |    translate(text, 'eacuno', 'éàçüñö') AS accented
@@ -555,22 +556,14 @@ object TextAnalysis {
         |  (accented <> folded) AS changed,
         |  md5(folded) AS folded_md5
         |FROM f ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      import s.implicits._
+      graft.functions.GraftFunctions.register(s)
+      import graft.functions.GraftFunctions.fold_accents
       t(s, dir, "documents")
         .select(col("doc_id"),
           translate(col("text"), "eacuno", "éàçüñö").as("accented"))
-        .as[(Long, String)]
-        .mapPartitions { it =>
-          it.map { case (id, acc) =>
-            val folded = java.text.Normalizer
-              .normalize(acc, java.text.Normalizer.Form.NFD)
-              .replaceAll("\\p{Mn}+", "")
-            (id, acc != folded, folded)
-          }
-        }
-        .toDF("doc_id", "changed", "folded")
-        .select(col("doc_id"), col("changed"),
-          md5(col("folded").cast("binary")).as("folded_md5"))
+        .select(col("doc_id"),
+          (col("accented") =!= fold_accents(col("accented"))).as("changed"),
+          md5(fold_accents(col("accented")).cast("binary")).as("folded_md5"))
         .orderBy(col("doc_id"))
     }
   )
