@@ -1388,8 +1388,172 @@ object VectorSearch {
             + coalesce(lit(1.0) / (lit(60) + col("r_sem")), lit(0.0)), 9).as("rrf"))
         .orderBy(col("rrf").desc, col("doc_id"))
         .limit(10)
+    },
+
+    // ---- product quantization: encode to m×6-bit codes ----
+    // THE memory-bound scale path beyond q139's int8: split each 64-dim
+    // vector into M=8 8-dim subspaces, quantize each subvector to its
+    // nearest of K=64 codebook centroids — 8 small codes per vector,
+    // 32× smaller than float32 (vs int8's 4×). Codebook = the subvectors
+    // of the first 64 vectors (the deterministic sampled-codebook
+    // baseline; a trained codebook is q120's Lloyd machinery composed per
+    // subspace — same downstream shape). Exactness: per-subspace squared
+    // distances are 8-term double sums generated in IDENTICAL textual
+    // order for both engines (no transcendentals — bit-identical), and
+    // the argmin is a lexicographic struct min with the code id as the
+    // stated tiebreak. Scale shape: one broadcast of the 64-row codebook
+    // onto an embarrassingly-parallel N×64 map + one hash aggregate —
+    // codes never shuffle wider than (vec_id, 8 bytes).
+    Q("q292_pq_encode", {
+      val dists = (0 until PqM).map(j =>
+        s"${pqSubDistSql("e.embedding", "cb.ce", j, duck = true)} AS d$j")
+        .mkString(",\n    ")
+      val mins = (0 until PqM).map(j =>
+        s"min(struct_pack(d := d$j, c := c)) AS m$j").mkString(",\n    ")
+      val codes = (0 until PqM).map(j => s"CAST(m$j.c AS VARCHAR)")
+        .mkString(" || ',' || ")
+      val dist = (0 until PqM).map(j => s"m$j.d").mkString(" + ")
+      s"""WITH cb AS (SELECT vec_id AS c, embedding AS ce FROM embeddings
+         |  WHERE vec_id < $PqK),
+         |d AS (SELECT e.vec_id, cb.c,
+         |    $dists
+         |  FROM embeddings e, cb),
+         |m AS (SELECT vec_id,
+         |    $mins
+         |  FROM d GROUP BY vec_id)
+         |SELECT vec_id, $codes AS codes,
+         |  round($dist, 6) AS distortion
+         |FROM m ORDER BY vec_id""".stripMargin
+    }) { (s, dir) =>
+      val m = pqCodes(s, dir)
+      m.select(col("vec_id"),
+          concat_ws(",",
+            (0 until PqM).map(j => col(s"m$j").getField("c").cast("string")): _*)
+            .as("codes"),
+          round((0 until PqM).map(j => col(s"m$j").getField("d"))
+            .reduce(_ + _), 6).as("distortion"))
+        .orderBy(col("vec_id"))
+    },
+
+    // ---- PQ asymmetric-distance top-k (ADC search) ----
+    // The search half: the query vector stays EXACT; per subspace a
+    // 64-entry lookup table of query→centroid distances is built once,
+    // and each database vector's approximate distance is the sum of 8
+    // table lookups on its codes — no float vector is ever read at scan
+    // time, which is the whole point at 100 TB (the code column is 32×
+    // smaller, and the LUT build is O(K·D) per query, independent of N).
+    // LUT entries round(9) and the 8-term sum runs in fixed textual
+    // order — bit-identical; ties broken by vec_id. true_l2 (exact, full
+    // dimension) rides along so the approximation error is visible in
+    // the checked output itself.
+    Q("q293_pq_adc_topk", {
+      val luts = (0 until PqM).map(j =>
+        s"round(${pqSubDistSql("q.qe", "cb.ce", j, duck = true)}, 9) AS l$j")
+        .mkString(",\n    ")
+      val codeCols = (0 until PqM).map(j => s"m$j.c AS c$j").mkString(", ")
+      val joins = (0 until PqM).map(j => s"JOIN lut t$j ON t$j.c = v.c$j")
+        .mkString("\n  ")
+      val adc = (0 until PqM).map(j => s"t$j.l$j").mkString(" + ")
+      val dists = (0 until PqM).map(j =>
+        s"${pqSubDistSql("e.embedding", "cb.ce", j, duck = true)} AS d$j")
+        .mkString(",\n    ")
+      val mins = (0 until PqM).map(j =>
+        s"min(struct_pack(d := d$j, c := c)) AS m$j").mkString(",\n    ")
+      s"""WITH cb AS (SELECT vec_id AS c, embedding AS ce FROM embeddings
+         |  WHERE vec_id < $PqK),
+         |d AS (SELECT e.vec_id, cb.c,
+         |    $dists
+         |  FROM embeddings e, cb),
+         |m AS (SELECT vec_id,
+         |    $mins
+         |  FROM d GROUP BY vec_id),
+         |codes AS (SELECT vec_id, $codeCols FROM m),
+         |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |lut AS (SELECT cb.c,
+         |    $luts
+         |  FROM cb, q),
+         |l2 AS (SELECT e.vec_id,
+         |    list_sum(list_transform(range(1, len(e.embedding) + 1),
+         |      i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(q.qe[i] AS DOUBLE))
+         |           * (CAST(e.embedding[i] AS DOUBLE) - CAST(q.qe[i] AS DOUBLE))))
+         |      AS t
+         |  FROM embeddings e, q)
+         |SELECT v.vec_id, round($adc, 6) AS adc_dist,
+         |  round(l2.t, 6) AS true_l2
+         |FROM codes v
+         |  $joins
+         |  JOIN l2 ON l2.vec_id = v.vec_id
+         |WHERE v.vec_id <> 0
+         |ORDER BY adc_dist, v.vec_id
+         |LIMIT 10""".stripMargin
+    }) { (s, dir) =>
+      val emb = embTable(s, dir)
+      val cb = pqCodebook(s, dir)
+      val m = pqCodes(s, dir)
+      val codes = m.select(col("vec_id") +:
+        (0 until PqM).map(j => col(s"m$j").getField("c").as(s"c$j")): _*)
+      val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+      val lut = cb.crossJoin(broadcast(q))
+        .select(col("c") +: (0 until PqM).map(j =>
+          round(expr(pqSubDistSql("qe", "ce", j, duck = false)), 9).as(s"l$j")): _*)
+      // 8 broadcast lookups (the LUT is 64 rows) + the exact L2 column
+      val joined = (0 until PqM).foldLeft(codes) { (df, j) =>
+        df.join(broadcast(lut.select(col("c").as(s"__c$j"), col(s"l$j"))),
+          col(s"c$j") === col(s"__c$j"))
+      }
+      val adc = (0 until PqM).map(j => col(s"l$j")).reduce(_ + _)
+      val l2 = emb.crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          (expr("graft_dot(embedding, embedding)")
+            - lit(2.0) * expr("graft_dot(embedding, qe)")
+            + expr("graft_dot(qe, qe)")).as("t"))
+      joined
+        .filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), round(adc, 6).as("adc_dist"))
+        .join(l2.select(col("vec_id"), round(col("t"), 6).as("true_l2")),
+          Seq("vec_id"))
+        .orderBy(col("adc_dist"), col("vec_id"))
+        .limit(10)
     }
   )
+
+  /** PQ geometry: M subspaces × (64/M) dims, K codebook entries.
+    * `final val` without a type annotation = compile-time constants, so
+    * the Q() SQL built inside `qs` (which initializes BEFORE these lines
+    * in object-body order) sees 8/64, not the uninitialized 0. */
+  private[ops] final val PqM = 8
+  private[ops] final val PqK = 64
+
+  /** The per-subspace squared distance between `vec` and `cb`'s dims
+    * [8j, 8j+8) as an explicit 8-term sum — generated ONCE for both
+    * engines (Duck arrays are 1-based, Spark's 0-based) so the float
+    * arithmetic is textually identical. */
+  private def pqSubDistSql(vec: String, cb: String, j: Int, duck: Boolean): String =
+    (0 until 64 / PqM).map { d =>
+      val i = j * (64 / PqM) + d
+      val ix = if (duck) s"[${i + 1}]" else s"[$i]"
+      s"(CAST($vec$ix AS DOUBLE) - CAST($cb$ix AS DOUBLE))" +
+        s" * (CAST($vec$ix AS DOUBLE) - CAST($cb$ix AS DOUBLE))"
+    }.mkString(" + ")
+
+  private def pqCodebook(s: org.apache.spark.sql.SparkSession, dir: String) =
+    embTable(s, dir).filter(col("vec_id") < PqK)
+      .select(col("vec_id").as("c"), col("embedding").as("ce"))
+
+  /** (vec_id, m0..m7) with m_j = min(struct(d_j, c)) — the encode
+    * aggregate, registry-cached because q292 reports it and q293's ADC
+    * search consumes it (one codebook broadcast + one N×K map total). */
+  private def pqCodes(s: org.apache.spark.sql.SparkSession, dir: String) =
+    CacheRegistry.cache(s, s"pq-codes:$dir") {
+      val d = embTable(s, dir).crossJoin(broadcast(pqCodebook(s, dir)))
+        .select(col("vec_id") +: col("c") +:
+          (0 until PqM).map(j =>
+            expr(pqSubDistSql("embedding", "ce", j, duck = false)).as(s"d$j")): _*)
+      d.groupBy(col("vec_id"))
+        .agg(min(struct(col("d0").as("d"), col("c").as("c"))).as("m0"),
+          (1 until PqM).map(j =>
+            min(struct(col(s"d$j").as("d"), col("c").as("c"))).as(s"m$j")): _*)
+    }
 
   /** One oracle iteration of the power loop as DuckDB CTEs: d (per-vector
     * dot with the previous direction), w (the matvec), optional

@@ -54,6 +54,51 @@ class Round11OpsSpec extends SparkSpec {
     }
   }
 
+  test("PQ encode matches a plain Scala reference; ADC recall@10 vs exact L2") {
+    val emb = graft.schema.Tables.t(spark, sf001, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .sortBy(_._1)
+    val cb = emb.takeWhile(_._1 < 64).map(_._2)
+    def subDist(v: Array[Double], c: Array[Double], j: Int): Double = {
+      var s = 0.0; var d = 0
+      while (d < 8) { val t = v(j * 8 + d) - c(j * 8 + d); s += t * t; d += 1 }
+      s
+    }
+    def encode(v: Array[Double]): Array[Int] =
+      Array.tabulate(8) { j =>
+        var best = 0; var bd = Double.MaxValue
+        for (c <- cb.indices) {
+          val dd = subDist(v, cb(c), j)
+          if (dd < bd) { bd = dd; best = c } // strict < keeps the min-c tiebreak
+        }
+        best
+      }
+    val rows = graft.SparkEntry.queries("q292_pq_encode")(spark, sf001).collect()
+    rows.take(100).foreach { r =>
+      val v = emb(r.getLong(0).toInt)._2
+      assert(r.getString(1) == encode(v).mkString(","),
+        s"codes drifted @ ${r.getLong(0)}")
+    }
+    // ADC quality against exact L2 (query = vec 0). The driver's sf0.001
+    // embeddings are UNSTRUCTURED — the PQ worst case (no cluster
+    // geometry for the codebook to exploit), so top-10 recall is
+    // legitimately modest here: measured 0.3 @10, 0.5 within top-50, and
+    // corr(adc, true_l2) = 0.66 over all 499 vectors. Pin floors a broken
+    // LUT/code join would crash through; the clustered-corpus recall
+    // story (where PQ is actually used) lives with the other ANN recall
+    // measurements in SCALE.md / q278.
+    val q = emb(0)._2
+    def l2(v: Array[Double]) =
+      v.indices.map(i => (v(i) - q(i)) * (v(i) - q(i))).sum
+    val ordered = emb.drop(1).sortBy(p => (l2(p._2), p._1)).map(_._1)
+    val adc = graft.SparkEntry.queries("q293_pq_adc_topk")(spark, sf001)
+      .collect().map(_.getLong(0)).toSet
+    val in50 = (adc & ordered.take(50).toSet).size / 10.0
+    info(s"ADC top-10 within exact top-50: $in50")
+    assert(in50 >= 0.3, s"ADC neighborhood collapsed: $in50")
+  }
+
   test("decayed sum/count/max match a sequential per-user reference") {
     val events = graft.schema.Tables.t(spark, sf001, "events")
       .select(col("user_id"), col("value").cast("double"),
