@@ -240,8 +240,8 @@ object ScaleBench {
     // "image" / "spans" rerun ONLY that family (corpus gen is cached).
     val phaseSel = sys.env.getOrElse("SPARK_GRAFT_SCALE_PHASES", "all")
     require(Set("all", "postloop", "semdedup", "image", "spans", "events", "cc",
-      "contam", "triangles", "minhash", "funnel").contains(phaseSel),
-      s"SPARK_GRAFT_SCALE_PHASES must be 'all', 'postloop', 'semdedup', 'image', 'spans', 'events', 'cc', 'contam', 'triangles', 'minhash' or 'funnel'," +
+      "contam", "triangles", "minhash", "funnel", "pq").contains(phaseSel),
+      s"SPARK_GRAFT_SCALE_PHASES must be 'all', 'postloop', 'semdedup', 'image', 'spans', 'events', 'cc', 'contam', 'triangles', 'minhash', 'funnel' or 'pq'," +
         s" got '$phaseSel' (a typo would silently skip corpus generation)")
     // ---- q276 triangles: the degree-orientation wedge bound ----
     // A synthetic SKEWED graph (one hub adjacent to 5% of nodes over a
@@ -376,6 +376,50 @@ object ScaleBench {
       }
       spark.conf.unset("graft.minhash.hashes")
       spark.conf.unset("graft.minhash.bandRows")
+      spark.stop(); return
+    }
+
+    // ---- PQ/ADC recall on the clustered vs uniform corpus twins ----
+    // q293's registered query pins one query vector strictly; this phase
+    // answers the question the spec's worst-case floor can't: what recall
+    // does the 8×6-bit code + ADC search deliver where PQ is actually
+    // deployed — embeddings WITH cluster geometry — vs the structureless
+    // twin. 20 query vectors (outside the codebook), recall@10 = overlap
+    // with the exact-L2 top-10 (adc/L2 tiebreaks both by vec_id).
+    if (phaseSel == "pq") {
+      val n = sizes.min
+      for ((expr_, tag) <- Seq((ClusteredEmbExpr, "clustered"),
+        (UniformEmbExpr, "uniform"))) {
+        val pdir = s"$root/pq_$tag$n"
+        genEmbeddings(spark, n, pdir, expr_)
+        for ((pm, pk) <- Seq((8, 64), (8, 256), (16, 256))) {
+          spark.conf.set("graft.pq.m", pm.toString)
+          spark.conf.set("graft.pq.k", pk.toString)
+          var recallSum = 0.0
+          var rerankSum = 0.0
+          phase(s"q293_pq_${tag}_m${pm}k$pk", n) {
+            (256L until 276L).foreach { qid =>
+              val f = ops.VectorSearch.pqAdcFor(spark, pdir, qid)
+              val adc100 = f.orderBy(col("adc_dist"), col("vec_id"))
+                .limit(100).select(col("vec_id")).collect().map(_.getLong(0))
+              val l2Top = f.orderBy(col("true_l2"), col("vec_id"))
+                .limit(10).select(col("vec_id")).collect().map(_.getLong(0)).toSet
+              recallSum += (adc100.take(10).toSet & l2Top).size / 10.0
+              // the deployed two-stage shape: exact rerank of the ADC
+              // top-100 — its ceiling is how much of the true top-10 the
+              // candidate set retains
+              rerankSum += (adc100.toSet & l2Top).size / 10.0
+            }
+            20L
+          }
+          println(s"""SCALE {"phase":"q293_pq_${tag}_m${pm}k${pk}_recall",""" +
+            s""""docs":$n,"recall_at_10":${f(recallSum / 20.0)},""" +
+            s""""top10_in_adc100":${f(rerankSum / 20.0)}}""")
+          ops.CacheRegistry.clear(spark)
+        }
+        spark.conf.unset("graft.pq.m")
+        spark.conf.unset("graft.pq.k")
+      }
       spark.stop(); return
     }
 

@@ -195,6 +195,13 @@ object TextDedup {
   /** The overlap self-join + Jaccard threshold over any (doc_id, h) shingle
     * frame — shared by the conf-gated family path and q100's explicit-cap
     * variant so the two can never drift. */
+  /** Exposed for the streaming funnel composition
+    * (StreamingDedupFunnelSpec): verified pairs over ANY (doc_id, h)
+    * shingle frame — per-batch shingle partials accumulate in the
+    * idempotent store and re-derive pairs exactly as the batch path. */
+  private[graft] def verifiedPairsFor(hs: DataFrame): DataFrame =
+    jaccardPairsFrom(hs)
+
   private def jaccardPairsFrom(hs: DataFrame): DataFrame = {
     val sizes = hs.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = hs.as("x").join(hs.as("y"),
@@ -533,6 +540,36 @@ object TextDedup {
          |    ${TextCommon.duckHex("m", 14, from = 15)} AS h2
          |  FROM g)""".stripMargin
 
+  /** The q283 funnel math over ANY (doc_id, n_words, fp) token frame and
+    * (cdoc, cluster_id) component labeling — shared by the batch query and
+    * the streaming composition (StreamingDedupFunnelSpec), so the two can
+    * never drift: raw → exact keepers (min doc per fp) → near-dup keepers
+    * (min SURVIVING member per cluster), with doc/token shares of raw. */
+  private[graft] def funnelReport(tok: DataFrame, comp: DataFrame): DataFrame = {
+    val keep = tok.groupBy(col("fp")).agg(min(col("doc_id")).as("keeper"))
+    val ex = tok.join(keep,
+      tok("fp") === keep("fp") && tok("doc_id") === keep("keeper"))
+      .select(col("doc_id"), col("n_words"))
+    val k2 = comp.join(ex, comp("cdoc") === ex("doc_id"))
+      .groupBy(col("cluster_id")).agg(min(col("doc_id")).as("keeper2"))
+    val nd = ex.join(comp, ex("doc_id") === comp("cdoc"), "left")
+      .join(k2, Seq("cluster_id"), "left")
+      .filter(col("cdoc").isNull || col("doc_id") === col("keeper2"))
+      .select(col("doc_id"), col("n_words"))
+    def stage(df: DataFrame, k: Int) =
+      df.agg(count(lit(1)).as("d"), sum(col("n_words")).as("t"))
+        .select(lit(k).as("stage"), col("d"), col("t"))
+    val rawS = stage(tok, 0)
+    val funnel = rawS.unionAll(stage(ex, 1)).unionAll(stage(nd, 2))
+    val denom = rawS.select(col("d").as("d0"), col("t").as("t0"))
+    funnel.crossJoin(broadcast(denom))
+      .select(col("stage"), col("d").cast("long").as("n_docs"),
+        col("t").cast("long").as("n_tokens"),
+        round(col("d").cast("double") / col("d0"), 6).as("doc_share"),
+        round(col("t").cast("double") / col("t0"), 6).as("token_share"))
+      .orderBy(col("stage"))
+  }
+
   val qs: Seq[Q] = Seq(
 
     // ---- exact dedup: hash-groupBy on content ----
@@ -848,31 +885,10 @@ object TextDedup {
       val tok = t(s, dir, "documents")
         .select(col("doc_id"), size(TextCommon.wordsCol).as("n_words"),
           md5(col("text")).as("fp"))
-      val keep = tok.groupBy(col("fp")).agg(min(col("doc_id")).as("keeper"))
-      val ex = tok.join(keep,
-        tok("fp") === keep("fp") && tok("doc_id") === keep("keeper"))
-        .select(col("doc_id"), col("n_words"))
       val comp = clusterComponents(s,
         jaccardPairs(s, dir).select(col("doc_a"), col("doc_b")))
         .select(col("doc_id").as("cdoc"), col("cluster_id"))
-      val k2 = comp.join(ex, comp("cdoc") === ex("doc_id"))
-        .groupBy(col("cluster_id")).agg(min(col("doc_id")).as("keeper2"))
-      val nd = ex.join(comp, ex("doc_id") === comp("cdoc"), "left")
-        .join(k2, Seq("cluster_id"), "left")
-        .filter(col("cdoc").isNull || col("doc_id") === col("keeper2"))
-        .select(col("doc_id"), col("n_words"))
-      def stage(df: org.apache.spark.sql.DataFrame, k: Int) =
-        df.agg(count(lit(1)).as("d"), sum(col("n_words")).as("t"))
-          .select(lit(k).as("stage"), col("d"), col("t"))
-      val rawS = stage(tok, 0)
-      val funnel = rawS.unionAll(stage(ex, 1)).unionAll(stage(nd, 2))
-      val denom = rawS.select(col("d").as("d0"), col("t").as("t0"))
-      funnel.crossJoin(broadcast(denom))
-        .select(col("stage"), col("d").cast("long").as("n_docs"),
-          col("t").cast("long").as("n_tokens"),
-          round(col("d").cast("double") / col("d0"), 6).as("doc_share"),
-          round(col("t").cast("double") / col("t0"), 6).as("token_share"))
-        .orderBy(col("stage"))
+      funnelReport(tok, comp)
     },
 
     // ---- n-gram Jaccard under the doc-frequency skew cap ----

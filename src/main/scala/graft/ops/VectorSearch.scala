@@ -1425,12 +1425,13 @@ object VectorSearch {
          |  round($dist, 6) AS distortion
          |FROM m ORDER BY vec_id""".stripMargin
     }) { (s, dir) =>
+      val (pm, _) = pqGeom(s)
       val m = pqCodes(s, dir)
       m.select(col("vec_id"),
           concat_ws(",",
-            (0 until PqM).map(j => col(s"m$j").getField("c").cast("string")): _*)
+            (0 until pm).map(j => col(s"m$j").getField("c").cast("string")): _*)
             .as("codes"),
-          round((0 until PqM).map(j => col(s"m$j").getField("d"))
+          round((0 until pm).map(j => col(s"m$j").getField("d"))
             .reduce(_ + _), 6).as("distortion"))
         .orderBy(col("vec_id"))
     },
@@ -1487,73 +1488,104 @@ object VectorSearch {
          |ORDER BY adc_dist, v.vec_id
          |LIMIT 10""".stripMargin
     }) { (s, dir) =>
-      val emb = embTable(s, dir)
-      val cb = pqCodebook(s, dir)
-      val m = pqCodes(s, dir)
-      val codes = m.select(col("vec_id") +:
-        (0 until PqM).map(j => col(s"m$j").getField("c").as(s"c$j")): _*)
-      val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
-      val lut = cb.crossJoin(broadcast(q))
-        .select(col("c") +: (0 until PqM).map(j =>
-          round(expr(pqSubDistSql("qe", "ce", j, duck = false)), 9).as(s"l$j")): _*)
-      // 8 broadcast lookups (the LUT is 64 rows) + the exact L2 column
-      val joined = (0 until PqM).foldLeft(codes) { (df, j) =>
-        df.join(broadcast(lut.select(col("c").as(s"__c$j"), col(s"l$j"))),
-          col(s"c$j") === col(s"__c$j"))
-      }
-      val adc = (0 until PqM).map(j => col(s"l$j")).reduce(_ + _)
-      val l2 = emb.crossJoin(broadcast(q))
-        .select(col("vec_id"),
-          (expr("graft_dot(embedding, embedding)")
-            - lit(2.0) * expr("graft_dot(embedding, qe)")
-            + expr("graft_dot(qe, qe)")).as("t"))
-      joined
-        .filter(col("vec_id") =!= 0)
-        .select(col("vec_id"), round(adc, 6).as("adc_dist"))
-        .join(l2.select(col("vec_id"), round(col("t"), 6).as("true_l2")),
-          Seq("vec_id"))
+      pqAdcFor(s, dir, qid = 0)
         .orderBy(col("adc_dist"), col("vec_id"))
         .limit(10)
     }
   )
 
+  /** The q293 ADC frame for an arbitrary query vector: (vec_id, adc_dist,
+    * true_l2) over every non-query vector — the registered query takes
+    * its top-10 for qid 0; ScaleBench's `pq` phase sweeps many qids to
+    * measure recall on the clustered/uniform corpus twins. */
+  private[graft] def pqAdcFor(s: org.apache.spark.sql.SparkSession,
+      dir: String, qid: Long): org.apache.spark.sql.DataFrame = {
+    val (pm, _) = pqGeom(s)
+    val emb = embTable(s, dir)
+    val m = pqCodes(s, dir)
+    val codes = m.select(col("vec_id") +:
+      (0 until pm).map(j => col(s"m$j").getField("c").as(s"c$j")): _*)
+    val q = emb.filter(col("vec_id") === qid).select(col("embedding").as("qe"))
+    val lut = pqCodebook(s, dir).crossJoin(broadcast(q))
+      .select(col("c") +: (0 until pm).map(j =>
+        round(expr(pqSubDistSql("qe", "ce", j, duck = false, pm)), 9)
+          .as(s"l$j")): _*)
+    // M broadcast lookups (the LUT is K rows) + the exact L2 column
+    val joined = (0 until pm).foldLeft(codes) { (df, j) =>
+      df.join(broadcast(lut.select(col("c").as(s"__c$j"), col(s"l$j"))),
+        col(s"c$j") === col(s"__c$j"))
+    }
+    val adc = (0 until pm).map(j => col(s"l$j")).reduce(_ + _)
+    val l2 = emb.crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        (expr("graft_dot(embedding, embedding)")
+          - lit(2.0) * expr("graft_dot(embedding, qe)")
+          + expr("graft_dot(qe, qe)")).as("t"))
+    joined
+      .filter(col("vec_id") =!= qid)
+      .select(col("vec_id"), round(adc, 6).as("adc_dist"))
+      .join(l2.select(col("vec_id"), round(col("t"), 6).as("true_l2")),
+        Seq("vec_id"))
+  }
+
   /** PQ geometry: M subspaces × (64/M) dims, K codebook entries.
     * `final val` without a type annotation = compile-time constants, so
     * the Q() SQL built inside `qs` (which initializes BEFORE these lines
     * in object-body order) sees 8/64, not the uninitialized 0. */
+  /** Default PQ geometry: M subspaces × (64/M) dims, K codebook entries —
+    * `final val` (compile-time constants) because the Q() SQL built inside
+    * `qs` initializes BEFORE later object-body vals. Conf-gated at runtime
+    * via `graft.pq.m` / `graft.pq.k` (the graft.minhash.* pattern):
+    * defaults unchanged so the static oracles stay strict, wider
+    * geometries are the measured real-recall path — SCALE.md's `pq` table
+    * shows rerank-candidate recall 0.71 → 0.85 going (8, 64) → (16, 256)
+    * on the clustered corpus at 16× compression. */
   private[ops] final val PqM = 8
   private[ops] final val PqK = 64
 
+  private[graft] def pqGeom(s: org.apache.spark.sql.SparkSession): (Int, Int) = {
+    val m = s.conf.getOption("graft.pq.m").map(_.trim.toInt).getOrElse(PqM)
+    val k = s.conf.getOption("graft.pq.k").map(_.trim.toInt).getOrElse(PqK)
+    require(m > 0 && 64 % m == 0 && k > 0,
+      s"graft.pq.m ($m) must divide 64 and graft.pq.k ($k) be positive")
+    (m, k)
+  }
+
   /** The per-subspace squared distance between `vec` and `cb`'s dims
-    * [8j, 8j+8) as an explicit 8-term sum — generated ONCE for both
+    * [w·j, w·(j+1)) as an explicit w-term sum — generated ONCE for both
     * engines (Duck arrays are 1-based, Spark's 0-based) so the float
     * arithmetic is textually identical. */
-  private def pqSubDistSql(vec: String, cb: String, j: Int, duck: Boolean): String =
-    (0 until 64 / PqM).map { d =>
-      val i = j * (64 / PqM) + d
+  private def pqSubDistSql(vec: String, cb: String, j: Int, duck: Boolean,
+      m: Int = PqM): String =
+    (0 until 64 / m).map { d =>
+      val i = j * (64 / m) + d
       val ix = if (duck) s"[${i + 1}]" else s"[$i]"
       s"(CAST($vec$ix AS DOUBLE) - CAST($cb$ix AS DOUBLE))" +
         s" * (CAST($vec$ix AS DOUBLE) - CAST($cb$ix AS DOUBLE))"
     }.mkString(" + ")
 
   private def pqCodebook(s: org.apache.spark.sql.SparkSession, dir: String) =
-    embTable(s, dir).filter(col("vec_id") < PqK)
+    embTable(s, dir).filter(col("vec_id") < pqGeom(s)._2)
       .select(col("vec_id").as("c"), col("embedding").as("ce"))
 
-  /** (vec_id, m0..m7) with m_j = min(struct(d_j, c)) — the encode
-    * aggregate, registry-cached because q292 reports it and q293's ADC
-    * search consumes it (one codebook broadcast + one N×K map total). */
-  private def pqCodes(s: org.apache.spark.sql.SparkSession, dir: String) =
-    CacheRegistry.cache(s, s"pq-codes:$dir") {
+  /** (vec_id, m0..m_{M−1}) with m_j = min(struct(d_j, c)) — the encode
+    * aggregate, registry-cached (keyed on the geometry) because q292
+    * reports it and q293's ADC search consumes it (one codebook broadcast
+    * + one N×K map total). */
+  private def pqCodes(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val (m, k) = pqGeom(s)
+    CacheRegistry.cache(s, s"pq-codes:$dir:m=$m:k=$k") {
       val d = embTable(s, dir).crossJoin(broadcast(pqCodebook(s, dir)))
         .select(col("vec_id") +: col("c") +:
-          (0 until PqM).map(j =>
-            expr(pqSubDistSql("embedding", "ce", j, duck = false)).as(s"d$j")): _*)
+          (0 until m).map(j =>
+            expr(pqSubDistSql("embedding", "ce", j, duck = false, m))
+              .as(s"d$j")): _*)
       d.groupBy(col("vec_id"))
         .agg(min(struct(col("d0").as("d"), col("c").as("c"))).as("m0"),
-          (1 until PqM).map(j =>
+          (1 until m).map(j =>
             min(struct(col(s"d$j").as("d"), col("c").as("c"))).as(s"m$j")): _*)
     }
+  }
 
   /** One oracle iteration of the power loop as DuckDB CTEs: d (per-vector
     * dot with the previous direction), w (the matvec), optional
