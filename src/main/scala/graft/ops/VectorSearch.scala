@@ -1491,6 +1491,100 @@ object VectorSearch {
       pqAdcFor(s, dir, qid = 0)
         .orderBy(col("adc_dist"), col("vec_id"))
         .limit(10)
+    },
+
+    // ---- IVF-PQ with exact rerank: the production ANN stack, composed ----
+    // The three verified pieces end-to-end, exactly as deployed systems
+    // chain them: (1) COARSE probe — q59's per-label centroids, nearest 2
+    // lists by L2 (nprobe=2 is the recall knob; at 100 TB the corpus is
+    // partitioned by list id so this prunes the scan itself); (2) ADC
+    // scan — q293's code+LUT distance over ONLY the probed candidates,
+    // top-20 by the 6dp ADC distance; (3) exact RERANK — full-dimension
+    // L2 on those ≤20 survivors, top-5 out. SCALE.md's pq table is the
+    // quantitative argument for stage 3: raw ADC ranking is not a top-k
+    // oracle, but its top-100 candidate set retains 0.83–0.96 of the
+    // truth — reranking a constant-size candidate set costs O(k·D) and
+    // restores exactness over what the funnel admitted. Determinism:
+    // centroids 6dp-rounded, every distance a fixed-order sum, every cut
+    // (probe/top-20/top-5) tie-broken by the id.
+    Q("q294_ivfpq_rerank", {
+      val luts = (0 until PqM).map(j =>
+        s"round(${pqSubDistSql("q.qe", "cb.ce", j, duck = true)}, 9) AS l$j")
+        .mkString(",\n    ")
+      val codeCols = (0 until PqM).map(j => s"m$j.c AS c$j").mkString(", ")
+      val joins = (0 until PqM).map(j => s"JOIN lut t$j ON t$j.c = v.c$j")
+        .mkString("\n  ")
+      val adc = (0 until PqM).map(j => s"t$j.l$j").mkString(" + ")
+      val dists = (0 until PqM).map(j =>
+        s"${pqSubDistSql("e.embedding", "cb.ce", j, duck = true)} AS d$j")
+        .mkString(",\n    ")
+      val mins = (0 until PqM).map(j =>
+        s"min(struct_pack(d := d$j, c := c)) AS m$j").mkString(",\n    ")
+      def l2Sql(a: String, b: String) =
+        s"""list_sum(list_transform(range(1, len($a) + 1),
+           |      i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))
+           |           * (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))))"""
+          .stripMargin
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |pos AS (SELECT label, generate_subscripts(embedding, 1) AS i,
+         |               CAST(unnest(embedding) AS DOUBLE) AS val FROM embeddings),
+         |cent AS (SELECT label, list(round(avg_v, 6) ORDER BY i) AS centroid
+         |         FROM (SELECT label, i, avg(val) AS avg_v FROM pos GROUP BY label, i)
+         |         GROUP BY label),
+         |probe AS (SELECT label FROM cent, q
+         |          ORDER BY ${l2Sql("centroid", "qe")}, label LIMIT 2),
+         |cand AS (SELECT e.vec_id FROM embeddings e JOIN probe p
+         |           ON e.label = p.label WHERE e.vec_id <> 0),
+         |cb AS (SELECT vec_id AS c, embedding AS ce FROM embeddings
+         |  WHERE vec_id < $PqK),
+         |d AS (SELECT e.vec_id, cb.c,
+         |    $dists
+         |  FROM embeddings e, cb),
+         |m AS (SELECT vec_id,
+         |    $mins
+         |  FROM d GROUP BY vec_id),
+         |codes AS (SELECT vec_id, $codeCols FROM m),
+         |lut AS (SELECT cb.c,
+         |    $luts
+         |  FROM cb, q),
+         |l2 AS (SELECT e.vec_id, round(${l2Sql("e.embedding", "q.qe")}, 6) AS true_l2
+         |  FROM embeddings e, q),
+         |top20 AS (SELECT v.vec_id, round($adc, 6) AS adc_dist, l2.true_l2
+         |  FROM codes v
+         |  $joins
+         |  JOIN cand USING (vec_id)
+         |  JOIN l2 USING (vec_id)
+         |  ORDER BY adc_dist, v.vec_id LIMIT 20)
+         |SELECT vec_id, adc_dist, true_l2 FROM top20
+         |ORDER BY true_l2, vec_id LIMIT 5""".stripMargin
+    }) { (s, dir) =>
+      val emb = embTable(s, dir)
+      val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+      // q59's centroid build (6dp components so both engines' avg agrees)
+      val centroids = emb
+        .select(col("label"), posexplode(col("embedding")))
+        .groupBy(col("label"), col("pos"))
+        .agg(avg(col("col").cast("double")).as("v"))
+        .groupBy(col("label"))
+        .agg(sort_array(collect_list(struct(col("pos"), round(col("v"), 6).as("v"))))
+          .as("pv"))
+        .select(col("label"), expr("transform(pv, x -> x.v)").as("centroid"))
+      // nearest-2 lists by L2 (graft_dot's sequential fold == list_sum)
+      val cl2 = expr("graft_dot(centroid, centroid)") -
+        lit(2.0) * expr("graft_dot(centroid, qe)") + expr("graft_dot(qe, qe)")
+      val probe = centroids.crossJoin(broadcast(q))
+        .select(col("label"), cl2.as("cl2"))
+        .orderBy(col("cl2"), col("label"))
+        .limit(2).select(col("label"))
+      val cand = emb.filter(col("vec_id") =!= 0)
+        .join(broadcast(probe), Seq("label"))
+        .select(col("vec_id"))
+      pqAdcFor(s, dir, qid = 0)
+        .join(broadcast(cand), Seq("vec_id"))
+        .orderBy(col("adc_dist"), col("vec_id"))
+        .limit(20)
+        .orderBy(col("true_l2"), col("vec_id"))
+        .limit(5)
     }
   )
 
