@@ -99,6 +99,56 @@ class Round11OpsSpec extends SparkSpec {
     assert(in50 >= 0.3, s"ADC neighborhood collapsed: $in50")
   }
 
+  test("IVF-PQ rerank matches a first-principles reference, default AND widened geometry") {
+    val s = spark
+    val rows = graft.schema.Tables.t(spark, sf001, "embeddings")
+      .select(col("vec_id"), col("embedding"), col("label"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray,
+        r.getAs[Number](2).intValue))
+      .sortBy(_._1)
+    val byId = rows.map(v => v._1 -> v._2).toMap
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r9(x: Double) = BigDecimal(x)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def reference(m: Int, k: Int): Seq[Long] = {
+      val sub = 64 / m
+      val q = byId(0L)
+      // coarse: per-label centroids with 6dp components, nearest 2 by L2
+      val cents = rows.groupBy(_._3).map { case (l, vs) =>
+        l -> Array.tabulate(64)(i => r6(vs.map(_._2(i)).sum / vs.size))
+      }
+      def l2(a: Array[Double], b: Array[Double]) =
+        a.indices.map(i => (a(i) - b(i)) * (a(i) - b(i))).sum
+      val probed = cents.toSeq.sortBy { case (l, c) => (l2(c, q), l) }
+        .take(2).map(_._1).toSet
+      val cb = rows.takeWhile(_._1 < k).map(_._2)
+      def subDist(v: Array[Double], c: Array[Double], j: Int) =
+        (0 until sub).map { d =>
+          val i = j * sub + d; (v(i) - c(i)) * (v(i) - c(i))
+        }.sum
+      def codes(v: Array[Double]) = Array.tabulate(m) { j =>
+        cb.indices.minBy(c => (subDist(v, cb(c), j), c))
+      }
+      val lut = Array.tabulate(m, cb.size)((j, c) => r9(subDist(q, cb(c), j)))
+      val cands = rows.filter(v => v._1 != 0 && probed(v._3))
+      val top20 = cands.map { v =>
+        val cs = codes(v._2)
+        (v._1, r6((0 until m).map(j => lut(j)(cs(j))).sum))
+      }.sortBy { case (id, adc) => (adc, id) }.take(20)
+      top20.map { case (id, _) => (id, r6(l2(byId(id), q))) }
+        .sortBy { case (id, t) => (t, id) }.take(5).map(_._1).toSeq
+    }
+    def run(): Seq[Long] =
+      graft.SparkEntry.queries("q294_ivfpq_rerank")(spark, sf001)
+        .collect().map(_.getLong(0)).toSeq
+    assert(run() == reference(8, 64), "default-geometry IVF-PQ drifted")
+    s.conf.set("graft.pq.m", "16"); s.conf.set("graft.pq.k", "256")
+    try assert(run() == reference(16, 256), "widened-geometry IVF-PQ drifted")
+    finally { s.conf.unset("graft.pq.m"); s.conf.unset("graft.pq.k") }
+  }
+
   test("decayed sum/count/max match a sequential per-user reference") {
     val events = graft.schema.Tables.t(spark, sf001, "events")
       .select(col("user_id"), col("value").cast("double"),
