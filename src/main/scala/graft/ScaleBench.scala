@@ -392,14 +392,19 @@ object ScaleBench {
         (UniformEmbExpr, "uniform"))) {
         val pdir = s"$root/pq_$tag$n"
         genEmbeddings(spark, n, pdir, expr_)
-        for ((pm, pk) <- Seq((8, 64), (8, 256), (16, 256))) {
+        for ((pm, pk, residual) <- Seq((8, 64, false), (8, 256, false),
+          (16, 256, false), (8, 64, true), (8, 256, true), (16, 256, true))) {
           spark.conf.set("graft.pq.m", pm.toString)
           spark.conf.set("graft.pq.k", pk.toString)
           var recallSum = 0.0
           var rerankSum = 0.0
-          phase(s"q293_pq_${tag}_m${pm}k$pk", n) {
+          val kind = if (residual) "res" else "raw"
+          phase(s"q293_pq_${tag}_${kind}_m${pm}k$pk", n) {
             (256L until 276L).foreach { qid =>
-              val f = ops.VectorSearch.pqAdcFor(spark, pdir, qid)
+              val f =
+                if (residual)
+                  ops.VectorSearch.pqResidualAdcFor(spark, pdir, qid, nprobe = 0)
+                else ops.VectorSearch.pqAdcFor(spark, pdir, qid)
               val adc100 = f.orderBy(col("adc_dist"), col("vec_id"))
                 .limit(100).select(col("vec_id")).collect().map(_.getLong(0))
               val l2Top = f.orderBy(col("true_l2"), col("vec_id"))
@@ -412,7 +417,7 @@ object ScaleBench {
             }
             20L
           }
-          println(s"""SCALE {"phase":"q293_pq_${tag}_m${pm}k${pk}_recall",""" +
+          println(s"""SCALE {"phase":"q293_pq_${tag}_${kind}_m${pm}k${pk}_recall",""" +
             s""""docs":$n,"recall_at_10":${f(recallSum / 20.0)},""" +
             s""""top10_in_adc100":${f(rerankSum / 20.0)}}""")
           ops.CacheRegistry.clear(spark)

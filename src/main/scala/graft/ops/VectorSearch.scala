@@ -1585,8 +1585,155 @@ object VectorSearch {
         .limit(20)
         .orderBy(col("true_l2"), col("vec_id"))
         .limit(5)
+    },
+
+    // ---- residual IVF-PQ: quantize v − centroid, not v ----
+    // The textbook upgrade over q294, aimed at exactly the weakness the
+    // SCALE.md pq table measured: on CLUSTERED corpora, raw-vector codes
+    // waste their budget re-describing the cluster offset every vector
+    // shares, so within-list neighbors — the only ones that matter after
+    // the coarse probe — are near-indistinguishable. Coding the RESIDUAL
+    // (v − its list centroid) spends all code resolution on within-list
+    // variation (FAISS's IVF-PQ). The LUT becomes per-(list, code):
+    // dist_j(q − cent_l, rcb_c) for each probed list l — still O(nprobe·
+    // K·D) per query, independent of N. Residuals are exact IEEE
+    // subtractions of 6dp centroid components — bit-identical both
+    // engines; everything else is q294's discipline (struct-min codes,
+    // round(9) LUT, fixed-order sums, id tiebreaks, exact rerank).
+    Q("q295_ivfpq_residual", {
+      val dists = (0 until PqM).map(j =>
+        s"${pqSubDistSql("e.rv", "cb.rce", j, duck = true)} AS d$j")
+        .mkString(",\n    ")
+      val mins = (0 until PqM).map(j =>
+        s"min(struct_pack(d := d$j, c := c)) AS m$j").mkString(",\n    ")
+      val codeCols = (0 until PqM).map(j => s"m$j.c AS c$j").mkString(", ")
+      val luts = (0 until PqM).map(j =>
+        s"round(${pqSubDistSql("q.qr", "cb.rce", j, duck = true)}, 9) AS l$j")
+        .mkString(",\n    ")
+      val joins = (0 until PqM).map(j =>
+        s"JOIN lut t$j ON t$j.label = v.label AND t$j.c = v.c$j").mkString("\n  ")
+      val adc = (0 until PqM).map(j => s"t$j.l$j").mkString(" + ")
+      def l2Sql(a: String, b: String) =
+        s"""list_sum(list_transform(range(1, len($a) + 1),
+           |      i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))
+           |           * (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))))"""
+          .stripMargin
+      s"""WITH q0 AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |pos AS (SELECT label, generate_subscripts(embedding, 1) AS i,
+         |               CAST(unnest(embedding) AS DOUBLE) AS val FROM embeddings),
+         |cent AS (SELECT label, list(round(avg_v, 6) ORDER BY i) AS centroid
+         |         FROM (SELECT label, i, avg(val) AS avg_v FROM pos GROUP BY label, i)
+         |         GROUP BY label),
+         |probe AS (SELECT label, centroid FROM cent, q0
+         |          ORDER BY ${l2Sql("centroid", "qe")}, label LIMIT 2),
+         |res AS (SELECT e.vec_id, e.label,
+         |    list_transform(range(1, len(e.embedding) + 1),
+         |      i -> CAST(e.embedding[i] AS DOUBLE) - c.centroid[i]) AS rv
+         |  FROM embeddings e JOIN cent c USING (label)),
+         |rcb AS (SELECT vec_id AS c, rv AS rce FROM res WHERE vec_id < $PqK),
+         |d AS (SELECT e.vec_id, e.label, cb.c,
+         |    $dists
+         |  FROM res e, rcb cb),
+         |m AS (SELECT vec_id, label,
+         |    $mins
+         |  FROM d GROUP BY vec_id, label),
+         |codes AS (SELECT vec_id, label, $codeCols FROM m),
+         |q AS (SELECT p.label,
+         |    list_transform(range(1, len(q0.qe) + 1),
+         |      i -> CAST(q0.qe[i] AS DOUBLE) - p.centroid[i]) AS qr
+         |  FROM probe p, q0),
+         |lut AS (SELECT q.label, cb.c,
+         |    $luts
+         |  FROM rcb cb, q),
+         |l2 AS (SELECT e.vec_id, round(${l2Sql("e.embedding", "q0.qe")}, 6) AS true_l2
+         |  FROM embeddings e, q0),
+         |top20 AS (SELECT v.vec_id, round($adc, 6) AS adc_dist, l2.true_l2
+         |  FROM codes v
+         |  $joins
+         |  JOIN l2 USING (vec_id)
+         |  WHERE v.vec_id <> 0
+         |  ORDER BY adc_dist, v.vec_id LIMIT 20)
+         |SELECT vec_id, adc_dist, true_l2 FROM top20
+         |ORDER BY true_l2, vec_id LIMIT 5""".stripMargin
+    }) { (s, dir) =>
+      pqResidualAdcFor(s, dir, qid = 0, nprobe = 2)
+        .orderBy(col("adc_dist"), col("vec_id"))
+        .limit(20)
+        .orderBy(col("true_l2"), col("vec_id"))
+        .limit(5)
     }
   )
+
+  /** The q295 residual-ADC frame for an arbitrary query: (vec_id,
+    * adc_dist, true_l2) over the vectors of the `nprobe` nearest lists
+    * (nprobe ≤ 0 ⇒ ALL lists — the ScaleBench measurement mode that
+    * isolates residual-code quality from probe recall). */
+  private[graft] def pqResidualAdcFor(s: org.apache.spark.sql.SparkSession,
+      dir: String, qid: Long, nprobe: Int): org.apache.spark.sql.DataFrame = {
+    val (pm, pk) = pqGeom(s)
+    val emb = embTable(s, dir)
+    val q0 = emb.filter(col("vec_id") === qid).select(col("embedding").as("qe"))
+    val centroids = emb
+      .select(col("label"), posexplode(col("embedding")))
+      .groupBy(col("label"), col("pos"))
+      .agg(avg(col("col").cast("double")).as("v"))
+      .groupBy(col("label"))
+      .agg(sort_array(collect_list(struct(col("pos"), round(col("v"), 6).as("v"))))
+        .as("pv"))
+      .select(col("label"), expr("transform(pv, x -> x.v)").as("centroid"))
+    val cl2 = expr("graft_dot(centroid, centroid)") -
+      lit(2.0) * expr("graft_dot(centroid, qe)") + expr("graft_dot(qe, qe)")
+    val probe =
+      if (nprobe <= 0) centroids
+      else centroids.crossJoin(broadcast(q0))
+        .select(col("label"), col("centroid"), cl2.as("cl2"))
+        .orderBy(col("cl2"), col("label"))
+        .limit(nprobe).select(col("label"), col("centroid"))
+    val res = emb.join(broadcast(centroids), Seq("label"))
+      .select(col("vec_id"), col("label"),
+        expr("zip_with(embedding, centroid, (a, b) -> CAST(a AS DOUBLE) - b)")
+          .as("rv"))
+    val rcb = res.filter(col("vec_id") < pk)
+      .select(col("vec_id").as("c"), col("rv").as("rce"))
+    // the residual encode is query-independent — registry-cached per
+    // (dir, geometry) exactly like pqCodes, or a multi-query sweep would
+    // re-run the N×K aggregate once per query
+    val m = CacheRegistry.cache(s, s"pq-rescodes:$dir:m=$pm:k=$pk") {
+      val d = res.crossJoin(broadcast(rcb))
+        .select(col("vec_id") +: col("label") +: col("c") +:
+          (0 until pm).map(j =>
+            expr(pqSubDistSql("rv", "rce", j, duck = false, pm)).as(s"d$j")): _*)
+      d.groupBy(col("vec_id"), col("label"))
+        .agg(min(struct(col("d0").as("d"), col("c").as("c"))).as("m0"),
+          (1 until pm).map(j =>
+            min(struct(col(s"d$j").as("d"), col("c").as("c"))).as(s"m$j")): _*)
+    }
+    val codes = m.select(col("vec_id") +: col("label") +:
+      (0 until pm).map(j => col(s"m$j").getField("c").as(s"c$j")): _*)
+    val qr = broadcast(probe).crossJoin(broadcast(q0))
+      .select(col("label"),
+        expr("zip_with(qe, centroid, (a, b) -> CAST(a AS DOUBLE) - b)").as("qr"))
+    val lut = rcb.crossJoin(broadcast(qr))
+      .select(col("label") +: col("c") +: (0 until pm).map(j =>
+        round(expr(pqSubDistSql("qr", "rce", j, duck = false, pm)), 9)
+          .as(s"l$j")): _*)
+    val joined = (0 until pm).foldLeft(codes) { (df, j) =>
+      df.join(broadcast(lut.select(col("label").as(s"__lb$j"),
+          col("c").as(s"__c$j"), col(s"l$j"))),
+        col("label") === col(s"__lb$j") && col(s"c$j") === col(s"__c$j"))
+    }
+    val adc = (0 until pm).map(j => col(s"l$j")).reduce(_ + _)
+    val l2 = emb.crossJoin(broadcast(q0))
+      .select(col("vec_id"),
+        (expr("graft_dot(embedding, embedding)")
+          - lit(2.0) * expr("graft_dot(embedding, qe)")
+          + expr("graft_dot(qe, qe)")).as("t"))
+    joined
+      .filter(col("vec_id") =!= qid)
+      .select(col("vec_id"), round(adc, 6).as("adc_dist"))
+      .join(l2.select(col("vec_id"), round(col("t"), 6).as("true_l2")),
+        Seq("vec_id"))
+  }
 
   /** The q293 ADC frame for an arbitrary query vector: (vec_id, adc_dist,
     * true_l2) over every non-query vector — the registered query takes
