@@ -130,6 +130,17 @@ object Bench {
     // complete artifact a judge can read without tail-truncation risk.
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "bench_detail.json")
     try {
+      // rotate the previous run's detail before overwriting: per-query cpu
+      // is the load-insensitive channel for adjudicating wall drift between
+      // rounds, and it was unrecoverable once overwritten (VERDICT r11
+      // item 2). Round-close archives (bench_detail_r<N>.json) are copied
+      // by hand; this one-deep rotation covers every run in between.
+      val p = java.nio.file.Paths.get(detailPath)
+      if (java.nio.file.Files.exists(p)) {
+        java.nio.file.Files.copy(p,
+          p.resolveSibling("bench_detail_prev.json"),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
       val rows = results.map { case (k, v, a, b) =>
         s"""  "$k": {"min_sec": ${f3(v)}, "run1_sec": ${f3(a.wallSec)}, """ +
           s""""run2_sec": ${f3(b.wallSec)}, "shuffle_mb_r1": ${f1(a.bytes / 1e6)}, """ +

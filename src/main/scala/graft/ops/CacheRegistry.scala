@@ -99,9 +99,15 @@ object CacheRegistry {
   def release(s: SparkSession, prefix: String): Unit =
     cached.keys.filter(k => (k._1 eq s) && k._2.startsWith(prefix)).foreach(drop)
 
-  /** Unpersist and forget every frame registered for this session. */
-  def clear(s: SparkSession): Unit =
+  /** Unpersist and forget every frame registered for this session, and
+    * drain the loop-pin tracker for its CONTEXT (pins are context-global
+    * storage — loops run in child sessions — and checkpointed frames
+    * cannot recompute, so this is the end-of-run hook, not a mid-run
+    * eviction; see Loops "Pin lifecycle"). */
+  def clear(s: SparkSession): Unit = {
     cached.keys.filter(_._1 eq s).foreach(drop)
+    Loops.releaseAll(s.sparkContext)
+  }
 
   /** Number of live cached frames for a session (test/diagnostic hook). */
   def size(s: SparkSession): Int = cached.keys.count(_._1 eq s)

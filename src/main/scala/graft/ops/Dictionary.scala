@@ -9,7 +9,7 @@ import graft.schema.Tables.t
   * dimension table loaded once into an in-memory lookup structure,
   * then O(1) per-row lookups with no join and no shuffle — exactly how
   * the destination's users enrich facts without paying a dim exchange
-  * (cf. /root/reference/prepare-functions.go's ClickHouse-side query
+  * (cf. /root/reference/cmd/kafka-consumer/prepare-functions.go's ClickHouse-side query
   * surface).
   *
   * Spark-first shape: the dictionary is the dim table COLLECTED at plan

@@ -9,7 +9,7 @@ import graft.schema.Tables.t
   * ships: benchmark-contamination detection, PII detection/redaction, and
   * an inverted-index (posting-list) token search — the `hasToken`-style
   * destination search the reference's users run at the ClickHouse end
-  * (cf. /root/reference/prepare-functions.go:161-176).
+  * (cf. /root/reference/cmd/kafka-consumer/prepare-functions.go:161-176).
   *
   * All three are STRICT-checked against the DuckDB oracle. */
 object Governance {

@@ -199,8 +199,8 @@ object GraphOps {
     * round. Returns (vec_id, pr). */
   def pagerank(nodes: DataFrame, edges: DataFrame, rounds: Int,
       teleportTo: Option[DataFrame] = None): DataFrame = {
-    val (base, step) = prSetup(nodes, edges, teleportTo)
-    var pr = base.select(col("vec_id"), col("__pr0").as("pr")).pin()
+    val (base, step, ps) = prSetup(nodes, edges, teleportTo)
+    var pr = base.select(col("vec_id"), col("__pr0").as("pr")).pin(ps)
     (1 to rounds).foreach(_ => pr = step(pr))
     pr
   }
@@ -210,7 +210,8 @@ object GraphOps {
     * [[pagerank]] has always run — extracting it changes nothing the
     * q128/q133 oracles observe). */
   private def prSetup(nodes: DataFrame, edges: DataFrame,
-      teleportTo: Option[DataFrame]): (DataFrame, DataFrame => DataFrame) = {
+      teleportTo: Option[DataFrame])
+      : (DataFrame, DataFrame => DataFrame, Loops.PinScope) = {
     val outd = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     val e2 = edges.join(outd, Seq("src"))
     val decSum = (c: Column) => sum(c.cast("decimal(38,12)")).cast("double")
@@ -232,7 +233,10 @@ object GraphOps {
             when(col("__in"), lit(0.15 / m)).otherwise(lit(0.0)).as("__tele"),
             when(col("__in"), round(lit(1.0 / m), 9)).otherwise(lit(0.0)).as("__pr0"))
     }
+    // base feeds EVERY round's left join — an anchor pin (never pruned
+    // mid-loop); the rank chain prunes round k−1 once round k is pinned
     val base = flagged.pin()
+    val ps = Loops.scope(nodes.sparkSession)
     val step = (pr: DataFrame) => {
       val contrib = e2.join(pr.withColumnRenamed("vec_id", "src"), Seq("src"))
         .groupBy(col("dst"))
@@ -241,9 +245,9 @@ object GraphOps {
       base.join(contrib, Seq("vec_id"), "left")
         .select(col("vec_id"),
           round(col("__tele") + lit(0.85) * coalesce(col("s"), lit(0.0)), 9).as("pr"))
-        .pin() // narrow N-row state; keeps per-round lineage flat
+        .pin(ps) // narrow N-row state; keeps per-round lineage flat
     }
-    (base, step)
+    (base, step, ps)
   }
 
   /** Incremental-maintenance PageRank: iterate the [[pagerank]] recurrence
@@ -262,14 +266,14 @@ object GraphOps {
       tol: Double, init: Option[DataFrame] = None,
       teleportTo: Option[DataFrame] = None): (DataFrame, Int) = {
     require(maxRounds >= 1, s"pagerankUntil: maxRounds $maxRounds < 1")
-    val (base, step) = prSetup(nodes, edges, teleportTo)
+    val (base, step, ps) = prSetup(nodes, edges, teleportTo)
     var pr = (init match {
       case Some(prev) =>
         base.join(prev.select(col("vec_id"), col("pr").as("__warm")),
             Seq("vec_id"), "left")
           .select(col("vec_id"), coalesce(col("__warm"), col("__pr0")).as("pr"))
       case None => base.select(col("vec_id"), col("__pr0").as("pr"))
-    }).pin()
+    }).pin(ps)
     var rounds = 0
     var delta = Double.MaxValue
     while (rounds < maxRounds && delta > tol) {
@@ -401,9 +405,10 @@ object GraphOps {
     }) { (s, dir) =>
       val emb = embTable(s, dir)
       val knn = knnEdges(s, dir).select(col("vec_id"), col("nbr_id"))
+      val ps = Loops.scope(s)
       var lab = emb.select(col("vec_id"),
           when(col("vec_id") < 100, col("label")).as("lab"))
-        .pin()
+        .pin(ps)
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("vec_id")).orderBy(col("n").desc, col("lab"))
       (1 to 2).foreach { _ =>
@@ -418,7 +423,7 @@ object GraphOps {
           .select(col("vec_id"),
             when(col("vec_id") < 100, col("lab"))
               .otherwise(coalesce(col("win"), col("lab"))).as("lab"))
-          .pin() // narrow (id, label) state per round
+          .pin(ps) // narrow (id, label) state per round
       }
       lab.join(emb.select(col("vec_id"), col("label").as("true_label")), Seq("vec_id"))
         .select(col("vec_id"), col("lab").as("prop_label"), col("true_label"))
@@ -567,9 +572,10 @@ object GraphOps {
     }) { (s, dir) =>
       val emb = embTable(s, dir)
       val knn = knnEdges(s, dir).select(col("vec_id"), col("nbr_id"), col("c"))
+      val ps = Loops.scope(s)
       var lab = emb.select(col("vec_id"),
           when(col("vec_id") < 100, col("label")).as("lab"))
-        .pin()
+        .pin(ps)
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("vec_id")).orderBy(col("wv").desc, col("lab"))
       (1 to 2).foreach { _ =>
@@ -585,7 +591,7 @@ object GraphOps {
           .select(col("vec_id"),
             when(col("vec_id") < 100, col("lab"))
               .otherwise(coalesce(col("win"), col("lab"))).as("lab"))
-          .pin()
+          .pin(ps)
       }
       lab.join(emb.select(col("vec_id"), col("label").as("true_label")), Seq("vec_id"))
         .select(col("vec_id"), col("lab").as("prop_label"), col("true_label"))

@@ -10,10 +10,11 @@ package graft.ops
   * restart markers. Progressive (SOF2) and arithmetic coding are rejected
   * with a clear error: they are a different scan machine, and rejecting
   * loudly beats decoding wrongly. Reference: ITU-T T.81 (the JPEG spec,
-  * public); layout semantics anchored on the same JFIF structures the
-  * reference pipeline ships around opaquely
-  * (`/root/reference/internal/models/models.go:1-40` treats payloads as
-  * opaque bytes — the decode itself is net-new capability).
+  * public). The reference pipeline ships media payloads around as opaque
+  * bytes end to end (`/root/reference/pkg/converter/converter.go:52-57`
+  * unmarshals the raw message bytes; `/root/reference/internal/collector/
+  * collector.go:33` accumulates them untyped) — the decode itself is
+  * net-new capability.
   *
   * The IDCT is the straightforward double-precision separable DCT-III
   * with final rounding. T.81 does not mandate one IDCT (conforming
@@ -201,10 +202,17 @@ object JpegCodec {
     var scanDc: Array[Int] = null
     var scanAc: Array[Int] = null
     while (sosAt < 0) {
-      require(p + 4 <= data.length, "truncated JPEG before SOS")
+      require(p + 2 <= data.length, "truncated JPEG before SOS")
       require((data(p) & 0xff) == 0xff, f"expected marker at $p")
+      // T.81 B.1.1.2: a marker may be preceded by any number of 0xFF fill
+      // bytes — skip to the last 0xFF before the marker id (ADVICE r11)
+      while (p + 2 < data.length && (data(p + 1) & 0xff) == 0xff) p += 1
       val m = data(p + 1) & 0xff
-      if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7)) { p += 2 } // SOI/RSTn: no payload
+      require(m != 0xd9, "EOI before SOS — stream carries no image scan")
+      if (m == 0xd8 || m == 0x01 || (m >= 0xd0 && m <= 0xd7)) { p += 2 } // SOI/TEM/RSTn: no payload
+      else if (p + 4 > data.length) {
+        throw new IllegalArgumentException("truncated JPEG before SOS")
+      }
       else {
         val len = u16(data, p + 2)
         val seg = p + 4
@@ -314,6 +322,10 @@ object JpegCodec {
           val cv = compHV(c) & 0x0f
           val quant = qt(compQ(c))
           require(quant != null, s"missing quant table ${compQ(c)}")
+          // a scan referencing an undelivered Huffman table must fail like
+          // the quant check above, not NPE inside decodeHuff (ADVICE r11)
+          require(dcH(scanDc(sc)) != null, s"missing DC Huffman table ${scanDc(sc)}")
+          require(acH(scanAc(sc)) != null, s"missing AC Huffman table ${scanAc(sc)}")
           var by = 0
           while (by < cv) {
             var bx = 0

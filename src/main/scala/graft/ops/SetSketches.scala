@@ -10,7 +10,7 @@ import graft.schema.Tables.t
   * union/intersect estimates), the `groupBitmapAnd/Or/Xor` bitmap
   * aggregate surface, the `sumForEach`/`avgForEach` array combinators,
   * and `anyHeavy`/`mode` + `entropy` per group
-  * (cf. /root/reference/prepare-functions.go:161-176 — the reference's
+  * (cf. /root/reference/cmd/kafka-consumer/prepare-functions.go:161-176 — the reference's
   * users run these at the ClickHouse destination).
   *
   * The KMV estimator here is CHECKED-approximate, the q167 discipline:

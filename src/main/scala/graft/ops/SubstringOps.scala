@@ -75,6 +75,7 @@ object SubstringOps {
       : (Seq[(String, String)], DataFrame) = {
     var vocab = words.select(
       col("word"), col("cnt"), split(col("word"), "").as("syms"))
+    val ps = Loops.scope(words.sparkSession) // vocab chain: pin k supersedes k−1
     val merges = Seq.newBuilder[(String, String)]
     var round = 0
     var done = false
@@ -100,7 +101,7 @@ object SubstringOps {
         // truncate lineage every few rewrites: each merge nests another
         // fold into the plan, and an unbounded expression tree is a driver
         // cost even before execution (same discipline as clusterPairs)
-        if (round % 4 == 0) vocab = vocab.pin(false)
+        if (round % 4 == 0) vocab = vocab.pin(ps, false)
       }
     }
     (merges.result(), vocab)

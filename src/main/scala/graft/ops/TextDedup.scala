@@ -297,6 +297,7 @@ object TextDedup {
     var labels: DataFrame = null
     var converged = false
     var round = 0
+    val ps = Loops.scope(loop) // chain scope: round k supersedes k−1
     try {
       val seedBase = edges.groupBy(col("a").as("doc")).agg(min(col("b")).as("lbl"))
       val seed =
@@ -309,7 +310,7 @@ object TextDedup {
             .select(col("doc"),
               least(col("lbl"), coalesce(col("r"), col("lbl"))).as("lbl"))
         } else seedBase
-      labels = seed.pin(eager = false)
+      labels = seed.pin(ps, eager = false)
       // Min-propagation is monotone: labels only ever decrease, so the label
       // sum is a complete convergence signal — computing it on the lazily-
       // checkpointed frame materializes the checkpoint AND returns the
@@ -330,7 +331,7 @@ object TextDedup {
         val prop = doubled.join(edges, col("doc") === col("a"))
           .select(col("b").as("doc"), col("lbl"))
           .groupBy(col("doc")).agg(min(col("lbl")).as("lbl"))
-          .pin(eager = false) // first action checkpoints + truncates lineage
+          .pin(ps, eager = false) // first action checkpoints + truncates lineage
         val sumNow = prop.agg(sum(col("lbl"))).head().getLong(0)
         labels = prop
         converged = sumNow == prevSum
@@ -419,11 +420,12 @@ object TextDedup {
     // the partition's nodes — bounded by the scan's maxPartitionBytes at
     // any corpus size. Applied only to LongType node ids (every ops.*
     // caller) so label output types never shift.
+    val ps = Loops.scope(loop) // chain scope: each alternation supersedes the last
     val preContracted =
       if (nEdges > 0 &&
         init.schema.fields.forall(_.dataType ==
           org.apache.spark.sql.types.LongType))
-        localForest(edges0).pin(eager = false)
+        localForest(edges0).pin(ps, eager = false)
       else edges0
     // decimal(38,0) sum: a long sum of 2^63-scale hashes overflows (an
     // ERROR under ANSI mode, silent wraparound otherwise); 1e12 edges ×
@@ -458,7 +460,7 @@ object TextDedup {
           .select(col("v").as("u"), col("m").as("v"))
           .union(minsS.select(col("u"), col("m").as("v")))
           .distinct()
-          .pin(eager = false) // first action checkpoints + truncates lineage
+          .pin(ps, eager = false) // first action checkpoints + truncates lineage
         val sig = signature(small)
         edges = small
         converged = sig == prevSig

@@ -8,7 +8,7 @@ import graft.schema.Tables.t
 
 /** Time-series diagnostics over the landed `events` table — the
   * seriesPeriodDetectFFT / seriesOutliersDetectTukey-adjacent surface of
-  * the destination engine (cf. /root/reference/prepare-functions.go:161-176
+  * the destination engine (cf. /root/reference/cmd/kafka-consumer/prepare-functions.go:161-176
   * — the reference's users run analytical SQL at the ClickHouse end):
   * dominant-period detection (q239), CUSUM changepoint (q240), Theil–Sen
   * robust trend (q241), autocorrelation (q242).

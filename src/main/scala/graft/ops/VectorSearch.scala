@@ -397,6 +397,9 @@ object VectorSearch {
     var assigned: org.apache.spark.sql.DataFrame = null
     var rounds = 0
     var converged = false
+    // chain scope: the convergence join and centroid rebuild read round
+    // k−1 after round k pins — both stay inside the scope's keep-2 window
+    val ps = Loops.scope(embIn.sparkSession)
     while (rounds < maxRounds && !converged) {
       val seedRow = centroids
         .agg(array_sort(collect_list(struct(col("seed_id"), col("ce")))).as("seeds"))
@@ -407,7 +410,7 @@ object VectorSearch {
           .as("b"))
         .select(col("vec_id"), col("embedding"),
           (-col("b.negseed")).as("seed_id"), col("b.cos").as("cos"))
-        .pin()
+        .pin(ps)
       converged = assigned != null && next.as("n")
         .join(assigned.as("p"), "vec_id")
         .filter(col("n.seed_id") =!= col("p.seed_id")).isEmpty
@@ -1199,10 +1202,14 @@ object VectorSearch {
       val emb = embTable(s, dir).select(col("vec_id"), col("embedding"))
       val cosC = round(dotExpr("embedding", "ce")
         / (normExpr("embedding") * normExpr("ce")), 9)
+      // one scope for both lock-step chains (chosen + per-round winner):
+      // their pins strictly alternate, so each one's predecessor stays
+      // inside the keep-2 window until its successor has materialized
+      val ps = Loops.scope(s)
       var chosen = emb.orderBy(col("vec_id")).limit(1)
         .select(lit(1L).as("rank"), col("vec_id"), col("embedding"),
           lit(null).cast("double").as("sel_d"))
-        .pin()
+        .pin(ps)
       for (k <- 2 to 5) {
         val cand = emb
           .join(chosen.select(col("vec_id")), Seq("vec_id"), "left_anti")
@@ -1214,8 +1221,8 @@ object VectorSearch {
             col("embedding").as("emb"))).as("w"))
           .select(lit(k.toLong).as("rank"), (-col("w.ni")).as("vec_id"),
             col("w.emb").as("embedding"), col("w.md").as("sel_d"))
-          .pin()
-        chosen = chosen.unionByName(w).pin()
+          .pin(ps)
+        chosen = chosen.unionByName(w).pin(ps)
       }
       chosen.select(col("rank").cast("long").as("rank"),
           col("vec_id").cast("long").as("vec_id"), col("sel_d"))
@@ -1970,6 +1977,11 @@ object VectorSearch {
     // |x·v| ≤ 64·max² here — value-identical to the oracle's
     // DECIMAL(38,12) per-product cast + exact sum (see ArrayDotDec).
     import s.implicits._
+    // chain scope: round state re-enters as an array LITERAL, so round k
+    // never reads round k−1's blocks — keep-2 is conservative here. The
+    // deflate pivots are FINAL pins of earlier powerLoop scopes (never
+    // pruned), so projecting against them each round stays safe.
+    val pinScope = Loops.scope(s)
     var v = (1 to Dim).map(p => (p.toLong, 0.125)).toDF("pos", "v")
     var vArr: Seq[Double] = Seq.fill(Dim)(0.125)
     (1 to rounds).foreach { _ =>
@@ -2008,7 +2020,7 @@ object VectorSearch {
       val n = w.agg(sqrt(decSum(col("w") * col("w"))).as("n"))
       v = w.crossJoin(broadcast(n))
         .select(col("pos"), round(col("w") / col("n"), 9).as("v"))
-        .pin() // 64 rows; truncates the per-round lineage
+        .pin(pinScope) // 64 rows; truncates the per-round lineage
       // next round's literal — the checkpointed values verbatim (collect
       // of a 64-row frame; doubles round-trip bit-exactly)
       vArr = v.orderBy(col("pos")).collect().map(_.getDouble(1)).toSeq
