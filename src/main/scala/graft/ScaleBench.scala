@@ -240,7 +240,7 @@ object ScaleBench {
     // "image" / "spans" rerun ONLY that family (corpus gen is cached).
     val phaseSel = sys.env.getOrElse("SPARK_GRAFT_SCALE_PHASES", "all")
     require(Set("all", "postloop", "semdedup", "image", "spans", "events", "cc",
-      "contam", "triangles", "minhash", "funnel", "pq").contains(phaseSel),
+      "contam", "triangles", "minhash", "funnel", "pq", "nprobe").contains(phaseSel),
       s"SPARK_GRAFT_SCALE_PHASES must be 'all', 'postloop', 'semdedup', 'image', 'spans', 'events', 'cc', 'contam', 'triangles', 'minhash', 'funnel' or 'pq'," +
         s" got '$phaseSel' (a typo would silently skip corpus generation)")
     // ---- q276 triangles: the degree-orientation wedge bound ----
@@ -428,6 +428,54 @@ object ScaleBench {
       spark.stop(); return
     }
 
+    // ---- recall vs nprobe on the clustered twin (residual IVF-PQ) ----
+    // nprobe is THE deployed recall knob of IVF-PQ: it trades scanned
+    // lists (cost ∝ nprobe/L of the corpus at scan time — here L = 20)
+    // against coverage of the true neighbors' lists. Measured where the
+    // knob matters — the clustered twin, residual codes — at the default
+    // (8,64) geometry and the (16,256) real-recall geometry: for 20
+    // query vectors, how much of the exact FULL-corpus L2 top-10 the
+    // probed ADC top-100 candidate set retains (the exact-rerank
+    // ceiling), plus the scanned-candidate fraction (the cost axis).
+    if (phaseSel == "nprobe") {
+      val n = sizes.min
+      val pdir = s"$root/pq_clustered$n"
+      genEmbeddings(spark, n, pdir, ClusteredEmbExpr)
+      for ((pm, pk) <- Seq((8, 64), (16, 256))) {
+        spark.conf.set("graft.pq.m", pm.toString)
+        spark.conf.set("graft.pq.k", pk.toString)
+        // exact ground truth per qid, computed once (nprobe = 0 scans all
+        // lists and carries true_l2 for every vector)
+        val truth = (256L until 276L).map { qid =>
+          qid -> ops.VectorSearch.pqResidualAdcFor(spark, pdir, qid, nprobe = 0)
+            .orderBy(col("true_l2"), col("vec_id"))
+            .limit(10).select(col("vec_id")).collect().map(_.getLong(0)).toSet
+        }.toMap
+        for (np <- Seq(1, 2, 4, 8)) {
+          var recallSum = 0.0
+          var candSum = 0L
+          phase(s"q295_nprobe_${np}_m${pm}k$pk", n) {
+            (256L until 276L).foreach { qid =>
+              val fr = ops.VectorSearch
+                .pqResidualAdcFor(spark, pdir, qid, nprobe = np)
+              candSum += fr.count()
+              val adc100 = fr.orderBy(col("adc_dist"), col("vec_id"))
+                .limit(100).select(col("vec_id")).collect().map(_.getLong(0))
+              recallSum += (adc100.toSet & truth(qid)).size / 10.0
+            }
+            20L
+          }
+          println(s"""SCALE {"phase":"q295_nprobe_${np}_m${pm}k${pk}_recall",""" +
+            s""""docs":$n,"top10_in_adc100":${f(recallSum / 20.0)},""" +
+            s""""scanned_frac":${f(candSum / 20.0 / (n - 1))}}""")
+        }
+        spark.conf.unset("graft.pq.m")
+        spark.conf.unset("graft.pq.k")
+        ops.CacheRegistry.clear(spark)
+      }
+      spark.stop(); return
+    }
+
     // ---- the composed dedup funnel, end to end at two sizes ----
     // q283 is the report a nightly curation run lands; its PIECES are
     // measured linear individually (shingles, capped pairs, CC) but the
@@ -439,18 +487,25 @@ object ScaleBench {
     // family would otherwise contribute its quadratic hot-key mass.
     // Linearity = wall/shuffle ratios ≈ 2× between the two sizes.
     if (phaseSel == "funnel") {
+      // SPARK_GRAFT_MINHASH_K re-runs the composition at a production
+      // signature width (k=64 is the documented 100 TB sweet spot —
+      // 7.4× the default's band shuffle); default leaves the oracle width
+      val widthK = sys.env.get("SPARK_GRAFT_MINHASH_K")
+      val tag = widthK.map(k => s"_k$k").getOrElse("")
       sizes.foreach { n =>
         val fdir = s"$root/n$n"
         gen(spark, n, fdir)
         spark.conf.set("graft.textdedup.maxShingleDf", "64")
+        widthK.foreach(k => spark.conf.set("graft.minhash.hashes", k))
         Seq("q40_dedup_exact", "q41_minhash_lsh", "q42_ngram_jaccard",
           "q72_neardup_clusters", "q277_cluster_keeper", "q283_dedup_funnel")
           .foreach { qn =>
-            phase(s"funnel_$qn", n) {
+            phase(s"funnel_$qn$tag", n) {
               SparkEntry.queries(qn)(spark, fdir).count()
             }
           }
         spark.conf.unset("graft.textdedup.maxShingleDf")
+        widthK.foreach(_ => spark.conf.unset("graft.minhash.hashes"))
         ops.CacheRegistry.clear(spark)
       }
       spark.stop(); return

@@ -19,6 +19,20 @@ object Verify {
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Conf knobs whose REGISTERED oracles are statically generated at the
+    // default value (the SQL text can't read a runtime conf): a session
+    // that inherits a non-default (spark-defaults.conf, a wrapper script)
+    // would make the strict compare silently wrong — q292–q295 would run
+    // the widened PQ geometry against the 8/64 oracle (ADVICE r11). Fail
+    // loudly before any query runs; sweeps that set these knobs go through
+    // ScaleBench / the internal frames, never through Verify.
+    Seq("graft.pq.m" -> "8", "graft.pq.k" -> "64", "graft.pq.nprobe" -> "2",
+      "graft.minhash.hashes" -> "8", "graft.minhash.bandRows" -> "2")
+      .foreach { case (k, d) =>
+        val v = spark.conf.getOption(k)
+        require(v.forall(_.trim == d), s"$k=${v.getOrElse("")} but the " +
+          s"registered oracles are baked at the default $d — unset it before Verify")
+      }
     new java.io.File(outDir).mkdirs()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -501,13 +501,84 @@ object ImageOps {
         }
         .toDF("doc_id", "n_components", "jdk_parity_within_8")
         .orderBy(col("doc_id"))
+    },
+
+    // ---- progressive JPEG decode audit: the SOF2 scan machine ----
+    // q285's per-document cross-decoder audit with the SAME rasters
+    // re-encoded through the JDK writer's PROGRESSIVE scan script
+    // (SOF2: interleaved DC-first scan, per-component spectral-band AC
+    // scans, successive-approximation DC+AC refinement passes — the
+    // most common real-corpus format the engine previously rejected).
+    // [[JpegCodec.decodeProgressive]]'s coefficient accumulation, EOBRUN
+    // handling, and refinement bit protocol all exercise per document,
+    // cross-checked against the JDK's independent progressive decoder;
+    // the sequential-vs-progressive agreement is pinned separately in
+    // JpegCodecSpec. Scale shape identical to q284/q285: one
+    // embarrassingly-parallel mapPartitions, zero shuffle before the sort.
+    Q("q297_jpeg_progressive_decode",
+      """SELECT doc_id, CAST(3 AS INT) AS n_components,
+        |  CAST(1 AS BOOLEAN) AS jdk_parity_within_8
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      t(s, dir, "documents")
+        .select(col("doc_id"))
+        .as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val a = (id % 5 + 1).toInt; val b = (id % 3 + 1).toInt
+            val c = (id % 4 + 1).toInt; val d = (id % 6 + 1).toInt
+            val px = new Array[Int](3 * JpegW * JpegH)
+            var y = 0
+            while (y < JpegH) {
+              var x = 0
+              while (x < JpegW) {
+                val base = 3 * (y * JpegW + x)
+                px(base) = 16 + a * x + b * y
+                px(base + 1) = 200 - c * x - y
+                px(base + 2) = 40 + x + d * y
+                x += 1
+              }
+              y += 1
+            }
+            val bytes = jpegEncodeRgbJdk(JpegW, JpegH, px, 0.9f,
+              progressive = true)
+            val ours = JpegCodec.decode(bytes)
+            val jdk = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bytes))
+            var maxd = 0
+            if (ours.ncomp == 3 && ours.width == JpegW && ours.height == JpegH) {
+              var yy = 0
+              while (yy < JpegH) {
+                var xx = 0
+                while (xx < JpegW) {
+                  val rgb = jdk.getRGB(xx, yy)
+                  val base = 3 * (yy * JpegW + xx)
+                  var ch = 0
+                  while (ch < 3) {
+                    val j = (rgb >> (16 - 8 * ch)) & 0xff
+                    val dd = math.abs(ours.pixels(base + ch) - j)
+                    if (dd > maxd) maxd = dd
+                    ch += 1
+                  }
+                  xx += 1
+                }
+                yy += 1
+              }
+            } else maxd = 256
+            (id, ours.ncomp, maxd <= 8)
+          }
+        }
+        .toDF("doc_id", "n_components", "jdk_parity_within_8")
+        .orderBy(col("doc_id"))
     }
   )
 
   /** RGB JPEG bytes via the JDK encoder (writes 4:2:0 YCbCr) at a pinned
-    * quality — the color half of the cross-decoder audit. */
+    * quality — the color half of the cross-decoder audit. `progressive`
+    * switches the writer to its default progressive scan script (SOF2) —
+    * the q297 fixture path. */
   private[ops] def jpegEncodeRgbJdk(w: Int, h: Int, px: Array[Int],
-      quality: Float): Array[Byte] = {
+      quality: Float, progressive: Boolean = false): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(w, h,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
     var y = 0
@@ -528,6 +599,8 @@ object ImageOps {
     val p = wr.getDefaultWriteParam
     p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
     p.setCompressionQuality(quality)
+    if (progressive)
+      p.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
     wr.write(null, new javax.imageio.IIOImage(img, null, null), p)
     ios.close(); wr.dispose()
     bos.toByteArray

@@ -838,25 +838,32 @@ object PipelineOps {
       // predicate codegens into the window's own output stage, the BNLJ
       // and the extra scan disappear, and the dedicated tw pass is the
       // cheapest possible shape (vectorized scan + map-side-combined sum).
-      val tw = li.agg(sum(col("w"))).head().getLong(0)
-      val cum = graft.ops.Skew.globalRunningSum(li,
-        Seq(col("v").asc, col("l_orderkey").asc, col("l_linenumber").asc),
-        value = col("w"),
-        numPartitions = s.conf.get("spark.sql.shuffle.partitions").toInt)
-      // Filter to boundary-crossing rows BEFORE the Generate: the explode
-      // used to evaluate the sequence CASE (and allocate an empty array)
-      // for every corpus row. The integer predicate keeps ≤9 rows
-      // corpus-wide, so the explode is free; the kept rows' sequences are
-      // non-empty by construction.
-      cum
-        .filter(expr(
-          s"(cum - w) * 10 DIV ${tw}L + 1 <= least(cum * 10 DIV ${tw}L, 9L)"))
-        .select(col("v"), explode(expr(
-          s"sequence((cum - w) * 10 DIV ${tw}L + 1, least(cum * 10 DIV ${tw}L, 9L))"))
-          .as("decile"))
-        .filter(col("decile").between(1, 9))
-        .groupBy(col("decile")).agg(min(col("v")).as("value"))
-        .orderBy(col("decile"))
+      // sum over ZERO rows is NULL (and tw=0 would divide by zero in the
+      // DIV predicate below): an empty lineitem yields the same empty
+      // decile frame the oracle's join-against-empty produces (ADVICE r11)
+      val twRow = li.agg(sum(col("w"))).head()
+      val tw = if (twRow.isNullAt(0)) 0L else twRow.getLong(0)
+      if (tw == 0L) li.select(lit(0L).as("decile"), col("v").as("value")).limit(0)
+      else {
+        val cum = graft.ops.Skew.globalRunningSum(li,
+          Seq(col("v").asc, col("l_orderkey").asc, col("l_linenumber").asc),
+          value = col("w"),
+          numPartitions = s.conf.get("spark.sql.shuffle.partitions").toInt)
+        // Filter to boundary-crossing rows BEFORE the Generate: the explode
+        // used to evaluate the sequence CASE (and allocate an empty array)
+        // for every corpus row. The integer predicate keeps ≤9 rows
+        // corpus-wide, so the explode is free; the kept rows' sequences are
+        // non-empty by construction.
+        cum
+          .filter(expr(
+            s"(cum - w) * 10 DIV ${tw}L + 1 <= least(cum * 10 DIV ${tw}L, 9L)"))
+          .select(col("v"), explode(expr(
+            s"sequence((cum - w) * 10 DIV ${tw}L + 1, least(cum * 10 DIV ${tw}L, 9L))"))
+            .as("decile"))
+          .filter(col("decile").between(1, 9))
+          .groupBy(col("decile")).agg(min(col("v")).as("value"))
+          .orderBy(col("decile"))
+      }
     },
 
     // ---- batch sessionization (30-minute inactivity gap) ----

@@ -1481,10 +1481,7 @@ object VectorSearch {
          |    $luts
          |  FROM cb, q),
          |l2 AS (SELECT e.vec_id,
-         |    list_sum(list_transform(range(1, len(e.embedding) + 1),
-         |      i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(q.qe[i] AS DOUBLE))
-         |           * (CAST(e.embedding[i] AS DOUBLE) - CAST(q.qe[i] AS DOUBLE))))
-         |      AS t
+         |    ${l2FullSql("e.embedding", "q.qe", duck = true)} AS t
          |  FROM embeddings e, q)
          |SELECT v.vec_id, round($adc, 6) AS adc_dist,
          |  round(l2.t, 6) AS true_l2
@@ -1527,11 +1524,7 @@ object VectorSearch {
         .mkString(",\n    ")
       val mins = (0 until PqM).map(j =>
         s"min(struct_pack(d := d$j, c := c)) AS m$j").mkString(",\n    ")
-      def l2Sql(a: String, b: String) =
-        s"""list_sum(list_transform(range(1, len($a) + 1),
-           |      i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))
-           |           * (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))))"""
-          .stripMargin
+      def l2Sql(a: String, b: String) = l2FullSql(a, b, duck = true)
       s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
          |pos AS (SELECT label, generate_subscripts(embedding, 1) AS i,
          |               CAST(unnest(embedding) AS DOUBLE) AS val FROM embeddings),
@@ -1539,7 +1532,7 @@ object VectorSearch {
          |         FROM (SELECT label, i, avg(val) AS avg_v FROM pos GROUP BY label, i)
          |         GROUP BY label),
          |probe AS (SELECT label FROM cent, q
-         |          ORDER BY ${l2Sql("centroid", "qe")}, label LIMIT 2),
+         |          ORDER BY round(${l2Sql("centroid", "qe")}, 9), label LIMIT 2),
          |cand AS (SELECT e.vec_id FROM embeddings e JOIN probe p
          |           ON e.label = p.label WHERE e.vec_id <> 0),
          |cb AS (SELECT vec_id AS c, embedding AS ce FROM embeddings
@@ -1576,13 +1569,13 @@ object VectorSearch {
         .agg(sort_array(collect_list(struct(col("pos"), round(col("v"), 6).as("v"))))
           .as("pv"))
         .select(col("label"), expr("transform(pv, x -> x.v)").as("centroid"))
-      // nearest-2 lists by L2 (graft_dot's sequential fold == list_sum)
-      val cl2 = expr("graft_dot(centroid, centroid)") -
-        lit(2.0) * expr("graft_dot(centroid, qe)") + expr("graft_dot(qe, qe)")
+      // nearest-2 lists by the 9dp-rounded full-dim squared-diff sum —
+      // the SAME textual arithmetic as the oracle's probe (l2FullSql)
+      val cl2 = round(expr(l2FullSql("centroid", "qe", duck = false)), 9)
       val probe = centroids.crossJoin(broadcast(q))
         .select(col("label"), cl2.as("cl2"))
         .orderBy(col("cl2"), col("label"))
-        .limit(2).select(col("label"))
+        .limit(pqNprobe(s)).select(col("label"))
       val cand = emb.filter(col("vec_id") =!= 0)
         .join(broadcast(probe), Seq("label"))
         .select(col("vec_id"))
@@ -1620,11 +1613,7 @@ object VectorSearch {
       val joins = (0 until PqM).map(j =>
         s"JOIN lut t$j ON t$j.label = v.label AND t$j.c = v.c$j").mkString("\n  ")
       val adc = (0 until PqM).map(j => s"t$j.l$j").mkString(" + ")
-      def l2Sql(a: String, b: String) =
-        s"""list_sum(list_transform(range(1, len($a) + 1),
-           |      i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))
-           |           * (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))))"""
-          .stripMargin
+      def l2Sql(a: String, b: String) = l2FullSql(a, b, duck = true)
       s"""WITH q0 AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
          |pos AS (SELECT label, generate_subscripts(embedding, 1) AS i,
          |               CAST(unnest(embedding) AS DOUBLE) AS val FROM embeddings),
@@ -1632,7 +1621,7 @@ object VectorSearch {
          |         FROM (SELECT label, i, avg(val) AS avg_v FROM pos GROUP BY label, i)
          |         GROUP BY label),
          |probe AS (SELECT label, centroid FROM cent, q0
-         |          ORDER BY ${l2Sql("centroid", "qe")}, label LIMIT 2),
+         |          ORDER BY round(${l2Sql("centroid", "qe")}, 9), label LIMIT 2),
          |res AS (SELECT e.vec_id, e.label,
          |    list_transform(range(1, len(e.embedding) + 1),
          |      i -> CAST(e.embedding[i] AS DOUBLE) - c.centroid[i]) AS rv
@@ -1663,11 +1652,157 @@ object VectorSearch {
          |SELECT vec_id, adc_dist, true_l2 FROM top20
          |ORDER BY true_l2, vec_id LIMIT 5""".stripMargin
     }) { (s, dir) =>
-      pqResidualAdcFor(s, dir, qid = 0, nprobe = 2)
+      pqResidualAdcFor(s, dir, qid = 0, nprobe = pqNprobe(s))
         .orderBy(col("adc_dist"), col("vec_id"))
         .limit(20)
         .orderBy(col("true_l2"), col("vec_id"))
         .limit(5)
+    },
+
+    // ---- residual IVF-PQ recall@5, audited in-engine ----
+    // q278's index-quality-audit pattern applied to the production ANN
+    // stack: for an 8-query sample (vec_ids 100–107, outside the
+    // codebook), run q295's full funnel per query — coarse probe
+    // (nprobe lists) → residual-ADC top-20 → exact rerank top-5 — and
+    // score it against the exact full-corpus L2 top-5. recall = |∩|/5
+    // per query plus the ALL row (qid −1). The funnel is BATCHED over
+    // the query set in one plan (per-qid windows, one broadcast LUT of
+    // nprobe·K rows per query), which is how a production recall audit
+    // runs nightly: ground truth costs N·|sample| deliberately — the
+    // funnel being audited is what makes full exact ranking unnecessary
+    // outside the audit. Every distance is the shared textual
+    // squared-diff sum; every cut tie-breaks on the id. NOTE the driver
+    // testdata's embeddings are only weakly clustered by label, so
+    // nprobe=2 of L lists bounds expected recall near 2/L here — the
+    // audit's checked VALUE is the point; the deployed-regime recall
+    // curve (strong cluster geometry, nprobe ∈ {1,2,4,8}) is measured on
+    // ScaleBench's clustered twin (SCALE.md nprobe table).
+    Q("q296_ivfpq_recall_audit", {
+      val dists = (0 until PqM).map(j =>
+        s"${pqSubDistSql("e.rv", "cb.rce", j, duck = true)} AS d$j")
+        .mkString(",\n    ")
+      val mins = (0 until PqM).map(j =>
+        s"min(struct_pack(d := d$j, c := c)) AS m$j").mkString(",\n    ")
+      val codeCols = (0 until PqM).map(j => s"m$j.c AS c$j").mkString(", ")
+      val luts = (0 until PqM).map(j =>
+        s"round(${pqSubDistSql("qr.qr", "cb.rce", j, duck = true)}, 9) AS l$j")
+        .mkString(",\n    ")
+      val joins = (0 until PqM).map { j =>
+        if (j == 0) s"JOIN lut t0 ON t0.label = v.label AND t0.c = v.c0"
+        else s"JOIN lut t$j ON t$j.qid = t0.qid AND t$j.label = v.label" +
+          s" AND t$j.c = v.c$j"
+      }.mkString("\n  ")
+      val adc = (0 until PqM).map(j => s"t$j.l$j").mkString(" + ")
+      def l2Sql(a: String, b: String) = l2FullSql(a, b, duck = true)
+      s"""WITH q0 AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+         |  WHERE vec_id >= 100 AND vec_id < 108),
+         |pos AS (SELECT label, generate_subscripts(embedding, 1) AS i,
+         |               CAST(unnest(embedding) AS DOUBLE) AS val FROM embeddings),
+         |cent AS MATERIALIZED (SELECT label, list(round(avg_v, 6) ORDER BY i) AS centroid
+         |         FROM (SELECT label, i, avg(val) AS avg_v FROM pos GROUP BY label, i)
+         |         GROUP BY label),
+         |pd AS (SELECT q0.qid, c.label, c.centroid, q0.qe,
+         |    row_number() OVER (PARTITION BY q0.qid
+         |      ORDER BY round(${l2Sql("c.centroid", "q0.qe")}, 9), c.label) AS rn
+         |  FROM cent c, q0),
+         |probe AS (SELECT qid, label, centroid, qe FROM pd WHERE rn <= 2),
+         |res AS MATERIALIZED (SELECT e.vec_id, e.label,
+         |    list_transform(range(1, len(e.embedding) + 1),
+         |      i -> CAST(e.embedding[i] AS DOUBLE) - c.centroid[i]) AS rv
+         |  FROM embeddings e JOIN cent c USING (label)),
+         |rcb AS (SELECT vec_id AS c, rv AS rce FROM res WHERE vec_id < $PqK),
+         |d AS (SELECT e.vec_id, e.label, cb.c,
+         |    $dists
+         |  FROM res e, rcb cb),
+         |m AS (SELECT vec_id, label,
+         |    $mins
+         |  FROM d GROUP BY vec_id, label),
+         |codes AS MATERIALIZED (SELECT vec_id, label, $codeCols FROM m),
+         |qr AS (SELECT p.qid, p.label,
+         |    list_transform(range(1, len(p.qe) + 1),
+         |      i -> CAST(p.qe[i] AS DOUBLE) - p.centroid[i]) AS qr
+         |  FROM probe p),
+         |lut AS MATERIALIZED (SELECT qr.qid, qr.label, cb.c,
+         |    $luts
+         |  FROM rcb cb, qr),
+         |adc AS (SELECT t0.qid, v.vec_id, round($adc, 6) AS adc_dist
+         |  FROM codes v
+         |  $joins
+         |  WHERE v.vec_id <> t0.qid),
+         |top20 AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
+         |    row_number() OVER (PARTITION BY qid ORDER BY adc_dist, vec_id) AS rn
+         |  FROM adc) t WHERE rn <= 20),
+         |l2f AS MATERIALIZED (SELECT q0.qid, e.vec_id,
+         |    round(${l2Sql("e.embedding", "q0.qe")}, 6) AS t
+         |  FROM embeddings e, q0 WHERE e.vec_id <> q0.qid),
+         |fun5 AS (SELECT qid, vec_id FROM (SELECT t20.qid, t20.vec_id,
+         |    row_number() OVER (PARTITION BY t20.qid ORDER BY l.t, t20.vec_id) AS rn
+         |  FROM top20 t20 JOIN l2f l ON l.qid = t20.qid AND l.vec_id = t20.vec_id) t
+         |  WHERE rn <= 5),
+         |ex5 AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
+         |    row_number() OVER (PARTITION BY qid ORDER BY t, vec_id) AS rn
+         |  FROM l2f) t WHERE rn <= 5),
+         |per AS (SELECT f.qid, round(count(e.vec_id) * 1.0 / 5, 6) AS recall
+         |  FROM fun5 f LEFT JOIN ex5 e ON e.qid = f.qid AND e.vec_id = f.vec_id
+         |  GROUP BY 1)
+         |SELECT CAST(qid AS BIGINT) AS qid, recall FROM per
+         |UNION ALL
+         |SELECT -1, round(avg(recall), 6) FROM per
+         |ORDER BY qid""".stripMargin
+    }) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val np = pqNprobe(s)
+      val (pm, _) = pqGeom(s)
+      val emb = embTable(s, dir)
+      val qs = emb.filter(col("vec_id") >= 100 && col("vec_id") < 108)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val wp = Window.partitionBy(col("qid")).orderBy(col("cl2"), col("label"))
+      val probe = ivfCentroids(s, dir).crossJoin(broadcast(qs))
+        .select(col("qid"), col("label"), col("centroid"), col("qe"),
+          round(expr(l2FullSql("centroid", "qe", duck = false)), 9).as("cl2"))
+        .withColumn("rn", row_number().over(wp)).filter(col("rn") <= np)
+        .select(col("qid"), col("label"), col("centroid"), col("qe"))
+      val (codes, rcb) = resCodesAnd(s, dir)
+      val qr = probe.select(col("qid"), col("label"),
+        expr("zip_with(qe, centroid, (a, b) -> CAST(a AS DOUBLE) - b)").as("qr"))
+      val lut = rcb.crossJoin(broadcast(qr))
+        .select(col("qid") +: col("label") +: col("c") +: (0 until pm).map(j =>
+          round(expr(pqSubDistSql("qr", "rce", j, duck = false, pm)), 9)
+            .as(s"l$j")): _*)
+      // candidate generation IS the j=0 lookup join: codes fan out to the
+      // (qid, probed label) pairs; j ≥ 1 binds the same qid
+      val joined = (0 until pm).foldLeft(codes) { (df, j) =>
+        val l = lut.select(col("qid").as(s"__q$j"), col("label").as(s"__lb$j"),
+          col("c").as(s"__c$j"), col(s"l$j"))
+        val cond =
+          if (j == 0) col("label") === col("__lb0") && col("c0") === col("__c0")
+          else col("__q0") === col(s"__q$j") &&
+            col("label") === col(s"__lb$j") && col(s"c$j") === col(s"__c$j")
+        df.join(broadcast(l), cond)
+      }
+      val adcCol = (0 until pm).map(j => col(s"l$j")).reduce(_ + _)
+      val adcF = joined.filter(col("vec_id") =!= col("__q0"))
+        .select(col("__q0").as("qid"), col("vec_id"), round(adcCol, 6).as("adc_dist"))
+      val wa = Window.partitionBy(col("qid")).orderBy(col("adc_dist"), col("vec_id"))
+      val top20 = adcF.withColumn("rn", row_number().over(wa))
+        .filter(col("rn") <= 20).select(col("qid"), col("vec_id"))
+      val l2f = emb.crossJoin(broadcast(qs))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          round(expr(l2FullSql("embedding", "qe", duck = false)), 6).as("t"))
+      val wt = Window.partitionBy(col("qid")).orderBy(col("t"), col("vec_id"))
+      val fun5 = top20.join(l2f, Seq("qid", "vec_id"))
+        .withColumn("rn", row_number().over(wt)).filter(col("rn") <= 5)
+        .select(col("qid"), col("vec_id"))
+      val ex5 = l2f.withColumn("rn", row_number().over(wt)).filter(col("rn") <= 5)
+        .select(col("qid"), col("vec_id"), lit(1L).as("hitmark"))
+      val per = fun5.join(ex5, Seq("qid", "vec_id"), "left")
+        .groupBy(col("qid"))
+        .agg(round(count(col("hitmark")) * lit(1.0) / 5, 6).as("recall"))
+      per.select(col("qid").cast("long").as("qid"), col("recall"))
+        .unionAll(per.agg(round(avg(col("recall")), 6).as("recall"))
+          .select(lit(-1L).as("qid"), col("recall")))
+        .orderBy(col("qid"))
     }
   )
 
@@ -1680,43 +1815,15 @@ object VectorSearch {
     val (pm, pk) = pqGeom(s)
     val emb = embTable(s, dir)
     val q0 = emb.filter(col("vec_id") === qid).select(col("embedding").as("qe"))
-    val centroids = emb
-      .select(col("label"), posexplode(col("embedding")))
-      .groupBy(col("label"), col("pos"))
-      .agg(avg(col("col").cast("double")).as("v"))
-      .groupBy(col("label"))
-      .agg(sort_array(collect_list(struct(col("pos"), round(col("v"), 6).as("v"))))
-        .as("pv"))
-      .select(col("label"), expr("transform(pv, x -> x.v)").as("centroid"))
-    val cl2 = expr("graft_dot(centroid, centroid)") -
-      lit(2.0) * expr("graft_dot(centroid, qe)") + expr("graft_dot(qe, qe)")
+    val centroids = ivfCentroids(s, dir)
+    val cl2 = round(expr(l2FullSql("centroid", "qe", duck = false)), 9)
     val probe =
       if (nprobe <= 0) centroids
       else centroids.crossJoin(broadcast(q0))
         .select(col("label"), col("centroid"), cl2.as("cl2"))
         .orderBy(col("cl2"), col("label"))
         .limit(nprobe).select(col("label"), col("centroid"))
-    val res = emb.join(broadcast(centroids), Seq("label"))
-      .select(col("vec_id"), col("label"),
-        expr("zip_with(embedding, centroid, (a, b) -> CAST(a AS DOUBLE) - b)")
-          .as("rv"))
-    val rcb = res.filter(col("vec_id") < pk)
-      .select(col("vec_id").as("c"), col("rv").as("rce"))
-    // the residual encode is query-independent — registry-cached per
-    // (dir, geometry) exactly like pqCodes, or a multi-query sweep would
-    // re-run the N×K aggregate once per query
-    val m = CacheRegistry.cache(s, s"pq-rescodes:$dir:m=$pm:k=$pk") {
-      val d = res.crossJoin(broadcast(rcb))
-        .select(col("vec_id") +: col("label") +: col("c") +:
-          (0 until pm).map(j =>
-            expr(pqSubDistSql("rv", "rce", j, duck = false, pm)).as(s"d$j")): _*)
-      d.groupBy(col("vec_id"), col("label"))
-        .agg(min(struct(col("d0").as("d"), col("c").as("c"))).as("m0"),
-          (1 until pm).map(j =>
-            min(struct(col(s"d$j").as("d"), col("c").as("c"))).as(s"m$j")): _*)
-    }
-    val codes = m.select(col("vec_id") +: col("label") +:
-      (0 until pm).map(j => col(s"m$j").getField("c").as(s"c$j")): _*)
+    val (codes, rcb) = resCodesAnd(s, dir)
     val qr = broadcast(probe).crossJoin(broadcast(q0))
       .select(col("label"),
         expr("zip_with(qe, centroid, (a, b) -> CAST(a AS DOUBLE) - b)").as("qr"))
@@ -1732,14 +1839,52 @@ object VectorSearch {
     val adc = (0 until pm).map(j => col(s"l$j")).reduce(_ + _)
     val l2 = emb.crossJoin(broadcast(q0))
       .select(col("vec_id"),
-        (expr("graft_dot(embedding, embedding)")
-          - lit(2.0) * expr("graft_dot(embedding, qe)")
-          + expr("graft_dot(qe, qe)")).as("t"))
+        expr(l2FullSql("embedding", "qe", duck = false)).as("t"))
     joined
       .filter(col("vec_id") =!= qid)
       .select(col("vec_id"), round(adc, 6).as("adc_dist"))
       .join(l2.select(col("vec_id"), round(col("t"), 6).as("true_l2")),
         Seq("vec_id"))
+  }
+
+  /** (label, centroid) — the IVF coarse table: 6dp-rounded per-dimension
+    * label means (q59's build), shared by q294/q295/q296. */
+  private def ivfCentroids(s: org.apache.spark.sql.SparkSession, dir: String) =
+    embTable(s, dir)
+      .select(col("label"), posexplode(col("embedding")))
+      .groupBy(col("label"), col("pos"))
+      .agg(avg(col("col").cast("double")).as("v"))
+      .groupBy(col("label"))
+      .agg(sort_array(collect_list(struct(col("pos"), round(col("v"), 6).as("v"))))
+        .as("pv"))
+      .select(col("label"), expr("transform(pv, x -> x.v)").as("centroid"))
+
+  /** Residual PQ encode: ((vec_id, label, c0..c_{M−1}) code frame,
+    * (c, rce) residual codebook). The encode is query-independent —
+    * registry-cached per (dir, geometry) exactly like pqCodes, or a
+    * multi-query sweep would re-run the N×K aggregate once per query. */
+  private def resCodesAnd(s: org.apache.spark.sql.SparkSession, dir: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val (pm, pk) = pqGeom(s)
+    val res = embTable(s, dir).join(broadcast(ivfCentroids(s, dir)), Seq("label"))
+      .select(col("vec_id"), col("label"),
+        expr("zip_with(embedding, centroid, (a, b) -> CAST(a AS DOUBLE) - b)")
+          .as("rv"))
+    val rcb = res.filter(col("vec_id") < pk)
+      .select(col("vec_id").as("c"), col("rv").as("rce"))
+    val m = CacheRegistry.cache(s, s"pq-rescodes:$dir:m=$pm:k=$pk") {
+      val d = res.crossJoin(broadcast(rcb))
+        .select(col("vec_id") +: col("label") +: col("c") +:
+          (0 until pm).map(j =>
+            expr(pqSubDistSql("rv", "rce", j, duck = false, pm)).as(s"d$j")): _*)
+      d.groupBy(col("vec_id"), col("label"))
+        .agg(min(struct(col("d0").as("d"), col("c").as("c"))).as("m0"),
+          (1 until pm).map(j =>
+            min(struct(col(s"d$j").as("d"), col("c").as("c"))).as(s"m$j")): _*)
+    }
+    val codes = m.select(col("vec_id") +: col("label") +:
+      (0 until pm).map(j => col(s"m$j").getField("c").as(s"c$j")): _*)
+    (codes, rcb)
   }
 
   /** The q293 ADC frame for an arbitrary query vector: (vec_id, adc_dist,
@@ -1766,9 +1911,7 @@ object VectorSearch {
     val adc = (0 until pm).map(j => col(s"l$j")).reduce(_ + _)
     val l2 = emb.crossJoin(broadcast(q))
       .select(col("vec_id"),
-        (expr("graft_dot(embedding, embedding)")
-          - lit(2.0) * expr("graft_dot(embedding, qe)")
-          + expr("graft_dot(qe, qe)")).as("t"))
+        expr(l2FullSql("embedding", "qe", duck = false)).as("t"))
     joined
       .filter(col("vec_id") =!= qid)
       .select(col("vec_id"), round(adc, 6).as("adc_dist"))
@@ -1791,6 +1934,17 @@ object VectorSearch {
   private[ops] final val PqM = 8
   private[ops] final val PqK = 64
 
+  /** IVF probe width (the deployed recall knob of IVF-PQ): how many
+    * nearest coarse lists the query scans. Conf-gated like the geometry
+    * (`graft.pq.nprobe`, default 2 — the registered q294/q295 oracles are
+    * baked at 2, and Verify guards the default); SCALE.md's nprobe table
+    * measures recall/cost at 1/2/4/8 on the clustered corpus twin. */
+  private[graft] def pqNprobe(s: org.apache.spark.sql.SparkSession): Int = {
+    val np = s.conf.getOption("graft.pq.nprobe").map(_.trim.toInt).getOrElse(2)
+    require(np > 0, s"graft.pq.nprobe ($np) must be positive")
+    np
+  }
+
   private[graft] def pqGeom(s: org.apache.spark.sql.SparkSession): (Int, Int) = {
     val m = s.conf.getOption("graft.pq.m").map(_.trim.toInt).getOrElse(PqM)
     val k = s.conf.getOption("graft.pq.k").map(_.trim.toInt).getOrElse(PqK)
@@ -1798,6 +1952,18 @@ object VectorSearch {
       s"graft.pq.m ($m) must divide 64 and graft.pq.k ($k) be positive")
     (m, k)
   }
+
+  /** Full-dimension squared L2 distance as the SAME explicit 64-term sum
+    * in both engines — [[pqSubDistSql]] over one subspace spanning all 64
+    * dims. The previous Spark side used the dot-product identity
+    * (a·a − 2a·q + q·q), which is mathematically equal but not
+    * bit-identical IEEE arithmetic to the oracle's squared-diff fold and
+    * suffers catastrophic cancellation for near-identical vectors
+    * (ADVICE r11): the 6dp-rounded true_l2 and the unrounded probe
+    * ordering could diverge between engines on boundary values. A
+    * left-associated textual sum evaluates identically in both. */
+  private def l2FullSql(a: String, b: String, duck: Boolean): String =
+    pqSubDistSql(a, b, 0, duck, m = 1)
 
   /** The per-subspace squared distance between `vec` and `cb`'s dims
     * [w·j, w·(j+1)) as an explicit w-term sum — generated ONCE for both
