@@ -7,7 +7,16 @@ import graft.schema.Tables.t
 /** Count-min guarantees the oracle's 20-row hash compare can't express:
   * the one-sided error bound holds for EVERY vocabulary word, and the
   * sketch's cell grid is genuinely fixed-size. */
-class CountMinSpec extends SparkSpec {
+class CountMinSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
+
+  // suite-local caches must not outlive the suite: LoopPinSpec /
+  // CacheRegistrySpec assert the context carries NO persisted RDDs
+  // after clear, in any suite order
+  override def afterAll(): Unit = {
+    sketch.unpersist(blocking = false)
+    wo.unpersist(blocking = false)
+    super.afterAll()
+  }
 
   private lazy val wo = t(spark, sf001, "documents")
     .select(explode(split(lower(trim(col("text"))), "\\s+")).as("word"))

@@ -6,9 +6,16 @@ import graft.{SparkEntry, SparkSpec}
 /** Graph-family invariants beyond the oracle's hash compare: edge-frame
   * structure, PageRank mass accounting, and the no-cartesian plan shape
   * the 100 TB story depends on. */
-class GraphOpsSpec extends SparkSpec {
+class GraphOpsSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
 
   private lazy val edges = GraphOps.knnEdges(spark, sf001).cache()
+
+  // suite-local cache released so the persisted-RDD-hygiene suites
+  // (LoopPinSpec, CacheRegistrySpec) hold in any order
+  override def afterAll(): Unit = {
+    edges.unpersist(blocking = false)
+    super.afterAll()
+  }
 
   test("kNN edges: at most 3 neighbors per vector, ranks contiguous from 1") {
     val bad = edges.groupBy(col("vec_id"))

@@ -1,5 +1,6 @@
 package graft.ops
 
+import Loops._
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
@@ -60,7 +61,7 @@ class StreamingDsirSpec extends SparkSpec {
       val acc1 = s.read.parquet(store)
         .select(col("doc_id"), col("lang"), col("word"))
       val (ws1, tot1) = PipelineOps.dsirModel(acc1)
-      val pinned = (ws1.localCheckpoint(), tot1.localCheckpoint())
+      val pinned = (ws1.pin(), tot1.pin())
 
       mem.addData(b2: _*)
       query.processAllAvailable()

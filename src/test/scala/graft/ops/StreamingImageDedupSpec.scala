@@ -1,5 +1,6 @@
 package graft.ops
 
+import Loops._
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
@@ -64,12 +65,12 @@ class StreamingImageDedupSpec extends SparkSpec {
 
     try {
       mem.addData(b1: _*); q.processAllAvailable()
-      val all1 = storeDF.localCheckpoint()
+      val all1 = storeDF.pin()
       val p1 = pairsOf(all1)
       assert(p1.contains((1L, 2L, 0L)), "batch-1 exact dup pair missing")
 
       mem.addData(b2: _*); q.processAllAvailable()
-      val all2 = storeDF.localCheckpoint()
+      val all2 = storeDF.pin()
 
       // incremental rule: the engine's probeDocs hook restricts every
       // join's probe side to the ARRIVALS (cost ∝ batch, candidates from

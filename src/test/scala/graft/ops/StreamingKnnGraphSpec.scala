@@ -1,5 +1,6 @@
 package graft.ops
 
+import Loops._
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
@@ -82,7 +83,7 @@ class StreamingKnnGraphSpec extends SparkSpec {
       assert(!e1.exists(_._1 == 9L))
 
       mem.addData(b2: _*); q.processAllAvailable()
-      val all = storeDF.localCheckpoint()
+      val all = storeDF.pin()
 
       // affected = vectors whose probe set intersects the new batch's
       // occupied codes, plus the arrivals themselves — everyone else's

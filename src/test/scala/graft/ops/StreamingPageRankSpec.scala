@@ -1,5 +1,6 @@
 package graft.ops
 
+import Loops._
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
@@ -75,13 +76,13 @@ class StreamingPageRankSpec extends SparkSpec {
 
     try {
       mem.addData(b1: _*); q.processAllAvailable()
-      val edges1 = storeDF.localCheckpoint()
+      val edges1 = storeDF.pin()
       val (ranks1, rounds1) =
         GraphOps.pagerankUntil(nodesOf(edges1), edges1, MaxRounds, Tol)
       assert(rounds1 > 1 && rounds1 < MaxRounds, s"cold run 1 took $rounds1 rounds")
 
       mem.addData(b2: _*); q.processAllAvailable()
-      val edges2 = storeDF.localCheckpoint()
+      val edges2 = storeDF.pin()
       val nodes2 = nodesOf(edges2)
 
       // cold: the ground-truth batch answer over the accumulated store
@@ -109,7 +110,7 @@ class StreamingPageRankSpec extends SparkSpec {
       // overwrites the same batch_id dir — a no-op for the store, hence
       // for the ranks
       sinkBody(b2.toDF(), 1L)
-      val edges3 = storeDF.localCheckpoint()
+      val edges3 = storeDF.pin()
       assert(edges3.count() == edges2.count(), "replay must not grow the store")
       val (replayed, _) =
         GraphOps.pagerankUntil(nodesOf(edges3), edges3, MaxRounds, Tol, init = Some(warm))

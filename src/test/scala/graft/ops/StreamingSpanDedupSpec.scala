@@ -1,5 +1,6 @@
 package graft.ops
 
+import Loops._
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
@@ -70,7 +71,7 @@ class StreamingSpanDedupSpec extends SparkSpec {
 
     try {
       mem.addData(b1: _*); q.processAllAvailable()
-      val g1 = storeDF.localCheckpoint()
+      val g1 = storeDF.pin()
       val spans1 = spansOf(SubstringOps.dupSpanIntervalsFrom(g1))
       // batch 1: A and B each carry ONE island over the 9 shared words
       // (grams at pos 1 and 2 coalesce to [1, 9]); C has nothing yet
@@ -83,7 +84,7 @@ class StreamingSpanDedupSpec extends SparkSpec {
         .select(col("gm"))
 
       mem.addData(b2: _*); q.processAllAvailable()
-      val g2 = storeDF.localCheckpoint()
+      val g2 = storeDF.pin()
 
       // newly-duplicated grams: dup AFTER minus dup BEFORE
       val dupsAfter = g2.groupBy(col("gm"))
@@ -119,7 +120,7 @@ class StreamingSpanDedupSpec extends SparkSpec {
 
       // replayed batch id: overwrite of the same dir is a store-level no-op
       sinkBody(b2.toDF(), 1L)
-      val g3 = storeDF.localCheckpoint()
+      val g3 = storeDF.pin()
       assert(g3.count() == g2.count(), "replay must not grow the store")
       assert(spansOf(SubstringOps.dupSpanIntervalsFrom(g3)) == batchAnswer)
     } finally q.stop()
