@@ -1765,24 +1765,40 @@ object VectorSearch {
       val (codes, rcb) = resCodesAnd(s, dir)
       val qr = probe.select(col("qid"), col("label"),
         expr("zip_with(qe, centroid, (a, b) -> CAST(a AS DOUBLE) - b)").as("qr"))
-      val lut = rcb.crossJoin(broadcast(qr))
+      // The per-(qid, list, code) LUT is nprobe·|sample|·K rows — the
+      // bounded, query-side state ADC exists to keep in registers. Inline
+      // it as M literal maps instead of M broadcast joins: the 9dp values
+      // round-trip the driver bit-exactly (same doubles the join would
+      // have carried), the adc sum keeps its l0+…+l7 order, and the plan
+      // drops 8 BroadcastExchange+BHJ stages for one codegen'd projection
+      // (cold wall was driver planning, not task work — StageProfile r12).
+      val lutRows = rcb.crossJoin(broadcast(qr))
         .select(col("qid") +: col("label") +: col("c") +: (0 until pm).map(j =>
           round(expr(pqSubDistSql("qr", "rce", j, duck = false, pm)), 9)
             .as(s"l$j")): _*)
-      // candidate generation IS the j=0 lookup join: codes fan out to the
-      // (qid, probed label) pairs; j ≥ 1 binds the same qid
-      val joined = (0 until pm).foldLeft(codes) { (df, j) =>
-        val l = lut.select(col("qid").as(s"__q$j"), col("label").as(s"__lb$j"),
-          col("c").as(s"__c$j"), col(s"l$j"))
-        val cond =
-          if (j == 0) col("label") === col("__lb0") && col("c0") === col("__c0")
-          else col("__q0") === col(s"__q$j") &&
-            col("label") === col(s"__lb$j") && col(s"c$j") === col(s"__c$j")
-        df.join(broadcast(l), cond)
+        .collect()
+      def packKey(qid: Long, label: Long, c: Long): Long = {
+        require(label >= 0 && label < 100 && c >= 0 && c < 100000,
+          s"LUT key packing bound exceeded: label=$label c=$c")
+        (qid * 100L + label) * 100000L + c
       }
-      val adcCol = (0 until pm).map(j => col(s"l$j")).reduce(_ + _)
-      val adcF = joined.filter(col("vec_id") =!= col("__q0"))
-        .select(col("__q0").as("qid"), col("vec_id"), round(adcCol, 6).as("adc_dist"))
+      val lutMaps: IndexedSeq[Map[Long, Double]] = (0 until pm).map { j =>
+        lutRows.map { r =>
+          packKey(r.getLong(0), r.getAs[Number](1).longValue,
+            r.getLong(2)) -> r.getDouble(3 + j)
+        }.toMap
+      }
+      // candidate generation: codes fan out to the (qid, probed label)
+      // pairs through ONE broadcast join; the M lookups ride the projection
+      val cand = codes.join(
+        broadcast(probe.select(col("qid"), col("label"))), Seq("label"))
+      val keyCol = (j: Int) =>
+        ((col("qid") * 100L + col("label")) * 100000L + col(s"c$j")).cast("long")
+      val adcCol = (0 until pm)
+        .map(j => element_at(typedLit(lutMaps(j)), keyCol(j)))
+        .reduce(_ + _)
+      val adcF = cand.filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"), round(adcCol, 6).as("adc_dist"))
       val wa = Window.partitionBy(col("qid")).orderBy(col("adc_dist"), col("vec_id"))
       val top20 = adcF.withColumn("rn", row_number().over(wa))
         .filter(col("rn") <= 20).select(col("qid"), col("vec_id"))
