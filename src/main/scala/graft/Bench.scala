@@ -13,6 +13,17 @@ object Bench {
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Pin release (CacheRegistry.clear / session stop) logs one
+    // "RDD ... was locally checkpointed ... cannot be recomputed" WARN per
+    // released pin; at ~300 queries the flood pushed the machine-parseable
+    // contract line out of the driver's 2000-char stdout tail
+    // (BENCH_r12.json parsed:null). The release is intentional — the pins
+    // are dead by construction at teardown (Loops.releaseAll only drains
+    // after the consuming queries finished) — so the logger carries no
+    // signal here; silence the RDD loggers for this process. Belt and
+    // braces: clear() is also moved BEFORE the final prints below.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd", org.apache.logging.log4j.Level.ERROR)
     // Load-insensitive signals, counted via task metrics:
     //  - shuffle-write bytes: a plan regression (new exchange, lost
     //    broadcast) shows up as bytes even on a loaded host;
@@ -137,8 +148,17 @@ object Bench {
       // by hand; this one-deep rotation covers every run in between.
       val p = java.nio.file.Paths.get(detailPath)
       if (java.nio.file.Files.exists(p)) {
+        // rotation name derives from the configured detail filename
+        // (<stem>_prev.json): two bench invocations with different
+        // SPARK_GRAFT_BENCH_DETAIL paths in one directory must not
+        // clobber each other's prev snapshot (ADVICE r12).
+        val fn = p.getFileName.toString
+        val stem = fn.lastIndexOf('.') match {
+          case -1 => fn
+          case i  => fn.substring(0, i)
+        }
         java.nio.file.Files.copy(p,
-          p.resolveSibling("bench_detail_prev.json"),
+          p.resolveSibling(s"${stem}_prev.json"),
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       }
       val rows = results.map { case (k, v, a, b) =>
@@ -240,9 +260,13 @@ object Bench {
     val line = Seq(compact(0.05, true), compact(0.5, true), compact(0.5, false),
         compact(Double.MaxValue, false))
       .find(_.length <= taskdsBudget).getOrElse(compact(Double.MaxValue, false))
+    // Release every operator cache BEFORE the machine lines: any stray
+    // teardown logging (pin release, block-manager cleanup) must land
+    // above the contract line, never after it, so the driver's bounded
+    // stdout tail always ends with the parseable artifact.
+    graft.ops.CacheRegistry.clear(spark)
     println(line)
     println(contractLine)
-    graft.ops.CacheRegistry.clear(spark) // release every operator cache
     spark.stop()
   }
 }

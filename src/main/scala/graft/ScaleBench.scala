@@ -260,9 +260,13 @@ object ScaleBench {
     // when semantic dedup was the only post-loop phase; same scope.)
     // "image" / "spans" rerun ONLY that family (corpus gen is cached).
     val phaseSel = sys.env.getOrElse("SPARK_GRAFT_SCALE_PHASES", "all")
-    require(Set("all", "postloop", "semdedup", "image", "spans", "events", "cc",
-      "contam", "triangles", "minhash", "funnel", "pq", "nprobe").contains(phaseSel),
-      s"SPARK_GRAFT_SCALE_PHASES must be 'all', 'postloop', 'semdedup', 'image', 'spans', 'events', 'cc', 'contam', 'triangles', 'minhash', 'funnel' or 'pq'," +
+    // the error message derives from the Set itself so adding a phase
+    // can't leave the message stale again (ADVICE r12: 'nprobe' was
+    // accepted but missing from the hand-written list)
+    val knownPhases = Set("all", "postloop", "semdedup", "image", "spans",
+      "events", "cc", "contam", "triangles", "minhash", "funnel", "pq", "nprobe")
+    require(knownPhases.contains(phaseSel),
+      s"SPARK_GRAFT_SCALE_PHASES must be one of ${knownPhases.toSeq.sorted.mkString("'", "', '", "'")}," +
         s" got '$phaseSel' (a typo would silently skip corpus generation)")
     // ---- q276 triangles: the degree-orientation wedge bound ----
     // A synthetic SKEWED graph (one hub adjacent to 5% of nodes over a

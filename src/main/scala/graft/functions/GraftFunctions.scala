@@ -45,6 +45,10 @@ object GraftFunctions {
       "graft_uniq_upto", uniqUpToBuilder, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_min_k", minKBuilder, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_md5_split", exprs => Md5Split(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_minhash", minHashBuilder, "scala_udf")
   }
 
   // ---- SQL surface for the mergeable sketch Aggregators (VERDICT r9
@@ -113,6 +117,18 @@ object GraftFunctions {
       exprs.init, UniqUpTo(n)(bufEnc, outEnc),
       ExpressionEncoder[Long](), bufEnc,
       true, true, 0, 0, Some("graft_uniq_upto"))
+  }
+
+  /** `graft_minhash(h1, h2, k)` — the k-wide MinHash signature (one
+    * `long[k]` buffer, seeds `(h1 + i·h2) mod (2^61−1)`) as an array;
+    * bit-identical to k separate `min(pmod(h1 + i*h2, p))` columns. */
+  def minHashBuilder(exprs: Seq[Expression]): Expression = {
+    val k = litK(exprs, 3, "graft_minhash")
+    val bufEnc = ExpressionEncoder[Array[Long]]()
+    new ScalaAggregator[(Long, Long), Array[Long], Array[Long]](
+      exprs.init, MinHashSig(k)(bufEnc),
+      ExpressionEncoder[(Long, Long)](), bufEnc,
+      true, true, 0, 0, Some("graft_minhash"))
   }
 
   def snappy_decode(c: Column): Column = call_function("snappy_decode", c)

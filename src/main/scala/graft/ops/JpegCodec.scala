@@ -725,7 +725,11 @@ object JpegCodec {
             val aa = data(seg + 3 + 2 * ns) & 0xff
             val ah = aa >> 4
             val al = aa & 0x0f
-            require(ss <= se && se <= 63, s"bad spectral band $ss..$se")
+            // T.81 G.1: a DC scan (Ss=0) must have Se=0 — processScan
+            // treats any ss==0 scan as DC-only, so an Ss=0/Se>0 header
+            // would silently drop the AC band and desync the bitstream.
+            require(ss <= se && se <= 63 && (ss != 0 || se == 0),
+              s"bad spectral band $ss..$se")
             p = processScan(sComp, sDc, sAc, ss, se, ah, al, seg + len - 2)
           case _ => p += 2 + len // APPn, COM, DNL, … — skip
         }

@@ -130,7 +130,13 @@ object Loops {
     * wired into `CacheRegistry.clear`. Frames pinned before this call are
     * unusable after it (checkpoints cannot recompute): end-of-run only. */
   def releaseAll(sc: SparkContext): Unit = {
-    tracked.remove(sc).foreach(_.foreach(_.releasePins()))
+    // drain under the same lock registerScope appends with: a concurrent
+    // scope() holding a reference to the removed buffer must not append
+    // mid-iteration (and any scope it did slip in is still released,
+    // not leaked until JVM exit — ADVICE r12)
+    tracked.remove(sc).foreach { buf =>
+      buf.synchronized { buf.foreach(_.releasePins()); buf.clear() }
+    }
     anchors.remove(sc)
   }
 
