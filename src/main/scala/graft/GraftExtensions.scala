@@ -75,5 +75,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_min_k"),
       new ExpressionInfo(classOf[graft.functions.MinK].getName, "graft_min_k"),
       graft.functions.GraftFunctions.minKBuilder))
+    e.injectFunction((
+      new FunctionIdentifier("graft_md5_split"),
+      new ExpressionInfo(classOf[graft.functions.Md5Split].getName, "graft_md5_split"),
+      (exprs: Seq[Expression]) => graft.functions.Md5Split(exprs.head)))
+    e.injectFunction((
+      new FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[graft.functions.MinHashSig].getName, "graft_minhash"),
+      graft.functions.GraftFunctions.minHashBuilder))
   }
 }

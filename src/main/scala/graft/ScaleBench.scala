@@ -535,6 +535,14 @@ object ScaleBench {
               SparkEntry.queries(qn)(spark, fdir).count()
             }
           }
+        // q283 again with every family cache warm: the first run's shuffle
+        // mixes report work with whatever cache composition it first
+        // touches (the r12 table's 2.8×-growth column); the repeat is the
+        // steady-state report cost, so the delta IS the composition term
+        // (VERDICT r12 item 6 attribution).
+        phase(s"funnel_q283_repeat$tag", n) {
+          SparkEntry.queries("q283_dedup_funnel")(spark, fdir).count()
+        }
         spark.conf.unset("graft.textdedup.maxShingleDf")
         widthK.foreach(_ => spark.conf.unset("graft.minhash.hashes"))
         ops.CacheRegistry.clear(spark)

@@ -8,24 +8,30 @@ import org.apache.spark.sql.expressions.Aggregator
   * `TextDedup.shingleRowsFor`), the buffer is a single `long[k]`, and each
   * row updates all k slots in a tight loop over the Kirsch–Mitzenmacher
   * seed family `(h1 + i·h2) mod (2^61−1)` — the same seeds, in the same
-  * order, as the k separate `min(pmod(h1 + i*h2, p))` aggregate columns it
-  * replaces, so the signature (and every band key built from it) is
-  * bit-identical and q41/q42/q72/q283's DuckDB oracles are untouched.
+  * order, as the k separate `min(pmod(h1 + i*h2, p))` aggregate columns,
+  * so the signature (and every band key built from it) is bit-identical
+  * (MinHashSigSpec) and q41/q42/q72/q283's DuckDB oracles are untouched.
+  * The seed accumulates additively (`s += h2`, no per-slot multiply), and
+  * since h1, h2 < 2^56 and i < 128, `h1 + i·h2 < 2^63` never overflows,
+  * so `pmod` is plain `%` (the wrap itself is load-bearing for seed
+  * independence — see `TextDedup.SeedMod`). Mergeable across any
+  * partitioning (elementwise min), so map-side partial aggregation
+  * applies.
   *
-  * Why one aggregate instead of k `min` columns (VERDICT r12 item 2): at
-  * production width (k=64) the signature stage spent ~48 µs/shingle-row —
-  * k separate codegen'd agg-buffer updates each re-evaluating its own
-  * pmod expression with null handling, plus a k-wide generated update
-  * blob of the kind q43's scaladoc already documents Janino compiling in
-  * ~70 s at width 32. Here the inner loop is branch-free long arithmetic
-  * on a primitive array: the seed accumulates additively (`s += h2`, no
-  * per-slot multiply), and since h1, h2 < 2^56 and i < 128, `h1 + i·h2 <
-  * 2^63` never overflows, so `pmod` is plain `%` (the wrap itself is
-  * load-bearing for seed independence — see `TextDedup.SeedMod`).
-  *
-  * Mergeable across any partitioning (elementwise min), so map-side
-  * partial aggregation compresses the shuffle to one `long[k]` per
-  * (partition, doc) exactly like the k-column formulation.
+  * Status: built for VERDICT r12 item 2, measured, and NOT made the
+  * default — the A/B at 200k docs / k=64 (SCALE.md round 13) puts this
+  * at 2,544 signature-stage cpu-s vs 1,245 for the declarative k-column
+  * formulation, because Spark executes an object Aggregator through
+  * ObjectHashAggregateExec: one boxed `(Long, Long)` per input row, an
+  * object hash map per partition, and — past
+  * `spark.sql.objectHashAggregate.sortBased.fallbackThreshold` (default
+  * 128 groups/partition; any sizable corpus) — a sort-based fallback
+  * that externally sorted 7.6 GB of shingle rows. The codegen'd k-min
+  * HashAggregate updates a fixed-width primitive buffer with zero per-row
+  * allocation and needs no conf. Selectable via `graft.minhash.impl=agg`
+  * (with the fallback threshold raised) for re-measurement, and the SQL
+  * surface (`graft_minhash(h1, h2, k)`) stands on its own for ad-hoc
+  * signature queries.
   */
 case class MinHashSig(k: Int)(
     implicit bufEnc: Encoder[Array[Long]])

@@ -520,6 +520,12 @@ object ImageOps {
         |  CAST(1 AS BOOLEAN) AS jdk_parity_within_8
         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
       import s.implicits._
+      // graft.jpeg.salvage (default false): the decode-what-accumulated
+      // tolerance posture for corrupted progressive scans. A no-op on
+      // this query's well-formed payloads — the oracle stays strict at
+      // either setting — but the knob rides the same decode entry a
+      // crawl pipeline would call (JpegCodecSpec plants the corrupt doc).
+      val salvage = s.conf.getOption("graft.jpeg.salvage").exists(_.trim.toBoolean)
       t(s, dir, "documents")
         .select(col("doc_id"))
         .as[Long]
@@ -542,7 +548,7 @@ object ImageOps {
             }
             val bytes = jpegEncodeRgbJdk(JpegW, JpegH, px, 0.9f,
               progressive = true)
-            val ours = JpegCodec.decode(bytes)
+            val ours = JpegCodec.decode(bytes, salvageProgressive = salvage)
             val jdk = javax.imageio.ImageIO.read(
               new java.io.ByteArrayInputStream(bytes))
             var maxd = 0

@@ -262,7 +262,13 @@ object JpegCodec {
     * IllegalArgumentException on malformed input and
     * UnsupportedOperationException on progressive/arithmetic/4-component
     * streams. */
-  def decode(data: Array[Byte]): Decoded = {
+  /** `salvageProgressive` (default OFF — every oracle-checked decode is
+    * strict): progressive streams that fail MID-SCAN after at least one
+    * complete scan decode to the raster the accumulated coefficients
+    * produce, libjpeg's tolerance posture for real crawl data, instead
+    * of throwing. Sequential streams are unaffected (their single scan
+    * has nothing accumulated to salvage). */
+  def decode(data: Array[Byte], salvageProgressive: Boolean = false): Decoded = {
     require(data.length > 4 && (data(0) & 0xff) == 0xff &&
       (data(1) & 0xff) == 0xd8, "not a JPEG (missing SOI)")
     val qt = new Array[Array[Int]](4)
@@ -314,7 +320,7 @@ object JpegCodec {
               i += 1
             }
           case 0xc2 => // SOF2: hand the stream to the progressive machine
-            return decodeProgressive(data)
+            return decodeProgressive(data, salvageProgressive)
           case mm if mm >= 0xc3 && mm <= 0xcf && mm != 0xc4 && mm != 0xc8 =>
             throw new UnsupportedOperationException(
               f"unsupported SOF marker 0xff$mm%02x — sequential/progressive" +
@@ -455,8 +461,21 @@ object JpegCodec {
     * grid (A.2.2), not the MCU-padded one; restart intervals reset DC
     * predictors AND the EOB run. Dequantization and the IDCT run once at
     * the end over the accumulated coefficients. Arithmetic coding and
-    * hierarchical (SOF3+) streams remain rejected. */
-  private def decodeProgressive(data: Array[Byte]): Decoded = {
+    * hierarchical (SOF3+) streams remain rejected.
+    *
+    * `salvage` — the decode-what-accumulated mode (VERDICT r12 item 3):
+    * progressive streams are incremental by construction (every scan
+    * refines the same coefficient array), so when a mid-stream scan is
+    * truncated or corrupt the coefficients accumulated so far still
+    * dequantize to a coarser but valid raster — exactly what libjpeg
+    * renders for a damaged crawl payload. With salvage on, a failure
+    * after ≥1 complete scan (and a parsed SOF2) stops scan processing
+    * and finishes from the accumulated state — including any partial
+    * writes of the failing scan, which are a deterministic function of
+    * the bytes. A failure before any complete scan still throws: there
+    * is nothing to salvage. Default OFF: the strict posture every
+    * oracle-checked decode runs under (JpegCodecSpec pins both). */
+  private def decodeProgressive(data: Array[Byte], salvage: Boolean = false): Decoded = {
     val qt = new Array[Array[Int]](4)
     val dcH = new Array[Huff](4)
     val acH = new Array[Huff](4)
@@ -660,6 +679,8 @@ object JpegCodec {
 
     var p = 2
     var done = false
+    var scansDone = 0
+    try {
     while (!done) {
       require(p + 2 <= data.length, "truncated progressive JPEG")
       require((data(p) & 0xff) == 0xff, f"expected marker at $p")
@@ -731,9 +752,17 @@ object JpegCodec {
             require(ss <= se && se <= 63 && (ss != 0 || se == 0),
               s"bad spectral band $ss..$se")
             p = processScan(sComp, sDc, sAc, ss, se, ah, al, seg + len - 2)
+            scansDone += 1
           case _ => p += 2 + len // APPn, COM, DNL, … — skip
         }
       }
+    }
+    } catch {
+      // salvage: stop consuming scans, render the accumulated state.
+      // Guarded on ≥1 complete scan + a parsed frame header — a stream
+      // that never yielded a scan has no image to degrade to, so the
+      // strict error propagates even with salvage on.
+      case scala.util.control.NonFatal(_) if salvage && scansDone > 0 && w > 0 => ()
     }
     require(w > 0 && h > 0, "missing SOF2 frame header")
 

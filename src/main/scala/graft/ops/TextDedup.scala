@@ -90,15 +90,25 @@ object TextDedup {
     * frame — the map-side stage the batch path caches per (session, dir)
     * and the incremental path runs per micro-batch
     * (StreamingMinHashSpec). */
-  def shingleRowsFor(docs: DataFrame): DataFrame =
+  def shingleRowsFor(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    // graft_md5_split assembles h1/h2 straight from the digest bytes —
+    // bit-exact with the original md5-hex + conv(substring) formulation
+    // (hex chars 1–14 ARE bytes 0–6; chars 15–28 ARE bytes 7–13), which
+    // paid a 32-char hex materialization + two general-radix string
+    // parses per shingle — a top term of the signature-stage cpu at
+    // production width (SCALE.md k=64 profile). Md5SplitSpec pins the
+    // equality property; the oracle side is untouched (DuckDB recomputes
+    // the same split from md5 hex text).
     docs
       .select(col("doc_id"), wordsCol.as("words"))
       .select(col("doc_id"), explode(shinglesExpr).as("sh"))
-      .select(col("doc_id"), md5(col("sh")).as("m"))
+      .select(col("doc_id"), call_function("graft_md5_split", col("sh")).as("hh"))
       .select(col("doc_id"),
-        conv(substring(col("m"), 1, 14), 16, 10).cast("long").as("h1"),
-        conv(substring(col("m"), 15, 14), 16, 10).cast("long").as("h2"))
+        col("hh").getItem(0).as("h1"),
+        col("hh").getItem(1).as("h2"))
       .distinct()
+  }
 
   /** Skew mitigation for candidate generation at 100 TB: a shingle present
     * in K documents contributes K(K-1)/2 pairs to the shingle self-join, so
@@ -145,14 +155,43 @@ object TextDedup {
   private val SeedMod = 2305843009213693951L
 
   def bandRows(shingles: DataFrame): DataFrame = {
-    val (numHashes, bandRowsN) = widths(shingles.sparkSession)
-    val sigAggs = (0 until numHashes).map { i =>
-      min(pmod(col("h1") + lit(i.toLong) * col("h2"), lit(SeedMod))).as(s"s$i")
-    }
-    val sig = shingles.groupBy(col("doc_id")).agg(sigAggs.head, sigAggs.tail: _*)
+    val s = shingles.sparkSession
+    val (numHashes, bandRowsN) = widths(s)
+    graft.functions.GraftFunctions.register(s)
+    // Signature = k declarative min(pmod(h1 + i*h2, p)) columns — the
+    // MEASURED winner, kept on evidence over the one-buffer Aggregator
+    // VERDICT r12 prescribed (which is implemented as [[graft.functions
+    // .MinHashSig]] and selectable via `graft.minhash.impl=agg`). Both
+    // produce bit-identical signatures and band keys (MinHashSigSpec pins
+    // equality at k=8/64), but the A/B at 200k docs / k=64 (StageProfile,
+    // SCALE.md round 13) reads: declarative stage cpu 1,245 s vs the
+    // Aggregator's 2,544 s — Spark plans the k mins as ONE codegen'd
+    // HashAggregate over a fixed-width primitive buffer (no allocation
+    // per row), while any object Aggregator pays a boxed (Long, Long)
+    // tuple per input row plus ObjectHashAggregate's object map (and,
+    // beyond spark.sql.objectHashAggregate.sortBased.fallbackThreshold's
+    // default 128 groups/partition, a sort fallback that externally
+    // sorted 7.6 GB of shingles). The r12-profiled 48 µs/shingle was the
+    // hex/conv string parsing this round's graft_md5_split removed — the
+    // buffer updates were never the dominant term. k=64 codegen width is
+    // fine (measured; the width-32 Janino hazard in q43's scaladoc was
+    // 32 aggregates over STRINGS, these are longs).
+    val sig =
+      if (s.conf.getOption("graft.minhash.impl").contains("agg")) {
+        shingles.groupBy(col("doc_id"))
+          .agg(call_function("graft_minhash",
+            col("h1"), col("h2"), lit(numHashes)).as("sig"))
+      } else {
+        val sigAggs = (0 until numHashes).map { i =>
+          min(pmod(col("h1") + lit(i.toLong) * col("h2"), lit(SeedMod))).as(s"s$i")
+        }
+        shingles.groupBy(col("doc_id")).agg(sigAggs.head, sigAggs.tail: _*)
+          .select(col("doc_id"),
+            array((0 until numHashes).map(i => col(s"s$i")): _*).as("sig"))
+      }
     val bandStructs = (0 until numHashes / bandRowsN).map { j =>
       val key = concat_ws("|",
-        (0 until bandRowsN).map(r => col(s"s${j * bandRowsN + r}")): _*)
+        (0 until bandRowsN).map(r => col("sig").getItem(j * bandRowsN + r)): _*)
       struct(lit(j).as("band"), key.as("bkey"))
     }
     sig

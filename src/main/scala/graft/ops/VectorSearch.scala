@@ -1946,7 +1946,21 @@ object VectorSearch {
     * defaults unchanged so the static oracles stay strict, wider
     * geometries are the measured real-recall path — SCALE.md's `pq` table
     * shows rerank-candidate recall 0.71 → 0.85 going (8, 64) → (16, 256)
-    * on the clustered corpus at 16× compression. */
+    * on the clustered corpus at 16× compression.
+    *
+    * DECISION (round 13, VERDICT r12 item 5): the baked default STAYS
+    * (8, 64) even though (16, 256) measures 0.83–0.99 candidate
+    * retention, because the oracle family trains its codebooks on the
+    * driver-shipped embeddings tables — 500 vectors at sf0.001/sf0.01,
+    * 2,000 at sf0.1 — and K=256 centroids per subspace cannot train on
+    * 500 points (over half the codebook would be empty/degenerate
+    * clusters, making cross-engine k-means parity meaningless and the
+    * regenerated oracles noise, not truth). (8, 64) keeps K ≪ N at every
+    * test SF. At corpus scale the decision inverts for the same reason —
+    * K ≪ N is trivially true — so a deployment sets
+    * `graft.pq.m=16`/`graft.pq.k=256` (16 B/vector) and gets the
+    * SCALE.md-measured 0.99+ recall ceiling; the knob, not the constant,
+    * is the production surface. */
   private[ops] final val PqM = 8
   private[ops] final val PqK = 64
 
