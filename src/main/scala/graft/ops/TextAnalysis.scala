@@ -468,13 +468,19 @@ object TextAnalysis {
            |ORDER BY exact_cnt DESC, word""".stripMargin
     }) { (s, dir) =>
       val wo = CacheRegistry.cache(s, s"q129-words:$dir") {
+        // graft_md5_split: bit-exact with md5-hex + conv(substring) —
+        // this is a per-word-OCCURRENCE pass (the count-min update
+        // stream), the same full-corpus-scan cost class as q41's shingle
+        // stage, so it gets the same string-free hash split (SCALE.md
+        // round 13; the oracle recomputes the split from md5 hex text).
+        graft.functions.GraftFunctions.register(s)
         t(s, dir, "documents")
           .select(explode(wordsCol).as("word"))
           .filter(col("word").rlike("^[a-z]{4,}$"))
-          .select(col("word"), md5(col("word")).as("m"))
+          .select(col("word"), call_function("graft_md5_split", col("word")).as("hh"))
           .select(col("word"),
-            conv(substring(col("m"), 1, 14), 16, 10).cast("long").as("h1"),
-            conv(substring(col("m"), 15, 14), 16, 10).cast("long").as("h2"))
+            col("hh").getItem(0).as("h1"),
+            col("hh").getItem(1).as("h2"))
       }
       val sketch = countMinSketch(wo)
       val top20 = wo.groupBy(col("word"))

@@ -139,7 +139,7 @@ object TextDedup {
 
   /** MinHash signature + LSH band keys over a (doc_id, h1, h2) shingle
     * frame: 8 min-aggregate signature columns (Kirsch–Mitzenmacher seeds
-    * h1 + i·h2), exploded into (doc_id, band, bkey) rows — the OTHER
+    * h1 + i·h2), exploded into (doc_id, band, k0..k{r-1}) rows — the OTHER
     * map-side stage of q41, shared verbatim with the incremental
     * composition. Map-side partial agg compresses the signature shuffle to
     * one row per (partition, doc); band rows are 4 per doc. Crucially for
@@ -189,26 +189,35 @@ object TextDedup {
           .select(col("doc_id"),
             array((0 until numHashes).map(i => col(s"s$i")): _*).as("sig"))
       }
+    // Band key = the r signature slots as r LONG columns (k0..k{r-1}),
+    // NOT a '|'-concatenated string: the string was injective on decimal
+    // longs, so componentwise equality is the SAME candidate predicate
+    // (q41 oracle untouched — its own internal key text is its business),
+    // but a band row shrinks from doc_id + ~39 decimal-digit bytes to
+    // doc_id + r longs, and the self-join hashes/compares fixed-width
+    // longs instead of strings — on the funnel's largest shuffle (the
+    // band exchange at k=64), measured in SCALE.md round 13.
     val bandStructs = (0 until numHashes / bandRowsN).map { j =>
-      val key = concat_ws("|",
-        (0 until bandRowsN).map(r => col("sig").getItem(j * bandRowsN + r)): _*)
-      struct(lit(j).as("band"), key.as("bkey"))
+      val slots = (0 until bandRowsN)
+        .map(r => col("sig").getItem(j * bandRowsN + r).as(s"k$r"))
+      struct(lit(j).as("band") +: slots: _*)
     }
     sig
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("b"))
-      .select(col("doc_id"), col("b.band").as("band"), col("b.bkey").as("bkey"))
+      .select(col("doc_id") +: col("b.band").as("band") +:
+        (0 until bandRowsN).map(r => col(s"b.k$r").as(s"k$r")): _*)
   }
 
-  /** LSH candidate generation over (doc_id, band, bkey) rows: the
-    * hash-partitioned equi-join on (band, bkey) — O(candidates), never the
+  /** LSH candidate generation over (doc_id, band, k0..k{r-1}) rows: the
+    * hash-partitioned equi-join on (band, k*) — O(candidates), never the
     * O(n²) all-pairs join. Works identically over one batch frame or the
     * union of incrementally-accumulated band rows. */
   def bandCandidates(bands: DataFrame): DataFrame = {
+    val keyCols = bands.columns.filter(c => c == "band" || c.startsWith("k")).toSeq
     val x = bands.as("x")
     val y = bands.as("y")
-    x.join(y,
-        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
-          col("x.doc_id") < col("y.doc_id"))
+    val keysEq = keyCols.map(c => col(s"x.$c") === col(s"y.$c")).reduce(_ && _)
+    x.join(y, keysEq && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
   }
@@ -567,6 +576,25 @@ object TextDedup {
       case _ => clusterPairs(s, pairs, maxRounds)
     }
 
+  /** (doc_id, cluster_id) labels over the verified near-dup pairs —
+    * memoized like the pair frame itself. q72, q277 and q283 all consume
+    * the SAME clustering of the SAME pairs; before round 13 each ran its
+    * own CC loop, and the funnel attribution (SCALE.md round 13) measured
+    * q283 re-paying it per run — the loop's per-round fixed costs, not a
+    * scan-path term, were the report's whole superlinear wall/shuffle
+    * column. One persisted labeling (a row per clustered doc — tiny)
+    * serves every consumer; keyed on the skew-cap and CC-algo confs so
+    * toggling either can never serve stale labels (the jaccardPairs
+    * rule). */
+  private[graft] def clusterLabels(s: SparkSession, dir: String): DataFrame = {
+    val capKey = s.conf.getOption("graft.textdedup.maxShingleDf").getOrElse("off")
+    val algoKey = s.conf.getOption("graft.textdedup.ccAlgo").getOrElse("pointer")
+    CacheRegistry.cache(s, s"textdedup-cclabels:$dir:cap=$capKey:algo=$algoKey") {
+      clusterComponents(s,
+        jaccardPairs(s, dir).select(col("doc_a"), col("doc_b")))
+    }
+  }
+
   /** Shared oracle CTE: same shingling + one-md5 split into (h1, h2) in
     * DuckDB (1-based list indexing; hex parsed via strpos like Spark's
     * conv). Mirrors [[shingleRows]] exactly. */
@@ -660,7 +688,7 @@ object TextDedup {
       // Signature = 8 min-aggregate columns of pure arithmetic over the
       // persisted (h1, h2) shingle hashes (see [[bandRows]] — an exploded
       // (doc, seed) layout was measured 5× slower because 40k+ groups
-      // defeat partial-agg compression). The band self-join on (band, bkey)
+      // defeat partial-agg compression). The band self-join on (band, k*)
       // is the LSH candidate join ([[bandCandidates]]).
       // persist: both sides of the self-join read `bands` — without it the
       // whole shingle→signature pipeline runs twice (broadcast side gets a
@@ -807,8 +835,7 @@ object TextDedup {
       // materialization of the overlap join. The CC engine is conf-gated
       // (pointer doubling default; graft.textdedup.ccAlgo=star for
       // star contraction) — identical output either way.
-      val pairs = jaccardPairs(s, dir).select(col("doc_a"), col("doc_b"))
-      clusterComponents(s, pairs).orderBy(col("doc_id"))
+      clusterLabels(s, dir).orderBy(col("doc_id"))
     },
 
     // ---- cluster keeper selection under a quality policy ----
@@ -854,8 +881,7 @@ object TextDedup {
          |FROM lab GROUP BY cluster_id
          |ORDER BY cluster_id""".stripMargin
     }) { (s, dir) =>
-      val pairs = jaccardPairs(s, dir).select(col("doc_a"), col("doc_b"))
-      val comp = clusterComponents(s, pairs)
+      val comp = clusterLabels(s, dir)
         .select(col("doc_id"), col("cluster_id"))
       val wc = t(s, dir, "documents")
         .select(col("doc_id"), size(TextCommon.wordsCol).as("n_words"))
@@ -926,8 +952,7 @@ object TextDedup {
       val tok = t(s, dir, "documents")
         .select(col("doc_id"), size(TextCommon.wordsCol).as("n_words"),
           md5(col("text")).as("fp"))
-      val comp = clusterComponents(s,
-        jaccardPairs(s, dir).select(col("doc_a"), col("doc_b")))
+      val comp = clusterLabels(s, dir)
         .select(col("doc_id").as("cdoc"), col("cluster_id"))
       funnelReport(tok, comp)
     },

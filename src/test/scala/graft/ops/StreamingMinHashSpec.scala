@@ -90,13 +90,13 @@ class StreamingMinHashSpec extends SparkSpec {
     // re-sends of a doc across DIFFERENT batch ids (batch_id overwrite
     // already covers engine-level replays of the SAME batch)
     def endState(): Seq[(Long, Long)] =
-      candidates(s.read.parquet(store).select("doc_id", "band", "bkey").distinct())
+      candidates(s.read.parquet(store).drop("batch_id").distinct())
 
     val batchAnswer = candidates(
       TextDedup.bandRows(TextDedup.shingleRowsFor((b1 ++ b2 ++ b3).toDF())))
 
     val streamed = candidates(
-      s.read.parquet(store).select("doc_id", "band", "bkey"))
+      s.read.parquet(store).drop("batch_id"))
     assert(streamed.nonEmpty, "expected at least the cross-batch candidate pair")
     assert(streamed == batchAnswer,
       s"incremental end-state diverges from the batch answer:\n$streamed\nvs\n$batchAnswer")
