@@ -24,8 +24,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Stays inside whole-stage codegen via the static helper, like
   * [[SnappyDecode]]. Reference behavior anchor: the reference fingerprints
-  * nothing (its payloads are opaque — `pkg/converter/converter.go:52-57`);
-  * this hash family exists for the LLM-pipeline dedup operators.
+  * nothing (its payloads are opaque —
+  * `/root/reference/pkg/converter/converter.go:52-57`); this hash family
+  * exists for the LLM-pipeline dedup operators.
   */
 case class Md5Split(child: Expression) extends UnaryExpression {
 

@@ -251,6 +251,21 @@ object TextDedup {
     jaccardPairsFrom(hs)
 
   private def jaccardPairsFrom(hs: DataFrame): DataFrame = {
+    // The DIRECT formulation — kept on measurement over AllPairs/PPJoin
+    // prefix filtering (Bayardo WWW'07 / Xiao WWW'08), which round 13
+    // built and A/B-profiled at 200k docs / k=64 / cap=64: the prefix
+    // variant needs per-doc rank structure over the full shingle frame
+    // (a shuffle-by-doc plus window sorts that spilled 23.6 GB TWICE and
+    // tripled total cpu to 17k s), while its candidate cut buys little
+    // here because [[capDocFrequency]] has ALREADY bounded every df at
+    // the cap — Σ df² is modest once the heavy tail is gone, and the
+    // df cap (not prefix indexing) is this family's scale tool for
+    // boilerplate-heavy corpora. The direct join's verify working set
+    // (Σ df² pair partials; 18 GB external sort at 200k single-JVM) is
+    // per-executor on a real cluster and sort-based, i.e. it degrades
+    // to disk instead of failing — SCALE.md round 13 "prefix filtering:
+    // measured and rejected". JaccardPrefixSpec pins this output against
+    // a brute-force reference either way.
     val sizes = hs.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = hs.as("x").join(hs.as("y"),
         col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
