@@ -2,8 +2,40 @@ package graft
 import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Rotation-discipline guard (VERDICT r13 item 5): when a round's driver
+    * artifact `BENCH_r<N>.json` exists, the matching round-close detail
+    * archive `<stem>_r<N>.json` must exist too BEFORE any new run rotates
+    * the one-deep `<stem>_prev.json` away — per-query cpu (the load-
+    * insensitive adjudication channel) is unrecoverable once overwritten
+    * twice. Returns the highest round number whose detail is unarchived. */
+  private[graft] def unarchivedRound(dir: java.nio.file.Path, stem: String): Option[Int] = {
+    val rx = "BENCH_r(\\d+)\\.json".r
+    val names = Option(dir.toFile.list()).getOrElse(Array.empty[String])
+    val rounds = names.collect { case rx(n) => n.toInt }
+    rounds.sorted.lastOption.filterNot { n =>
+      java.nio.file.Files.exists(dir.resolve(f"${stem}_r$n%02d.json"))
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    locally {
+      val p = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "bench_detail.json"))
+        .toAbsolutePath
+      val fn = p.getFileName.toString
+      val stem = fn.lastIndexOf('.') match {
+        case -1 => fn
+        case i  => fn.substring(0, i)
+      }
+      if (!sys.env.contains("SPARK_GRAFT_BENCH_FORCE"))
+        unarchivedRound(p.getParent, stem).foreach { n =>
+          System.err.println(f"REFUSING to run: BENCH_r$n%02d.json exists " +
+            f"but ${stem}_r$n%02d.json does not — archive the round-close " +
+            s"$fn first, or set SPARK_GRAFT_BENCH_FORCE=1 to override.")
+          sys.exit(2)
+        }
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SessionDefaults.tune(SparkSession.builder()
       .master(s"local[$cpus]")
@@ -13,17 +45,6 @@ object Bench {
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Pin release (CacheRegistry.clear / session stop) logs one
-    // "RDD ... was locally checkpointed ... cannot be recomputed" WARN per
-    // released pin; at ~300 queries the flood pushed the machine-parseable
-    // contract line out of the driver's 2000-char stdout tail
-    // (BENCH_r12.json parsed:null). The release is intentional — the pins
-    // are dead by construction at teardown (Loops.releaseAll only drains
-    // after the consuming queries finished) — so the logger carries no
-    // signal here; silence the RDD loggers for this process. Belt and
-    // braces: clear() is also moved BEFORE the final prints below.
-    org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.rdd", org.apache.logging.log4j.Level.ERROR)
     // Load-insensitive signals, counted via task metrics:
     //  - shuffle-write bytes: a plan regression (new exchange, lost
     //    broadcast) shows up as bytes even on a loaded host;
@@ -260,6 +281,18 @@ object Bench {
     val line = Seq(compact(0.05, true), compact(0.5, true), compact(0.5, false),
         compact(Double.MaxValue, false))
       .find(_.length <= taskdsBudget).getOrElse(compact(Double.MaxValue, false))
+    // Pin release (CacheRegistry.clear / session stop) logs one
+    // "RDD ... was locally checkpointed ... cannot be recomputed" WARN per
+    // released pin; at ~300 queries the flood pushed the machine-parseable
+    // contract line out of the driver's 2000-char stdout tail
+    // (BENCH_r12.json parsed:null). The release is intentional — the pins
+    // are dead by construction at teardown (Loops.releaseAll only drains
+    // after the consuming queries finished) — so the logger carries no
+    // signal at teardown. Silenced HERE, not at startup, so a genuine
+    // mid-run RDD warning stays visible for all ~300 measured queries
+    // (ADVICE r13).
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd", org.apache.logging.log4j.Level.ERROR)
     // Release every operator cache BEFORE the machine lines: any stray
     // teardown logging (pin release, block-manager cleanup) must land
     // above the contract line, never after it, so the driver's bounded

@@ -78,7 +78,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((
       new FunctionIdentifier("graft_md5_split"),
       new ExpressionInfo(classOf[graft.functions.Md5Split].getName, "graft_md5_split"),
-      (exprs: Seq[Expression]) => graft.functions.Md5Split(exprs.head)))
+      graft.functions.GraftFunctions.md5SplitBuilder))
     e.injectFunction((
       new FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[graft.functions.MinHashSig].getName, "graft_minhash"),

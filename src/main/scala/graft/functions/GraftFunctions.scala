@@ -46,7 +46,7 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_min_k", minKBuilder, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_md5_split", exprs => Md5Split(exprs.head), "scala_udf")
+      "graft_md5_split", md5SplitBuilder, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_minhash", minHashBuilder, "scala_udf")
   }
@@ -60,6 +60,15 @@ object GraftFunctions {
   // existing Aggregator in the same ScalaAggregator node
   // `functions.udaf` uses, so partial aggregation / map-side combine
   // behave identically to the typed path. ----
+
+  /** Shared by the temp-function and extension registrations: a named
+    * arity error instead of `exprs.head`'s bare NoSuchElementException on
+    * zero args / silent drop of extras (ADVICE r13). */
+  val md5SplitBuilder: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 1,
+      s"graft_md5_split expects 1 argument, got ${exprs.length}")
+    Md5Split(exprs.head)
+  }
 
   private def litK(exprs: Seq[Expression], arity: Int, name: String): Int = {
     require(exprs.length == arity,

@@ -47,7 +47,13 @@ case class MinHashSig(k: Int)(
     val h2 = x._2
     var i = 0
     while (i < k) {
-      val v = s % P
+      // floorMod, not `%`: graft_minhash is SQL-registered and callable on
+      // arbitrary longs, where a negative seed under `%` silently diverges
+      // from the declarative min(pmod(...)) path (ADVICE r13). The
+      // additive accumulation wraps int64 exactly like the declarative
+      // h1 + i*h2 product, so floorMod(s, P) == pmod(h1 + i*h2, P) for
+      // ALL inputs, not just the documented h1, h2 < 2^56 domain.
+      val v = java.lang.Math.floorMod(s, P)
       if (v < b(i)) b(i) = v
       s += h2
       i += 1

@@ -109,10 +109,20 @@ object Loops {
   private val tracked =
     scala.collection.concurrent.TrieMap.empty[SparkContext, ArrayBuffer[PinScope]]
 
+  @annotation.tailrec
   private def registerScope(sc: SparkContext, ps: PinScope): PinScope = {
     val buf = tracked.getOrElseUpdate(sc, ArrayBuffer.empty)
     buf.synchronized { buf += ps }
-    ps
+    // releaseAll may remove-and-drain `buf` between the map lookup and the
+    // append above; a scope appended to that orphaned buffer would leak its
+    // pins until JVM exit (ADVICE r13). Re-check membership after the
+    // append and, if the buffer is no longer the tracked one, retract and
+    // re-register against the live entry.
+    if (tracked.get(sc).exists(_ eq buf)) ps
+    else {
+      buf.synchronized { buf -= ps }
+      registerScope(sc, ps)
+    }
   }
 
   /** New chain scope for one loop invocation. */

@@ -213,7 +213,14 @@ object TextDedup {
     * O(n²) all-pairs join. Works identically over one batch frame or the
     * union of incrementally-accumulated band rows. */
   def bandCandidates(bands: DataFrame): DataFrame = {
-    val keyCols = bands.columns.filter(c => c == "band" || c.startsWith("k")).toSeq
+    // Explicit schema contract (ADVICE r13): exactly doc_id, band,
+    // k0..k{r-1} — a caller-supplied extra column (e.g. 'keeper') must
+    // error here, not silently join on every name starting with 'k'.
+    val kCols = (0 until bands.columns.length - 2).map(r => s"k$r")
+    require(bands.columns.toSet == (Set("doc_id", "band") ++ kCols),
+      s"bandCandidates expects exactly (doc_id, band, k0..k${kCols.size - 1}); " +
+        s"got (${bands.columns.mkString(", ")})")
+    val keyCols = "band" +: kCols
     val x = bands.as("x")
     val y = bands.as("y")
     val keysEq = keyCols.map(c => col(s"x.$c") === col(s"y.$c")).reduce(_ && _)

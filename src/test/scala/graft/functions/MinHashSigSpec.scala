@@ -81,4 +81,36 @@ class MinHashSigSpec extends SparkSpec {
     val want = (0 until 4).map(i => data.map { case (h1, h2) => (h1 + i * h2) % p }.min)
     assert(got === want)
   }
+
+  test("graft_minhash matches min(pmod) on NEGATIVE / arbitrary longs") {
+    // the SQL surface is callable on any long, not just the md5-split
+    // domain h < 2^56; floorMod (not `%`) keeps it equal to the pmod
+    // formulation there too (ADVICE r13)
+    val s = spark
+    import s.implicits._
+    // domain: any longs for which h1 + i*h2 doesn't overflow int64 (ANSI
+    // mode makes the declarative reference itself throw past that, so
+    // equality is only definable inside it); |h| < 2^57 keeps i ≤ 5 safe
+    // while exercising plenty of NEGATIVE seeds, where `%` diverges
+    val rng = new scala.util.Random(59)
+    def draw(): Long = rng.nextLong() % (1L << 57)
+    val data = Seq((-7L, 11L), (5L, -3L), (-(1L << 56), (1L << 56) - 1),
+      (-1L, -1L)) ++ (1 to 200).map(_ => (draw(), draw()))
+    data.toDF("h1", "h2").createOrReplaceTempView("mh_neg_in")
+    val got = s.sql("SELECT graft_minhash(h1, h2, 6) AS sig FROM mh_neg_in")
+      .head().getSeq[Long](0)
+    val want = s.sql(
+      ("SELECT " + (0 until 6).map(i =>
+        s"min(pmod(h1 + $i * h2, 2305843009213693951)) AS m$i").mkString(", ")) +
+        " FROM mh_neg_in").head()
+    assert(got === (0 until 6).map(want.getLong))
+  }
+
+  test("graft_md5_split rejects wrong arity with a named error") {
+    val e0 = intercept[Exception](spark.sql("SELECT graft_md5_split()").collect())
+    assert(e0.getMessage.contains("graft_md5_split expects 1 argument"))
+    val e2 = intercept[Exception](
+      spark.sql("SELECT graft_md5_split('a', 'b')").collect())
+    assert(e2.getMessage.contains("graft_md5_split expects 1 argument"))
+  }
 }

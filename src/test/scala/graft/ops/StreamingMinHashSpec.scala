@@ -112,4 +112,20 @@ class StreamingMinHashSpec extends SparkSpec {
     assert(endState() == batchAnswer,
       "replayed batch must not change the end-state candidate set")
   }
+
+  test("bandCandidates rejects frames outside the (doc_id, band, k*) contract") {
+    // a stray column starting with 'k' (e.g. 'keeper') must error, not
+    // silently become a join key and shrink the candidate set (ADVICE r13)
+    val s = spark
+    import s.implicits._
+    val bands = TextDedup.bandRows(
+      TextDedup.shingleRowsFor(Seq((1L, "a b c d e f g")).toDF("doc_id", "text")))
+    val e = intercept[IllegalArgumentException](
+      TextDedup.bandCandidates(
+        bands.withColumn("keeper", org.apache.spark.sql.functions.lit(true))))
+    assert(e.getMessage.contains("bandCandidates expects exactly"))
+    // and the contract frame itself still works regardless of column order
+    assert(TextDedup.bandCandidates(
+      bands.select("band", "k1", "doc_id", "k0")).count() === 0)
+  }
 }
