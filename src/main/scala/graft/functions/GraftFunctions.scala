@@ -61,6 +61,22 @@ object GraftFunctions {
   // `functions.udaf` uses, so partial aggregation / map-side combine
   // behave identically to the typed path. ----
 
+  /** The per-row sampling-coin idiom — the value of md5(x)'s first 8 hex
+    * chars as an unsigned-32-bit long — via the native digest-bytes
+    * expression instead of hex materialization + a general-radix string
+    * parse: hex chars 1–8 are the top 32 bits of h1 (chars 1–14 ARE
+    * digest bytes 0–6), so `conv(substring(md5(x), 1, 8), 16, 10)` ==
+    * `graft_md5_split(x)[0] >> 24`, bit-exact (the h1 equality is
+    * property-pinned in MinHashSigSpec; h1 < 2^56 makes the arithmetic
+    * shift the unsigned one). For per-token/per-chunk coin volumes the
+    * hex+conv cost class matters (SCALE.md round 13 measured it at ~3×
+    * the digest itself on the shingle stage); per-doc coins keep the
+    * hex form — the coin text doubles as the oracle's text there.
+    * Caller must have run [[register]] on the session. */
+  def coin8(x: Column): Column =
+    org.apache.spark.sql.functions.shiftright(
+      call_function("graft_md5_split", x).getItem(0), 24)
+
   /** Shared by the temp-function and extension registrations: a named
     * arity error instead of `exprs.head`'s bare NoSuchElementException on
     * zero args / silent drop of extras (ADVICE r13). */

@@ -149,8 +149,11 @@ object Curation {
             .stripMargin)).as("g"))
         .select(col("doc_id"), col("g.ci").as("ci"), col("g.ch").as("chunk"))
       val n = t(s, dir, "documents").agg(count(lit(1)).as("n_docs"))
-      val coin = conv(substring(md5(concat(col("doc_id").cast("string"), lit(":"),
-        col("ci").cast("string"))), 1, 8), 16, 10).cast("long")
+      // one coin per 10-token chunk (~tokens/10 rows — corpus-volume):
+      // digest-bytes split, bit-exact with the oracle's hex+conv text
+      graft.functions.GraftFunctions.register(s)
+      val coin = graft.functions.GraftFunctions.coin8(
+        concat(col("doc_id").cast("string"), lit(":"), col("ci").cast("string")))
       val a = ch.select(col("doc_id"), col("ci"), col("chunk"))
       val p = ch.select(col("doc_id"), (col("ci") - 1).as("ci"),
         col("chunk").as("pos_chunk"))

@@ -342,7 +342,11 @@ object PipelineOps {
          |FROM sc
          |ORDER BY doc_id""".stripMargin
     }) { (s, dir) =>
-      val wInt = conv(substring(md5(col("word")), 1, 8), 16, 10).cast("long") -
+      // one coin per distinct (doc, word) — corpus-volume, so it rides the
+      // digest-bytes split; bit-exact with the oracle's hex+conv text
+      // (GraftFunctions.coin8 scaladoc; NEXT.md round-14 site survey)
+      graft.functions.GraftFunctions.register(s)
+      val wInt = graft.functions.GraftFunctions.coin8(col("word")) -
         lit(2147483648L)
       words(s, dir)
         .groupBy(col("doc_id"), col("word"))
@@ -568,11 +572,16 @@ object PipelineOps {
          |FROM masked m LEFT JOIN tgt t ON m.doc_id = t.doc_id
          |ORDER BY doc_id""".stripMargin
     }) { (s, dir) =>
+      // one coin per TOKEN — the highest-volume residual coin site
+      // (NEXT.md round-14 survey: ~54×docs rows); digest-bytes split,
+      // bit-exact with the oracle's hex+conv text
+      graft.functions.GraftFunctions.register(s)
       val p = t(s, dir, "documents")
         .select(col("doc_id"), posexplode(wordsCol).as(Seq("pos0", "word")))
         .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("word"),
-          (conv(substring(md5(concat(col("doc_id").cast("string"), lit(":"),
-            (col("pos0") + 1).cast("string"))), 1, 8), 16, 10).cast("long") % 100 < 15)
+          (graft.functions.GraftFunctions.coin8(
+            concat(col("doc_id").cast("string"), lit(":"),
+              (col("pos0") + 1).cast("string"))) % 100 < 15)
             .as("m"))
       val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       val mk = p.filter(col("m"))

@@ -258,26 +258,8 @@ object TextDedup {
     jaccardPairsFrom(hs)
 
   private def jaccardPairsFrom(hs: DataFrame): DataFrame = {
-    // The DIRECT formulation — kept on measurement over AllPairs/PPJoin
-    // prefix filtering (Bayardo WWW'07 / Xiao WWW'08), which round 13
-    // built and A/B-profiled at 200k docs / k=64 / cap=64: the prefix
-    // variant needs per-doc rank structure over the full shingle frame
-    // (a shuffle-by-doc plus window sorts that spilled 23.6 GB TWICE and
-    // tripled total cpu to 17k s), while its candidate cut buys little
-    // here because [[capDocFrequency]] has ALREADY bounded every df at
-    // the cap — Σ df² is modest once the heavy tail is gone, and the
-    // df cap (not prefix indexing) is this family's scale tool for
-    // boilerplate-heavy corpora. The direct join's verify working set
-    // (Σ df² pair partials; 18 GB external sort at 200k single-JVM) is
-    // per-executor on a real cluster and sort-based, i.e. it degrades
-    // to disk instead of failing — SCALE.md round 13 "prefix filtering:
-    // measured and rejected". JaccardPrefixSpec pins this output against
-    // a brute-force reference either way.
     val sizes = hs.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = hs.as("x").join(hs.as("y"),
-        col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("i"))
+    val inter = interCounts(hs)
     val jac = col("i") * lit(1.0) /
       (col("sa.n") + col("sb.n") - col("i"))
     inter
@@ -285,6 +267,77 @@ object TextDedup {
       .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
       .filter(jac >= 0.5)
       .select(col("doc_a"), col("doc_b"), jac.as("jac"))
+  }
+
+  /** Pair intersection counts |A ∩ B| for all doc pairs sharing ≥1 shingle
+    * — the verify join of the dedup family (q42/q100/q112/q119 and q72's
+    * input).
+    *
+    * Default: the DIRECT formulation — kept on measurement over
+    * AllPairs/PPJoin prefix filtering (Bayardo WWW'07 / Xiao WWW'08),
+    * which round 13 built and A/B-profiled at 200k docs / k=64 / cap=64:
+    * the prefix variant needs per-doc rank structure over the full shingle
+    * frame (a shuffle-by-doc plus window sorts that spilled 23.6 GB TWICE
+    * and tripled total cpu to 17k s), while its candidate cut buys little
+    * here because [[capDocFrequency]] has ALREADY bounded every df at the
+    * cap — Σ df² is modest once the heavy tail is gone. SCALE.md round 13
+    * "prefix filtering: measured and rejected"; JaccardPrefixSpec pins
+    * this output against a brute-force reference.
+    *
+    * `graft.textdedup.verifyBatchPairs = P` bounds the per-PASS working
+    * set (VERDICT r13 item 1 — the family's last memory constant that
+    * grew with corpus-per-executor): the intersection count decomposes
+    * exactly over any partition of the SHINGLE space,
+    * |A ∩ B| = Σ_b |{h ∈ A ∩ B : bucket(h) = b}|, so the self-join runs
+    * as ⌈ΣC(df,2) / P⌉ sequential passes over disjoint shingle-hash
+    * buckets, each materializing its PRE-AGGREGATED partials (≤ one row
+    * per pair per pass) via an eager pin before the next pass starts; a
+    * final sum over the unioned partials reassembles exact counts. Per
+    * pass the join materializes ≈ P pair partials (~24 B each in the sort
+    * buffer), so the external-sort working set is budget-bound by
+    * construction instead of ΣC(df,2)-bound — the measured 18 GB sort at
+    * 200k/k=64 becomes B sorts of 18/B GB (SCALE.md round 14, incl. an
+    * 8 GB-heap completion that OOMed unbatched). Exactness: counts are
+    * sums over disjoint shingle sets — same totals, same Jaccard, same
+    * output hashes (JaccardBatchSpec; driver oracles unchanged at 3 SFs).
+    * OFF by default: the oracle suite's corpora fit a single pass, and
+    * the batch boundary costs B scans of the cached shingle frame. */
+  private def interCounts(hs: DataFrame): DataFrame = {
+    val s = hs.sparkSession
+    def partialsFor(frame: DataFrame): DataFrame =
+      frame.as("x").join(frame.as("y"),
+          col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("i"))
+    val budget = s.conf.getOption("graft.textdedup.verifyBatchPairs")
+      .map(_.trim.toLong)
+    budget.filter(_ > 0).map { p =>
+      // pair mass ΣC(df,2): the exact partial count the unbatched join
+      // materializes — one narrow agg over the (family-cached) frame
+      val mass = hs.groupBy(col("h")).agg(count(lit(1)).as("df"))
+        .agg(coalesce(sum(col("df") * (col("df") - lit(1L))), lit(0L)))
+        .head().getLong(0) / 2
+      // pass count capped at 64: each pass pays fixed job/pin overhead,
+      // and 64 already divides the worst-case sort by 64 — a tighter
+      // budget than mass/64 asks for more passes than it buys working
+      // set; the budget is the target per-pass mass, not a hard bound
+      // past the cap
+      val b = math.min(64L, math.max(1L, (mass + p - 1) / p)).toInt
+      if (b == 1) partialsFor(hs)
+      else {
+        import graft.ops.Loops.Pinnable
+        val parts = (0 until b).map { i =>
+          // eager pin = this pass's join+sort runs NOW and only its
+          // aggregated partials survive into the union; the next pass's
+          // working set never coexists with this one's
+          partialsFor(hs.filter(pmod(col("h"), lit(b.toLong)) === lit(i.toLong)))
+            .pin()
+        }
+        parts.reduce(_ union _)
+          .groupBy(col("doc_a"), col("doc_b"))
+          .agg(sum(col("i")).as("i"))
+      }
+    }.getOrElse(partialsFor(hs))
   }
 
   /** Scale probe (graft.ScaleBench): number of doc pairs sharing ≥1
