@@ -36,7 +36,7 @@ object JpegCodec {
   final case class Decoded(width: Int, height: Int, ncomp: Int,
       pixels: Array[Int])
 
-  private val ZigZag: Array[Int] = Array(
+  private[ops] val ZigZag: Array[Int] = Array(
     0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
     12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
     35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
@@ -136,10 +136,10 @@ object JpegCodec {
 
   /** T.81 F.2.1.3.1 EXTEND: map the raw SSSS-bit magnitude to its signed
     * value. */
-  private def extend(v: Int, t: Int): Int =
+  private[ops] def extend(v: Int, t: Int): Int =
     if (t == 0) 0 else if (v < (1 << (t - 1))) v - (1 << t) + 1 else v
 
-  private def idct(coef: Array[Int], out: Array[Int]): Unit = {
+  private[ops] def idct(coef: Array[Int], out: Array[Int]): Unit = {
     // rows (DCT-III over u for each y), then columns — double precision,
     // rounded once at the end; T.81 allows ±1 decoder variation here
     val tmp = new Array[Double](64)
@@ -178,11 +178,11 @@ object JpegCodec {
     }
   }
 
-  private def u16(d: Array[Byte], p: Int): Int =
+  private[ops] def u16(d: Array[Byte], p: Int): Int =
     ((d(p) & 0xff) << 8) | (d(p + 1) & 0xff)
 
   /** DQT segment → quant tables in NATURAL (dezigzagged) order. */
-  private def parseDqt(data: Array[Byte], seg: Int, len: Int,
+  private[ops] def parseDqt(data: Array[Byte], seg: Int, len: Int,
       qt: Array[Array[Int]]): Unit = {
     var q = seg
     while (q < seg + len - 2) {
@@ -219,7 +219,7 @@ object JpegCodec {
 
   /** Component planes → the output raster: gray copy-out, or replication
     * chroma upsampling + JFIF YCbCr→RGB (shared by both scan machines). */
-  private def assemble(w: Int, h: Int, nc: Int, compHV: Array[Int],
+  private[ops] def assemble(w: Int, h: Int, nc: Int, compHV: Array[Int],
       hMax: Int, vMax: Int, planeW: Array[Int],
       planes: Array[Array[Int]]): Decoded = {
     if (nc == 1) {
@@ -321,10 +321,12 @@ object JpegCodec {
             }
           case 0xc2 => // SOF2: hand the stream to the progressive machine
             return decodeProgressive(data, salvageProgressive)
+          case 0xc9 => // SOF9: hand the stream to the arithmetic machine
+            return JpegArith.decode(data)
           case mm if mm >= 0xc3 && mm <= 0xcf && mm != 0xc4 && mm != 0xc8 =>
             throw new UnsupportedOperationException(
               f"unsupported SOF marker 0xff$mm%02x — sequential/progressive" +
-                " Huffman only")
+                " Huffman and sequential arithmetic (SOF9) only")
           case 0xdd => restartInterval = u16(data, seg)
           case 0xda => // SOS
             val ns = data(seg) & 0xff

@@ -284,24 +284,33 @@ object TextDedup {
     * "prefix filtering: measured and rejected"; JaccardPrefixSpec pins
     * this output against a brute-force reference.
     *
-    * `graft.textdedup.verifyBatchPairs = P` bounds the per-PASS working
+    * `graft.textdedup.verifyBatchUnits = P` bounds the per-PASS working
     * set (VERDICT r13 item 1 — the family's last memory constant that
     * grew with corpus-per-executor): the intersection count decomposes
     * exactly over any partition of the SHINGLE space,
     * |A ∩ B| = Σ_b |{h ∈ A ∩ B : bucket(h) = b}|, so the self-join runs
-    * as ⌈ΣC(df,2) / P⌉ sequential passes over disjoint shingle-hash
-    * buckets, each materializing its PRE-AGGREGATED partials (≤ one row
-    * per pair per pass) via an eager pin before the next pass starts; a
-    * final sum over the unioned partials reassembles exact counts. Per
-    * pass the join materializes ≈ P pair partials (~24 B each in the sort
-    * buffer), so the external-sort working set is budget-bound by
-    * construction instead of ΣC(df,2)-bound — the measured 18 GB sort at
-    * 200k/k=64 becomes B sorts of 18/B GB (SCALE.md round 14, incl. an
-    * 8 GB-heap completion that OOMed unbatched). Exactness: counts are
-    * sums over disjoint shingle sets — same totals, same Jaccard, same
-    * output hashes (JaccardBatchSpec; driver oracles unchanged at 3 SFs).
-    * OFF by default: the oracle suite's corpora fit a single pass, and
-    * the batch boundary costs B scans of the cached shingle frame. */
+    * as sequential passes over disjoint shingle-hash buckets, each
+    * materializing its PRE-AGGREGATED partials (≤ one row per pair per
+    * pass) via an eager pin before the next pass starts; a final sum
+    * over the unioned partials reassembles exact counts.
+    *
+    * What the budget bounds — CORRECTING the r13 attribution: the
+    * verify working set is NOT dominated by ΣC(df,2) pair partials.
+    * Measured at 200k docs / cap 64, the capped frame holds 119.5M
+    * shingle rows over 114.4M distinct shingles (mean df 1.04), so the
+    * pair mass is only 13.9M (~220 MB) — the 49 GB worst-stage spill is
+    * the SORT-MERGE JOIN'S INPUT SORT of the two 119.5M-row join sides
+    * (Spark sorts shuffle input in the reading stage). Bucketing fixes
+    * that too, because a shingle-hash bucket partitions the join-input
+    * ROWS along with the pairs. The pass count is therefore sized on
+    * units = rows + pairs (both one narrow agg over the family-cached
+    * frame): B = ⌈(Σdf + ΣC(df,2)) / P⌉, capped at 64 passes. Measured
+    * ladder in SCALE.md round 14, incl. an 8 GB-heap completion that
+    * OOMs unbatched. Exactness: counts are sums over disjoint shingle
+    * sets — same totals, same Jaccard, same output hashes
+    * (JaccardBatchSpec; driver oracles unchanged at 3 SFs). OFF by
+    * default: the oracle suite's corpora fit a single pass, and the
+    * batch boundary costs B scans of the cached shingle frame. */
   private def interCounts(hs: DataFrame): DataFrame = {
     val s = hs.sparkSession
     def partialsFor(frame: DataFrame): DataFrame =
@@ -309,20 +318,25 @@ object TextDedup {
           col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
         .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
         .agg(count(lit(1)).as("i"))
-    val budget = s.conf.getOption("graft.textdedup.verifyBatchPairs")
+    val budget = s.conf.getOption("graft.textdedup.verifyBatchUnits")
       .map(_.trim.toLong)
     budget.filter(_ > 0).map { p =>
-      // pair mass ΣC(df,2): the exact partial count the unbatched join
-      // materializes — one narrow agg over the (family-cached) frame
-      val mass = hs.groupBy(col("h")).agg(count(lit(1)).as("df"))
-        .agg(coalesce(sum(col("df") * (col("df") - lit(1L))), lit(0L)))
-        .head().getLong(0) / 2
+      // units = join-input rows (Σdf — the SMJ input-sort term, the
+      // MEASURED dominant cost) + pair partials (ΣC(df,2)) — one narrow
+      // agg over the (family-cached) frame
+      val r = hs.groupBy(col("h")).agg(count(lit(1)).as("df"))
+        .agg(coalesce(sum(col("df")), lit(0L)).as("rows"),
+          coalesce(sum(col("df") * (col("df") - lit(1L))), lit(0L)).as("m2"))
+        .head()
+      val units = r.getLong(0) + r.getLong(1) / 2
       // pass count capped at 64: each pass pays fixed job/pin overhead,
       // and 64 already divides the worst-case sort by 64 — a tighter
-      // budget than mass/64 asks for more passes than it buys working
-      // set; the budget is the target per-pass mass, not a hard bound
+      // budget than units/64 asks for more passes than it buys working
+      // set; the budget is the target per-pass load, not a hard bound
       // past the cap
-      val b = math.min(64L, math.max(1L, (mass + p - 1) / p)).toInt
+      val b = math.min(64L, math.max(1L, (units + p - 1) / p)).toInt
+      if (b > 1) System.err.println(
+        s"[graft] verify-join batching: units=$units budget=$p passes=$b")
       if (b == 1) partialsFor(hs)
       else {
         import graft.ops.Loops.Pinnable

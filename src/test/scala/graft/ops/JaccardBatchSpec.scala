@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.functions._
 import graft.SparkSpec
 
-/** `graft.textdedup.verifyBatchPairs` (VERDICT r13 item 1) must be
+/** `graft.textdedup.verifyBatchUnits` (VERDICT r13 item 1) must be
   * output-invariant: the verify join's intersection counts decompose
   * exactly over disjoint shingle-hash buckets, so ANY budget — including
   * one forcing many single-shingle-ish passes — yields byte-identical
@@ -18,15 +18,15 @@ class JaccardBatchSpec extends SparkSpec {
     val s = spark
     import s.implicits._
     budget match {
-      case Some(p) => s.conf.set("graft.textdedup.verifyBatchPairs", p.toString)
-      case None => s.conf.unset("graft.textdedup.verifyBatchPairs")
+      case Some(p) => s.conf.set("graft.textdedup.verifyBatchUnits", p.toString)
+      case None => s.conf.unset("graft.textdedup.verifyBatchUnits")
     }
     try {
       val rows = sets.toSeq.flatMap { case (d, hh) => hh.map(h => (d, h)) }
       TextDedup.verifiedPairsFor(rows.toDF("doc_id", "h"))
         .orderBy("doc_a", "doc_b")
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
-    } finally s.conf.unset("graft.textdedup.verifyBatchPairs")
+    } finally s.conf.unset("graft.textdedup.verifyBatchUnits")
   }
 
   test("batched == direct on randomized corpora at forced multi-pass budgets") {
@@ -38,9 +38,9 @@ class JaccardBatchSpec extends SparkSpec {
           .toSet.take(sz)
       }.toMap
       val direct = pairs(sets, None)
-      // ~8k pair mass here: 2000 → ~4 passes, 500 → ~16;
+      // ~10k units here (rows + pairs): 3000 → ~4 passes, 800 → ~13;
       // 10_000_000 collapses to the single-pass (b == 1) branch
-      for (budget <- Seq(2000L, 500L, 10000000L))
+      for (budget <- Seq(3000L, 800L, 10000000L))
         assert(pairs(sets, Some(budget)) === direct,
           s"diverged at seed $seed budget $budget")
     }
@@ -57,7 +57,7 @@ class JaccardBatchSpec extends SparkSpec {
       7L -> Set(30L, 31L, 32L, 33L, 34L, 35L))
     val direct = pairs(sets, None)
     assert(direct.nonEmpty)
-    // budget 1 exercises the 64-pass cap (pair mass > 64 here)
+    // budget 1 exercises the 64-pass cap (units > 64 here)
     for (budget <- Seq(1L, 3L, 100L))
       assert(pairs(sets, Some(budget)) === direct, s"diverged at budget $budget")
   }
@@ -70,12 +70,12 @@ class JaccardBatchSpec extends SparkSpec {
     CacheRegistry.clear(s)
     val off = run()
     CacheRegistry.clear(s) // jaccardPairs memoizer must not serve the unbatched frame
-    s.conf.set("graft.textdedup.verifyBatchPairs", "20")
+    s.conf.set("graft.textdedup.verifyBatchUnits", "20")
     try {
       val on = run()
       assert(on === off)
     } finally {
-      s.conf.unset("graft.textdedup.verifyBatchPairs")
+      s.conf.unset("graft.textdedup.verifyBatchUnits")
       CacheRegistry.clear(s)
     }
   }
