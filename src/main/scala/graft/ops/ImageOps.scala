@@ -576,6 +576,78 @@ object ImageOps {
         }
         .toDF("doc_id", "n_components", "jdk_parity_within_8")
         .orderBy(col("doc_id"))
+    },
+
+    // ---- arithmetic-coded JPEG decode audit: SOF9 + SOF10 (round 14) ----
+    // The codec boundary the reference corpus brief ranked next after
+    // progressive Huffman: T.81 Annex D's QM coder under the Annex
+    // F.1.4.4 statistical models ([[graft.ops.QmCoder]]/[[JpegArith]]).
+    // No third-party arithmetic codec exists in this sandbox (FIXTURES.md
+    // §C), so the per-document audit isolates the ENTROPY layer: encode
+    // deterministic per-doc quantized coefficients with the
+    // [[JpegArithEnc]] mirror encoder — even docs as one sequential SOF9
+    // scan, odd docs through a 5-scan progressive SOF10 script with DC/AC
+    // refinement passes — decode through the standard
+    // [[JpegCodec.decode]] dispatch, and compare pixels byte-exactly
+    // against the entropy-free rendering of the same coefficients
+    // ([[JpegArithEnc.render]]: the dequant+IDCT+assembly path that
+    // JpegCodecSpec pins against the JDK's libjpeg on Huffman streams).
+    // Scale shape identical to q284/q285/q297: embarrassingly-parallel
+    // mapPartitions, zero shuffle before the final sort.
+    Q("q298_jpeg_arith_decode",
+      """SELECT doc_id,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 9 ELSE 10 END AS INT) AS sof,
+        |  CAST(1 AS BOOLEAN) AS entropy_parity
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      t(s, dir, "documents")
+        .select(col("doc_id"))
+        .as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            // deterministic per-doc coefficient blocks: category-boundary
+            // magnitudes, sparse/dense mixes, signed DC swings
+            val rng = new scala.util.Random(id * 2654435761L + 13)
+            val boundary = Array(1, 2, 3, 4, 7, 8, 15, 16, 31, 127, 255, 1023)
+            val blocks = Array.tabulate(1, JpegH / 8, JpegW / 8) { (_, _, _) =>
+              val z = new Array[Int](64)
+              rng.nextInt(4) match {
+                case 0 => // sparse boundary magnitudes
+                  (0 until 5).foreach { _ =>
+                    val k = 1 + rng.nextInt(63)
+                    val v = boundary(rng.nextInt(boundary.length))
+                    z(k) = if (rng.nextBoolean()) v else -v
+                  }
+                case 1 => // dense small block
+                  (1 until 64).foreach(k => z(k) = rng.nextInt(15) - 7)
+                case 2 => // long zero run, one tail coefficient
+                  z(63) = boundary(rng.nextInt(boundary.length))
+                case _ => // all-zero AC
+              }
+              z(0) = rng.nextInt(2001) - 1000
+              z
+            }
+            val qt = Array(Array.tabulate(64)(i => 1 + (i * 2) % 31))
+            val script =
+              if (id % 2 == 0) Seq(JpegArithEnc.Scan(Seq(0), 0, 63, 0, 0))
+              else Seq(
+                JpegArithEnc.Scan(Seq(0), 0, 0, 0, 1),
+                JpegArithEnc.Scan(Seq(0), 1, 63, 0, 2),
+                JpegArithEnc.Scan(Seq(0), 0, 0, 1, 0),
+                JpegArithEnc.Scan(Seq(0), 1, 63, 2, 1),
+                JpegArithEnc.Scan(Seq(0), 1, 63, 1, 0))
+            val bytes = JpegArithEnc.encode(JpegW, JpegH, Array(0x11), qt,
+              Array(0), blocks, script)
+            val got = JpegCodec.decode(bytes)
+            val want = JpegArithEnc.render(JpegW, JpegH, Array(0x11), qt,
+              Array(0), blocks)
+            val parity = got.width == JpegW && got.height == JpegH &&
+              java.util.Arrays.equals(got.pixels, want.pixels)
+            (id, if (id % 2 == 0) 9 else 10, parity)
+          }
+        }
+        .toDF("doc_id", "sof", "entropy_parity")
+        .orderBy(col("doc_id"))
     }
   )
 

@@ -323,10 +323,12 @@ object JpegCodec {
             return decodeProgressive(data, salvageProgressive)
           case 0xc9 => // SOF9: hand the stream to the arithmetic machine
             return JpegArith.decode(data)
+          case 0xca => // SOF10: progressive arithmetic
+            return JpegArith.decodeProgressive(data)
           case mm if mm >= 0xc3 && mm <= 0xcf && mm != 0xc4 && mm != 0xc8 =>
             throw new UnsupportedOperationException(
-              f"unsupported SOF marker 0xff$mm%02x — sequential/progressive" +
-                " Huffman and sequential arithmetic (SOF9) only")
+              f"unsupported SOF marker 0xff$mm%02x — sequential/progressive," +
+                " Huffman (SOF0-2) and arithmetic (SOF9-10) only")
           case 0xdd => restartInterval = u16(data, seg)
           case 0xda => // SOS
             val ns = data(seg) & 0xff

@@ -4,7 +4,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** [[JpegArith]] (SOF9 sequential arithmetic decode) validated the only
   * way this sandbox permits (FIXTURES.md "arithmetic fixtures"): fixture
-  * streams are generated by the test-side mirror encoder below from KNOWN
+  * streams come from the [[JpegArithEnc]] mirror encoder over KNOWN
   * quantized coefficients, and the decode must reproduce — byte-exactly —
   * the pixels the repo's Huffman-path reconstruction (same dequant, same
   * IDCT, same plane assembly) produces from those coefficients. A defect
@@ -14,188 +14,123 @@ import org.scalatest.funsuite.AnyFunSuite
   * cannot hide because that path is already pinned against the JDK's
   * libjpeg decoder in JpegCodecSpec. Coefficients are adversarial:
   * magnitude-category boundaries, all-zero blocks, full blocks, extreme
-  * DC swings. */
+  * DC swings. The progressive twin lives in JpegArithProgSpec. */
 class JpegArithSpec extends AnyFunSuite {
 
-  // ---- mirror encoder: the exact encode-side of JpegArith's models ----
+  import JpegArithFixtures._
 
-  private class ScanEncoder(dcL: Int, dcU: Int, acKx: Int) {
-    val enc = new QmCoder.Encoder
-    val dcBins = new Array[Int](64)
-    val acBins = new Array[Int](256)
-    val signBin = Array(QmCoder.fixedBin)
-    var dcPred = new Array[Int](4)
-    var dcCtx = new Array[Int](4)
-
-    /** coefZ: the block's 64 values in ZIGZAG order (index 0 = DC). */
-    def encodeBlock(c: Int, coefZ: Array[Int]): Unit = {
-      val diff = coefZ(0) - dcPred(c)
-      dcPred(c) = coefZ(0)
-      val base = dcCtx(c)
-      if (diff == 0) { enc.encode(dcBins, base, 0); dcCtx(c) = 0 }
-      else {
-        enc.encode(dcBins, base, 1)
-        val sign = if (diff < 0) 1 else 0
-        enc.encode(dcBins, base + 1, sign)
-        val sz = math.abs(diff) - 1
-        var st = base + 2 + sign
-        var m = 0
-        if (sz == 0) enc.encode(dcBins, st, 0)
-        else {
-          enc.encode(dcBins, st, 1)
-          m = 1
-          st = 20
-          while ((m << 1) <= sz) { enc.encode(dcBins, st, 1); m <<= 1; st += 1 }
-          enc.encode(dcBins, st, 0)
-        }
-        dcCtx(c) =
-          if (m < ((1 << dcL) >> 1)) 0
-          else if (m > ((1 << dcU) >> 1)) 12 + 4 * sign
-          else 4 + 4 * sign
-        var mm = m >> 1
-        st += 14
-        while (mm != 0) {
-          enc.encode(dcBins, st, if ((sz & mm) != 0) 1 else 0)
-          mm >>= 1
-        }
-      }
-      val lastNz = (63 to 1 by -1).find(coefZ(_) != 0).getOrElse(0)
-      var k = 1
-      var done = false
-      while (k <= 63 && !done) {
-        var st = 3 * (k - 1)
-        if (k > lastNz) { enc.encode(acBins, st, 1); done = true } // EOB
-        else {
-          enc.encode(acBins, st, 0)
-          while (coefZ(k) == 0) { enc.encode(acBins, st + 1, 0); k += 1; st += 3 }
-          enc.encode(acBins, st + 1, 1)
-          val x = coefZ(k)
-          val sign = if (x < 0) 1 else 0
-          enc.encode(signBin, 0, sign)
-          val sz = math.abs(x) - 1
-          st += 2
-          var m = 0
-          if (sz == 0) enc.encode(acBins, st, 0)
-          else {
-            enc.encode(acBins, st, 1)
-            if (sz == 1) { m = 1; enc.encode(acBins, st, 0) }
-            else {
-              enc.encode(acBins, st, 1)
-              m = 2
-              st = if (k <= acKx) 189 else 217
-              while ((m << 1) <= sz) { enc.encode(acBins, st, 1); m <<= 1; st += 1 }
-              enc.encode(acBins, st, 0)
-            }
-          }
-          var mm = m >> 1
-          st += 14
-          while (mm != 0) {
-            enc.encode(acBins, st, if ((sz & mm) != 0) 1 else 0)
-            mm >>= 1
-          }
-          k += 1
-        }
-      }
-    }
-  }
-
-  /** Assemble a full SOF9 stream. `blocks(c)(row)(col)` holds each 8×8
-    * block's quantized coefficients in ZIGZAG order; geometry must tile
-    * exactly (planeW/H multiples of 8·h/8·v). `qtNat` in natural order. */
-  private def buildStream(w: Int, h: Int, compHV: Array[Int],
+  private def seqStream(w: Int, h: Int, compHV: Array[Int],
       qtNat: Array[Array[Int]], compQ: Array[Int],
       blocks: Array[Array[Array[Array[Int]]]],
-      dcL: Int = 0, dcU: Int = 1, acKx: Int = 5,
-      restartInterval: Int = 0, emitDac: Boolean = false): Array[Byte] = {
-    val nc = compHV.length
-    val out = new java.io.ByteArrayOutputStream()
-    def u8(v: Int): Unit = out.write(v & 0xff)
-    def u16b(v: Int): Unit = { u8(v >> 8); u8(v) }
-    def marker(m: Int): Unit = { u8(0xff); u8(m) }
-    marker(0xd8) // SOI
-    qtNat.indices.foreach { t =>
-      marker(0xdb); u16b(2 + 1 + 64); u8(t) // Pq=0, Tq=t
-      (0 until 64).foreach(i => u8(qtNat(t)(JpegCodec.ZigZag(i))))
-    }
-    if (emitDac) {
-      marker(0xcc); u16b(2 + 4)
-      u8(0x00); u8((dcU << 4) | dcL) // DC table 0
-      u8(0x10); u8(acKx) // AC table 0
-    }
-    marker(0xc9) // SOF9
-    u16b(8 + 3 * nc); u8(8); u16b(h); u16b(w); u8(nc)
-    (0 until nc).foreach { c => u8(c + 1); u8(compHV(c)); u8(compQ(c)) }
-    if (restartInterval > 0) { marker(0xdd); u16b(4); u16b(restartInterval) }
-    marker(0xda) // SOS
-    u16b(6 + 2 * nc); u8(nc)
-    (0 until nc).foreach { c => u8(c + 1); u8(0x00) } // DC/AC cond table 0
-    u8(0); u8(63); u8(0) // Ss, Se, Ah/Al
+      restartInterval: Int = 0): Array[Byte] =
+    JpegArithEnc.encode(w, h, compHV, qtNat, compQ, blocks,
+      Seq(JpegArithEnc.Scan(compHV.indices, 0, 63, 0, 0)),
+      restartInterval = restartInterval)
 
-    val hMax = compHV.map(_ >> 4).max
-    val vMax = compHV.map(_ & 0x0f).max
-    val mcusX = (w + 8 * hMax - 1) / (8 * hMax)
-    val mcusY = (h + 8 * vMax - 1) / (8 * vMax)
-    var se = new ScanEncoder(dcL, dcU, acKx)
-    var mcusSinceRestart = 0
-    var rstIdx = 0
-    for (my <- 0 until mcusY; mx <- 0 until mcusX) {
-      if (restartInterval > 0 && mcusSinceRestart == restartInterval) {
-        out.write(se.enc.flush())
-        marker(0xd0 + rstIdx)
-        rstIdx = (rstIdx + 1) % 8
-        se = new ScanEncoder(dcL, dcU, acKx)
-        mcusSinceRestart = 0
-      }
-      for (c <- 0 until nc) {
-        val ch = compHV(c) >> 4
-        val cv = compHV(c) & 0x0f
-        for (by <- 0 until cv; bx <- 0 until ch)
-          se.encodeBlock(c, blocks(c)(my * cv + by)(mx * ch + bx))
-      }
-      mcusSinceRestart += 1
+  test("gray 1-MCU and multi-MCU: arithmetic decode == reference reconstruction") {
+    for ((w, h, seed) <- Seq((8, 8, 1), (32, 24, 2), (64, 48, 3))) {
+      val hv = Array(0x11)
+      val blocks = randomBlocks(seed, 1, Array(h / 8), Array(w / 8))
+      val bytes = seqStream(w, h, hv, Array(flatQ), Array(0), blocks)
+      val got = JpegArith.decode(bytes)
+      val want = reconstruct(w, h, hv, Array(flatQ), Array(0), blocks)
+      assert(got.width === w && got.height === h && got.ncomp === 1)
+      assert(got.pixels.toSeq === want.pixels.toSeq, s"${w}x$h seed $seed")
     }
-    out.write(se.enc.flush())
-    marker(0xd9) // EOI
-    out.toByteArray
   }
 
-  /** Reference: the Huffman path's reconstruction of the same quantized
-    * coefficients — dequant, [[JpegCodec.idct]], plane placement,
-    * [[JpegCodec.assemble]] — with no entropy layer at all. */
-  private def reconstruct(w: Int, h: Int, compHV: Array[Int],
+  test("non-trivial quant table round-trips through DQT (zigzag layout)") {
+    val (w, h) = (24, 16)
+    val blocks = randomBlocks(7, 1, Array(2), Array(3))
+    val bytes = seqStream(w, h, Array(0x11), Array(stdQ), Array(0), blocks)
+    val got = JpegArith.decode(bytes)
+    val want = reconstruct(w, h, Array(0x11), Array(stdQ), Array(0), blocks)
+    assert(got.pixels.toSeq === want.pixels.toSeq)
+  }
+
+  test("color 4:2:0 (2x2,1x1,1x1) interleaved MCUs decode exactly") {
+    val (w, h) = (32, 32)
+    val hv = Array(0x22, 0x11, 0x11)
+    val blocks = randomBlocks(11, 3, Array(4, 2, 2), Array(4, 2, 2))
+    val q = Array(flatQ, stdQ)
+    val cq = Array(0, 1, 1)
+    val bytes = seqStream(w, h, hv, q, cq, blocks)
+    val got = JpegArith.decode(bytes)
+    val want = reconstruct(w, h, hv, q, cq, blocks)
+    assert(got.ncomp === 3)
+    assert(got.pixels.toSeq === want.pixels.toSeq)
+  }
+
+  test("restart intervals reset coder, statistics, and DC predictors") {
+    val (w, h) = (64, 16)
+    val blocks = randomBlocks(13, 1, Array(2), Array(8))
+    val bytes = seqStream(w, h, Array(0x11), Array(flatQ), Array(0),
+      blocks, restartInterval = 3)
+    assert(bytes.sliding(2).exists(p => (p(0) & 0xff) == 0xff &&
+      (p(1) & 0xff) >= 0xd0 && (p(1) & 0xff) <= 0xd7), "no RSTn marker emitted")
+    val got = JpegArith.decode(bytes)
+    val want = reconstruct(w, h, Array(0x11), Array(flatQ), Array(0), blocks)
+    assert(got.pixels.toSeq === want.pixels.toSeq)
+  }
+
+  test("non-default DAC conditioning (L=1, U=3, Kx=20) decodes exactly") {
+    val (w, h) = (40, 24)
+    val blocks = randomBlocks(17, 1, Array(3), Array(5))
+    val bytes = JpegArithEnc.encode(w, h, Array(0x11), Array(stdQ), Array(0),
+      blocks, Seq(JpegArithEnc.Scan(Seq(0), 0, 63, 0, 0)),
+      dcL = Array.fill(4)(1), dcU = Array.fill(4)(3),
+      acKx = Array.fill(4)(20), emitDac = true)
+    val got = JpegArith.decode(bytes)
+    val want = reconstruct(w, h, Array(0x11), Array(stdQ), Array(0), blocks)
+    assert(got.pixels.toSeq === want.pixels.toSeq)
+  }
+
+  test("JpegCodec.decode routes SOF9 to the arithmetic machine") {
+    val blocks = randomBlocks(19, 1, Array(1), Array(1))
+    val bytes = seqStream(8, 8, Array(0x11), Array(flatQ), Array(0), blocks)
+    assert(JpegCodec.decode(bytes).pixels.toSeq ===
+      JpegArith.decode(bytes).pixels.toSeq)
+    // flipping the SOF marker to SOF10 makes this a MALFORMED progressive
+    // stream (a full-band Ss=0..63 scan violates G.1) — a named error,
+    // not a silent misdecode
+    val prog = bytes.clone()
+    val sofAt = prog.indices.find(i =>
+      (prog(i) & 0xff) == 0xff && (prog(i + 1) & 0xff) == 0xc9).get
+    prog(sofAt + 1) = 0xca.toByte
+    val e = intercept[IllegalArgumentException](JpegCodec.decode(prog))
+    assert(e.getMessage.contains("spectral band"))
+  }
+
+  test("compression sanity: natural-statistics blocks beat 1 byte/coefficient") {
+    val rng = new scala.util.Random(23)
+    val blocks = Array.tabulate(1, 8, 8) { (_, _, _) =>
+      val z = new Array[Int](64)
+      z(0) = 100 + rng.nextInt(20)
+      (1 until 8).foreach(k => z(k) = rng.nextInt(5) - 2)
+      z
+    }
+    val bytes = seqStream(64, 64, Array(0x11), Array(flatQ), Array(0), blocks)
+    assert(bytes.length < 64 * 64, s"${bytes.length} bytes for a smooth 64x64")
+  }
+}
+
+/** Shared fixture helpers for the sequential and progressive arithmetic
+  * specs: the reference reconstruction (no entropy layer at all) and the
+  * adversarial coefficient generator. */
+object JpegArithFixtures {
+
+  /** Reference: the entropy-free rendering of the same quantized
+    * coefficients ([[JpegArithEnc.render]] — dequant, IDCT, plane
+    * assembly; shared with the q298 audit query). */
+  def reconstruct(w: Int, h: Int, compHV: Array[Int],
       qtNat: Array[Array[Int]], compQ: Array[Int],
-      blocks: Array[Array[Array[Array[Int]]]]): JpegCodec.Decoded = {
-    val nc = compHV.length
-    val hMax = compHV.map(_ >> 4).max
-    val vMax = compHV.map(_ & 0x0f).max
-    val mcusX = (w + 8 * hMax - 1) / (8 * hMax)
-    val mcusY = (h + 8 * vMax - 1) / (8 * vMax)
-    val planeW = (0 until nc).map(c => mcusX * (compHV(c) >> 4) * 8).toArray
-    val planes = (0 until nc).map { c =>
-      new Array[Int](planeW(c) * mcusY * (compHV(c) & 0x0f) * 8)
-    }.toArray
-    val coef = new Array[Int](64)
-    val blk = new Array[Int](64)
-    for (c <- 0 until nc) {
-      val grid = blocks(c)
-      for (r <- grid.indices; col <- grid(r).indices) {
-        java.util.Arrays.fill(coef, 0)
-        val z = grid(r)(col)
-        (0 until 64).foreach { i =>
-          coef(JpegCodec.ZigZag(i)) = z(i) * qtNat(compQ(c))(JpegCodec.ZigZag(i))
-        }
-        JpegCodec.idct(coef, blk)
-        for (yy <- 0 until 8; xx <- 0 until 8)
-          planes(c)((r * 8 + yy) * planeW(c) + col * 8 + xx) = blk(yy * 8 + xx)
-      }
-    }
-    JpegCodec.assemble(w, h, nc, compHV, hMax, vMax, planeW, planes)
-  }
+      blocks: Array[Array[Array[Array[Int]]]]): JpegCodec.Decoded =
+    JpegArithEnc.render(w, h, compHV, qtNat, compQ, blocks)
 
   /** Adversarial coefficient generator: hits every magnitude-category
     * boundary (±1, ±2, ±3, ±4, ±(2^k), ±(2^k−1)), zero runs, all-zero
     * blocks, dense blocks, and large DC swings in both directions. */
-  private def randomBlocks(seed: Int, nc: Int, rows: Array[Int],
+  def randomBlocks(seed: Int, nc: Int, rows: Array[Int],
       cols: Array[Int]): Array[Array[Array[Array[Int]]]] = {
     val rng = new scala.util.Random(seed)
     val boundary = Array(1, 2, 3, 4, 7, 8, 15, 16, 31, 33, 127, 128, 255,
@@ -228,91 +163,6 @@ class JpegArithSpec extends AnyFunSuite {
     }
   }
 
-  private val flatQ = Array.fill(64)(1)
-  private val stdQ: Array[Int] = Array.tabulate(64)(i => 1 + (i * 2) % 31)
-
-  test("gray 1-MCU and multi-MCU: arithmetic decode == reference reconstruction") {
-    for ((w, h, seed) <- Seq((8, 8, 1), (32, 24, 2), (64, 48, 3))) {
-      val hv = Array(0x11)
-      val blocks = randomBlocks(seed, 1, Array(h / 8), Array(w / 8))
-      val bytes = buildStream(w, h, hv, Array(flatQ), Array(0), blocks)
-      val got = JpegArith.decode(bytes)
-      val want = reconstruct(w, h, hv, Array(flatQ), Array(0), blocks)
-      assert(got.width === w && got.height === h && got.ncomp === 1)
-      assert(got.pixels.toSeq === want.pixels.toSeq, s"${w}x$h seed $seed")
-    }
-  }
-
-  test("non-trivial quant table round-trips through DQT (zigzag layout)") {
-    val (w, h) = (24, 16)
-    val blocks = randomBlocks(7, 1, Array(2), Array(3))
-    val bytes = buildStream(w, h, Array(0x11), Array(stdQ), Array(0), blocks)
-    val got = JpegArith.decode(bytes)
-    val want = reconstruct(w, h, Array(0x11), Array(stdQ), Array(0), blocks)
-    assert(got.pixels.toSeq === want.pixels.toSeq)
-  }
-
-  test("color 4:2:0 (2x2,1x1,1x1) interleaved MCUs decode exactly") {
-    val (w, h) = (32, 32) // 2 MCUs x 2 MCUs at 16x16
-    val hv = Array(0x22, 0x11, 0x11)
-    val blocks = randomBlocks(11, 3, Array(4, 2, 2), Array(4, 2, 2))
-    val q = Array(flatQ, stdQ)
-    val cq = Array(0, 1, 1)
-    val bytes = buildStream(w, h, hv, q, cq, blocks)
-    val got = JpegArith.decode(bytes)
-    val want = reconstruct(w, h, hv, q, cq, blocks)
-    assert(got.ncomp === 3)
-    assert(got.pixels.toSeq === want.pixels.toSeq)
-  }
-
-  test("restart intervals reset coder, statistics, and DC predictors") {
-    val (w, h) = (64, 16) // 8x2 MCUs, restart every 3 MCUs
-    val blocks = randomBlocks(13, 1, Array(2), Array(8))
-    val bytes = buildStream(w, h, Array(0x11), Array(flatQ), Array(0),
-      blocks, restartInterval = 3)
-    assert(bytes.exists(b => (b & 0xff) == 0xd0) ||
-      bytes.sliding(2).exists(p => (p(0) & 0xff) == 0xff && (p(1) & 0xff) >= 0xd0
-        && (p(1) & 0xff) <= 0xd7), "no RSTn marker emitted")
-    val got = JpegArith.decode(bytes)
-    val want = reconstruct(w, h, Array(0x11), Array(flatQ), Array(0), blocks)
-    assert(got.pixels.toSeq === want.pixels.toSeq)
-  }
-
-  test("non-default DAC conditioning (L=1, U=3, Kx=20) decodes exactly") {
-    val (w, h) = (40, 24)
-    val blocks = randomBlocks(17, 1, Array(3), Array(5))
-    val bytes = buildStream(w, h, Array(0x11), Array(stdQ), Array(0),
-      blocks, dcL = 1, dcU = 3, acKx = 20, emitDac = true)
-    val got = JpegArith.decode(bytes)
-    val want = reconstruct(w, h, Array(0x11), Array(stdQ), Array(0), blocks)
-    assert(got.pixels.toSeq === want.pixels.toSeq)
-  }
-
-  test("JpegCodec.decode routes SOF9 to the arithmetic machine") {
-    val blocks = randomBlocks(19, 1, Array(1), Array(1))
-    val bytes = buildStream(8, 8, Array(0x11), Array(flatQ), Array(0), blocks)
-    assert(JpegCodec.decode(bytes).pixels.toSeq ===
-      JpegArith.decode(bytes).pixels.toSeq)
-    // SOF10 (progressive arithmetic) still fails with a named error
-    val prog = bytes.clone()
-    val sofAt = prog.indices.find(i =>
-      (prog(i) & 0xff) == 0xff && (prog(i + 1) & 0xff) == 0xc9).get
-    prog(sofAt + 1) = 0xca.toByte
-    val e = intercept[UnsupportedOperationException](JpegCodec.decode(prog))
-    assert(e.getMessage.contains("SOF10") || e.getMessage.contains("arith"))
-  }
-
-  test("compression sanity: natural-statistics blocks beat 1 byte/coefficient") {
-    // smooth-ish blocks (mostly small/zero AC) must compress far below
-    // the raw size; a broken state table destroys adaptivity
-    val rng = new scala.util.Random(23)
-    val blocks = Array.tabulate(1, 8, 8) { (_, _, _) =>
-      val z = new Array[Int](64)
-      z(0) = 100 + rng.nextInt(20)
-      (1 until 8).foreach(k => z(k) = rng.nextInt(5) - 2)
-      z
-    }
-    val bytes = buildStream(64, 64, Array(0x11), Array(flatQ), Array(0), blocks)
-    assert(bytes.length < 64 * 64, s"${bytes.length} bytes for a smooth 64x64")
-  }
+  val flatQ: Array[Int] = Array.fill(64)(1)
+  val stdQ: Array[Int] = Array.tabulate(64)(i => 1 + (i * 2) % 31)
 }
