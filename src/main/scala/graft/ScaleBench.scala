@@ -264,7 +264,8 @@ object ScaleBench {
     // can't leave the message stale again (ADVICE r12: 'nprobe' was
     // accepted but missing from the hand-written list)
     val knownPhases = Set("all", "postloop", "semdedup", "image", "spans",
-      "events", "cc", "contam", "triangles", "minhash", "funnel", "pq", "nprobe")
+      "events", "cc", "contam", "triangles", "minhash", "funnel", "pq", "nprobe",
+      "codec")
     require(knownPhases.contains(phaseSel),
       s"SPARK_GRAFT_SCALE_PHASES must be one of ${knownPhases.toSeq.sorted.mkString("'", "', '", "'")}," +
         s" got '$phaseSel' (a typo would silently skip corpus generation)")
@@ -276,6 +277,21 @@ object ScaleBench {
     // candidates are bounded by Σ outdeg² with outdeg ≤ O(√m). The phase
     // reports both counts (the naive one computed arithmetically, not
     // run) and the end-to-end oriented triangle wall.
+    // ---- q299–q302 codec seams: per-doc synth+demux maps with NO cross-
+    // doc state — the table to pin is docs/s flat across sizes (linear
+    // scaling) and shuffle ≈ the narrow audit rows only (a handful of
+    // integers per doc; the final ORDER BY is the only exchange).
+    if (phaseSel == "codec") {
+      sizes.foreach { n =>
+        val dir = s"$root/n$n"
+        gen(spark, n, dir)
+        Seq("q299_mp3_frames", "q300_h264_demux", "q301_mp3_trim",
+          "q302_h264_gop_cut").foreach { q =>
+          phase(q, n) { SparkEntry.queries(q)(spark, dir).count() }
+        }
+      }
+      spark.stop(); return
+    }
     if (phaseSel == "triangles") {
       import spark.implicits._
       sizes.foreach { n =>
