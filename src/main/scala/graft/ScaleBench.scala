@@ -287,7 +287,12 @@ object ScaleBench {
         gen(spark, n, dir)
         Seq("q299_mp3_frames", "q300_h264_demux", "q301_mp3_trim",
           "q302_h264_gop_cut").foreach { q =>
-          phase(q, n) { SparkEntry.queries(q)(spark, dir).count() }
+          // .rdd.count(), NOT .count(): a count aggregate lets
+          // EliminateSorts remove the final ORDER BY — the query's only
+          // exchange — and the phase would measure a plan with no shuffle
+          // to measure. Converting to an RDD executes the ordered plan
+          // the verify path actually runs.
+          phase(q, n) { SparkEntry.queries(q)(spark, dir).rdd.count() }
         }
       }
       spark.stop(); return

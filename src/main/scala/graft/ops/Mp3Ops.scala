@@ -176,12 +176,14 @@ object Mp3Ops {
       frames: Vector[FrameInfo], sr: Int, channels: Int,
       streamBytes: Long, xingFrames: Long)
 
-  /** Walk real MP3 bytes: skip ID3v2 (syncsafe size), resync to 0xFFE,
-    * then step frame headers to the end, verifying CRC-16 on protected
-    * frames and pulling the Xing block out of frame 0's payload. Throws
-    * on any malformed header, CRC mismatch, or a frame walk that does not
-    * land exactly on end-of-stream — an audit, not a salvage. */
-  private[ops] def demux(bytes: Array[Byte]): Mp3Info = {
+  /** One decoded, VALIDATED header. `len` is the full frame length. */
+  private[ops] final case class Header(
+      bi: Int, srIdx: Int, pad: Int, crcPresent: Boolean, channels: Int, len: Int)
+
+  /** Offset of the first frame sync: ID3v2 skipped via its SYNCSAFE size,
+    * then a byte scan to 0xFFE. Shared by [[demux]] and [[trimFrames]] so
+    * the two walks cannot drift. */
+  private[ops] def firstSync(bytes: Array[Byte]): Int = {
     var p = 0
     if (bytes.length >= 10 && bytes(0) == 'I' && bytes(1) == 'D' && bytes(2) == '3') {
       val size = ((bytes(6) & 0x7f) << 21) | ((bytes(7) & 0x7f) << 14) |
@@ -191,7 +193,42 @@ object Mp3Ops {
     while (p + 1 < bytes.length &&
         !((bytes(p) & 0xff) == 0xff && (bytes(p + 1) & 0xe0) == 0xe0)) p += 1
     require(p + 4 <= bytes.length, "no MP3 frame sync found")
-    val first = p
+    p
+  }
+
+  /** Validated header decode at offset p — every malformed codepoint
+    * (free-format / bad bitrate, reserved sample rate, wrong version or
+    * layer, truncation, overrun) throws rather than yielding a zero or
+    * out-of-range frame length. Shared by both walkers: an unvalidated
+    * walk over a free-format header (len = 0 + pad) would otherwise spin
+    * an executor forever. */
+  private[ops] def headerAt(bytes: Array[Byte], p: Int, idx: Int): Header = {
+    require(p + 4 <= bytes.length, s"truncated header at $p")
+    val b1 = bytes(p + 1) & 0xff
+    require((bytes(p) & 0xff) == 0xff && (b1 & 0xe0) == 0xe0, s"lost sync at $p")
+    require((b1 >> 3) % 4 == 3, "not MPEG-1")
+    require((b1 >> 1) % 4 == 1, "not Layer III")
+    val b2 = bytes(p + 2) & 0xff
+    val bi = b2 >> 4
+    val srIdx = (b2 >> 2) & 3
+    require(bi >= 1 && bi <= 14, s"bad bitrate index $bi")
+    require(srIdx != 3, "reserved sample-rate index")
+    val pad = (b2 >> 1) & 1
+    val mode = (bytes(p + 3) & 0xff) >> 6
+    val ch = if (mode == 3) 1 else 2
+    val len = 144000 * BitrateKbps(bi) / SampleRate(srIdx) + pad
+    require(p + len <= bytes.length, s"frame $idx overruns the stream")
+    Header(bi, srIdx, pad, (b1 & 1) == 0, ch, len)
+  }
+
+  /** Walk real MP3 bytes: skip ID3v2 (syncsafe size), resync to 0xFFE,
+    * then step frame headers to the end, verifying CRC-16 on protected
+    * frames and pulling the Xing block out of frame 0's payload. Throws
+    * on any malformed header, CRC mismatch, or a frame walk that does not
+    * land exactly on end-of-stream — an audit, not a salvage. */
+  private[ops] def demux(bytes: Array[Byte]): Mp3Info = {
+    val first = firstSync(bytes)
+    var p = first
 
     val frames = Vector.newBuilder[FrameInfo]
     var idx = 0
@@ -199,26 +236,14 @@ object Mp3Ops {
     var channels = 0
     var xingFrames = -1L
     while (p < bytes.length) {
-      require(p + 4 <= bytes.length, s"truncated header at $p")
-      val b1 = bytes(p + 1) & 0xff
-      require((bytes(p) & 0xff) == 0xff && (b1 & 0xe0) == 0xe0, s"lost sync at $p")
-      require((b1 >> 3) % 4 == 3, "not MPEG-1")
-      require((b1 >> 1) % 4 == 1, "not Layer III")
-      val crcPresent = (b1 & 1) == 0
-      val b2 = bytes(p + 2) & 0xff
-      val bi = b2 >> 4
-      val srIdx = (b2 >> 2) & 3
-      val pad = (b2 >> 1) & 1
-      require(bi >= 1 && bi <= 14, s"bad bitrate index $bi")
-      require(srIdx != 3, "reserved sample-rate index")
-      val mode = (bytes(p + 3) & 0xff) >> 6
-      val ch = if (mode == 3) 1 else 2
-      if (idx == 0) { sr = SampleRate(srIdx); channels = ch }
-      else require(sr == SampleRate(srIdx) && channels == ch,
+      val h = headerAt(bytes, p, idx)
+      val crcPresent = h.crcPresent
+      val bi = h.bi
+      if (idx == 0) { sr = SampleRate(h.srIdx); channels = h.channels }
+      else require(sr == SampleRate(h.srIdx) && channels == h.channels,
         "sample rate / channel mode changed mid-stream")
-      val len = 144000 * BitrateKbps(bi) / sr + pad
-      require(p + len <= bytes.length, s"frame $idx overruns the stream")
-      val side = if (ch == 1) 17 else 32
+      val len = h.len
+      val side = if (h.channels == 1) 17 else 32
       var o = p + 4
       if (crcPresent) {
         val stored = ((bytes(o) & 0xff) << 8) | (bytes(o + 1) & 0xff)
@@ -237,7 +262,7 @@ object Mp3Ops {
           xingFrames = ((bytes(o + 8) & 0xffL) << 24) | ((bytes(o + 9) & 0xffL) << 16) |
             ((bytes(o + 10) & 0xffL) << 8) | (bytes(o + 11) & 0xffL)
       }
-      frames += FrameInfo(idx, BitrateKbps(bi), pad, crcPresent, len)
+      frames += FrameInfo(idx, BitrateKbps(bi), h.pad, crcPresent, len)
       idx += 1
       p += len
     }
@@ -256,24 +281,16 @@ object Mp3Ops {
     * first granules; the FRAMING of the output is exact, which is what the
     * audit (a re-demux through [[demux]]) checks. */
   private[ops] def trimFrames(bytes: Array[Byte], keep: Int => Boolean): Array[Byte] = {
-    var p = 0
-    if (bytes.length >= 10 && bytes(0) == 'I' && bytes(1) == 'D' && bytes(2) == '3') {
-      val size = ((bytes(6) & 0x7f) << 21) | ((bytes(7) & 0x7f) << 14) |
-        ((bytes(8) & 0x7f) << 7) | (bytes(9) & 0x7f)
-      p = 10 + size
-    }
-    while (p + 1 < bytes.length &&
-        !((bytes(p) & 0xff) == 0xff && (bytes(p + 1) & 0xe0) == 0xe0)) p += 1
+    var p = firstSync(bytes)
     val out = new java.io.ByteArrayOutputStream(bytes.length)
     var idx = 0
     while (p < bytes.length) {
-      val b2 = bytes(p + 2) & 0xff
-      val bi = b2 >> 4
-      val srIdx = (b2 >> 2) & 3
-      val len = 144000 * BitrateKbps(bi) / SampleRate(srIdx) + ((b2 >> 1) & 1)
-      if (keep(idx)) out.write(bytes, p, len)
+      // the shared validated decode: free-format (len 0), reserved
+      // codepoints, and overruns all throw instead of looping or crashing
+      val h = headerAt(bytes, p, idx)
+      if (keep(idx)) out.write(bytes, p, h.len)
       idx += 1
-      p += len
+      p += h.len
     }
     out.toByteArray
   }

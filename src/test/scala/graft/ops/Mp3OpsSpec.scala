@@ -85,6 +85,19 @@ class Mp3OpsSpec extends SparkSpec {
     }
   }
 
+  test("trimFrames validates headers — free format throws, never loops") {
+    val bytes = Mp3Ops.mp3Bytes(2L) // frame 0 at offset 0 (no prefix)
+    val free = bytes.clone()
+    // bitrate index 0 = free format: an unvalidated walk would compute
+    // len = 0 + pad and spin forever; the shared headerAt must throw
+    free(2) = (free(2) & 0x0f).toByte
+    assert(intercept[IllegalArgumentException](
+      Mp3Ops.trimFrames(free, _ => true)).getMessage.contains("bitrate"))
+    // and a mid-frame truncation must throw (overrun), not read past end
+    intercept[IllegalArgumentException](
+      Mp3Ops.trimFrames(bytes.dropRight(3), _ => true))
+  }
+
   test("q299 runs end-to-end and its facts match the schedule") {
     val rows = graft.SparkEntry.queries("q299_mp3_frames")(spark, sf001).collect()
     assert(rows.length === 500)
