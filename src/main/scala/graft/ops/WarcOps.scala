@@ -1,0 +1,248 @@
+package graft.ops
+
+import java.nio.charset.StandardCharsets.UTF_8
+import org.apache.spark.sql.functions._
+import graft.Q
+import graft.schema.Tables.t
+
+/** WARC (ISO 28500) record walk — the literal input format of web-crawl
+  * corpora, and the FIRST stage of a training-data pipeline: everything
+  * the engine's text/dedup/quality families consume begins life as
+  * response records inside `.warc.gz` segments. The reference treats all
+  * payloads as opaque (`/root/reference/pkg/converter/converter.go:
+  * 52-57`); like the rest of the multimodal family this extends the
+  * curation surface per the north star.
+  *
+  * What is REAL here, layer by layer:
+  *   - per-record gzip members CONCATENATED into one stream (the
+  *     `.warc.gz` convention, so segments are splittable at member
+  *     boundaries) — decoded through the JDK's actual zlib inflater,
+  *     which must chain members transparently;
+  *   - the WARC record grammar: version line, header fields,
+  *     `Content-Length`-driven payload walk, CRLF CRLF record separator
+  *     (a walk that does not land exactly on end-of-stream throws);
+  *   - the embedded HTTP/1.1 message inside each `response` record:
+  *     status-line parse, header/body split at the first CRLF CRLF;
+  *   - a position-weighted checksum over the HTTP BODY bytes, so the
+  *     whole chain (gzip → record walk → HTTP split) must be byte-exact
+  *     for the oracle hash to match.
+  *
+  * Scale shape: one mapPartitions codec seam (synthesize + walk per
+  * doc), then narrow per-doc rows — segments never shuffle, and at
+  * 100 TB each executor walks its own `.warc.gz` members independently
+  * (the format's member-per-record design exists exactly so this
+  * parallelizes without coordination).
+  */
+object WarcOps {
+
+  // --------------------------------------------------------- schedule
+
+  /** Closed-form per-document segment schedule (mirrored by the oracle). */
+  private[ops] final case class Schedule(id: Long) {
+    val nResp: Int = (2 + id % 4).toInt
+    val gzipped: Boolean = id % 2 == 1
+    val hasMetadata: Boolean = id % 3 == 0
+    val nRecords: Int = 1 + 2 * nResp + (if (hasMetadata) 1 else 0)
+    def ok(i: Int): Boolean = (id + i) % 5 != 0
+    def bodyLen(i: Int): Int = (50 + (id + 7 * i) % 60).toInt
+    def bodyByte(i: Int, j: Int): Int = ((id * 37 + i * 11 + j * 3) % 95 + 32).toInt
+    def uri(i: Int): String = s"http://example-$id.test/page$i"
+  }
+
+  // ------------------------------------------------------------- synth
+
+  private def gzipMember(raw: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream(raw.length / 2 + 32)
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(raw); gz.finish(); gz.close()
+    bos.toByteArray
+  }
+
+  private def record(headers: Seq[(String, String)], payload: Array[Byte]): Array[Byte] = {
+    val sb = new StringBuilder("WARC/1.0\r\n")
+    headers.foreach { case (k, v) => sb.append(k).append(": ").append(v).append("\r\n") }
+    sb.append("Content-Length: ").append(payload.length).append("\r\n\r\n")
+    val head = sb.toString.getBytes(UTF_8)
+    val out = new Array[Byte](head.length + payload.length + 4)
+    System.arraycopy(head, 0, out, 0, head.length)
+    System.arraycopy(payload, 0, out, head.length, payload.length)
+    out(out.length - 4) = '\r'; out(out.length - 3) = '\n'
+    out(out.length - 2) = '\r'; out(out.length - 1) = '\n'
+    out
+  }
+
+  /** A real WARC segment for one document: warcinfo, then a
+    * request+response pair per page (the crawler's capture convention),
+    * then an optional metadata record; every record its own gzip member
+    * on odd doc_ids. The fixed WARC-Date keeps synthesis deterministic. */
+  private[ops] def warcBytes(id: Long): Array[Byte] = {
+    val sch = Schedule(id)
+    val date = "WARC-Date" -> "2026-01-01T00:00:00Z"
+    val recs = Vector.newBuilder[Array[Byte]]
+    recs += record(
+      Seq("WARC-Type" -> "warcinfo", date,
+        "WARC-Record-ID" -> s"<urn:graft:$id:info>"),
+      s"software: graft-synthetic-crawler\r\nformat: WARC/1.0\r\n".getBytes(UTF_8))
+    (0 until sch.nResp).foreach { i =>
+      recs += record(
+        Seq("WARC-Type" -> "request", date,
+          "WARC-Record-ID" -> s"<urn:graft:$id:req$i>",
+          "WARC-Target-URI" -> sch.uri(i)),
+        s"GET /page$i HTTP/1.1\r\nHost: example-$id.test\r\n\r\n".getBytes(UTF_8))
+      val status = if (sch.ok(i)) "200 OK" else "404 Not Found"
+      val body = Array.tabulate(sch.bodyLen(i))(j => sch.bodyByte(i, j).toByte)
+      val http = (s"HTTP/1.1 $status\r\nContent-Type: text/html\r\n" +
+        s"Content-Length: ${body.length}\r\n\r\n").getBytes(UTF_8) ++ body
+      recs += record(
+        Seq("WARC-Type" -> "response", date,
+          "WARC-Record-ID" -> s"<urn:graft:$id:resp$i>",
+          "WARC-Target-URI" -> sch.uri(i)),
+        http)
+    }
+    if (sch.hasMetadata)
+      recs += record(
+        Seq("WARC-Type" -> "metadata", date,
+          "WARC-Record-ID" -> s"<urn:graft:$id:meta>"),
+        s"fetchesCompleted: ${sch.nResp}\r\n".getBytes(UTF_8))
+    val out = new java.io.ByteArrayOutputStream(4096)
+    recs.result().foreach { r =>
+      out.write(if (sch.gzipped) gzipMember(r) else r)
+    }
+    out.toByteArray
+  }
+
+  // ------------------------------------------------------------- parse
+
+  /** Parsed segment facts — every field read back from the bytes. */
+  private[ops] final case class WarcInfo(
+      nRecords: Long, nResponse: Long, nOk: Long, totalBodyBytes: Long,
+      bodyChk: Long, gzipped: Long)
+
+  /** Walk a segment: gzip-sniff (0x1f 0x8b) and inflate ALL concatenated
+    * members, then step WARC records by their Content-Length, parsing the
+    * embedded HTTP message of every response record. Throws on a missing
+    * version line, malformed header, bad separator, or a walk that does
+    * not land exactly on end-of-stream — an audit, not a salvage. */
+  private[ops] def parse(bytes: Array[Byte]): WarcInfo = {
+    val gz = bytes.length >= 2 && (bytes(0) & 0xff) == 0x1f && (bytes(1) & 0xff) == 0x8b
+    val raw = if (gz) {
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val all = in.readAllBytes(); in.close(); all
+    } else bytes
+
+    def lineEnd(from: Int): Int = {
+      var i = from
+      while (i + 1 < raw.length && !(raw(i) == '\r' && raw(i + 1) == '\n')) i += 1
+      require(i + 1 < raw.length, "unterminated header line")
+      i
+    }
+
+    var p = 0
+    var nRecords = 0L; var nResponse = 0L; var nOk = 0L
+    var totalBody = 0L; var bodyChk = 0L
+    while (p < raw.length) {
+      val ve = lineEnd(p)
+      require(new String(raw, p, ve - p, UTF_8) == "WARC/1.0", s"bad version line at $p")
+      p = ve + 2
+      var warcType = ""
+      var contentLength = -1L
+      var done = false
+      while (!done) {
+        val e = lineEnd(p)
+        if (e == p) done = true // blank line: header end
+        else {
+          val line = new String(raw, p, e - p, UTF_8)
+          val c = line.indexOf(':')
+          require(c > 0, s"malformed header '$line'")
+          val k = line.substring(0, c)
+          val v = line.substring(c + 1).trim
+          if (k == "WARC-Type") warcType = v
+          else if (k == "Content-Length") contentLength = v.toLong
+        }
+        p = e + 2
+      }
+      require(contentLength >= 0, "record missing Content-Length")
+      require(p + contentLength + 4 <= raw.length, "record payload overruns segment")
+      if (warcType == "response") {
+        nResponse += 1
+        // embedded HTTP message: status line, headers, CRLF CRLF, body
+        val end = p + contentLength.toInt
+        val se = lineEnd(p)
+        val status = new String(raw, p, se - p, UTF_8)
+        require(status.startsWith("HTTP/1.1 "), s"bad status line '$status'")
+        if (status.substring(9, 12) == "200") nOk += 1
+        var b = se
+        while (b + 3 < end && !(raw(b) == '\r' && raw(b + 1) == '\n' &&
+            raw(b + 2) == '\r' && raw(b + 3) == '\n')) b += 1
+        require(b + 3 < end, "response record has no HTTP body separator")
+        var j = 0
+        var q = b + 4
+        while (q < end) {
+          bodyChk += (j + 1).toLong * (raw(q) & 0xff)
+          totalBody += 1
+          j += 1; q += 1
+        }
+      }
+      p += contentLength.toInt
+      require(raw(p) == '\r' && raw(p + 1) == '\n' &&
+        raw(p + 2) == '\r' && raw(p + 3) == '\n', s"bad record separator at $p")
+      p += 4
+      nRecords += 1
+    }
+    require(p == raw.length, "record walk did not land on end-of-segment")
+    WarcInfo(nRecords, nResponse, nOk, totalBody, bodyChk, if (gz) 1L else 0L)
+  }
+
+  // ------------------------------------------------------------ queries
+
+  /** Closed-form schedule in DuckDB SQL — mirrors [[Schedule]]. */
+  private val OracleCte: String =
+    """WITH d AS (SELECT doc_id FROM documents),
+      |resp AS (SELECT doc_id, g.i,
+      |    CASE WHEN (doc_id + g.i) % 5 <> 0 THEN 1 ELSE 0 END AS ok,
+      |    50 + (doc_id + 7 * g.i) % 60 AS blen
+      |  FROM d, range(0, 5) g(i) WHERE g.i < 2 + doc_id % 4),
+      |body AS (SELECT doc_id, i, r.j,
+      |    (doc_id * 37 + i * 11 + r.j * 3) % 95 + 32 AS b
+      |  FROM resp, range(0, 110) r(j) WHERE r.j < blen),
+      |chk AS (SELECT doc_id, CAST(sum((j + 1) * b) AS BIGINT) AS body_chk
+      |  FROM body GROUP BY doc_id),
+      |agg AS (SELECT doc_id,
+      |    CAST(1 + 2 * count(*) +
+      |      CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_records,
+      |    CAST(count(*) AS BIGINT) AS n_response,
+      |    CAST(sum(ok) AS BIGINT) AS n_ok,
+      |    CAST(sum(blen) AS BIGINT) AS total_body_bytes
+      |  FROM resp GROUP BY doc_id)""".stripMargin
+
+  val qs: Seq[Q] = Seq(
+
+    // ---- WARC segment walk audit ----
+    // Spark synthesizes a real WARC/1.0 segment per document (gzip
+    // member-per-record on odd ids, warcinfo/request/response/metadata
+    // records, embedded HTTP messages) and WALKS THE BYTES BACK; the
+    // oracle recomputes the schedule closed-form. A gzip-chaining,
+    // Content-Length, separator, or HTTP-split defect breaks the hashes.
+    Q("q303_warc_records",
+      s"""$OracleCte
+         |SELECT d.doc_id, agg.n_records, agg.n_response, agg.n_ok,
+         |  agg.total_body_bytes, chk.body_chk,
+         |  CAST(d.doc_id % 2 AS BIGINT) AS gzipped
+         |FROM d JOIN agg USING (doc_id) JOIN chk USING (doc_id)
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      t(s, dir, "documents")
+        .select(col("doc_id"))
+        .as[Long]
+        .mapPartitions(_.map { id =>
+          val i = parse(warcBytes(id))
+          (id, i.nRecords, i.nResponse, i.nOk, i.totalBodyBytes, i.bodyChk,
+            i.gzipped)
+        })
+        .toDF("doc_id", "n_records", "n_response", "n_ok", "total_body_bytes",
+          "body_chk", "gzipped")
+        .orderBy(col("doc_id"))
+    }
+  )
+}

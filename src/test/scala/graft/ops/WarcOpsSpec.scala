@@ -1,0 +1,57 @@
+package graft.ops
+
+/** WARC walk: the synthesized segment must parse back per its schedule
+  * (including the gzip member-per-record form, which exercises the JDK
+  * inflater's multi-member chaining), and structural corruption must
+  * throw rather than salvage. */
+class WarcOpsSpec extends graft.SparkSpec {
+
+  test("parse round-trips the schedule, plain and gzipped") {
+    (0L to 59L).foreach { id =>
+      val sch = WarcOps.Schedule(id)
+      val i = WarcOps.parse(WarcOps.warcBytes(id))
+      assert(i.nRecords === sch.nRecords.toLong, s"doc $id records")
+      assert(i.nResponse === sch.nResp.toLong, s"doc $id responses")
+      assert(i.nOk === (0 until sch.nResp).count(sch.ok).toLong, s"doc $id ok")
+      assert(i.totalBodyBytes === (0 until sch.nResp).map(sch.bodyLen(_).toLong).sum)
+      val chk = (for {
+        r <- 0 until sch.nResp
+        j <- 0 until sch.bodyLen(r)
+      } yield (j + 1).toLong * sch.bodyByte(r, j)).sum
+      assert(i.bodyChk === chk, s"doc $id body checksum")
+      assert(i.gzipped === (if (sch.gzipped) 1L else 0L))
+    }
+  }
+
+  test("gzip member-per-record really is multiple members") {
+    // an odd id is gzipped per record; count gzip magics in the raw bytes
+    val bytes = WarcOps.warcBytes(1L)
+    val members = bytes.indices.count(k =>
+      k + 1 < bytes.length && (bytes(k) & 0xff) == 0x1f && (bytes(k + 1) & 0xff) == 0x8b)
+    assert(members === WarcOps.Schedule(1L).nRecords,
+      "every record must be its own gzip member")
+  }
+
+  test("structural corruption throws instead of salvaging") {
+    val plain = WarcOps.warcBytes(2L) // even id: not gzipped
+    // wrong version line
+    val bad = plain.clone(); bad(5) = '9'
+    assert(intercept[IllegalArgumentException](WarcOps.parse(bad))
+      .getMessage.contains("version"))
+    // truncation mid-payload: the Content-Length walk must overrun loudly
+    intercept[IllegalArgumentException](WarcOps.parse(plain.dropRight(7)))
+    // corrupt a record separator (last 4 bytes are CRLF CRLF)
+    val sep = plain.clone(); sep(sep.length - 2) = 'X'
+    intercept[IllegalArgumentException](WarcOps.parse(sep))
+  }
+
+  test("q303 runs end-to-end and matches the schedule") {
+    val rows = graft.SparkEntry.queries("q303_warc_records")(spark, sf001).collect()
+    assert(rows.length === 500)
+    rows.take(30).foreach { r =>
+      val sch = WarcOps.Schedule(r.getLong(0))
+      assert(r.getLong(1) === sch.nRecords.toLong)
+      assert(r.getLong(2) === sch.nResp.toLong)
+    }
+  }
+}
