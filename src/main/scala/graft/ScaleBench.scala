@@ -286,7 +286,8 @@ object ScaleBench {
         val dir = s"$root/n$n"
         gen(spark, n, dir)
         Seq("q299_mp3_frames", "q300_h264_demux", "q301_mp3_trim",
-          "q302_h264_gop_cut").foreach { q =>
+          "q302_h264_gop_cut", "q303_warc_records", "q304_html_extract",
+          "q305_pdf_extract", "q306_crawl_pipeline").foreach { q =>
           // .rdd.count(), NOT .count(): a count aggregate lets
           // EliminateSorts remove the final ORDER BY — the query's only
           // exchange — and the phase would measure a plan with no shuffle

@@ -118,12 +118,18 @@ object WarcOps {
       nRecords: Long, nResponse: Long, nOk: Long, totalBodyBytes: Long,
       bodyChk: Long, gzipped: Long)
 
+  /** One embedded HTTP response pulled out of a `response` record. */
+  private[ops] final case class HttpResponse(
+      statusCode: Int, contentType: String, body: Array[Byte])
+
   /** Walk a segment: gzip-sniff (0x1f 0x8b) and inflate ALL concatenated
     * members, then step WARC records by their Content-Length, parsing the
     * embedded HTTP message of every response record. Throws on a missing
     * version line, malformed header, bad separator, or a walk that does
-    * not land exactly on end-of-stream — an audit, not a salvage. */
-  private[ops] def parse(bytes: Array[Byte]): WarcInfo = {
+    * not land exactly on end-of-stream — an audit, not a salvage.
+    * Returns the record tally plus every response in capture order — the
+    * one walker both q303 (stats) and q306 (the pipeline) ride. */
+  private[ops] def walk(bytes: Array[Byte]): (WarcInfo, Vector[HttpResponse]) = {
     val gz = bytes.length >= 2 && (bytes(0) & 0xff) == 0x1f && (bytes(1) & 0xff) == 0x8b
     val raw = if (gz) {
       val in = new java.util.zip.GZIPInputStream(
@@ -141,6 +147,7 @@ object WarcOps {
     var p = 0
     var nRecords = 0L; var nResponse = 0L; var nOk = 0L
     var totalBody = 0L; var bodyChk = 0L
+    val responses = Vector.newBuilder[HttpResponse]
     while (p < raw.length) {
       val ve = lineEnd(p)
       require(new String(raw, p, ve - p, UTF_8) == "WARC/1.0", s"bad version line at $p")
@@ -171,17 +178,23 @@ object WarcOps {
         val se = lineEnd(p)
         val status = new String(raw, p, se - p, UTF_8)
         require(status.startsWith("HTTP/1.1 "), s"bad status line '$status'")
-        if (status.substring(9, 12) == "200") nOk += 1
+        val code = status.substring(9, 12).toInt
+        if (code == 200) nOk += 1
         var b = se
         while (b + 3 < end && !(raw(b) == '\r' && raw(b + 1) == '\n' &&
             raw(b + 2) == '\r' && raw(b + 3) == '\n')) b += 1
         require(b + 3 < end, "response record has no HTTP body separator")
+        val headerBlock = new String(raw, se + 2, b - se - 2, UTF_8)
+        val contentType = headerBlock.split("\r\n").iterator
+          .filter(_.toLowerCase.startsWith("content-type:"))
+          .map(_.substring(13).trim).toSeq.headOption.getOrElse("")
+        val body = java.util.Arrays.copyOfRange(raw, b + 4, end)
+        responses += HttpResponse(code, contentType, body)
         var j = 0
-        var q = b + 4
-        while (q < end) {
-          bodyChk += (j + 1).toLong * (raw(q) & 0xff)
+        while (j < body.length) {
+          bodyChk += (j + 1).toLong * (body(j) & 0xff)
           totalBody += 1
-          j += 1; q += 1
+          j += 1
         }
       }
       p += contentLength.toInt
@@ -191,7 +204,48 @@ object WarcOps {
       nRecords += 1
     }
     require(p == raw.length, "record walk did not land on end-of-segment")
-    WarcInfo(nRecords, nResponse, nOk, totalBody, bodyChk, if (gz) 1L else 0L)
+    (WarcInfo(nRecords, nResponse, nOk, totalBody, bodyChk, if (gz) 1L else 0L),
+      responses.result())
+  }
+
+  /** q303's stats view of [[walk]]. */
+  private[ops] def parse(bytes: Array[Byte]): WarcInfo = walk(bytes)._1
+
+  // -------------------------------------------------- pipeline (q306)
+
+  /** A crawl segment whose FIRST response carries the document's real
+    * HTML page ([[HtmlOps.htmlBytes]] — 200, text/html); the rest are
+    * 404 text/plain noise. Gzip member-per-record on odd ids, as in
+    * [[warcBytes]]. */
+  private[ops] def crawlBytes(id: Long, text: String): Array[Byte] = {
+    val gzip = id % 2 == 1
+    val date = "WARC-Date" -> "2026-01-01T00:00:00Z"
+    val recs = Vector.newBuilder[Array[Byte]]
+    recs += record(
+      Seq("WARC-Type" -> "warcinfo", date,
+        "WARC-Record-ID" -> s"<urn:graft:$id:info>"),
+      "software: graft-synthetic-crawler\r\n".getBytes(UTF_8))
+    val page = HtmlOps.htmlBytes(id, text)
+    val htmlHttp = (s"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n" +
+      s"Content-Length: ${page.length}\r\n\r\n").getBytes(UTF_8) ++ page
+    recs += record(
+      Seq("WARC-Type" -> "response", date,
+        "WARC-Record-ID" -> s"<urn:graft:$id:page>",
+        "WARC-Target-URI" -> s"http://example-$id.test/"),
+      htmlHttp)
+    (0 until (1 + id % 3).toInt).foreach { i =>
+      val noise = s"not found $i".getBytes(UTF_8)
+      val http = (s"HTTP/1.1 404 Not Found\r\nContent-Type: text/plain\r\n" +
+        s"Content-Length: ${noise.length}\r\n\r\n").getBytes(UTF_8) ++ noise
+      recs += record(
+        Seq("WARC-Type" -> "response", date,
+          "WARC-Record-ID" -> s"<urn:graft:$id:miss$i>",
+          "WARC-Target-URI" -> s"http://example-$id.test/gone$i"),
+        http)
+    }
+    val out = new java.io.ByteArrayOutputStream(4096)
+    recs.result().foreach(r => out.write(if (gzip) gzipMember(r) else r))
+    out.toByteArray
   }
 
   // ------------------------------------------------------------ queries
@@ -242,6 +296,42 @@ object WarcOps {
         })
         .toDF("doc_id", "n_records", "n_response", "n_ok", "total_body_bytes",
           "body_chk", "gzipped")
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- the full crawl-to-corpus pipeline: WARC → HTTP → HTML → text ----
+    // The real ingestion DAG in one query: walk the segment, select the
+    // 200/text-html captures (status AND Content-Type from parsed HTTP
+    // headers), run the HTML extractor on the body, and recover the
+    // document's text — which must be the byte-exact identity for the
+    // oracle's md5 of the raw column to match. Three codec layers
+    // (gzip, WARC/HTTP, HTML) stand between the stored bytes and the
+    // audited hash.
+    Q("q306_crawl_pipeline",
+      """SELECT doc_id,
+        |  CAST(2 + doc_id % 3 AS BIGINT) AS n_fetched,
+        |  CAST(1 AS BIGINT) AS n_html,
+        |  md5(coalesce(text, '')) AS text_md5,
+        |  CAST(len(coalesce(text, '')) AS BIGINT) AS text_len
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) =>
+          val (_, responses) = walk(crawlBytes(id, text))
+          val pages = responses.filter(r =>
+            r.statusCode == 200 && r.contentType.startsWith("text/html"))
+          val content = pages.map(p =>
+            HtmlOps.extract(new String(p.body, UTF_8)).content).mkString
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val hex = md.digest(content.getBytes(UTF_8))
+            .map(b => f"${b & 0xff}%02x").mkString
+          (id, responses.size.toLong, pages.size.toLong, hex,
+            content.length.toLong)
+        })
+        .toDF("doc_id", "n_fetched", "n_html", "text_md5", "text_len")
         .orderBy(col("doc_id"))
     }
   )

@@ -45,6 +45,20 @@ class WarcOpsSpec extends graft.SparkSpec {
     intercept[IllegalArgumentException](WarcOps.parse(sep))
   }
 
+  test("the crawl pipeline recovers exact text through all three layers") {
+    Seq(0L, 1L, 2L, 3L, 4L, 5L).foreach { id =>
+      val text = s"document $id content with words"
+      val (info, responses) = WarcOps.walk(WarcOps.crawlBytes(id, text))
+      assert(info.nResponse === 2L + id % 3, s"doc $id responses")
+      val pages = responses.filter(r =>
+        r.statusCode == 200 && r.contentType.startsWith("text/html"))
+      assert(pages.size === 1, s"doc $id html pages")
+      val recovered = HtmlOps.extract(new String(pages.head.body,
+        java.nio.charset.StandardCharsets.UTF_8)).content
+      assert(recovered === text, s"doc $id text through gzip+WARC+HTML")
+    }
+  }
+
   test("q303 runs end-to-end and matches the schedule") {
     val rows = graft.SparkEntry.queries("q303_warc_records")(spark, sf001).collect()
     assert(rows.length === 500)
