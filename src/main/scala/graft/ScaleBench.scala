@@ -287,7 +287,9 @@ object ScaleBench {
         gen(spark, n, dir)
         Seq("q299_mp3_frames", "q300_h264_demux", "q301_mp3_trim",
           "q302_h264_gop_cut", "q303_warc_records", "q304_html_extract",
-          "q305_pdf_extract", "q306_crawl_pipeline").foreach { q =>
+          "q305_pdf_extract", "q306_crawl_pipeline", "q307_charset_sniff",
+          "q308_mojibake_repair", "q309_url_canonicalize",
+          "q310_robots_filter").foreach { q =>
           // .rdd.count(), NOT .count(): a count aggregate lets
           // EliminateSorts remove the final ORDER BY — the query's only
           // exchange — and the phase would measure a plan with no shuffle
