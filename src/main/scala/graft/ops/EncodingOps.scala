@@ -58,7 +58,15 @@ object EncodingOps {
       case 0 => Array[Byte](0xef.toByte, 0xbb.toByte, 0xbf.toByte) ++ s.getBytes(UTF_8)
       case 1 => Array[Byte](0xff.toByte, 0xfe.toByte) ++ s.getBytes(UTF_16LE)
       case 2 => Array[Byte](0xfe.toByte, 0xff.toByte) ++ s.getBytes(UTF_16BE)
-      case _ => s.getBytes(ISO_8859_1)
+      case _ =>
+        // getBytes(ISO_8859_1) silently writes '?' for chars above U+00FF,
+        // which would corrupt the fixture instead of testing the decoder —
+        // refuse loudly; the audit's Latin-1 posture only makes sense for
+        // Latin-1-representable text (true of the driver corpus, asserted
+        // here rather than assumed)
+        require(s.forall(_ <= 'ÿ'),
+          "Latin-1 posture requires Latin-1-representable text")
+        s.getBytes(ISO_8859_1)
     }
   }
 
@@ -149,10 +157,7 @@ object EncodingOps {
         .as[(Long, String)]
         .mapPartitions(_.map { case (id, text) =>
           val (cs, decoded) = sniffDecode(encodedBytes(id, text))
-          val md = java.security.MessageDigest.getInstance("MD5")
-          val hex = md.digest(decoded.getBytes(UTF_8))
-            .map(b => f"${b & 0xff}%02x").mkString
-          (id, cs, hex, decoded.length.toLong)
+          (id, cs, Md5Hex.of(decoded), Md5Hex.codePoints(decoded))
         })
         .toDF("doc_id", "charset", "text_md5", "text_len")
         .orderBy(col("doc_id"))
@@ -181,10 +186,7 @@ object EncodingOps {
           val corrupted =
             if (id % 3 == 0) mojibake(mojibake(clean)) else mojibake(clean)
           val (repaired, rounds) = repair(corrupted)
-          val md = java.security.MessageDigest.getInstance("MD5")
-          val hex = md.digest(repaired.getBytes(UTF_8))
-            .map(b => f"${b & 0xff}%02x").mkString
-          (id, rounds, hex, repaired.length.toLong)
+          (id, rounds, Md5Hex.of(repaired), Md5Hex.codePoints(repaired))
         })
         .toDF("doc_id", "rounds", "text_md5", "text_len")
         .orderBy(col("doc_id"))

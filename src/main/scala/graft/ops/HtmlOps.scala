@@ -108,15 +108,23 @@ object HtmlOps {
         val semi = s.indexOf(';', i + 1)
         val handled = semi > i && semi - i <= 10 && {
           val body = s.substring(i + 1, semi)
+          // out-of-range code points pass through verbatim like any other
+          // unknown entity — one malformed &#...; must not lose the page
           if (body.startsWith("#x") || body.startsWith("#X")) {
             val h = body.substring(2)
             h.nonEmpty && h.forall(ch => Character.digit(ch, 16) >= 0) && {
-              sb.appendAll(Character.toChars(Integer.parseInt(h, 16))); true
+              val cp = java.lang.Long.parseLong(h, 16)
+              cp <= 0x10ffff && Character.isValidCodePoint(cp.toInt) && {
+                sb.appendAll(Character.toChars(cp.toInt)); true
+              }
             }
           } else if (body.startsWith("#")) {
             val d = body.substring(1)
             d.nonEmpty && d.forall(_.isDigit) && {
-              sb.appendAll(Character.toChars(d.toInt)); true
+              val cp = d.toLong
+              cp <= 0x10ffff && Character.isValidCodePoint(cp.toInt) && {
+                sb.appendAll(Character.toChars(cp.toInt)); true
+              }
             }
           } else Named.get(body).exists { r => sb.append(r); true }
         }
@@ -225,11 +233,8 @@ object HtmlOps {
         .mapPartitions(_.map { case (id, text) =>
           val page = new String(htmlBytes(id, text), UTF_8)
           val doc = extract(page)
-          val md = java.security.MessageDigest.getInstance("MD5")
-          val hex = md.digest(doc.content.getBytes(UTF_8))
-            .map(b => f"${b & 0xff}%02x").mkString
-          (id, hex, doc.content.length.toLong, doc.title.length.toLong,
-            doc.nLinks, doc.nParagraphs)
+          (id, Md5Hex.of(doc.content), Md5Hex.codePoints(doc.content),
+            Md5Hex.codePoints(doc.title), doc.nLinks, doc.nParagraphs)
         })
         .toDF("doc_id", "text_md5", "text_len", "title_len", "n_links",
           "n_paragraphs")

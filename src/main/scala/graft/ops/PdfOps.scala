@@ -298,10 +298,8 @@ object PdfOps {
         .as[(Long, String)]
         .mapPartitions(_.map { case (id, text) =>
           val doc = parse(pdfBytes(id, text))
-          val md = java.security.MessageDigest.getInstance("MD5")
-          val hex = md.digest(doc.text.getBytes(UTF_8))
-            .map(b => f"${b & 0xff}%02x").mkString
-          (id, hex, doc.text.length.toLong, doc.nObjects, doc.nShows)
+          (id, Md5Hex.of(doc.text), Md5Hex.codePoints(doc.text),
+            doc.nObjects, doc.nShows)
         })
         .toDF("doc_id", "text_md5", "text_len", "n_objects", "n_shows")
         .orderBy(col("doc_id"))

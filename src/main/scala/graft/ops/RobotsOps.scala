@@ -85,7 +85,9 @@ object RobotsOps {
           field match {
             case "user-agent" =>
               if (inRules) flush()
-              agents :+= value.toLowerCase
+              // RFC 9309 requires a non-empty product token: a blank UA
+              // would startsWith-match EVERY crawler and outrank `*`
+              if (value.nonEmpty) agents :+= value.toLowerCase
             case "allow" => inRules = true; rules :+= Rule(allow = true, value)
             case "disallow" => inRules = true; rules :+= Rule(allow = false, value)
             case _ => inRules = true // crawl-delay etc.: group content, not a rule

@@ -325,11 +325,8 @@ object WarcOps {
             r.statusCode == 200 && r.contentType.startsWith("text/html"))
           val content = pages.map(p =>
             HtmlOps.extract(new String(p.body, UTF_8)).content).mkString
-          val md = java.security.MessageDigest.getInstance("MD5")
-          val hex = md.digest(content.getBytes(UTF_8))
-            .map(b => f"${b & 0xff}%02x").mkString
-          (id, responses.size.toLong, pages.size.toLong, hex,
-            content.length.toLong)
+          (id, responses.size.toLong, pages.size.toLong, Md5Hex.of(content),
+            Md5Hex.codePoints(content))
         })
         .toDF("doc_id", "n_fetched", "n_html", "text_md5", "text_len")
         .orderBy(col("doc_id"))
