@@ -1,0 +1,48 @@
+package graft.ops
+
+/** Chat-template rendering: span offsets must be character-exact against
+  * the rendered string, multi-assistant conversations must yield one
+  * span per assistant turn, and the word-split conversation must
+  * round-trip the document text. */
+class ChatOpsSpec extends graft.SparkSpec {
+
+  test("assistant spans index exactly the assistant content") {
+    val msgs = Seq(
+      ChatOps.Message("system", "sys prompt"),
+      ChatOps.Message("user", "question one"),
+      ChatOps.Message("assistant", "answer one"),
+      ChatOps.Message("user", "question two"),
+      ChatOps.Message("assistant", "a second answer"))
+    val (rendered, spans) = ChatOps.render(msgs)
+    assert(spans.size === 2)
+    assert(rendered.substring(spans(0)._1.toInt, spans(0)._2.toInt) === "answer one")
+    assert(rendered.substring(spans(1)._1.toInt, spans(1)._2.toInt) === "a second answer")
+    // the template structure itself
+    assert(rendered.startsWith("<|im_start|>system\nsys prompt<|im_end|>\n"))
+    assert(rendered.endsWith("<|im_end|>\n"))
+  }
+
+  test("the conversation split loses no words and masks only the answer") {
+    Seq("one two three four five", "single", "", "a b") .foreach { text =>
+      val msgs = ChatOps.conversation(text)
+      assert(msgs.map(_.role) === Seq("system", "user", "assistant"))
+      val joined = (msgs(1).content, msgs(2).content) match {
+        case ("", a) => a
+        case (u, a) => u + " " + a
+      }
+      assert(joined === text, s"round trip of '$text'")
+      val (rendered, Seq((a0, a1))) = ChatOps.render(msgs): @unchecked
+      assert(rendered.substring(a0.toInt, a1.toInt) === msgs(2).content)
+    }
+  }
+
+  test("q311 runs end-to-end and spans carve the rendered string") {
+    val rows = graft.SparkEntry.queries("q311_chat_template")(spark, sf001).collect()
+    assert(rows.length === 500)
+    rows.take(20).foreach { r =>
+      assert(r.getLong(3) >= 108L) // asst_start: template prefix + user
+      assert(r.getLong(4) >= r.getLong(3))
+      assert(r.getLong(2) === r.getLong(4) + 11L) // tail is '<|im_end|>\n'
+    }
+  }
+}
