@@ -106,6 +106,72 @@ object ChatOps {
         .toDF("doc_id", "rendered_md5", "rendered_len", "asst_start",
           "asst_end", "asst_tokens")
         .orderBy(col("doc_id"))
+    },
+
+    // ---- packed loss masks: q311's spans through q91's packing ----
+    // The GPT-style pre-training batch shape: rendered conversations are
+    // CONCATENATED per source in doc_id order and cut into fixed
+    // 512-char context windows, so an assistant span can CROSS a window
+    // boundary and its mask must split into per-window segments — the
+    // real subtlety of packed SFT. Fully declarative: the per-source
+    // running sum rides the stitch engine (no single-partition window),
+    // span→window fan-out is a bounded sequence() explode (a span
+    // touches ≤3 windows), and the result is one hash aggregate. The
+    // oracle recomputes stream offsets and segment overlaps closed-form.
+    Q("q312_packed_loss_mask",
+      """WITH w AS (SELECT doc_id, source,
+        |    string_split(coalesce(text, ''), ' ') AS ws
+        |  FROM documents),
+        |parts AS (SELECT doc_id, source,
+        |    len(array_to_string(list_slice(ws, 1, len(ws) // 2), ' ')) AS ul,
+        |    len(array_to_string(list_slice(ws, len(ws) // 2 + 1, len(ws)), ' ')) AS al
+        |  FROM w),
+        |r AS (SELECT doc_id, source,
+        |    119 + ul + al AS L, 108 + ul AS a0l, 108 + ul + al AS a1l
+        |  FROM parts),
+        |c AS (SELECT *, sum(L) OVER (PARTITION BY source ORDER BY doc_id
+        |                             ROWS UNBOUNDED PRECEDING) AS cum FROM r),
+        |sp AS (SELECT source, doc_id, cum - L + a0l AS A0, cum - L + a1l AS A1
+        |  FROM c WHERE a1l > a0l),
+        |seg AS (SELECT source, doc_id, A0, A1, (A0 // 512) + u.k AS window_id
+        |  FROM sp, range(0, 4) u(k) WHERE (A0 // 512) + u.k <= (A1 - 1) // 512)
+        |SELECT source, CAST(window_id AS BIGINT) AS window_id,
+        |  CAST(count(*) AS BIGINT) AS n_segments,
+        |  CAST(sum(least((window_id + 1) * 512, A1)
+        |       - greatest(window_id * 512, A0)) AS BIGINT) AS mask_chars,
+        |  min(doc_id) AS first_doc
+        |FROM seg GROUP BY 1, 2
+        |ORDER BY source, window_id""".stripMargin) { (s, dir) =>
+      val ws = split(coalesce(col("text"), lit("")), " ", -1)
+      val k = (size(ws) / 2).cast("int")
+      val base = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          length(array_join(slice(ws, lit(1), k), " ")).cast("long").as("ul"),
+          length(array_join(
+            slice(ws, k + 1, greatest(size(ws) - k, lit(0))), " "))
+            .cast("long").as("al"))
+        .select(col("doc_id"), col("source"),
+          (lit(119L) + col("ul") + col("al")).as("L"),
+          (lit(108L) + col("ul")).as("a0l"),
+          (lit(108L) + col("ul") + col("al")).as("a1l"))
+      Skew.groupedRunningSum(base, Seq("source"), Seq(col("doc_id")),
+          value = col("L"),
+          numPartitions = s.conf.get("spark.sql.shuffle.partitions").toInt,
+          outCol = "cum")
+        .filter(col("a1l") > col("a0l"))
+        .select(col("source"), col("doc_id"),
+          (col("cum") - col("L") + col("a0l")).as("A0"),
+          (col("cum") - col("L") + col("a1l")).as("A1"))
+        .select(col("source"), col("doc_id"), col("A0"), col("A1"),
+          explode(sequence(expr("A0 DIV 512"), expr("(A1 - 1) DIV 512")))
+            .as("window_id"))
+        .groupBy(col("source"), col("window_id"))
+        .agg(count(lit(1)).cast("long").as("n_segments"),
+          sum(least((col("window_id") + 1) * 512, col("A1"))
+            - greatest(col("window_id") * 512, col("A0")))
+            .cast("long").as("mask_chars"),
+          min(col("doc_id")).as("first_doc"))
+        .orderBy(col("source"), col("window_id"))
     }
   )
 }

@@ -36,6 +36,43 @@ class ChatOpsSpec extends graft.SparkSpec {
     }
   }
 
+  test("q312 equals a sequential textbook packing pass") {
+    val s = spark
+    val docs = graft.schema.Tables.t(s, sf001, "documents")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    // sequential reference: per source in doc_id order, concatenate the
+    // RENDERED strings (via the real renderer) and split assistant spans
+    // at 512-char window boundaries
+    val ref = scala.collection.mutable.Map
+      .empty[(String, Long), (Long, Long, Long)] // (segs, chars, firstDoc)
+    docs.groupBy(_._2).foreach { case (source, ds) =>
+      var cum = 0L
+      ds.sortBy(_._1).foreach { case (id, _, text) =>
+        val (rendered, Seq((a0, a1))) =
+          ChatOps.render(ChatOps.conversation(text)): @unchecked
+        val (s0, s1) = (cum + a0, cum + a1)
+        if (s1 > s0) {
+          var w = s0 / 512
+          while (w <= (s1 - 1) / 512) {
+            val overlap = math.min((w + 1) * 512, s1) - math.max(w * 512, s0)
+            val cur = ref.getOrElse((source, w), (0L, 0L, Long.MaxValue))
+            ref((source, w)) = (cur._1 + 1, cur._2 + overlap, math.min(cur._3, id))
+            w += 1
+          }
+        }
+        cum += rendered.length
+      }
+    }
+    val got = graft.SparkEntry.queries("q312_packed_loss_mask")(s, sf001)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got === ref.toMap)
+    // sanity: boundary-crossing segments actually occur in the fixture
+    assert(got.values.exists(_._1 > 1) || got.keySet.map(_._2).size > 400,
+      "fixture produced no window with multiple segments")
+  }
+
   test("q311 runs end-to-end and spans carve the rendered string") {
     val rows = graft.SparkEntry.queries("q311_chat_template")(spark, sf001).collect()
     assert(rows.length === 500)
