@@ -300,4 +300,25 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       s"q291 planned the naive theta join:\n$p")
   }
+
+  test("q314: dedup joins on the 112-bit hash pair, never the segment text") {
+    val p = plan("q314_paragraph_dedup")
+    // the first-occurrence aggregate and keeper join must key on h1/h2
+    // (two longs per segment) — a join keyed on `seg` would shuffle the
+    // paragraph text itself, the exact thing the hash exists to avoid
+    assert(p.contains("h1") && p.contains("h2"), s"hash keys missing:\n$p")
+    assert(!p.toLowerCase.contains("cartesian"), "cartesian in dedup")
+    val joinLines = p.linesIterator.filter(l =>
+      l.contains("Join") && !l.contains("BroadcastExchange")).toSeq
+    assert(joinLines.forall(l => !l.contains("seg#") || l.contains("h1")),
+      s"a join keys on the segment text:\n${joinLines.mkString("\n")}")
+  }
+
+  test("q317: the LM tables ride broadcast joins — no LM-side shuffle") {
+    val p = plan("q317_perplexity_buckets")
+    val bhj = "BroadcastHashJoin".r.findAllIn(p).size
+    assert(bhj >= 3, s"expected c12/c1/c2 as broadcast joins, got $bhj:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"an LM lookup fell back to a sort-merge join:\n$p")
+  }
 }

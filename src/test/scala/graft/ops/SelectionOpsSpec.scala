@@ -1,0 +1,127 @@
+package graft.ops
+
+import scala.collection.mutable
+
+/** Selection/training-prep family: each distributed answer is checked
+  * against an independent sequential JVM recomputation (q314, q317) or
+  * against the published contract derived from sibling query output
+  * (q315 from q313's scores, q316's stratified quota). */
+class SelectionOpsSpec extends graft.SparkSpec {
+
+  private lazy val docs: Seq[(Long, String, String, String)] =
+    graft.schema.Tables.t(spark, sf001, "documents")
+      .select("doc_id", "text", "lang", "source").collect().toSeq
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+      .sortBy(_._1)
+
+  private def words(text: String): Array[String] =
+    text.toLowerCase.trim.split("\\s+", -1)
+
+  test("q314 equals a sequential first-occurrence dedup over the corpus") {
+    // sequential reference: walk documents in doc_id order, keep each
+    // 8-word segment only on its first appearance anywhere in the corpus
+    val seen = mutable.HashSet.empty[String]
+    val ref = docs.map { case (id, text, _, _) =>
+      val segs = words(text).grouped(SelectionOps.SegW).map(_.mkString(" ")).toSeq
+      val kept = segs.filter(seen.add) // add returns false on duplicates
+      val clean = kept.mkString(" ")
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(clean.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      id -> ((segs.size.toLong, (segs.size - kept.size).toLong, hex))
+    }.toMap
+    val rows = graft.SparkEntry.queries("q314_paragraph_dedup")(spark, sf001).collect()
+    assert(rows.length === docs.size)
+    rows.foreach { r =>
+      val (n, d, h) = ref(r.getLong(0))
+      assert(r.getLong(1) === n, s"doc ${r.getLong(0)} n_segs")
+      assert(r.getLong(2) === d, s"doc ${r.getLong(0)} n_dup")
+      assert(r.getString(4) === h, s"doc ${r.getLong(0)} clean_md5")
+    }
+    // a corpus with duplicates must actually lose some segments
+    assert(rows.map(_.getLong(2)).sum > 0, "no duplicate segments removed")
+  }
+
+  test("q315 chosen/rejected are the q313 score extremes per prompt group") {
+    val scores = graft.SparkEntry.queries("q313_hashed_classifier")(spark, sf001)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val groups = scores.keys.groupBy(_ % 50)
+    val rows = graft.SparkEntry.queries("q315_dpo_pairs")(spark, sf001).collect()
+    assert(rows.length === groups.size)
+    rows.foreach { r =>
+      val p = r.getLong(0)
+      val ids = groups(p).toSeq
+      val best = ids.minBy(id => (-scores(id), id))
+      val worst = ids.minBy(id => (scores(id), id))
+      assert(r.getLong(2) === best, s"prompt $p chosen")
+      assert(r.getLong(4) === worst, s"prompt $p rejected")
+      assert(r.getLong(6) === scores(best) - scores(worst), s"prompt $p margin")
+      assert(r.getString(7) === (if (r.getLong(6) >= SelectionOps.DpoMargin)
+        "keep" else "drop"))
+    }
+    // the margin gate must be live in both directions at this SF
+    assert(rows.exists(_.getString(7) == "keep") &&
+      rows.exists(_.getString(7) == "drop"))
+  }
+
+  test("q316 keeps exactly the per-source top-quota by (score desc, doc_id)") {
+    val rows = graft.SparkEntry.queries("q316_dsir_resample")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3),
+        r.getLong(4), r.getString(5)))
+    rows.groupBy(_._2).foreach { case (src, rs) =>
+      val quota = math.ceil(rs.length / 4.0).toLong
+      val sorted = rs.sortBy { case (id, _, score, _, _) => (-score, id) }
+      sorted.zipWithIndex.foreach { case ((id, _, _, rk, label), i) =>
+        assert(rk === i + 1L, s"$src doc $id rank")
+        assert(label === (if (rk <= quota) "keep" else "drop"), s"$src doc $id")
+      }
+      assert(rs.count(_._5 == "keep") === quota, s"$src quota")
+    }
+  }
+
+  test("q317 equals a sequential stupid-backoff LM and terciles are ordered") {
+    // sequential LM from the src0 slice, with the engine's exact rounding
+    // discipline: per-term ln rounded HALF_UP at 9 dp, decimal sum,
+    // round-6 logprob and perplexity
+    val ref = docs.filter(_._4 == "src0")
+    val c1 = mutable.HashMap.empty[String, Long].withDefaultValue(0L)
+    val c12 = mutable.HashMap.empty[(String, String), Long].withDefaultValue(0L)
+    ref.foreach { case (_, text, _, _) =>
+      val ws = words(text)
+      ws.foreach(w => c1(w) += 1)
+      ws.sliding(2).filter(_.length == 2).foreach(p => c12((p(0), p(1))) += 1)
+    }
+    val n = c1.values.sum; val v = c1.size.toLong
+    def r9(x: Double) = BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    val expect = docs.map { case (id, text, _, _) =>
+      val ws = words(text)
+      val terms = ws.sliding(2).filter(_.length == 2).map { p =>
+        val cb = c12((p(0), p(1)))
+        if (cb > 0) r9(math.log(cb.toDouble / c1(p(0))))
+        else r9(math.log(0.4 * (c1(p(1)) + 1) / (n + v)))
+      }.toSeq
+      val ll = terms.sum
+      val np = terms.size
+      id -> ((np.toLong,
+        BigDecimal(ll.toDouble).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        BigDecimal(math.exp(-ll.toDouble / np))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    }.toMap
+    val rows = graft.SparkEntry.queries("q317_perplexity_buckets")(spark, sf001)
+      .collect()
+    assert(rows.length === docs.size)
+    rows.foreach { r =>
+      val (np, ll, ppl) = expect(r.getLong(0))
+      assert(r.getLong(2) === np, s"doc ${r.getLong(0)} n_pairs")
+      assert(r.getDouble(3) === ll, s"doc ${r.getLong(0)} logprob")
+      assert(r.getDouble(4) === ppl, s"doc ${r.getLong(0)} ppl")
+    }
+    // tercile contract per language: sizes within 1, ppl ranges ordered
+    rows.groupBy(_.getString(1)).foreach { case (lang, rs) =>
+      val by = rs.groupBy(_.getString(5)).view.mapValues(_.map(_.getDouble(4)))
+      val sizes = Seq("head", "middle", "tail").map(b => by(b).length)
+      assert(sizes.max - sizes.min <= 1, s"$lang tercile sizes $sizes")
+      assert(by("head").max <= by("middle").min, s"$lang head<=middle")
+      assert(by("middle").max <= by("tail").min, s"$lang middle<=tail")
+    }
+  }
+}
