@@ -265,7 +265,7 @@ object ScaleBench {
     // accepted but missing from the hand-written list)
     val knownPhases = Set("all", "postloop", "semdedup", "image", "spans",
       "events", "cc", "contam", "triangles", "minhash", "funnel", "pq", "nprobe",
-      "codec")
+      "codec", "selection")
     require(knownPhases.contains(phaseSel),
       s"SPARK_GRAFT_SCALE_PHASES must be one of ${knownPhases.toSeq.sorted.mkString("'", "', '", "'")}," +
         s" got '$phaseSel' (a typo would silently skip corpus generation)")
@@ -296,6 +296,32 @@ object ScaleBench {
           // to measure. Converting to an RDD executes the ordered plan
           // the verify path actually runs.
           phase(q, n) { SparkEntry.queries(q)(spark, dir).rdd.count() }
+        }
+      }
+      spark.stop(); return
+    }
+    // ---- q314–q317 selection/training-prep family ----
+    // The table to pin: q314's three exchanges all move bounded-width rows
+    // (two hash longs + a (doc_id, seg_i) pair per SEGMENT — never the
+    // segment text), so its shuffle must grow linearly in segments; q315/
+    // q316 are partial hash aggregates (shuffle ≈ one narrow row per doc);
+    // q317's LM tables broadcast, so its shuffle is the doc-level aggregate
+    // only. docs/s flat across sizes = linear scaling. q317 runs through
+    // the factored body (the generated corpus has no lang column and its
+    // reference slice is source s0).
+    if (phaseSel == "selection") {
+      sizes.foreach { n =>
+        val dir = s"$root/n$n"
+        gen(spark, n, dir)
+        Seq("q314_paragraph_dedup", "q315_dpo_pairs", "q316_dsir_resample",
+          "q318_gopher_repetition", "q319_exact_substring_prune")
+          .foreach { q =>
+            phase(q, n) { SparkEntry.queries(q)(spark, dir).rdd.count() }
+          }
+        val docs = spark.read.parquet(s"$dir/documents.parquet")
+          .withColumn("lang", col("source"))
+        phase("q317_perplexity_buckets", n) {
+          ops.SelectionOps.perplexityBuckets(docs, "s0").rdd.count()
         }
       }
       spark.stop(); return

@@ -51,6 +51,23 @@ object SelectionOps {
   private val wsCol: Column =
     split(lower(trim(coalesce(col("text"), lit("")))), "\\s+", -1)
 
+  /** The q314 segmentation/hash seam over any (doc_id, text) frame:
+    * (doc_id, seg_i, seg, h1, h2), one row per SegW-word segment — shared
+    * by the batch query and the streaming cross-batch composition
+    * (StreamingSelectionSpec), so the incremental path can never drift
+    * from the batch semantics. */
+  def segmentFrame(docs0: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs0.sparkSession)
+    docs0.withColumn("ws", wsCol)
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, cast(ceil(size(ws)/$SegW.0) as int) - 1),
+           |  i -> concat_ws(' ', slice(ws, i*$SegW+1, $SegW)))""".stripMargin))
+        .as(Seq("seg_i", "seg")))
+      .withColumn("hs", call_function("graft_md5_split", col("seg")))
+      .select(col("doc_id"), col("seg_i"), col("seg"),
+        col("hs").getItem(0).as("h1"), col("hs").getItem(1).as("h2"))
+  }
+
   /** q313's closed-form classifier score as a (doc_id, score) frame —
     * q315 consumes it as the preference signal (a real RLHF pipeline feeds
     * pair construction from reward-model inference, not from hand rules). */
@@ -117,31 +134,31 @@ object SelectionOps {
          |  md5(coalesce(clean, '')) AS clean_md5
          |FROM agg ORDER BY doc_id""".stripMargin) { (s, dir) =>
       graft.functions.GraftFunctions.register(s)
-      val segs = t(s, dir, "documents")
+      // The frame that enters ANY exchange is (doc_id, seg_i, h1, h2) —
+      // the segment text is hashed away at the scan and re-materialized
+      // per doc from the word array at the end (measured: the text-
+      // carrying formulation shuffled 11.6 KB/doc and went superlinear
+      // at 400k docs; this one moves ~32 B/segment, SCALE.md round 14).
+      val docs = t(s, dir, "documents")
         .withColumn("ws", wsCol)
-        .withColumn("segs", expr(
-          s"""transform(sequence(0, cast(ceil(size(ws)/$SegW.0) as int) - 1),
-             |  i -> concat_ws(' ', slice(ws, i*$SegW+1, $SegW)))""".stripMargin))
-        .select(col("doc_id"), posexplode(col("segs")).as(Seq("seg_i", "seg")))
-        .withColumn("hs", call_function("graft_md5_split", col("seg")))
-        .select(col("doc_id"), col("seg_i"), col("seg"),
-          col("hs").getItem(0).as("h1"), col("hs").getItem(1).as("h2"))
+        .withColumn("n_segs", expr(s"cast(ceil(size(ws)/$SegW.0) as long)"))
+      val segs = segmentFrame(docs.select(col("doc_id"), col("text")))
+        .drop("seg")
       val first = segs.groupBy(col("h1"), col("h2"))
         .agg(min(struct(col("doc_id"), col("seg_i"))).as("first"))
-      segs.join(first, Seq("h1", "h2"))
-        .withColumn("kept", col("first.doc_id") === col("doc_id") &&
+      val keptIds = segs.join(first, Seq("h1", "h2"))
+        .filter(col("first.doc_id") === col("doc_id") &&
           col("first.seg_i") === col("seg_i"))
         .groupBy(col("doc_id"))
-        .agg(
-          count(lit(1)).cast("long").as("n_segs"),
-          sum(when(col("kept"), 0L).otherwise(1L)).cast("long").as("n_dup"),
-          array_join(
-            transform(
-              sort_array(collect_list(
-                when(col("kept"), struct(col("seg_i"), col("seg"))))),
-              x => x.getField("seg")),
-            " ").as("clean"))
-        .select(col("doc_id"), col("n_segs"), col("n_dup"),
+        .agg(sort_array(collect_list(col("seg_i"))).as("keep"))
+      docs.join(keptIds, Seq("doc_id"), "left")
+        .withColumn("keep",
+          coalesce(col("keep"), expr("CAST(array() AS ARRAY<INT>)")))
+        .withColumn("clean", expr(
+          s"""array_join(transform(keep,
+             |  i -> concat_ws(' ', slice(ws, i*$SegW+1, $SegW))), ' ')""".stripMargin))
+        .select(col("doc_id"), col("n_segs"),
+          (col("n_segs") - size(col("keep"))).cast("long").as("n_dup"),
           when(col("clean") === "", 0L)
             .otherwise(size(split(col("clean"), " ")).cast("long"))
             .as("clean_words"),
@@ -286,7 +303,225 @@ object SelectionOps {
          |  CASE ntile(3) OVER (PARTITION BY lang ORDER BY ppl, doc_id)
          |    WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
          |FROM sc ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      val docs = t(s, dir, "documents")
+      perplexityBuckets(t(s, dir, "documents"), "src0")
+    },
+
+    // ---- q318: Gopher repetition signals ----
+    // The MassiveText repetition battery (Rae et al. 2021, Table A1) over
+    // word 2-grams: top-2-gram character fraction (occurrences × length
+    // of the most frequent 2-gram over the canonical character count) and
+    // duplicate-2-gram character fraction (characters covered by ANY
+    // 2-gram occurring ≥2 times in the document — an exact INTERVAL UNION
+    // over char spans, counted once, not the naive Σ c·len). Both at the
+    // published 0.20 drop threshold. Everything is integers until the two
+    // final fractions: char offsets are prefix sums over the word array,
+    // spans are word-aligned [start, start+glen), and the union is the
+    // classic running-max scan. q63 counts n-gram multiplicity; this is
+    // the character-coverage formulation the Gopher filters actually
+    // threshold on.
+    //
+    // Scale shape: every signal is WITHIN-document, so the whole operator
+    // is doc-local higher-order-function work over the word array — the
+    // prefix-sum starts via aggregate(), gram counts via sorted-hash run
+    // scanning (array_sort + one aggregate pass, not an O(n²) compare),
+    // the span union via the same running-max scan — and the plan's ONLY
+    // exchange is the presentation sort. The first formulation (explode →
+    // per-doc windows → gram-text groupBy → self-join) measured 41 KB/doc
+    // of shuffle, 16.6 GB at 400k docs, all avoidable: SCALE.md round 14.
+    Q("q318_gopher_repetition",
+      raw"""WITH w AS (SELECT doc_id,
+         |    string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents),
+         |o0 AS (SELECT doc_id, i, ws[i+1] AS word, len(ws[i+1]) AS wl
+         |  FROM w, unnest(range(0, len(ws))) AS t(i)),
+         |off AS (SELECT *, coalesce(sum(wl + 1)
+         |      OVER (PARTITION BY doc_id ORDER BY i
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS wstart
+         |  FROM o0),
+         |tot AS (SELECT doc_id, CAST(sum(wl) + count(*) - 1 AS BIGINT) AS n_chars
+         |  FROM off GROUP BY doc_id),
+         |g AS (SELECT doc_id, i AS gi,
+         |    word || ' ' || lead(word) OVER win AS gram,
+         |    wstart AS gstart, wl + lead(wl) OVER win + 1 AS glen
+         |  FROM off WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+         |  QUALIFY lead(word) OVER win IS NOT NULL),
+         |cnt AS (SELECT doc_id, gram, count(*) AS c, any_value(glen) AS glen
+         |  FROM g GROUP BY doc_id, gram),
+         |top AS (SELECT doc_id, max(struct_pack(c := c, g := glen)) AS tp
+         |  FROM cnt GROUP BY doc_id),
+         |dupocc AS (SELECT g.doc_id, g.gstart, g.gstart + g.glen AS gend
+         |  FROM g JOIN cnt ON g.doc_id = cnt.doc_id AND g.gram = cnt.gram
+         |  WHERE cnt.c >= 2),
+         |uni AS (SELECT doc_id, greatest(0, gend - greatest(gstart,
+         |      coalesce(max(gend) OVER (PARTITION BY doc_id ORDER BY gstart
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))) AS inc
+         |  FROM dupocc),
+         |cov AS (SELECT doc_id, CAST(sum(inc) AS BIGINT) AS dup_chars
+         |  FROM uni GROUP BY doc_id)
+         |SELECT t.doc_id, t.n_chars,
+         |  round(struct_extract(tp, 'c') * struct_extract(tp, 'g')
+         |    * 1.0 / t.n_chars, 6) AS top_frac,
+         |  round(coalesce(cov.dup_chars, 0) * 1.0 / t.n_chars, 6) AS dup_frac,
+         |  CASE WHEN round(struct_extract(tp, 'c') * struct_extract(tp, 'g')
+         |           * 1.0 / t.n_chars, 6) > 0.2
+         |         OR round(coalesce(cov.dup_chars, 0) * 1.0 / t.n_chars, 6) > 0.2
+         |       THEN 'drop' ELSE 'keep' END AS label
+         |FROM tot t JOIN top ON t.doc_id = top.doc_id
+         |  LEFT JOIN cov ON t.doc_id = cov.doc_id
+         |ORDER BY t.doc_id""".stripMargin) { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      t(s, dir, "documents")
+        .withColumn("ws", wsCol)
+        .withColumn("m", size(col("ws")) - 1) // gram count
+        .filter(col("m") >= 1) // the oracle's g CTE also drops 1-word docs
+        // starts(i) = canonical char offset of word i (1-based lookup)
+        .withColumn("starts", expr(
+          """aggregate(slice(ws, 1, size(ws) - 1), array(CAST(0 AS BIGINT)),
+            |  (acc, w) -> concat(acc,
+            |     array(element_at(acc, -1) + length(w) + 1)))""".stripMargin))
+        .withColumn("n_chars", expr(
+          "element_at(starts, -1) + length(element_at(ws, -1))").cast("long"))
+        .withColumn("glens", expr(
+          """transform(sequence(1, m), i -> CAST(length(element_at(ws, i))
+            |  + length(element_at(ws, i + 1)) + 1 AS BIGINT))""".stripMargin))
+        .withColumn("ghs", expr(
+          """transform(sequence(1, m), i -> graft_md5_split(
+            |  concat(element_at(ws, i), ' ', element_at(ws, i + 1)))[0])""".stripMargin))
+        // (hash, glen) pairs sorted by hash: equal-hash runs are gram
+        // occurrence groups; one scan finds max (count, glen)
+        .withColumn("zipped",
+          expr("array_sort(zip_with(ghs, glens, (h, l) -> struct(h, l)))"))
+        .withColumn("tp", expr(
+          """aggregate(zipped,
+            |  named_struct('prev', CAST(-1 AS BIGINT), 'run', CAST(0 AS BIGINT),
+            |               'bc', CAST(0 AS BIGINT), 'bg', CAST(0 AS BIGINT)),
+            |  (acc, x) -> named_struct(
+            |    'prev', x.h,
+            |    'run', IF(x.h = acc.prev, acc.run + 1, CAST(1 AS BIGINT)),
+            |    'bc', IF(IF(x.h = acc.prev, acc.run + 1, CAST(1 AS BIGINT)) > acc.bc
+            |             OR (IF(x.h = acc.prev, acc.run + 1, CAST(1 AS BIGINT)) = acc.bc
+            |                 AND x.l > acc.bg),
+            |          IF(x.h = acc.prev, acc.run + 1, CAST(1 AS BIGINT)), acc.bc),
+            |    'bg', IF(IF(x.h = acc.prev, acc.run + 1, CAST(1 AS BIGINT)) > acc.bc
+            |             OR (IF(x.h = acc.prev, acc.run + 1, CAST(1 AS BIGINT)) = acc.bc
+            |                 AND x.l > acc.bg),
+            |          x.l, acc.bg)),
+            |  acc -> named_struct('c', acc.bc, 'g', acc.bg))""".stripMargin))
+        // hashes occurring ≥2 times (adjacent equals in the sorted array)
+        .withColumn("dh", expr(
+          """IF(m >= 2, array_distinct(filter(
+            |  transform(sequence(1, m - 1),
+            |    k -> IF(zipped[k].h = zipped[k-1].h, zipped[k].h, NULL)),
+            |  x -> x IS NOT NULL)), array())""".stripMargin))
+        // interval union over dup-gram spans, already in start order
+        .withColumn("dup_chars", expr(
+          """aggregate(
+            |  filter(transform(sequence(1, m), i -> named_struct(
+            |     'st', element_at(starts, i),
+            |     'en', element_at(starts, i) + element_at(glens, i),
+            |     'h', ghs[i-1])), x -> array_contains(dh, x.h)),
+            |  named_struct('covered', CAST(0 AS BIGINT), 'maxEnd', CAST(0 AS BIGINT)),
+            |  (acc, x) -> named_struct(
+            |    'covered', acc.covered
+            |      + greatest(CAST(0 AS BIGINT), x.en - greatest(x.st, acc.maxEnd)),
+            |    'maxEnd', greatest(acc.maxEnd, x.en)),
+            |  acc -> acc.covered)""".stripMargin))
+        .select(col("doc_id"), col("n_chars"),
+          round(col("tp.c") * col("tp.g") * lit(1.0) / col("n_chars"), 6)
+            .as("top_frac"),
+          round(col("dup_chars") * lit(1.0) / col("n_chars"), 6).as("dup_frac"))
+        .withColumn("label",
+          when(col("top_frac") > 0.2 || col("dup_frac") > 0.2, lit("drop"))
+            .otherwise(lit("keep")))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- q319: exact-substring pruning ----
+    // The ExactSubstr dedup of Lee et al. 2022 ("Deduplicating Training
+    // Data Makes Language Models Better"), word-aligned: every OVERLAPPING
+    // 6-word window that occurs ≥2 times anywhere in the corpus is a
+    // duplicate span; every occurrence EXCEPT the global (doc_id, pos)-
+    // first is removed; a word survives iff no removed span covers it,
+    // and documents are reassembled from surviving words. The paper does
+    // this with a corpus-wide suffix array; the Spark-native equivalent
+    // is the same three bounded-width exchanges as q314 (hash-grouped
+    // first-occurrence min, keeper join on the 112-bit pair, per-doc
+    // reassembly) plus a bounded explode (each duplicate occurrence
+    // covers exactly 6 word slots) and an anti-join — no suffix array,
+    // no global sort, and the covered-slot frame is 2 longs per row.
+    Q("q319_exact_substring_prune",
+      raw"""WITH w AS (SELECT doc_id,
+         |    string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents),
+         |g AS (SELECT doc_id, i AS gi, array_to_string(ws[i:i+5], ' ') AS gram
+         |  FROM w, unnest(range(1, len(ws) - 4)) AS t(i)),
+         |f AS (SELECT gram, count(*) AS c,
+         |    min(struct_pack(d := doc_id, i := gi)) AS first
+         |  FROM g GROUP BY gram),
+         |dup AS (SELECT g.doc_id, g.gi FROM g JOIN f ON g.gram = f.gram
+         |  WHERE f.c >= 2 AND NOT (g.doc_id = struct_extract(f.first, 'd')
+         |                      AND g.gi = struct_extract(f.first, 'i'))),
+         |cov AS (SELECT DISTINCT doc_id, unnest(range(gi, gi + 6)) AS wi FROM dup),
+         |words AS (SELECT doc_id, i + 1 AS wi, ws[i + 1] AS word
+         |  FROM w, unnest(range(0, len(ws))) AS t(i)),
+         |kept AS (SELECT wo.doc_id, wo.wi, wo.word FROM words wo
+         |  LEFT JOIN cov ON wo.doc_id = cov.doc_id AND wo.wi = cov.wi
+         |  WHERE cov.wi IS NULL),
+         |ka AS (SELECT doc_id, count(*) AS kept_words,
+         |    string_agg(word, ' ' ORDER BY wi) AS clean
+         |  FROM kept GROUP BY doc_id)
+         |SELECT w.doc_id, CAST(len(w.ws) AS BIGINT) AS n_words,
+         |  CAST(len(w.ws) - coalesce(ka.kept_words, 0) AS BIGINT) AS removed_words,
+         |  CAST(coalesce(ka.kept_words, 0) AS BIGINT) AS kept_words,
+         |  md5(coalesce(ka.clean, '')) AS kept_md5
+         |FROM w LEFT JOIN ka ON w.doc_id = ka.doc_id
+         |ORDER BY w.doc_id""".stripMargin) { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      // Same no-text-in-the-shuffle discipline as q314: every exchanged
+      // frame is (doc_id, gi, h1, h2) or narrower; covered word slots are
+      // collected per doc as an INT array and the pruned text is rebuilt
+      // doc-locally from the word array.
+      val G = 6
+      val docs = t(s, dir, "documents").withColumn("ws", wsCol)
+      val g = docs
+        .select(col("doc_id"), posexplode(expr(
+          s"""CASE WHEN size(ws) >= $G THEN
+             |  transform(sequence(0, size(ws) - $G),
+             |    i -> concat_ws(' ', slice(ws, i + 1, $G)))
+             |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin))
+          .as(Seq("gi0", "gram")))
+        .select(col("doc_id"), (col("gi0") + 1).as("gi"),
+          call_function("graft_md5_split", col("gram")).as("hs"))
+        .select(col("doc_id"), col("gi"),
+          col("hs").getItem(0).as("h1"), col("hs").getItem(1).as("h2"))
+      val f = g.groupBy(col("h1"), col("h2"))
+        .agg(count(lit(1)).as("c"),
+          min(struct(col("doc_id").as("d"), col("gi").as("i"))).as("first"))
+      // c ≥ 2 filters f BEFORE the join: the keeper join's build side
+      // shrinks to the duplicated grams only (a few % of the corpus),
+      // instead of re-shuffling the full gram table a second time
+      val dup = g.join(f.filter(col("c") >= 2), Seq("h1", "h2"))
+        .filter(!(col("first.d") === col("doc_id") &&
+          col("first.i") === col("gi")))
+        .groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(col("gi"))).as("starts"))
+      docs.join(dup, Seq("doc_id"), "left")
+        .withColumn("cov", expr(s"""array_sort(array_distinct(flatten(
+          |  transform(coalesce(starts, CAST(array() AS ARRAY<INT>)),
+          |    i -> sequence(i, i + ${G - 1})))))""".stripMargin))
+        .withColumn("kept", expr(
+          "filter(sequence(1, size(ws)), wi -> NOT array_contains(cov, wi))"))
+        .select(col("doc_id"), size(col("ws")).cast("long").as("n_words"),
+          (size(col("ws")) - size(col("kept"))).cast("long").as("removed_words"),
+          size(col("kept")).cast("long").as("kept_words"),
+          md5(expr("array_join(transform(kept, wi -> element_at(ws, wi)), ' ')"))
+            .as("kept_md5"))
+        .orderBy(col("doc_id"))
+    }
+  )
+
+  /** q317's body over any (doc_id, lang, source, text) frame — ScaleBench
+    * drives it against the generated corpus (lang := source, ref "s0"). */
+  def perplexityBuckets(docsIn: DataFrame, refSource: String): DataFrame = {
+      val docs = docsIn
         .select(col("doc_id"), col("lang"), col("source"), wsCol.as("ws"))
       val pairsOf = expr(
         """CASE WHEN size(ws) >= 2 THEN
@@ -294,7 +529,7 @@ object SelectionOps {
           |    i -> struct(ws[i-1] AS w1, ws[i] AS w2))
           |ELSE CAST(array() AS ARRAY<STRUCT<w1: STRING, w2: STRING>>) END
           |""".stripMargin)
-      val ref = docs.filter(col("source") === "src0")
+      val ref = docs.filter(col("source") === refSource)
       val c1 = ref.select(explode(col("ws")).as("word"))
         .groupBy(col("word")).agg(count(lit(1)).cast("long").as("c"))
       val nv = c1.agg(sum(col("c")).cast("long").as("n"),
@@ -330,6 +565,5 @@ object SelectionOps {
           when(tercile === 1, lit("head")).when(tercile === 2, lit("middle"))
             .otherwise(lit("tail")))
         .orderBy(col("doc_id"))
-    }
-  )
+  }
 }

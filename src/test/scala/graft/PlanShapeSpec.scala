@@ -314,6 +314,15 @@ class PlanShapeSpec extends SparkSpec {
       s"a join keys on the segment text:\n${joinLines.mkString("\n")}")
   }
 
+  test("q318: doc-local repetition signals — the only exchange is the sort") {
+    val p = plan("q318_gopher_repetition")
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 1, s"expected only the presentation sort, got:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin") &&
+      !p.contains("Window"),
+      s"a within-doc signal leaked into a join/window:\n$p")
+  }
+
   test("q317: the LM tables ride broadcast joins — no LM-side shuffle") {
     val p = plan("q317_perplexity_buckets")
     val bhj = "BroadcastHashJoin".r.findAllIn(p).size

@@ -124,4 +124,77 @@ class SelectionOpsSpec extends graft.SparkSpec {
       assert(by("middle").max <= by("tail").min, s"$lang middle<=tail")
     }
   }
+
+  test("q318 equals a sequential span-union Gopher repetition pass") {
+    def ref(text: String): (Long, Double, Double) = {
+      val ws = words(text)
+      val starts = ws.scanLeft(0L)((acc, w) => acc + w.length + 1)
+      val total = ws.map(_.length.toLong).sum + ws.length - 1
+      val grams = (0 until ws.length - 1).map { i =>
+        (ws(i) + " " + ws(i + 1), starts(i), ws(i).length + ws(i + 1).length + 1L)
+      }
+      val counts = grams.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      val (tc, tg) = grams.map(g => (counts(g._1), g._3)).max
+      val dupSpans = grams.filter(g => counts(g._1) >= 2)
+        .map(g => (g._2, g._2 + g._3)).sortBy(_._1)
+      var covered = 0L; var maxEnd = 0L
+      dupSpans.foreach { case (s0, e0) =>
+        covered += math.max(0L, e0 - math.max(s0, maxEnd))
+        maxEnd = math.max(maxEnd, e0)
+      }
+      def r6(x: Double) =
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (total, r6(tc * tg * 1.0 / total), r6(covered * 1.0 / total))
+    }
+    val rows = graft.SparkEntry.queries("q318_gopher_repetition")(spark, sf001)
+      .collect()
+    assert(rows.length === docs.size)
+    val byId = docs.map(d => d._1 -> d._2).toMap
+    rows.foreach { r =>
+      val (total, tf, df) = ref(byId(r.getLong(0)))
+      assert(r.getLong(1) === total, s"doc ${r.getLong(0)} n_chars")
+      assert(r.getDouble(2) === tf, s"doc ${r.getLong(0)} top_frac")
+      assert(r.getDouble(3) === df, s"doc ${r.getLong(0)} dup_frac")
+      assert(r.getString(4) === (if (tf > 0.2 || df > 0.2) "drop" else "keep"))
+    }
+    assert(rows.exists(_.getString(4) == "drop") &&
+      rows.exists(_.getString(4) == "keep"), "threshold not live at this SF")
+  }
+
+  test("q319 equals a sequential corpus-wide exact-substring prune") {
+    val G = 6
+    // global first-occurrence map over overlapping G-grams, corpus order
+    val occ = mutable.HashMap.empty[String, mutable.ArrayBuffer[(Long, Int)]]
+    docs.foreach { case (id, text, _, _) =>
+      val ws = words(text)
+      (0 to ws.length - G).foreach { i =>
+        occ.getOrElseUpdate(ws.slice(i, i + G).mkString(" "),
+          mutable.ArrayBuffer.empty) += ((id, i))
+      }
+    }
+    val removedStarts = occ.values.filter(_.size >= 2)
+      .flatMap(v => v.sorted.drop(1)).toSet
+    val expect = docs.map { case (id, text, _, _) =>
+      val ws = words(text)
+      val coveredIdx = (0 to ws.length - G)
+        .filter(i => removedStarts.contains((id, i)))
+        .flatMap(i => i until i + G).toSet
+      val kept = ws.zipWithIndex.collect {
+        case (w, i) if !coveredIdx.contains(i) => w }
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(kept.mkString(" ").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      id -> ((ws.length.toLong, (ws.length - kept.length).toLong, hex))
+    }.toMap
+    val rows = graft.SparkEntry.queries("q319_exact_substring_prune")(spark, sf001)
+      .collect()
+    assert(rows.length === docs.size)
+    rows.foreach { r =>
+      val (nw, rm, hex) = expect(r.getLong(0))
+      assert(r.getLong(1) === nw, s"doc ${r.getLong(0)} n_words")
+      assert(r.getLong(2) === rm, s"doc ${r.getLong(0)} removed_words")
+      assert(r.getString(4) === hex, s"doc ${r.getLong(0)} kept_md5")
+    }
+    assert(rows.map(_.getLong(2)).sum > 0, "no duplicate spans pruned")
+  }
 }
