@@ -68,6 +68,36 @@ object SelectionOps {
         col("hs").getItem(0).as("h1"), col("hs").getItem(1).as("h2"))
   }
 
+  /** q314's dedup as a TRANSFORM: the documents frame with `n_segs`, the
+    * kept segment-index array `keep`, and the reassembled `clean` text —
+    * q314 formats it per doc; q320 feeds the cleaned corpus onward into
+    * the LM filter (the CCNet stage order). The frame that enters ANY
+    * exchange is (doc_id, seg_i, h1, h2) — the segment text is hashed
+    * away at the scan and re-materialized per doc from the word array at
+    * the end (measured: the text-carrying formulation shuffled 11.6
+    * KB/doc and went superlinear at 400k docs; this one moves
+    * ~32 B/segment, SCALE.md round 14). */
+  def paragraphCleaned(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .withColumn("ws", wsCol)
+      .withColumn("n_segs", expr(s"cast(ceil(size(ws)/$SegW.0) as long)"))
+    val segs = segmentFrame(docs.select(col("doc_id"), col("text")))
+      .drop("seg")
+    val first = segs.groupBy(col("h1"), col("h2"))
+      .agg(min(struct(col("doc_id"), col("seg_i"))).as("first"))
+    val keptIds = segs.join(first, Seq("h1", "h2"))
+      .filter(col("first.doc_id") === col("doc_id") &&
+        col("first.seg_i") === col("seg_i"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("seg_i"))).as("keep"))
+    docs.join(keptIds, Seq("doc_id"), "left")
+      .withColumn("keep",
+        coalesce(col("keep"), expr("CAST(array() AS ARRAY<INT>)")))
+      .withColumn("clean", expr(
+        s"""array_join(transform(keep,
+           |  i -> concat_ws(' ', slice(ws, i*$SegW+1, $SegW))), ' ')""".stripMargin))
+  }
+
   /** q313's closed-form classifier score as a (doc_id, score) frame —
     * q315 consumes it as the preference signal (a real RLHF pipeline feeds
     * pair construction from reward-model inference, not from hand rules). */
@@ -87,6 +117,41 @@ object SelectionOps {
       .agg(sum(col("bk") * lit(2654435761L) % 1001 - 500)
         .cast("long").as("score"))
   }
+
+  /** The q317 LM chain in DuckDB SQL, reading (doc_id, lang, source,
+    * text) rows from `src` — shared by q317 and the q320 composition.
+    * Ends at the `sc` CTE (doc_id, lang, n_pairs, logprob, ppl). */
+  private def duckPplChain(src: String): String =
+    raw"""w AS (SELECT doc_id, lang, source,
+       |    string_split_regex(lower(trim(text)), '\s+') AS ws FROM $src),
+       |rw AS (SELECT unnest(ws) AS word FROM w WHERE source = 'src0'),
+       |c1 AS (SELECT word, CAST(count(*) AS BIGINT) AS c FROM rw GROUP BY word),
+       |nv AS (SELECT CAST(sum(c) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS v
+       |  FROM c1),
+       |rb AS (SELECT ws[i] AS w1, ws[i+1] AS w2
+       |  FROM w, unnest(range(1, len(ws))) AS t(i) WHERE source = 'src0'),
+       |c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c
+       |  FROM rb GROUP BY w1, w2),
+       |dp AS (SELECT doc_id, lang, ws[i] AS w1, ws[i+1] AS w2
+       |  FROM w, unnest(range(1, len(ws))) AS t(i)),
+       |terms AS (SELECT d.doc_id, d.lang,
+       |    CAST(round(CASE WHEN b.c IS NOT NULL
+       |      THEN ln(CAST(b.c AS DOUBLE) / u1.c)
+       |      ELSE ln((CAST(0.4 AS DOUBLE) * (coalesce(u2.c, 0) + 1))
+       |              / (nv.n + nv.v)) END, 9) AS DECIMAL(18,9)) AS term
+       |  FROM dp d
+       |    LEFT JOIN c12 b ON d.w1 = b.w1 AND d.w2 = b.w2
+       |    LEFT JOIN c1 u1 ON d.w1 = u1.word
+       |    LEFT JOIN c1 u2 ON d.w2 = u2.word, nv),
+       |agg AS (SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_pairs,
+       |    sum(term) AS ll FROM terms GROUP BY doc_id, lang),
+       |sc AS (SELECT doc_id, lang, n_pairs,
+       |    round(CAST(ll AS DOUBLE), 6) AS logprob,
+       |    round(exp(-CAST(ll AS DOUBLE) / n_pairs), 6) AS ppl FROM agg)""".stripMargin
+
+  private val duckBucket: String =
+    "CASE ntile(3) OVER (PARTITION BY lang ORDER BY ppl, doc_id) " +
+      "WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END"
 
   /** The q313 score CTE chain in DuckDB SQL (shared by q315's oracle). */
   private def duckScore: String =
@@ -133,30 +198,7 @@ object SelectionOps {
          |       ELSE len(string_split(clean, ' ')) END AS clean_words,
          |  md5(coalesce(clean, '')) AS clean_md5
          |FROM agg ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      graft.functions.GraftFunctions.register(s)
-      // The frame that enters ANY exchange is (doc_id, seg_i, h1, h2) —
-      // the segment text is hashed away at the scan and re-materialized
-      // per doc from the word array at the end (measured: the text-
-      // carrying formulation shuffled 11.6 KB/doc and went superlinear
-      // at 400k docs; this one moves ~32 B/segment, SCALE.md round 14).
-      val docs = t(s, dir, "documents")
-        .withColumn("ws", wsCol)
-        .withColumn("n_segs", expr(s"cast(ceil(size(ws)/$SegW.0) as long)"))
-      val segs = segmentFrame(docs.select(col("doc_id"), col("text")))
-        .drop("seg")
-      val first = segs.groupBy(col("h1"), col("h2"))
-        .agg(min(struct(col("doc_id"), col("seg_i"))).as("first"))
-      val keptIds = segs.join(first, Seq("h1", "h2"))
-        .filter(col("first.doc_id") === col("doc_id") &&
-          col("first.seg_i") === col("seg_i"))
-        .groupBy(col("doc_id"))
-        .agg(sort_array(collect_list(col("seg_i"))).as("keep"))
-      docs.join(keptIds, Seq("doc_id"), "left")
-        .withColumn("keep",
-          coalesce(col("keep"), expr("CAST(array() AS ARRAY<INT>)")))
-        .withColumn("clean", expr(
-          s"""array_join(transform(keep,
-             |  i -> concat_ws(' ', slice(ws, i*$SegW+1, $SegW))), ' ')""".stripMargin))
+      paragraphCleaned(s, dir)
         .select(col("doc_id"), col("n_segs"),
           (col("n_segs") - size(col("keep"))).cast("long").as("n_dup"),
           when(col("clean") === "", 0L)
@@ -273,35 +315,9 @@ object SelectionOps {
     // the tercile is a per-language window, which at 100 TB becomes an
     // approx-quantile threshold per language (bounded cardinality key).
     Q("q317_perplexity_buckets",
-      raw"""WITH w AS (SELECT doc_id, lang, source,
-         |    string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents),
-         |rw AS (SELECT unnest(ws) AS word FROM w WHERE source = 'src0'),
-         |c1 AS (SELECT word, CAST(count(*) AS BIGINT) AS c FROM rw GROUP BY word),
-         |nv AS (SELECT CAST(sum(c) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS v
-         |  FROM c1),
-         |rb AS (SELECT ws[i] AS w1, ws[i+1] AS w2
-         |  FROM w, unnest(range(1, len(ws))) AS t(i) WHERE source = 'src0'),
-         |c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c
-         |  FROM rb GROUP BY w1, w2),
-         |dp AS (SELECT doc_id, lang, ws[i] AS w1, ws[i+1] AS w2
-         |  FROM w, unnest(range(1, len(ws))) AS t(i)),
-         |terms AS (SELECT d.doc_id, d.lang,
-         |    CAST(round(CASE WHEN b.c IS NOT NULL
-         |      THEN ln(CAST(b.c AS DOUBLE) / u1.c)
-         |      ELSE ln((CAST(0.4 AS DOUBLE) * (coalesce(u2.c, 0) + 1))
-         |              / (nv.n + nv.v)) END, 9) AS DECIMAL(18,9)) AS term
-         |  FROM dp d
-         |    LEFT JOIN c12 b ON d.w1 = b.w1 AND d.w2 = b.w2
-         |    LEFT JOIN c1 u1 ON d.w1 = u1.word
-         |    LEFT JOIN c1 u2 ON d.w2 = u2.word, nv),
-         |agg AS (SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_pairs,
-         |    sum(term) AS ll FROM terms GROUP BY doc_id, lang),
-         |sc AS (SELECT doc_id, lang, n_pairs,
-         |    round(CAST(ll AS DOUBLE), 6) AS logprob,
-         |    round(exp(-CAST(ll AS DOUBLE) / n_pairs), 6) AS ppl FROM agg)
+      raw"""WITH ${duckPplChain("documents")}
          |SELECT doc_id, lang, n_pairs, logprob, ppl,
-         |  CASE ntile(3) OVER (PARTITION BY lang ORDER BY ppl, doc_id)
-         |    WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+         |  $duckBucket AS bucket
          |FROM sc ORDER BY doc_id""".stripMargin) { (s, dir) =>
       perplexityBuckets(t(s, dir, "documents"), "src0")
     },
@@ -321,13 +337,26 @@ object SelectionOps {
     // threshold on.
     //
     // Scale shape: every signal is WITHIN-document, so the whole operator
-    // is doc-local higher-order-function work over the word array — the
-    // prefix-sum starts via aggregate(), gram counts via sorted-hash run
-    // scanning (array_sort + one aggregate pass, not an O(n²) compare),
-    // the span union via the same running-max scan — and the plan's ONLY
-    // exchange is the presentation sort. The first formulation (explode →
-    // per-doc windows → gram-text groupBy → self-join) measured 41 KB/doc
-    // of shuffle, 16.6 GB at 400k docs, all avoidable: SCALE.md round 14.
+    // is ONE doc-local expression over the word array — gram (hash, len)
+    // pairs packed into single longs (low 14 bits = length; equality of
+    // the pack == equality of (hash₅₀, len), so sorted-adjacency runs ARE
+    // gram occurrence groups), array_sort on the primitive longs, one
+    // run scan for the top count, and the span union reduced to word
+    // coverage (a 2-gram span covers words i, i+1 and the space between;
+    // the space between words i,i+1 is covered iff gram i is duplicated,
+    // word w iff gram w−1 or gram w is) — no char offsets, no intervals.
+    // The plan's ONLY exchange is the presentation sort.
+    //
+    // Two measured traps shaped this form (SCALE.md round 14):
+    //  - the explode → per-doc windows → gram-text groupBy → self-join
+    //    formulation shuffled 41 KB/doc (16.6 GB at 400k docs) for a
+    //    per-document answer;
+    //  - the "obvious" HOF formulation sorted ARRAY<STRUCT> (interpreted
+    //    struct comparator: 172 s vs 9 s for the packed-long sort at
+    //    100k docs) and let CollapseProject inline the duplicated-hash
+    //    set INTO per-element lambdas, re-sorting per gram (280 s). The
+    //    single-element-transform let-binding below pins pks/srt/dh to
+    //    one evaluation per row: 16 s at 100k docs, zero exchange.
     Q("q318_gopher_repetition",
       raw"""WITH w AS (SELECT doc_id,
          |    string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents),
@@ -369,66 +398,56 @@ object SelectionOps {
          |  LEFT JOIN cov ON t.doc_id = cov.doc_id
          |ORDER BY t.doc_id""".stripMargin) { (s, dir) =>
       graft.functions.GraftFunctions.register(s)
+      // newrun = run+1 if the sorted pack repeats, else 1; best (count,
+      // glen) updated per step — the lexicographic max(struct(c, glen))
+      val newrun = "IF(x = acc.prev, acc.run + 1, CAST(1 AS BIGINT))"
+      val better = s"$newrun > acc.bc OR ($newrun = acc.bc AND (x % 16384) > acc.bg)"
       t(s, dir, "documents")
         .withColumn("ws", wsCol)
         .withColumn("m", size(col("ws")) - 1) // gram count
         .filter(col("m") >= 1) // the oracle's g CTE also drops 1-word docs
-        // starts(i) = canonical char offset of word i (1-based lookup)
-        .withColumn("starts", expr(
-          """aggregate(slice(ws, 1, size(ws) - 1), array(CAST(0 AS BIGINT)),
-            |  (acc, w) -> concat(acc,
-            |     array(element_at(acc, -1) + length(w) + 1)))""".stripMargin))
-        .withColumn("n_chars", expr(
-          "element_at(starts, -1) + length(element_at(ws, -1))").cast("long"))
-        .withColumn("glens", expr(
-          """transform(sequence(1, m), i -> CAST(length(element_at(ws, i))
-            |  + length(element_at(ws, i + 1)) + 1 AS BIGINT))""".stripMargin))
-        .withColumn("ghs", expr(
-          """transform(sequence(1, m), i -> graft_md5_split(
-            |  concat(element_at(ws, i), ' ', element_at(ws, i + 1)))[0])""".stripMargin))
-        // (hash, glen) pairs sorted by hash: equal-hash runs are gram
-        // occurrence groups; one scan finds max (count, glen)
-        .withColumn("zipped",
-          expr("array_sort(zip_with(ghs, glens, (h, l) -> struct(h, l)))"))
-        .withColumn("tp", expr(
-          """aggregate(zipped,
-            |  named_struct('prev', CAST(-1 AS BIGINT), 'run', CAST(0 AS BIGINT),
-            |               'bc', CAST(0 AS BIGINT), 'bg', CAST(0 AS BIGINT)),
-            |  (acc, x) -> named_struct(
-            |    'prev', x.h,
-            |    'run', IF(x.h = acc.prev, acc.run + 1, CAST(1 AS BIGINT)),
-            |    'bc', IF(IF(x.h = acc.prev, acc.run + 1, CAST(1 AS BIGINT)) > acc.bc
-            |             OR (IF(x.h = acc.prev, acc.run + 1, CAST(1 AS BIGINT)) = acc.bc
-            |                 AND x.l > acc.bg),
-            |          IF(x.h = acc.prev, acc.run + 1, CAST(1 AS BIGINT)), acc.bc),
-            |    'bg', IF(IF(x.h = acc.prev, acc.run + 1, CAST(1 AS BIGINT)) > acc.bc
-            |             OR (IF(x.h = acc.prev, acc.run + 1, CAST(1 AS BIGINT)) = acc.bc
-            |                 AND x.l > acc.bg),
-            |          x.l, acc.bg)),
-            |  acc -> named_struct('c', acc.bc, 'g', acc.bg))""".stripMargin))
-        // hashes occurring ≥2 times (adjacent equals in the sorted array)
-        .withColumn("dh", expr(
-          """IF(m >= 2, array_distinct(filter(
-            |  transform(sequence(1, m - 1),
-            |    k -> IF(zipped[k].h = zipped[k-1].h, zipped[k].h, NULL)),
-            |  x -> x IS NOT NULL)), array())""".stripMargin))
-        // interval union over dup-gram spans, already in start order
-        .withColumn("dup_chars", expr(
-          """aggregate(
-            |  filter(transform(sequence(1, m), i -> named_struct(
-            |     'st', element_at(starts, i),
-            |     'en', element_at(starts, i) + element_at(glens, i),
-            |     'h', ghs[i-1])), x -> array_contains(dh, x.h)),
-            |  named_struct('covered', CAST(0 AS BIGINT), 'maxEnd', CAST(0 AS BIGINT)),
-            |  (acc, x) -> named_struct(
-            |    'covered', acc.covered
-            |      + greatest(CAST(0 AS BIGINT), x.en - greatest(x.st, acc.maxEnd)),
-            |    'maxEnd', greatest(acc.maxEnd, x.en)),
-            |  acc -> acc.covered)""".stripMargin))
-        .select(col("doc_id"), col("n_chars"),
-          round(col("tp.c") * col("tp.g") * lit(1.0) / col("n_chars"), 6)
+        .withColumn("r", expr(
+          s"""transform(array(
+             |    transform(sequence(1, m), i ->
+             |      shiftleft(shiftright(graft_md5_split(concat(
+             |        element_at(ws, i), ' ', element_at(ws, i + 1)))[0], 7), 14)
+             |      + CAST(length(element_at(ws, i))
+             |             + length(element_at(ws, i + 1)) + 1 AS BIGINT))), pks ->
+             |  transform(array(array_sort(pks)), srt ->
+             |    transform(array(IF(size(pks) >= 2,
+             |        array_distinct(filter(transform(sequence(1, size(pks) - 1),
+             |          k -> IF(srt[k] = srt[k-1], srt[k], NULL)),
+             |          x -> x IS NOT NULL)),
+             |        CAST(array() AS ARRAY<BIGINT>))), dh ->
+             |      named_struct(
+             |        'tp', aggregate(srt,
+             |          named_struct('prev', CAST(-1 AS BIGINT),
+             |            'run', CAST(0 AS BIGINT), 'bc', CAST(0 AS BIGINT),
+             |            'bg', CAST(0 AS BIGINT)),
+             |          (acc, x) -> named_struct(
+             |            'prev', x,
+             |            'run', $newrun,
+             |            'bc', IF($better, $newrun, acc.bc),
+             |            'bg', IF($better, x % 16384, acc.bg)),
+             |          acc -> named_struct('c', acc.bc, 'g', acc.bg)),
+             |        'spaces', CAST(size(filter(pks,
+             |            p -> array_contains(dh, p))) AS BIGINT),
+             |        'wchars', aggregate(sequence(1, size(ws)), CAST(0 AS BIGINT),
+             |          (acc, w) -> acc + IF(
+             |            (w >= 2 AND array_contains(dh, element_at(pks, w - 1)))
+             |            OR (w <= size(pks) AND array_contains(dh, element_at(pks, w))),
+             |            CAST(length(element_at(ws, w)) AS BIGINT),
+             |            CAST(0 AS BIGINT))),
+             |        'nchars', aggregate(ws, CAST(0 AS BIGINT),
+             |          (acc, w) -> acc + length(w) + 1) - 1)
+             |    )[0]
+             |  )[0]
+             |)[0]""".stripMargin))
+        .select(col("doc_id"), col("r.nchars").as("n_chars"),
+          round(col("r.tp.c") * col("r.tp.g") * lit(1.0) / col("r.nchars"), 6)
             .as("top_frac"),
-          round(col("dup_chars") * lit(1.0) / col("n_chars"), 6).as("dup_frac"))
+          round((col("r.spaces") + col("r.wchars")) * lit(1.0)
+            / col("r.nchars"), 6).as("dup_frac"))
         .withColumn("label",
           when(col("top_frac") > 0.2 || col("dup_frac") > 0.2, lit("drop"))
             .otherwise(lit("keep")))
@@ -515,6 +534,98 @@ object SelectionOps {
           md5(expr("array_join(transform(kept, wi -> element_at(ws, wi)), ' ')"))
             .as("kept_md5"))
         .orderBy(col("doc_id"))
+    },
+
+    // ---- q320: the CCNet pipeline, composed ----
+    // Wenzek et al. 2020 run dedup FIRST and the LM filter on the
+    // DEDUPED text — this query executes that exact stage order through
+    // the factored bodies (paragraphCleaned → perplexityBuckets), so the
+    // LM trains on the cleaned reference slice and scores cleaned
+    // documents, then reports the per-(lang, tercile) corpus that each
+    // keep decision would ship. Composition, not re-derivation: any
+    // drift in either stage breaks this oracle too. Plan: the q314 dedup
+    // shape feeding the q317 broadcast-LM shape; the only new exchange
+    // is the tiny (lang, bucket) aggregate.
+    Q("q320_ccnet_pipeline",
+      raw"""WITH dw AS (SELECT doc_id, lang, source,
+         |    string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents),
+         |seg AS (SELECT doc_id, i - 1 AS seg_i,
+         |    array_to_string(ws[(i-1)*$SegW+1 : i*$SegW], ' ') AS seg
+         |  FROM dw, unnest(range(1, CAST(ceil(len(ws)/$SegW.0) AS BIGINT)+1)) AS t(i)),
+         |k AS (SELECT doc_id, seg_i, seg,
+         |    row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_i) AS rn
+         |  FROM seg),
+         |ca AS (SELECT doc_id,
+         |    string_agg(seg, ' ' ORDER BY seg_i) FILTER (WHERE rn = 1) AS clean
+         |  FROM k GROUP BY doc_id),
+         |cleandocs AS (SELECT dw.doc_id, dw.lang, dw.source,
+         |    coalesce(ca.clean, '') AS text
+         |  FROM dw LEFT JOIN ca ON dw.doc_id = ca.doc_id),
+         |${duckPplChain("cleandocs")},
+         |b AS (SELECT doc_id, lang, n_pairs, $duckBucket AS bucket FROM sc)
+         |SELECT lang, bucket, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_pairs + 1) AS BIGINT) AS n_tokens,
+         |  CASE WHEN bucket = 'tail' THEN 'drop' ELSE 'keep' END AS kept
+         |FROM b GROUP BY lang, bucket
+         |ORDER BY lang, bucket""".stripMargin) { (s, dir) =>
+      val cleaned = paragraphCleaned(s, dir)
+        .select(col("doc_id"), col("lang"), col("source"),
+          col("clean").as("text"))
+      perplexityBuckets(cleaned, "src0")
+        .groupBy(col("lang"), col("bucket"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(col("n_pairs") + 1).cast("long").as("n_tokens"))
+        .withColumn("kept",
+          when(col("bucket") === "tail", lit("drop")).otherwise(lit("keep")))
+        .orderBy(col("lang"), col("bucket"))
+    },
+
+    // ---- q321: token-budget epoch planner ----
+    // The data-constrained pretraining calculation (Muennighoff et al.
+    // 2023): given a token budget (2× the corpus here) and temperature-
+    // mixed source weights (τ = 2 ⇒ weight ∝ √tokens — q118's mixture
+    // family), allocate tokens per source, convert to epochs, and CLIP
+    // at the 4-epoch repetition ceiling, reporting the shortfall a
+    // planner must re-allocate. Pure aggregate arithmetic over per-source
+    // token counts — one tiny shuffle, two broadcast scalars; at 100 TB
+    // this runs on the catalog statistics, not the corpus.
+    Q("q321_token_budget",
+      raw"""WITH tk AS (SELECT source,
+         |    CAST(sum(len(string_split_regex(lower(trim(text)), '\s+'))) AS BIGINT)
+         |      AS toks
+         |  FROM documents GROUP BY source),
+         |zc AS (SELECT sum(sqrt(CAST(toks AS DOUBLE))) AS z,
+         |    CAST(2 * sum(toks) AS BIGINT) AS budget FROM tk),
+         |a AS (SELECT source, toks,
+         |    round(sqrt(CAST(toks AS DOUBLE)) / z, 6) AS weight,
+         |    CAST(round(budget * sqrt(CAST(toks AS DOUBLE)) / z) AS BIGINT) AS alloc
+         |  FROM tk, zc),
+         |e AS (SELECT source, toks, weight, alloc,
+         |    round(alloc * 1.0 / toks, 6) AS epochs,
+         |    least(alloc, 4 * toks) AS final_alloc FROM a)
+         |SELECT source, toks AS n_tokens, weight, alloc, epochs,
+         |  final_alloc, alloc - final_alloc AS shortfall,
+         |  CASE WHEN epochs > 4.0 THEN 'beyond-4-epochs' ELSE 'ok' END AS label
+         |FROM e ORDER BY source""".stripMargin) { (s, dir) =>
+      val tk = t(s, dir, "documents")
+        .select(col("source"), size(wsCol).cast("long").as("nw"))
+        .groupBy(col("source")).agg(sum(col("nw")).cast("long").as("toks"))
+      val zc = tk.agg(sum(sqrt(col("toks").cast("double"))).as("z"),
+        (lit(2) * sum(col("toks"))).cast("long").as("budget"))
+      val wt = sqrt(col("toks").cast("double")) / col("z")
+      val a = tk.crossJoin(broadcast(zc))
+        .select(col("source"), col("toks"),
+          round(wt, 6).as("weight"),
+          round(col("budget") * wt).cast("long").as("alloc"))
+      val epochs = round(col("alloc") * lit(1.0) / col("toks"), 6)
+      a.select(col("source"), col("toks").as("n_tokens"), col("weight"),
+          col("alloc"), epochs.as("epochs"),
+          least(col("alloc"), lit(4) * col("toks")).as("final_alloc"),
+          (col("alloc") - least(col("alloc"), lit(4) * col("toks")))
+            .as("shortfall"),
+          when(epochs > 4.0, lit("beyond-4-epochs")).otherwise(lit("ok"))
+            .as("label"))
+        .orderBy(col("source"))
     }
   )
 

@@ -197,4 +197,51 @@ class SelectionOpsSpec extends graft.SparkSpec {
     }
     assert(rows.map(_.getLong(2)).sum > 0, "no duplicate spans pruned")
   }
+
+  test("q320 composes q314's dedup with the LM terciles consistently") {
+    val langOf = docs.map(d => d._1 -> d._3).toMap
+    // q314's oracle-verified output is the independent source of cleaned
+    // sizes: a doc is scoreable iff its cleaned text has >= 2 words
+    val clean = graft.SparkEntry.queries("q314_paragraph_dedup")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    val scoreable = clean.filter(_._2 >= 2)
+    val wordsByLang = scoreable.groupBy(kv => langOf(kv._1))
+      .view.mapValues(_.values.sum).toMap
+    val docsByLang = scoreable.groupBy(kv => langOf(kv._1))
+      .view.mapValues(_.size.toLong).toMap
+    val rows = graft.SparkEntry.queries("q320_ccnet_pipeline")(spark, sf001)
+      .collect()
+    rows.groupBy(_.getString(0)).foreach { case (lang, rs) =>
+      assert(rs.map(_.getLong(2)).sum === docsByLang(lang), s"$lang doc count")
+      assert(rs.map(_.getLong(3)).sum === wordsByLang(lang), s"$lang tokens")
+      val sizes = rs.map(_.getLong(2))
+      assert(sizes.max - sizes.min <= 1, s"$lang tercile sizes $sizes")
+      rs.foreach(r => assert(r.getString(4) ===
+        (if (r.getString(1) == "tail") "drop" else "keep")))
+    }
+  }
+
+  test("q321 equals a sequential budget/epoch plan from raw token counts") {
+    val toks = docs.groupBy(_._4).view
+      .mapValues(_.map(d => words(d._2).length.toLong).sum).toMap
+    val z = toks.values.map(t => math.sqrt(t.toDouble)).sum
+    val budget = 2L * toks.values.sum
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rows = graft.SparkEntry.queries("q321_token_budget")(spark, sf001)
+      .collect()
+    assert(rows.length === toks.size)
+    rows.foreach { r =>
+      val src = r.getString(0); val t0 = toks(src)
+      val wt = math.sqrt(t0.toDouble) / z
+      val alloc = BigDecimal(budget * wt)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      assert(r.getLong(1) === t0, s"$src tokens")
+      assert(r.getDouble(2) === r6(wt), s"$src weight")
+      assert(r.getLong(3) === alloc, s"$src alloc")
+      assert(r.getDouble(4) === r6(alloc * 1.0 / t0), s"$src epochs")
+      assert(r.getLong(5) === math.min(alloc, 4 * t0), s"$src final_alloc")
+      assert(r.getLong(6) === alloc - math.min(alloc, 4 * t0), s"$src shortfall")
+    }
+  }
 }
