@@ -498,19 +498,32 @@ object SelectionOps {
       // frame is (doc_id, gi, h1, h2) or narrower; covered word slots are
       // collected per doc as an INT array and the pruned text is rebuilt
       // doc-locally from the word array.
+      //
+      // Window hashing: each WORD is md5-hashed once (let-bound whs), and
+      // a window's key is two positional polynomials over the 6 word
+      // hashes' low-28-bit halves (Σ c_k·31^k ≤ 2^53 — no overflow under
+      // ANSI mode; the (g1, g2) pair is ~106 collision bits, same policy
+      // as the md5 (h1, h2) pair). The first cut md5-hashed every
+      // materialized 6-word STRING — 60M interpreted concat_ws+md5 calls
+      // at 100k docs were the family's cpu ceiling (SCALE.md round 14);
+      // this form hashes 40M short words once and does long arithmetic
+      // per window. The ORACLE is untouched: it groups by the gram TEXT,
+      // so any injective-enough engine key matches it.
       val G = 6
+      val M = Array.iterate(1L, G)(_ * 31L) // 31^k multipliers
+      def poly(c: Int): String = (0 until G).map(k =>
+        s"pmod(element_at(whs, i + $k)[$c], 268435456) * ${M(k)}").mkString(" + ")
       val docs = t(s, dir, "documents").withColumn("ws", wsCol)
       val g = docs
-        .select(col("doc_id"), posexplode(expr(
-          s"""CASE WHEN size(ws) >= $G THEN
-             |  transform(sequence(0, size(ws) - $G),
-             |    i -> concat_ws(' ', slice(ws, i + 1, $G)))
-             |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin))
-          .as(Seq("gi0", "gram")))
-        .select(col("doc_id"), (col("gi0") + 1).as("gi"),
-          call_function("graft_md5_split", col("gram")).as("hs"))
-        .select(col("doc_id"), col("gi"),
-          col("hs").getItem(0).as("h1"), col("hs").getItem(1).as("h2"))
+        .select(col("doc_id"), explode(expr(
+          s"""transform(array(transform(ws, w -> graft_md5_split(w))), whs ->
+             |  IF(size(ws) >= $G,
+             |    transform(sequence(1, size(ws) - ${G - 1}), i -> named_struct(
+             |      'gi', i, 'g1', ${poly(0)}, 'g2', ${poly(1)})),
+             |    CAST(array() AS ARRAY<STRUCT<gi: INT, g1: BIGINT, g2: BIGINT>>))
+             |)[0]""".stripMargin)).as("g"))
+        .select(col("doc_id"), col("g.gi").as("gi"),
+          col("g.g1").as("h1"), col("g.g2").as("h2"))
       val f = g.groupBy(col("h1"), col("h2"))
         .agg(count(lit(1)).as("c"),
           min(struct(col("doc_id").as("d"), col("gi").as("i"))).as("first"))
