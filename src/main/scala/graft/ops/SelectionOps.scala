@@ -499,31 +499,27 @@ object SelectionOps {
       // collected per doc as an INT array and the pruned text is rebuilt
       // doc-locally from the word array.
       //
-      // Window hashing: each WORD is md5-hashed once (let-bound whs), and
-      // a window's key is two positional polynomials over the 6 word
-      // hashes' low-28-bit halves (Σ c_k·31^k ≤ 2^53 — no overflow under
-      // ANSI mode; the (g1, g2) pair is ~106 collision bits, same policy
-      // as the md5 (h1, h2) pair). The first cut md5-hashed every
-      // materialized 6-word STRING — 60M interpreted concat_ws+md5 calls
-      // at 100k docs were the family's cpu ceiling (SCALE.md round 14);
-      // this form hashes 40M short words once and does long arithmetic
-      // per window. The ORACLE is untouched: it groups by the gram TEXT,
-      // so any injective-enough engine key matches it.
+      // Window hashing stays INSIDE whole-stage codegen: the window index
+      // comes from a Generate over sequence(1, n−5) and the key is the
+      // codegen'd graft_md5_split over a codegen'd concat_ws/element_at —
+      // no higher-order function anywhere in the gram stage. Both HOF
+      // formulations measured ~equal and ~20× slower (322 s at 100k docs:
+      // one md5 per materialized window string under an interpreted
+      // transform; one md5 per WORD + polynomial window keys, still
+      // interpreted per element) — the cost was HOF interpretation
+      // itself, not the digest (SCALE.md round 14 session 3).
       val G = 6
-      val M = Array.iterate(1L, G)(_ * 31L) // 31^k multipliers
-      def poly(c: Int): String = (0 until G).map(k =>
-        s"pmod(element_at(whs, i + $k)[$c], 268435456) * ${M(k)}").mkString(" + ")
       val docs = t(s, dir, "documents").withColumn("ws", wsCol)
+      val gramCols = (0 until G).map(k => s"element_at(ws, gi + $k)")
       val g = docs
-        .select(col("doc_id"), explode(expr(
-          s"""transform(array(transform(ws, w -> graft_md5_split(w))), whs ->
-             |  IF(size(ws) >= $G,
-             |    transform(sequence(1, size(ws) - ${G - 1}), i -> named_struct(
-             |      'gi', i, 'g1', ${poly(0)}, 'g2', ${poly(1)})),
-             |    CAST(array() AS ARRAY<STRUCT<gi: INT, g1: BIGINT, g2: BIGINT>>))
-             |)[0]""".stripMargin)).as("g"))
-        .select(col("doc_id"), col("g.gi").as("gi"),
-          col("g.g1").as("h1"), col("g.g2").as("h2"))
+        .filter(size(col("ws")) >= G)
+        .select(col("doc_id"), col("ws"),
+          explode(expr(s"sequence(1, size(ws) - ${G - 1})")).as("gi"))
+        .select(col("doc_id"), col("gi"),
+          call_function("graft_md5_split",
+            expr(s"concat_ws(' ', ${gramCols.mkString(", ")})")).as("hs"))
+        .select(col("doc_id"), col("gi"),
+          col("hs").getItem(0).as("h1"), col("hs").getItem(1).as("h2"))
       val f = g.groupBy(col("h1"), col("h2"))
         .agg(count(lit(1)).as("c"),
           min(struct(col("doc_id").as("d"), col("gi").as("i"))).as("first"))
