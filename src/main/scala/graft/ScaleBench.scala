@@ -300,15 +300,18 @@ object ScaleBench {
       }
       spark.stop(); return
     }
-    // ---- q314–q317 selection/training-prep family ----
-    // The table to pin: q314's three exchanges all move bounded-width rows
-    // (two hash longs + a (doc_id, seg_i) pair per SEGMENT — never the
-    // segment text), so its shuffle must grow linearly in segments; q315/
-    // q316 are partial hash aggregates (shuffle ≈ one narrow row per doc);
-    // q317's LM tables broadcast, so its shuffle is the doc-level aggregate
-    // only. docs/s flat across sizes = linear scaling. q317 runs through
-    // the factored body (the generated corpus has no lang column and its
-    // reference slice is source s0).
+    // ---- q314–q321 selection/training-prep family ----
+    // The table to pin: q314's and q319's exchanges all move bounded-width
+    // rows (two hash longs + a (doc_id, position) pair per SEGMENT/window —
+    // never the text), so their shuffle must grow linearly in segments;
+    // q315/q316 are partial hash aggregates (shuffle ≈ one narrow row per
+    // doc); q318 is doc-local (zero exchange beyond the presentation
+    // sort); q317's LM tables broadcast under the graft.ppl guard, so its
+    // shuffle is the doc-level aggregate plus the tercile stitch's
+    // bounded-key exchange. docs/s flat across sizes = linear scaling.
+    // q317 runs through the factored body (the generated corpus has no
+    // lang column and its reference slice is source s0); q320/q321 are
+    // compositions of the same stages and are covered by the sf bench.
     if (phaseSel == "selection") {
       sizes.foreach { n =>
         val dir = s"$root/n$n"

@@ -6,9 +6,10 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import graft.Q
 import graft.schema.Tables.t
 
-/** Data-selection / training-prep operators — the four curation stages a
-  * 100 TB LLM corpus passes through AFTER ingest and BEFORE tokenization,
-  * none of which the repo covered before round 14 session 3:
+/** Data-selection / training-prep operators — the curation stages a
+  * 100 TB LLM corpus passes through AFTER ingest and BEFORE tokenization
+  * (eight queries, q314–q321), none of which the repo covered before
+  * round 14 session 3:
   *
   *  - q314 paragraph-level exact dedup (the CCNet shape: drop every later
   *    occurrence of a repeated paragraph ACROSS the whole corpus, keep
@@ -20,7 +21,16 @@ import graft.schema.Tables.t
   *    distribution, where q313 is a single binary quality gate);
   *  - q317 LM-perplexity bucketing (the CCNet/Wenzek head/middle/tail
   *    split: a bigram stupid-backoff LM trained on a clean reference
-  *    slice scores every document, per-language perplexity terciles).
+  *    slice scores every document, per-language perplexity terciles);
+  *  - q318 Gopher repetition signals (top-/duplicate-2-gram character
+  *    fractions at the published 0.20 thresholds — doc-local, zero
+  *    exchange);
+  *  - q319 exact-substring pruning (Lee et al. 2022, word-aligned: remove
+  *    every non-first occurrence of any 6-word window, reassemble);
+  *  - q320 the composed CCNet pipeline (dedup → LM train on the cleaned
+  *    reference → score → per-(lang, tercile) corpus report);
+  *  - q321 token-budget epoch planner (temperature-mixed source weights,
+  *    4-epoch repetition ceiling — Muennighoff et al. 2023).
   *
   * The reference (Makasinov/kafka-consumer-2-clickhouse) has no analytics
   * of its own — `pkg/converter/converter.go:52-57` moves opaque payloads —
@@ -30,9 +40,11 @@ import graft.schema.Tables.t
   *
   * Scale notes are per-query in the scaladoc below; the common discipline:
   * join keys are the 112-bit `graft_md5_split` pair (fixed 16 bytes, never
-  * the paragraph/segment text), LM/weight tables are broadcast (a KenLM
-  * table is broadcast-sized by construction), and every per-corpus pass is
-  * one hash-partial aggregate plus at most one shuffle on a bounded key.
+  * the paragraph/segment text), LM/weight tables broadcast only under the
+  * `graft.ppl.*` size guard (count-prune + shuffle-join fallback — a
+  * production KenLM table is count-pruned to broadcast size, but the
+  * ENGINE must not assume it), and every per-corpus pass is one
+  * hash-partial aggregate plus at most one shuffle on a bounded key.
   */
 object SelectionOps {
 
@@ -194,7 +206,7 @@ object SelectionOps {
          |    string_agg(seg, ' ' ORDER BY seg_i) FILTER (WHERE rn = 1) AS clean
          |  FROM k GROUP BY doc_id)
          |SELECT doc_id, n_segs, n_dup,
-         |  CASE WHEN clean IS NULL THEN 0
+         |  CASE WHEN clean IS NULL OR clean = '' THEN 0
          |       ELSE len(string_split(clean, ' ')) END AS clean_words,
          |  md5(coalesce(clean, '')) AS clean_md5
          |FROM agg ORDER BY doc_id""".stripMargin) { (s, dir) =>
@@ -309,11 +321,12 @@ object SelectionOps {
     // document; per-language perplexity terciles label head/middle/tail.
     // Per-term ln values quantize at 9 dp into DECIMAL(18,9) before the
     // per-document sum (the q281 discipline — double fold order would
-    // diverge across engines). Scale: the whole LM (c12, c1, N, V) is
-    // BROADCAST — a KenLM table rides every executor in production, and
-    // the plan shows three BroadcastHashJoins and zero LM-side shuffles;
-    // the tercile is a per-language window, which at 100 TB becomes an
-    // approx-quantile threshold per language (bounded cardinality key).
+    // diverge across engines). Scale: the LM (c12, c1, N, V) broadcasts
+    // under the graft.ppl.maxBroadcastRows guard (conf-gated count-prune
+    // via graft.ppl.minPairCount; shuffle-join fallback above the guard),
+    // and the tercile is the stitched grouped rank + exact ntile
+    // arithmetic — no per-language global-sort window. Details on the
+    // perplexityBuckets scaladoc below.
     Q("q317_perplexity_buckets",
       raw"""WITH ${duckPplChain("documents")}
          |SELECT doc_id, lang, n_pairs, logprob, ppl,
@@ -338,8 +351,11 @@ object SelectionOps {
     //
     // Scale shape: every signal is WITHIN-document, so the whole operator
     // is ONE doc-local expression over the word array — gram (hash, len)
-    // pairs packed into single longs (low 14 bits = length; equality of
-    // the pack == equality of (hash₅₀, len), so sorted-adjacency runs ARE
+    // pairs packed into single longs (low 14 bits = length, clamped at
+    // 16383 so a pathological ≥16 KB two-word gram cannot overflow the
+    // length field into the hash bits; equality of the pack == equality
+    // of (hash₄₉, len) — md5_split[0] is 56 bits, shiftright 7 keeps 49 —
+    // so sorted-adjacency runs ARE
     // gram occurrence groups), array_sort on the primitive longs, one
     // run scan for the top count, and the span union reduced to word
     // coverage (a 2-gram span covers words i, i+1 and the space between;
@@ -411,8 +427,9 @@ object SelectionOps {
              |    transform(sequence(1, m), i ->
              |      shiftleft(shiftright(graft_md5_split(concat(
              |        element_at(ws, i), ' ', element_at(ws, i + 1)))[0], 7), 14)
-             |      + CAST(length(element_at(ws, i))
-             |             + length(element_at(ws, i + 1)) + 1 AS BIGINT))), pks ->
+             |      + least(CAST(length(element_at(ws, i))
+             |             + length(element_at(ws, i + 1)) + 1 AS BIGINT),
+             |          CAST(16383 AS BIGINT)))), pks ->
              |  transform(array(array_sort(pks)), srt ->
              |    transform(array(IF(size(pks) >= 2,
              |        array_distinct(filter(transform(sequence(1, size(pks) - 1),
@@ -553,7 +570,9 @@ object SelectionOps {
     // documents, then reports the per-(lang, tercile) corpus that each
     // keep decision would ship. Composition, not re-derivation: any
     // drift in either stage breaks this oracle too. Plan: the q314 dedup
-    // shape feeding the q317 broadcast-LM shape; the only new exchange
+    // shape feeding the q317 guarded-LM + stitched-tercile shape (the
+    // cleaned corpus persists once inside perplexityBuckets, so the dedup
+    // chain runs once, not once per LM consumer); the only new exchange
     // is the tiny (lang, bucket) aggregate.
     Q("q320_ccnet_pipeline",
       raw"""WITH dw AS (SELECT doc_id, lang, source,
@@ -639,10 +658,39 @@ object SelectionOps {
   )
 
   /** q317's body over any (doc_id, lang, source, text) frame — ScaleBench
-    * drives it against the generated corpus (lang := source, ref "s0"). */
+    * drives it against the generated corpus (lang := source, ref "s0").
+    *
+    * Scale posture (VERDICT r14 item 1 — the two r14 `weak` flags):
+    *
+    *  - '''bounded-or-guarded LM build sides''': the bigram table honours
+    *    `graft.ppl.minPairCount` (default 1 = keep all; production KenLM
+    *    tables are count-pruned, and stupid-backoff already handles the
+    *    pruned pairs through the unigram path), and each LM table is
+    *    broadcast ONLY while it holds ≤ `graft.ppl.maxBroadcastRows` rows
+    *    (default 10M ≈ 300 MB serialized) — above that it falls back to a
+    *    shuffle join instead of forcing an unbounded broadcast (the
+    *    `graft.dict.maxRows` discipline, ops/Dictionary.scala). The
+    *    measured sizes land in `graft.ppl.lastC1Rows`/`lastC12Rows` so
+    *    ScaleBench/specs can pin which path ran.
+    *  - '''stitched tercile''': the per-language head/middle/tail cut is
+    *    Skew.groupedRunningSum (range-bucket + broadcast prefix stitch —
+    *    the q157/q203 engine) + the exact ntile arithmetic
+    *    ⌊(rn−1)·3 / n_lang⌋, NOT `ntile(3) OVER (PARTITION BY lang)`: with
+    *    ~30 languages at 100 TB that window is a per-language
+    *    single-partition global sort. The arithmetic reproduces ntile's
+    *    bucket sizes exactly (first n mod 3 buckets get ⌈n/3⌉), so the
+    *    DuckDB oracle keeps its ntile form and the hashes are unchanged.
+    *  - '''each stage computed once''': the tokenized corpus, the LM
+    *    tables, and the per-doc score frame persist via CacheRegistry
+    *    (MEMORY_AND_DISK, released at clear()) — the guard counts and the
+    *    stitch's boundary sample would otherwise re-run the upstream
+    *    chain (in q320, the whole q314 dedup) once per consumer. */
   def perplexityBuckets(docsIn: DataFrame, refSource: String): DataFrame = {
-      val docs = docsIn
+      val s = docsIn.sparkSession
+      import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val docs = CacheRegistry.track(s, "ppl-docs", docsIn
         .select(col("doc_id"), col("lang"), col("source"), wsCol.as("ws"))
+        .persist(MEMORY_AND_DISK))
       val pairsOf = expr(
         """CASE WHEN size(ws) >= 2 THEN
           |  transform(sequence(1, size(ws) - 1),
@@ -650,13 +698,34 @@ object SelectionOps {
           |ELSE CAST(array() AS ARRAY<STRUCT<w1: STRING, w2: STRING>>) END
           |""".stripMargin)
       val ref = docs.filter(col("source") === refSource)
-      val c1 = ref.select(explode(col("ws")).as("word"))
-        .groupBy(col("word")).agg(count(lit(1)).cast("long").as("c"))
+      val minPair =
+        s.conf.getOption("graft.ppl.minPairCount").map(_.toLong).getOrElse(1L)
+      val maxBcast = s.conf.getOption("graft.ppl.maxBroadcastRows")
+        .map(_.toLong).getOrElse(10000000L)
+      val c1 = CacheRegistry.track(s, "ppl-c1",
+        ref.select(explode(col("ws")).as("word"))
+          .groupBy(col("word")).agg(count(lit(1)).cast("long").as("c"))
+          .persist(MEMORY_AND_DISK))
+      // N and V come from the UNPRUNED unigram table: pruning applies to
+      // the bigram numerators only, the backoff denominator stays exact
       val nv = c1.agg(sum(col("c")).cast("long").as("n"),
         count(lit(1)).cast("long").as("v"))
-      val c12 = ref.select(explode(pairsOf).as("p"))
-        .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
-        .agg(count(lit(1)).cast("long").as("c"))
+      val c12 = CacheRegistry.track(s, "ppl-c12",
+        ref.select(explode(pairsOf).as("p"))
+          .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+          .agg(count(lit(1)).cast("long").as("c"))
+          .filter(col("c") >= minPair)
+          .persist(MEMORY_AND_DISK))
+      // size-guarded build sides: counting the PERSISTED table costs one
+      // cheap scan; above the guard the join degrades to a shuffle join
+      // instead of an executor-OOM-sized forced broadcast
+      def guarded(sizeConf: String, t: DataFrame): DataFrame = {
+        val n = t.count()
+        s.conf.set(sizeConf, n.toString)
+        if (n <= maxBcast) broadcast(t) else t
+      }
+      val c12j = guarded("graft.ppl.lastC12Rows", c12)
+      val c1j = guarded("graft.ppl.lastC1Rows", c1)
       val dp = docs.select(col("doc_id"), col("lang"), explode(pairsOf).as("p"))
         .select(col("doc_id"), col("lang"), col("p.w1").as("w1"),
           col("p.w2").as("w2"))
@@ -664,26 +733,39 @@ object SelectionOps {
       val backoff = log(lit(0.4) * (coalesce(col("c2"), lit(0L)) + 1)
         / (col("n") + col("v")))
       val terms = dp
-        .join(broadcast(c12.select(col("w1"), col("w2"), col("c").as("c12"))),
+        .join(c12j.select(col("w1"), col("w2"), col("c").as("c12")),
           Seq("w1", "w2"), "left")
-        .join(broadcast(c1.select(col("word").as("w1"), col("c").as("c1"))),
+        .join(c1j.select(col("word").as("w1"), col("c").as("c1")),
           Seq("w1"), "left")
-        .join(broadcast(c1.select(col("word").as("w2"), col("c").as("c2"))),
+        .join(c1j.select(col("word").as("w2"), col("c").as("c2")),
           Seq("w2"), "left")
         .crossJoin(broadcast(nv))
         .select(col("doc_id"), col("lang"),
           round(when(col("c12").isNotNull, seen).otherwise(backoff), 9)
             .cast("decimal(18,9)").as("term"))
-      val agg = terms.groupBy(col("doc_id"), col("lang"))
-        .agg(count(lit(1)).cast("long").as("n_pairs"), sum(col("term")).as("ll"))
-        .select(col("doc_id"), col("lang"), col("n_pairs"),
-          round(col("ll").cast("double"), 6).as("logprob"),
-          round(exp(-col("ll").cast("double") / col("n_pairs")), 6).as("ppl"))
-      val tercile = ntile(3).over(
-        Window.partitionBy(col("lang")).orderBy(col("ppl"), col("doc_id")))
-      agg.withColumn("bucket",
-          when(tercile === 1, lit("head")).when(tercile === 2, lit("middle"))
+      val agg = CacheRegistry.track(s, "ppl-agg",
+        terms.groupBy(col("doc_id"), col("lang"))
+          .agg(count(lit(1)).cast("long").as("n_pairs"),
+            sum(col("term")).as("ll"))
+          .select(col("doc_id"), col("lang"), col("n_pairs"),
+            round(col("ll").cast("double"), 6).as("logprob"),
+            round(exp(-col("ll").cast("double") / col("n_pairs")), 6).as("ppl"))
+          .persist(MEMORY_AND_DISK))
+      // per-language tercile WITHOUT the per-language global-sort window:
+      // stitched grouped rank + group size in one pass, then ntile's exact
+      // bucket arithmetic (bucket i of k over n rows = ⌊(rn−1)·k/n⌋,
+      // first n mod k buckets one row larger — identical to the oracle's
+      // ntile(3))
+      val p = math.max(s.conf.get("spark.sql.shuffle.partitions").toInt, 1)
+      val ranked = Skew.groupedRunningSum(agg, Seq("lang"),
+        Seq(col("ppl").asc, col("doc_id").asc), lit(1L), p,
+        outCol = "rn", totalCol = Some("n_lang"))
+      val third = expr("((rn - 1) * 3) DIV n_lang")
+      ranked.withColumn("bucket",
+          when(third === 0, lit("head")).when(third === 1, lit("middle"))
             .otherwise(lit("tail")))
+        .select(col("doc_id"), col("lang"), col("n_pairs"), col("logprob"),
+          col("ppl"), col("bucket"))
         .orderBy(col("doc_id"))
   }
 }

@@ -111,17 +111,21 @@ object Skew {
 
   /** Running sum of `value` within each group (ROWS UNBOUNDED PRECEDING …
     * CURRENT ROW), stitched across range buckets — see [[groupedRowNumber]].
-    * `value` must cast to LONG. */
+    * `value` must cast to LONG. `totalCol` additionally emits the
+    * per-GROUP grand total off the slice frame (no extra full-data scan —
+    * the consumer that needs rank AND group size, e.g. q317's tercile cut,
+    * gets both from ONE stitch instead of a second aggregate pass). */
   def groupedRunningSum(
       df: DataFrame,
       group: Seq[String],
       order: Seq[Column],
       value: Column,
       numPartitions: Int,
-      outCol: String = "cum"): DataFrame = {
+      outCol: String = "cum",
+      totalCol: Option[String] = None): DataFrame = {
     require(group.nonEmpty, "group must be non-empty (use globalRowNumber)")
     stitch(df, group, order, numPartitions, sums = Seq(value -> outCol),
-      rowNumCol = None)
+      rowNumCol = None, sumTotals = totalCol.toSeq)
   }
 
   private case class SortKey(c: Column, desc: Boolean, nullsFirst: Boolean) {

@@ -330,6 +330,123 @@ object WarcOps {
         })
         .toDF("doc_id", "n_fetched", "n_html", "text_md5", "text_len")
         .orderBy(col("doc_id"))
+    },
+
+    // ---- q322: the per-host crawl-snapshot admission report ----
+    // VERDICT r14 item 4: the quality report a 100 TB operator runs over
+    // a crawl snapshot BEFORE admitting it to the corpus, composed from
+    // the audited ingest stages (the q306/q320 composition discipline —
+    // drift in any stage breaks this oracle too): per host,
+    //   - robots-block rate (q310's RFC 9309 evaluator over the real
+    //     policy text — NOT the closed form; the oracle states the
+    //     closed form);
+    //   - charset mix (q307's BOM/trial-decode sniffer over the real
+    //     encoded bytes);
+    //   - extraction yield = clean chars / raw page chars (q306's full
+    //     gzip → WARC → HTTP → HTML chain; the oracle reconstructs the
+    //     page length arithmetically from the synth template);
+    //   - canonical-URL dup rate (q309's RFC 3986 canonicalizer over
+    //     every variant; within-doc collapse is REQUIREd, cross-doc
+    //     distinctness is the count-distinct aggregate).
+    // The synthetic corpus carries one origin per document, so the
+    // report's host partition is the deterministic 50-host shard
+    // crawl-<id%50>.test — the grouping semantics (bounded narrow rows
+    // into ONE per-host aggregate) are what scales, not the shard rule.
+    // Plan shape: one mapPartitions codec seam → narrow per-doc rows →
+    // the per-host hash aggregate (count-distinct adds its standard
+    // (host, canonical) pre-aggregation exchange) → 50-row presentation
+    // sort. No joins, no windows, nothing corpus-sized shuffles.
+    Q("q322_crawl_quality_report",
+      """WITH d AS (SELECT doc_id, coalesce(text, '') AS text,
+        |    'crawl-' || CAST(doc_id % 50 AS VARCHAR) || '.test' AS host
+        |  FROM documents),
+        |per AS (SELECT doc_id, host,
+        |    5 AS probes,
+        |    2 + doc_id % 2 AS allowed,
+        |    CASE doc_id % 4 WHEN 0 THEN 'utf-8' WHEN 1 THEN 'utf-16le'
+        |      WHEN 2 THEN 'utf-16be' ELSE 'iso-8859-1' END AS cs,
+        |    len(text) AS clean_chars,
+        |    449 + 3 * len(CAST(doc_id AS VARCHAR)) + len(text)
+        |      + 4 * (len(text) - len(replace(text, '&', '')))
+        |      + 3 * (len(text) - len(replace(text, '<', '')))
+        |      + 3 * (len(text) - len(replace(text, '>', '')))
+        |      + (doc_id % 3) * 42 + (doc_id % 4) * 36 AS page_chars,
+        |    2 + doc_id % 3 AS n_variants,
+        |    'http://example-' || CAST(doc_id AS VARCHAR) || '.test/p' ||
+        |      CAST(doc_id % 7 AS VARCHAR) || '/b?x=1&y=2' AS canonical
+        |  FROM d)
+        |SELECT host,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(probes) AS BIGINT) AS n_probes,
+        |  round(1.0 - CAST(sum(allowed) AS DOUBLE) / sum(probes), 6)
+        |    AS robots_block_rate,
+        |  CAST(sum(CASE WHEN cs = 'utf-8' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_utf8,
+        |  CAST(sum(CASE WHEN cs = 'utf-16le' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_utf16le,
+        |  CAST(sum(CASE WHEN cs = 'utf-16be' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_utf16be,
+        |  CAST(sum(CASE WHEN cs = 'iso-8859-1' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_latin1,
+        |  CAST(sum(clean_chars) AS BIGINT) AS clean_chars,
+        |  CAST(sum(page_chars) AS BIGINT) AS page_chars,
+        |  round(CAST(sum(clean_chars) AS DOUBLE) / sum(page_chars), 6)
+        |    AS extraction_yield,
+        |  CAST(sum(n_variants) AS BIGINT) AS n_urls,
+        |  CAST(count(DISTINCT canonical) AS BIGINT) AS n_canonical,
+        |  round(1.0 - CAST(count(DISTINCT canonical) AS DOUBLE)
+        |    / sum(n_variants), 6) AS url_dup_rate
+        |FROM per GROUP BY host ORDER BY host""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) =>
+          val rsch = RobotsOps.Schedule(id)
+          val group = RobotsOps
+            .selectGroup(RobotsOps.parseRobots(rsch.robotsTxt), "graftbot")
+            .getOrElse(throw new IllegalStateException("no robots group"))
+          val allowed = rsch.probes.count(p => RobotsOps.allowed(group, p)).toLong
+          val (cs, _) = EncodingOps.sniffDecode(EncodingOps.encodedBytes(id, text))
+          val (_, responses) = walk(crawlBytes(id, text))
+          val pages = responses.filter(r =>
+            r.statusCode == 200 && r.contentType.startsWith("text/html"))
+          val pageStr = pages.map(p => new String(p.body, UTF_8)).mkString
+          val content = pages.map(p =>
+            HtmlOps.extract(new String(p.body, UTF_8)).content).mkString
+          val usch = UrlOps.Schedule(id)
+          val canon = (0 until usch.nVariants)
+            .map(v => UrlOps.canonicalize(usch.variant(v)))
+          require(canon.distinct.size == 1,
+            s"doc $id: variants did not collapse to one canonical URL")
+          (s"crawl-${id % 50}.test", rsch.probes.size.toLong, allowed, cs,
+            Md5Hex.codePoints(content), Md5Hex.codePoints(pageStr),
+            canon.size.toLong, canon.head)
+        })
+        .toDF("host", "probes", "allowed", "cs", "clean", "page",
+          "n_variants", "canonical")
+        .groupBy(col("host"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(col("probes")).cast("long").as("n_probes"),
+          round(lit(1.0) - sum(col("allowed")).cast("double")
+            / sum(col("probes")), 6).as("robots_block_rate"),
+          sum(when(col("cs") === "utf-8", 1).otherwise(0)).cast("long")
+            .as("n_utf8"),
+          sum(when(col("cs") === "utf-16le", 1).otherwise(0)).cast("long")
+            .as("n_utf16le"),
+          sum(when(col("cs") === "utf-16be", 1).otherwise(0)).cast("long")
+            .as("n_utf16be"),
+          sum(when(col("cs") === "iso-8859-1", 1).otherwise(0)).cast("long")
+            .as("n_latin1"),
+          sum(col("clean")).cast("long").as("clean_chars"),
+          sum(col("page")).cast("long").as("page_chars"),
+          round(sum(col("clean")).cast("double") / sum(col("page")), 6)
+            .as("extraction_yield"),
+          sum(col("n_variants")).cast("long").as("n_urls"),
+          countDistinct(col("canonical")).cast("long").as("n_canonical"),
+          round(lit(1.0) - countDistinct(col("canonical")).cast("double")
+            / sum(col("n_variants")), 6).as("url_dup_rate"))
+        .orderBy(col("host"))
     }
   )
 }

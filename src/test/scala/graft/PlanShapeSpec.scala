@@ -308,10 +308,15 @@ class PlanShapeSpec extends SparkSpec {
     // paragraph text itself, the exact thing the hash exists to avoid
     assert(p.contains("h1") && p.contains("h2"), s"hash keys missing:\n$p")
     assert(!p.toLowerCase.contains("cartesian"), "cartesian in dedup")
+    // unconditional: the segment text is hashed away before the first
+    // exchange, so NO join line may reference seg# at all (the previous
+    // `!seg || h1` form let a text-keyed join slip through whenever the
+    // same line also mentioned h1 — ADVICE r14)
     val joinLines = p.linesIterator.filter(l =>
       l.contains("Join") && !l.contains("BroadcastExchange")).toSeq
-    assert(joinLines.forall(l => !l.contains("seg#") || l.contains("h1")),
-      s"a join keys on the segment text:\n${joinLines.mkString("\n")}")
+    assert(joinLines.nonEmpty, s"no join lines found:\n$p")
+    assert(joinLines.forall(l => !l.contains("seg#")),
+      s"a join references the segment text:\n${joinLines.mkString("\n")}")
   }
 
   test("q318: doc-local repetition signals — the only exchange is the sort") {
@@ -329,5 +334,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(bhj >= 3, s"expected c12/c1/c2 as broadcast joins, got $bhj:\n$p")
     assert(!p.contains("SortMergeJoin"),
       s"an LM lookup fell back to a sort-merge join:\n$p")
+  }
+
+  test("q317: tercile is the stitched grouped rank, not a per-lang window") {
+    val p = plan("q317_perplexity_buckets")
+    // VERDICT r14 item 1: ntile(3) OVER (PARTITION BY lang) is a
+    // per-language single-partition global sort at 100 TB — the plan must
+    // carry no ntile, and every window keyed on lang must ALSO key on the
+    // stitch's range bucket (parallelism ∝ data, not language count)
+    assert(!p.contains("ntile"), s"ntile window survived:\n$p")
+    val langWindows = p.linesIterator.filter(l =>
+      l.contains("Window") && l.contains("lang#")).toSeq
+    assert(langWindows.nonEmpty, s"no stitched window found:\n$p")
+    assert(langWindows.forall(_.contains("__bucket")),
+      s"a window partitions on the bare lang key:\n${langWindows.mkString("\n")}")
   }
 }

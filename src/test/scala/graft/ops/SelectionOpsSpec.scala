@@ -27,18 +27,45 @@ class SelectionOpsSpec extends graft.SparkSpec {
       val clean = kept.mkString(" ")
       val md = java.security.MessageDigest.getInstance("MD5")
       val hex = md.digest(clean.getBytes("UTF-8")).map("%02x".format(_)).mkString
-      id -> ((segs.size.toLong, (segs.size - kept.size).toLong, hex))
+      // empty clean text counts ZERO words (both the Spark branch and the
+      // oracle's `clean IS NULL OR clean = ''` guard — ADVICE r14)
+      val cw = if (clean.isEmpty) 0L else clean.split(" ", -1).length.toLong
+      id -> ((segs.size.toLong, (segs.size - kept.size).toLong, hex, cw))
     }.toMap
     val rows = graft.SparkEntry.queries("q314_paragraph_dedup")(spark, sf001).collect()
     assert(rows.length === docs.size)
     rows.foreach { r =>
-      val (n, d, h) = ref(r.getLong(0))
+      val (n, d, h, w) = ref(r.getLong(0))
       assert(r.getLong(1) === n, s"doc ${r.getLong(0)} n_segs")
       assert(r.getLong(2) === d, s"doc ${r.getLong(0)} n_dup")
+      assert(r.getLong(3) === w, s"doc ${r.getLong(0)} clean_words")
       assert(r.getString(4) === h, s"doc ${r.getLong(0)} clean_md5")
     }
     // a corpus with duplicates must actually lose some segments
     assert(rows.map(_.getLong(2)).sum > 0, "no duplicate segments removed")
+  }
+
+  test("q314 counts zero clean_words for empty/whitespace-only documents") {
+    // The latent ADVICE r14 edge: a corpus-FIRST empty document keeps its
+    // (empty) segment, so clean = '' non-NULL — both engines must count 0
+    // words for it, not len(split('')) = 1.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q314-empty").toString
+    Seq(
+      (0L, "", "en", "s0"),          // corpus-first empty segment: kept
+      (1L, "   ", "en", "s0"),       // whitespace-only: dup of doc 0's ''
+      (2L, "a b c", "en", "s1"),     // normal
+      (3L, "a b c", "en", "s1"))     // full dup: clean = '' via empty keep
+      .toDF("doc_id", "text", "lang", "source")
+      .write.parquet(s"$dir/documents.parquet")
+    val rows = graft.SparkEntry.queries("q314_paragraph_dedup")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    val md5empty = "d41d8cd98f00b204e9800998ecf8427e"
+    assert(rows(0L) === ((1L, 0L, 0L, md5empty)), "corpus-first empty doc")
+    assert(rows(1L) === ((1L, 1L, 0L, md5empty)), "whitespace-only dup doc")
+    assert(rows(2L)._3 === 3L && rows(2L)._2 === 0L, "normal doc")
+    assert(rows(3L) === ((1L, 1L, 0L, md5empty)), "fully-deduped doc")
   }
 
   test("q315 chosen/rejected are the q313 score extremes per prompt group") {
@@ -122,6 +149,53 @@ class SelectionOpsSpec extends graft.SparkSpec {
       assert(sizes.max - sizes.min <= 1, s"$lang tercile sizes $sizes")
       assert(by("head").max <= by("middle").min, s"$lang head<=middle")
       assert(by("middle").max <= by("tail").min, s"$lang middle<=tail")
+    }
+  }
+
+  test("q317 LM guard: shuffle-join fallback is value-identical to broadcast") {
+    // VERDICT r14 item 1: above graft.ppl.maxBroadcastRows the LM joins
+    // must degrade to shuffle joins, not force an unbounded broadcast.
+    // Decimal-quantized terms make the per-doc sum order-independent, so
+    // the two paths must agree BIT-exactly.
+    def run() = {
+      // each run must re-plan from scratch: CacheManager would otherwise
+      // serve the previous run's persisted LM/agg frames (same canonical
+      // logical plan) and the fallback path would never execute
+      CacheRegistry.release(spark, "ppl-")
+      graft.SparkEntry.queries("q317_perplexity_buckets")(spark, sf001)
+    }
+    val base = run().collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("graft.ppl.maxBroadcastRows", "0")
+      // Catalyst would re-broadcast the tiny sf0.001 tables on statistics
+      // alone — disable auto-broadcast so the fallback path really runs
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val fb = run()
+      val p = fb.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        s"guard=0 still planned only broadcast joins:\n$p")
+      val rows = fb.collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+      assert(rows === base, "shuffle-join fallback diverged from broadcast")
+      assert(spark.conf.get("graft.ppl.lastC12Rows").toLong > 0L)
+    } finally {
+      spark.conf.unset("graft.ppl.maxBroadcastRows")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+    }
+    // count-prune: an impossible threshold empties the bigram table and
+    // every pair scores through the unigram backoff — still total, still
+    // terciled, but a different model (conf-gated, default off)
+    try {
+      spark.conf.set("graft.ppl.minPairCount", Long.MaxValue.toString)
+      val pruned = run().collect()
+      assert(spark.conf.get("graft.ppl.lastC12Rows").toLong === 0L)
+      assert(pruned.length === base.length)
+      val basePpl = base.map(r => r.head.asInstanceOf[Long] -> r(4)).toMap
+      assert(pruned.exists(r => basePpl(r.getLong(0)) != r.getDouble(4)),
+        "pruning the whole bigram table changed no perplexity")
+    } finally {
+      spark.conf.unset("graft.ppl.minPairCount")
+      CacheRegistry.release(spark, "ppl-")
     }
   }
 
