@@ -68,4 +68,52 @@ class WarcOpsSpec extends graft.SparkSpec {
       assert(r.getLong(2) === sch.nResp.toLong)
     }
   }
+
+  test("q322 is consistent with its sibling stage queries per host shard") {
+    // composition check (the q315 discipline): the report's per-host
+    // sums must equal regrouping the SIBLING queries' per-doc outputs
+    val byHost = graft.SparkEntry.queries("q310_robots_filter")(spark, sf001)
+      .collect().map(r => (r.getLong(0) % 50, r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    val urls = graft.SparkEntry.queries("q309_url_canonicalize")(spark, sf001)
+      .collect().map(r => (r.getLong(0) % 50, r.getLong(2))).groupBy(_._1)
+    val texts = graft.schema.Tables.t(spark, sf001, "documents")
+      .selectExpr("doc_id % 50 AS h",
+        "CAST(length(coalesce(text, '')) AS LONG) AS n").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+    val rows = graft.SparkEntry.queries("q322_crawl_quality_report")(spark, sf001)
+      .collect()
+    assert(rows.length === 50)
+    var blocked = false
+    rows.foreach { r =>
+      val h = r.getString(0).stripPrefix("crawl-").stripSuffix(".test").toLong
+      assert(r.getLong(1) === byHost(h).length.toLong, s"host $h n_docs")
+      assert(r.getLong(2) === byHost(h).map(_._2).sum, s"host $h n_probes")
+      val rate = BigDecimal(1.0 - byHost(h).map(_._3).sum.toDouble /
+        byHost(h).map(_._2).sum).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      assert(r.getDouble(3) === rate.toDouble, s"host $h block rate")
+      if (r.getDouble(3) > 0) blocked = true
+      // charset mix partitions the host's docs
+      assert((4 to 7).map(r.getLong).sum === r.getLong(1), s"host $h charset mix")
+      assert(r.getLong(8) === texts(h).map(_._2).sum, s"host $h clean chars")
+      assert(r.getLong(11) === urls(h).map(_._2).sum, s"host $h n_urls")
+      assert(r.getLong(12) === byHost(h).length.toLong, s"host $h canonicals")
+      assert(r.getDouble(10) > 0 && r.getDouble(10) < 1, s"host $h yield")
+    }
+    assert(blocked, "no host shows a nonzero robots-block rate")
+  }
+
+  test("q322 plan: codec seam into one per-host aggregate, no joins") {
+    val p = graft.SparkEntry.queries("q322_crawl_quality_report")(spark, sf001)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Join") && !p.toLowerCase.contains("cartesian"),
+      s"the snapshot report must not join:\n$p")
+    assert(!p.contains("Window"), s"no window belongs here:\n$p")
+    // the distinct-canonical pre-aggregation plus the host aggregate plus
+    // the 50-row presentation sort — nothing corpus-sized beyond them
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 3, s"expected ≤3 exchanges, got $exchanges:\n$p")
+    assert(p.contains("hashpartitioning(host"),
+      s"aggregate not keyed on host:\n$p")
+  }
 }
