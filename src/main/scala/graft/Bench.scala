@@ -84,6 +84,29 @@ object Bench {
     // JVM/codegen warm-up outside the timed region: one tiny query so the
     // first measured query doesn't absorb executor/JIT bring-up cost.
     spark.range(1000).selectExpr("sum(id)").collect()
+    // Fixed-work host-load calibration (VERDICT r14 item 7): a
+    // deterministic, SF-independent probe — a codegen'd hash spin over
+    // 256M ids on every core plus a fixed 8M-row global sort — run once
+    // BEFORE and once AFTER the suite. Its wall/cpu land in the artifact,
+    // so a judge can read host contention (wall inflated, cpu flat)
+    // directly out of BENCH_r<N>/bench_detail instead of adjudicating it
+    // after the fact with isolated re-measures.
+    case class Calib(wallSec: Double, cpuMs: Long)
+    def calibrate(): Calib = {
+      val (_, _, c0) = { drainBus(); counters() }
+      val t0 = System.nanoTime()
+      spark.range(0L, 256000000L, 1L, cpus.toInt)
+        .selectExpr("max(xxhash64(id * 2654435761)) AS h").collect()
+      spark.range(0L, 8000000L, 1L, cpus.toInt)
+        .selectExpr("xxhash64(id) AS h").orderBy("h").rdd.count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      val (_, _, c1) = { drainBus(); counters() }
+      Calib(dt, (c1 - c0) / 1000000L)
+    }
+    // one untimed probe first: calib_pre must not absorb the probe's own
+    // codegen/JIT bring-up, or pre reads hotter than post on every run
+    calibrate()
+    val calibPre = calibrate()
     // Min-of-2 per query: this host's one-shot samples swing ~2× under
     // load (BASELINE.md documents a 1.7× identical-code spread, and three
     // rounds of verdicts re-adjudicated spurious "regressions"). The two
@@ -152,6 +175,7 @@ object Bench {
       String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
     // failures excluded from the sum but surfaced as a count: a shrinking
     // total must never be the only trace of a query that now throws
+    val calibPost = calibrate()
     val total = results.map(_._2).filter(_ >= 0).sum
     val nFailed = results.count(_._2 < 0)
     val taskTotalSec = results.map(_._3.runMs).sum / 1e3
@@ -193,6 +217,10 @@ object Bench {
         s""""cpu_total_sec_r1": ${f3(cpuTotalSec)},\n""" +
         s""""cache_hw_mem_mb": ${f1(cacheHwMemMb)},\n""" +
         s""""cache_hw_disk_mb": ${f1(cacheHwDiskMb)},\n""" +
+        s""""calib_pre_wall_sec": ${f3(calibPre.wallSec)},\n""" +
+        s""""calib_pre_cpu_ms": ${calibPre.cpuMs},\n""" +
+        s""""calib_post_wall_sec": ${f3(calibPost.wallSec)},\n""" +
+        s""""calib_post_cpu_ms": ${calibPost.cpuMs},\n""" +
         s""""failed": $nFailed,\n"queries": {\n$rows\n}\n}\n"""
       java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
         body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -265,6 +293,11 @@ object Bench {
         s""""queries_omitted_below_sec":${f1(thresholdSec)},""" +
         s""""n":${results.size},"failed":$nFailed,""" +
         s""""task_sec":${f3(taskTotalSec)},"cpu_sec":${f3(cpuTotalSec)},""" +
+        // fixed-work probe [pre_wall, post_wall, pre_cpu_s, post_cpu_s]:
+        // wall inflated while cpu stays flat = host contention DURING the
+        // suite, quantified inside the artifact itself
+        s""""calib":[${f1(calibPre.wallSec)},${f1(calibPost.wallSec)},""" +
+        s"""${f1(calibPre.cpuMs / 1e3)},${f1(calibPost.cpuMs / 1e3)}],""" +
         s""""sf":"$sfDir","value":${f3(total)}}"""
     }
     // fallback threshold is a finite 1e9 (renders as "1000000000.0"),

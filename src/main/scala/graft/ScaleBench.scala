@@ -323,9 +323,29 @@ object ScaleBench {
           }
         val docs = spark.read.parquet(s"$dir/documents.parquet")
           .withColumn("lang", col("source"))
+        // default posture: unpruned LM, broadcast only below the
+        // graft.ppl.maxBroadcastRows guard (shuffle-join fallback above)
         phase("q317_perplexity_buckets", n) {
           ops.SelectionOps.perplexityBuckets(docs, "s0").rdd.count()
         }
+        val c12 = spark.conf.get("graft.ppl.lastC12Rows").toLong
+        val c1 = spark.conf.get("graft.ppl.lastC1Rows").toLong
+        val guard = spark.conf.getOption("graft.ppl.maxBroadcastRows")
+          .map(_.toLong).getOrElse(10000000L)
+        println(s"[lmguard] n=$n unpruned c12=$c12 c1=$c1 guard=$guard " +
+          s"mode=${if (c12 <= guard) "broadcast" else "shuffle-join"}")
+        // production posture: count-pruned LM (c >= 2 — hapax bigrams ride
+        // the backoff path), which must land BELOW the broadcast guard
+        spark.conf.set("graft.ppl.minPairCount", "2")
+        ops.CacheRegistry.release(spark, "ppl-")
+        phase("q317_ppl_pruned_lm", n) {
+          ops.SelectionOps.perplexityBuckets(docs, "s0").rdd.count()
+        }
+        val c12p = spark.conf.get("graft.ppl.lastC12Rows").toLong
+        println(s"[lmguard] n=$n pruned(c>=2) c12=$c12p guard=$guard " +
+          s"mode=${if (c12p <= guard) "broadcast" else "shuffle-join"}")
+        spark.conf.unset("graft.ppl.minPairCount")
+        ops.CacheRegistry.release(spark, "ppl-")
       }
       spark.stop(); return
     }
