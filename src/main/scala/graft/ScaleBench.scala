@@ -313,14 +313,22 @@ object ScaleBench {
     // lang column and its reference slice is source s0); q320/q321 are
     // compositions of the same stages and are covered by the sf bench.
     if (phaseSel == "selection") {
+      // optional comma-separated prefix filter for targeted re-measures
+      // (a single query's ladder without paying the whole family)
+      val only = sys.env.get("SPARK_GRAFT_SCALE_QUERIES")
+        .map(_.split(",").toSeq).getOrElse(Seq.empty)
+      def want(q: String) = only.isEmpty || only.exists(q.startsWith)
       sizes.foreach { n =>
         val dir = s"$root/n$n"
         gen(spark, n, dir)
         Seq("q314_paragraph_dedup", "q315_dpo_pairs", "q316_dsir_resample",
           "q318_gopher_repetition", "q319_exact_substring_prune")
+          .filter(want)
           .foreach { q =>
             phase(q, n) { SparkEntry.queries(q)(spark, dir).rdd.count() }
           }
+        if (!want("q317_perplexity_buckets")) ()
+        else {
         val docs = spark.read.parquet(s"$dir/documents.parquet")
           .withColumn("lang", col("source"))
         // default posture: unpruned LM, broadcast only below the
@@ -346,6 +354,7 @@ object ScaleBench {
           s"mode=${if (c12p <= guard) "broadcast" else "shuffle-join"}")
         spark.conf.unset("graft.ppl.minPairCount")
         ops.CacheRegistry.release(spark, "ppl-")
+        }
       }
       spark.stop(); return
     }

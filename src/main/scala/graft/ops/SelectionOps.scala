@@ -549,11 +549,15 @@ object SelectionOps {
         .groupBy(col("doc_id"))
         .agg(sort_array(collect_list(col("gi"))).as("starts"))
       docs.join(dup, Seq("doc_id"), "left")
-        .withColumn("cov", expr(s"""array_sort(array_distinct(flatten(
+        .withColumn("cov", expr(s"""array_distinct(flatten(
           |  transform(coalesce(starts, CAST(array() AS ARRAY<INT>)),
-          |    i -> sequence(i, i + ${G - 1})))))""".stripMargin))
-        .withColumn("kept", expr(
-          "filter(sequence(1, size(ws)), wi -> NOT array_contains(cov, wi))"))
+          |    i -> sequence(i, i + ${G - 1}))))""".stripMargin))
+        // array_except, NOT filter+array_contains: the latter is
+        // O(words × |cov|) per document — quadratic on dup-heavy docs
+        // where cov covers most slots (measured 213 s vs 5 s at 100k
+        // synthetic docs, round 15); array_except hash-builds cov once
+        // per row and keeps sequence order, so `kept` stays ascending
+        .withColumn("kept", expr("array_except(sequence(1, size(ws)), cov)"))
         .select(col("doc_id"), size(col("ws")).cast("long").as("n_words"),
           (size(col("ws")) - size(col("kept"))).cast("long").as("removed_words"),
           size(col("kept")).cast("long").as("kept_words"),
