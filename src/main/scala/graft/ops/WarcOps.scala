@@ -1,6 +1,7 @@
 package graft.ops
 
 import java.nio.charset.StandardCharsets.UTF_8
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.Q
 import graft.schema.Tables.t
@@ -356,6 +357,75 @@ object WarcOps {
     // the per-host hash aggregate (count-distinct adds its standard
     // (host, canonical) pre-aggregation exchange) → 50-row presentation
     // sort. No joins, no windows, nothing corpus-sized shuffles.
+    Q322,
+  )
+
+  /** q322's per-document metric seam over any (doc_id, text) frame — one
+    * narrow row per doc, every value produced by the REAL stage machinery
+    * (robots evaluator, charset sniffer, crawl walk + HTML extract, URL
+    * canonicalizer). Shared by the batch query and the streaming
+    * composition (StreamingCrawlReportSpec) so the incremental path can
+    * never drift from the batch semantics; per-host sums over these rows
+    * are monotone-mergeable across batches. */
+  private[graft] def snapshotMetrics(docs0: DataFrame): DataFrame = {
+    val s = docs0.sparkSession
+    import s.implicits._
+    docs0
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val rsch = RobotsOps.Schedule(id)
+        val group = RobotsOps
+          .selectGroup(RobotsOps.parseRobots(rsch.robotsTxt), "graftbot")
+          .getOrElse(throw new IllegalStateException("no robots group"))
+        val allowed = rsch.probes.count(p => RobotsOps.allowed(group, p)).toLong
+        val (cs, _) = EncodingOps.sniffDecode(EncodingOps.encodedBytes(id, text))
+        val (_, responses) = walk(crawlBytes(id, text))
+        val pages = responses.filter(r =>
+          r.statusCode == 200 && r.contentType.startsWith("text/html"))
+        val pageStr = pages.map(p => new String(p.body, UTF_8)).mkString
+        val content = pages.map(p =>
+          HtmlOps.extract(new String(p.body, UTF_8)).content).mkString
+        val usch = UrlOps.Schedule(id)
+        val canon = (0 until usch.nVariants)
+          .map(v => UrlOps.canonicalize(usch.variant(v)))
+        require(canon.distinct.size == 1,
+          s"doc $id: variants did not collapse to one canonical URL")
+        (s"crawl-${id % 50}.test", rsch.probes.size.toLong, allowed, cs,
+          Md5Hex.codePoints(content), Md5Hex.codePoints(pageStr),
+          canon.size.toLong, canon.head)
+      })
+      .toDF("host", "probes", "allowed", "cs", "clean", "page",
+        "n_variants", "canonical")
+  }
+
+  /** q322's per-host aggregate over [[snapshotMetrics]] rows. */
+  private[graft] def snapshotReport(perDoc: DataFrame): DataFrame =
+    perDoc
+      .groupBy(col("host"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("probes")).cast("long").as("n_probes"),
+        round(lit(1.0) - sum(col("allowed")).cast("double")
+          / sum(col("probes")), 6).as("robots_block_rate"),
+        sum(when(col("cs") === "utf-8", 1).otherwise(0)).cast("long")
+          .as("n_utf8"),
+        sum(when(col("cs") === "utf-16le", 1).otherwise(0)).cast("long")
+          .as("n_utf16le"),
+        sum(when(col("cs") === "utf-16be", 1).otherwise(0)).cast("long")
+          .as("n_utf16be"),
+        sum(when(col("cs") === "iso-8859-1", 1).otherwise(0)).cast("long")
+          .as("n_latin1"),
+        sum(col("clean")).cast("long").as("clean_chars"),
+        sum(col("page")).cast("long").as("page_chars"),
+        round(sum(col("clean")).cast("double") / sum(col("page")), 6)
+          .as("extraction_yield"),
+        sum(col("n_variants")).cast("long").as("n_urls"),
+        countDistinct(col("canonical")).cast("long").as("n_canonical"),
+        round(lit(1.0) - countDistinct(col("canonical")).cast("double")
+          / sum(col("n_variants")), 6).as("url_dup_rate"))
+      .orderBy(col("host"))
+
+  private lazy val Q322: Q =
     Q("q322_crawl_quality_report",
       """WITH d AS (SELECT doc_id, coalesce(text, '') AS text,
         |    'crawl-' || CAST(doc_id % 50 AS VARCHAR) || '.test' AS host
@@ -397,56 +467,7 @@ object WarcOps {
         |  round(1.0 - CAST(count(DISTINCT canonical) AS DOUBLE)
         |    / sum(n_variants), 6) AS url_dup_rate
         |FROM per GROUP BY host ORDER BY host""".stripMargin) { (s, dir) =>
-      import s.implicits._
-      t(s, dir, "documents")
-        .select(col("doc_id"), col("text"))
-        .as[(Long, String)]
-        .mapPartitions(_.map { case (id, text) =>
-          val rsch = RobotsOps.Schedule(id)
-          val group = RobotsOps
-            .selectGroup(RobotsOps.parseRobots(rsch.robotsTxt), "graftbot")
-            .getOrElse(throw new IllegalStateException("no robots group"))
-          val allowed = rsch.probes.count(p => RobotsOps.allowed(group, p)).toLong
-          val (cs, _) = EncodingOps.sniffDecode(EncodingOps.encodedBytes(id, text))
-          val (_, responses) = walk(crawlBytes(id, text))
-          val pages = responses.filter(r =>
-            r.statusCode == 200 && r.contentType.startsWith("text/html"))
-          val pageStr = pages.map(p => new String(p.body, UTF_8)).mkString
-          val content = pages.map(p =>
-            HtmlOps.extract(new String(p.body, UTF_8)).content).mkString
-          val usch = UrlOps.Schedule(id)
-          val canon = (0 until usch.nVariants)
-            .map(v => UrlOps.canonicalize(usch.variant(v)))
-          require(canon.distinct.size == 1,
-            s"doc $id: variants did not collapse to one canonical URL")
-          (s"crawl-${id % 50}.test", rsch.probes.size.toLong, allowed, cs,
-            Md5Hex.codePoints(content), Md5Hex.codePoints(pageStr),
-            canon.size.toLong, canon.head)
-        })
-        .toDF("host", "probes", "allowed", "cs", "clean", "page",
-          "n_variants", "canonical")
-        .groupBy(col("host"))
-        .agg(count(lit(1)).cast("long").as("n_docs"),
-          sum(col("probes")).cast("long").as("n_probes"),
-          round(lit(1.0) - sum(col("allowed")).cast("double")
-            / sum(col("probes")), 6).as("robots_block_rate"),
-          sum(when(col("cs") === "utf-8", 1).otherwise(0)).cast("long")
-            .as("n_utf8"),
-          sum(when(col("cs") === "utf-16le", 1).otherwise(0)).cast("long")
-            .as("n_utf16le"),
-          sum(when(col("cs") === "utf-16be", 1).otherwise(0)).cast("long")
-            .as("n_utf16be"),
-          sum(when(col("cs") === "iso-8859-1", 1).otherwise(0)).cast("long")
-            .as("n_latin1"),
-          sum(col("clean")).cast("long").as("clean_chars"),
-          sum(col("page")).cast("long").as("page_chars"),
-          round(sum(col("clean")).cast("double") / sum(col("page")), 6)
-            .as("extraction_yield"),
-          sum(col("n_variants")).cast("long").as("n_urls"),
-          countDistinct(col("canonical")).cast("long").as("n_canonical"),
-          round(lit(1.0) - countDistinct(col("canonical")).cast("double")
-            / sum(col("n_variants")), 6).as("url_dup_rate"))
-        .orderBy(col("host"))
+      snapshotReport(snapshotMetrics(
+        t(s, dir, "documents").select(col("doc_id"), col("text"))))
     }
-  )
 }
