@@ -8,8 +8,7 @@ import graft.schema.Tables.t
 
 /** Data-selection / training-prep operators — the curation stages a
   * 100 TB LLM corpus passes through AFTER ingest and BEFORE tokenization
-  * (eight queries, q314–q321), none of which the repo covered before
-  * round 14 session 3:
+  * (nine queries, q314–q321 from round 14 plus q323 from round 15):
   *
   *  - q314 paragraph-level exact dedup (the CCNet shape: drop every later
   *    occurrence of a repeated paragraph ACROSS the whole corpus, keep
@@ -30,7 +29,10 @@ import graft.schema.Tables.t
   *  - q320 the composed CCNet pipeline (dedup → LM train on the cleaned
   *    reference → score → per-(lang, tercile) corpus report);
   *  - q321 token-budget epoch planner (temperature-mixed source weights,
-  *    4-epoch repetition ceiling — Muennighoff et al. 2023).
+  *    4-epoch repetition ceiling — Muennighoff et al. 2023);
+  *  - q323 DoReMi mixture reweighting (round 15: one Group-DRO
+  *    multiplicative-weights round over per-source excess cross-entropy
+  *    under the q317 reference LM — Xie et al. 2023).
   *
   * The reference (Makasinov/kafka-consumer-2-clickhouse) has no analytics
   * of its own — `pkg/converter/converter.go:52-57` moves opaque payloads —
@@ -658,11 +660,81 @@ object SelectionOps {
           when(epochs > 4.0, lit("beyond-4-epochs")).otherwise(lit("ok"))
             .as("label"))
         .orderBy(col("source"))
+    },
+
+    // ---- q323: DoReMi mixture reweighting ----
+    // One Group-DRO multiplicative-weights round (Xie et al. 2023,
+    // DoReMi §3): per-source cross-entropy under the q317 reference LM
+    // (ce = −Σll / Σpairs — the EXACT decimal ll sum from pplDocScores,
+    // so the per-source fold is order-independent), excess loss over the
+    // reference slice's own ce, weights w1 ∝ w0·exp(excess) off the
+    // token-share baseline w0, and a 2×-budget token allocation under
+    // the new mixture. The unnormalized weight quantizes to
+    // DECIMAL(18,9) BEFORE the normalizer sum (the q281/q317 fold
+    // discipline — a double Σ over sources would be engine-order-
+    // dependent). Scale: everything after pplDocScores is arithmetic on
+    // a ≤|sources|-row frame — at 100 TB this runs on the per-source
+    // aggregates, and the expensive part (the LM scores) is the SAME
+    // persisted frame q317/q320 already compute.
+    Q("q323_doremi_reweight",
+      raw"""WITH ${duckPplChain("documents")},
+         |sa AS (SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(a.n_pairs) AS BIGINT) AS pairs, sum(a.ll) AS llsum
+         |  FROM agg a JOIN documents d USING (doc_id) GROUP BY 1),
+         |tt AS (SELECT CAST(sum(pairs) AS BIGINT) AS tot FROM sa),
+         |rr AS (SELECT -CAST(llsum AS DOUBLE) / pairs AS ce_ref
+         |  FROM sa WHERE source = 'src0'),
+         |ex AS (SELECT sa.*, tot, ce_ref,
+         |    -CAST(llsum AS DOUBLE) / pairs AS ce_d,
+         |    greatest(0.0, -CAST(llsum AS DOUBLE) / pairs - ce_ref)
+         |      AS excess_d
+         |  FROM sa, tt, rr),
+         |mw AS (SELECT *, CAST(round(
+         |    (CAST(pairs AS DOUBLE) / tot) * exp(excess_d), 9)
+         |    AS DECIMAL(18,9)) AS raw FROM ex),
+         |z AS (SELECT sum(raw) AS zz FROM mw)
+         |SELECT source, n_docs, pairs AS n_pairs,
+         |  round(ce_d, 6) AS ce, round(excess_d, 6) AS excess,
+         |  round(CAST(pairs AS DOUBLE) / tot, 6) AS w0,
+         |  round(CAST(raw AS DOUBLE) / CAST(zz AS DOUBLE), 6) AS w1,
+         |  CAST(round(2 * tot * CAST(raw AS DOUBLE) / CAST(zz AS DOUBLE))
+         |    AS BIGINT) AS alloc
+         |FROM mw, z ORDER BY source""".stripMargin) { (s, dir) =>
+      val sc = pplDocScores(t(s, dir, "documents"), "src0")
+      val sa = sc.groupBy(col("source"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(col("n_pairs")).cast("long").as("pairs"),
+          sum(col("ll")).as("llsum"))
+      val ce = -col("llsum").cast("double") / col("pairs")
+      val tot = sa.agg(sum(col("pairs")).cast("long").as("tot"))
+      val ref = sa.filter(col("source") === "src0").select(ce.as("ce_ref"))
+      val ex = sa.crossJoin(broadcast(tot)).crossJoin(broadcast(ref))
+        .withColumn("ce_d", ce)
+        .withColumn("excess_d", greatest(lit(0.0), ce - col("ce_ref")))
+        .withColumn("raw",
+          round((col("pairs").cast("double") / col("tot")) *
+            exp(col("excess_d")), 9).cast("decimal(18,9)"))
+      val z = ex.agg(sum(col("raw")).as("zz"))
+      ex.crossJoin(broadcast(z))
+        .select(col("source"), col("n_docs"), col("pairs").as("n_pairs"),
+          round(col("ce_d"), 6).as("ce"),
+          round(col("excess_d"), 6).as("excess"),
+          round(col("pairs").cast("double") / col("tot"), 6).as("w0"),
+          round(col("raw").cast("double") / col("zz").cast("double"), 6)
+            .as("w1"),
+          round(lit(2) * col("tot") * col("raw").cast("double")
+            / col("zz").cast("double")).cast("long").as("alloc"))
+        .orderBy(col("source"))
     }
   )
 
-  /** q317's body over any (doc_id, lang, source, text) frame — ScaleBench
-    * drives it against the generated corpus (lang := source, ref "s0").
+  /** The per-document LM score frame (doc_id, lang, source, n_pairs, ll)
+    * over any (doc_id, lang, source, text) frame — `ll` is the EXACT
+    * DECIMAL(18,9) sum of the per-pair quantized log terms (no rounding,
+    * no doubles), so downstream per-source aggregates (q323's DoReMi
+    * reweighting) stay fold-order-independent. q317 derives its rounded
+    * logprob/ppl from this frame; ScaleBench drives it against the
+    * generated corpus (lang := source, ref "s0").
     *
     * Scale posture (VERDICT r14 item 1 — the two r14 `weak` flags):
     *
@@ -689,7 +761,7 @@ object SelectionOps {
     *    (MEMORY_AND_DISK, released at clear()) — the guard counts and the
     *    stitch's boundary sample would otherwise re-run the upstream
     *    chain (in q320, the whole q314 dedup) once per consumer. */
-  def perplexityBuckets(docsIn: DataFrame, refSource: String): DataFrame = {
+  def pplDocScores(docsIn: DataFrame, refSource: String): DataFrame = {
       val s = docsIn.sparkSession
       import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
       val docs = CacheRegistry.track(s, "ppl-docs", docsIn
@@ -730,9 +802,11 @@ object SelectionOps {
       }
       val c12j = guarded("graft.ppl.lastC12Rows", c12)
       val c1j = guarded("graft.ppl.lastC1Rows", c1)
-      val dp = docs.select(col("doc_id"), col("lang"), explode(pairsOf).as("p"))
-        .select(col("doc_id"), col("lang"), col("p.w1").as("w1"),
-          col("p.w2").as("w2"))
+      val dp = docs
+        .select(col("doc_id"), col("lang"), col("source"),
+          explode(pairsOf).as("p"))
+        .select(col("doc_id"), col("lang"), col("source"),
+          col("p.w1").as("w1"), col("p.w2").as("w2"))
       val seen = log(col("c12").cast("double") / col("c1"))
       val backoff = log(lit(0.4) * (coalesce(col("c2"), lit(0L)) + 1)
         / (col("n") + col("v")))
@@ -744,17 +818,25 @@ object SelectionOps {
         .join(c1j.select(col("word").as("w2"), col("c").as("c2")),
           Seq("w2"), "left")
         .crossJoin(broadcast(nv))
-        .select(col("doc_id"), col("lang"),
+        .select(col("doc_id"), col("lang"), col("source"),
           round(when(col("c12").isNotNull, seen).otherwise(backoff), 9)
             .cast("decimal(18,9)").as("term"))
-      val agg = CacheRegistry.track(s, "ppl-agg",
-        terms.groupBy(col("doc_id"), col("lang"))
+      CacheRegistry.track(s, "ppl-agg",
+        terms.groupBy(col("doc_id"), col("lang"), col("source"))
           .agg(count(lit(1)).cast("long").as("n_pairs"),
             sum(col("term")).as("ll"))
-          .select(col("doc_id"), col("lang"), col("n_pairs"),
-            round(col("ll").cast("double"), 6).as("logprob"),
-            round(exp(-col("ll").cast("double") / col("n_pairs")), 6).as("ppl"))
           .persist(MEMORY_AND_DISK))
+  }
+
+  /** q317's body: [[pplDocScores]] rounded to the oracle's presentation
+    * (logprob = round-6 ll, ppl = round-6 exp(−ll/n)) and cut into
+    * per-language terciles via the stitched grouped rank. */
+  def perplexityBuckets(docsIn: DataFrame, refSource: String): DataFrame = {
+      val s = docsIn.sparkSession
+      val agg = pplDocScores(docsIn, refSource)
+        .select(col("doc_id"), col("lang"), col("n_pairs"),
+          round(col("ll").cast("double"), 6).as("logprob"),
+          round(exp(-col("ll").cast("double") / col("n_pairs")), 6).as("ppl"))
       // per-language tercile WITHOUT the per-language global-sort window:
       // stitched grouped rank + group size in one pass, then ntile's exact
       // bucket arithmetic (bucket i of k over n rows = ⌊(rn−1)·k/n⌋,

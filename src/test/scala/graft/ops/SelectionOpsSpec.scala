@@ -199,6 +199,62 @@ class SelectionOpsSpec extends graft.SparkSpec {
     }
   }
 
+  test("q323 equals a sequential DoReMi multiplicative-weights round") {
+    // sequential reference: the q317 spec's LM discipline (r9-quantized
+    // terms, decimal sums) aggregated per SOURCE, then the DoReMi update
+    val ref = docs.filter(_._4 == "src0")
+    val c1 = mutable.HashMap.empty[String, Long].withDefaultValue(0L)
+    val c12 = mutable.HashMap.empty[(String, String), Long].withDefaultValue(0L)
+    ref.foreach { case (_, text, _, _) =>
+      val ws = words(text)
+      ws.foreach(w => c1(w) += 1)
+      ws.sliding(2).filter(_.length == 2).foreach(p => c12((p(0), p(1))) += 1)
+    }
+    val n = c1.values.sum; val v = c1.size.toLong
+    def r9(x: Double) = BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    val perSrc = docs.groupBy(_._4).map { case (src, ds) =>
+      var pairs = 0L; var nDocs = 0L; var ll = BigDecimal(0)
+      ds.foreach { case (_, text, _, _) =>
+        val ws = words(text)
+        val terms = ws.sliding(2).filter(_.length == 2).map { p =>
+          val cb = c12((p(0), p(1)))
+          if (cb > 0) r9(math.log(cb.toDouble / c1(p(0))))
+          else r9(math.log(0.4 * (c1(p(1)) + 1) / (n + v)))
+        }.toSeq
+        if (terms.nonEmpty) { nDocs += 1; pairs += terms.size; ll += terms.sum }
+      }
+      src -> ((nDocs, pairs, ll))
+    }
+    val tot = perSrc.values.map(_._2).sum
+    val ceOf = perSrc.view.mapValues { case (_, p, ll) => -ll.toDouble / p }.toMap
+    val ceRef = ceOf("src0")
+    val raw = perSrc.map { case (src, (_, p, _)) =>
+      src -> r9((p.toDouble / tot) * math.exp(math.max(0.0, ceOf(src) - ceRef)))
+    }
+    val z = raw.values.sum
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rows = graft.SparkEntry.queries("q323_doremi_reweight")(spark, sf001).collect()
+    assert(rows.length === perSrc.size)
+    rows.foreach { r =>
+      val src = r.getString(0)
+      val (nd, p, _) = perSrc(src)
+      assert(r.getLong(1) === nd, s"$src n_docs")
+      assert(r.getLong(2) === p, s"$src n_pairs")
+      assert(r.getDouble(3) === r6(ceOf(src)), s"$src ce")
+      assert(r.getDouble(4) === r6(math.max(0.0, ceOf(src) - ceRef)), s"$src excess")
+      assert(r.getDouble(5) === r6(p.toDouble / tot), s"$src w0")
+      assert(r.getDouble(6) === r6((raw(src) / z).toDouble), s"$src w1")
+      assert(r.getLong(7) ===
+        BigDecimal(2.0 * tot * (raw(src) / z).toDouble)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong, s"$src alloc")
+    }
+    // the reference slice carries zero excess; some source must be upweighted
+    val bySrc = rows.map(r => r.getString(0) -> r.getDouble(4)).toMap
+    assert(bySrc("src0") === 0.0, "reference slice must have zero excess")
+    assert(rows.exists(r => r.getDouble(6) > r.getDouble(5)),
+      "no source was upweighted — the update is degenerate")
+  }
+
   test("q318 equals a sequential span-union Gopher repetition pass") {
     def ref(text: String): (Long, Double, Double) = {
       val ws = words(text)
