@@ -44,6 +44,26 @@ class BlocklistOpsSpec extends graft.SparkSpec {
     }
   }
 
+  test("randomized automata equal the indexOf scan (200 seeded cases)") {
+    // property pin over a tiny alphabet (dense overlaps, self-bordered
+    // patterns, patterns inside patterns): every (pattern, start) the
+    // automaton reports must equal the exhaustive indexOf enumeration
+    val rng = new scala.util.Random(0x5eed5eedL)
+    (1 to 200).foreach { k =>
+      val nPats = 2 + rng.nextInt(3)
+      val pats = Seq.fill(nPats)(
+        Seq.fill(1 + rng.nextInt(4))(('a' + rng.nextInt(2)).toChar).mkString)
+        .distinct
+      val text = Seq.fill(10 + rng.nextInt(60))(
+        ('a' + rng.nextInt(2)).toChar).mkString
+      val expected = pats.flatMap { p =>
+        Iterator.iterate(text.indexOf(p))(i => text.indexOf(p, i + 1))
+          .takeWhile(_ >= 0).map(i => (p, i + 1)).toSeq
+      }.sorted
+      assert(matchesOf(pats, text) === expected, s"case $k pats=$pats text=$text")
+    }
+  }
+
   test("q324 equals a sequential indexOf scan and both labels occur") {
     val rows = graft.SparkEntry.queries("q324_blocklist_filter")(spark, sf001)
       .collect()
