@@ -18,7 +18,8 @@ object SparkEntry {
       ops.Mp3Ops.qs ++ ops.H264Ops.qs ++ ops.WarcOps.qs ++ ops.HtmlOps.qs ++
       ops.PdfOps.qs ++ ops.EncodingOps.qs ++ ops.UrlOps.qs ++ ops.RobotsOps.qs ++
       ops.ChatOps.qs ++ ops.ClassifierOps.qs ++ ops.SelectionOps.qs ++
-      ops.BlocklistOps.qs
+      ops.BlocklistOps.qs ++ ops.BloomOps.qs ++ ops.SnapshotOps.qs ++
+      ops.LayoutOps.qs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
