@@ -265,7 +265,7 @@ object ScaleBench {
     // accepted but missing from the hand-written list)
     val knownPhases = Set("all", "postloop", "semdedup", "image", "spans",
       "events", "cc", "contam", "triangles", "minhash", "funnel", "pq", "nprobe",
-      "codec", "selection")
+      "codec", "selection", "bloom")
     require(knownPhases.contains(phaseSel),
       s"SPARK_GRAFT_SCALE_PHASES must be one of ${knownPhases.toSeq.sorted.mkString("'", "', '", "'")}," +
         s" got '$phaseSel' (a typo would silently skip corpus generation)")
@@ -355,6 +355,67 @@ object ScaleBench {
         spark.conf.unset("graft.ppl.minPairCount")
         ops.CacheRegistry.release(spark, "ppl-")
         }
+      }
+      spark.stop(); return
+    }
+    // ---- q325 bloom decontamination: FP-rate vs filter size ladder ----
+    // The sizing evidence behind the q325 scaladoc's m ≈ −k·n/ln(1−fp^
+    // (1/k)) claim: at each corpus size, the exact broadcast screen
+    // (q79 shape) is the baseline, then the bloom probe at m = 2^16/
+    // 2^20/2^24 with the measured flagged/true/FP counts printed per
+    // rung. What the table must show at 100 TB scale-up: probe wall
+    // flat in m (the probe is arithmetic either way), FP count falling
+    // ~16× per 16× m (the exponent-k regime), and the m=2^24 rung
+    // (2 MB packed) already exact-equivalent on corpora this size —
+    // the screen's cost is a CONSTANT-size broadcast while the exact
+    // join's build side grows with every benchmark added.
+    if (phaseSel == "bloom") {
+      import ops.BloomOps
+      sizes.foreach { n =>
+        val dir = s"$root/n$n"
+        gen(spark, n, dir)
+        // persisted AND materialized before any phase so the exact
+        // baseline and every m rung probe the SAME resident hash frame —
+        // otherwise whichever phase runs first eats the one-time
+        // shingling cost and the comparison is attribution, not engine
+        val sh = ops.TextDedup.shingleRowsFor(
+          spark.read.parquet(s"$dir/documents.parquet")).persist()
+        sh.count()
+        val bench = sh.filter(col("doc_id") % 50 === 0)
+          .select(col("h1"), col("h2")).distinct()
+        val train = sh.filter(col("doc_id") % 50 =!= 0)
+        val benchH = bench.select(col("h1")).distinct()
+          .withColumn("bhit", lit(1))
+        phase("q79_exact_screen", n) {
+          train.join(broadcast(benchH), Seq("h1")).rdd.count()
+        }
+        Seq(16, 20, 24).foreach { bits =>
+          val m = 1 << bits
+          val words = BloomOps.buildWords(bench, m)
+          phase(s"bloom_probe_m2e$bits", n) {
+            BloomOps.screen(train, words, m).filter(col("flagged")).rdd.count()
+          }
+          if (bits >= 24) {
+            // the broadcast carrier's regime (see BloomOps.screen note):
+            // same bitset, same arithmetic, torrent-shipped once per
+            // executor instead of per task's plan
+            phase(s"bloom_probe_m2e${bits}_bcast", n) {
+              BloomOps.screenBroadcast(train, words, m)
+                .filter(col("flagged")).rdd.count()
+            }
+          }
+          val r = BloomOps.screen(train, words, m)
+            .join(broadcast(benchH), Seq("h1"), "left")
+            .agg(
+              sum(when(col("flagged"), 1L).otherwise(0L)).as("flagged"),
+              sum(when(col("bhit").isNotNull, 1L).otherwise(0L)).as("truth"),
+              sum(when(col("flagged") && col("bhit").isNull, 1L).otherwise(0L)).as("fp"),
+              count(lit(1)).as("probes")).head()
+          println(s"[bloom] n=$n m=2^$bits words_kb=${m / 8192} " +
+            s"flagged=${r.getLong(0)} true=${r.getLong(1)} fp=${r.getLong(2)} " +
+            s"probes=${r.getLong(3)} fp_rate=${f(r.getLong(2).toDouble / r.getLong(3))}")
+        }
+        sh.unpersist()
       }
       spark.stop(); return
     }

@@ -76,7 +76,16 @@ object BloomOps {
 
   /** The production screen: adds boolean `flagged` to a (…, h1, h2)
     * shingle frame by probing the packed bitset — pure codegen'd
-    * arithmetic against an array literal, NO join, no shuffle. */
+    * arithmetic against an array literal, NO join, no shuffle.
+    *
+    * Carrier regimes (ScaleBench `bloom` phase, SCALE.md round 15): the
+    * plan-literal carrier is flat-in-m up to ~2^20 bits (128 KB), then
+    * the literal's per-task plan shipping dominates — at 2^24 (2 MB of
+    * longs) the probe measured 5–8× slower than at 2^20 on the same
+    * frame. Above that, [[screenBroadcast]] carries the SAME bitset as
+    * a torrent broadcast probed by a closure — measured back under the
+    * small-literal wall at 2^24. Use the literal below ~2^20 bits (it
+    * keeps whole-stage codegen), the broadcast above. */
   def screen(shingles: DataFrame, words: Array[Long], mBits: Int = MBits,
              k: Int = KHashes): DataFrame = {
     val bits = typedLit(words.toSeq)
@@ -89,6 +98,32 @@ object BloomOps {
         (p % 64).cast("int")).bitwiseAND(lit(1L)) === 1
     }.reduce(_ && _)
     shingles.withColumn("flagged", flagged)
+  }
+
+  /** [[screen]] with the bitset as a SparkContext broadcast probed by a
+    * closure — the carrier for LARGE filters (see [[screen]]'s regime
+    * note): the bitset ships once per executor over the torrent
+    * protocol instead of riding every task's serialized plan. The probe
+    * itself is identical arithmetic; BloomDecontSpec pins carrier
+    * equality row for row. */
+  def screenBroadcast(shingles: DataFrame, words: Array[Long],
+                      mBits: Int = MBits, k: Int = KHashes): DataFrame = {
+    require(mBits % 64 == 0 && mBits > 0, s"mBits ($mBits) must be a positive multiple of 64")
+    val bc = shingles.sparkSession.sparkContext.broadcast(words)
+    val kk = k
+    val m = mBits.toLong
+    val probe = udf { (h1: Long, h2: Long) =>
+      val w = bc.value
+      var i = 0
+      var ok = true
+      while (ok && i < kk) {
+        val p = ((h1 + i * h2) % SeedMod) % m
+        ok = ((w((p >>> 6).toInt) >>> (p & 63).toInt) & 1L) == 1L
+        i += 1
+      }
+      ok
+    }
+    shingles.withColumn("flagged", probe(col("h1"), col("h2")))
   }
 
   val qs: Seq[Q] = Seq(

@@ -481,6 +481,107 @@ object Curation {
         .orderBy(col("source"), col("split"))
     },
 
+    // ---- leakage-safe dataset split over near-dup clusters ----
+    // q94 splits by doc hash, which puts two NEAR-DUPLICATES of the same
+    // page on opposite sides of the train/test fence — the quiet eval
+    // contamination a dedup-aware pipeline must close (the Lee et al.
+    // 2022 test-set-overlap finding). The split unit here is the q72
+    // near-dup CLUSTER: every doc inherits its component's label (its
+    // own id when unclustered) and the md5 coin flips on that unit, so a
+    // cluster can never straddle splits BY CONSTRUCTION. The audit runs
+    // both schemes side by side and reports each one's leaked-cluster
+    // count — 0 for the cluster scheme, measured >0 for the naive one on
+    // this corpus (pinned in LeakageSplitSpec).
+    // Scale shape: cluster labels come from the registry-cached q72
+    // engine (LSH-banded at 100 TB); everything after is narrow — one
+    // doc_id-keyed left join to inherit labels, two 3-key grouped
+    // aggregates with a distinct-on-rep pre-aggregate, and two
+    // rep-keyed leak aggregates whose rows are two longs. No text
+    // moves anywhere.
+    Q("q328_leakage_safe_split", {
+      val cte = TextDedup.ShingleCte.replaceFirst("^WITH ", "WITH RECURSIVE ")
+      def coin(x: String) =
+        s"${TextCommon.duckHex(s"substr(md5(CAST($x AS VARCHAR)), 1, 8)", 8)} / 4294967296.0"
+      def splitOf(x: String) =
+        s"""CASE WHEN ${coin(x)} < 0.8 THEN 'train'
+           |      WHEN ${coin(x)} < 0.9 THEN 'val'
+           |      ELSE 'test' END""".stripMargin
+      s"""$cte,
+         |hs AS (SELECT doc_id, h1 AS h FROM sh),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM hs GROUP BY doc_id),
+         |inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS i
+         |  FROM hs x JOIN hs y ON x.h = y.h AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2),
+         |pairs AS (SELECT doc_a, doc_b FROM inter
+         |  JOIN sizes sa ON doc_a = sa.doc_id
+         |  JOIN sizes sb ON doc_b = sb.doc_id
+         |  WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+         |  UNION ALL SELECT doc_b AS a, doc_a AS b FROM pairs),
+         |reach(doc, lbl) AS (
+         |  SELECT DISTINCT a AS doc, a AS lbl FROM edges
+         |  UNION
+         |  SELECT e.b AS doc, r.lbl FROM reach r JOIN edges e ON e.a = r.doc),
+         |comp AS (SELECT doc, min(lbl) AS cluster_id FROM reach GROUP BY doc),
+         |rp AS (SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS rep
+         |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc),
+         |a AS (SELECT doc_id, rep,
+         |    ${splitOf("rep")} AS s_cluster,
+         |    ${splitOf("doc_id")} AS s_naive
+         |  FROM rp),
+         |leak_c AS (SELECT count(*) AS lk FROM (
+         |  SELECT rep FROM a GROUP BY rep
+         |  HAVING count(DISTINCT s_cluster) > 1)),
+         |leak_n AS (SELECT count(*) AS lk FROM (
+         |  SELECT rep FROM a GROUP BY rep
+         |  HAVING count(DISTINCT s_naive) > 1))
+         |SELECT scheme, split, n_docs, n_units,
+         |  CAST(leaked AS BIGINT) AS leaked_clusters
+         |FROM (
+         |  SELECT 'cluster' AS scheme, s_cluster AS split,
+         |    CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(count(DISTINCT rep) AS BIGINT) AS n_units,
+         |    (SELECT lk FROM leak_c) AS leaked
+         |  FROM a GROUP BY s_cluster
+         |  UNION ALL
+         |  SELECT 'naive' AS scheme, s_naive AS split,
+         |    CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(count(DISTINCT rep) AS BIGINT) AS n_units,
+         |    (SELECT lk FROM leak_n) AS leaked
+         |  FROM a GROUP BY s_naive)
+         |ORDER BY scheme, split""".stripMargin
+    }) { (s, dir) =>
+      def coin(c: Column) =
+        conv(substring(md5(c.cast("string")), 1, 8), 16, 10).cast("long") /
+          lit(4294967296.0)
+      def splitOf(c: Column) =
+        when(coin(c) < 0.8, "train").when(coin(c) < 0.9, "val").otherwise("test")
+      val comp = TextDedup.clusterLabels(s, dir)
+        .select(col("doc_id").as("cdoc"), col("cluster_id"))
+      val a = t(s, dir, "documents").select(col("doc_id"))
+        .join(comp, col("doc_id") === col("cdoc"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("rep"))
+        .select(col("doc_id"), col("rep"),
+          splitOf(col("rep")).as("s_cluster"),
+          splitOf(col("doc_id")).as("s_naive"))
+      def leaked(splitCol: String) = broadcast(
+        a.groupBy(col("rep"))
+          .agg(countDistinct(col(splitCol)).as("ns"))
+          .filter(col("ns") > 1)
+          .agg(count(lit(1)).as("leaked")))
+      def side(scheme: String, splitCol: String) =
+        a.groupBy(col(splitCol).as("split"))
+          .agg(count(lit(1)).cast("long").as("n_docs"),
+            countDistinct(col("rep")).cast("long").as("n_units"))
+          .crossJoin(leaked(splitCol))
+          .select(lit(scheme).as("scheme"), col("split"),
+            col("n_docs"), col("n_units"),
+            col("leaked").cast("long").as("leaked_clusters"))
+      side("cluster", "s_cluster").unionAll(side("naive", "s_naive"))
+        .orderBy(col("scheme"), col("split"))
+    },
+
     // ---- unigram log-probability quality score ----
     // The cheapest language-model proxy a curation pipeline runs: score
     // each doc by its mean token log-probability under the CORPUS unigram

@@ -75,6 +75,19 @@ class BloomDecontSpec extends graft.SparkSpec {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("broadcast carrier equals the literal carrier row for row") {
+    val words = BloomOps.buildWords(bench)
+    val a = BloomOps.screen(train, words)
+      .select(col("doc_id"), col("h1"), col("flagged"))
+    val b = BloomOps.screenBroadcast(train, words)
+      .select(col("doc_id"), col("h1"), col("flagged").as("flagged_b"))
+    val diff = a.join(b, Seq("doc_id", "h1"))
+      .filter(col("flagged") =!= col("flagged_b")).count()
+    assert(diff === 0L)
+    assert(a.filter(col("flagged")).count() ===
+      b.filter(col("flagged_b")).count())
+  }
+
   test("packed words match a direct bit-set construction") {
     val mBits = 1 << 10
     val pos = bench.select(explode(array(BloomOps.posCols(mBits, 4): _*)).as("p"))
