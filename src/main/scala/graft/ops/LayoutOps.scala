@@ -52,6 +52,34 @@ object LayoutOps {
       s"((($x >> $b) & 1) << ${2 * b}) + ((($y >> $b) & 1) << ${2 * b + 1})"
     }.mkString("(", "\n    + ", ")")
 
+  /** One step of the Hilbert xy→d walk (the standard iterative form:
+    * quadrant digit, then reflect-and-swap rotation of the frame), as
+    * three column expressions over the previous step's (x, y, d) at
+    * half-side `s` — the SAME text drives both engines, with the XOR
+    * spelled per dialect (`xor(a,b)` in DuckDB, `a ^ b` in Spark). The
+    * sequential 16-step recurrence unrolls into 16 chained projections
+    * (the q204/q252 constant-depth discipline): each step reads only
+    * the one before, so the plan stays a linear pipeline of codegen'd
+    * CASEs — no loop state, no UDF. */
+  private[ops] def hilbertStep(s: Int, x: String, y: String, d: String,
+                               xor: (String, String) => String)
+      : (String, String, String) = {
+    val rx = s"(CASE WHEN ($x & $s) > 0 THEN 1 ELSE 0 END)"
+    val ry = s"(CASE WHEN ($y & $s) > 0 THEN 1 ELSE 0 END)"
+    val dNew = s"($d + CAST($s AS BIGINT) * $s * ${xor(s"(3 * $rx)", ry)})"
+    // ry = 0 ⇒ rotate: reflect by s−1 when rx = 1, then swap x/y
+    val xNew = s"""(CASE WHEN $ry = 0 THEN
+                  |  (CASE WHEN $rx = 1 THEN $s - 1 - $y ELSE $y END)
+                  |ELSE $x END)""".stripMargin
+    val yNew = s"""(CASE WHEN $ry = 0 THEN
+                  |  (CASE WHEN $rx = 1 THEN $s - 1 - $x ELSE $x END)
+                  |ELSE $y END)""".stripMargin
+    (xNew, yNew, dNew)
+  }
+
+  private[ops] val HilbertSides: Seq[Int] =
+    (0 until LaneBits).reverse.map(1 << _) // 32768 … 1
+
   val qs: Seq[Q] = Seq(
 
     // ---- q327: z-order layout envelope audit ----
@@ -84,6 +112,70 @@ object LayoutOps {
           "CAST(datediff(od_hi, od_lo) AS BIGINT)")))
         .withColumn("bucket", expr(s"${zExpr("xi", "yi")} >> 26"))
         .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("ck")).as("min_ck"), max(col("ck")).as("max_ck"),
+          min(col("od")).cast("timestamp").as("min_od"),
+          max(col("od")).cast("timestamp").as("max_od"))
+        .orderBy(col("bucket"))
+    },
+
+    // ---- q329: Hilbert-curve layout envelope audit ----
+    // The continuity upgrade over q327's Morton curve: Hilbert never
+    // jumps across the domain between consecutive indices, so range
+    // buckets get tighter worst-case envelopes (Morton's seam crossings
+    // put domain-diagonal jumps inside a bucket). Same audit shape and
+    // bucket count as q327 — the two outputs compare envelope-for-
+    // envelope, and ZorderSpec measures the delta. The xy→d walk is the
+    // textbook reflect-and-swap recurrence unrolled into 16 chained
+    // projections (see [[hilbertStep]]); everything else — bounds agg,
+    // equal-width d cut, per-bucket aggregate — is q327's plan.
+    Q("q329_hilbert_layout", {
+      val steps = HilbertSides.zipWithIndex.map { case (s, i) =>
+        val (xN, yN, dN) = hilbertStep(s, "x", "y", "d",
+          (a, b) => s"xor($a, $b)")
+        s"""st${i + 1} AS (SELECT ck, od,
+           |    $xN AS x,
+           |    $yN AS y,
+           |    $dN AS d
+           |  FROM st$i)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH bounds AS (SELECT min(o_custkey) AS ck_lo, max(o_custkey) AS ck_hi,
+         |    min(CAST(o_orderdate AS DATE)) AS od_lo,
+         |    max(CAST(o_orderdate AS DATE)) AS od_hi
+         |  FROM orders),
+         |st0 AS (SELECT o_custkey AS ck, CAST(o_orderdate AS DATE) AS od,
+         |    ${laneSql("o_custkey", "ck_lo", "ck_hi")} AS x,
+         |    ${laneSql("date_diff('day', od_lo, CAST(o_orderdate AS DATE))", "0",
+                        "date_diff('day', od_lo, od_hi)")} AS y,
+         |    CAST(0 AS BIGINT) AS d
+         |  FROM orders, bounds),
+         |$steps
+         |SELECT d >> 26 AS bucket, CAST(count(*) AS BIGINT) AS n_rows,
+         |  min(ck) AS min_ck, max(ck) AS max_ck,
+         |  CAST(min(od) AS TIMESTAMP) AS min_od,
+         |  CAST(max(od) AS TIMESTAMP) AS max_od
+         |FROM st${HilbertSides.length} GROUP BY 1 ORDER BY bucket""".stripMargin
+    }) { (s, dir) =>
+      val o = t(s, dir, "orders")
+        .select(col("o_custkey").as("ck"), to_date(col("o_orderdate")).as("od"))
+      val bounds = o.agg(min(col("ck")).as("ck_lo"), max(col("ck")).as("ck_hi"),
+        min(col("od")).as("od_lo"), max(col("od")).as("od_hi"))
+      var df = o.crossJoin(broadcast(bounds))
+        .select(col("ck"), col("od"),
+          expr(laneSpark("ck", "ck_lo", "ck_hi")).as("x"),
+          expr(laneSpark("CAST(datediff(od, od_lo) AS BIGINT)", "0",
+            "CAST(datediff(od_hi, od_lo) AS BIGINT)")).as("y"),
+          lit(0L).as("d"))
+      HilbertSides.foreach { side =>
+        val (xN, yN, dN) = hilbertStep(side, "x", "y", "d",
+          (a, b) => s"($a ^ $b)")
+        // one select per step: x/y/d advance SIMULTANEOUSLY (each new
+        // value reads the previous step's trio — sequential withColumn
+        // would feed step i's x into step i's own y)
+        df = df.select(col("ck"), col("od"),
+          expr(xN).as("x"), expr(yN).as("y"), expr(dN).as("d"))
+      }
+      df.groupBy(expr("d >> 26").as("bucket"))
         .agg(count(lit(1)).as("n_rows"),
           min(col("ck")).as("min_ck"), max(col("ck")).as("max_ck"),
           min(col("od")).cast("timestamp").as("min_od"),
