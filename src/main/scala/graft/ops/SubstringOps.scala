@@ -456,6 +456,104 @@ object SubstringOps {
         .limit(20)
     },
 
+    // ---- tokenizer fertility / compression audit per language ----
+    // The multilingual tokenizer-quality report (fertility = tokens per
+    // word, the standard metric for how badly a vocabulary serves a
+    // language; chars-per-token = the compression the context window
+    // actually gets; bypass share = word occurrences that skip BPE via
+    // the qualifying regex — the byte-fallback fraction). Merges are
+    // q124's global 2-merge table; the application fold runs once per
+    // distinct (lang, word) and every metric is integer arithmetic over
+    // (cnt, |syms|, len) — strict in both engines. Scale shape: training
+    // is vocabulary-bounded (q121's argument), the fold runs at scan
+    // speed over the distinct-word table, and the output is |langs|
+    // rows — the audit a tokenizer team reruns per vocab candidate.
+    Q("q330_tokenizer_fertility",
+      raw"""WITH wd AS (SELECT lang,
+           |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+           |  FROM documents),
+           |gw AS (SELECT word, count(*) AS cnt FROM wd
+           |  WHERE regexp_matches(word, '^[a-z]{4,}$$')
+           |  GROUP BY word),
+           |vocab0 AS (SELECT word, cnt FROM gw
+           |  ORDER BY cnt DESC, word LIMIT 20),
+           |sy0 AS (SELECT word, cnt,
+           |    list_transform(range(1, len(word) + 1), i -> substr(word, i, 1)) AS syms
+           |  FROM vocab0),
+           |p1 AS (SELECT s['a'] AS a, s['b'] AS b, sum(cnt) AS n FROM (
+           |    SELECT cnt, unnest(list_transform(range(1, len(syms)),
+           |      i -> {'a': syms[i], 'b': syms[i+1]})) AS s
+           |    FROM sy0 WHERE len(syms) >= 2)
+           |  GROUP BY 1, 2),
+           |m1 AS (SELECT a, b FROM p1 ORDER BY n DESC, a, b LIMIT 1),
+           |sy1 AS (SELECT word, cnt, string_split(substr(list_reduce(list_prepend('', syms),
+           |    (acc, x) -> CASE WHEN x = m1.b AND ends_with(acc, '|' || m1.a)
+           |      THEN regexp_replace(acc, '\|[^|]*$$', '') || '|' || m1.a || m1.b
+           |      ELSE acc || '|' || x END), 2), '|') AS syms
+           |  FROM sy0, m1),
+           |p2 AS (SELECT s['a'] AS a, s['b'] AS b, sum(cnt) AS n FROM (
+           |    SELECT cnt, unnest(list_transform(range(1, len(syms)),
+           |      i -> {'a': syms[i], 'b': syms[i+1]})) AS s
+           |    FROM sy1 WHERE len(syms) >= 2)
+           |  GROUP BY 1, 2),
+           |m2 AS (SELECT a, b FROM p2 ORDER BY n DESC, a, b LIMIT 1),
+           |lw AS (SELECT lang, word, count(*) AS cnt FROM wd
+           |  WHERE regexp_matches(word, '^[a-z]{4,}$$')
+           |  GROUP BY 1, 2),
+           |ly0 AS (SELECT lang, word, cnt,
+           |    list_transform(range(1, len(word) + 1), i -> substr(word, i, 1)) AS syms
+           |  FROM lw),
+           |ly1 AS (SELECT lang, word, cnt, string_split(substr(list_reduce(list_prepend('', syms),
+           |    (acc, x) -> CASE WHEN x = m1.b AND ends_with(acc, '|' || m1.a)
+           |      THEN regexp_replace(acc, '\|[^|]*$$', '') || '|' || m1.a || m1.b
+           |      ELSE acc || '|' || x END), 2), '|') AS syms
+           |  FROM ly0, m1),
+           |ly2 AS (SELECT lang, word, cnt, string_split(substr(list_reduce(list_prepend('', syms),
+           |    (acc, x) -> CASE WHEN x = m2.b AND ends_with(acc, '|' || m2.a)
+           |      THEN regexp_replace(acc, '\|[^|]*$$', '') || '|' || m2.a || m2.b
+           |      ELSE acc || '|' || x END), 2), '|') AS syms
+           |  FROM ly1, m2),
+           |agg AS (SELECT lang, sum(cnt) AS occ,
+           |    sum(cnt * len(syms)) AS toks, sum(cnt * len(word)) AS chars
+           |  FROM ly2 GROUP BY lang),
+           |tot AS (SELECT lang, count(*) AS n_all FROM wd GROUP BY lang)
+           |SELECT a.lang, CAST(occ AS BIGINT) AS n_occ,
+           |  round(toks * 1.0 / occ, 6) AS fertility,
+           |  round(chars * 1.0 / toks, 6) AS chars_per_token,
+           |  round((t.n_all - occ) * 1.0 / t.n_all, 6) AS bypass_share
+           |FROM agg a JOIN tot t USING (lang)
+           |ORDER BY lang""".stripMargin) { (s, dir) =>
+      val wd = t(s, dir, "documents")
+        .select(col("lang"), explode(wordsCol).as("word"))
+      val qualifying = wd.filter(col("word").rlike("^[a-z]{4,}$"))
+      val globalWords = qualifying
+        .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+        .pin()
+      val top20 = globalWords
+        .orderBy(col("cnt").desc, col("word"))
+        .limit(20)
+      val (merges, _) = bpeTrain(top20, numMerges = 2)
+      val langWords = qualifying
+        .groupBy(col("lang"), col("word")).agg(count(lit(1)).as("cnt"))
+      val tokenized = merges.foldLeft(
+          langWords.select(col("lang"), col("word"), col("cnt"),
+            split(col("word"), "").as("syms"))) {
+        case (df, (a, b)) => df.withColumn("syms", mergeOnce(col("syms"), a, b))
+      }
+      val agg = tokenized.groupBy(col("lang"))
+        .agg(sum(col("cnt")).as("occ"),
+          sum(col("cnt") * size(col("syms"))).as("toks"),
+          sum(col("cnt") * length(col("word"))).as("chars"))
+      val tot = wd.groupBy(col("lang")).agg(count(lit(1)).as("n_all"))
+      agg.join(tot, Seq("lang"))
+        .select(col("lang"), col("occ").cast("long").as("n_occ"),
+          round(col("toks") * lit(1.0) / col("occ"), 6).as("fertility"),
+          round(col("chars") * lit(1.0) / col("toks"), 6).as("chars_per_token"),
+          round((col("n_all") - col("occ")) * lit(1.0) / col("n_all"), 6)
+            .as("bypass_share"))
+        .orderBy(col("lang"))
+    },
+
     // ---- maximal duplicated-span coalescing: substring dedup, half 2 ----
     // q108 reports WHICH 8-word spans repeat across documents; this emits
     // WHAT TO REMOVE: per-document maximal repeated spans, formed by
