@@ -582,6 +582,78 @@ object Curation {
         .orderBy(col("scheme"), col("split"))
     },
 
+    // ---- soft dedup: duplicate-cluster loss weighting ----
+    // The alternative to HARD removal (q277 keeps one member, drops the
+    // rest): keep every member but downweight its training loss by
+    // 1/cluster_size, so a family of k near-dups contributes ONE
+    // document's worth of gradient in total — the soft-dedup posture
+    // when provenance diversity matters more than token savings.
+    // Output is the per-source accounting a mixture planner consumes:
+    // raw tokens, effective (weighted) tokens, and the dedup discount.
+    // Scale shape: q72's registry-cached labels + one narrow left join
+    // + a |sources|-key aggregate. Float discipline (q281/q317): the
+    // per-doc weight n_words/k is an IEEE double division (identical in
+    // both engines), quantized at 9 dp into DECIMAL(18,9) BEFORE the
+    // cross-row sum (decimal folds are order-independent), rounded once
+    // at the output — decimal DIVISION is avoided entirely because the
+    // engines' decimal scale-adjustment rules differ.
+    Q("q332_soft_dedup_weights", {
+      val cte = TextDedup.ShingleCte.replaceFirst("^WITH ", "WITH RECURSIVE ")
+      s"""$cte,
+         |hs AS (SELECT doc_id, h1 AS h FROM sh),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM hs GROUP BY doc_id),
+         |inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS i
+         |  FROM hs x JOIN hs y ON x.h = y.h AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2),
+         |pairs AS (SELECT doc_a, doc_b FROM inter
+         |  JOIN sizes sa ON doc_a = sa.doc_id
+         |  JOIN sizes sb ON doc_b = sb.doc_id
+         |  WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+         |  UNION ALL SELECT doc_b AS a, doc_a AS b FROM pairs),
+         |reach(doc, lbl) AS (
+         |  SELECT DISTINCT a AS doc, a AS lbl FROM edges
+         |  UNION
+         |  SELECT e.b AS doc, r.lbl FROM reach r JOIN edges e ON e.a = r.doc),
+         |comp AS (SELECT doc, min(lbl) AS cluster_id FROM reach GROUP BY doc),
+         |csz AS (SELECT cluster_id, count(*) AS k FROM comp GROUP BY cluster_id),
+         |wdoc AS (SELECT d.doc_id, d.source,
+         |    len(string_split_regex(lower(trim(d.text)), '\\s+')) AS n_words,
+         |    coalesce(z.k, 1) AS k
+         |  FROM documents d
+         |  LEFT JOIN comp c ON d.doc_id = c.doc
+         |  LEFT JOIN csz z ON c.cluster_id = z.cluster_id),
+         |w2 AS (SELECT source, n_words, k,
+         |    CAST(round(n_words * 1.0 / k, 9) AS DECIMAL(18,9)) AS eff
+         |  FROM wdoc)
+         |SELECT source,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_clustered,
+         |  CAST(sum(n_words) AS BIGINT) AS raw_tokens,
+         |  round(CAST(sum(eff) AS DOUBLE), 6) AS effective_tokens,
+         |  round(1.0 - CAST(sum(eff) AS DOUBLE) / sum(n_words), 6) AS discount
+         |FROM w2 GROUP BY source ORDER BY source""".stripMargin
+    }) { (s, dir) =>
+      val comp = TextDedup.clusterLabels(s, dir)
+        .select(col("doc_id").as("cdoc"), col("cluster_id"), col("cluster_size"))
+      val wdoc = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), size(wordsCol).as("n_words"))
+        .join(comp, col("doc_id") === col("cdoc"), "left")
+        .select(col("source"), col("n_words"),
+          coalesce(col("cluster_size"), lit(1L)).as("k"))
+      wdoc
+        .withColumn("eff", round(col("n_words") * lit(1.0) / col("k"), 9)
+          .cast("decimal(18,9)"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(when(col("k") > 1, 1L).otherwise(0L)).as("n_clustered"),
+          sum(col("n_words")).cast("long").as("raw_tokens"),
+          round(sum(col("eff")).cast("double"), 6).as("effective_tokens"),
+          round(lit(1.0) - sum(col("eff")).cast("double") / sum(col("n_words")), 6)
+            .as("discount"))
+        .orderBy(col("source"))
+    },
+
     // ---- unigram log-probability quality score ----
     // The cheapest language-model proxy a curation pipeline runs: score
     // each doc by its mean token log-probability under the CORPUS unigram
