@@ -135,9 +135,41 @@ object HtmlOps {
     sb.toString
   }
 
-  /** Extracted page facts. */
+  /** Extracted page facts. `anchors` carries every `<a>` in document
+    * order as (entity-decoded href, entity-decoded anchor text) — the
+    * frontier-discovery payload q333 consumes. */
   private[ops] final case class HtmlDoc(
-      title: String, content: String, nLinks: Long, nParagraphs: Long)
+      title: String, content: String, nLinks: Long, nParagraphs: Long,
+      anchors: List[(String, String)] = Nil)
+
+  /** First quoted value of attribute `name` in a tag's inner text —
+    * quote-aware (a '>' or another attribute name inside a quoted value
+    * must not match), case-insensitive, whitespace-tolerant around '='. */
+  private[ops] def attrValue(inner: String, name: String): Option[String] = {
+    var j = 0
+    var quote: Char = 0
+    while (j < inner.length) {
+      val ch = inner.charAt(j)
+      if (quote != 0) { if (ch == quote) quote = 0; j += 1 }
+      else if (ch == '"' || ch == '\'') { quote = ch; j += 1 }
+      else if (inner.regionMatches(true, j, name, 0, name.length) &&
+        (j == 0 || inner.charAt(j - 1).isWhitespace)) {
+        var k = j + name.length
+        while (k < inner.length && inner.charAt(k).isWhitespace) k += 1
+        if (k < inner.length && inner.charAt(k) == '=') {
+          k += 1
+          while (k < inner.length && inner.charAt(k).isWhitespace) k += 1
+          if (k < inner.length && (inner.charAt(k) == '"' || inner.charAt(k) == '\'')) {
+            val q = inner.charAt(k)
+            val end = inner.indexOf(q, k + 1)
+            if (end > k) return Some(inner.substring(k + 1, end))
+          }
+          return None // unquoted or malformed value: treat as absent
+        } else j += 1
+      } else j += 1
+    }
+    None
+  }
 
   /** The tokenizer: one forward pass with comment/script/style elision,
     * quote-aware tag scanning, and positional content capture (text
@@ -147,8 +179,11 @@ object HtmlOps {
   private[ops] def extract(html: String): HtmlDoc = {
     val title = new StringBuilder
     val content = new StringBuilder
+    val anchors = List.newBuilder[(String, String)]
+    val anchorText = new StringBuilder
+    var anchorHref: Option[String] = None
     var nLinks = 0L; var nParagraphs = 0L
-    var inTitle = false; var inMain = false; var inP = false
+    var inTitle = false; var inMain = false; var inP = false; var inA = false
     var i = 0
     val n = html.length
 
@@ -191,7 +226,16 @@ object HtmlOps {
               case (true, "main") => inMain = false
               case (false, "p") => inP = true; nParagraphs += 1
               case (true, "p") => inP = false
-              case (false, "a") => nLinks += 1
+              case (false, "a") =>
+                nLinks += 1
+                inA = true; anchorText.setLength(0)
+                anchorHref = attrValue(inner, "href")
+              case (true, "a") =>
+                inA = false
+                anchorHref.foreach { h =>
+                  anchors += ((decodeEntities(h), decodeEntities(anchorText.toString)))
+                }
+                anchorHref = None
               case _ => ()
             }
             i = e + 1
@@ -200,11 +244,12 @@ object HtmlOps {
       } else {
         if (inTitle) title.append(c)
         else if (inMain && inP) content.append(c)
+        if (inA) anchorText.append(c)
         i += 1
       }
     }
     HtmlDoc(decodeEntities(title.toString), decodeEntities(content.toString),
-      nLinks, nParagraphs)
+      nLinks, nParagraphs, anchors.result())
   }
 
   // ------------------------------------------------------------ queries
