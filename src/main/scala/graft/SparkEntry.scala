@@ -19,7 +19,8 @@ object SparkEntry {
       ops.PdfOps.qs ++ ops.EncodingOps.qs ++ ops.UrlOps.qs ++ ops.RobotsOps.qs ++
       ops.ChatOps.qs ++ ops.ClassifierOps.qs ++ ops.SelectionOps.qs ++
       ops.BlocklistOps.qs ++ ops.BloomOps.qs ++ ops.SnapshotOps.qs ++
-      ops.LayoutOps.qs ++ ops.FrontierOps.qs ++ ops.LinkOps.qs
+      ops.LayoutOps.qs ++ ops.FrontierOps.qs ++ ops.LinkOps.qs ++
+      ops.MiningOps.qs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
