@@ -265,7 +265,7 @@ object ScaleBench {
     // accepted but missing from the hand-written list)
     val knownPhases = Set("all", "postloop", "semdedup", "image", "spans",
       "events", "cc", "contam", "triangles", "minhash", "funnel", "pq", "nprobe",
-      "codec", "selection", "bloom")
+      "codec", "selection", "bloom", "mining")
     require(knownPhases.contains(phaseSel),
       s"SPARK_GRAFT_SCALE_PHASES must be one of ${knownPhases.toSeq.sorted.mkString("'", "', '", "'")}," +
         s" got '$phaseSel' (a typo would silently skip corpus generation)")
@@ -416,6 +416,90 @@ object ScaleBench {
             s"probes=${r.getLong(3)} fp_rate=${f(r.getLong(2).toDouble / r.getLong(3))}")
         }
         sh.unpersist()
+      }
+      spark.stop(); return
+    }
+    // ---- q334 bitext mining: exact-quadratic vs IVF-blocked ladder ----
+    // The q334 scaladoc's scale claim measured: the exact all-pairs frame
+    // is (nv/2)² candidates (must grow 4× per doubling — the rejected
+    // form at scale), while blocking both pools to k = nv/100 IVF cells
+    // keeps expected cell population constant so candidates grow ~2×.
+    // Recall is the fraction of the exact form's MUTUAL pairs the
+    // blocked form recovers — on the clustered corpus blocking should
+    // recover nearly all of them (hub pairs live in the same cell);
+    // margins inside the blocked form use within-cell neighbor means
+    // (the honest approximation — printed, not hidden).
+    if (phaseSel == "mining") {
+      val lastDir = s"$root/n${sizes.last}"
+      genEmbeddings(spark, sizes.last, lastDir, ClusteredEmbExpr)
+      Seq(2000L, 4000L, 8000L).foreach { nv =>
+        val vecs = spark.read.parquet(s"$lastDir/embeddings.parquet")
+          .filter(col("vec_id") < nv)
+        // halves alternate in 20-blocks, NOT by parity: the synthetic
+        // corpus clusters by id % 20, so a parity carve would hand the
+        // two pools DISJOINT clusters (measured: zero shared IVF cells,
+        // zero blocked candidates) — the driver's real embeddings table
+        // has no such correlation, so q334's parity carve stays valid
+        val half = (col("vec_id") / 20).cast("long") % 2
+        val xs = vecs.filter(half === 0)
+          .select(col("vec_id").as("sx"), col("embedding").as("xe"))
+        val ys = vecs.filter(half === 1)
+          .select(col("vec_id").as("ty"), col("embedding").as("ye"))
+        graft.functions.GraftFunctions.register(spark)
+        def cosCol = ops.MiningOps.pairCos.as("cos")
+        var exact: org.apache.spark.sql.DataFrame = null
+        phase("mining_exact_allpairs", nv) {
+          exact = ops.MiningOps.minePairs(
+            xs.crossJoin(ys).select(col("sx"), col("ty"), cosCol))
+            .filter(col("mutual")).localCheckpoint()
+          exact.count()
+        }
+        val kk = math.max(2L, nv / 100)
+        val seeds = vecs.filter(col("vec_id") < kk)
+          .select(col("vec_id").as("seed_id"), col("embedding").as("se"))
+        // probe-side multi-probe: each x enters its top-P nearest cells
+        // while the y index stays single-cell — the q59/q106 recall dial
+        // (k = nv/100 fragments each true cluster into sibling cells, so
+        // single-probe recall MUST crater; the curve shows the fix)
+        def topP(vs: org.apache.spark.sql.DataFrame, idOut: String,
+                 p: Int): org.apache.spark.sql.DataFrame = {
+          import org.apache.spark.sql.expressions.Window
+          vs.crossJoin(broadcast(seeds))
+            .select(col(idOut), col("seed_id"),
+              ops.MiningOps.cosOf("xe0", "se").as("sc"))
+            .withColumn("pr", row_number().over(
+              Window.partitionBy(col(idOut)).orderBy(col("sc").desc, col("seed_id"))))
+            .filter(col("pr") <= p)
+            .select(col(idOut), col("seed_id"))
+        }
+        val ay = ops.VectorSearch.assignToSeeds(
+          ys.select(col("ty").as("vec_id"), col("ye").as("embedding")), seeds)
+          .select(col("vec_id").as("ty"), col("seed_id")).localCheckpoint()
+        val nExact = exact.count()
+        val nPairsExact = (nv / 2) * (nv / 2)
+        Seq(1, 2, 4).foreach { np =>
+          var blocked: org.apache.spark.sql.DataFrame = null
+          var nCand = 0L
+          phase(s"mining_blocked_k${kk}_np$np", nv) {
+            val ax = topP(xs.select(col("sx"), col("xe").as("xe0")), "sx", np)
+            val cand = ax.join(ay, Seq("seed_id"))
+              .join(xs, Seq("sx")).join(ys, Seq("ty"))
+              .select(col("sx"), col("ty"), cosCol)
+              .dropDuplicates("sx", "ty").localCheckpoint()
+            nCand = cand.count()
+            blocked = ops.MiningOps.minePairs(cand)
+              .filter(col("mutual")).localCheckpoint()
+            blocked.count()
+          }
+          val hit = exact.select(col("src_id"), col("tgt_id"))
+            .join(blocked.select(col("src_id"), col("tgt_id")),
+              Seq("src_id", "tgt_id"), "left_semi").count()
+          println(s"""SCALE {"phase":"mining_recall","docs":$nv,"k":$kk,""" +
+            s""""nprobe":$np,"cand_exact":$nPairsExact,"cand_blocked":$nCand,""" +
+            s""""mutual_exact":$nExact,"mutual_blocked_hit":$hit,""" +
+            s""""recall":${f(hit.toDouble / nExact)}}""")
+        }
+        ops.CacheRegistry.clear(spark)
       }
       spark.stop(); return
     }

@@ -29,6 +29,43 @@ object MiningOps {
 
   private val K = 4
 
+  /** 9 dp-rounded cosine between the `xe`/`ye` embedding columns of a
+    * candidate frame — the shared scoring column for the exact and
+    * blocked pair sources (needs graft_dot; [[VectorSearch.embTable]]
+    * or GraftFunctions.register must have run in the session). */
+  def pairCos: org.apache.spark.sql.Column = cosOf("xe", "ye")
+
+  /** 9 dp-rounded cosine between two named embedding columns. */
+  def cosOf(a: String, b: String): org.apache.spark.sql.Column =
+    round(VectorSearch.dotExpr(a, b)
+      / (VectorSearch.normExpr(a) * VectorSearch.normExpr(b)), 9)
+
+  /** The mining pipeline over ANY (sx, ty, cos) candidate frame: top-k
+    * neighbor means per side, best-per-source with margin, mutual-best
+    * flag. The frame is the only thing that changes between the exact
+    * all-pairs baseline (q334) and the IVF-blocked form (ScaleBench
+    * `mining` phase) — margins are per-candidate arithmetic either way. */
+  def minePairs(pairs: org.apache.spark.sql.DataFrame, k: Int = K)
+      : org.apache.spark.sql.DataFrame = {
+    val rx = pairs.withColumn("r", row_number().over(
+      Window.partitionBy(col("sx")).orderBy(col("cos").desc, col("ty"))))
+    val kxm = rx.filter(col("r") <= k).groupBy(col("sx"))
+      .agg((sum(col("cos")) / k).as("mx"))
+    val ry = pairs.withColumn("r", row_number().over(
+      Window.partitionBy(col("ty")).orderBy(col("cos").desc, col("sx"))))
+    val kym = ry.filter(col("r") <= k).groupBy(col("ty"))
+      .agg((sum(col("cos")) / k).as("my"))
+    val bx = rx.filter(col("r") === 1).select(col("sx"), col("ty"), col("cos"))
+    val bty = ry.filter(col("r") === 1).select(col("ty"), col("sx").as("bsx"))
+    bx.join(kxm, Seq("sx"))
+      .join(kym, Seq("ty"))
+      .join(bty, Seq("ty"))
+      .select(col("sx").as("src_id"), col("ty").as("tgt_id"),
+        round(col("cos"), 6).as("cos_sim"),
+        round(col("cos") / ((col("mx") + col("my")) / 2), 6).as("margin"),
+        (col("bsx") === col("sx")).as("mutual"))
+  }
+
   val qs: Seq[Q] = Seq(
 
     // ---- q334: margin-based parallel-pair mining ----
@@ -68,24 +105,7 @@ object MiningOps {
           round(VectorSearch.dotExpr("xe", "ye")
             / (VectorSearch.normExpr("xe") * VectorSearch.normExpr("ye")), 9)
             .as("cos"))
-      val rx = pairs.withColumn("r", row_number().over(
-        Window.partitionBy(col("sx")).orderBy(col("cos").desc, col("ty"))))
-      val kxm = rx.filter(col("r") <= K).groupBy(col("sx"))
-        .agg((sum(col("cos")) / K).as("mx"))
-      val ry = pairs.withColumn("r", row_number().over(
-        Window.partitionBy(col("ty")).orderBy(col("cos").desc, col("sx"))))
-      val kym = ry.filter(col("r") <= K).groupBy(col("ty"))
-        .agg((sum(col("cos")) / K).as("my"))
-      val bx = rx.filter(col("r") === 1).select(col("sx"), col("ty"), col("cos"))
-      val bty = ry.filter(col("r") === 1).select(col("ty"), col("sx").as("bsx"))
-      bx.join(kxm, Seq("sx"))
-        .join(kym, Seq("ty"))
-        .join(bty, Seq("ty"))
-        .select(col("sx").as("src_id"), col("ty").as("tgt_id"),
-          round(col("cos"), 6).as("cos_sim"),
-          round(col("cos") / ((col("mx") + col("my")) / 2), 6).as("margin"),
-          (col("bsx") === col("sx")).as("mutual"))
-        .orderBy(col("src_id"))
+      minePairs(pairs).orderBy(col("src_id"))
     }
   )
 }
