@@ -31,9 +31,10 @@ import graft.Q
   * (q198 exercises it), but its bit layout is engine-private; this
   * md5-derived filter is the oracle-checkable twin.
   *
-  * Scale posture of the build side: distinct positions are bounded by m
-  * BY CONSTRUCTION (pos ∈ [0, m)), so the driver materialization is at
-  * most m bits regardless of corpus size — the `graft.dict.maxRows`
+  * Scale posture of the build side: positions are bounded by m BY
+  * CONSTRUCTION (pos ∈ [0, m)) and packed into carrier words before
+  * leaving the cluster, so the driver materialization is at most m/64
+  * (word, long) rows regardless of corpus size — the `graft.dict.maxRows`
   * bounded-build discipline. At m beyond ~2^27 you'd swap the plan
   * literal for a `SparkContext.broadcast` of the packed longs probed in
   * a native expression (the literal embeds in the plan text); the
@@ -57,20 +58,26 @@ object BloomOps {
     }
 
   /** Pack the benchmark's bloom bitset into m/64 longs on the driver.
-    * `bench` must be a (h1, h2) frame of the benchmark's distinct shingle
-    * hashes. The collect is bounded by m DISTINCT positions (≤ 8k rows
-    * at the audit geometry) — never by benchmark size. */
+    * `bench` must be a (h1, h2) frame of the benchmark's shingle hashes.
+    * Positions are OR-packed into their carrier words DISTRIBUTIVELY
+    * (groupBy word index + bit_or of the single-bit long), so the driver
+    * materializes at most m/64 (word, long) rows — 1,024 at the audit
+    * geometry, 1M at the 2^26 spec geometry — never one row per distinct
+    * position, and never anything proportional to benchmark size
+    * (ADVICE r15: the per-position collect was m Row objects, hundreds
+    * of MB at large m; the packed form is 64× smaller and the ~2^27
+    * plan-literal wall in the scaladoc above now reflects real driver
+    * cost). */
   def buildWords(bench: DataFrame, mBits: Int = MBits, k: Int = KHashes): Array[Long] = {
     require(mBits % 64 == 0 && mBits > 0, s"mBits ($mBits) must be a positive multiple of 64")
     val pos = bench
       .select(explode(array(posCols(mBits, k): _*)).as("p"))
-      .distinct()
+      .groupBy(shiftright(col("p"), 6).cast("int").as("w"))
+      .agg(bit_or(call_function("shiftleft", lit(1L), (col("p") % 64).cast("int")))
+        .as("bits"))
       .collect()
     val words = new Array[Long](mBits / 64)
-    pos.foreach { r =>
-      val p = r.getLong(0)
-      words((p >>> 6).toInt) |= 1L << (p & 63)
-    }
+    pos.foreach(r => words(r.getInt(0)) = r.getLong(1))
     words
   }
 

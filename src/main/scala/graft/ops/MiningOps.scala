@@ -17,17 +17,26 @@ import graft.Q
   * (rounded 9 dp before any window, the q110 discipline), top-k means,
   * bidirectional argmax, and the margin itself.
   *
-  * Scale shape: this is the EXACT all-pairs baseline (the q44 posture)
-  * — at 100 TB mining rides the same blocked candidate generation the
-  * ANN family already ships (q45 LSH buckets / q59 IVF cells / q294
-  * IVF-PQ), scoring only in-cell pairs; margins and mutual-best are
-  * per-candidate arithmetic either way, so swapping the pair source is
-  * the only change. k = 4 neighbor means; both halves are orders of
-  * magnitude larger than k at every SF.
+  * Scale shape: q334 is the EXACT all-pairs baseline (the q44 posture);
+  * q335 is the SHIP PATH — both pools assigned to q59's coarse IVF
+  * cells, candidates generated only by the cell equi-join (nprobe=4 on
+  * the source side), margins/mutual-best riding the identical
+  * [[minePairs]]. The ScaleBench mining ladder (SCALE.md round 15)
+  * measured the blocked form 20–60× below exact with recall 1.00 at
+  * nprobe=4 on a clustered corpus; on the driver's weakly-clustered
+  * synthetic table the mutual-pair recall is ~0.6–0.7 (pinned in
+  * BitextMiningSpec). k = 4 neighbor means, avg'd over the candidates
+  * that actually exist (a blocked cell can hold fewer than k).
   */
 object MiningOps {
 
   private val K = 4
+
+  /** nprobe=4 (the q59/q106 recall dial): the ScaleBench mining ladder
+    * measured single-probe recall collapsing as coarse cells fragment
+    * clusters and nprobe=4 restoring recall 1.00 at every size.
+    * Defined BEFORE `qs` — the oracle SQL interpolates it eagerly. */
+  private val NProbe = 4
 
   /** 9 dp-rounded cosine between the `xe`/`ye` embedding columns of a
     * candidate frame — the shared scoring column for the exact and
@@ -47,14 +56,18 @@ object MiningOps {
     * `mining` phase) — margins are per-candidate arithmetic either way. */
   def minePairs(pairs: org.apache.spark.sql.DataFrame, k: Int = K)
       : org.apache.spark.sql.DataFrame = {
+    // avg, not sum/k: on a blocked candidate frame a side can hold fewer
+    // than k in-cell neighbors, and sum/k would deflate its mean and
+    // inflate the margin (ADVICE r15). When exactly k rows survive the
+    // filter, avg = sum/count is the identical double division.
     val rx = pairs.withColumn("r", row_number().over(
       Window.partitionBy(col("sx")).orderBy(col("cos").desc, col("ty"))))
     val kxm = rx.filter(col("r") <= k).groupBy(col("sx"))
-      .agg((sum(col("cos")) / k).as("mx"))
+      .agg(avg(col("cos")).as("mx"))
     val ry = pairs.withColumn("r", row_number().over(
       Window.partitionBy(col("ty")).orderBy(col("cos").desc, col("sx"))))
     val kym = ry.filter(col("r") <= k).groupBy(col("ty"))
-      .agg((sum(col("cos")) / k).as("my"))
+      .agg(avg(col("cos")).as("my"))
     val bx = rx.filter(col("r") === 1).select(col("sx"), col("ty"), col("cos"))
     val bty = ry.filter(col("r") === 1).select(col("ty"), col("sx").as("bsx"))
     bx.join(kxm, Seq("sx"))
@@ -78,11 +91,11 @@ object MiningOps {
          |rx AS (SELECT sx, ty, cos,
          |    row_number() OVER (PARTITION BY sx ORDER BY cos DESC, ty) AS r
          |  FROM pairs),
-         |kx AS (SELECT sx, sum(cos) / $K AS mx FROM rx WHERE r <= $K GROUP BY sx),
+         |kx AS (SELECT sx, avg(cos) AS mx FROM rx WHERE r <= $K GROUP BY sx),
          |ry AS (SELECT sx, ty, cos,
          |    row_number() OVER (PARTITION BY ty ORDER BY cos DESC, sx) AS r
          |  FROM pairs),
-         |ky AS (SELECT ty, sum(cos) / $K AS my FROM ry WHERE r <= $K GROUP BY ty),
+         |ky AS (SELECT ty, avg(cos) AS my FROM ry WHERE r <= $K GROUP BY ty),
          |bx AS (SELECT sx, ty, cos FROM rx WHERE r = 1),
          |bty AS (SELECT ty, sx AS bsx FROM ry WHERE r = 1)
          |SELECT b.sx AS src_id, b.ty AS tgt_id,
@@ -106,6 +119,100 @@ object MiningOps {
             / (VectorSearch.normExpr("xe") * VectorSearch.normExpr("ye")), 9)
             .as("cos"))
       minePairs(pairs).orderBy(col("src_id"))
+    },
+
+    // ---- q335: IVF-blocked bitext mining — the 100 TB ship path ----
+    // The same miner with the quadratic pair source replaced: both pools
+    // are assigned to q59's coarse centroids (6dp label means — tiny,
+    // broadcast as ONE collected row, so assignment is per-row arithmetic
+    // with NO shuffle and NO window), the source side probes its nprobe=4
+    // nearest cells (ScaleBench mining ladder, SCALE.md round 15:
+    // single-probe recall craters 1.00→0.48 as cells fragment clusters;
+    // nprobe=4 restores 1.00 at every ladder size, 20–60× below exact),
+    // the target side indexes single-cell, and candidates are the
+    // EQUI-JOIN on cell id — never a cross join (plan-asserted in
+    // PlanShapeSpec). Margins/mutual-best ride the UNCHANGED [[minePairs]]
+    // (within-cell neighbor means — the honest blocked approximation).
+    // (sx, ty) needs no dedup: the target is in exactly one cell, so a
+    // pair appears at most once however many cells the source probes.
+    Q("q335_bitext_mining_blocked", {
+      def cosSql(a: String, b: String) =
+        s"""(list_sum(list_transform(range(1, len($a) + 1),
+           |    i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))
+           | / (sqrt(list_sum(list_transform(range(1, len($a) + 1),
+           |    i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE))))
+           |  * sqrt(list_sum(list_transform(range(1, len($b) + 1),
+           |    i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))))))""".stripMargin
+      s"""WITH xs AS (SELECT vec_id AS sx, embedding AS xe FROM embeddings WHERE vec_id % 2 = 0),
+         |ys AS (SELECT vec_id AS ty, embedding AS ye FROM embeddings WHERE vec_id % 2 = 1),
+         |pos AS (SELECT label, generate_subscripts(embedding, 1) AS i,
+         |        CAST(unnest(embedding) AS DOUBLE) AS val FROM embeddings),
+         |cent AS (SELECT label, list(round(avg_v, 6) ORDER BY i) AS centroid
+         |         FROM (SELECT label, i, avg(val) AS avg_v FROM pos GROUP BY label, i)
+         |         GROUP BY label),
+         |xr AS (SELECT sx, xe, label, row_number() OVER (PARTITION BY sx
+         |         ORDER BY round(${cosSql("xe", "centroid")}, 9) DESC, label) AS cr
+         |       FROM xs, cent),
+         |xa AS (SELECT sx, xe, label FROM xr WHERE cr <= $NProbe),
+         |yr AS (SELECT ty, ye, label, row_number() OVER (PARTITION BY ty
+         |         ORDER BY round(${cosSql("ye", "centroid")}, 9) DESC, label) AS cr
+         |       FROM ys, cent),
+         |ya AS (SELECT ty, ye, label FROM yr WHERE cr = 1),
+         |pairs AS (SELECT sx, ty, round(${cosSql("xe", "ye")}, 9) AS cos
+         |          FROM xa JOIN ya USING (label)),
+         |rx AS (SELECT sx, ty, cos,
+         |    row_number() OVER (PARTITION BY sx ORDER BY cos DESC, ty) AS r
+         |  FROM pairs),
+         |kx AS (SELECT sx, avg(cos) AS mx FROM rx WHERE r <= $K GROUP BY sx),
+         |ry AS (SELECT sx, ty, cos,
+         |    row_number() OVER (PARTITION BY ty ORDER BY cos DESC, sx) AS r
+         |  FROM pairs),
+         |ky AS (SELECT ty, avg(cos) AS my FROM ry WHERE r <= $K GROUP BY ty),
+         |bx AS (SELECT sx, ty, cos FROM rx WHERE r = 1),
+         |bty AS (SELECT ty, sx AS bsx FROM ry WHERE r = 1)
+         |SELECT b.sx AS src_id, b.ty AS tgt_id,
+         |  round(b.cos, 6) AS cos_sim,
+         |  round(b.cos / ((kx.mx + ky.my) / 2), 6) AS margin,
+         |  (bty.bsx = b.sx) AS mutual
+         |FROM bx b
+         |JOIN kx USING (sx)
+         |JOIN ky ON ky.ty = b.ty
+         |JOIN bty ON bty.ty = b.ty
+         |ORDER BY src_id""".stripMargin
+    }) { (s, dir) =>
+      val emb = VectorSearch.embTable(s, dir)
+      val xs = emb.filter(col("vec_id") % 2 === 0)
+        .select(col("vec_id").as("sx"), col("embedding").as("xe"))
+      val ys = emb.filter(col("vec_id") % 2 === 1)
+        .select(col("vec_id").as("ty"), col("embedding").as("ye"))
+      val centRow = VectorSearch.ivfCentroids(s, dir)
+        .agg(array_sort(collect_list(struct(col("label"), col("centroid"),
+          VectorSearch.normExpr("centroid").as("nc")))).as("__cents"))
+      val xa = probeCells(xs, centRow, "sx", "xe", nprobe = NProbe)
+      val ya = probeCells(ys, centRow, "ty", "ye", nprobe = 1)
+      val cand = xa.join(ya, Seq("label"))
+        .select(col("sx"), col("ty"), pairCos.as("cos"))
+      minePairs(cand).orderBy(col("src_id"))
     }
   )
+
+  /** Assign each vector of `vs` to the `nprobe` nearest coarse cells by
+    * 9dp-rounded centroid cosine (ties → lower label). `centRow` is the
+    * ONE-row (label, centroid, nc) array frame (|labels| entries —
+    * catalog-sized), broadcast so assignment is per-row array arithmetic:
+    * no shuffle, no window — the [[VectorSearch.assignToSeeds]] posture
+    * generalized to top-p. Output: (idCol, embCol, label) — one row per
+    * probed cell. */
+  private def probeCells(vs: org.apache.spark.sql.DataFrame,
+      centRow: org.apache.spark.sql.DataFrame, idCol: String,
+      embCol: String, nprobe: Int): org.apache.spark.sql.DataFrame = {
+    val cosIn = s"round(graft_dot($embCol, c.centroid) / (__nv * c.nc), 9)"
+    vs.withColumn("__nv", VectorSearch.normExpr(embCol))
+      .crossJoin(broadcast(centRow))
+      .select(col(idCol), col(embCol),
+        explode(slice(expr(
+          s"array_sort(transform(__cents, c -> struct(-$cosIn AS negcos, c.label AS label)))"),
+          1, nprobe)).as("cell"))
+      .select(col(idCol), col(embCol), col("cell.label").as("label"))
+  }
 }

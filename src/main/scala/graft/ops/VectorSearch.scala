@@ -1864,8 +1864,9 @@ object VectorSearch {
   }
 
   /** (label, centroid) — the IVF coarse table: 6dp-rounded per-dimension
-    * label means (q59's build), shared by q294/q295/q296. */
-  private def ivfCentroids(s: org.apache.spark.sql.SparkSession, dir: String) =
+    * label means (q59's build), shared by q294/q295/q296 and the blocked
+    * bitext miner (q335, [[MiningOps]]). */
+  private[ops] def ivfCentroids(s: org.apache.spark.sql.SparkSession, dir: String) =
     embTable(s, dir)
       .select(col("label"), posexplode(col("embedding")))
       .groupBy(col("label"), col("pos"))

@@ -58,4 +58,54 @@ class BitextMiningSpec extends graft.SparkSpec {
     val mutualTargets = rows.filter(_.getBoolean(4)).map(_.getLong(1))
     assert(mutualTargets.distinct.length === mutualTargets.length)
   }
+
+  test("q335 blocked form: same invariants, and it recovers the bulk of the exact mutual pairs") {
+    val exact = graft.SparkEntry.queries("q334_bitext_mining")(spark, sf001).collect()
+    val blocked = graft.SparkEntry.queries("q335_bitext_mining_blocked")(spark, sf001).collect()
+    // same output contract: one row per source, margins positive
+    assert(blocked.map(_.getLong(0)).distinct.length === blocked.length)
+    blocked.foreach(r => assert(r.getDouble(3) > 0.0))
+    val mutualTargets = blocked.filter(_.getBoolean(4)).map(_.getLong(1))
+    assert(mutualTargets.distinct.length === mutualTargets.length)
+    // every source still gets a best pair (nprobe=4 of 10 cells always
+    // reaches a populated cell on this corpus)
+    assert(blocked.length === exact.length)
+    // recall of the exact MUTUAL set. The driver's embeddings table is
+    // only weakly clustered by label (measured: 88/130 at sf0.001, i.e.
+    // the exact best partner's cell falls outside the source's top-4 of
+    // 10 cells for a third of sources) — on a genuinely clustered corpus
+    // the same blocking recovers recall 1.00 at nprobe=4 (ScaleBench
+    // mining ladder, SCALE.md round 15). Pin a floor so a regression in
+    // the assignment (wrong rounding, wrong tie-break, lost probes)
+    // shows up as a recall collapse.
+    def mut(rs: Array[org.apache.spark.sql.Row]) =
+      rs.filter(_.getBoolean(4)).map(r => (r.getLong(0), r.getLong(1))).toSet
+    val (me, mb) = (mut(exact), mut(blocked))
+    val recall = (me & mb).size.toDouble / me.size
+    assert(recall >= 0.6, s"blocked mutual recall $recall collapsed (${(me & mb).size}/${me.size})")
+    // where the blocked candidate set contains the exact best pair AND the
+    // pair is mutual in both, the cos_sim must agree exactly (same 9dp
+    // pair scoring feeding both miners)
+    val exCos = exact.map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    blocked.filter(r => exCos.contains((r.getLong(0), r.getLong(1))))
+      .foreach(r => assert(r.getDouble(2) === exCos((r.getLong(0), r.getLong(1)))))
+  }
+
+  test("minePairs neighbor mean is avg over surviving candidates, not sum/k (ADVICE r15)") {
+    val s = spark
+    import s.implicits._
+    // source 1 has only TWO candidates (< k = 4): its neighbor mean must
+    // be (0.9 + 0.5) / 2 = 0.7, not (0.9 + 0.5) / 4 = 0.35 — the sum/k
+    // form would inflate the margin 2× for sparse cells
+    val pairs = Seq(
+      (1L, 10L, 0.9), (1L, 20L, 0.5),
+      (2L, 10L, 0.8), (2L, 20L, 0.6), (2L, 30L, 0.4), (2L, 40L, 0.2), (2L, 50L, 0.1))
+      .toDF("sx", "ty", "cos")
+    val out = graft.ops.MiningOps.minePairs(pairs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    // margin(src 1) = cos / ((mx + my)/2); mx = 0.7 (avg of 2), my(ty=10)
+    // = avg(0.9, 0.8) = 0.85 → 0.9 / 0.775
+    assert(out(1L) === BigDecimal(0.9 / ((0.7 + 0.85) / 2))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
 }
