@@ -163,10 +163,13 @@ object ScaleBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val shuffleBytes = new java.util.concurrent.atomic.AtomicLong()
+    val inputBytes = new java.util.concurrent.atomic.AtomicLong()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onTaskEnd(te: SparkListenerTaskEnd): Unit =
-        Option(te.taskMetrics)
-          .foreach(m => shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten))
+        Option(te.taskMetrics).foreach { m =>
+          shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          inputBytes.addAndGet(m.inputMetrics.bytesRead)
+        }
     })
     def f(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
@@ -265,7 +268,7 @@ object ScaleBench {
     // accepted but missing from the hand-written list)
     val knownPhases = Set("all", "postloop", "semdedup", "image", "spans",
       "events", "cc", "contam", "triangles", "minhash", "funnel", "pq", "nprobe",
-      "codec", "selection", "bloom", "mining")
+      "codec", "selection", "bloom", "mining", "layout")
     require(knownPhases.contains(phaseSel),
       s"SPARK_GRAFT_SCALE_PHASES must be one of ${knownPhases.toSeq.sorted.mkString("'", "', '", "'")}," +
         s" got '$phaseSel' (a typo would silently skip corpus generation)")
@@ -497,9 +500,70 @@ object ScaleBench {
           println(s"""SCALE {"phase":"mining_recall","docs":$nv,"k":$kk,""" +
             s""""nprobe":$np,"cand_exact":$nPairsExact,"cand_blocked":$nCand,""" +
             s""""mutual_exact":$nExact,"mutual_blocked_hit":$hit,""" +
-            s""""recall":${f(hit.toDouble / nExact)}}""")
+            // empty exact set → vacuous recall 1.0, never NaN (a NaN here
+            // is not valid JSON and breaks bench-log parsing — ADVICE r15)
+            s""""recall":${f(if (nExact == 0) 1.0 else hit.toDouble / nExact)}}""")
         }
         ops.CacheRegistry.clear(spark)
+      }
+      spark.stop(); return
+    }
+    // ---- layout write path: q327/q329's payoff measured on REAL files ----
+    // The audits predict per-bucket envelopes; this phase WRITES an
+    // orders-shaped table in each layout (64 files via repartitionByRange
+    // on the curve key) and reads the actual parquet footers back. Two
+    // channels per (layout, predicate): the FOOTER decision (row groups /
+    // files / bytes a min/max pruner cannot skip — LayoutWrite.pruneStats
+    // over physical statistics) and the ENGINE observation (task-metric
+    // bytesRead + wall for the filtered count — Spark's own row-group
+    // skipping riding the same footers). LayoutWriteSpec separately pins
+    // audit-envelope == footer-stat equality bucket-for-bucket at sf0.001.
+    if (phaseSel == "layout") {
+      sizes.foreach { n =>
+        // deterministic orders-shaped frame: ck uniform over 100k keys
+        // (Knuth multiplicative hash), od uniform over ~2400 days
+        val o = spark.range(0, n, 1, 32)
+          .select((pmod(col("id") * 2654435761L, lit(100000L)) + 1).as("ck"),
+            date_add(lit("1992-01-01").cast("date"),
+              pmod(col("id") * 40503L, lit(2400L)).cast("int")).as("od"))
+          .localCheckpoint()
+        val odLo = o.agg(min(datediff(col("od"), lit("1970-01-01")))).collect()(0).getInt(0)
+        val base = s"$root/layout-n$n"
+        // predicate classes: point on dim 1, range on dim 2, box on both
+        val preds = Seq(
+          "point_ck" -> ops.LayoutWrite.Box(Some(50000L), Some(50000L), None, None),
+          "range_od" -> ops.LayoutWrite.Box(None, None, Some(odLo + 1200), Some(odLo + 1229)),
+          "box_both" -> ops.LayoutWrite.Box(Some(50000L), Some(56250L),
+            Some(odLo + 1200), Some(odLo + 1289)))
+        Seq("hash", "sort_ck", "zorder", "hilbert").foreach { l =>
+          phase(s"layout_write_$l", n) {
+            ops.LayoutWrite.writeLayout(o, l, s"$base/$l", files = 64); n
+          }
+          val rgs = ops.LayoutWrite.footerStats(spark, s"$base/$l")
+          preds.foreach { case (pname, box) =>
+            val (rgHit, rgTot, fHit, fTot, bHit, bTot) =
+              ops.LayoutWrite.pruneStats(rgs, box)
+            // engine channel: filtered count over the written files
+            val i0 = inputBytes.get()
+            val t0 = System.nanoTime()
+            val nOut = spark.read.parquet(s"$base/$l")
+              .filter(box.ckLo.map(v => col("ck") >= v).getOrElse(lit(true)) &&
+                box.ckHi.map(v => col("ck") <= v).getOrElse(lit(true)) &&
+                box.odLo.map(v => datediff(col("od"), lit("1970-01-01")) >= v)
+                  .getOrElse(lit(true)) &&
+                box.odHi.map(v => datediff(col("od"), lit("1970-01-01")) <= v)
+                  .getOrElse(lit(true)))
+              .count()
+            val wall = (System.nanoTime() - t0) / 1e9
+            Thread.sleep(300) // let task-end events drain
+            val mbRead = (inputBytes.get() - i0) / 1e6
+            println(s"""SCALE {"phase":"layout_prune_${l}_$pname","docs":$n,""" +
+              s""""rg_hit":$rgHit,"rg_total":$rgTot,"files_hit":$fHit,""" +
+              s""""files_total":$fTot,"footer_mb_hit":${f(bHit / 1e6)},""" +
+              s""""footer_mb_total":${f(bTot / 1e6)},"rows_out":$nOut,""" +
+              s""""read_mb":${f(mbRead)},"read_wall_s":${f(wall)}}""")
+          }
+        }
       }
       spark.stop(); return
     }

@@ -42,7 +42,7 @@ object LayoutOps {
     * inclusive bounds — pure BIGINT arithmetic, identical in DuckDB. */
   private def laneSql(x: String, lo: String, hi: String): String =
     s"(($x - $lo) * 65536) // ($hi - $lo + 1)"
-  private def laneSpark(x: String, lo: String, hi: String): String =
+  private[ops] def laneSpark(x: String, lo: String, hi: String): String =
     s"(($x - $lo) * 65536) div ($hi - $lo + 1)"
 
   /** The 16-term Morton interleave of two 16-bit lanes (x even bits,
