@@ -1,6 +1,7 @@
 package graft.ops
 
 import scala.collection.mutable
+import org.apache.spark.sql.functions.col
 
 /** Selection/training-prep family: each distributed answer is checked
   * against an independent sequential JVM recomputation (q314, q317) or
@@ -253,6 +254,98 @@ class SelectionOpsSpec extends graft.SparkSpec {
     assert(bySrc("src0") === 0.0, "reference slice must have zero excess")
     assert(rows.exists(r => r.getDouble(6) > r.getDouble(5)),
       "no source was upweighted — the update is degenerate")
+  }
+
+  test("q336 equals a sequential 3-round smoothed MW iteration") {
+    // same LM + per-source fold as the q323 test, then three smoothed
+    // multiplicative-weights rounds with the engine's quantization: raw
+    // r9-quantized BEFORE each normalizer sum, divisions in double
+    val ref = docs.filter(_._4 == "src0")
+    val c1 = mutable.HashMap.empty[String, Long].withDefaultValue(0L)
+    val c12 = mutable.HashMap.empty[(String, String), Long].withDefaultValue(0L)
+    ref.foreach { case (_, text, _, _) =>
+      val ws = words(text)
+      ws.foreach(w => c1(w) += 1)
+      ws.sliding(2).filter(_.length == 2).foreach(p => c12((p(0), p(1))) += 1)
+    }
+    val n = c1.values.sum; val v = c1.size.toLong
+    def r9(x: Double) = BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val perSrc = docs.groupBy(_._4).map { case (src, ds) =>
+      var pairs = 0L; var ll = BigDecimal(0)
+      ds.foreach { case (_, text, _, _) =>
+        val ws = words(text)
+        val terms = ws.sliding(2).filter(_.length == 2).map { p =>
+          val cb = c12((p(0), p(1)))
+          if (cb > 0) r9(math.log(cb.toDouble / c1(p(0))))
+          else r9(math.log(0.4 * (c1(p(1)) + 1) / (n + v)))
+        }.toSeq
+        if (terms.nonEmpty) { pairs += terms.size; ll += terms.sum }
+      }
+      src -> ((pairs, ll))
+    }
+    val tot = perSrc.values.map(_._1).sum
+    val k = perSrc.size
+    val ceRef = -perSrc("src0")._2.toDouble / perSrc("src0")._1
+    val excess = perSrc.view.mapValues { case (p, ll) =>
+      math.max(0.0, -ll.toDouble / p - ceRef) }.toMap
+    var w: Map[String, BigDecimal] =
+      perSrc.view.mapValues { case (p, _) => r9(p.toDouble / tot) }.toMap
+    val hist = (1 to 3).map { _ =>
+      val raw = w.map { case (s, wv) => s -> r9(wv.toDouble * math.exp(excess(s))) }
+      val z = raw.values.sum
+      w = raw.map { case (s, rv) =>
+        s -> r9(0.99 * rv.toDouble / z.toDouble + 0.01 / k) }
+      w
+    }
+    val rows = graft.SparkEntry.queries("q336_doremi_iterate")(spark, sf001).collect()
+    assert(rows.length === k)
+    rows.foreach { r =>
+      val src = r.getString(0)
+      assert(r.getDouble(1) === r6(excess(src)), s"$src excess")
+      assert(r.getDouble(2) === r6(perSrc(src)._1.toDouble / tot), s"$src w0")
+      (0 until 3).foreach { i =>
+        assert(r.getDouble(3 + i) === r6(hist(i)(src).toDouble), s"$src w${i + 1}")
+      }
+      val wbar = (hist(0)(src) + hist(1)(src) + hist(2)(src)).toDouble / 3
+      assert(r.getDouble(6) === r6(wbar), s"$src wbar")
+      assert(r.getLong(7) === BigDecimal(2.0 * tot * wbar)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong, s"$src alloc")
+    }
+    // each round's weights are a distribution (up to the 9dp quanta)
+    hist.foreach(h => assert(math.abs(h.values.sum.toDouble - 1.0) < 1e-6))
+  }
+
+  test("doremiUntil converges to the smoothed recurrence's fixed point") {
+    val s = spark
+    import s.implicits._
+    val w0 = Seq(("a", 0.0, BigDecimal(0.4)), ("b", 0.2, BigDecimal(0.35)),
+      ("c", 0.5, BigDecimal(0.25)))
+      .toDF("source", "excess", "w")
+      .withColumn("w", col("w").cast("decimal(18,9)"))
+    val (fixed, rounds) = graft.ops.SelectionOps.doremiUntil(w0,
+      tol = 1e-9, maxRounds = 200)
+    assert(rounds < 200, s"did not converge in $rounds rounds")
+    // one MORE round moves at most one 9dp quantum per source: the
+    // DECIMAL(18,9) quantization means the recurrence's fixed point is
+    // exact only up to the quantum (a 1e-9 limit cycle is the quantized
+    // image of the continuous fixed point) — compare as decimals so
+    // double representation noise can't flake the bound
+    val again = graft.ops.SelectionOps.doremiRound(fixed)
+      .select(col("source"), col("w").as("wn"))
+      .join(fixed.select(col("source"), col("w").as("wp")), Seq("source"))
+      .collect()
+    again.foreach { r =>
+      val d = (BigDecimal(r.getDecimal(1)) - BigDecimal(r.getDecimal(2))).abs
+      assert(d <= BigDecimal("1e-9"), s"${r.getString(0)} still moving by $d")
+    }
+    val ws = fixed.collect().map(r => r.getString(0) ->
+      r.getDecimal(r.fieldIndex("w")).doubleValue).toMap
+    // distribution, smoothing floor honoured, mass ordered by excess
+    assert(math.abs(ws.values.sum - 1.0) < 1e-6)
+    ws.values.foreach(v => assert(v >= 0.01 / 3 - 1e-9))
+    assert(ws("c") > ws("b") && ws("b") > ws("a"),
+      s"fixed point does not order by excess: $ws")
   }
 
   test("q318 equals a sequential span-union Gopher repetition pass") {
