@@ -13,7 +13,10 @@ import graft.schema.Tables.t
   * every production frontier (Heritrix/Nutch shape) uses to respect
   * per-host crawl-delay without idling the fleet. The reference has no
   * frontier notion (it consumes what Kafka hands it); this completes
-  * the crawl-governance family per the north star.
+  * the crawl-governance family per the north star. q337 (round 16)
+  * closes the loop end-to-end: extraction (q333) → canonicalization
+  * (q309) → robots + budget admission (q310) → next-round schedule
+  * (q331's slot arithmetic), composed as one query.
   *
   * The schedule is pure arithmetic: per-host priority rank r (1-based)
   * and host index h (0-based) give slot = (r−1)·H + h, which is
@@ -76,6 +79,113 @@ object FrontierOps {
           min(col("g")).cast("long").as("min_gap"),
           max(col("g")).cast("long").as("max_gap"))
         .orderBy(col("host"))
+    },
+
+    // ---- q337: one full crawl round, composed ----
+    // The loop the crawl family has been building piecewise, as ONE
+    // query (VERDICT r15 item 6): round N's fetched pages are rendered
+    // and link-extracted through the REAL tokenizer + attribute parser +
+    // entity decoder (q333), every discovered url is canonicalized
+    // (q309) and checked against its target host's robots policy parsed
+    // by the REAL RFC 9309 engine (q310 — links here target their own
+    // host, so the policy parse rides the same per-page codec seam), a
+    // per-host frontier budget (B = 3, the Heritrix queue-cap shape)
+    // admits the top-B by canonical url, and the survivors get q331's
+    // politeness-sharded slots for round N+1. Host index = doc_id (the
+    // corpus's doc ids are dense 0..N−1, so h is injective in [0, N)
+    // with ZERO coordination — where ids aren't dense this becomes the
+    // stitched grouped rank, the q317 engine). The oracle reconstructs
+    // every count, slot, and the min_gap = max_gap = N politeness
+    // contract closed-form from the synth schedule — tokenizer,
+    // canonicalizer, robots, window, or slot drift all break it.
+    //
+    // Plan shape: one mapPartitions codec seam (pages never shuffle),
+    // then EVERYTHING — the discovered/admitted counts, the priority
+    // rank, the lag gaps, the final per-host aggregate — rides ONE wide
+    // exchange on the host key (windows and groupBy all partition on
+    // host; asserted in PlanShapeSpec). The budget/slot arithmetic is
+    // per-row; N arrives as a 1-row broadcast aggregate.
+    Q("q337_crawl_round",
+      """WITH nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents)
+        |SELECT 'example-' || CAST(doc_id AS VARCHAR) || '.test' AS host,
+        |  CAST(2 + doc_id % 3 AS BIGINT) AS n_links,
+        |  CAST(2 + doc_id % 3 AS BIGINT) AS n_robots_ok,
+        |  CAST(least(2 + doc_id % 3, 3) AS BIGINT) AS n_admitted,
+        |  doc_id AS first_slot,
+        |  (least(2 + doc_id % 3, 3) - 1) * n + doc_id AS last_slot,
+        |  n AS min_gap, n AS max_gap
+        |FROM documents, nd ORDER BY host""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      crawlRound(discoverFrontier(docs), docs.agg(count(lit(1)).as("n")))
     }
   )
+
+  /** q337's admit + schedule tail over ANY (doc_id, host, url, robots_ok)
+    * frontier frame — shared with the streaming twin, which feeds the
+    * ACCUMULATED store through the identical windows. `nd` is the 1-row
+    * slot stride (the fetched-corpus size). Every window and the final
+    * aggregate partition on host — one wide exchange. */
+  private[ops] def crawlRound(fr: org.apache.spark.sql.DataFrame,
+      nd: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val byHost = Window.partitionBy(col("host"))
+    val counted = fr
+      .withColumn("n_links", count(lit(1)).over(byHost))
+      .withColumn("n_robots_ok",
+        sum(when(col("robots_ok"), 1L).otherwise(0L)).over(byHost))
+    val admitted = counted.filter(col("robots_ok"))
+      .withColumn("r", row_number().over(byHost.orderBy(col("url"))))
+      .filter(col("r") <= FrontierBudget)
+      .crossJoin(broadcast(nd))
+      .withColumn("slot", (col("r") - 1) * col("n") + col("doc_id"))
+    admitted
+      .withColumn("g", col("slot") - lag(col("slot"), 1).over(
+        byHost.orderBy(col("slot"))))
+      .groupBy(col("host"))
+      .agg(max(col("n_links")).cast("long").as("n_links"),
+        max(col("n_robots_ok")).cast("long").as("n_robots_ok"),
+        count(lit(1)).cast("long").as("n_admitted"),
+        min(col("slot")).as("first_slot"), max(col("slot")).as("last_slot"),
+        min(col("g")).cast("long").as("min_gap"),
+        max(col("g")).cast("long").as("max_gap"))
+      .orderBy(col("host"))
+  }
+
+  /** Per-host frontier admission budget (the Heritrix queue-cap shape):
+    * only the top-B discovered urls of a host enter the next round. */
+  private[ops] val FrontierBudget = 3
+
+  /** The discover+admit codec seam shared by q337 and its streaming twin
+    * (StreamingFrontierSpec): render each fetched page, extract anchors
+    * through the real tokenizer, canonicalize each target (q309), and
+    * evaluate the target host's robots policy (q310's parser — one parse
+    * per page, since this corpus's links are same-host). Emits the
+    * narrow frontier (doc_id, host, url, robots_ok); pages never
+    * shuffle. Robots matching is on the PATH component (query stripped —
+    * the q310 probe convention). */
+  private[ops] def discoverFrontier(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, text) =>
+        val page = new String(HtmlOps.htmlBytes(id, text),
+          java.nio.charset.StandardCharsets.UTF_8)
+        val doc = HtmlOps.extract(page)
+        val host = s"example-$id.test"
+        val group = RobotsOps.selectGroup(
+          RobotsOps.parseRobots(RobotsOps.Schedule(id).robotsTxt), "graftbot")
+          .getOrElse(throw new IllegalStateException(s"doc $id: no robots group"))
+        doc.anchors.map { case (href, _) =>
+          val url = UrlOps.canonicalize(
+            if (href.startsWith("http://") || href.startsWith("https://")) href
+            else s"http://$host$href")
+          val slash = url.indexOf('/', url.indexOf("://") + 3)
+          val path = (if (slash < 0) "/" else url.substring(slash))
+            .takeWhile(_ != '?')
+          (id, host, url, RobotsOps.allowed(group, path))
+        }
+      })
+      .toDF("doc_id", "host", "url", "robots_ok")
+  }
 }

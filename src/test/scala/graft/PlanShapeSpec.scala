@@ -349,4 +349,38 @@ class PlanShapeSpec extends SparkSpec {
     assert(langWindows.forall(_.contains("__bucket")),
       s"a window partitions on the bare lang key:\n${langWindows.mkString("\n")}")
   }
+
+  test("q337: the composed crawl round's only wide exchange is the per-host rank") {
+    // VERDICT r15 item 6's done-clause: discover (codec seam, no
+    // shuffle) → admit → schedule must all ride ONE hashpartitioning
+    // exchange on the host key — the count/sum windows, the budget
+    // rank, the lag gaps, and the final per-host aggregate are all
+    // host-partitioned. Everything else is a 1-row broadcast (the slot
+    // stride) or the presentation range sort.
+    val p = plan("q337_crawl_round")
+    val hashEx = p.linesIterator
+      .filter(l => l.contains("Exchange hashpartitioning")).toSeq
+    assert(hashEx.size === 1, s"expected ONE wide exchange:\n${hashEx.mkString("\n")}")
+    assert(hashEx.head.contains("host#"),
+      s"the wide exchange is not on the host key:\n${hashEx.head}")
+    assert(!p.contains("CartesianProduct"), s"cartesian in the crawl round:\n$p")
+    // the budget cut is pushed INTO the rank (no full-frontier sort
+    // survives past the per-host top-B)
+    assert(p.contains("WindowGroupLimit"),
+      s"budget rank not pushed down as a group limit:\n$p")
+  }
+
+  test("q335: blocked mining generates candidates via a cell equi-join, never a cross join") {
+    // VERDICT r15 item 1: the shipped q334 plan is the exact all-pairs
+    // baseline; q335 is the 100 TB ship path and its pair source must be
+    // the equi-join on the coarse-cell id. The only nested-loop joins
+    // allowed are the ONE-ROW centroid-array broadcasts (the q113/q125
+    // one-row-broadcast exemption); a CartesianProduct anywhere means the
+    // quadratic frame leaked back in.
+    val p = plan("q335_bitext_mining_blocked")
+    assert(!p.contains("CartesianProduct"), s"all-pairs cartesian:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"cell candidate join is not an equi-join:\n$p")
+  }
 }

@@ -96,4 +96,56 @@ class StreamingFrontierSpec extends SparkSpec {
       assert(refresh().isEmpty, "replayed batch must not re-feed the frontier")
     } finally q.stop()
   }
+
+  test("composed crawl round (q337 form): accumulated store re-scheduled == batch over the union") {
+    val s = spark
+    import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-stream-crawlround").toString
+    val store = s"$root/frontier"
+
+    // per-batch: the q337 discover+admit seam lands the narrow frontier
+    // into the batch_id-keyed idempotent store — pages never accumulate
+    def sinkBody(batch: DataFrame, batchId: Long): Unit =
+      FrontierOps.discoverFrontier(batch)
+        .write.mode("overwrite").parquet(s"$store/batch_id=$batchId")
+
+    val mem = MemoryStream[FetchedPage](s)
+    val q = mem.toDF().writeStream
+      .option("checkpointLocation", s"$root/chk")
+      .foreachBatch(sinkBody _)
+      .start()
+
+    val docs = graft.schema.Tables.t(s, sf001, "documents")
+      .select(col("doc_id"), col("text"))
+    def feed(from: Long, until: Long): Unit = {
+      mem.addData(docs.filter(col("doc_id") >= from && col("doc_id") < until)
+        .as[(Long, String)].collect().map { case (id, t) => FetchedPage(id, t) }
+        .toIndexedSeq: _*)
+      q.processAllAvailable()
+    }
+    /** one schedule refresh off the ACCUMULATED store, through the
+      * identical q337 tail (nd = fetched-corpus size so far) */
+    def schedule(): Seq[org.apache.spark.sql.Row] = {
+      val fr = s.read.option("basePath", store).parquet(store)
+        .select(col("doc_id"), col("host"), col("url"), col("robots_ok"))
+      FrontierOps.crawlRound(fr,
+        fr.agg(countDistinct(col("doc_id")).as("n"))).collect().toSeq
+    }
+    def batchTwin(until: Long): Seq[org.apache.spark.sql.Row] = {
+      val slice = docs.filter(col("doc_id") < until)
+      FrontierOps.crawlRound(FrontierOps.discoverFrontier(slice),
+        slice.agg(count(lit(1)).as("n"))).collect().toSeq
+    }
+
+    try {
+      feed(0L, 40L)
+      assert(schedule() === batchTwin(40L), "stream != batch after batch 0")
+      feed(40L, 80L)
+      val after2 = schedule()
+      assert(after2 === batchTwin(80L), "stream != batch after batch 1")
+      // replayed batch: idempotent overwrite, schedule unchanged
+      sinkBody(docs.filter(col("doc_id") >= 40L && col("doc_id") < 80L), 1L)
+      assert(schedule() === after2, "replayed batch moved the schedule")
+    } finally q.stop()
+  }
 }
