@@ -35,7 +35,11 @@ import graft.schema.Tables.t
   *    under the q317 reference LM — Xie et al. 2023);
   *  - q336 DoReMi iterated (round 16: three MW rounds with uniform
   *    smoothing + the averaged mixture the paper actually ships;
-  *    [[doremiUntil]] detects the smoothed recurrence's fixed point).
+  *    [[doremiUntil]] detects the smoothed recurrence's fixed point);
+  *  - q338 two-phase annealing schedule (round 16: the midtraining
+  *    stage — 90% of the budget on q321's temperature mixture, the
+  *    final 10% only on sources whose mean q313 score beats the
+  *    doc-weighted corpus mean — Llama 3 / OLMo 2 shape).
   *
   * The reference (Makasinov/kafka-consumer-2-clickhouse) has no analytics
   * of its own — `pkg/converter/converter.go:52-57` moves opaque payloads —
@@ -808,6 +812,90 @@ object SelectionOps {
           round(col("w3").cast("double"), 6).as("w3"),
           round(wbarD, 6).as("wbar"),
           round(lit(2) * col("tot") * wbarD).cast("long").as("alloc"))
+        .orderBy(col("source"))
+    },
+
+    // ---- q338: two-phase annealing data schedule ----
+    // The midtraining/annealing stage modern pretraining runs AFTER the
+    // main mixture (Llama 3's anneal-on-high-quality-data, OLMo 2's
+    // midtraining, MiniCPM's WSD decay phase): 90% of the 2×-token
+    // budget follows q321's temperature mixture over ALL sources; the
+    // final 10% goes ONLY to the elite sources — those whose mean q313
+    // classifier score beats the doc-weighted corpus mean (real model
+    // inference deciding the tilt, the q315 discipline) — re-normalized
+    // by the same √tokens temperature within the elite set. Per-source:
+    // both phase allocations, epochs under the combined load, and the
+    // 4-epoch clip + shortfall (the q321 contract — annealing is where
+    // repetition ceilings actually bind, since the elite set is small).
+    // Numeric discipline: √tokens quantizes to DECIMAL(18,9) BEFORE
+    // each normalizer sum (q336's fold rule); qbar and the elite cut
+    // are exact-integer ratios compared in double. Everything after the
+    // q313 scores is arithmetic on the ≤|sources|-row frame.
+    Q("q338_anneal_schedule",
+      raw"""WITH $duckScore,
+         |per AS (SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(len(w.ws)) AS BIGINT) AS toks,
+         |    CAST(sum(sc.score) AS BIGINT) AS qsum,
+         |    CAST(round(sqrt(CAST(sum(len(w.ws)) AS DOUBLE)), 9)
+         |      AS DECIMAL(18,9)) AS raw
+         |  FROM sc JOIN w USING (doc_id) JOIN documents d USING (doc_id)
+         |  GROUP BY d.source),
+         |gl AS (SELECT CAST(sum(toks) AS BIGINT) AS tot,
+         |    CAST(sum(qsum) AS BIGINT) AS qsum_all,
+         |    CAST(sum(n_docs) AS BIGINT) AS ndocs_all,
+         |    sum(raw) AS zm FROM per),
+         |e AS (SELECT per.*, tot, zm,
+         |    CAST(qsum AS DOUBLE) / n_docs AS qbar,
+         |    CAST(qsum AS DOUBLE) / n_docs >
+         |      CAST(qsum_all AS DOUBLE) / ndocs_all AS elite
+         |  FROM per, gl),
+         |za AS (SELECT sum(raw) AS za FROM e WHERE elite),
+         |f AS (SELECT source, n_docs, toks, round(qbar, 6) AS qbar, elite,
+         |    CAST(round(1.8 * tot * CAST(raw AS DOUBLE) / CAST(zm AS DOUBLE))
+         |      AS BIGINT) AS main_alloc,
+         |    CASE WHEN elite THEN CAST(round(0.2 * tot * CAST(raw AS DOUBLE)
+         |      / CAST(za AS DOUBLE)) AS BIGINT) ELSE CAST(0 AS BIGINT) END
+         |      AS anneal_alloc
+         |  FROM e, za)
+         |SELECT source, n_docs, toks, qbar, elite, main_alloc, anneal_alloc,
+         |  main_alloc + anneal_alloc AS total_alloc,
+         |  round((main_alloc + anneal_alloc) * 1.0 / toks, 6) AS epochs,
+         |  least(main_alloc + anneal_alloc, 4 * toks) AS final_alloc,
+         |  main_alloc + anneal_alloc
+         |    - least(main_alloc + anneal_alloc, 4 * toks) AS shortfall
+         |FROM f ORDER BY source""".stripMargin) { (s, dir) =>
+      val per = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), size(wsCol).cast("long").as("nw"))
+        .join(classifierScore(s, dir), Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(col("nw")).cast("long").as("toks"),
+          sum(col("score")).cast("long").as("qsum"))
+        .withColumn("raw",
+          round(sqrt(col("toks").cast("double")), 9).cast("decimal(18,9)"))
+      val g = per.agg(sum(col("toks")).cast("long").as("tot"),
+        sum(col("qsum")).cast("long").as("qsum_all"),
+        sum(col("n_docs")).cast("long").as("ndocs_all"),
+        sum(col("raw")).as("zm"))
+      val e = per.crossJoin(broadcast(g))
+        .withColumn("qbar", col("qsum").cast("double") / col("n_docs"))
+        .withColumn("elite", col("qbar") >
+          col("qsum_all").cast("double") / col("ndocs_all"))
+      val za = e.filter(col("elite")).agg(sum(col("raw")).as("za"))
+      val mainAlloc = round(lit(1.8) * col("tot")
+        * col("raw").cast("double") / col("zm").cast("double")).cast("long")
+      val annealAlloc = when(col("elite"),
+        round(lit(0.2) * col("tot") * col("raw").cast("double")
+          / col("za").cast("double")).cast("long")).otherwise(lit(0L))
+      val tot = col("main_alloc") + col("anneal_alloc")
+      e.crossJoin(broadcast(za))
+        .select(col("source"), col("n_docs"), col("toks"),
+          round(col("qbar"), 6).as("qbar"), col("elite"),
+          mainAlloc.as("main_alloc"), annealAlloc.as("anneal_alloc"))
+        .select(col("*"), tot.as("total_alloc"),
+          round(tot * lit(1.0) / col("toks"), 6).as("epochs"),
+          least(tot, lit(4) * col("toks")).as("final_alloc"),
+          (tot - least(tot, lit(4) * col("toks"))).as("shortfall"))
         .orderBy(col("source"))
     }
   )

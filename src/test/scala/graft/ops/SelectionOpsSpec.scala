@@ -316,6 +316,61 @@ class SelectionOpsSpec extends graft.SparkSpec {
     hist.foreach(h => assert(math.abs(h.values.sum.toDouble - 1.0) < 1e-6))
   }
 
+  test("q338 equals a sequential two-phase annealing plan") {
+    def r9(x: Double) = BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def rnd(x: Double) = BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def score(ws: Array[String]): Long = ws.sliding(2).filter(_.length == 2).map { p =>
+      val d = md.digest(p.mkString(" ").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var h1 = 0L
+      (0 until 7).foreach(i => h1 = (h1 << 8) | (d(i) & 0xffL))
+      ((h1 % ClassifierOps.Buckets) * 2654435761L) % 1001L - 500L
+    }.sum
+    // per-source fold over docs that produce >= 1 bigram (the q313 frame)
+    val per = docs.groupBy(_._4).map { case (src, ds) =>
+      var n = 0L; var toks = 0L; var q = 0L
+      ds.foreach { case (_, text, _, _) =>
+        val ws = words(text).toArray
+        if (ws.length >= 2) { n += 1; toks += ws.length; q += score(ws) }
+      }
+      src -> ((n, toks, q))
+    }
+    val tot = per.values.map(_._2).sum
+    val qbarAll = per.values.map(_._3).sum.toDouble / per.values.map(_._1).sum
+    val raw = per.view.mapValues { case (_, t0, _) => r9(math.sqrt(t0.toDouble)) }.toMap
+    val zm = raw.values.sum
+    val elite = per.view.mapValues { case (n, _, q) => q.toDouble / n > qbarAll }.toMap
+    val za = raw.filter { case (s0, _) => elite(s0) }.values.sum
+    assert(elite.values.exists(identity) && elite.values.exists(!_),
+      "corpus should split into elite and non-elite sources")
+    val rows = graft.SparkEntry.queries("q338_anneal_schedule")(spark, sf001).collect()
+    assert(rows.length === per.size)
+    rows.foreach { r =>
+      val src = r.getString(0)
+      val (n, t0, q) = per(src)
+      assert(r.getLong(1) === n, s"$src n_docs")
+      assert(r.getLong(2) === t0, s"$src toks")
+      assert(r.getDouble(3) === r6(q.toDouble / n), s"$src qbar")
+      assert(r.getBoolean(4) === elite(src), s"$src elite")
+      val main = rnd(1.8 * tot * raw(src).toDouble / zm.toDouble)
+      val ann = if (elite(src)) rnd(0.2 * tot * raw(src).toDouble / za.toDouble) else 0L
+      assert(r.getLong(5) === main, s"$src main_alloc")
+      assert(r.getLong(6) === ann, s"$src anneal_alloc")
+      assert(r.getLong(7) === main + ann, s"$src total_alloc")
+      assert(r.getDouble(8) === r6((main + ann) * 1.0 / t0), s"$src epochs")
+      assert(r.getLong(9) === math.min(main + ann, 4 * t0), s"$src final_alloc")
+      assert(r.getLong(10) === main + ann - math.min(main + ann, 4 * t0), s"$src shortfall")
+    }
+    // budget accounting: each phase lands within rounding of its share
+    val mains = rows.map(_.getLong(5)).sum
+    val anns = rows.map(_.getLong(6)).sum
+    assert(math.abs(mains - 1.8 * tot) <= rows.length, "main phase budget drift")
+    assert(math.abs(anns - 0.2 * tot) <= rows.length, "anneal phase budget drift")
+    // the anneal phase concentrates: only elite sources receive it
+    rows.foreach(r => assert((r.getLong(6) > 0) === r.getBoolean(4)))
+  }
+
   test("doremiUntil converges to the smoothed recurrence's fixed point") {
     val s = spark
     import s.implicits._
