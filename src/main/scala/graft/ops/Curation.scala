@@ -654,6 +654,89 @@ object Curation {
         .orderBy(col("source"))
     },
 
+    // ---- q339: memorization-risk report over duplication buckets ----
+    // Carlini et al. 2023 ("Quantifying Memorization Across Neural
+    // Language Models") measured extraction rate growing LOG-LINEARLY
+    // with a sequence's duplication count — so the curation decision
+    // frame is the dup-count HISTOGRAM: per power-of-two bucket of
+    // near-dup cluster size k (the q72 clusters; singletons are k = 1),
+    // how many clusters/docs/tokens sit there, the excess copies a
+    // keeper dedup would remove, and the log-linear risk tilt
+    // (1 + ⌊log₂k⌋)·tokens that ranks where the memorization mass
+    // concentrates. ⌊log₂k⌋ is computed as length(bin(k)) − 1 — pure
+    // integer text length, because floating log2 at exact powers of two
+    // is an ulp-flip hazard between engines. Singleton "clusters" key on
+    // the doc's own id: a singleton can't be a member of any cluster, so
+    // its id can never collide with a real cluster label (= the min
+    // member doc_id). Scale: rides the registry-cached q72 clustering;
+    // everything after is one narrow aggregate on ≤ log₂(max k) buckets.
+    Q("q339_memorization_risk", {
+      val cte = TextDedup.ShingleCte.replaceFirst("^WITH ", "WITH RECURSIVE ")
+      s"""$cte,
+         |hs AS (SELECT doc_id, h1 AS h FROM sh),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM hs GROUP BY doc_id),
+         |inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS i
+         |  FROM hs x JOIN hs y ON x.h = y.h AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2),
+         |pairs AS (SELECT doc_a, doc_b FROM inter
+         |  JOIN sizes sa ON doc_a = sa.doc_id
+         |  JOIN sizes sb ON doc_b = sb.doc_id
+         |  WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+         |  UNION ALL SELECT doc_b AS a, doc_a AS b FROM pairs),
+         |reach(doc, lbl) AS (
+         |  SELECT DISTINCT a AS doc, a AS lbl FROM edges
+         |  UNION
+         |  SELECT e.b AS doc, r.lbl FROM reach r JOIN edges e ON e.a = r.doc),
+         |comp AS (SELECT doc, min(lbl) AS cluster_id FROM reach GROUP BY doc),
+         |csz AS (SELECT cluster_id, count(*) AS k FROM comp GROUP BY cluster_id),
+         |wdoc AS (SELECT d.doc_id,
+         |    len(string_split_regex(lower(trim(d.text)), '\\s+')) AS n_words,
+         |    coalesce(z.k, 1) AS k,
+         |    coalesce(c.cluster_id, d.doc_id) AS ckey
+         |  FROM documents d
+         |  LEFT JOIN comp c ON d.doc_id = c.doc
+         |  LEFT JOIN csz z ON c.cluster_id = z.cluster_id),
+         |tt AS (SELECT CAST(sum(n_words) AS BIGINT) AS tot FROM wdoc),
+         |bkt AS (SELECT CAST(length(bin(k)) - 1 AS BIGINT) AS dup_bucket,
+         |    n_words, k, ckey FROM wdoc)
+         |SELECT dup_bucket,
+         |  CAST(2 ** dup_bucket AS BIGINT) AS k_min,
+         |  CAST(2 ** (dup_bucket + 1) - 1 AS BIGINT) AS k_max,
+         |  CAST(count(DISTINCT ckey) AS BIGINT) AS n_clusters,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_words) AS BIGINT) AS n_tokens,
+         |  round(sum(n_words) * 1.0 / tot, 6) AS token_share,
+         |  CAST(count(*) - count(DISTINCT ckey) AS BIGINT) AS excess_docs,
+         |  CAST((dup_bucket + 1) * sum(n_words) AS BIGINT) AS risk_tokens
+         |FROM bkt, tt GROUP BY dup_bucket, tot ORDER BY dup_bucket""".stripMargin
+    }) { (s, dir) =>
+      val comp = TextDedup.clusterLabels(s, dir)
+        .select(col("doc_id").as("cdoc"), col("cluster_id"), col("cluster_size"))
+      val wdoc = t(s, dir, "documents")
+        .select(col("doc_id"), size(wordsCol).cast("long").as("n_words"))
+        .join(comp, col("doc_id") === col("cdoc"), "left")
+        .select(col("n_words"),
+          coalesce(col("cluster_size"), lit(1L)).as("k"),
+          coalesce(col("cluster_id"), col("doc_id")).as("ckey"))
+      val tt = wdoc.agg(sum(col("n_words")).cast("long").as("tot"))
+      wdoc
+        .withColumn("dup_bucket", (length(bin(col("k"))) - 1).cast("long"))
+        .crossJoin(broadcast(tt))
+        .groupBy(col("dup_bucket"), col("tot"))
+        .agg(countDistinct(col("ckey")).cast("long").as("n_clusters"),
+          count(lit(1)).cast("long").as("n_docs"),
+          sum(col("n_words")).cast("long").as("n_tokens"))
+        .select(col("dup_bucket"),
+          pow(lit(2), col("dup_bucket")).cast("long").as("k_min"),
+          (pow(lit(2), col("dup_bucket") + 1) - 1).cast("long").as("k_max"),
+          col("n_clusters"), col("n_docs"), col("n_tokens"),
+          round(col("n_tokens") * lit(1.0) / col("tot"), 6).as("token_share"),
+          (col("n_docs") - col("n_clusters")).as("excess_docs"),
+          ((col("dup_bucket") + 1) * col("n_tokens")).as("risk_tokens"))
+        .orderBy(col("dup_bucket"))
+    },
+
     // ---- unigram log-probability quality score ----
     // The cheapest language-model proxy a curation pipeline runs: score
     // each doc by its mean token log-probability under the CORPUS unigram
