@@ -897,6 +897,89 @@ object SelectionOps {
           least(tot, lit(4) * col("toks")).as("final_alloc"),
           (tot - least(tot, lit(4) * col("toks"))).as("shortfall"))
         .orderBy(col("source"))
+    },
+
+    // ---- q340: UniMax language-budget allocation ----
+    // The THIRD mixture law next to q118/q321's temperature sampling and
+    // q323/q336's DoReMi: UniMax (Chung et al. 2023) walks languages in
+    // ASCENDING corpus size, gives each min(E·n_l, fair share of the
+    // remaining budget), and provably leaves every language past the
+    // first uncapped one on the SAME uniform share (once E·n_i exceeds
+    // the share, the share is invariant under its own subtraction and
+    // n is ascending). That closed form turns the paper's sequential
+    // loop into two windows over the per-language frame: the cap test
+    // is EXACT INTEGER arithmetic — E·n_i·(L−i+1) ≤ B − C_{i−1}, all
+    // BIGINT, no float ulp at the boundary — and capped = the running
+    // AND (min) of the raw flags, because a later raw flag computed
+    // from the all-capped premise is meaningless once any language
+    // breaks. B = ⌊3·T/2⌋ with E = 2 guarantees ≥1 uncapped language
+    // (Σ caps = 2T > B) so the uniform-share division is total. Scale:
+    // per-LANGUAGE frame — catalog-sized at 100 TB; the single-
+    // partition window is over ≤|langs| rows (the q321 posture), and
+    // the corpus pass is one hash-partial aggregate.
+    Q("q340_unimax_budget",
+      raw"""WITH tk AS (SELECT lang,
+         |    CAST(sum(len(string_split_regex(lower(trim(text)), '\s+'))) AS BIGINT)
+         |      AS toks
+         |  FROM documents GROUP BY lang),
+         |gl AS (SELECT CAST(count(*) AS BIGINT) AS nl,
+         |    (3 * CAST(sum(toks) AS BIGINT)) // 2 AS budget FROM tk),
+         |r AS (SELECT lang, toks, nl, budget,
+         |    CAST(row_number() OVER (ORDER BY toks, lang) AS BIGINT) AS rnk,
+         |    coalesce(CAST(sum(2 * toks) OVER (ORDER BY toks, lang
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+         |      CAST(0 AS BIGINT)) AS cum_prev
+         |  FROM tk, gl),
+         |f AS (SELECT *, 2 * toks * (nl - rnk + 1) <= budget - cum_prev
+         |    AS rawcap FROM r),
+         |c AS (SELECT *, min(CASE WHEN rawcap THEN 1 ELSE 0 END)
+         |    OVER (ORDER BY toks, lang
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
+         |    AS capped FROM f),
+         |kk AS (SELECT CAST(coalesce(sum(CASE WHEN capped THEN 1 END), 0)
+         |      AS BIGINT) AS k,
+         |    CAST(coalesce(sum(CASE WHEN capped THEN 2 * toks END), 0)
+         |      AS BIGINT) AS ck FROM c),
+         |a AS (SELECT c.*, k, ck,
+         |    CASE WHEN capped THEN 2 * toks
+         |      ELSE CAST(round(CAST(budget - ck AS DOUBLE) / (nl - k))
+         |        AS BIGINT) END AS alloc
+         |  FROM c, kk)
+         |SELECT lang, toks AS n_tokens, rnk, capped, alloc,
+         |  round(alloc * 1.0 / toks, 6) AS epochs,
+         |  round(alloc * 1.0 / budget, 6) AS weight
+         |FROM a ORDER BY rnk""".stripMargin) { (s, dir) =>
+      val tk = t(s, dir, "documents")
+        .select(col("lang"), size(wsCol).cast("long").as("nw"))
+        .groupBy(col("lang")).agg(sum(col("nw")).cast("long").as("toks"))
+      val gl = tk.agg(count(lit(1)).cast("long").as("nl"),
+          sum(col("toks")).cast("long").as("tot"))
+        .select(col("nl"), expr("3 * tot div 2").as("budget"))
+      val w = Window.orderBy(col("toks"), col("lang"))
+      val c = tk.crossJoin(broadcast(gl))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .withColumn("cum_prev",
+          coalesce(sum(lit(2) * col("toks"))
+            .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("rawcap",
+          lit(2) * col("toks") * (col("nl") - col("rnk") + 1) <=
+            col("budget") - col("cum_prev"))
+        .withColumn("capped",
+          min(when(col("rawcap"), 1).otherwise(0))
+            .over(w.rowsBetween(Window.unboundedPreceding, 0)) === 1)
+      val kk = c.agg(
+        coalesce(sum(when(col("capped"), 1L)), lit(0L)).cast("long").as("k"),
+        coalesce(sum(when(col("capped"), lit(2) * col("toks"))), lit(0L))
+          .cast("long").as("ck"))
+      val alloc = when(col("capped"), lit(2) * col("toks"))
+        .otherwise(round((col("budget") - col("ck")).cast("double")
+          / (col("nl") - col("k"))).cast("long"))
+      c.crossJoin(broadcast(kk))
+        .select(col("lang"), col("toks").as("n_tokens"), col("rnk"),
+          col("capped"), alloc.as("alloc"),
+          round(alloc * lit(1.0) / col("toks"), 6).as("epochs"),
+          round(alloc * lit(1.0) / col("budget"), 6).as("weight"))
+        .orderBy(col("rnk"))
     }
   )
 
