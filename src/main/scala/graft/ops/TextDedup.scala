@@ -155,8 +155,17 @@ object TextDedup {
   private val SeedMod = 2305843009213693951L
 
   def bandRows(shingles: DataFrame): DataFrame = {
+    val (numHashes, bandRowsN) = widths(shingles.sparkSession)
+    rebandedRows(signatureFrame(shingles, numHashes),
+      numHashes / bandRowsN, bandRowsN)
+  }
+
+  /** MinHash signature array (k min-aggregate slots) over a (doc_id, h1,
+    * h2) shingle frame — the map-side half of [[bandRows]], exposed
+    * separately so the S-curve audit (q341) can re-band ONE signature
+    * under alternative (bands × rows) splits. */
+  private[ops] def signatureFrame(shingles: DataFrame, numHashes: Int): DataFrame = {
     val s = shingles.sparkSession
-    val (numHashes, bandRowsN) = widths(s)
     graft.functions.GraftFunctions.register(s)
     // Signature = k declarative min(pmod(h1 + i*h2, p)) columns — the
     // MEASURED winner, kept on evidence over the one-buffer Aggregator
@@ -189,6 +198,14 @@ object TextDedup {
           .select(col("doc_id"),
             array((0 until numHashes).map(i => col(s"s$i")): _*).as("sig"))
       }
+    sig
+  }
+
+  /** Explode a (doc_id, sig) signature frame into (doc_id, band,
+    * k0..k{r-1}) band rows under an explicit (bands × rows) split — the
+    * q41 layout is the `widths(s)` instance, q341 runs every split of
+    * the same signature through here. */
+  private[ops] def rebandedRows(sig: DataFrame, numBands: Int, bandRowsN: Int): DataFrame = {
     // Band key = the r signature slots as r LONG columns (k0..k{r-1}),
     // NOT a '|'-concatenated string: the string was injective on decimal
     // longs, so componentwise equality is the SAME candidate predicate
@@ -197,7 +214,7 @@ object TextDedup {
     // doc_id + r longs, and the self-join hashes/compares fixed-width
     // longs instead of strings — on the funnel's largest shuffle (the
     // band exchange at k=64), measured in SCALE.md round 13.
-    val bandStructs = (0 until numHashes / bandRowsN).map { j =>
+    val bandStructs = (0 until numBands).map { j =>
       val slots = (0 until bandRowsN)
         .map(r => col("sig").getItem(j * bandRowsN + r).as(s"k$r"))
       struct(lit(j).as("band") +: slots: _*)
@@ -1110,8 +1127,142 @@ object TextDedup {
           levenshtein(col("pa"), col("pb")).cast("long").as("dist"))
         .filter(col("dist") <= 6)
         .orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    // ---- q341: LSH S-curve audit ----
+    // The dial-tuning report behind q41's (bands × rows) choice: every
+    // split of the SAME k=8 signature — (8,1), (4,2), (2,4), (1,8) —
+    // re-banded and run through the identical band equi-join, each
+    // config reporting measured candidates / recall / precision against
+    // the exact-Jaccard truth (s ≥ 0.5) NEXT TO the theory: the
+    // S-curve's predicted mean capture E[1−(1−sʳ)ᵇ] over the truth
+    // pairs and the 50%-capture similarity s₅₀ = (1/b)^(1/r). Because
+    // the band boundaries of the splits ALIGN (r=8 bands are unions of
+    // r=4 bands, and so on), agreement on a longer band implies
+    // agreement on its sub-bands — so the candidate sets are NESTED,
+    // C(1,8) ⊆ C(2,4) ⊆ C(4,2) ⊆ C(8,1), and measured recall/candidate
+    // counts are monotone by construction (pinned in LshScurveSpec).
+    // Numeric parity: sʳ and (1−sʳ)ᵇ are repeated MULTIPLICATION in
+    // both engines (never float pow — left-associated products are
+    // IEEE-identical), per-pair capture quantizes to DECIMAL(18,9)
+    // before the mean's sum (the q281/q317 fold rule), and s₅₀ is a
+    // Scala-computed literal embedded in both texts. Scale: each
+    // config's candidate join is q41's bounded band equi-join over the
+    // ONE cached signature (nested sets — no all-pairs anywhere); the
+    // exact side is the verify join the family already pays, and at
+    // 100 TB this audit runs on a sample slice to pick the dial before
+    // the full corpus pays for it (the SCALE.md mining-ladder
+    // discipline).
+    Q("q341_lsh_scurve", {
+      val sigCols = (0 until NumHashes)
+        .map(i => s"min((h1 + $i * h2) % 2305843009213693951) AS s$i")
+        .mkString(",\n    ")
+      def cfgSql(b: Int, r: Int): String = {
+        val bands = (0 until b).map { j =>
+          val key = (j * r until (j + 1) * r)
+            .map(i => s"CAST(s$i AS VARCHAR)").mkString(" || '|' || ")
+          s"SELECT doc_id, $j AS band, $key AS bkey FROM sig"
+        }.mkString("\n    UNION ALL ")
+        val sr = "(" + Seq.fill(r)("s").mkString(" * ") + ")"
+        val cap = "1.0 - " + Seq.fill(b)(s"(1.0 - $sr)").mkString(" * ")
+        s"""c${b}b AS (
+           |    $bands),
+           |c${b}p AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+           |  FROM c${b}b x JOIN c${b}b y
+           |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+           |c${b}a AS (SELECT CAST(count(*) AS BIGINT) AS n_candidates,
+           |    CAST(coalesce(sum(CASE WHEN coalesce(j.s, 0.0) >= 0.5
+           |      THEN 1 END), 0) AS BIGINT) AS n_true_cand
+           |  FROM c${b}p c LEFT JOIN jac j
+           |    ON c.doc_a = j.doc_a AND c.doc_b = j.doc_b),
+           |c${b}e AS (SELECT sum(CAST(round($cap, 9) AS DECIMAL(18,9))) AS ps
+           |  FROM truth)""".stripMargin
+      }
+      def cfgSel(b: Int, r: Int): String =
+        s"""SELECT CAST($b AS BIGINT) AS n_bands, CAST($r AS BIGINT) AS band_rows,
+           |  n_candidates, n_true_cand, t AS n_truth,
+           |  round(n_true_cand * 1.0 / t, 6) AS recall,
+           |  CASE WHEN n_candidates > 0
+           |    THEN round(n_true_cand * 1.0 / n_candidates, 6)
+           |    ELSE CAST(0.0 AS DOUBLE) END AS prec,
+           |  round(CAST(ps AS DOUBLE) / t, 6) AS pred_capture,
+           |  CAST(${scurveS50(b, r)} AS DOUBLE) AS s50
+           |FROM c${b}a, tcnt, c${b}e""".stripMargin
+      s"""$ShingleCte,
+         |sig AS (SELECT doc_id,
+         |    $sigCols
+         |  FROM sh GROUP BY doc_id),
+         |hs AS (SELECT doc_id, h1 AS h FROM sh),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM hs GROUP BY doc_id),
+         |inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS i
+         |  FROM hs x JOIN hs y ON x.h = y.h AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2),
+         |jac AS (SELECT doc_a, doc_b, i * 1.0 / (sa.n + sb.n - i) AS s
+         |  FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+         |  JOIN sizes sb ON doc_b = sb.doc_id),
+         |truth AS (SELECT s FROM jac WHERE s >= 0.5),
+         |tcnt AS (SELECT CAST(count(*) AS BIGINT) AS t FROM truth),
+         |${ScurveConfigs.map((cfgSql _).tupled).mkString(",\n")}
+         |${ScurveConfigs.map((cfgSel _).tupled).mkString("\nUNION ALL\n")}
+         |ORDER BY n_bands""".stripMargin
+    }) { (s, dir) =>
+      val capKey = s.conf.getOption("graft.textdedup.maxShingleDf").getOrElse("off")
+      val sig = CacheRegistry.cache(s, s"q341-sig:$dir:cap=$capKey:k=$NumHashes") {
+        signatureFrame(cappedShingleRows(s, dir), NumHashes)
+      }
+      // unthresholded exact Jaccard over every overlapping pair — the
+      // verify frame WITHOUT q42's ≥0.5 cut, so candidate precision can
+      // see the sub-threshold pairs each config lets through
+      val jacAll = CacheRegistry.cache(s, s"q341-jacall:$dir:cap=$capKey") {
+        val hs = cappedShingleRows(s, dir)
+          .select(col("doc_id"), col("h1").as("h"))
+        val sizes = hs.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        interCounts(hs)
+          .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+          .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+          .select(col("doc_a"), col("doc_b"),
+            (col("i") * lit(1.0) / (col("sa.n") + col("sb.n") - col("i")))
+              .as("s"))
+      }
+      val truth = jacAll.filter(col("s") >= 0.5)
+      val tcnt = truth.agg(count(lit(1)).cast("long").as("t"))
+      val rows = ScurveConfigs.map { case (b, r) =>
+        val cand = bandCandidates(rebandedRows(sig, b, r))
+        val agg = cand.join(jacAll, Seq("doc_a", "doc_b"), "left")
+          .agg(count(lit(1)).cast("long").as("n_candidates"),
+            coalesce(sum(when(coalesce(col("s"), lit(0.0)) >= 0.5, 1L)),
+              lit(0L)).cast("long").as("n_true_cand"))
+        val srCol = (1 until r).foldLeft(col("s")) { (a, _) => a * col("s") }
+        val failCol = (1 until b)
+          .foldLeft(lit(1.0) - srCol) { (a, _) => a * (lit(1.0) - srCol) }
+        val pred = truth.agg(
+          sum(round(lit(1.0) - failCol, 9).cast("decimal(18,9)")).as("ps"))
+        agg.crossJoin(broadcast(tcnt)).crossJoin(broadcast(pred))
+          .select(lit(b.toLong).as("n_bands"), lit(r.toLong).as("band_rows"),
+            col("n_candidates"), col("n_true_cand"), col("t").as("n_truth"),
+            round(col("n_true_cand") * lit(1.0) / col("t"), 6).as("recall"),
+            when(col("n_candidates") > 0,
+              round(col("n_true_cand") * lit(1.0) / col("n_candidates"), 6))
+              .otherwise(lit(0.0)).as("prec"),
+            round(col("ps").cast("double") / col("t"), 6).as("pred_capture"),
+            lit(scurveS50(b, r)).as("s50"))
+      }
+      rows.reduce(_ union _).orderBy(col("n_bands"))
     }
   )
+
+  /** q341's (bands × rows) splits of the k=8 signature, widest first.
+    * (A def, not a val — `qs` evaluates it during object init, before a
+    * later-declared val would be assigned.) */
+  private def ScurveConfigs: Seq[(Int, Int)] =
+    Seq((8, 1), (4, 2), (2, 4), (1, 8))
+
+  /** The S-curve's 50%-capture similarity (1/b)^(1/r), rounded at 6 dp
+    * in SCALA and embedded as the same literal in both engine texts —
+    * the one place q341 touches float pow, kept out of both plans. */
+  private def scurveS50(b: Int, r: Int): Double =
+    BigDecimal(math.pow(1.0 / b, 1.0 / r))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
   /** q180's candidate generator, reusable by ScaleBench: block docs on
     * (lang, first word, second word), drop blocks larger than `cap`
