@@ -372,6 +372,78 @@ object Governance {
         .select(md5(col("template")).as("fingerprint"), col("template"),
           col("n_queries"))
         .orderBy(col("template"))
+    },
+
+    // ---- q342: semantic eval-decontamination ----
+    // The EMBEDDING-side complement of q79/q222's n-gram screens: a
+    // paraphrased benchmark item shares no 3-gram with its leaked train
+    // copy, but its embedding sits next to it — so flag every train
+    // vector whose max cosine against the held-out eval slice (the
+    // q222 `% 97` convention) clears τ = 0.35, reporting the nearest
+    // eval item, both labels, and the label agreement that separates
+    // "semantic leak" from "benign same-topic neighbor". The argmax is
+    // one struct-max aggregate (cos, then LOWEST eval id on exact
+    // ties — the q315 discipline); the oracle reconstructs it as
+    // max + min-at-max, identical given identical doubles (both
+    // engines fold the 64-dim dot left-to-right: graft_dot vs
+    // list_sum(list_transform)). Scale: the eval side is a benchmark —
+    // fixed-size reference data — so it BROADCASTS and the 100 TB
+    // train side is probed map-side (|eval|·d FMA per row, partial
+    // struct-max combine, NO corpus shuffle; the q79 posture). If the
+    // eval suite itself were corpus-sized, the q335 IVF-blocked
+    // candidate route applies unchanged.
+    Q("q342_semantic_decontam", {
+      def cosSql(a: String, b: String) =
+        s"""(list_sum(list_transform(range(1, len($a) + 1),
+           |    i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))
+           | / (sqrt(list_sum(list_transform(range(1, len($a) + 1),
+           |    i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE))))
+           |  * sqrt(list_sum(list_transform(range(1, len($b) + 1),
+           |    i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))))))""".stripMargin
+      s"""WITH ev AS (SELECT vec_id AS eval_id, embedding AS ee, label AS eval_label
+         |  FROM embeddings WHERE vec_id % 97 = 0),
+         |tr AS (SELECT vec_id, embedding, label FROM embeddings
+         |  WHERE vec_id % 97 <> 0),
+         |pr AS (SELECT t.vec_id, t.label, v.eval_id, v.eval_label,
+         |    ${cosSql("t.embedding", "v.ee")} AS c
+         |  FROM tr t, ev v),
+         |m AS (SELECT vec_id, max(c) AS mc FROM pr GROUP BY vec_id),
+         |nb AS (SELECT pr.vec_id, pr.label, m.mc,
+         |    min(pr.eval_id) AS nearest_eval
+         |  FROM pr JOIN m ON pr.vec_id = m.vec_id AND pr.c = m.mc
+         |  GROUP BY 1, 2, 3)
+         |SELECT CAST(nb.vec_id AS BIGINT) AS vec_id,
+         |  CAST(nb.label AS BIGINT) AS label,
+         |  CAST(nb.nearest_eval AS BIGINT) AS nearest_eval,
+         |  CAST(ev.eval_label AS BIGINT) AS eval_label,
+         |  nb.label = ev.eval_label AS same_label,
+         |  round(nb.mc, 6) AS cos_sim
+         |FROM nb JOIN ev ON nb.nearest_eval = ev.eval_id
+         |WHERE nb.mc >= 0.35
+         |ORDER BY cos_sim DESC, vec_id""".stripMargin
+    }) { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      val emb = VectorSearch.embTable(s, dir)
+      val ev = broadcast(emb.filter(col("vec_id") % 97 === 0)
+        .select(col("vec_id").as("eval_id"), col("embedding").as("ee"),
+          col("label").as("eval_label")))
+      val cos = VectorSearch.dotExpr("embedding", "ee") /
+        (VectorSearch.normExpr("embedding") * VectorSearch.normExpr("ee"))
+      emb.filter(col("vec_id") % 97 =!= 0)
+        .crossJoin(ev)
+        .select(col("vec_id"), col("label"), col("eval_id"),
+          col("eval_label"), cos.as("c"))
+        .groupBy(col("vec_id"), col("label"))
+        .agg(max(struct(col("c"),
+          (-col("eval_id")).as("nid"), col("eval_label").as("el"))).as("m"))
+        .filter(col("m.c") >= 0.35)
+        .select(col("vec_id").cast("long").as("vec_id"),
+          col("label").cast("long").as("label"),
+          (-col("m.nid")).cast("long").as("nearest_eval"),
+          col("m.el").cast("long").as("eval_label"),
+          (col("label") === col("m.el")).as("same_label"),
+          round(col("m.c"), 6).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id"))
     }
   )
 }
