@@ -62,6 +62,41 @@ object Governance {
   private def contamination(s: SparkSession, dir: String): DataFrame =
     contaminationFor(TextDedup.shingleRows(s, dir))
 
+  /** Per-train-vector max cosine against the `% 97` eval slice, with
+    * the argmax carried in a struct-max (cos, then LOWEST eval id on
+    * exact ties, then the winner's label) — the shared engine of q342's
+    * threshold report and q343's composed decision. The eval side is
+    * benchmark-sized, so it broadcasts and the train side is probed
+    * map-side (partial struct-max combine, no corpus shuffle). */
+  private def semanticMaxCos(s: SparkSession, dir: String): DataFrame = {
+    val emb = VectorSearch.embTable(s, dir)
+    semanticScreenFor(
+      emb.filter(col("vec_id") % 97 =!= 0),
+      emb.filter(col("vec_id") % 97 === 0)
+        .select(col("vec_id").as("eval_id"), col("embedding").as("ee"),
+          col("label").as("eval_label")))
+  }
+
+  /** The max-cos screen over ANY (vec_id, embedding, label) train frame
+    * against ANY (eval_id, ee, eval_label) benchmark frame — the batch Q
+    * binds the `% 97` split of the embeddings table; the streaming
+    * composition (StreamingSemanticDecontamSpec) feeds per-batch vectors
+    * against the same pinned benchmark. A row's max-cos depends only on
+    * itself and the STATIC eval side, so per-batch screen rows are
+    * exactly the batch-global ones (the q325 statelessness). */
+  private[graft] def semanticScreenFor(train: DataFrame, eval0: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(train.sparkSession)
+    val cos = VectorSearch.dotExpr("embedding", "ee") /
+      (VectorSearch.normExpr("embedding") * VectorSearch.normExpr("ee"))
+    train
+      .crossJoin(broadcast(eval0))
+      .select(col("vec_id"), col("label"), col("eval_id"),
+        col("eval_label"), cos.as("c"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(max(struct(col("c"),
+        (-col("eval_id")).as("nid"), col("eval_label").as("el"))).as("m"))
+  }
+
   /** The k-anonymity audit over ANY equivalence-class count frame (any
     * grouping columns + a `cnt` column) — the batch Q feeds it the
     * one-scan customer aggregate; the streaming composition
@@ -91,10 +126,16 @@ object Governance {
     val train = grams.filter(col("doc_id") % 97 =!= 0)
     val hits = train.join(eval_, Seq("h1", "h2"), "left_semi")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+    // LEFT join so zero-hit docs surface with n_hit = 0 — q222 filters
+    // them out (n_hit > 0, output unchanged), but the composed decision
+    // (q343) needs every train doc: a lexically-clean doc can still be
+    // semantically contaminated.
     train.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
-      .join(hits, Seq("doc_id"))
-      .select(col("doc_id"), col("n_grams"), col("n_hit"),
-        round(col("n_hit") * lit(1.0) / col("n_grams"), 6).as("ratio"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        round(coalesce(col("n_hit"), lit(0L)) * lit(1.0) / col("n_grams"), 6)
+          .as("ratio"))
       .orderBy(col("ratio").desc, col("doc_id"))
   }
 
@@ -422,20 +463,7 @@ object Governance {
          |WHERE nb.mc >= 0.35
          |ORDER BY cos_sim DESC, vec_id""".stripMargin
     }) { (s, dir) =>
-      graft.functions.GraftFunctions.register(s)
-      val emb = VectorSearch.embTable(s, dir)
-      val ev = broadcast(emb.filter(col("vec_id") % 97 === 0)
-        .select(col("vec_id").as("eval_id"), col("embedding").as("ee"),
-          col("label").as("eval_label")))
-      val cos = VectorSearch.dotExpr("embedding", "ee") /
-        (VectorSearch.normExpr("embedding") * VectorSearch.normExpr("ee"))
-      emb.filter(col("vec_id") % 97 =!= 0)
-        .crossJoin(ev)
-        .select(col("vec_id"), col("label"), col("eval_id"),
-          col("eval_label"), cos.as("c"))
-        .groupBy(col("vec_id"), col("label"))
-        .agg(max(struct(col("c"),
-          (-col("eval_id")).as("nid"), col("eval_label").as("el"))).as("m"))
+      semanticMaxCos(s, dir)
         .filter(col("m.c") >= 0.35)
         .select(col("vec_id").cast("long").as("vec_id"),
           col("label").cast("long").as("label"),
@@ -444,6 +472,84 @@ object Governance {
           (col("label") === col("m.el")).as("same_label"),
           round(col("m.c"), 6).as("cos_sim"))
         .orderBy(col("cos_sim").desc, col("vec_id"))
+    },
+
+    // ---- q343: composed decontamination decision ----
+    // The drop list a pipeline actually executes (the q138/q320/q337
+    // composition discipline): lexical and semantic screens UNIONED per
+    // train doc, with the per-doc audit reason. Lexical = q222's
+    // distinct-3-gram overlap at the aggressive ≥ 0.5 bar (half the
+    // doc's grams appear in the eval partition — the near-copy regime);
+    // semantic = q342's max-cos screen at 0.35, joined on doc_id =
+    // vec_id (only a sample of docs carries embeddings — the realistic
+    // shape — so `has_emb` records which docs the semantic screen even
+    // saw, and max_cos uses a −2.0 sentinel outside [−1, 1] for the
+    // rest). Both flags compare RAW doubles — identical in both
+    // engines — never the 6-dp presentation rounding. Scale: the gram
+    // side rides the dedup family's memoized shingle cache + broadcast
+    // eval probe (q222's plan), the semantic side the broadcast
+    // struct-max (q342's plan), and the join keys doc-ids — one narrow
+    // exchange over the FLAGGED subset at worst; nothing new shuffles
+    // at 100 TB.
+    Q("q343_decontam_decision", {
+      def cosSql(a: String, b: String) =
+        s"""(list_sum(list_transform(range(1, len($a) + 1),
+           |    i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))
+           | / (sqrt(list_sum(list_transform(range(1, len($a) + 1),
+           |    i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE))))
+           |  * sqrt(list_sum(list_transform(range(1, len($b) + 1),
+           |    i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))))))""".stripMargin
+      raw"""WITH w AS (SELECT doc_id,
+         |    string_split_regex(lower(trim(text)), '\s+') AS words
+         |  FROM documents),
+         |g0 AS (SELECT doc_id, unnest(CASE WHEN len(words) >= 3 THEN
+         |    list_transform(range(1, len(words) - 1),
+         |      i -> concat_ws(' ', words[i], words[i+1], words[i+2]))
+         |    ELSE [] END) AS g FROM w),
+         |g AS (SELECT DISTINCT doc_id, g FROM g0),
+         |evg AS (SELECT DISTINCT g FROM g WHERE doc_id % 97 = 0),
+         |tr AS (SELECT doc_id, count(*) AS n_grams,
+         |    count(CASE WHEN g IN (SELECT g FROM evg) THEN 1 END) AS n_hit
+         |  FROM g WHERE doc_id % 97 <> 0 GROUP BY doc_id),
+         |ev AS (SELECT vec_id AS eval_id, embedding AS ee
+         |  FROM embeddings WHERE vec_id % 97 = 0),
+         |pr AS (SELECT t.vec_id, ${cosSql("t.embedding", "v.ee")} AS c
+         |  FROM (SELECT vec_id, embedding FROM embeddings
+         |        WHERE vec_id % 97 <> 0) t, ev v),
+         |m AS (SELECT vec_id, max(c) AS mc FROM pr GROUP BY vec_id),
+         |j AS (SELECT tr.doc_id, tr.n_grams, tr.n_hit,
+         |    tr.n_hit * 1.0 / tr.n_grams AS lr,
+         |    m.vec_id IS NOT NULL AS has_emb, m.mc AS mc
+         |  FROM tr LEFT JOIN m ON tr.doc_id = m.vec_id),
+         |f AS (SELECT *, lr >= 0.5 AS lex_flag,
+         |    coalesce(mc >= 0.35, FALSE) AS sem_flag FROM j)
+         |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         |  CAST(n_grams AS BIGINT) AS n_grams,
+         |  CAST(n_hit AS BIGINT) AS n_hit,
+         |  round(lr, 6) AS lex_ratio, has_emb,
+         |  round(coalesce(mc, -2.0), 6) AS max_cos,
+         |  CASE WHEN lex_flag AND sem_flag THEN 'lexical+semantic'
+         |       WHEN lex_flag THEN 'lexical'
+         |       ELSE 'semantic' END AS reason
+         |FROM f WHERE lex_flag OR sem_flag
+         |ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      val lex = contamination(s, dir)
+      val sem = semanticMaxCos(s, dir)
+        .select(col("vec_id"), col("m.c").as("mc"))
+      val lr = col("n_hit") * lit(1.0) / col("n_grams")
+      val lexFlag = lr >= 0.5
+      val semFlag = coalesce(col("mc") >= 0.35, lit(false))
+      lex.join(sem, col("doc_id") === col("vec_id"), "left")
+        .filter(lexFlag || semFlag)
+        .select(col("doc_id"), col("n_grams"), col("n_hit"),
+          round(lr, 6).as("lex_ratio"),
+          col("vec_id").isNotNull.as("has_emb"),
+          round(coalesce(col("mc"), lit(-2.0)), 6).as("max_cos"),
+          when(lexFlag && semFlag, lit("lexical+semantic"))
+            .when(lexFlag, lit("lexical"))
+            .otherwise(lit("semantic")).as("reason"))
+        .orderBy(col("doc_id"))
     }
   )
 }
