@@ -268,7 +268,7 @@ object ScaleBench {
     // accepted but missing from the hand-written list)
     val knownPhases = Set("all", "postloop", "semdedup", "image", "spans",
       "events", "cc", "contam", "triangles", "minhash", "funnel", "pq", "nprobe",
-      "codec", "selection", "bloom", "mining", "layout")
+      "codec", "selection", "bloom", "mining", "layout", "semdecon")
     require(knownPhases.contains(phaseSel),
       s"SPARK_GRAFT_SCALE_PHASES must be one of ${knownPhases.toSeq.sorted.mkString("'", "', '", "'")}," +
         s" got '$phaseSel' (a typo would silently skip corpus generation)")
@@ -284,6 +284,31 @@ object ScaleBench {
     // doc state — the table to pin is docs/s flat across sizes (linear
     // scaling) and shuffle ≈ the narrow audit rows only (a handful of
     // integers per doc; the final ORDER BY is the only exchange).
+    // ---- q342/q343 semantic decontamination: fixed benchmark, growing
+    // corpus. The production regime: the eval side is a CONSTANT-size
+    // broadcast (here the first 500 clustered vectors) while the train
+    // side doubles — the table to pin is docs/s FLAT across sizes (each
+    // row pays |eval|·d FMA map-side, no corpus shuffle; the only
+    // exchange is the struct-max partial combine's one narrow row per
+    // vec). rows_out grows with the corpus on the clustered generator
+    // (every cluster near an eval cluster keeps flagging) — the cost
+    // column is the claim, not the flag count.
+    if (phaseSel == "semdecon") {
+      sizes.foreach { n =>
+        val dir = s"$root/n$n"
+        genEmbeddings(spark, n, dir, ClusteredEmbExpr)
+        val emb = schema.Tables.t(spark, dir, "embeddings")
+        val ev = emb.filter(col("vec_id") < 500)
+          .select(col("vec_id").as("eval_id"), col("embedding").as("ee"),
+            col("label").as("eval_label"))
+        val train = emb.filter(col("vec_id") >= 500)
+        phase("semdecon_screen", n) {
+          ops.Governance.semanticScreenFor(train, ev)
+            .filter(col("m.c") >= 0.35).count()
+        }
+      }
+      spark.stop(); return
+    }
     if (phaseSel == "codec") {
       sizes.foreach { n =>
         val dir = s"$root/n$n"
