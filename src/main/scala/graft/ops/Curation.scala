@@ -1345,8 +1345,85 @@ object Curation {
             - least(col("r1"), col("r2"), col("r3"))).as("spread"))
         .orderBy(col("borda"), col("doc_id"))
         .limit(20)
+    },
+
+    // ---- q345: trailing-loop (degenerate repetition) detector ----
+    // The decoding-artifact filter a synthetic-data pipeline runs that
+    // q318's Gopher fractions don't capture: a model stuck in a loop
+    // emits a PERIODIC suffix ("... the the the", "... yes no yes no"),
+    // so for each period p ∈ 1..8 find the longest trailing run where
+    // every word equals the word p back — m_p = n−1−max{mismatch i},
+    // all EXACT integer arithmetic — and count a loop only when the
+    // matched run covers ≥ one full extra period (L_p = m_p + p iff
+    // m_p ≥ p, else 0). The report is the top 20 by loop fraction with
+    // the best (longest-loop, then smallest) period; the argmax is the
+    // struct-max / min-at-max pair both engines compute identically on
+    // integers. The mismatch max is let-bound through a one-element
+    // transform (the q318 CollapseProject discipline) so the scan runs
+    // once per (doc, p). Scale: doc-local — the only exchange is the
+    // 8-row-per-doc best-period aggregate and the top-k
+    // TakeOrderedAndProject; no join, no corpus shuffle.
+    Q("q345_suffix_loop", {
+      def lp(p: Int): String =
+        s"""CASE WHEN n > $p THEN
+           |  list_transform([coalesce(list_max(list_transform(range($p + 1, n + 1),
+           |      i -> CASE WHEN w[i] != w[i - $p] THEN i ELSE $p END)), $p)],
+           |    mm -> CASE WHEN n - mm >= $p THEN n - mm + $p ELSE 0 END)[1]
+           |ELSE 0 END""".stripMargin
+      val plRows = (1 to 8).map(p =>
+        s"SELECT doc_id, n, $p AS p, CAST(${lp(p)} AS BIGINT) AS l FROM wn")
+        .mkString("\n  UNION ALL ")
+      raw"""WITH wn AS (SELECT doc_id,
+         |    string_split_regex(lower(trim(text)), '\s+') AS w,
+         |    len(string_split_regex(lower(trim(text)), '\s+')) AS n
+         |  FROM documents),
+         |pl AS (
+         |  $plRows),
+         |b AS (SELECT doc_id, max(l) AS ml FROM pl GROUP BY doc_id),
+         |c AS (SELECT pl.doc_id, CAST(min(pl.p) AS BIGINT) AS best_period,
+         |    b.ml AS loop_words, CAST(max(pl.n) AS BIGINT) AS n_words
+         |  FROM pl JOIN b ON pl.doc_id = b.doc_id AND pl.l = b.ml
+         |  GROUP BY 1, 3)
+         |SELECT doc_id, n_words, best_period, loop_words,
+         |  round(loop_words * 1.0 / n_words, 6) AS loop_frac
+         |FROM c
+         |ORDER BY loop_words * 1.0 / n_words DESC, doc_id
+         |LIMIT 20""".stripMargin
+    }) { (s, dir) =>
+      suffixLoopReport(t(s, dir, "documents")).limit(20)
     }
   )
+
+  /** q345's per-document loop report over ANY (doc_id, text) frame —
+    * exposed so the spec can plant synthetic periodic suffixes next to
+    * the real-corpus sequential reference. Ordered, UNLIMITED — the
+    * batch Q takes the top 20. */
+  def suffixLoopReport(docs: DataFrame): DataFrame = {
+    def lp(p: Int): String =
+      s"""CASE WHEN n > $p THEN
+         |  transform(array(array_max(transform(sequence($p, n - 1),
+         |      i -> IF(w[i] != w[i - $p], i, ${p - 1})))),
+         |    mm -> IF(n - 1 - mm >= $p, n - 1 - mm + $p, CAST(0 AS INT)))[0]
+         |ELSE 0 END""".stripMargin
+    val pl = docs
+      .select(col("doc_id"), wordsCol.as("w"), size(wordsCol).as("n"))
+      .select(col("doc_id"), col("n"),
+        explode(array((1 to 8).map(p =>
+          struct(lit(p).as("p"), expr(lp(p)).cast("long").as("l"))): _*))
+          .as("pl"))
+      .select(col("doc_id"), col("n"),
+        col("pl.p").as("p"), col("pl.l").as("l"))
+    pl.groupBy(col("doc_id"))
+      .agg(max(col("n")).cast("long").as("n_words"),
+        max(struct(col("l"), (-col("p")).as("np"), col("p").as("pp")))
+          .as("m"))
+      .select(col("doc_id"), col("n_words"),
+        col("m.pp").cast("long").as("best_period"),
+        col("m.l").as("loop_words"),
+        round(col("m.l") * lit(1.0) / col("n_words"), 6).as("loop_frac"))
+      .orderBy((col("loop_words") * lit(1.0) / col("n_words")).desc,
+        col("doc_id"))
+  }
 
   /** q116's chunker over ANY (doc_id, text) frame: fixed 25-word windows
     * every 10 words, each md5-fingerprinted — pure map-side explode, so a
