@@ -980,6 +980,156 @@ object SelectionOps {
           round(alloc * lit(1.0) / col("toks"), 6).as("epochs"),
           round(alloc * lit(1.0) / col("budget"), 6).as("weight"))
         .orderBy(col("rnk"))
+    },
+
+    // ---- q346: mixture-law comparison table ----
+    // The one frame a pretraining planner actually looks at before
+    // choosing a mixture: per source, the THREE laws the suite verifies
+    // side by side — temperature (q321/q338's √tokens with the
+    // DECIMAL(18,9)-quantized normalizer), DoReMi (q336's three-round
+    // averaged Group-DRO mixture off the shared LM scores), and UniMax
+    // (q340's water-filling applied to SOURCES at its canonical
+    // B = ⌊3T/2⌋, E = 2 dial — each law keeps its own dial, the
+    // comparison is of SHAPES) — plus the max−min weight spread, the
+    // disagreement column. Spread is computed on the ROUNDED weights so
+    // both engines compare identical 6-dp values. Scale: everything
+    // downstream of the (registry-shared) LM scores is arithmetic on
+    // ≤|sources|-row frames — catalog-sized; the corpus passes are the
+    // token count and the SAME pplDocScores frame q317/q320/q323/q336
+    // already persist.
+    Q("q346_mixture_compare", {
+      def mwRound(t: Int): String = {
+        val carry = (0 until t).map(i => s"w$i, ").mkString
+        s"""r${t}a AS (SELECT source, excess, tot, k, $carry
+           |    CAST(round(CAST(w${t - 1} AS DOUBLE) * exp(excess), 9)
+           |      AS DECIMAL(18,9)) AS raw
+           |  FROM r${t - 1}),
+           |r${t}z AS (SELECT sum(raw) AS zz FROM r${t}a),
+           |r$t AS (SELECT source, excess, tot, k, $carry
+           |    CAST(round(0.99 * CAST(raw AS DOUBLE) / CAST(zz AS DOUBLE)
+           |      + 0.01 / k, 9) AS DECIMAL(18,9)) AS w$t
+           |  FROM r${t}a, r${t}z)""".stripMargin
+      }
+      raw"""WITH ${duckPplChain("documents")},
+         |sa AS (SELECT d.source, CAST(sum(a.n_pairs) AS BIGINT) AS pairs,
+         |    sum(a.ll) AS llsum
+         |  FROM agg a JOIN documents d USING (doc_id) GROUP BY 1),
+         |tt AS (SELECT CAST(sum(pairs) AS BIGINT) AS tot,
+         |    CAST(count(*) AS BIGINT) AS k FROM sa),
+         |rr AS (SELECT -CAST(llsum AS DOUBLE) / pairs AS ce_ref
+         |  FROM sa WHERE source = 'src0'),
+         |r0 AS (SELECT sa.source, tot, k,
+         |    greatest(0.0, -CAST(llsum AS DOUBLE) / pairs - ce_ref) AS excess,
+         |    CAST(round(CAST(pairs AS DOUBLE) / tot, 9) AS DECIMAL(18,9)) AS w0
+         |  FROM sa, tt, rr),
+         |${(1 to 3).map(mwRound).mkString(",\n")},
+         |dor AS (SELECT source, CAST(w1 + w2 + w3 AS DOUBLE) / 3 AS wd FROM r3),
+         |tk AS (SELECT source,
+         |    CAST(sum(len(string_split_regex(lower(trim(text)), '\s+'))) AS BIGINT)
+         |      AS toks
+         |  FROM documents GROUP BY source),
+         |tq AS (SELECT source, toks,
+         |    CAST(round(sqrt(CAST(toks AS DOUBLE)), 9) AS DECIMAL(18,9)) AS rawq
+         |  FROM tk),
+         |zq AS (SELECT sum(rawq) AS zt FROM tq),
+         |gl AS (SELECT CAST(count(*) AS BIGINT) AS nl,
+         |    (3 * CAST(sum(toks) AS BIGINT)) // 2 AS budget FROM tk),
+         |ur AS (SELECT source, toks, nl, budget,
+         |    CAST(row_number() OVER (ORDER BY toks, source) AS BIGINT) AS rnk,
+         |    coalesce(CAST(sum(2 * toks) OVER (ORDER BY toks, source
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+         |      CAST(0 AS BIGINT)) AS cum_prev
+         |  FROM tk, gl),
+         |uf AS (SELECT *, 2 * toks * (nl - rnk + 1) <= budget - cum_prev
+         |    AS rawcap FROM ur),
+         |uc AS (SELECT *, min(CASE WHEN rawcap THEN 1 ELSE 0 END)
+         |    OVER (ORDER BY toks, source
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
+         |    AS capped FROM uf),
+         |uk AS (SELECT CAST(coalesce(sum(CASE WHEN capped THEN 1 END), 0)
+         |      AS BIGINT) AS ck_n,
+         |    CAST(coalesce(sum(CASE WHEN capped THEN 2 * toks END), 0)
+         |      AS BIGINT) AS ck_t FROM uc),
+         |ua AS (SELECT uc.source,
+         |    CASE WHEN capped THEN 2 * toks
+         |      ELSE CAST(round(CAST(budget - ck_t AS DOUBLE) / (nl - ck_n))
+         |        AS BIGINT) END AS alloc, budget
+         |  FROM uc, uk),
+         |fin AS (SELECT tq.source, tq.toks,
+         |    round(CAST(tq.rawq AS DOUBLE) / CAST(zq.zt AS DOUBLE), 6) AS w_temp,
+         |    round(dor.wd, 6) AS w_doremi,
+         |    round(ua.alloc * 1.0 / ua.budget, 6) AS w_unimax
+         |  FROM tq JOIN dor ON tq.source = dor.source
+         |    JOIN ua ON tq.source = ua.source, zq)
+         |SELECT source, toks, w_temp, w_doremi, w_unimax,
+         |  round(greatest(w_temp, w_doremi, w_unimax)
+         |    - least(w_temp, w_doremi, w_unimax), 6) AS spread
+         |FROM fin ORDER BY source""".stripMargin
+    }) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      // DoReMi averaged mixture — the q336 construction off the shared
+      // LM-score frame
+      val sc = pplDocScores(docs, "src0")
+      val sa = sc.groupBy(col("source"))
+        .agg(sum(col("n_pairs")).cast("long").as("pairs"),
+          sum(col("ll")).as("llsum"))
+      val ce = -col("llsum").cast("double") / col("pairs")
+      val tot = sa.agg(sum(col("pairs")).cast("long").as("tot"),
+        count(lit(1)).cast("long").as("k"))
+      val ref = sa.filter(col("source") === "src0").select(ce.as("ce_ref"))
+      var cur = sa.crossJoin(broadcast(tot)).crossJoin(broadcast(ref))
+        .select(col("source"), col("tot"), col("k"),
+          greatest(lit(0.0), ce - col("ce_ref")).as("excess"),
+          round(col("pairs").cast("double") / col("tot"), 9)
+            .cast("decimal(18,9)").as("w"))
+        .withColumn("w0", col("w"))
+      (1 to 3).foreach { t => cur = doremiRound(cur).withColumn(s"w$t", col("w")) }
+      val dor = cur.select(col("source"),
+        ((col("w1") + col("w2") + col("w3")).cast("double") / 3).as("wd"))
+      // temperature weight with the decimal-quantized normalizer
+      val tk = docs.select(col("source"), size(wsCol).cast("long").as("nw"))
+        .groupBy(col("source")).agg(sum(col("nw")).cast("long").as("toks"))
+      val tq = tk.withColumn("rawq",
+        round(sqrt(col("toks").cast("double")), 9).cast("decimal(18,9)"))
+      val zq = tq.agg(sum(col("rawq")).as("zt"))
+      // UniMax over sources — the q340 window chain on the source key
+      val gl = tk.agg(count(lit(1)).cast("long").as("nl"),
+          sum(col("toks")).cast("long").as("tot"))
+        .select(col("nl"), expr("3 * tot div 2").as("budget"))
+      val w = Window.orderBy(col("toks"), col("source"))
+      val uc = tk.crossJoin(broadcast(gl))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .withColumn("cum_prev",
+          coalesce(sum(lit(2) * col("toks"))
+            .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("rawcap",
+          lit(2) * col("toks") * (col("nl") - col("rnk") + 1) <=
+            col("budget") - col("cum_prev"))
+        .withColumn("capped",
+          min(when(col("rawcap"), 1).otherwise(0))
+            .over(w.rowsBetween(Window.unboundedPreceding, 0)) === 1)
+      val uk = uc.agg(
+        coalesce(sum(when(col("capped"), 1L)), lit(0L)).cast("long").as("ck_n"),
+        coalesce(sum(when(col("capped"), lit(2) * col("toks"))), lit(0L))
+          .cast("long").as("ck_t"))
+      val ualloc = when(col("capped"), lit(2) * col("toks"))
+        .otherwise(round((col("budget") - col("ck_t")).cast("double")
+          / (col("nl") - col("ck_n"))).cast("long"))
+      val ua = uc.crossJoin(broadcast(uk))
+        .select(col("source"), ualloc.as("alloc"), col("budget"))
+      tq.crossJoin(broadcast(zq))
+        .join(dor, Seq("source"))
+        .join(ua, Seq("source"))
+        .select(col("source"), col("toks"),
+          round(col("rawq").cast("double") / col("zt").cast("double"), 6)
+            .as("w_temp"),
+          round(col("wd"), 6).as("w_doremi"),
+          round(col("alloc") * lit(1.0) / col("budget"), 6).as("w_unimax"))
+        .select(col("*"),
+          round(greatest(col("w_temp"), col("w_doremi"), col("w_unimax"))
+            - least(col("w_temp"), col("w_doremi"), col("w_unimax")), 6)
+            .as("spread"))
+        .orderBy(col("source"))
     }
   )
 
