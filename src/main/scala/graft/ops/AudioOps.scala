@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.functions._
 import graft.Q
-import graft.schema.Tables.t
+import graft.schema.Tables.{t, tSpread}
 
 /** Sample-level audio operators — the PCM half of the multimodal story,
   * closing the audio frame-level gap the way [[ImageOps]] closed the
@@ -165,7 +165,7 @@ object AudioOps {
       dir: String) =
     CacheRegistry.cache(s, s"q145-audiofp:$dir") {
       import s.implicits._
-      t(s, dir, "documents")
+      tSpread(s, dir, "documents")
         .select(col("doc_id"), col("text"))
         .as[(Long, String)]
         .mapPartitions(_.map { case (id, text) =>
@@ -216,7 +216,7 @@ object AudioOps {
          |FROM agg JOIN fp ON agg.doc_id = fp.doc_id
          |ORDER BY agg.doc_id""".stripMargin) { (s, dir) =>
       import s.implicits._
-      t(s, dir, "documents")
+      tSpread(s, dir, "documents")
         .select(col("doc_id"), col("text"))
         .as[(Long, String)]
         .mapPartitions { it =>

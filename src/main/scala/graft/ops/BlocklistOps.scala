@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.functions._
 import graft.Q
-import graft.schema.Tables.t
+import graft.schema.Tables.{t, tSpread}
 
 /** Multi-pattern blocklist filtering — the UT1-blocklist stage of crawl
   * curation (CCNet and RefinedWeb both gate documents/URLs on large
@@ -134,7 +134,7 @@ object BlocklistOps {
          |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
       import s.implicits._
       val ac = new AhoCorasick(Patterns)
-      t(s, dir, "documents")
+      tSpread(s, dir, "documents")
         .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
         .as[(Long, String)]
         .mapPartitions(_.map { case (id, text) =>

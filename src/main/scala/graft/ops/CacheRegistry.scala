@@ -107,6 +107,7 @@ object CacheRegistry {
   def clear(s: SparkSession): Unit = {
     cached.keys.filter(_._1 eq s).foreach(drop)
     Loops.releaseAll(s.sparkContext)
+    graft.schema.Tables.invalidate(s)
   }
 
   /** Number of live cached frames for a session (test/diagnostic hook). */

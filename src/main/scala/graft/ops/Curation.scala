@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Q
+import graft.ops.Loops._
 import graft.schema.Tables.t
 
 /** Training-data curation operators beyond the dedup/analysis families:
@@ -1109,10 +1110,16 @@ object Curation {
            |  CASE WHEN f.rkeep = 1 AND f.dup_loser = 0 THEN w.weight END AS weight
            |FROM flags f LEFT JOIN wt w USING (source)
            |ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      val docs = t(s, dir, "documents")
+      val docs = graft.schema.Tables.tSpread(s, dir, "documents")
+      // Pinned (OPTIMIZATION_r16): the rule/fp frame feeds keepers, both
+      // sides of the dup-loser join, the per-source counts AND the final
+      // projection -- the tokenization-heavy ruleFlags pass ran up to 4x.
+      // One eager localCheckpoint of the narrow per-doc flag rows runs it
+      // once; every downstream aggregate is integer counts / min.
       val rules = TextAnalysis.ruleFlags(docs)
         .select(col("doc_id"), col("source"), md5(col("text")).as("fp"),
           col("keep").as("rkeep"), col("reasons"))
+        .pin()
       val keepers = rules.filter(col("rkeep") === 1)
         .groupBy(col("fp")).agg(min(col("doc_id")).as("keeper"))
       val flags = rules.join(keepers, Seq("fp"), "left")

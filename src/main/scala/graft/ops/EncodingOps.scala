@@ -3,7 +3,7 @@ package graft.ops
 import java.nio.charset.StandardCharsets.{ISO_8859_1, UTF_8, UTF_16BE, UTF_16LE}
 import org.apache.spark.sql.functions._
 import graft.Q
-import graft.schema.Tables.t
+import graft.schema.Tables.{t, tSpread}
 
 /** Character-encoding triage — the chardet/ftfy stage of crawl ingest,
   * between [[WarcOps]] (bytes off the wire) and every text operator:
@@ -152,7 +152,7 @@ object EncodingOps {
          |FROM documents
          |ORDER BY doc_id""".stripMargin) { (s, dir) =>
       import s.implicits._
-      t(s, dir, "documents")
+      tSpread(s, dir, "documents")
         .select(col("doc_id"), col("text"))
         .as[(Long, String)]
         .mapPartitions(_.map { case (id, text) =>
@@ -178,7 +178,7 @@ object EncodingOps {
          |FROM documents
          |ORDER BY doc_id""".stripMargin) { (s, dir) =>
       import s.implicits._
-      t(s, dir, "documents")
+      tSpread(s, dir, "documents")
         .select(col("doc_id"), col("text"))
         .as[(Long, String)]
         .mapPartitions(_.map { case (id, text) =>

@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.functions._
 import graft.Q
-import graft.schema.Tables.t
+import graft.schema.Tables.{t, tSpread}
 
 /** H.264/AVC (ITU-T H.264 / ISO 14496-10) Annex B elementary-stream demux
   * — the compressed-video container gap named in the round-13 verdict's
@@ -397,7 +397,7 @@ object H264Ops {
          |FROM d JOIN agg USING (doc_id) JOIN chk USING (doc_id)
          |ORDER BY doc_id""".stripMargin) { (s, dir) =>
       import s.implicits._
-      t(s, dir, "documents")
+      tSpread(s, dir, "documents")
         .select(col("doc_id"))
         .as[Long]
         .mapPartitions(_.map { id =>
@@ -440,7 +440,7 @@ object H264Ops {
          |FROM d JOIN kagg USING (doc_id) JOIN kchk USING (doc_id)
          |ORDER BY doc_id""".stripMargin) { (s, dir) =>
       import s.implicits._
-      t(s, dir, "documents")
+      tSpread(s, dir, "documents")
         .select(col("doc_id"))
         .as[Long]
         .mapPartitions(_.map { id =>

@@ -3,7 +3,7 @@ package graft.ops
 import java.nio.charset.StandardCharsets.UTF_8
 import org.apache.spark.sql.functions._
 import graft.Q
-import graft.schema.Tables.t
+import graft.schema.Tables.{t, tSpread}
 
 /** HTML main-content extraction — boilerplate removal, the stage between
   * [[WarcOps]] (crawl records) and everything the text families consume:
@@ -272,7 +272,7 @@ object HtmlOps {
         |FROM documents
         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
       import s.implicits._
-      t(s, dir, "documents")
+      tSpread(s, dir, "documents")
         .select(col("doc_id"), col("text"))
         .as[(Long, String)]
         .mapPartitions(_.map { case (id, text) =>

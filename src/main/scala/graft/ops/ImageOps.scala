@@ -4,7 +4,7 @@ import java.nio.{ByteBuffer, ByteOrder}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.Q
-import graft.schema.Tables.t
+import graft.schema.Tables.{t, tSpread}
 
 /** Frame-level image operators — the pixel half of the multimodal story
   * that [[Multimodal]]'s container parsing deliberately deferred. No
@@ -193,7 +193,7 @@ object ImageOps {
     * values so the blocking join needs no re-hash. */
   private[graft] def dhashFrame(s: org.apache.spark.sql.SparkSession, dir: String) =
     CacheRegistry.cache(s, s"q142-dhash:$dir") {
-      dhashFrameFrom(t(s, dir, "documents"))
+      dhashFrameFrom(tSpread(s, dir, "documents"))
     }
 
   /** [[dhashFrame]] over any (doc_id, text, …) frame — the per-batch
@@ -224,7 +224,7 @@ object ImageOps {
     * per (session, dir); q148 reports it, q149's blocking join reuses it. */
   private[graft] def dhash128Frame(s: org.apache.spark.sql.SparkSession, dir: String) =
     CacheRegistry.cache(s, s"q148-dhash128:$dir") {
-      val docs = t(s, dir, "documents")
+      val docs = tSpread(s, dir, "documents")
       import s.implicits._
       docs
         .select(col("doc_id"), col("text"))
@@ -403,7 +403,7 @@ object ImageOps {
         |  CAST(1 AS BOOLEAN) AS jdk_parity_within_1
         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
       import s.implicits._
-      t(s, dir, "documents")
+      tSpread(s, dir, "documents")
         .select(col("doc_id"), col("text"))
         .as[(Long, String)]
         .mapPartitions { it =>
@@ -452,7 +452,7 @@ object ImageOps {
         |  CAST(1 AS BOOLEAN) AS jdk_parity_within_8
         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
       import s.implicits._
-      t(s, dir, "documents")
+      tSpread(s, dir, "documents")
         .select(col("doc_id"))
         .as[Long]
         .mapPartitions { it =>
@@ -526,7 +526,7 @@ object ImageOps {
       // either setting — but the knob rides the same decode entry a
       // crawl pipeline would call (JpegCodecSpec plants the corrupt doc).
       val salvage = s.conf.getOption("graft.jpeg.salvage").exists(_.trim.toBoolean)
-      t(s, dir, "documents")
+      tSpread(s, dir, "documents")
         .select(col("doc_id"))
         .as[Long]
         .mapPartitions { it =>
@@ -600,7 +600,7 @@ object ImageOps {
         |  CAST(1 AS BOOLEAN) AS entropy_parity
         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
       import s.implicits._
-      t(s, dir, "documents")
+      tSpread(s, dir, "documents")
         .select(col("doc_id"))
         .as[Long]
         .mapPartitions { it =>

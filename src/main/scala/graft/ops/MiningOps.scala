@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Q
+import graft.ops.Loops._
 
 /** Margin-based bitext mining — the LASER/CCMatrix recipe for mining
   * parallel training pairs out of two monolingual embedding pools:
@@ -53,7 +54,23 @@ object MiningOps {
     * neighbor means per side, best-per-source with margin, mutual-best
     * flag. The frame is the only thing that changes between the exact
     * all-pairs baseline (q334) and the IVF-blocked form (ScaleBench
-    * `mining` phase) — margins are per-candidate arithmetic either way. */
+    * `mining` phase) — margins are per-candidate arithmetic either way.
+    *
+    * Plan-shape notes from the round-16 optimization pass, kept so the
+    * next round does not re-walk dead ends: the per-side `row_number`
+    * window + `r <= k` filter plans as WindowGroupLimit — a partial
+    * per-map-task top-k BEFORE the exchange (≤k rows per group per task
+    * cross the wire) and the full N²/4 frame is never shuffled. Three
+    * restructures all measured WORSE than this fused-codegen shape at
+    * sf0.1: (a) localCheckpoint of the pair frame (checkpoint write+read
+    * of 1M narrow rows ≈ 7 cpu-s, more than recomputing the cross join);
+    * (b) a lazy pin raced its materialization across the four parallel
+    * branch stages (4× concurrent compute); (c) a bounded typed top-k
+    * Aggregator (ObjectHashAggregate) paid ~15 µs/row on the
+    * encode/decode boundary — 3× the whole window stage. What DID pay:
+    * precomputing the per-side norms (3 array dots per pair → 1) and an
+    * explicit repartition so the compute-heavy tiny-byte stages spread
+    * over the cluster dial instead of AQE-coalescing to one task. */
   def minePairs(pairs: org.apache.spark.sql.DataFrame, k: Int = K)
       : org.apache.spark.sql.DataFrame = {
     // avg, not sum/k: on a blocked candidate frame a side can hold fewer
@@ -109,15 +126,39 @@ object MiningOps {
          |ORDER BY src_id""".stripMargin
     }) { (s, dir) =>
       val emb = VectorSearch.embTable(s, dir)
+      // Norms precomputed per SIDE, not per pair (OPTIMIZATION_r16): the
+      // original evaluated graft_dot(xe,xe) and graft_dot(ye,ye) inside
+      // the N² frame — each vector's self-dot recomputed ~N times. nx/ny
+      // are the identical doubles (normExpr is deterministic per row), so
+      // round(dot/(nx·ny), 9) is value-identical; the quadratic stage now
+      // runs ONE array dot per pair instead of three.
+      // The quadratic stage is compute-bound on TINY bytes (N rows in, N²
+      // dots): the scan is one partition and AQE's advisory-size
+      // coalescing keeps every downstream stage at one task. Spread the
+      // stream side explicitly — spark.sql.shuffle.partitions is the
+      // session's scale-adaptive parallelism dial (cores locally,
+      // thousands on a cluster), and an explicit repartition is exempt
+      // from AQE coalescing by design.
+      val parts = s.conf.get("spark.sql.shuffle.partitions").toInt
       val xs = emb.filter(col("vec_id") % 2 === 0)
-        .select(col("vec_id").as("sx"), col("embedding").as("xe"))
+        .select(col("vec_id").as("sx"), col("embedding").as("xe"),
+          VectorSearch.normExpr("embedding").as("nx"))
+        .repartition(parts)
       val ys = emb.filter(col("vec_id") % 2 === 1)
-        .select(col("vec_id").as("ty"), col("embedding").as("ye"))
+        .select(col("vec_id").as("ty"), col("embedding").as("ye"),
+          VectorSearch.normExpr("embedding").as("ny"))
+      // The explicit (sx, ty) repartition below is the frame's shared
+      // REUSE POINT (guide §2.4): minePairs' kx/bx and ky/bty branch
+      // pairs all sit on the identical exchange, so the N² cross join +
+      // dot executes ONCE and every branch re-reads the narrow 24-byte
+      // rows from the shuffle — a checkpoint-free materialization that
+      // measured cheaper than both the recompute-per-branch baseline and
+      // a localCheckpoint pin (scaladoc on minePairs).
       val pairs = xs.crossJoin(ys)
         .select(col("sx"), col("ty"),
-          round(VectorSearch.dotExpr("xe", "ye")
-            / (VectorSearch.normExpr("xe") * VectorSearch.normExpr("ye")), 9)
+          round(VectorSearch.dotExpr("xe", "ye") / (col("nx") * col("ny")), 9)
             .as("cos"))
+        .repartition(parts, col("sx"), col("ty"))
       minePairs(pairs).orderBy(col("src_id"))
     },
 
@@ -181,17 +222,36 @@ object MiningOps {
          |ORDER BY src_id""".stripMargin
     }) { (s, dir) =>
       val emb = VectorSearch.embTable(s, dir)
+      // same parallelism posture as q334: the per-row 100-cell probe sort
+      // is compute-bound on tiny bytes; spread it instead of letting AQE
+      // coalesce the one-file scan's stage to a single task
+      val parts = s.conf.get("spark.sql.shuffle.partitions").toInt
       val xs = emb.filter(col("vec_id") % 2 === 0)
         .select(col("vec_id").as("sx"), col("embedding").as("xe"))
+        .repartition(parts)
       val ys = emb.filter(col("vec_id") % 2 === 1)
         .select(col("vec_id").as("ty"), col("embedding").as("ye"))
+        .repartition(parts)
       val centRow = VectorSearch.ivfCentroids(s, dir)
         .agg(array_sort(collect_list(struct(col("label"), col("centroid"),
           VectorSearch.normExpr("centroid").as("nc")))).as("__cents"))
-      val xa = probeCells(xs, centRow, "sx", "xe", nprobe = NProbe)
-      val ya = probeCells(ys, centRow, "ty", "ye", nprobe = 1)
+      // Pin each side's cell assignment (OPTIMIZATION_r16): minePairs'
+      // two side aggregates would otherwise re-embed BOTH probeCells
+      // subtrees (the per-row 100-cell array_sort is the expensive step)
+      // in each branch plan. Pinning xa/ya (eager — a lazy pin raced its
+      // materialization across the parallel branch stages) runs each
+      // assignment once over a few thousand narrow rows; the cell
+      // equi-join stays in the final plan (PlanShapeSpec's q335
+      // assertion). The norm column probeCells already computes rides
+      // along so the candidate cosine pays one array dot per pair
+      // instead of three — identical doubles (normExpr is deterministic
+      // per row).
+      val xa = probeCells(xs, centRow, "sx", "xe", nprobe = NProbe).pin()
+      val ya = probeCells(ys, centRow, "ty", "ye", nprobe = 1).pin()
       val cand = xa.join(ya, Seq("label"))
-        .select(col("sx"), col("ty"), pairCos.as("cos"))
+        .select(col("sx"), col("ty"),
+          round(VectorSearch.dotExpr("xe", "ye")
+            / (col("__nv_sx") * col("__nv_ty")), 9).as("cos"))
       minePairs(cand).orderBy(col("src_id"))
     }
   )
@@ -201,18 +261,21 @@ object MiningOps {
     * ONE-row (label, centroid, nc) array frame (|labels| entries —
     * catalog-sized), broadcast so assignment is per-row array arithmetic:
     * no shuffle, no window — the [[VectorSearch.assignToSeeds]] posture
-    * generalized to top-p. Output: (idCol, embCol, label) — one row per
-    * probed cell. */
+    * generalized to top-p. Output: (idCol, embCol, __nv_<idCol>, label) —
+    * one row per probed cell; the vector's norm (already computed for the
+    * centroid cosines) rides along so downstream pair cosines need no
+    * re-derivation. */
   private def probeCells(vs: org.apache.spark.sql.DataFrame,
       centRow: org.apache.spark.sql.DataFrame, idCol: String,
       embCol: String, nprobe: Int): org.apache.spark.sql.DataFrame = {
     val cosIn = s"round(graft_dot($embCol, c.centroid) / (__nv * c.nc), 9)"
     vs.withColumn("__nv", VectorSearch.normExpr(embCol))
       .crossJoin(broadcast(centRow))
-      .select(col(idCol), col(embCol),
+      .select(col(idCol), col(embCol), col("__nv"),
         explode(slice(expr(
           s"array_sort(transform(__cents, c -> struct(-$cosIn AS negcos, c.label AS label)))"),
           1, nprobe)).as("cell"))
-      .select(col(idCol), col(embCol), col("cell.label").as("label"))
+      .select(col(idCol), col(embCol), col("__nv").as(s"__nv_$idCol"),
+        col("cell.label").as("label"))
   }
 }

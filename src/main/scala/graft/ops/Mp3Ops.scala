@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.functions._
 import graft.Q
-import graft.schema.Tables.t
+import graft.schema.Tables.{t, tSpread}
 
 /** MP3 (MPEG-1 Audio Layer III) frame-level demux — the compressed-audio
   * container gap named in the round-13 verdict's codec-boundary list (the
@@ -335,7 +335,7 @@ object Mp3Ops {
          |FROM fr GROUP BY doc_id
          |ORDER BY doc_id""".stripMargin) { (s, dir) =>
       import s.implicits._
-      t(s, dir, "documents")
+      tSpread(s, dir, "documents")
         .select(col("doc_id"))
         .as[Long]
         .mapPartitions(_.map { id =>
@@ -375,7 +375,7 @@ object Mp3Ops {
          |GROUP BY doc_id
          |ORDER BY doc_id""".stripMargin) { (s, dir) =>
       import s.implicits._
-      t(s, dir, "documents")
+      tSpread(s, dir, "documents")
         .select(col("doc_id"))
         .as[Long]
         .mapPartitions(_.map { id =>

@@ -3,7 +3,7 @@ package graft.ops
 
 import java.nio.{ByteBuffer, ByteOrder}
 import graft.Q
-import graft.schema.Tables.t
+import graft.schema.Tables.{t, tSpread}
 
 /** Multimodal-column plumbing: opaque binary payloads with typed metadata,
   * processed per-partition through a typed Dataset (SURVEY.md north star).
@@ -226,7 +226,7 @@ object Multimodal {
         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
       import s.implicits._
       import org.apache.spark.sql.functions.{col, round}
-      t(s, dir, "documents")
+      tSpread(s, dir, "documents")
         .select(col("doc_id"), col("text").cast("binary").as("payload"))
         .as[BinDoc]
         // payload synthesis: text bytes → real container bytes
@@ -264,7 +264,7 @@ object Multimodal {
         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
       import s.implicits._
       import org.apache.spark.sql.functions.{col, round}
-      t(s, dir, "documents")
+      tSpread(s, dir, "documents")
         .select(col("doc_id"), col("text").cast("binary").as("payload"))
         .as[BinDoc]
         .mapPartitions(_.map(d => BinDoc(d.doc_id, synthesize(d.doc_id, d.payload))))

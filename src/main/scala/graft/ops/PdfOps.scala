@@ -3,7 +3,7 @@ package graft.ops
 import java.nio.charset.StandardCharsets.UTF_8
 import org.apache.spark.sql.functions._
 import graft.Q
-import graft.schema.Tables.t
+import graft.schema.Tables.{t, tSpread}
 
 /** PDF text extraction — the document half of the crawl-ingest layer
   * ([[WarcOps]] records → [[HtmlOps]] pages → PDFs): at corpus scale a
@@ -293,7 +293,7 @@ object PdfOps {
         |FROM documents
         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
       import s.implicits._
-      t(s, dir, "documents")
+      tSpread(s, dir, "documents")
         .select(col("doc_id"), col("text"))
         .as[(Long, String)]
         .mapPartitions(_.map { case (id, text) =>

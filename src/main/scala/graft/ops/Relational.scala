@@ -4,6 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Q
+import graft.ops.Loops._
 import graft.schema.Tables.{t, views}
 
 /** Batch relational operator battery (SURVEY.md §2.2): scans, projections,
@@ -68,10 +69,17 @@ object Relational {
         |FROM r
         |ORDER BY lift DESC, b1, b2
         |LIMIT 20""".stripMargin) { (s, dir) =>
+      // Pinned (OPTIMIZATION_r16): ob feeds FOUR branches (n, ib, and both
+      // sides of the pair self-join) and each branch's plan re-embedded
+      // the lineitem⋈part join + distinct — the whole fact-side scan run
+      // up to 4× (plans/r16/q271_before.txt shows the join subtree four
+      // times). One lazy localCheckpoint of the narrow (o, b) rows runs
+      // it once; downstream aggregates are integer counts, order-immune.
       val ob = t(s, dir, "lineitem").select(col("l_orderkey").as("o"), col("l_partkey"))
         .join(t(s, dir, "part").select(col("p_partkey"), col("p_brand").as("b")),
           col("l_partkey") === col("p_partkey"))
         .select(col("o"), col("b")).distinct()
+        .pin(false)
       val n = ob.agg(countDistinct(col("o")).as("n_orders"))
       val ib = ob.groupBy(col("b")).agg(count(lit(1)).as("cnt"))
       val a = ob.select(col("o"), col("b").as("b1"))

@@ -349,21 +349,39 @@ object Skew {
     val spark = df.sparkSession
     val keyed = df.select(keys.zipWithIndex.map { case (k, i) => k.c.as(s"__k$i") }: _*)
     val perPart = 200
-    val samples = keyed.rdd.mapPartitionsWithIndex { (idx, it) =>
+    // Sample over INTERNAL rows (OPTIMIZATION_r16): `.rdd` deserialized
+    // the whole corpus to external Row objects just to keep ≤200 per
+    // partition — the guide's §1.4 warning, paid once per stitch. toRdd
+    // runs the same codegen'd plan and only the kept rows are copied;
+    // the reservoir sequence (seed, traversal order) is unchanged, so the
+    // boundaries — and therefore every bucket literal downstream — are
+    // identical. Conversion to external values happens on the driver,
+    // over ≤200·|parts| rows.
+    val keyedSchema = keyed.schema
+    val samplesRaw = keyed.queryExecution.toRdd.mapPartitionsWithIndex { (idx, it) =>
       val rng = new java.util.Random(0x9E3779B97F4A7C15L ^ idx.toLong)
-      val res = new Array[Row](perPart)
+      val res = new Array[org.apache.spark.sql.catalyst.InternalRow](perPart)
       var n = 0L
       while (it.hasNext) {
         val r = it.next()
-        if (n < perPart) res(n.toInt) = r
+        if (n < perPart) res(n.toInt) = r.copy()
         else {
           val j = (rng.nextDouble() * (n + 1)).toLong
-          if (j < perPart) res(j.toInt) = r
+          if (j < perPart) res(j.toInt) = r.copy()
         }
         n += 1
       }
       Iterator.single((n, res.take(math.min(n, perPart.toLong).toInt)))
     }.collect()
+    val toScala = keyedSchema.fields.map(f =>
+      org.apache.spark.sql.catalyst.CatalystTypeConverters
+        .createToScalaConverter(f.dataType))
+    val samples = samplesRaw.map { case (n, irs) =>
+      (n, irs.map { ir =>
+        Row.fromSeq(keyedSchema.fields.indices.map(i =>
+          toScala(i)(ir.get(i, keyedSchema.fields(i).dataType))))
+      })
+    }
     val total = samples.map(_._1).sum
     if (total == 0L) return Seq.empty
     // weight each sampled row by rowsInPartition / samplesFromPartition so

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Q
 import graft.ops.Loops._
-import graft.schema.Tables.t
+import graft.schema.Tables.{t, tSpread}
 
 /** Substring- and token-level curation operators: duplicated n-gram span
   * detection (the substring-granularity complement of q40's document-level
@@ -112,7 +112,7 @@ object SubstringOps {
     * rides along from the same `sequence(…)` enumeration that generates
     * the gram — q108 drops it, q141's span coalescing is built on it. */
   private[ops] def gramRowsPos(s: SparkSession, dir: String) =
-    gramRowsPosFrom(t(s, dir, "documents"))
+    gramRowsPosFrom(tSpread(s, dir, "documents"))
 
   /** [[gramRowsPos]] over any (doc_id, text, …) frame — the per-batch
     * map-side landing step of the streaming composition
@@ -133,13 +133,26 @@ object SubstringOps {
   private[ops] def gramRows(s: SparkSession, dir: String) =
     gramRowsPos(s, dir).select(col("doc_id"), col("gram"))
 
+  /** Shared (doc_id, pos, gm = md5(gram)) frame, registry-cached once per
+    * (session, dir) — the q41-shingle-cache pattern applied to the 8-gram
+    * family (OPTIMIZATION_r16). q108's group pass, q141's intervals and
+    * q151's removal each re-ran the documents scan + gram explode + md5;
+    * the hashed-positions frame is the exact input all three share (only
+    * q108's bounded example pass still needs gram TEXT, and re-derives it
+    * at scan speed for 25 literal hashes). */
+  private[ops] def gramMd5Pos(s: SparkSession, dir: String): DataFrame =
+    CacheRegistry.cache(s, s"q108-grampos:$dir") {
+      gramRowsPos(s, dir)
+        .select(col("doc_id"), col("pos"), md5(col("gram")).as("gm"))
+    }
+
   /** The scalable core of q108: every 8-word span occurring in ≥2 distinct
     * documents, counts only — the shuffle carries nothing but the 32-byte
     * md5 and two partial counts (never the span text). ScaleBench measures
     * this frame's growth; q108 decorates its top 25 with example text. */
   def dupSpanGroups(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
-    gramRows(s, dir)
-      .groupBy(md5(col("gram")).as("gram_md5"))
+    gramMd5Pos(s, dir)
+      .groupBy(col("gm").as("gram_md5"))
       .agg(countDistinct(col("doc_id")).as("n_docs"),
         count(lit(1)).as("n_occ"))
       .filter(col("n_docs") >= 2)
@@ -162,9 +175,7 @@ object SubstringOps {
     * span_start, span_end, span_words, n_grams), word positions 1-based
     * inclusive. */
   def dupSpanIntervals(s: SparkSession, dir: String): DataFrame =
-    dupSpanIntervalsFrom(
-      gramRowsPos(s, dir)
-        .select(col("doc_id"), col("pos"), md5(col("gram")).as("gm")))
+    dupSpanIntervalsFrom(gramMd5Pos(s, dir))
 
   /** [[dupSpanIntervals]] over an accumulated (doc_id, pos, gm) gram
     * store, optionally restricted to `onlyDocs` (doc_id) — the dup-gram

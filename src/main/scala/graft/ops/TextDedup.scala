@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Q
 import graft.ops.Loops._
-import graft.schema.Tables.t
+import graft.schema.Tables.{t, tSpread}
 
 /** Document deduplication for LLM-pipeline data curation: exact (hash
   * groupBy), MinHash+LSH banding, exact n-gram Jaccard verification, and
@@ -83,7 +83,7 @@ object TextDedup {
     * Verify/Bench). */
   private[ops] def shingleRows(s: SparkSession, dir: String): DataFrame =
     CacheRegistry.cache(s, s"textdedup-shingles:$dir") {
-      shingleRowsFor(t(s, dir, "documents"))
+      shingleRowsFor(tSpread(s, dir, "documents"))
     }
 
   /** The pure shingle→(h1, h2) transformation over ANY (doc_id, text)

@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Q
-import graft.schema.Tables.t
+import graft.schema.Tables.{t, tSpread}
 
 /** Frame-level video operators — the temporal third of the multimodal
   * story, joining [[ImageOps]] (spatial) and [[AudioOps]] (samples). No
@@ -139,7 +139,7 @@ object VideoOps {
     * [[frameHashesFrom]]. */
   private[graft] def allFrameHashes(s: SparkSession, dir: String): DataFrame =
     CacheRegistry.cache(s, s"q244-vhash:$dir") {
-      frameHashes(t(s, dir, "documents"), _ => true)
+      frameHashes(tSpread(s, dir, "documents"), _ => true)
     }
 
   /** Per-batch twin over any (doc_id, text, …) frame. */
@@ -207,7 +207,7 @@ object VideoOps {
          |SELECT doc_id, frame_idx, dhash_hi, dhash_lo FROM h
          |WHERE frame_idx % 2 = 0
          |ORDER BY doc_id, frame_idx""".stripMargin) { (s, dir) =>
-      frameHashes(t(s, dir, "documents"), _ % Stride == 0)
+      frameHashes(tSpread(s, dir, "documents"), _ % Stride == 0)
         .orderBy(col("doc_id"), col("frame_idx"))
     },
 

@@ -4,7 +4,7 @@ import java.nio.charset.StandardCharsets.UTF_8
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.Q
-import graft.schema.Tables.t
+import graft.schema.Tables.{t, tSpread}
 
 /** WARC (ISO 28500) record walk — the literal input format of web-crawl
   * corpora, and the FIRST stage of a training-data pipeline: everything
@@ -287,7 +287,7 @@ object WarcOps {
          |FROM d JOIN agg USING (doc_id) JOIN chk USING (doc_id)
          |ORDER BY doc_id""".stripMargin) { (s, dir) =>
       import s.implicits._
-      t(s, dir, "documents")
+      tSpread(s, dir, "documents")
         .select(col("doc_id"))
         .as[Long]
         .mapPartitions(_.map { id =>
@@ -317,7 +317,7 @@ object WarcOps {
         |FROM documents
         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
       import s.implicits._
-      t(s, dir, "documents")
+      tSpread(s, dir, "documents")
         .select(col("doc_id"), col("text"))
         .as[(Long, String)]
         .mapPartitions(_.map { case (id, text) =>
@@ -468,6 +468,6 @@ object WarcOps {
         |    / sum(n_variants), 6) AS url_dup_rate
         |FROM per GROUP BY host ORDER BY host""".stripMargin) { (s, dir) =>
       snapshotReport(snapshotMetrics(
-        t(s, dir, "documents").select(col("doc_id"), col("text"))))
+        tSpread(s, dir, "documents").select(col("doc_id"), col("text"))))
     }
 }

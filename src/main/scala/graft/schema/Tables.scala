@@ -21,7 +21,54 @@ object Tables {
     * to the fact tables (orders/lineitem/events). */
   val broadcastable: Set[String] = Set("region", "nation", "supplier")
 
+  /** Memoized loader plans, keyed (session, dir, table). `spark.read
+    * .parquet` builds a fresh InMemoryFileIndex and re-reads the footer
+    * schema on EVERY call — pure driver-side latency that the ~350-query
+    * bench pays hundreds of times over (`views` alone re-lists all 10
+    * tables per SQL-surface query). A DataFrame is an immutable lazy plan,
+    * so handing every caller the same instance only dedupes the listing/
+    * schema work (the optimization guide's "file listing cached per
+    * session", §6) — no data is cached and nothing about execution
+    * changes. The testdata dirs are immutable by contract (TESTDATA.md);
+    * a caller that mutates files under a dir mid-session must go through
+    * a fresh session (or [[invalidate]]). */
+  private val loaded =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+
+  /** Drop memoized loaders for a session — wired into CacheRegistry.clear
+    * so end-of-run teardown releases the session reference. */
+  def invalidate(spark: SparkSession): Unit =
+    loaded.keys.filter(_._1 eq spark).foreach(loaded.remove)
+
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    loaded.getOrElseUpdate((spark, dir, name), load(spark, dir, name))
+
+  /** [[t]] spread to the session's parallelism dial for CPU-heavy
+    * per-row work (codec seams, tokenization) — the optimization guide's
+    * §2.5 fix for unsplittable inputs, applied adaptively. The driver's
+    * parquet ships ONE row group per file, so a scan is at most one task
+    * per file no matter what `maxPartitionBytes` says, and every fused
+    * scan+decode stage was running single-threaded. When the scan
+    * already yields at least `spark.sql.shuffle.partitions` splits (any
+    * real deployment — that conf is sized to the cluster), this is the
+    * identity: no extra exchange ever reaches a large-scale plan. The
+    * round-robin repartition is retry-safe (sortBeforeRepartition is on
+    * by default) and the probe costs one plan construction, memoized per
+    * (session, dir, table).
+    *
+    * Use ONLY where downstream work is per-row (map/flatMap seams) or
+    * order-immune aggregation: a double sum/avg taken directly over the
+    * spread frame would see a different partial-aggregation order than
+    * the single-split scan. */
+  def tSpread(spark: SparkSession, dir: String, name: String): DataFrame =
+    loaded.getOrElseUpdate((spark, dir, s"$name#spread"), {
+      val base = t(spark, dir, name)
+      val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+      if (base.rdd.getNumPartitions >= parts) base
+      else base.repartition(parts)
+    })
+
+  private def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
       // events.ts has shipped as both TIMESTAMP(NANOS) (which Spark 4
       // rejects outright — PARQUET_TYPE_ILLEGAL — unless nanosAsLong turns
